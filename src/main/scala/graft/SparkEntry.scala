@@ -1,13 +1,223 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.SeriesDictionary
+import graft.operators.TimeSeriesOps
+import graft.sources.Simulators
+
+/** Driver contract — one `queries` entry (+ DuckDB oracle where
+  * SQL-expressible) per operator in SURVEY.md §2.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- shared constants -------------------------------------------------
+
+  private def ts(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  private val Start = ts("2024-01-08T00:00:00Z")
+  private val End = ts("2024-01-15T00:00:00Z")
+  private val MonthStart = ts("2024-01-01T00:00:00Z")
+  private val MonthEnd = ts("2024-02-01T00:00:00Z")
+  private val PlotBuckets = 100
+
+  /** Order-independent exact sum of a double expression: scaled to µ-units,
+    * summed as integers, descaled. Bit-identical across engines and
+    * partitionings — see SURVEY.md float-determinism policy.
+    */
+  private def exactSum(c: Column): Column =
+    sum(floor(c * lit(1000000.0)).cast("long")) / lit(1000000.0)
+
+  /** SQL rendering of [[exactSum]] for the DuckDB oracle. */
+  private def exactSumSql(e: String): String =
+    s"SUM(CAST(FLOOR(($e) * 1000000) AS BIGINT)) / 1000000.0"
+
+  /** Cast timestamp columns to NTZ at the query boundary so dumped
+    * parquet carries naive µs timestamps, matching DuckDB's TIMESTAMP.
+    */
+  private def ntz(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType.typeName == "timestamp") d.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
+      else d
+    }
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.canonicalEvents(s, dir)
+
+  // ---- flagship ---------------------------------------------------------
+
+  /** Flagship: plot-data downsampling over the canonical events frame. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ntz(
+      TimeSeriesOps.plotData(
+        ev(spark, "/root/testdata/sf0.001"),
+        Seq("series_name"),
+        MonthStart,
+        MonthEnd,
+        PlotBuckets,
+      )
+    )
+
+  // ---- queries ----------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1: series discovery (kukur search)
+    "ts_search" -> { (s, dir) =>
+      TimeSeriesOps.searchSeries(ev(s, dir), Seq("series_name", "user_id"), Seq("value"))
+    },
+    // A2: single-series range query
+    "ts_get_data" -> { (s, dir) =>
+      ntz(
+        TimeSeriesOps
+          .filterRange(ev(s, dir).where(col("series_name") === "click" && col("user_id") === 7), Start, End)
+          .select(col("ts"), col("value"))
+      )
+    },
+    // A3: multi-series range query
+    "ts_get_data_multi" -> { (s, dir) =>
+      ntz(
+        TimeSeriesOps
+          .filterRange(ev(s, dir).where(col("series_name").isin("click", "error")), Start, End)
+          .select(col("series_name"), col("user_id"), col("ts"), col("value"))
+      )
+    },
+    // A4: source structure (tag keys/values + fields)
+    "ts_source_structure" -> { (s, dir) =>
+      TimeSeriesOps.sourceStructure(ev(s, dir), Seq("series_name", "user_id"), Seq("value"))
+    },
+    // A5: plot-data downsampling
+    "ts_plot_data" -> { (s, dir) =>
+      ntz(TimeSeriesOps.plotData(ev(s, dir), Seq("series_name"), MonthStart, MonthEnd, PlotBuckets))
+    },
+    // A6: quality mapping from a raw source code to GOOD/BAD
+    "ts_quality_map" -> { (s, dir) =>
+      val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int")
+      ev(s, dir)
+        .withColumn("k", k)
+        .withColumn("quality", TimeSeriesOps.qualityMap(col("k"), 0 until 50))
+        .select(col("event_id"), col("k"), col("quality"))
+    },
+    // A7: dictionary decode of a discrete-valued series (broadcast join)
+    "ts_dictionary_decode" -> { (s, dir) =>
+      val dict = SeriesDictionary(Map(0 -> "OFF", 1 -> "ON", 2 -> "IDLE", 3 -> "FAULT"))
+      val code = pmod(regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"), lit(4))
+      TimeSeriesOps
+        .dictionaryDecode(ev(s, dir).withColumn("code", code), col("code"), dict)
+        .select(col("event_id"), col("code"), col("label"))
+    },
+    // A8: computed per-series metadata
+    "ts_metadata_agg" -> { (s, dir) =>
+      ntz(TimeSeriesOps.metadataAgg(ev(s, dir), Seq("series_name", "user_id")))
+    },
+    // A9: latest point per series
+    "ts_latest" -> { (s, dir) =>
+      ntz(TimeSeriesOps.latest(ev(s, dir), Seq("series_name", "user_id")))
+    },
+    // A12: deterministic counter simulator
+    "ts_simulator_counter" -> { (s, _) =>
+      ntz(Simulators.counter(s, Start, End, minValue = 0.0, maxValue = 100.0, increase = 5.0, intervalSeconds = 60L))
+    },
+    // A13: deterministic sine simulator
+    "ts_simulator_sine" -> { (s, _) =>
+      ntz(Simulators.sine(s, Start, End, periodSeconds = 86400.0, phaseSeconds = 3600.0, amplitude = 10.0, shift = 50.0, intervalSeconds = 60L))
+    },
+    // B1: pricing summary (decimal-exact aggregation)
+    "q1_agg" -> { (s, dir) =>
+      Tables
+        .lineitem(s, dir)
+        .where(col("l_shipdate") <= lit(ts("1998-09-02T00:00:00Z")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          exactSum(col("l_quantity")).as("sum_qty"),
+          exactSum(col("l_extendedprice")).as("sum_base_price"),
+          exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          (exactSum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"),
+        )
+    },
+  )
+
+  // ---- oracle SQL (DuckDB dialect, same parquet tables) -----------------
+
+  def oracleSql: Map[String, String] = Map(
+    "ts_search" ->
+      "SELECT DISTINCT event_type AS series_name, user_id, 'value' AS field FROM events",
+    "ts_get_data" ->
+      """SELECT ts, value FROM events
+         WHERE event_type = 'click' AND user_id = 7
+           AND ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'""",
+    "ts_get_data_multi" ->
+      """SELECT event_type AS series_name, user_id, ts, value FROM events
+         WHERE event_type IN ('click', 'error')
+           AND ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'""",
+    "ts_source_structure" ->
+      """SELECT 'tag' AS kind, 'series_name' AS key, CAST(event_type AS VARCHAR) AS val FROM events GROUP BY 3
+         UNION ALL
+         SELECT 'tag' AS kind, 'user_id' AS key, CAST(user_id AS VARCHAR) AS val FROM events GROUP BY 3
+         UNION ALL
+         SELECT 'field' AS kind, 'field' AS key, 'value' AS val""",
+    "ts_plot_data" ->
+      """WITH ranged AS (
+           SELECT event_type AS series_name, ts, value,
+                  CAST(FLOOR((epoch_us(ts) - 1704067200000000) * 100.0 / 2678400000000.0) AS BIGINT) AS bucket
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-02-01 00:00:00')
+         SELECT series_name, bucket, 'min' AS role, ts, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY series_name, bucket ORDER BY value ASC, ts ASC) AS rn FROM ranged) WHERE rn = 1
+         UNION ALL
+         SELECT series_name, bucket, 'max' AS role, ts, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY series_name, bucket ORDER BY value DESC, ts ASC) AS rn FROM ranged) WHERE rn = 1
+         UNION ALL
+         SELECT series_name, bucket, 'first' AS role, ts, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY series_name, bucket ORDER BY ts ASC, value ASC) AS rn FROM ranged) WHERE rn = 1
+         UNION ALL
+         SELECT series_name, bucket, 'last' AS role, ts, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY series_name, bucket ORDER BY ts DESC, value DESC) AS rn FROM ranged) WHERE rn = 1""",
+    "ts_quality_map" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k,
+                CASE WHEN CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) BETWEEN 0 AND 49 THEN 1 ELSE 0 END AS quality
+         FROM events""",
+    "ts_dictionary_decode" ->
+      """SELECT event_id,
+                CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) % 4 AS code,
+                CASE CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) % 4
+                  WHEN 0 THEN 'OFF' WHEN 1 THEN 'ON' WHEN 2 THEN 'IDLE' WHEN 3 THEN 'FAULT' END AS label
+         FROM events""",
+    "ts_metadata_agg" ->
+      s"""SELECT event_type AS series_name, user_id,
+                COUNT(*) AS point_count, MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+                MIN(value) AS min_value, MAX(value) AS max_value,
+                ${exactSumSql("value")} / COUNT(*) AS mean_value
+         FROM events GROUP BY 1, 2""",
+    "ts_latest" ->
+      """SELECT event_type AS series_name, user_id, ts, value FROM (
+           SELECT event_type, user_id, ts, value,
+                  row_number() OVER (PARTITION BY event_type, user_id ORDER BY ts DESC, value DESC) AS rn
+           FROM events) WHERE rn = 1""",
+    "ts_simulator_counter" ->
+      """SELECT CAST(TIMESTAMP '1970-01-01 00:00:00' + INTERVAL (us) MICROSECOND AS TIMESTAMP) AS ts,
+                0.0 + (CAST(us AS BIGINT) % 1200000000) // 60000000 * 5.0 AS value
+         FROM (SELECT 1704672000000000 + 60000000 * g AS us
+               FROM generate_series(0, CAST((1705276800000000 - 1704672000000000) / 60000000 AS BIGINT)) AS t(g))""",
+    "ts_simulator_sine" ->
+      """SELECT CAST(TIMESTAMP '1970-01-01 00:00:00' + INTERVAL (us) MICROSECOND AS TIMESTAMP) AS ts,
+                round(10.0 * sin(2 * pi() * (us / 1000000.0 + 3600.0) / 86400.0) + 50.0, 6) AS value
+         FROM (SELECT 1704672000000000 + 60000000 * g AS us
+               FROM generate_series(0, CAST((1705276800000000 - 1704672000000000) / 60000000 AS BIGINT)) AS t(g))""",
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+                ${exactSumSql("l_quantity")} AS sum_qty,
+                ${exactSumSql("l_extendedprice")} AS sum_base_price,
+                ${exactSumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+                ${exactSumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+                ${exactSumSql("l_quantity")} / COUNT(*) AS avg_qty,
+                COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+  )
 }

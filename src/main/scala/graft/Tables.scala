@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated test tables.
+  *
+  * All reads stay declarative (`spark.read.parquet`) so Catalyst keeps
+  * predicate pushdown, column pruning and partition pruning. The only
+  * normalization done eagerly is the ns→µs timestamp conversion for
+  * `events`, because Spark's TimestampType is µs-precision and the
+  * generated parquet stores TIMESTAMP(NANOS).
+  */
+object Tables {
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot map to
+    * its µs TimestampType. We read it as raw nanos (long) and truncate
+    * to µs — identical to what DuckDB's ns→µs cast does, keeping the
+    * oracle comparable.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** Canonical time-series frame derived from `events`.
+    *
+    * The reference normalizes every source into per-series Arrow tables
+    * `(ts, value, quality?)` keyed by tags (kukur/source/__init__.py:462).
+    * Graft's canonical form is one distributed frame holding *all*
+    * series, keyed by tag columns — here `event_type` (series name tag)
+    * and `user_id`.
+    */
+  def canonicalEvents(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir).select(
+      col("event_type").as("series_name"),
+      col("user_id"),
+      col("ts"),
+      col("value"),
+      col("event_id"),
+      col("props"),
+    )
+}

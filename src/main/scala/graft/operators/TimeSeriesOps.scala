@@ -1,0 +1,311 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.SeriesDictionary
+
+/** Time-series operators over the canonical frame `(tags…, ts, value[, quality])`.
+  *
+  * Every operator is a pure `DataFrame => DataFrame` plan builder: all
+  * work is expressed with codegen'd built-in functions so Catalyst keeps
+  * pushdown/pruning and whole-stage codegen. No collect(), no RDDs —
+  * single-series calls in the reference become tag-filtered distributed
+  * scans here; a 1000-executor cluster runs the same plan unchanged.
+  */
+object TimeSeriesOps {
+
+  /** Half-open range filter `ts >= start AND ts < end`
+    * (kukur/source/arrow.py:383 filter_by_timerange). Pushed down to the
+    * parquet scan when applied directly over a source column.
+    */
+  def filterRange(df: DataFrame, start: Timestamp, end: Timestamp): DataFrame =
+    df.where(col("ts") >= lit(start) && col("ts") < lit(end))
+
+  /** Series discovery: distinct tag combinations × field names
+    * (kukur/source/arrow.py:183 _search_row). One shuffle with map-side
+    * partial distinct.
+    */
+  def searchSeries(df: DataFrame, tagCols: Seq[String], fields: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val distinctTags = df.select(tagCols.map(col): _*).distinct()
+    val fieldDf = fields.toDF("field")
+    distinctTags.crossJoin(broadcast(fieldDf))
+  }
+
+  /** Source structure: tag keys, their distinct values and the field
+    * list (kukur/base.py:169 SourceStructure), flattened to rows
+    * `(kind, key, val)` so it stays one relational result.
+    */
+  def sourceStructure(df: DataFrame, tagCols: Seq[String], fields: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tagValueFrames = tagCols.map { t =>
+      df.select(
+        lit("tag").as("kind"),
+        lit(t).as("key"),
+        col(t).cast("string").as("val"),
+      ).distinct()
+    }
+    val fieldFrame = fields.toDF("val").select(lit("field").as("kind"), lit("field").as("key"), col("val"))
+    (tagValueFrames :+ fieldFrame).reduce(_ unionAll _)
+  }
+
+  /** Last point per series: one aggregation using struct-max, so ties on
+    * ts break deterministically by value. Map-side partial agg keeps the
+    * shuffle tiny at any scale.
+    */
+  def latest(df: DataFrame, tagCols: Seq[String]): DataFrame =
+    df.groupBy(tagCols.map(col): _*)
+      .agg(max(struct(col("ts"), col("value"))).as("last"))
+      .select(tagCols.map(col) :+ col("last.ts").as("ts") :+ col("last.value").as("value"): _*)
+
+  /** Computed per-series metadata: point count, time span, value stats.
+    * Sums are computed on scaled integers (`floor(v*1e6)` as long) so the
+    * result is order-independent — see SURVEY.md float policy.
+    */
+  def metadataAgg(df: DataFrame, tagCols: Seq[String]): DataFrame =
+    df.groupBy(tagCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("point_count"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        (sum(floor(col("value") * lit(1000000.0)).cast("long")) / lit(1000000.0) / count(lit(1)))
+          .as("mean_value"),
+      )
+
+  /** Quality mapping: GOOD(1) when the raw quality value is in the
+    * configured good-set, else BAD(0) (kukur/source/quality.py:62
+    * map_array). Compiles to an `IN` expression — fully codegen'd.
+    */
+  def qualityMap(raw: Column, goodSet: Seq[Int]): Column =
+    when(raw.isin(goodSet: _*), lit(1)).otherwise(lit(0)).cast("int")
+
+  /** Dictionary decode: integer values → labels via a broadcast join
+    * (kukur/source/csv.py:248 __get_dictionary). The dictionary is tiny
+    * by construction, so broadcast avoids any shuffle of the data side.
+    */
+  def dictionaryDecode(df: DataFrame, intValue: Column, dict: SeriesDictionary): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dictDf = dict.mapping.toSeq.toDF("dict_key", "label")
+    df.withColumn("dict_key", intValue)
+      .join(broadcast(dictDf), Seq("dict_key"), "left")
+      .drop("dict_key")
+  }
+
+  /** Plot-data downsampling (kukur/flight.py:103, PI "plot" semantics):
+    * split [start, end) into `intervalCount` buckets; per series-bucket
+    * keep the min-value, max-value, first and last actual points.
+    *
+    * One shuffle: a single groupBy computes four struct-ordered extrema
+    * with map-side partial aggregation (no window sort), then the four
+    * points are exploded back to rows. Ties break deterministically:
+    * min value→earliest ts, max value→earliest ts (via negated µs).
+    */
+  def plotData(
+      df: DataFrame,
+      tagCols: Seq[String],
+      start: Timestamp,
+      end: Timestamp,
+      intervalCount: Int,
+  ): DataFrame = {
+    val startUs = start.getTime * 1000L
+    val endUs = end.getTime * 1000L
+    val span = endUs - startUs
+    // floor() keeps the bucket math bit-identical to a C-engine oracle:
+    // the products stay < 2^53 so the double division is exact.
+    val ranged = filterRange(df, start, end)
+      .withColumn("bucket", floor((unix_micros(col("ts")) - lit(startUs)).cast("double") * lit(intervalCount.toDouble) / lit(span.toDouble)).cast("long"))
+    val tsUs = unix_micros(col("ts"))
+    val agg = ranged
+      .groupBy((tagCols.map(col) :+ col("bucket")): _*)
+      .agg(
+        min(struct(col("value"), tsUs.as("us"), col("ts"))).as("min_pt"),
+        max(struct(col("value"), (-tsUs).as("neg_us"), col("ts"))).as("max_pt"),
+        min(struct(tsUs.as("us"), col("value"), col("ts"))).as("first_pt"),
+        max(struct(tsUs.as("us"), col("value"), col("ts"))).as("last_pt"),
+      )
+    val roles = array(
+      struct(lit("min").as("role"), col("min_pt.ts").as("ts"), col("min_pt.value").as("value")),
+      struct(lit("max").as("role"), col("max_pt.ts").as("ts"), col("max_pt.value").as("value")),
+      struct(lit("first").as("role"), col("first_pt.ts").as("ts"), col("first_pt.value").as("value")),
+      struct(lit("last").as("role"), col("last_pt.ts").as("ts"), col("last_pt.value").as("value")),
+    )
+    agg
+      .select((tagCols.map(col) :+ col("bucket") :+ explode(roles).as("pt")): _*)
+      .select((tagCols.map(col) :+ col("bucket") :+ col("pt.role").as("role") :+ col("pt.ts").as("ts") :+ col("pt.value").as("value")): _*)
+  }
+
+  /** Regular-grid resample with STEPPED interpolation
+    * (kukur/base.py:145): value at grid time t = last observed value at
+    * ts <= t, null before the first point.
+    *
+    * Implemented as grid ∪ data + one window `last(ignoreNulls)` pass —
+    * a single sort-shuffle partitioned by series, linear in
+    * (points + grid), no range-join blowup at scale.
+    */
+  def resampleStepped(
+      df: DataFrame,
+      tagCols: Seq[String],
+      start: Timestamp,
+      end: Timestamp,
+      stepSeconds: Long,
+  ): DataFrame = {
+    val grid = seriesGrid(df, tagCols, start, end, stepSeconds)
+    val data = df
+      .where(col("ts") < lit(end))
+      .select(tagCols.map(col) :+ col("ts") :+ col("value").as("v") :+ lit(0).as("is_grid"): _*)
+    val gridRows = grid.select(tagCols.map(col) :+ col("ts") :+ lit(null).cast("double").as("v") :+ lit(1).as("is_grid"): _*)
+    // Data sorts before grid at equal ts so a point exactly on a grid
+    // time is included (matches ASOF >= semantics).
+    val w = Window
+      .partitionBy(tagCols.map(col): _*)
+      .orderBy(col("ts"), col("is_grid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    data
+      .unionByName(gridRows)
+      .withColumn("value", last(col("v"), ignoreNulls = true).over(w))
+      .where(col("is_grid") === 1)
+      .select(tagCols.map(col) :+ col("ts") :+ col("value"): _*)
+  }
+
+  /** Regular-grid resample with LINEAR interpolation (kukur/base.py:145):
+    * v(t) = v0 + (v1 - v0) * (t - t0) / (t1 - t0) between the
+    * neighbouring points, the exact boundary value on a sample, null
+    * outside the observed range. Same union+window shape as stepped —
+    * two window passes (prev/next), still one sort.
+    */
+  def resampleLinear(
+      df: DataFrame,
+      tagCols: Seq[String],
+      start: Timestamp,
+      end: Timestamp,
+      stepSeconds: Long,
+  ): DataFrame = {
+    val grid = seriesGrid(df, tagCols, start, end, stepSeconds)
+    val data = df.select(
+      tagCols.map(col) :+ col("ts") :+ col("value").as("v") :+ lit(0).as("is_grid"): _*
+    )
+    val gridRows = grid.select(
+      tagCols.map(col) :+ col("ts") :+ lit(null).cast("double").as("v") :+ lit(1).as("is_grid"): _*
+    )
+    val both = data.unionByName(gridRows)
+    val part = Window.partitionBy(tagCols.map(col): _*)
+    // prev: data point at ts <= t (data before grid on ties)
+    val wPrev = part.orderBy(col("ts"), col("is_grid")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // next: data point at ts >= t (grid before data on ties ⇒ exact hit
+    // resolves to the same point for prev and next, interpolating to v0)
+    val wNext = part.orderBy(col("ts"), col("is_grid").desc).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prevStruct = last(when(col("is_grid") === 0, struct(unix_micros(col("ts")).as("us"), col("v"))), ignoreNulls = true).over(wPrev)
+    val nextStruct = first(when(col("is_grid") === 0, struct(unix_micros(col("ts")).as("us"), col("v"))), ignoreNulls = true).over(wNext)
+    both
+      .withColumn("prev", prevStruct)
+      .withColumn("next", nextStruct)
+      .where(col("is_grid") === 1)
+      .withColumn(
+        "value",
+        when(col("prev").isNull || col("next").isNull, lit(null).cast("double"))
+          .when(col("next.us") === col("prev.us"), col("prev.v"))
+          .otherwise(
+            col("prev.v") + (col("next.v") - col("prev.v")) *
+              (unix_micros(col("ts")) - col("prev.us")).cast("double") /
+              (col("next.us") - col("prev.us")).cast("double")
+          ),
+      )
+      .select(tagCols.map(col) :+ col("ts") :+ col("value"): _*)
+  }
+
+  /** One grid row per (series, step) over [start, end). Built from
+    * `sequence`+`explode` against the distinct series set — the per-row
+    * array stays bounded because callers size step vs range; for
+    * unbounded ranges use Simulators.timeRange (spark.range-based).
+    */
+  private def seriesGrid(
+      df: DataFrame,
+      tagCols: Seq[String],
+      start: Timestamp,
+      end: Timestamp,
+      stepSeconds: Long,
+  ): DataFrame =
+    df.select(tagCols.map(col): _*)
+      .distinct()
+      .withColumn(
+        "ts",
+        explode(
+          sequence(
+            lit(start),
+            lit(new Timestamp(end.getTime - 1L)),
+            expr(s"interval $stepSeconds seconds"),
+          )
+        ),
+      )
+
+  /** As-of join: for every left row, the most recent right value with
+    * `right.ts <= left.ts` per key (STEPPED alignment, the Timeseer-style
+    * use of kukur data).
+    *
+    * Implemented as union + single window pass instead of a range join:
+    * both sides shuffle once on the key, sort by ts, and a running
+    * `last(ignoreNulls)` carries the right value forward. Linear in
+    * rows, skew-safe via AQE, no O(n·m) range-join explosion at 100 TB.
+    * Right-side duplicate timestamps are pre-collapsed
+    * deterministically (max struct) so the result is unique.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftValue: String = "value",
+      rightValue: String = "value",
+      rightOut: String = "right_value",
+  ): DataFrame = {
+    val rightDedup = right
+      .groupBy((keyCols.map(col) :+ col("ts")): _*)
+      .agg(max(col(rightValue)).as(rightValue))
+    val l = left.select(keyCols.map(col) :+ col("ts") :+ col(leftValue).as("value") :+ lit(0).as("is_right") :+ lit(null).cast("double").as("rv"): _*)
+    val r = rightDedup.select(keyCols.map(col) :+ col("ts") :+ lit(null).cast("double").as("value") :+ lit(1).as("is_right") :+ col(rightValue).as("rv"): _*)
+    // Right rows sort before left rows on equal ts ⇒ `<=` semantics.
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("ts"), col("is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn(rightOut, last(col("rv"), ignoreNulls = true).over(w))
+      .where(col("is_right") === 0)
+      .select(keyCols.map(col) :+ col("ts") :+ col("value") :+ col(rightOut): _*)
+  }
+
+  /** Gap detection: consecutive-point deltas above a threshold, per
+    * series. One window pass; ties on ts broken by a caller-supplied
+    * unique id column for determinism.
+    */
+  def gapDetect(
+      df: DataFrame,
+      tagCols: Seq[String],
+      idCol: String,
+      thresholdSeconds: Double,
+  ): DataFrame = {
+    val w = Window.partitionBy(tagCols.map(col): _*).orderBy(col("ts"), col(idCol))
+    df.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_seconds", (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).cast("double") / lit(1000000.0))
+      .where(col("gap_seconds") > lit(thresholdSeconds))
+      .select(tagCols.map(col) :+ col("prev_ts") :+ col("ts") :+ col("gap_seconds"): _*)
+  }
+
+  /** Filter points outside [low, high] physical limits (metadata-driven
+    * outlier screen; limits come from per-series metadata like
+    * kukur/metadata/fields.py LimitLowPhysical/LimitHighPhysical).
+    * `limits` must be small (one row per series) — broadcast.
+    */
+  def outsideLimits(df: DataFrame, limits: DataFrame, tagCols: Seq[String]): DataFrame =
+    df.join(broadcast(limits), tagCols)
+      .where(col("value") < col("limit_low") || col("value") > col("limit_high"))
+      .withColumn("violation", when(col("value") < col("limit_low"), lit("low")).otherwise(lit("high")))
+}
