@@ -125,6 +125,51 @@ object SparkEntry {
     "ts_simulator_sine" -> { (s, _) =>
       ntz(Simulators.sine(s, Start, End, periodSeconds = 86400.0, phaseSeconds = 3600.0, amplitude = 10.0, shift = 50.0, intervalSeconds = 60L))
     },
+    // A10: stepped resample onto a 1h grid
+    "ts_resample_stepped" -> { (s, dir) =>
+      ntz(
+        TimeSeriesOps.resampleStepped(
+          ev(s, dir).where(col("ts") < lit(End)).select(col("series_name"), col("ts"), col("value")),
+          Seq("series_name"), Start, End, stepSeconds = 3600L)
+      )
+    },
+    // A11: linear-interpolation resample onto a 1h grid
+    "ts_resample_linear" -> { (s, dir) =>
+      ntz(
+        TimeSeriesOps.resampleLinear(
+          ev(s, dir).select(col("series_name"), col("ts"), col("value")),
+          Seq("series_name"), Start, End, stepSeconds = 3600L)
+      )
+    },
+    // A18: metadata-driven physical-limit outlier screen
+    "ts_outlier_limits" -> { (s, dir) =>
+      import s.implicits._
+      val limits = Seq(
+        ("click", 0.5, 300.0), ("view", 0.5, 300.0), ("purchase", 1.0, 480.0),
+        ("signup", 0.2, 200.0), ("error", 0.1, 100.0),
+      ).toDF("series_name", "limit_low", "limit_high")
+      ntz(
+        TimeSeriesOps
+          .outsideLimits(ev(s, dir), limits, Seq("series_name"))
+          .select(col("series_name"), col("ts"), col("value"), col("violation"))
+      )
+    },
+    // A19: as-of join — last click value before each purchase, per user
+    "ts_asof_join" -> { (s, dir) =>
+      val e = ev(s, dir)
+      ntz(
+        TimeSeriesOps.asofJoin(
+          e.where(col("series_name") === "purchase"),
+          e.where(col("series_name") === "click"),
+          keyCols = Seq("user_id"),
+          rightOut = "last_click_value",
+        )
+      )
+    },
+    // A20: gap detection (> 1h between points of a series)
+    "ts_gap_detect" -> { (s, dir) =>
+      ntz(TimeSeriesOps.gapDetect(ev(s, dir), Seq("series_name"), "event_id", thresholdSeconds = 3600.0))
+    },
     // B1: pricing summary (decimal-exact aggregation)
     "q1_agg" -> { (s, dir) =>
       Tables
@@ -139,6 +184,74 @@ object SparkEntry {
           (exactSum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"),
         )
+    },
+    // B2: shipping-priority join + top-k (TPC-H Q3 shape)
+    "q3_join" -> { (s, dir) =>
+      val cutoff = ts("1997-06-01T00:00:00Z")
+      ntz(
+        Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+          .where(col("o_orderdate") < lit(cutoff))
+          .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .where(col("l_shipdate") > lit(cutoff))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+          .limit(10)
+      )
+    },
+    // B3: local-supplier volume, 6-way join with broadcast dims (Q5 shape)
+    "q5_multijoin" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)).where(col("r_name") === "ASIA"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    },
+    // B4: top-3 orders per customer by price (window rank)
+    "q_window" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+    },
+    // B5: sessionization (30 min inactivity) via lag + running sum
+    "q_events_sessionize" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ntz(
+        Tables.events(s, dir)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+          .withColumn(
+            "new_s",
+            when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > lit(1800000000L), lit(1)).otherwise(lit(0)),
+          )
+          .withColumn("session_id", sum(col("new_s")).over(runSum))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            count(lit(1)).as("n_events"),
+          )
+      )
+    },
+    // B6: tumbling 1h window aggregates over events
+    "q_events_window_agg" -> { (s, dir) =>
+      ntz(
+        Tables.events(s, dir)
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            exactSum(col("value")).as("sum_value"),
+            countDistinct(col("user_id")).as("n_users"),
+          )
+      )
     },
   )
 
@@ -209,6 +322,93 @@ object SparkEntry {
                 round(10.0 * sin(2 * pi() * (us / 1000000.0 + 3600.0) / 86400.0) + 50.0, 6) AS value
          FROM (SELECT 1704672000000000 + 60000000 * g AS us
                FROM generate_series(0, CAST((1705276800000000 - 1704672000000000) / 60000000 AS BIGINT)) AS t(g))""",
+    "ts_resample_stepped" ->
+      """WITH data AS (
+           SELECT event_type AS series_name, ts, MAX(value) AS value FROM events
+           WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1, 2),
+         grid AS (
+           SELECT s.series_name, g.ts
+           FROM (SELECT DISTINCT event_type AS series_name FROM events) s
+           CROSS JOIN generate_series(TIMESTAMP '2024-01-08 00:00:00', TIMESTAMP '2024-01-14 23:00:00', INTERVAL 1 HOUR) g(ts))
+         SELECT g.series_name, g.ts, d.value
+         FROM grid g ASOF LEFT JOIN data d ON g.series_name = d.series_name AND g.ts >= d.ts""",
+    "ts_resample_linear" ->
+      """WITH data AS (
+           SELECT event_type AS series_name, ts, epoch_us(ts) AS us, MAX(value) AS value FROM events GROUP BY 1, 2, 3),
+         grid AS (
+           SELECT s.series_name, g.ts, epoch_us(g.ts) AS us
+           FROM (SELECT DISTINCT event_type AS series_name FROM events) s
+           CROSS JOIN generate_series(TIMESTAMP '2024-01-08 00:00:00', TIMESTAMP '2024-01-14 23:00:00', INTERVAL 1 HOUR) g(ts)),
+         prev AS (
+           SELECT g.series_name, g.ts, g.us, d.us AS p_us, d.value AS p_v
+           FROM grid g ASOF LEFT JOIN data d ON g.series_name = d.series_name AND g.ts >= d.ts),
+         nxt AS (
+           SELECT g.series_name, g.ts, d.us AS n_us, d.value AS n_v
+           FROM grid g ASOF LEFT JOIN data d ON g.series_name = d.series_name AND g.ts <= d.ts)
+         SELECT p.series_name, p.ts,
+                CASE WHEN p.p_us IS NULL OR n.n_us IS NULL THEN NULL
+                     WHEN n.n_us = p.p_us THEN p.p_v
+                     ELSE p.p_v + (n.n_v - p.p_v) * CAST(p.us - p.p_us AS DOUBLE) / CAST(n.n_us - p.p_us AS DOUBLE)
+                END AS value
+         FROM prev p JOIN nxt n ON p.series_name = n.series_name AND p.ts = n.ts""",
+    "ts_outlier_limits" ->
+      """WITH lim AS (
+           SELECT * FROM (VALUES ('click', 0.5, 300.0), ('view', 0.5, 300.0), ('purchase', 1.0, 480.0),
+                                 ('signup', 0.2, 200.0), ('error', 0.1, 100.0)) AS t(series_name, limit_low, limit_high))
+         SELECT e.event_type AS series_name, e.ts, e.value,
+                CASE WHEN e.value < l.limit_low THEN 'low' ELSE 'high' END AS violation
+         FROM events e JOIN lim l ON e.event_type = l.series_name
+         WHERE e.value < l.limit_low OR e.value > l.limit_high""",
+    "ts_asof_join" ->
+      """WITH clicks AS (
+           SELECT user_id, ts, MAX(value) AS value FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         purchases AS (
+           SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+         SELECT p.user_id, p.ts, p.value, c.value AS last_click_value
+         FROM purchases p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "ts_gap_detect" ->
+      """SELECT series_name, prev_ts, ts, gap_seconds FROM (
+           SELECT event_type AS series_name,
+                  lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_ts, ts,
+                  (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id))) / 1000000.0 AS gap_seconds
+           FROM events)
+         WHERE gap_seconds > 3600.0""",
+    "q3_join" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+                ${exactSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00' AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
+    "q5_multijoin" ->
+      s"""SELECT n_name, ${exactSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+           AND c_nationkey = s_nationkey AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+         GROUP BY n_name""",
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders) WHERE rk <= 3""",
+    "q_events_sessionize" ->
+      """WITH marked AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM marked)
+         SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+         FROM sess GROUP BY 1, 2""",
+    "q_events_window_agg" ->
+      s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+                COUNT(*) AS n, ${exactSumSql("value")} AS sum_value,
+                COUNT(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1, 2""",
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
                 ${exactSumSql("l_quantity")} AS sum_qty,

@@ -159,8 +159,7 @@ object TimeSeriesOps {
       stepSeconds: Long,
   ): DataFrame = {
     val grid = seriesGrid(df, tagCols, start, end, stepSeconds)
-    val data = df
-      .where(col("ts") < lit(end))
+    val data = dedupTs(df.where(col("ts") < lit(end)), tagCols)
       .select(tagCols.map(col) :+ col("ts") :+ col("value").as("v") :+ lit(0).as("is_grid"): _*)
     val gridRows = grid.select(tagCols.map(col) :+ col("ts") :+ lit(null).cast("double").as("v") :+ lit(1).as("is_grid"): _*)
     // Data sorts before grid at equal ts so a point exactly on a grid
@@ -190,7 +189,7 @@ object TimeSeriesOps {
       stepSeconds: Long,
   ): DataFrame = {
     val grid = seriesGrid(df, tagCols, start, end, stepSeconds)
-    val data = df.select(
+    val data = dedupTs(df, tagCols).select(
       tagCols.map(col) :+ col("ts") :+ col("value").as("v") :+ lit(0).as("is_grid"): _*
     )
     val gridRows = grid.select(
@@ -221,6 +220,13 @@ object TimeSeriesOps {
       )
       .select(tagCols.map(col) :+ col("ts") :+ col("value"): _*)
   }
+
+  /** Collapse duplicate timestamps per series deterministically (max
+    * value wins) so resampling and as-of alignment are well-defined.
+    */
+  private def dedupTs(df: DataFrame, tagCols: Seq[String]): DataFrame =
+    df.groupBy((tagCols.map(col) :+ col("ts")): _*)
+      .agg(max(col("value")).as("value"))
 
   /** One grid row per (series, step) over [start, end). Built from
     * `sequence`+`explode` against the distinct series set — the per-row

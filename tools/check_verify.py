@@ -55,8 +55,10 @@ def main() -> None:
             print(f"FAIL {name}: rows {len(s)} vs {len(d)}")
             failures += 1
             continue
-        # exact compare, mirroring a hash check
-        neq = (s.astype(object).where(s.notna(), None) != d.astype(object).where(d.notna(), None))
+        # exact compare, mirroring a hash check (nulls equal to nulls)
+        so = s.astype(object).where(s.notna(), "\x00NULL")
+        do = d.astype(object).where(d.notna(), "\x00NULL")
+        neq = so != do
         bad = neq.any(axis=1)
         if bad.any():
             i = bad.idxmax()
