@@ -6,7 +6,9 @@ import java.time.Instant
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{DedupFunctions, TextFunctions, VectorFunctions}
 import graft.model.SeriesDictionary
+import graft.multimodal.Multimodal
 import graft.operators.TimeSeriesOps
 import graft.sources.Simulators
 
@@ -241,6 +243,71 @@ object SparkEntry {
           )
       )
     },
+    // C1: exact dedup groups
+    "dedup_exact" -> { (s, dir) =>
+      DedupFunctions.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+    },
+    // C2: MinHash+LSH candidate pairs (hash-dependent → rows-only check)
+    "dedup_minhash" -> { (s, dir) =>
+      DedupFunctions.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+    },
+    // C3: LSH candidates verified by exact shingle Jaccard
+    "dedup_minhash_verified" -> { (s, dir) =>
+      DedupFunctions
+        .minhashVerified(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"), col("intersection"), col("union_size"))
+    },
+    // C4: SimHash near-dup pairs (hash-dependent → rows-only check)
+    "dedup_simhash" -> { (s, dir) =>
+      DedupFunctions.simhashPairs(Tables.documents(s, dir), "doc_id", "text")
+    },
+    // C5: exact n-gram Jaccard pairs (inverted index, τ = 0.8)
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      DedupFunctions
+        .jaccardPairs(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"), col("intersection"), col("union_size"))
+    },
+    // C6: brute-force cosine top-10 for 5 query vectors
+    "sim_cosine_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      VectorFunctions
+        .cosineTopK(emb.where(col("vec_id") < 5), emb, k = 10)
+        .withColumnRenamed("rank", "rk")
+    },
+    // C7: hyperplane-LSH bucketed ANN (hash-dependent → rows-only check)
+    "sim_lsh_ann" -> { (s, dir) =>
+      VectorFunctions.lshAnn(Tables.embeddings(s, dir), k = 5)
+    },
+    // C8: heuristic language ID
+    "text_langid" -> { (s, dir) =>
+      TextFunctions
+        .langId(Tables.documents(s, dir), col("text"))
+        .select(col("doc_id"), col("pred_lang"), col("confidence"))
+    },
+    // C9: text quality scoring
+    "text_quality" -> { (s, dir) =>
+      TextFunctions
+        .qualityScore(Tables.documents(s, dir), col("text"))
+        .select(
+          col("doc_id"), col("n_chars"), col("n_words"), col("avg_word_len"),
+          col("digit_ratio"), col("punct_ratio"), col("stopword_ratio"), col("quality_score"),
+        )
+    },
+    // C10: token counting (whitespace + BPE-ish regex)
+    "text_tokens" -> { (s, dir) =>
+      TextFunctions
+        .tokenCounts(Tables.documents(s, dir), col("text"))
+        .select(col("doc_id"), col("ws_tokens"), col("regex_tokens"))
+    },
+    // C11: winnowing fingerprints (k=8 char-grams, window 4)
+    "text_fingerprint" -> { (s, dir) =>
+      TextFunctions.fingerprints(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
+    // C12: multimodal binary-column pipeline with stubbed decode
+    "mm_pipeline" -> { (s, dir) =>
+      val assets = Multimodal.asAssets(Tables.documents(s, dir), "doc_id", "text", "source")
+      Multimodal.stubDecode(assets).select(col("asset_id"), col("n_bytes"), col("checksum"))
+    },
     // B6: tumbling 1h window aggregates over events
     "q_events_window_agg" -> { (s, dir) =>
       ntz(
@@ -409,6 +476,94 @@ object SparkEntry {
                 COUNT(*) AS n, ${exactSumSql("value")} AS sum_value,
                 COUNT(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1, 2""",
+    "dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY 1""",
+    "dedup_ngram_jaccard" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+         w AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+                FROM w WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT doc_a, doc_b, i AS intersection, na.n + nb.n - i AS union_size
+         FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+         WHERE i * 5 >= (na.n + nb.n - i) * 4""",
+    "dedup_minhash_verified" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+         w AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+                FROM w WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT doc_a, doc_b, i AS intersection, na.n + nb.n - i AS union_size
+         FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+         WHERE i * 5 >= (na.n + nb.n - i) * 4""",
+    "sim_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         norms AS (SELECT vec_id, list_sum(list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS n2 FROM embeddings),
+         scored AS (
+           SELECT q.query_id, c.neighbor_id,
+                  CAST(list_sum(list_transform(generate_series(1, 64), i -> CAST(FLOOR(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE)
+                    / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cosine
+           FROM q JOIN c ON q.query_id <> c.neighbor_id
+           JOIN norms nq ON nq.vec_id = q.query_id
+           JOIN norms nc ON nc.vec_id = c.neighbor_id)
+         SELECT query_id, neighbor_id, cosine, rk FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM scored)
+         WHERE rk <= 10""",
+    "text_langid" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+         sc AS (SELECT doc_id,
+                  len(list_filter(w, t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS s_en,
+                  len(list_filter(w, t -> t IN ('der', 'die', 'und', 'das', 'ist'))) AS s_de,
+                  len(list_filter(w, t -> t IN ('el', 'la', 'los', 'es', 'y'))) AS s_es,
+                  len(list_filter(w, t -> t IN ('le', 'les', 'est', 'et', 'une'))) AS s_fr,
+                  len(list_filter(w, t -> t IN ('de', 'shi', 'bu', 'le', 'wo'))) AS s_zh,
+                  len(w) AS nw
+                FROM w)
+         SELECT doc_id,
+                CASE WHEN s_en >= GREATEST(s_de, s_es, s_fr, s_zh) THEN 'en'
+                     WHEN s_de >= GREATEST(s_es, s_fr, s_zh) THEN 'de'
+                     WHEN s_es >= GREATEST(s_fr, s_zh) THEN 'es'
+                     WHEN s_fr >= s_zh THEN 'fr'
+                     ELSE 'zh' END AS pred_lang,
+                FLOOR(CAST(GREATEST(s_en, s_de, s_es, s_fr, s_zh) AS DOUBLE) * 1000000.0 / GREATEST(nw, 1)) / 1000000.0 AS confidence
+         FROM sc""",
+    "text_quality" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+                  length(text) AS n_chars,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         feat AS (
+           SELECT doc_id, n_chars, len(w) AS n_words,
+                  FLOOR(CAST(n_chars - (len(w) - 1) AS DOUBLE) * 1000000.0 / len(w)) / 1000000.0 AS avg_word_len,
+                  FLOOR(CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) * 1000000.0 / n_chars) / 1000000.0 AS digit_ratio,
+                  FLOOR(CAST(n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) * 1000000.0 / n_chars) / 1000000.0 AS punct_ratio,
+                  FLOOR(CAST(len(list_filter(w, t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE) * 1000000.0 / GREATEST(len(w), 1)) / 1000000.0 AS stopword_ratio
+           FROM base)
+         SELECT doc_id, n_chars, n_words, avg_word_len, digit_ratio, punct_ratio, stopword_ratio,
+                0.3 * stopword_ratio + 0.3 * (1.0 - punct_ratio) + 0.4 * LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) AS quality_score
+         FROM feat""",
+    "text_tokens" ->
+      """SELECT doc_id,
+                len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS ws_tokens,
+                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS regex_tokens
+         FROM documents""",
+    "text_fingerprint" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+         hashes AS (SELECT doc_id,
+                     list_transform(generate_series(1, GREATEST(length(t) - 7, 1)), i -> substr(md5(substr(t, i, 8)), 1, 8)) AS hs
+                    FROM norm),
+         wins AS (SELECT doc_id,
+                    list_distinct(list_transform(generate_series(1, GREATEST(len(hs) - 3, 1)), j -> list_aggregate(list_slice(hs, j, j + 3), 'min'))) AS fps
+                  FROM hashes)
+         SELECT doc_id, unnest(fps) AS fp FROM wins""",
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
                 ${exactSumSql("l_quantity")} AS sum_qty,

@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, exact n-gram Jaccard, MinHash+LSH,
+  * SimHash.
+  *
+  * All pair generation goes through inverted-index / bucket joins —
+  * never an O(n²) cross join — so the same plans hold at 100 TB:
+  * candidate volume is bounded by bucket collision counts, and every
+  * stage is a hash shuffle on a key with map-side combine.
+  */
+object DedupFunctions {
+
+  /** Exact dedup groups on normalized text. Returns one row per group:
+    * md5 fingerprint, representative (min) id, copy count.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("fp", md5(TextFunctions.normText(col(textCol))))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exploded distinct (id, shingle) pairs — the inverted-index input. */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.withColumn("__w", TextFunctions.words(col(textCol)))
+      .select(col(idCol).as("doc_id"), explode(TextFunctions.shingles("__w", n)).as("shingle"))
+
+  /** Exact n-gram Jaccard near-duplicate pairs via inverted index:
+    * join on shared shingles → intersection counts → |A|+|B|−|A∩B|.
+    * The threshold compares scaled integers (`den*i >= num*u`), so no
+    * float boundary ambiguity. numThreshold/denThreshold = τ as a
+    * fraction, e.g. 4/5 for 0.8.
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numThreshold: Int = 4,
+      denThreshold: Int = 5,
+  ): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh
+      .select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("intersection"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("union_size", col("n_a") + col("n_b") - col("intersection"))
+      .where(col("intersection") * denThreshold >= col("union_size") * numThreshold)
+      .withColumn("jaccard", round(col("intersection").cast("double") / col("union_size"), 6))
+      .select(col("doc_a"), col("doc_b"), col("intersection"), col("union_size"), col("jaccard"))
+  }
+
+  /** MinHash signatures: `perms` permutations simulated as
+    * `xxhash64(seed, shingle)`; per-doc minimum per seed. One shuffle
+    * (doc_id) with map-side partial min.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int = 3, perms: Int = 128): DataFrame =
+    shingleIndex(df, idCol, textCol, n)
+      .select(
+        col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, ${perms - 1}), i -> xxhash64(i, shingle))")).as(Seq("perm", "h")),
+      )
+      .groupBy(col("doc_id"), col("perm"))
+      .agg(min(col("h")).as("mh"))
+
+  /** LSH banding: group the signature into `bands` bands of
+    * `perms/bands` rows, hash each band, and emit (band, band_sig, doc).
+    */
+  def lshBuckets(signatures: DataFrame, perms: Int = 128, bands: Int = 32): DataFrame = {
+    val rows = perms / bands
+    signatures
+      .withColumn("band", (col("perm") / rows).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(concat_ws(",", sort_array(collect_list(struct(col("perm"), col("mh")))).cast("string"))).as("band_sig"))
+  }
+
+  /** Candidate near-duplicate pairs: docs sharing any LSH bucket.
+    * Bucket join (shuffle on band_sig), not a cross join.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String, n: Int = 3, perms: Int = 128, bands: Int = 32): DataFrame = {
+    val buckets = lshBuckets(minhashSignatures(df, idCol, textCol, n, perms), perms, bands)
+    buckets
+      .select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
+      .join(buckets.select(col("band"), col("band_sig"), col("doc_id").as("doc_b")), Seq("band", "band_sig"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** LSH candidates verified by exact shingle Jaccard — the production
+    * near-dup operator: LSH bounds the candidate volume, the exact
+    * verify keeps precision at 1.
+    */
+  def minhashVerified(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numThreshold: Int = 4,
+      denThreshold: Int = 5,
+  ): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, n)
+    val sh = shingleIndex(df, idCol, textCol, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b")), "doc_b")
+      .where(col("shingle") === col("shingle_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("intersection"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("union_size", col("n_a") + col("n_b") - col("intersection"))
+      .where(col("intersection") * denThreshold >= col("union_size") * numThreshold)
+      .withColumn("jaccard", round(col("intersection").cast("double") / col("union_size"), 6))
+      .select(col("doc_a"), col("doc_b"), col("intersection"), col("union_size"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash per document: per bit, sign of the sum of ±1 votes
+    * from `xxhash64(token)` over all tokens (with multiplicity).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__w", TextFunctions.words(col(textCol)))
+      .select(col(idCol).as("doc_id"), explode(col("__w")).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+      .select(
+        col("doc_id"),
+        posexplode(expr("transform(sequence(0, 63), b -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)"))
+          .as(Seq("bit", "vote")),
+      )
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("vote")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, bit)")).otherwise(lit(0L))).as("simhash"))
+
+  /** SimHash near-dup candidates: 4 bands of 16 bits each (any shared
+    * band ⇒ candidate), verified by full hamming distance ≤ maxHamming.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(df, idCol, textCol)
+    val banded = sigs.select(
+      col("doc_id"),
+      col("simhash"),
+      posexplode(expr("transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)")).as(Seq("band", "band_bits")),
+    )
+    banded
+      .select(col("band"), col("band_bits"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+      .join(
+        banded.select(col("band"), col("band_bits"), col("doc_id").as("doc_b"), col("simhash").as("sig_b")),
+        Seq("band", "band_bits"),
+      )
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * Everything is built from codegen'd/JVM-native built-ins (regexp,
+  * higher-order array functions, md5) — no UDFs — so the plans stay
+  * whole-stage-codegen-friendly and scale linearly with input splits.
+  */
+object TextFunctions {
+
+  /** Canonical text normalization: lowercase, collapse whitespace. */
+  def normText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace word tokens of normalized text. */
+  def words(c: Column): Column = split(normText(c), " ")
+
+  /** Distinct word n-gram shingles (the dedup unit) over a column named
+    * `wordsColName`. Guarded for texts shorter than n words (`sequence`
+    * would count downward on a negative span).
+    */
+  def shingles(wordsColName: String, n: Int): Column = {
+    val w = wordsColName
+    val mk = (0 until n).map(j => s"element_at($w, i + $j)").mkString("concat_ws(' ', ", ", ", ")")
+    expr(
+      s"CASE WHEN size($w) >= $n THEN array_distinct(transform(sequence(1, size($w) - ${n - 1}), i -> $mk)) " +
+        "ELSE array() END"
+    )
+  }
+
+  /** Token-count features: whitespace words and a BPE-ish regex token
+    * count (letter runs / single digits / single punctuation marks).
+    */
+  def tokenCounts(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("ws_tokens", size(words(text)))
+      .withColumn(
+        "regex_tokens",
+        size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))),
+      )
+
+  private val Stop = Map(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "los", "es", "y"),
+    "fr" -> Seq("le", "les", "est", "et", "une"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo"),
+  )
+
+  private def stopHits(wordsCol: Column, lang: String): Column = {
+    val set = Stop(lang).map(w => s"'$w'").mkString(", ")
+    size(expr(s"filter(__w, t -> t IN ($set))"))
+  }
+
+  /** Exact ratio at 1e-6 resolution: floor-scaled integer division,
+    * then descale. Unlike `round(x, 6)`, floor never straddles a
+    * half-way decimal boundary, so every engine agrees bit-for-bit.
+    */
+  private def ratio6(num: Column, den: Column): Column =
+    floor(num.cast("double") * lit(1000000.0) / den) / lit(1000000.0)
+
+  /** Heuristic language ID: stopword-hit counts per language, argmax
+    * with a fixed priority order on ties (en > de > es > fr > zh) so the
+    * result is deterministic and SQL-expressible.
+    */
+  def langId(df: DataFrame, text: Column): DataFrame = {
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val withScores = langs.foldLeft(df.withColumn("__w", words(text))) { (d, l) =>
+      d.withColumn(s"s_$l", stopHits(col("__w"), l))
+    }
+    val pick = langs.zipWithIndex.foldRight(lit("zh")) { case ((l, i), rest) =>
+      if (i == langs.size - 1) rest
+      else {
+        val others = langs.drop(i + 1).map(o => col(s"s_$o"))
+        val best = others.reduce((a, b) => greatest(a, b))
+        when(col(s"s_$l") >= best, lit(l)).otherwise(rest)
+      }
+    }
+    withScores
+      .withColumn("pred_lang", pick)
+      .withColumn(
+        "confidence",
+        ratio6(greatest(langs.map(l => col(s"s_$l")): _*), greatest(size(col("__w")), lit(1))),
+      )
+      .drop("__w")
+  }
+
+  /** Quality-score features: length, word stats, character-class ratios
+    * and a bounded composite score. All ratios are double divisions of
+    * exact integers — deterministic across engines.
+    */
+  def qualityScore(df: DataFrame, text: Column): DataFrame = {
+    val nChars = length(text)
+    val w = words(text)
+    val nWords = size(w)
+    val stopSet = Stop("en").map(s => s"'$s'").mkString(", ")
+    df.withColumn("__w", w)
+      .withColumn("n_chars", nChars)
+      .withColumn("n_words", nWords)
+      .withColumn("avg_word_len", ratio6(nChars - (nWords - lit(1)), nWords))
+      .withColumn("digit_ratio", ratio6(nChars - length(regexp_replace(text, "[0-9]", "")), nChars))
+      .withColumn("punct_ratio", ratio6(nChars - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")), nChars))
+      .withColumn(
+        "stopword_ratio",
+        ratio6(size(expr(s"filter(__w, t -> t IN ($stopSet))")), greatest(nWords, lit(1))),
+      )
+      // raw IEEE arithmetic over the floored ratios — deterministic
+      // without a final round (which would sit on half-way boundaries)
+      .withColumn(
+        "quality_score",
+        lit(0.3) * col("stopword_ratio") + lit(0.3) * (lit(1.0) - col("punct_ratio")) +
+          lit(0.4) * least(col("n_words").cast("double") / lit(100.0), lit(1.0)),
+      )
+      .drop("__w")
+  }
+
+  /** Winnowing document fingerprint: k-char-gram md5 prefixes, minimum
+    * per sliding window of w hashes, distinct. The standard MOSS
+    * scheme; emits (doc, fingerprint) rows for index-style joins.
+    */
+  def fingerprints(df: DataFrame, idCol: Column, text: Column, k: Int = 8, w: Int = 4): DataFrame = {
+    val norm = normText(text)
+    df.withColumn("__t", norm)
+      .withColumn(
+        "__hashes",
+        expr(s"transform(sequence(1, greatest(length(__t) - ${k - 1}, 1)), i -> substring(md5(substring(__t, i, $k)), 1, 8))"),
+      )
+      .withColumn(
+        "fp",
+        explode(
+          array_distinct(
+            expr(s"transform(sequence(1, greatest(size(__hashes) - ${w - 1}, 1)), j -> array_min(slice(__hashes, j, $w)))")
+          )
+        ),
+      )
+      .select(idCol.as("doc_id"), col("fp"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Dot products are computed on scaled integers
+  * (`Σ floor(x·y·1e12)` as long) so results are order-independent and
+  * bit-identical across engines; the final cosine uses IEEE sqrt and
+  * division on exactly-representable longs — still deterministic.
+  */
+object VectorFunctions {
+
+  /** Scaled-integer squared norm of an embedding array. */
+  def norm2Int(emb: String): Column =
+    expr(s"aggregate(transform($emb, x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT)), 0L, (a, e) -> a + e)")
+
+  /** Scaled-integer dot product of two embedding arrays. */
+  def dotInt(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12) AS BIGINT)), 0L, (a, e) -> a + e)")
+
+  /** Brute-force cosine top-k: broadcast the (small) query set against
+    * all candidates — the exact baseline. One broadcast join, no
+    * shuffle of the candidate side until the final per-query top-k
+    * (rank window over query_id).
+    */
+  def cosineTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", dotInt("qe", "ce"))
+      .withColumn("n_q", norm2Int("qe"))
+      .withColumn("n_c", norm2Int("ce"))
+      .withColumn(
+        "cosine",
+        col("dot").cast("double") / (sqrt(col("n_q").cast("double")) * sqrt(col("n_c").cast("double"))),
+      )
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH bucket id: `planes` sign bits of dot products
+    * against pseudo-random hyperplanes derived from `xxhash64(p, j)`
+    * (deterministic, no stored model). Components lie in [-1, 1].
+    */
+  def lshBucket(emb: String, planes: Int = 16): Column = {
+    val signBits = (0 until planes).map { p =>
+      val planeDot =
+        s"""aggregate(
+              transform(sequence(0, size($emb) - 1),
+                        j -> CAST(element_at($emb, j + 1) AS DOUBLE) * ((CAST(xxhash64($p, j) % 1001 AS DOUBLE)) / 1000.0)),
+              CAST(0.0 AS DOUBLE), (a, e) -> a + e)"""
+      s"CASE WHEN ($planeDot) > 0 THEN CAST(${1L << p}L AS BIGINT) ELSE 0L END"
+    }
+    expr(signBits.mkString(" + "))
+  }
+
+  /** Bucketed approximate nearest neighbours: exact cosine ranking
+    * within each hyperplane bucket — the 100 TB path where the
+    * brute-force candidate set is replaced by bucket collisions.
+    */
+  def lshAnn(df: DataFrame, k: Int, planes: Int = 16): DataFrame = {
+    val withBucket = df.select(
+      col("vec_id"),
+      col("embedding"),
+      lshBucket("embedding", planes).as("bucket"),
+    )
+    val pairs = withBucket
+      .select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(withBucket.select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding").as("ce")), Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", dotInt("qe", "ce"))
+      .withColumn(
+        "cosine",
+        col("dot").cast("double") / (sqrt(norm2Int("qe").cast("double")) * sqrt(norm2Int("ce").cast("double"))),
+      )
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("bucket"), col("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: images/audio/video travel as opaque
+  * `binary` columns with a typed metadata struct; decode/feature steps
+  * run per-partition in batches.
+  *
+  * The actual media decode is STUBBED (no codec libraries in this
+  * environment): `stubDecode` derives deterministic fake features from
+  * the bytes. Everything around it — schema, batched per-partition
+  * execution, partition sizing — is the real production shape: swap the
+  * stub body for an actual decoder (e.g. via JNI or an Arrow-IPC
+  * sidecar process) and nothing else changes.
+  */
+object Multimodal {
+
+  val assetSchema: StructType = StructType(
+    Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true),
+      StructField(
+        "meta",
+        StructType(
+          Seq(
+            StructField("mime", StringType, nullable = true),
+            StructField("n_bytes", IntegerType, nullable = true),
+            StructField("source", StringType, nullable = true),
+          )
+        ),
+      ),
+    )
+  )
+
+  /** Wrap any (id, text, source) frame as a binary-asset frame — the
+    * ingest step a real pipeline does when landing media blobs.
+    */
+  def asAssets(df: DataFrame, idCol: String, payloadCol: String, sourceCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("asset_id"),
+      encode(col(payloadCol), "UTF-8").as("content"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        length(encode(col(payloadCol), "UTF-8")).as("n_bytes"),
+        col(sourceCol).as("source"),
+      ).as("meta"),
+    )
+
+  val featureSchema: StructType = StructType(
+    Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = true),
+      StructField("checksum", LongType, nullable = true),
+      StructField("feature", ArrayType(DoubleType), nullable = true),
+    )
+  )
+
+  /** STUB decode: per-partition batched "decode" producing deterministic
+    * fake features (byte-histogram moments). Replace the body with a
+    * real decoder; the mapPartitions batching (the Scala analog of
+    * `mapInPandas`) and the output schema are the production contract.
+    */
+  def stubDecode(assets: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    val encoderSchema = featureSchema
+    val rdd = assets
+      .select(col("asset_id"), col("content"))
+      .rdd
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // one "batch decode" call, as a codec library would want
+          batch.iterator.map { r =>
+            val id = r.getLong(0)
+            val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+            val crc = new java.util.zip.CRC32()
+            crc.update(bytes)
+            val hist = new Array[Long](4)
+            bytes.foreach(b => hist((b & 0xff) % 4) += 1)
+            val total = math.max(bytes.length, 1).toDouble
+            Row(id, bytes.length, crc.getValue, hist.map(_ / total).toSeq)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, encoderSchema)
+  }
+}
