@@ -10,7 +10,7 @@ import graft.functions.{DedupFunctions, TextFunctions, VectorFunctions}
 import graft.model.SeriesDictionary
 import graft.multimodal.Multimodal
 import graft.operators.TimeSeriesOps
-import graft.sources.Simulators
+import graft.sources.{ConfiguredSource, Simulators, SourceConfig}
 
 /** Driver contract — one `queries` entry (+ DuckDB oracle where
   * SQL-expressible) per operator in SURVEY.md §2.
@@ -49,6 +49,10 @@ object SparkEntry {
 
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.canonicalEvents(s, dir)
+
+  /** Deterministic scratch dir for source-layer round-trip demos. */
+  private def tmpPath(sfDir: String, name: String): String =
+    s"/tmp/graft_src_demo/${name}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
 
   // ---- flagship ---------------------------------------------------------
 
@@ -171,6 +175,67 @@ object SparkEntry {
     // A20: gap detection (> 1h between points of a series)
     "ts_gap_detect" -> { (s, dir) =>
       ntz(TimeSeriesOps.gapDetect(ev(s, dir), Seq("series_name"), "event_id", thresholdSeconds = 3600.0))
+    },
+    // A14: pivot-layout source → canonical rows (stack unpivot)
+    "ts_pivot_read" -> { (s, dir) =>
+      val tmp = tmpPath(dir, "pivot")
+      Tables
+        .events(s, dir)
+        .groupBy(date_trunc("minute", col("ts")).as("ts"))
+        .pivot("event_type")
+        .agg(max(col("value")))
+        .write.mode("overwrite").parquet(tmp)
+      val src = new ConfiguredSource(SourceConfig(path = tmp, fileFormat = "parquet", dataFormat = "pivot"))
+      ntz(src.read(s))
+    },
+    // A15: CSV row-layout source with column mapping + datetime format
+    "ts_row_source_csv" -> { (s, dir) =>
+      val tmp = tmpPath(dir, "csvrow")
+      Tables
+        .canonicalEvents(s, dir)
+        .where(col("series_name").isin("click", "error"))
+        .select(
+          col("series_name").as("etype"),
+          col("user_id").as("uid"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("tstamp"),
+          col("value").as("reading"),
+        )
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      val src = new ConfiguredSource(
+        SourceConfig(
+          path = tmp,
+          fileFormat = "csv",
+          dataFormat = "row",
+          tagColumns = Seq("series_name", "user_id"),
+          columnMapping = Map("series_name" -> "etype", "user_id" -> "uid", "ts" -> "tstamp", "value" -> "reading"),
+          datetimeFormat = Some("yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        )
+      )
+      ntz(src.read(s).withColumn("user_id", col("user_id").cast("long")))
+    },
+    // A16: dir-layout source — series key in the path, partition pruning
+    "ts_dir_source" -> { (s, dir) =>
+      val tmp = tmpPath(dir, "dirsrc")
+      Tables
+        .canonicalEvents(s, dir)
+        .select(col("series_name"), col("ts"), col("value"))
+        .write.mode("overwrite").partitionBy("series_name").parquet(tmp)
+      val src = new ConfiguredSource(SourceConfig(path = tmp, dataFormat = "dir", tagColumns = Seq("series_name")))
+      ntz(
+        TimeSeriesOps.filterRange(src.read(s).where(col("series_name") === "click"), Start, End)
+      )
+    },
+    // A17: interval chunking (range-repartition; content unchanged)
+    "ts_interval_chunks" -> { (s, dir) =>
+      ntz(
+        TimeSeriesOps
+          .intervalChunks(
+            TimeSeriesOps.filterRange(ev(s, dir).where(col("series_name").isin("click", "error")), Start, End),
+            Seq("series_name"),
+            chunkSeconds = 86400L,
+          )
+          .select(col("series_name"), col("user_id"), col("ts"), col("value"))
+      )
     },
     // B1: pricing summary (decimal-exact aggregation)
     "q1_agg" -> { (s, dir) =>
@@ -389,6 +454,20 @@ object SparkEntry {
                 round(10.0 * sin(2 * pi() * (us / 1000000.0 + 3600.0) / 86400.0) + 50.0, 6) AS value
          FROM (SELECT 1704672000000000 + 60000000 * g AS us
                FROM generate_series(0, CAST((1705276800000000 - 1704672000000000) / 60000000 AS BIGINT)) AS t(g))""",
+    "ts_pivot_read" ->
+      """SELECT event_type AS series_name, date_trunc('minute', ts) AS ts, MAX(value) AS value
+         FROM events GROUP BY 1, 2""",
+    "ts_row_source_csv" ->
+      """SELECT event_type AS series_name, user_id, 'value' AS field, ts, value
+         FROM events WHERE event_type IN ('click', 'error')""",
+    "ts_dir_source" ->
+      """SELECT event_type AS series_name, ts, value FROM events
+         WHERE event_type = 'click'
+           AND ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'""",
+    "ts_interval_chunks" ->
+      """SELECT event_type AS series_name, user_id, ts, value FROM events
+         WHERE event_type IN ('click', 'error')
+           AND ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'""",
     "ts_resample_stepped" ->
       """WITH data AS (
            SELECT event_type AS series_name, ts, MAX(value) AS value FROM events

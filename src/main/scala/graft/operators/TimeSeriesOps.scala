@@ -305,6 +305,20 @@ object TimeSeriesOps {
       .select(tagCols.map(col) :+ col("prev_ts") :+ col("ts") :+ col("gap_seconds"): _*)
   }
 
+  /** Interval chunking (kukur/source/__init__.py:308 __to_intervals):
+    * the reference splits long range queries into fixed windows to
+    * bound per-request load; the Spark equivalent bounds *per-partition*
+    * load by range-repartitioning on (series, time chunk). Content is
+    * unchanged — this shapes parallelism, e.g. before an expensive
+    * per-point transform or a sorted write.
+    */
+  def intervalChunks(df: DataFrame, tagCols: Seq[String], chunkSeconds: Long): DataFrame = {
+    val chunk = floor(unix_micros(col("ts")) / lit(chunkSeconds * 1000000L)).cast("long")
+    df.withColumn("__chunk", chunk)
+      .repartitionByRange((tagCols.map(col) :+ col("__chunk")): _*)
+      .drop("__chunk")
+  }
+
   /** Filter points outside [low, high] physical limits (metadata-driven
     * outlier screen; limits come from per-series metadata like
     * kukur/metadata/fields.py LimitLowPhysical/LimitHighPhysical).

@@ -1,0 +1,147 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Config-driven file source, mirroring the reference's source layer
+  * (kukur/source/arrow.py BaseArrowSource + kukur/source/csv/csv.py):
+  * three data layouts — `row` (tags + ts + field columns), `pivot`
+  * (first column ts, one column per series), `dir` (series key encoded
+  * in the path) — with column mapping, datetime format/timezone
+  * normalization and quality mapping.
+  *
+  * Spark-first re-expression: a "source" is a declarative
+  * `spark.read` plan producing the canonical frame
+  * `(tags…, field, ts, value[, quality])` for *all* series at once.
+  * Layout conversions are plans, not loops: `pivot` becomes a `stack`
+  * unpivot, `dir` becomes partition-discovery (the path key comes back
+  * as a column, with partition pruning for single-series reads).
+  */
+final case class SourceConfig(
+    path: String,
+    fileFormat: String = "parquet", // parquet | csv | json | orc
+    dataFormat: String = "row", // row | pivot | dir
+    tagColumns: Seq[String] = Seq("series_name"),
+    fieldColumns: Seq[String] = Seq("value"),
+    /** canonical name -> column name in the file (kukur column_mapping) */
+    columnMapping: Map[String, String] = Map.empty,
+    /** to_timestamp pattern when ts is stored as a string */
+    datetimeFormat: Option[String] = None,
+    /** timezone to assume for naive timestamps (kukur data_timezone) */
+    dataTimezone: Option[String] = None,
+    /** raw quality values considered GOOD (kukur quality_mapping) */
+    qualityGood: Seq[Int] = Nil,
+    csvHeader: Boolean = true,
+    csvSeparator: String = ",",
+)
+
+final class ConfiguredSource(cfg: SourceConfig) {
+
+  private def reader(spark: SparkSession) = {
+    val r = spark.read.format(cfg.fileFormat)
+    if (cfg.fileFormat == "csv")
+      r.option("header", cfg.csvHeader.toString).option("sep", cfg.csvSeparator)
+    else r
+  }
+
+  private def mapped(name: String): String = cfg.columnMapping.getOrElse(name, name)
+
+  /** Normalize the ts column: optional string parse with an explicit
+    * format, optional timezone assumption (kukur cast_timestamp,
+    * arrow.py:265).
+    */
+  private def normalizeTs(c: Column): Column = {
+    val parsed = cfg.datetimeFormat match {
+      case Some(fmt) => to_timestamp(c, fmt)
+      case None      => c.cast("timestamp")
+    }
+    cfg.dataTimezone match {
+      case Some(tz) => to_utc_timestamp(parsed, tz)
+      case None     => parsed
+    }
+  }
+
+  private def withQuality(df: DataFrame): DataFrame =
+    if (cfg.qualityGood.isEmpty) df
+    else
+      df.withColumn(
+        "quality",
+        when(col(mapped("quality")).isin(cfg.qualityGood: _*), lit(1)).otherwise(lit(0)).cast("int"),
+      )
+
+  /** Canonical read: one distributed frame with all series. */
+  def read(spark: SparkSession): DataFrame = cfg.dataFormat match {
+    case "row"   => readRow(spark)
+    case "pivot" => readPivot(spark)
+    case "dir"   => readDir(spark)
+    case other   => throw new IllegalArgumentException(s"unknown data format: $other")
+  }
+
+  /** Row layout: tag columns + ts + one column per field; fields are
+    * unpivoted into (field, value) rows via `stack` so multi-field
+    * sources land in the same canonical shape.
+    */
+  private def readRow(spark: SparkSession): DataFrame = {
+    val raw = reader(spark).load(cfg.path)
+    val tags = cfg.tagColumns.map(t => col(mapped(t)).as(t))
+    val base = withQuality(raw).withColumn("ts", normalizeTs(col(mapped("ts"))))
+    val stackExpr = cfg.fieldColumns
+      .map(f => s"'$f', cast(`${mapped(f)}` as double)")
+      .mkString(s"stack(${cfg.fieldColumns.size}, ", ", ", ") as (field, value)")
+    val cols = tags ++ Seq(expr(stackExpr), col("ts")) ++
+      (if (cfg.qualityGood.nonEmpty) Seq(col("quality")) else Nil)
+    base.select(cols: _*).select(
+      (cfg.tagColumns.map(col) ++ Seq(col("field"), col("ts"), col("value")) ++
+        (if (cfg.qualityGood.nonEmpty) Seq(col("quality")) else Nil)): _*
+    )
+  }
+
+  /** Pivot layout: first column is the timestamp, every other column is
+    * one series (kukur arrow.py:285 filter_pivot_data) — unpivoted with
+    * a single `stack`, so the conversion is a narrow map, no shuffle.
+    */
+  private def readPivot(spark: SparkSession): DataFrame = {
+    val raw = reader(spark).load(cfg.path)
+    val tsCol = cfg.columnMapping.getOrElse("ts", raw.columns.head)
+    val seriesCols = raw.columns.filterNot(_ == tsCol)
+    val stackExpr = seriesCols
+      .map(c => s"'$c', cast(`$c` as double)")
+      .mkString(s"stack(${seriesCols.length}, ", ", ", ") as (series_name, value)")
+    raw
+      .withColumn("ts", normalizeTs(col(tsCol)))
+      .select(expr(stackExpr), col("ts"))
+      .select(col("series_name"), col("ts"), col("value"))
+      .where(col("value").isNotNull)
+  }
+
+  /** Dir layout: the series key lives in the storage path. Re-expressed
+    * as Spark partition discovery — `path/series_name=<v>/…` comes back
+    * as a `series_name` column and single-series queries prune to one
+    * directory (the 100 TB path: partition pruning, no full scan).
+    */
+  private def readDir(spark: SparkSession): DataFrame = {
+    val raw = reader(spark).option("basePath", cfg.path).load(cfg.path)
+    val base = withQuality(raw).withColumn("ts", normalizeTs(col(mapped("ts"))))
+    val cols = cfg.tagColumns.map(col) ++ Seq(col("ts"), col(mapped("value")).cast("double").as("value")) ++
+      (if (cfg.qualityGood.nonEmpty) Seq(col("quality")) else Nil)
+    base.select(cols: _*)
+  }
+
+  /** Series discovery over this source (kukur search): distinct tags ×
+    * fields for row/dir, column names for pivot.
+    */
+  def search(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    cfg.dataFormat match {
+      case "pivot" =>
+        val raw = reader(spark).load(cfg.path)
+        val tsCol = cfg.columnMapping.getOrElse("ts", raw.columns.head)
+        raw.columns.filterNot(_ == tsCol).toSeq.toDF("series_name").withColumn("field", lit("value"))
+      case _ =>
+        read(spark)
+          .select(cfg.tagColumns.map(col): _*)
+          .distinct()
+          .crossJoin(broadcast(cfg.fieldColumns.toDF("field")))
+    }
+  }
+}
