@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming ingestion of the canonical time-series frame.
+  *
+  * The reference serves static range queries; a live deployment also
+  * tails the same sources. These transforms are the streaming duals of
+  * the batch operators: identical schemas, so a `readStream` swap is
+  * the only difference (Kappa-style reuse).
+  */
+object EventStream {
+
+  final case class Point(series_name: String, user_id: Long, ts: Timestamp, value: Double)
+  final case class SeriesLatest(series_name: String, user_id: Long, ts: Timestamp, value: Double)
+
+  /** Canonicalize a streaming events frame (same shape as
+    * Tables.canonicalEvents, for `readStream` inputs).
+    */
+  def canonical(stream: DataFrame): DataFrame =
+    stream.select(
+      col("event_type").as("series_name"),
+      col("user_id"),
+      col("ts"),
+      col("value"),
+    )
+
+  /** Tumbling-window aggregates with a watermark for bounded state:
+    * the streaming dual of the hourly batch rollup (B6). Watermark +
+    * append mode means state is dropped once windows close — constant
+    * memory at any throughput.
+    */
+  def windowedAgg(canonicalStream: DataFrame, window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    canonicalStream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("series_name"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+      )
+      .select(
+        col("window.start").as("window_start"),
+        col("series_name"),
+        col("n"),
+        col("min_value"),
+        col("max_value"),
+      )
+
+  /** Stateful latest-point-per-series via mapGroupsWithState — the
+    * streaming dual of ts_latest. State is one row per series key;
+    * update semantics match the batch struct-max (ties by value).
+    */
+  def statefulLatest(canonicalStream: DataFrame): Dataset[SeriesLatest] = {
+    val spark = canonicalStream.sparkSession
+    import spark.implicits._
+    canonicalStream
+      .as[Point]
+      .groupByKey(p => (p.series_name, p.user_id))
+      .mapGroupsWithState[SeriesLatest, SeriesLatest](GroupStateTimeout.NoTimeout) {
+        case ((series, user), points, state: GroupState[SeriesLatest]) =>
+          import scala.math.Ordering.Implicits._
+          val incoming = points.maxBy(p => (p.ts.getTime, p.value))
+          val best = state.getOption match {
+            case Some(cur) if (cur.ts.getTime, cur.value) >= ((incoming.ts.getTime, incoming.value)) => cur
+            case _ => SeriesLatest(series, user, incoming.ts, incoming.value)
+          }
+          state.update(best)
+          best
+      }
+  }
+
+  /** Convenience: run a streaming frame to completion against a memory
+    * sink (test/demo harness; production would use a real sink).
+    */
+  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

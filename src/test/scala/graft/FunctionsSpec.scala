@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{DedupFunctions, TextFunctions, VectorFunctions}
+
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 0
+    (3L, "completely different content about spark query engines at scale"),
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses identical normalized text") {
+    val groups = DedupFunctions.exactGroups(docs, "doc_id", "text").collect()
+    assert(groups.length == 3)
+    val dup = groups.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 0L) // representative = min id
+  }
+
+  test("jaccardPairs finds the near-dup pair above threshold") {
+    val pairs = DedupFunctions
+      .jaccardPairs(docs, "doc_id", "text", numThreshold = 1, denThreshold = 2) // tau = 0.5
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((0L, 1L))) // exact dup: jaccard 1
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH candidates include exact duplicates and verified pairs match jaccard") {
+    val cands = DedupFunctions
+      .minhashCandidates(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(cands.contains((0L, 1L)))
+    val verified = DedupFunctions
+      .minhashVerified(docs, "doc_id", "text", numThreshold = 1, denThreshold = 2)
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(verified.contains((0L, 1L)) && verified.contains((0L, 2L)))
+  }
+
+  test("simhash: identical docs hash identically; near dups within hamming 3") {
+    val pairs = DedupFunctions.simhashPairs(docs, "doc_id", "text").collect()
+    val h = pairs.map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(h((0L, 1L)) == 0L)
+  }
+
+  test("cosineTopK ranks an identical vector first") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = VectorFunctions
+      .cosineTopK(emb.where($"vec_id" === 0), emb, k = 3)
+      .orderBy("rank")
+      .collect()
+    assert(out(0).getLong(1) == 1L) // identical vector
+    assert(math.abs(out(0).getDouble(2) - 1.0) < 1e-9)
+    assert(out(1).getLong(1) == 3L)
+    assert(out(2).getLong(1) == 2L)
+  }
+
+  test("lshAnn puts identical vectors in one bucket and ranks them") {
+    val emb = Seq(
+      (0L, Array.fill(8)(0.5f)),
+      (1L, Array.fill(8)(0.5f)),
+      (2L, Array.fill(8)(-0.5f)),
+    ).toDF("vec_id", "embedding")
+    val out = VectorFunctions.lshAnn(emb, k = 2).collect()
+    val forZero = out.filter(_.getLong(0) == 0L)
+    assert(forZero.exists(_.getLong(1) == 1L))
+    assert(!forZero.exists(_.getLong(1) == 2L)) // opposite bucket
+  }
+
+  test("text features: tokens, quality, langid, fingerprints") {
+    val d = Seq((0L, "The quick  brown fox and the lazy dog, worth 10 points!")).toDF("doc_id", "text")
+    val tok = TextFunctions.tokenCounts(d, col("text")).collect().head
+    assert(tok.getAs[Int]("ws_tokens") == 11)
+    val q = TextFunctions.qualityScore(d, col("text")).collect().head
+    assert(q.getAs[Int]("n_words") == 11)
+    assert(q.getAs[Double]("stopword_ratio") > 0.2)
+    val lang = TextFunctions.langId(d, col("text")).collect().head
+    assert(lang.getAs[String]("pred_lang") == "en")
+    val fps = TextFunctions.fingerprints(d, col("doc_id"), col("text")).collect()
+    assert(fps.nonEmpty && fps.map(_.getString(1)).forall(_.length == 8))
+  }
+
+  test("fingerprints overlap heavily for near-identical docs, not for distinct docs") {
+    def fpSet(id: Long) =
+      TextFunctions
+        .fingerprints(docs.where($"doc_id" === id), col("doc_id"), col("text"))
+        .collect()
+        .map(_.getString(1))
+        .toSet
+    val f0 = fpSet(0L)
+    val f2 = fpSet(2L)
+    val f3 = fpSet(3L)
+    assert((f0 intersect f2).size * 2 > f0.size)
+    assert((f0 intersect f3).size * 5 < f0.size)
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asAssets wraps payloads as binary with typed metadata") {
+    val docs = Seq((1L, "hello world", "srcA")).toDF("doc_id", "text", "source")
+    val assets = Multimodal.asAssets(docs, "doc_id", "text", "source")
+    assert(assets.schema == Multimodal.assetSchema ||
+      assets.schema.fieldNames.toSeq == Seq("asset_id", "content", "meta"))
+    val row = assets.collect().head
+    assert(new String(row.getAs[Array[Byte]]("content"), "UTF-8") == "hello world")
+    assert(row.getStruct(2).getAs[Int]("n_bytes") == 11)
+  }
+
+  test("stubDecode produces deterministic batched features") {
+    val docs = Seq((1L, "hello world", "srcA"), (2L, "hello world", "srcB"), (3L, "xyz", "srcA"))
+      .toDF("doc_id", "text", "source")
+    val feats = Multimodal.stubDecode(Multimodal.asAssets(docs, "doc_id", "text", "source"))
+    val rows = feats.orderBy("asset_id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Long]("checksum") == rows(1).getAs[Long]("checksum")) // same bytes, same checksum
+    assert(rows(0).getAs[Long]("checksum") != rows(2).getAs[Long]("checksum"))
+    val f = rows(0).getSeq[Double](3)
+    assert(f.length == 4 && math.abs(f.sum - 1.0) < 1e-9)
+  }
+}

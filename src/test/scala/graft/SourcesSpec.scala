@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ConfiguredSource, Simulators, SourceConfig}
+
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+  private def tmp(): String = Files.createTempDirectory("graft-src").toString
+
+  test("row CSV source: column mapping, datetime format, quality mapping") {
+    val dir = tmp()
+    Seq(
+      ("s1", "2024-01-01 00:00:00.000000", 1.5, 192),
+      ("s1", "2024-01-01 00:01:00.000000", 2.5, 0),
+      ("s2", "2024-01-01 00:00:30.000000", 9.0, 192),
+    ).toDF("tag", "when", "reading", "q")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val src = new ConfiguredSource(
+      SourceConfig(
+        path = dir,
+        fileFormat = "csv",
+        dataFormat = "row",
+        tagColumns = Seq("series_name"),
+        columnMapping = Map("series_name" -> "tag", "ts" -> "when", "value" -> "reading", "quality" -> "q"),
+        datetimeFormat = Some("yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        qualityGood = Seq(192),
+      )
+    )
+    val rows = src.read(spark).orderBy("series_name", "ts").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[String]("series_name") == "s1")
+    assert(rows(0).getAs[Timestamp]("ts") == t("2024-01-01T00:00:00Z"))
+    assert(rows(0).getAs[Double]("value") == 1.5)
+    assert(rows(0).getAs[Int]("quality") == 1)
+    assert(rows(1).getAs[Int]("quality") == 0)
+  }
+
+  test("row source with data timezone converts to UTC") {
+    val dir = tmp()
+    Seq(("s1", "2024-06-01 12:00:00", 1.0)).toDF("series_name", "ts", "value")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val src = new ConfiguredSource(
+      SourceConfig(
+        path = dir, fileFormat = "csv", dataFormat = "row",
+        datetimeFormat = Some("yyyy-MM-dd HH:mm:ss"),
+        dataTimezone = Some("Europe/Brussels"),
+      )
+    )
+    val ts = src.read(spark).collect().head.getAs[Timestamp]("ts")
+    assert(ts == t("2024-06-01T10:00:00Z")) // CEST = UTC+2
+  }
+
+  test("pivot source unpivots columns to series") {
+    val dir = tmp()
+    Seq(
+      (t("2024-01-01T00:00:00Z"), Some(1.0), Some(10.0)),
+      (t("2024-01-01T00:01:00Z"), Some(2.0), None),
+    ).toDF("ts", "temp", "pressure")
+      .write.mode("overwrite").parquet(dir)
+    val src = new ConfiguredSource(SourceConfig(path = dir, dataFormat = "pivot"))
+    val rows = src.read(spark).orderBy("series_name", "ts").collect()
+    assert(rows.map(r => (r.getString(0), r.getDouble(2))).toSeq ==
+      Seq(("pressure", 10.0), ("temp", 1.0), ("temp", 2.0)))
+    val found = src.search(spark).collect().map(_.getString(0)).sorted.toSeq
+    assert(found == Seq("pressure", "temp"))
+  }
+
+  test("dir source discovers series from the path and prunes partitions") {
+    val dir = tmp()
+    Seq(
+      ("a", t("2024-01-01T00:00:00Z"), 1.0),
+      ("b", t("2024-01-01T00:00:00Z"), 2.0),
+    ).toDF("series_name", "ts", "value")
+      .write.mode("overwrite").partitionBy("series_name").parquet(dir)
+    val src = new ConfiguredSource(SourceConfig(path = dir, dataFormat = "dir"))
+    val one = src.read(spark).where($"series_name" === "a")
+    assert(one.collect().map(_.getAs[Double]("value")).toSeq == Seq(1.0))
+    val plan = one.queryExecution.executedPlan.toString
+    assert(!plan.contains("series_name=b") || plan.contains("PartitionFilters"))
+  }
+
+  test("simulator counter is periodic and epoch-aligned") {
+    val out = Simulators
+      .counter(spark, t("2024-01-01T00:00:00Z"), t("2024-01-01T01:00:00Z"), 0.0, 100.0, 5.0, 60L)
+      .orderBy("ts")
+      .collect()
+    assert(out.length == 61)
+    assert(out(0).getDouble(1) == 0.0) // midnight is period-aligned (86400 % 1200 == 0)
+    assert(out(1).getDouble(1) == 5.0)
+    assert(out(20).getDouble(1) == 0.0) // reset after 20 steps
+  }
+
+  test("simulator sine hits amplitude and shift") {
+    val out = Simulators
+      .sine(spark, t("2024-01-01T00:00:00Z"), t("2024-01-02T00:00:00Z"), 86400.0, 0.0, 10.0, 50.0, 3600L)
+      .collect()
+      .map(_.getDouble(1))
+    assert(math.abs(out.max - 60.0) < 0.5)
+    assert(math.abs(out.min - 40.0) < 0.5)
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  private def mkStream(
+      rows: Seq[(String, Long, Timestamp, Double)]
+  ): (MemoryStream[(String, Long, Timestamp, Double)], DataFrame) = {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Timestamp, Double)]
+    mem.addData(rows: _*)
+    (mem, mem.toDF().toDF("series_name", "user_id", "ts", "value"))
+  }
+
+  test("windowedAgg aggregates tumbling windows with watermark") {
+    val (_, df) = mkStream(
+      Seq(
+        ("click", 1L, t("2024-01-01T00:10:00Z"), 1.0),
+        ("click", 2L, t("2024-01-01T00:50:00Z"), 3.0),
+        ("click", 1L, t("2024-01-01T01:10:00Z"), 5.0),
+        ("view", 1L, t("2024-01-01T00:20:00Z"), 7.0),
+      )
+    )
+    val q = EventStream
+      .windowedAgg(df)
+      .writeStream.format("memory").queryName("win_agg").outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // Append mode only emits closed windows; with no further data the
+    // watermark hasn't advanced past them, so check the state instead
+    // via complete mode on a fresh run.
+    val (_, df2) = mkStream(
+      Seq(
+        ("click", 1L, t("2024-01-01T00:10:00Z"), 1.0),
+        ("click", 2L, t("2024-01-01T00:50:00Z"), 3.0),
+        ("click", 1L, t("2024-01-01T01:10:00Z"), 5.0),
+      )
+    )
+    val q2 = EventStream
+      .windowedAgg(df2)
+      .writeStream.format("memory").queryName("win_agg2").outputMode(OutputMode.Complete())
+      .start()
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.table("win_agg2").orderBy("window_start").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n") == 2L)
+    assert(rows(0).getAs[Double]("min_value") == 1.0)
+    assert(rows(0).getAs[Double]("max_value") == 3.0)
+    assert(rows(1).getAs[Long]("n") == 1L)
+  }
+
+  test("statefulLatest keeps the newest point per series across batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Timestamp, Double)]
+    val df = mem.toDF().toDF("series_name", "user_id", "ts", "value")
+    val q = EventStream
+      .statefulLatest(df)
+      .writeStream.format("memory").queryName("latest_state").outputMode(OutputMode.Update())
+      .start()
+    mem.addData(("click", 1L, t("2024-01-01T00:10:00Z"), 1.0))
+    q.processAllAvailable()
+    mem.addData(("click", 1L, t("2024-01-01T00:05:00Z"), 99.0)) // older: ignored
+    q.processAllAvailable()
+    mem.addData(("click", 1L, t("2024-01-01T00:20:00Z"), 2.0)) // newer: wins
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("latest_state").collect().last
+    assert(last.getAs[Timestamp]("ts") == t("2024-01-01T00:20:00Z"))
+    assert(last.getAs[Double]("value") == 2.0)
+  }
+
+  test("canonical streaming frame matches the batch canonical schema") {
+    val (_, df) = mkStream(Seq(("click", 1L, t("2024-01-01T00:00:00Z"), 1.0)))
+    val batchCols = Seq("series_name", "user_id", "ts", "value")
+    assert(df.columns.toSeq == batchCols)
+    assert(df.isStreaming)
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.SeriesDictionary
+import graft.operators.TimeSeriesOps
+
+class TimeSeriesOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  private lazy val series = Seq(
+    ("a", t("2024-01-01T00:00:00Z"), 1.0),
+    ("a", t("2024-01-01T01:30:00Z"), 3.0),
+    ("a", t("2024-01-01T03:00:00Z"), 2.0),
+    ("b", t("2024-01-01T00:30:00Z"), 10.0),
+    ("b", t("2024-01-01T02:00:00Z"), 20.0),
+  ).toDF("series_name", "ts", "value")
+
+  test("filterRange is half-open [start, end)") {
+    val out = TimeSeriesOps
+      .filterRange(series, t("2024-01-01T00:30:00Z"), t("2024-01-01T02:00:00Z"))
+      .collect()
+    assert(out.map(_.getDouble(2)).sorted.toSeq == Seq(3.0, 10.0))
+  }
+
+  test("searchSeries enumerates distinct tags x fields") {
+    val out = TimeSeriesOps.searchSeries(series, Seq("series_name"), Seq("value", "quality")).collect()
+    assert(out.length == 4)
+  }
+
+  test("latest picks max ts with value tiebreak") {
+    val dup = series.unionAll(Seq(("a", t("2024-01-01T03:00:00Z"), 5.0)).toDF("series_name", "ts", "value"))
+    val out = TimeSeriesOps.latest(dup, Seq("series_name")).where($"series_name" === "a").collect()
+    assert(out.head.getDouble(2) == 5.0)
+  }
+
+  test("plotData keeps min/max/first/last per bucket") {
+    val out = TimeSeriesOps
+      .plotData(series, Seq("series_name"), t("2024-01-01T00:00:00Z"), t("2024-01-01T04:00:00Z"), 1)
+      .where($"series_name" === "a")
+      .collect()
+    val byRole = out.map(r => r.getString(2) -> (r.getTimestamp(3), r.getDouble(4))).toMap
+    assert(byRole("min")._2 == 1.0)
+    assert(byRole("max")._2 == 3.0)
+    assert(byRole("first")._1 == t("2024-01-01T00:00:00Z"))
+    assert(byRole("last")._1 == t("2024-01-01T03:00:00Z"))
+  }
+
+  test("resampleStepped carries last value forward, null before first point") {
+    val out = TimeSeriesOps
+      .resampleStepped(series.where($"series_name" === "a"), Seq("series_name"), t("2023-12-31T23:00:00Z"), t("2024-01-01T04:00:00Z"), 3600L)
+      .orderBy("ts")
+      .collect()
+    assert(out.length == 5)
+    assert(out(0).isNullAt(2)) // 23:00, before first point
+    assert(out(1).getDouble(2) == 1.0) // 00:00 exact hit
+    assert(out(2).getDouble(2) == 1.0) // 01:00 carried
+    assert(out(3).getDouble(2) == 3.0) // 02:00 carried from 01:30
+    assert(out(4).getDouble(2) == 2.0) // 03:00 exact hit
+  }
+
+  test("resampleLinear interpolates between neighbours, exact on samples") {
+    val out = TimeSeriesOps
+      .resampleLinear(series.where($"series_name" === "a"), Seq("series_name"), t("2024-01-01T00:00:00Z"), t("2024-01-01T04:00:00Z"), 3600L)
+      .orderBy("ts")
+      .collect()
+    assert(out(0).getDouble(2) == 1.0)
+    assert(math.abs(out(1).getDouble(2) - (1.0 + 2.0 * (60.0 / 90.0))) < 1e-12) // 01:00 between 00:00(1) and 01:30(3)
+    assert(math.abs(out(2).getDouble(2) - (3.0 - 1.0 * (30.0 / 90.0))) < 1e-12) // 02:00 between 01:30(3) and 03:00(2)
+    assert(out(3).getDouble(2) == 2.0)
+  }
+
+  test("asofJoin aligns most recent right value, inclusive at equality") {
+    val left = Seq((1L, t("2024-01-01T01:00:00Z"), 5.0), (1L, t("2024-01-01T00:10:00Z"), 6.0)).toDF("user_id", "ts", "value")
+    val right = Seq((1L, t("2024-01-01T00:10:00Z"), 100.0), (1L, t("2024-01-01T00:30:00Z"), 200.0)).toDF("user_id", "ts", "value")
+    val out = TimeSeriesOps.asofJoin(left, right, Seq("user_id")).orderBy("ts").collect()
+    assert(out(0).getDouble(3) == 100.0) // equality included
+    assert(out(1).getDouble(3) == 200.0)
+  }
+
+  test("gapDetect flags deltas above threshold") {
+    val out = TimeSeriesOps
+      .gapDetect(series.withColumn("event_id", monotonically_increasing_id()), Seq("series_name"), "event_id", 5000.0)
+      .collect()
+    assert(out.map(_.getString(0)).toSeq.sorted == Seq("a", "a", "b")) // two 90min gaps in a, one in b
+  }
+
+  test("qualityMap maps good set to 1") {
+    val df = Seq(1, 5, 99).toDF("q").withColumn("quality", TimeSeriesOps.qualityMap(col("q"), Seq(0, 1, 5)))
+    assert(df.collect().map(_.getInt(1)).toSeq == Seq(1, 1, 0))
+  }
+
+  test("dictionaryDecode joins labels via broadcast") {
+    val df = Seq((1L, 0), (2L, 3), (3L, 9)).toDF("id", "code")
+    val out = TimeSeriesOps
+      .dictionaryDecode(df, col("code"), SeriesDictionary(Map(0 -> "OFF", 3 -> "FAULT")))
+      .orderBy("id")
+      .collect()
+    assert(out.map(r => Option(r.getString(2))).toSeq == Seq(Some("OFF"), Some("FAULT"), None))
+  }
+}
