@@ -50,6 +50,10 @@ object SparkEntry {
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.canonicalEvents(s, dir)
 
+  /** Range-pushdown canonical events — predicate reaches the scan. */
+  private def evRange(s: SparkSession, dir: String, start: Timestamp, end: Timestamp): DataFrame =
+    Tables.canonicalEventsInRange(s, dir, start, end)
+
   /** Deterministic scratch dir for source-layer round-trip demos. */
   private def tmpPath(sfDir: String, name: String): String =
     s"/tmp/graft_src_demo/${name}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
@@ -60,7 +64,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ntz(
       TimeSeriesOps.plotData(
-        ev(spark, "/root/testdata/sf0.001"),
+        evRange(spark, "/root/testdata/sf0.001", MonthStart, MonthEnd),
         Seq("series_name"),
         MonthStart,
         MonthEnd,
@@ -79,7 +83,7 @@ object SparkEntry {
     "ts_get_data" -> { (s, dir) =>
       ntz(
         TimeSeriesOps
-          .filterRange(ev(s, dir).where(col("series_name") === "click" && col("user_id") === 7), Start, End)
+          .filterRange(evRange(s, dir, Start, End).where(col("series_name") === "click" && col("user_id") === 7), Start, End)
           .select(col("ts"), col("value"))
       )
     },
@@ -87,7 +91,7 @@ object SparkEntry {
     "ts_get_data_multi" -> { (s, dir) =>
       ntz(
         TimeSeriesOps
-          .filterRange(ev(s, dir).where(col("series_name").isin("click", "error")), Start, End)
+          .filterRange(evRange(s, dir, Start, End).where(col("series_name").isin("click", "error")), Start, End)
           .select(col("series_name"), col("user_id"), col("ts"), col("value"))
       )
     },
@@ -97,7 +101,7 @@ object SparkEntry {
     },
     // A5: plot-data downsampling
     "ts_plot_data" -> { (s, dir) =>
-      ntz(TimeSeriesOps.plotData(ev(s, dir), Seq("series_name"), MonthStart, MonthEnd, PlotBuckets))
+      ntz(TimeSeriesOps.plotData(evRange(s, dir, MonthStart, MonthEnd), Seq("series_name"), MonthStart, MonthEnd, PlotBuckets))
     },
     // A6: quality mapping from a raw source code to GOOD/BAD
     "ts_quality_map" -> { (s, dir) =>
@@ -135,7 +139,7 @@ object SparkEntry {
     "ts_resample_stepped" -> { (s, dir) =>
       ntz(
         TimeSeriesOps.resampleStepped(
-          ev(s, dir).where(col("ts") < lit(End)).select(col("series_name"), col("ts"), col("value")),
+          evRange(s, dir, new Timestamp(0L), End).select(col("series_name"), col("ts"), col("value")),
           Seq("series_name"), Start, End, stepSeconds = 3600L)
       )
     },
@@ -230,7 +234,7 @@ object SparkEntry {
       ntz(
         TimeSeriesOps
           .intervalChunks(
-            TimeSeriesOps.filterRange(ev(s, dir).where(col("series_name").isin("click", "error")), Start, End),
+            TimeSeriesOps.filterRange(evRange(s, dir, Start, End).where(col("series_name").isin("click", "error")), Start, End),
             Seq("series_name"),
             chunkSeconds = 86400L,
           )

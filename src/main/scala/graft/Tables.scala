@@ -25,6 +25,27 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Range-pushdown events read: the half-open [start, end) filter is
+    * applied to the *raw nanosecond long* before the µs conversion —
+    * `ns div 1000 >= s_us ⇔ ns >= s_us·1000` for positive epochs, so the
+    * predicate is exact and reaches the parquet scan (row-group pruning
+    * on ts column stats). Catalyst cannot infer this through the
+    * non-linear `div` expression, and at 100 TB the difference is
+    * scanning one day instead of the full history.
+    */
+  def eventsInRange(
+      spark: SparkSession,
+      sfDir: String,
+      start: java.sql.Timestamp,
+      end: java.sql.Timestamp,
+  ): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$sfDir/events.parquet")
+      .where(col("ts") >= lit(start.getTime * 1000000L) && col("ts") < lit(end.getTime * 1000000L))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
@@ -48,7 +69,19 @@ object Tables {
     * and `user_id`.
     */
   def canonicalEvents(spark: SparkSession, sfDir: String): DataFrame =
-    events(spark, sfDir).select(
+    canonicalize(events(spark, sfDir))
+
+  /** Range-pushdown variant of [[canonicalEvents]]. */
+  def canonicalEventsInRange(
+      spark: SparkSession,
+      sfDir: String,
+      start: java.sql.Timestamp,
+      end: java.sql.Timestamp,
+  ): DataFrame =
+    canonicalize(eventsInRange(spark, sfDir, start, end))
+
+  private def canonicalize(ev: DataFrame): DataFrame =
+    ev.select(
       col("event_type").as("series_name"),
       col("user_id"),
       col("ts"),

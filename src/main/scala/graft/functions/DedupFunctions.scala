@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object DedupFunctions {
 
+  /** Spread compute-heavy per-row work across all cores: a small input
+    * (one parquet file ⇒ one partition) would otherwise serialize the
+    * hash arithmetic. Explicit numPartitions so AQE doesn't coalesce
+    * the tiny rows back into one partition — the *compute* is heavy,
+    * not the bytes.
+    */
+  private[functions] def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact dedup groups on normalized text. Returns one row per group:
     * md5 fingerprint, representative (min) id, copy count.
     */
@@ -23,9 +32,20 @@ object DedupFunctions {
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
 
   /** Exploded distinct (id, shingle) pairs — the inverted-index input. */
+  /** Barrier after the word-split projection: the shingle lambda calls
+    * `element_at(__w, i)` per n-gram slot, and if `__w` is still an
+    * inlined expression (projection collapse) every call re-runs the
+    * whole normalize+split — ~150 regex passes per doc. Post-exchange,
+    * `__w` is a materialized column and element_at is an array read.
+    */
+  private def wordsSpread(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    spread(
+      df.select(col(idCol).as("doc_id"), TextFunctions.words(col(textCol)).as("__w"))
+    )
+
   def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    df.withColumn("__w", TextFunctions.words(col(textCol)))
-      .select(col(idCol).as("doc_id"), explode(TextFunctions.shingles("__w", n)).as("shingle"))
+    wordsSpread(df, idCol, textCol)
+      .select(col("doc_id"), explode(TextFunctions.shingles("__w", n)).as("shingle"))
 
   /** Exact n-gram Jaccard near-duplicate pairs via inverted index:
     * join on shared shingles → intersection counts → |A|+|B|−|A∩B|.
@@ -59,34 +79,59 @@ object DedupFunctions {
   }
 
   /** MinHash signatures: `perms` permutations simulated as
-    * `xxhash64(seed, shingle)`; per-doc minimum per seed. One shuffle
-    * (doc_id) with map-side partial min.
+    * `xxhash64(seed, shingle)`; per-doc minimum per seed.
+    *
+    * Computed entirely within each row (nested array transform, no
+    * explode): perms × shingles hash evaluations happen in one
+    * projection, so there is *no shuffle at all* — row-level
+    * parallelism is ample at corpus scale, and the alternative
+    * (explode to doc×shingle×perm rows) shuffles billions of rows at
+    * 100 TB for the same arithmetic.
     */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int = 3, perms: Int = 128): DataFrame =
-    shingleIndex(df, idCol, textCol, n)
+  /** MinHash signature array, one row per doc: each shingle string is
+    * hashed ONCE (`xxhash64(s)`), and the `perms` permutations are
+    * derived from that fixed-width long (`xxhash64(i, h)`) — ~an order
+    * of magnitude cheaper than re-hashing strings per permutation.
+    *
+    * The two exchanges are deliberate barriers: projection collapse
+    * would otherwise inline the shingle/base-hash arrays into the
+    * perms-loop lambda and rebuild them `perms` times per row. Rows are
+    * one-per-doc throughout — no explode, no groupBy.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int = 3, perms: Int = 128): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    wordsSpread(df, idCol, textCol)
+      .withColumn("__sh", TextFunctions.shingles("__w", n))
+      .where(size(col("__sh")) > 0)
       .select(
         col("doc_id"),
-        posexplode(expr(s"transform(sequence(0, ${perms - 1}), i -> xxhash64(i, shingle))")).as(Seq("perm", "h")),
+        expr(s"graft_minhash_sig(transform(__sh, s -> xxhash64(s)), $perms)").as("sig"),
       )
-      .groupBy(col("doc_id"), col("perm"))
-      .agg(min(col("h")).as("mh"))
+  }
 
-  /** LSH banding: group the signature into `bands` bands of
-    * `perms/bands` rows, hash each band, and emit (band, band_sig, doc).
+  /** LSH banding: hash `perms/bands` consecutive signature slots per
+    * band, directly from the signature array — a narrow projection,
+    * no aggregation.
     */
   def lshBuckets(signatures: DataFrame, perms: Int = 128, bands: Int = 32): DataFrame = {
     val rows = perms / bands
-    signatures
-      .withColumn("band", (col("perm") / rows).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(concat_ws(",", sort_array(collect_list(struct(col("perm"), col("mh")))).cast("string"))).as("band_sig"))
+    val bandExprs = (0 until rows).map(r => s"element_at(sig, b * $rows + ${r + 1})").mkString(", ")
+    // barrier again: keep the sig array materialized, not inlined 32×
+    spread(signatures)
+      .select(
+        col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64($bandExprs))")).as(Seq("band", "band_sig")),
+      )
   }
 
   /** Candidate near-duplicate pairs: docs sharing any LSH bucket.
     * Bucket join (shuffle on band_sig), not a cross join.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String, n: Int = 3, perms: Int = 128, bands: Int = 32): DataFrame = {
-    val buckets = lshBuckets(minhashSignatures(df, idCol, textCol, n, perms), perms, bands)
+    // The bucket frame is tiny (docs × bands rows of hashes) but its
+    // lineage carries the full signature computation; cache it so the
+    // self-join doesn't hash every shingle twice.
+    val buckets = lshBuckets(minhashSignatures(df, idCol, textCol, n, perms), perms, bands).cache()
     buckets
       .select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
       .join(buckets.select(col("band"), col("band_sig"), col("doc_id").as("doc_b")), Seq("band", "band_sig"))
@@ -108,7 +153,7 @@ object DedupFunctions {
       denThreshold: Int = 5,
   ): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, n)
-    val sh = shingleIndex(df, idCol, textCol, n)
+    val sh = shingleIndex(df, idCol, textCol, n).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cands
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
@@ -129,18 +174,24 @@ object DedupFunctions {
     * from `xxhash64(token)` over all tokens (with multiplicity).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.withColumn("__w", TextFunctions.words(col(textCol)))
-      .select(col(idCol).as("doc_id"), explode(col("__w")).as("token"))
-      .withColumn("h", xxhash64(col("token")))
+    wordsSpread(df, idCol, textCol)
+      // per-row bit-vote accumulation: one 64-slot vote array per doc,
+      // folded over tokens inside the row — no explode, no shuffle
+      .withColumn(
+        "__votes",
+        expr(
+          """aggregate(
+               transform(__w, t -> xxhash64(t)),
+               array_repeat(0L, 64),
+               (acc, h) -> zip_with(acc, sequence(0L, 63L), (a, b) -> a + CASE WHEN (h >> b) & 1 = 1 THEN 1L ELSE -1L END))"""
+        ),
+      )
       .select(
         col("doc_id"),
-        posexplode(expr("transform(sequence(0, 63), b -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)"))
-          .as(Seq("bit", "vote")),
+        expr(
+          "aggregate(zip_with(__votes, sequence(0L, 63L), (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, CAST(b AS INT)) ELSE 0L END), 0L, (a, e) -> a + e)"
+        ).as("simhash"),
       )
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("vote")).as("v"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, bit)")).otherwise(lit(0L))).as("simhash"))
 
   /** SimHash near-dup candidates: 4 bands of 16 bits each (any shared
     * band ⇒ candidate), verified by full hamming distance ≤ maxHamming.

@@ -121,7 +121,8 @@ object TextFunctions {
     */
   def fingerprints(df: DataFrame, idCol: Column, text: Column, k: Int = 8, w: Int = 4): DataFrame = {
     val norm = normText(text)
-    df.withColumn("__t", norm)
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("__t", norm)
       .withColumn(
         "__hashes",
         expr(s"transform(sequence(1, greatest(length(__t) - ${k - 1}, 1)), i -> substring(md5(substring(__t, i, $k)), 1, 8))"),

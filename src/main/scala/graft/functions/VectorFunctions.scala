@@ -66,7 +66,7 @@ object VectorFunctions {
     * brute-force candidate set is replaced by bucket collisions.
     */
   def lshAnn(df: DataFrame, k: Int, planes: Int = 16): DataFrame = {
-    val withBucket = df.select(
+    val withBucket = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
       col("vec_id"),
       col("embedding"),
       lshBucket("embedding", planes).as("bucket"),

@@ -197,13 +197,17 @@ object TimeSeriesOps {
     )
     val both = data.unionByName(gridRows)
     val part = Window.partitionBy(tagCols.map(col): _*)
+    // Both neighbours come from *running* frames (unboundedPreceding →
+    // currentRow), which Spark evaluates in O(n); an unbounded-following
+    // frame with ignoreNulls degrades to O(n²) per partition.
     // prev: data point at ts <= t (data before grid on ties)
     val wPrev = part.orderBy(col("ts"), col("is_grid")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // next: data point at ts >= t (grid before data on ties ⇒ exact hit
-    // resolves to the same point for prev and next, interpolating to v0)
-    val wNext = part.orderBy(col("ts"), col("is_grid").desc).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // next: data point at ts >= t — running last() over ts DESC, with
+    // data before grid on ties so an exact hit resolves to that point
+    // for both neighbours (interpolating to v0).
+    val wNext = part.orderBy(col("ts").desc, col("is_grid")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prevStruct = last(when(col("is_grid") === 0, struct(unix_micros(col("ts")).as("us"), col("v"))), ignoreNulls = true).over(wPrev)
-    val nextStruct = first(when(col("is_grid") === 0, struct(unix_micros(col("ts")).as("us"), col("v"))), ignoreNulls = true).over(wNext)
+    val nextStruct = last(when(col("is_grid") === 0, struct(unix_micros(col("ts")).as("us"), col("v"))), ignoreNulls = true).over(wNext)
     both
       .withColumn("prev", prevStruct)
       .withColumn("next", nextStruct)

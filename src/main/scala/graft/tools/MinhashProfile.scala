@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch profiler for the minhash pipeline stages. */
+object MinhashProfile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cores = args.lift(1).getOrElse("32")
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.plans.GraftFunctions.register(spark)
+    val docs = graft.Tables.documents(spark, dir)
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    time("docs")(docs.count())
+    val w = docs.select(col("doc_id"), graft.functions.TextFunctions.words(col("text")).as("__w")).repartition(32)
+    time("words+spread")(w.count())
+    val sh = w.withColumn("__sh", graft.functions.TextFunctions.shingles("__w", 3))
+    time("+shingles")(sh.count())
+    time("+shingles(sum)")(sh.select(sum(size(col("__sh")))).collect().head.getLong(0))
+    val hs = sh.select(col("doc_id"), expr("transform(__sh, s -> xxhash64(s))").as("__hs"))
+    time("+hash(sum)")(hs.select(sum(size(col("__hs")))).collect().head.getLong(0))
+    val sig = sh.select(col("doc_id"), expr("graft_minhash_sig(transform(__sh, s -> xxhash64(s)), 128)").as("sig"))
+    time("+sig(sum)")(sig.select(sum(size(col("sig")))).collect().head.getLong(0))
+    sh.cache(); sh.count()
+    val sig2 = sh.select(col("doc_id"), expr("graft_minhash_sig(transform(__sh, s -> xxhash64(s)), 128)").as("sig"))
+    time("+sig(cached shingles)")(sig2.select(sum(size(col("sig")))).collect().head.getLong(0))
+    spark.stop()
+  }
+}
+
+object MinhashTwice {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.Tables.documents(spark, dir)
+    val small = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    for (i <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n0 = graft.functions.DedupFunctions.minhashCandidates(small, "doc_id", "text").count()
+      println(f"warm$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n0 pairs)")
+    }
+    for (i <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n = graft.functions.DedupFunctions.minhashCandidates(docs, "doc_id", "text").count()
+      println(f"run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n pairs)")
+    }
+    spark.stop()
+  }
+}
