@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.SeriesSelector
+import graft.operators.TimeSeriesOps
+import graft.sources.{ConfiguredSource, MetadataConfig, MetadataSource, SourceConfig}
+
+/** The client facade — graft's equivalent of the reference's Flight API
+  * surface (kukur/client.py: search, get_metadata, get_data,
+  * get_plot_data, list_sources, get_source_structure), re-expressed as
+  * DataFrame-returning calls so every answer is a distributed plan the
+  * caller can keep composing.
+  *
+  * A kukur user's `Client().get_data(SeriesSelector(...), start, end)`
+  * becomes `graft.getData("src", selector, start, end)`; the result is
+  * the same canonical (ts, value[, quality]) relation, but nothing is
+  * materialized until the caller acts on it.
+  */
+final class Graft(spark: SparkSession) {
+
+  /** A registered source: data + ordered extra metadata sources
+    * (earlier wins), mirroring kukur's Source/MetadataSource pairing
+    * (kukur/source/__init__.py:95).
+    */
+  final case class Registered(
+      data: ConfiguredSource,
+      dataConfig: SourceConfig,
+      metadata: Seq[MetadataSource] = Nil,
+  )
+
+  private val sources = mutable.LinkedHashMap.empty[String, Registered]
+
+  def registerSource(
+      name: String,
+      config: SourceConfig,
+      metadata: Seq[MetadataConfig] = Nil,
+  ): this.type = {
+    sources(name) = Registered(new ConfiguredSource(config), config, metadata.map(new MetadataSource(_)))
+    this
+  }
+
+  def listSources: Seq[String] = sources.keys.toSeq
+
+  private def registered(name: String): Registered =
+    sources.getOrElse(name, throw new IllegalArgumentException(s"unknown source: $name"))
+
+  /** All series in a source (kukur search). */
+  def search(sourceName: String): DataFrame =
+    registered(sourceName).data.search(spark)
+
+  /** Canonical data frame for the whole source. */
+  def readAll(sourceName: String): DataFrame =
+    registered(sourceName).data.read(spark)
+
+  private def filterTags(df: DataFrame, selector: SeriesSelector): DataFrame =
+    selector.tags.foldLeft(df) { case (d, (k, v)) => d.where(col(k).cast("string") === lit(v)) }
+
+  /** Range data for one series (kukur get_data): tag filter + half-open
+    * time range, both pushed into the scan where the format allows.
+    */
+  def getData(sourceName: String, selector: SeriesSelector, start: Timestamp, end: Timestamp): DataFrame =
+    TimeSeriesOps.filterRange(filterTags(readAll(sourceName), selector), start, end)
+
+  /** Plot-ready downsample (kukur get_plot_data). */
+  def getPlotData(
+      sourceName: String,
+      selector: SeriesSelector,
+      start: Timestamp,
+      end: Timestamp,
+      intervalCount: Int,
+  ): DataFrame = {
+    val cfg = registered(sourceName).dataConfig
+    TimeSeriesOps.plotData(filterTags(readAll(sourceName), selector), cfg.tagColumns, start, end, intervalCount)
+  }
+
+  /** Merged metadata for a source (kukur get_metadata): extra metadata
+    * sources in registration order take precedence, field by field.
+    */
+  def getMetadata(sourceName: String, selector: SeriesSelector = SeriesSelector("", Map.empty)): DataFrame = {
+    val reg = registered(sourceName)
+    require(reg.metadata.nonEmpty, s"source $sourceName has no metadata sources")
+    val merged = MetadataSource.merge(reg.dataConfig.tagColumns, reg.metadata.map(_.read(spark)))
+    filterTags(merged, selector)
+  }
+
+  /** Tag/field structure of a source (kukur get_source_structure). */
+  def getSourceStructure(sourceName: String): DataFrame = {
+    val cfg = registered(sourceName).dataConfig
+    TimeSeriesOps.sourceStructure(readAll(sourceName), cfg.tagColumns, cfg.fieldColumns)
+  }
+}

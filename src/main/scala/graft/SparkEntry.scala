@@ -10,7 +10,7 @@ import graft.functions.{DedupFunctions, TextFunctions, VectorFunctions}
 import graft.model.SeriesDictionary
 import graft.multimodal.Multimodal
 import graft.operators.TimeSeriesOps
-import graft.sources.{ConfiguredSource, Simulators, SourceConfig}
+import graft.sources.{ConfiguredSource, MetadataConfig, MetadataSource, Simulators, SourceConfig}
 
 /** Driver contract — one `queries` entry (+ DuckDB oracle where
   * SQL-expressible) per operator in SURVEY.md §2.
@@ -227,6 +227,36 @@ object SparkEntry {
       val src = new ConfiguredSource(SourceConfig(path = tmp, dataFormat = "dir", tagColumns = Seq("series_name")))
       ntz(
         TimeSeriesOps.filterRange(src.read(s).where(col("series_name") === "click"), Start, End)
+      )
+    },
+    // A15b: metadata sidecar source — mapping, value mapping, coercion
+    "ts_metadata_source" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = tmpPath(dir, "metacsv")
+      Seq(
+        ("temp", "Temperature", "degC", "0", "100", "lin", "float64"),
+        ("pressure", "Pressure", "bar", "0.5", "9", "step", "float32"),
+        ("state", "Machine state", "", "", "", "step", "dict"),
+        ("flow", "Flow rate", "m3/h", "oops", "50", "lin", "float64"),
+      ).toDF("name", "descr", "eng_unit", "low", "high", "interp", "dtype")
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+      new MetadataSource(
+        MetadataConfig(
+          path = tmp,
+          fieldMapping = Map(
+            "series_name" -> "name", "description" -> "descr", "unit" -> "eng_unit",
+            "limit_low_physical" -> "low", "limit_high_physical" -> "high",
+            "interpolation_type" -> "interp", "data_type" -> "dtype",
+          ),
+          valueMapping = Map(
+            "interpolation_type" -> Map("lin" -> "LINEAR", "step" -> "STEPPED"),
+            "data_type" -> Map("float64" -> "FLOAT64", "float32" -> "FLOAT32", "dict" -> "DICTIONARY"),
+          ),
+        )
+      ).read(s).select(
+        col("series_name"), col("description"), col("unit"),
+        col("limit_low_physical"), col("limit_high_physical"),
+        col("interpolation_type"), col("data_type"),
       )
     },
     // A17: interval chunking (range-repartition; content unchanged)
@@ -468,6 +498,13 @@ object SparkEntry {
       """SELECT event_type AS series_name, ts, value FROM events
          WHERE event_type = 'click'
            AND ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'""",
+    "ts_metadata_source" ->
+      """SELECT * FROM (VALUES
+           ('temp', 'Temperature', 'degC', 0.0, 100.0, 'LINEAR', 'FLOAT64'),
+           ('pressure', 'Pressure', 'bar', 0.5, 9.0, 'STEPPED', 'FLOAT32'),
+           ('state', 'Machine state', NULL, NULL, NULL, 'STEPPED', 'DICTIONARY'),
+           ('flow', 'Flow rate', 'm3/h', NULL, 50.0, 'LINEAR', 'FLOAT64'))
+         AS t(series_name, description, unit, limit_low_physical, limit_high_physical, interpolation_type, data_type)""",
     "ts_interval_chunks" ->
       """SELECT event_type AS series_name, user_id, ts, value FROM events
          WHERE event_type IN ('click', 'error')

@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Inspect API (kukur/inspect): enumerate storage containers and
+  * preview datasets without knowing their schema in advance.
+  *
+  * Uses the Hadoop FileSystem abstraction, so the same calls work on
+  * file://, hdfs://, s3a://, abfss://… — the Spark-native equivalent of
+  * the reference's per-backend blob modules (kukur/inspect/s3.py,
+  * adls.py, filesystem.py).
+  */
+object Inspect {
+
+  /** Resource kinds recognized by extension
+    * (kukur/inspect/arrow.py:154 get_resource_type_from_extension).
+    */
+  val SupportedExtensions: Map[String, String] = Map(
+    "parquet" -> "parquet",
+    "csv" -> "csv",
+    "json" -> "json",
+    "orc" -> "orc",
+    "arrow" -> "arrow",
+    "feather" -> "arrow",
+    "arrows" -> "arrows",
+    "txt" -> "csv",
+  )
+
+  /** List a path: one row per child with kind directory|<format>|other
+    * (kukur inspect's InspectedPath list).
+    */
+  def listPath(spark: SparkSession, uri: String): DataFrame = {
+    import spark.implicits._
+    val path = new Path(uri)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val children = fs.listStatus(path).toSeq.map { st =>
+      val name = st.getPath.toString
+      val kind =
+        if (st.isDirectory) "directory"
+        else SupportedExtensions.getOrElse(name.split('.').last.toLowerCase, "other")
+      (name, kind, st.getLen)
+    }
+    children.toDF("path", "resource_type", "size_bytes")
+  }
+
+  /** Preview the first `limit` rows of a dataset (kukur inspect
+    * preview). Format inferred from the extension; directories probe
+    * their children.
+    */
+  def preview(spark: SparkSession, uri: String, limit: Int = 100): DataFrame =
+    readDataset(spark, uri).limit(limit)
+
+  /** Full dataset read with schema discovery (kukur inspect
+    * read/read_batches — in Spark the "batches" are partitions).
+    */
+  def readDataset(spark: SparkSession, uri: String): DataFrame = {
+    val fmt = inferFormat(spark, uri)
+    val reader = spark.read.format(fmt)
+    (if (fmt == "csv") reader.option("header", "true").option("inferSchema", "true") else reader)
+      .load(uri)
+  }
+
+  private def inferFormat(spark: SparkSession, uri: String): String = {
+    val direct = SupportedExtensions.get(uri.split('.').last.toLowerCase)
+    direct.getOrElse {
+      val path = new Path(uri)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.getFileStatus(path).isDirectory) {
+        val exts = fs.listStatus(path).toSeq.filter(_.isFile).flatMap { st =>
+          SupportedExtensions.get(st.getPath.getName.split('.').last.toLowerCase)
+        }
+        exts.headOption.getOrElse("parquet")
+      } else "parquet"
+    }
+  }
+}

@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sidecar metadata source (kukur/source/csv/csv.py metadata loader +
+  * kukur/source/metadata.py MetadataMapper/MetadataValueMapper).
+  *
+  * Reads a per-series metadata table (CSV/parquet/JSON), applies
+  * - field-name mapping (canonical name -> source column),
+  * - value mapping (source value -> canonical value, per field),
+  * - typed coercion (numeric limits parsed, invalid -> null, like the
+  *   reference's `coerce_field` swallowing ValueError),
+  * and joins dictionary label files from a dictionary directory.
+  *
+  * Canonical metadata columns: tag columns + description, unit,
+  * limit_low_physical, limit_high_physical, limit_low_functional,
+  * limit_high_functional, accuracy, interpolation_type, data_type,
+  * dictionary_name (kukur/metadata/fields.py).
+  */
+final case class MetadataConfig(
+    path: String,
+    fileFormat: String = "csv",
+    tagColumns: Seq[String] = Seq("series_name"),
+    /** canonical field -> source column name */
+    fieldMapping: Map[String, String] = Map.empty,
+    /** canonical field -> (source value -> canonical value) */
+    valueMapping: Map[String, Map[String, String]] = Map.empty,
+    /** directory of `<dictionary_name>.csv` files with code,label rows */
+    dictionaryDir: Option[String] = None,
+    csvSeparator: String = ",",
+)
+
+final class MetadataSource(cfg: MetadataConfig) {
+
+  import MetadataSource._
+
+  private def mapped(name: String): String = cfg.fieldMapping.getOrElse(name, name)
+
+  private def valueMapped(field: String, c: Column): Column =
+    cfg.valueMapping.get(field) match {
+      case None => c
+      case Some(m) =>
+        m.foldLeft(c) { case (acc, (from, to)) => when(acc === lit(from), lit(to)).otherwise(acc) }
+    }
+
+  /** Parse a numeric field, null on garbage (kukur `_parse_float` /
+    * `coerce_field` swallowing ValueError) — try_cast, since ANSI mode
+    * would otherwise fail the whole query on one bad cell.
+    */
+  private def numeric(c: Column): Column = c.cast("string").try_cast("double")
+
+  def read(spark: SparkSession): DataFrame = {
+    val reader = spark.read.format(cfg.fileFormat)
+    val raw =
+      if (cfg.fileFormat == "csv") reader.option("header", "true").option("sep", cfg.csvSeparator).load(cfg.path)
+      else reader.load(cfg.path)
+    def colOrNull(name: String): Column =
+      if (raw.columns.contains(mapped(name))) col(mapped(name)) else lit(null).cast("string")
+    val tags = cfg.tagColumns.map(t => col(mapped(t)).cast("string").as(t))
+    val fields = Seq(
+      valueMapped("description", colOrNull("description")).cast("string").as("description"),
+      valueMapped("unit", colOrNull("unit")).cast("string").as("unit"),
+      numeric(valueMapped("limit_low_physical", colOrNull("limit_low_physical"))).as("limit_low_physical"),
+      numeric(valueMapped("limit_high_physical", colOrNull("limit_high_physical"))).as("limit_high_physical"),
+      numeric(valueMapped("limit_low_functional", colOrNull("limit_low_functional"))).as("limit_low_functional"),
+      numeric(valueMapped("limit_high_functional", colOrNull("limit_high_functional"))).as("limit_high_functional"),
+      numeric(valueMapped("accuracy", colOrNull("accuracy"))).as("accuracy"),
+      upper(valueMapped("interpolation_type", colOrNull("interpolation_type")).cast("string")).as("interpolation_type"),
+      upper(valueMapped("data_type", colOrNull("data_type")).cast("string")).as("data_type"),
+      valueMapped("dictionary_name", colOrNull("dictionary_name")).cast("string").as("dictionary_name"),
+    )
+    raw.select(tags ++ fields: _*)
+  }
+
+  /** All dictionaries in the dictionary dir as one frame
+    * `(dictionary_name, code, label)` — the set-name comes from the
+    * file path (kukur csv.py __get_dictionary, one file per set).
+    */
+  def dictionaries(spark: SparkSession): DataFrame = {
+    val dir = cfg.dictionaryDir.getOrElse(
+      throw new IllegalArgumentException("no dictionary_dir configured")
+    )
+    spark.read
+      .option("header", "false")
+      .schema("code INT, label STRING")
+      .csv(s"$dir/*.csv")
+      .withColumn("dictionary_name", regexp_extract(input_file_name(), "([^/]+)\\.csv$", 1))
+      .select(col("dictionary_name"), col("code"), col("label"))
+  }
+}
+
+object MetadataSource {
+
+  /** Merge metadata from several sources with precedence: earlier
+    * frames win field-by-field; empty strings count as missing
+    * (kukur/source/__init__.py:205 get_metadata merge semantics).
+    * Implemented as a chain of full outer joins + per-field coalesce —
+    * one small shuffle per source, metadata cardinality is per-series.
+    */
+  def merge(tagColumns: Seq[String], frames: Seq[DataFrame]): DataFrame = {
+    require(frames.nonEmpty, "need at least one metadata frame")
+    val fields = frames.head.columns.filterNot(tagColumns.contains)
+    frames.reduce { (hi, lo) =>
+      val loRen = fields.foldLeft(lo)((d, f) => d.withColumnRenamed(f, s"__lo_$f"))
+      val joined = hi.join(loRen, tagColumns, "full_outer")
+      fields
+        .foldLeft(joined) { (d, f) =>
+          val hiC = col(f)
+          val hiNonEmpty = when(hiC.isNotNull && hiC.cast("string") =!= "", hiC)
+          d.withColumn(f, coalesce(hiNonEmpty, col(s"__lo_$f")))
+        }
+        .drop(fields.map(f => s"__lo_$f"): _*)
+    }
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.SeriesSelector
+import graft.sources.{Inspect, MetadataConfig, MetadataSource, SourceConfig}
+
+class GraftFacadeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  private def writeData(): String = {
+    val dir = Files.createTempDirectory("graft-facade").toString
+    Seq(
+      ("temp", t("2024-01-01T00:00:00Z"), 20.0),
+      ("temp", t("2024-01-01T01:00:00Z"), 21.0),
+      ("temp", t("2024-01-01T02:00:00Z"), 19.0),
+      ("pressure", t("2024-01-01T00:30:00Z"), 1.2),
+    ).toDF("series_name", "ts", "value").write.mode("overwrite").parquet(s"$dir/data")
+    Seq(
+      ("temp", "Temperature", "degC", "0", "100", "lin"),
+      ("pressure", "Pressure", "bar", "0.5", "9", "step"),
+    ).toDF("name", "descr", "eng_unit", "low", "high", "interp")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$dir/meta")
+    dir
+  }
+
+  private def facade(dir: String): Graft =
+    new Graft(spark).registerSource(
+      "demo",
+      SourceConfig(path = s"$dir/data", dataFormat = "row", tagColumns = Seq("series_name")),
+      metadata = Seq(
+        MetadataConfig(
+          path = s"$dir/meta",
+          fieldMapping = Map(
+            "series_name" -> "name", "description" -> "descr", "unit" -> "eng_unit",
+            "limit_low_physical" -> "low", "limit_high_physical" -> "high",
+            "interpolation_type" -> "interp",
+          ),
+          valueMapping = Map("interpolation_type" -> Map("lin" -> "LINEAR", "step" -> "STEPPED")),
+        )
+      ),
+    )
+
+  test("facade mirrors the reference client surface") {
+    val dir = writeData()
+    val g = facade(dir)
+    assert(g.listSources == Seq("demo"))
+    assert(g.search("demo").collect().length == 2)
+    val data = g
+      .getData("demo", SeriesSelector("demo", Map("series_name" -> "temp")), t("2024-01-01T00:00:00Z"), t("2024-01-01T02:00:00Z"))
+      .orderBy("ts")
+      .collect()
+    assert(data.map(_.getAs[Double]("value")).toSeq == Seq(20.0, 21.0)) // half-open range
+    val md = g.getMetadata("demo", SeriesSelector("demo", Map("series_name" -> "temp"))).collect().head
+    assert(md.getAs[String]("description") == "Temperature")
+    assert(md.getAs[Double]("limit_high_physical") == 100.0)
+    assert(md.getAs[String]("interpolation_type") == "LINEAR")
+    val structure = g.getSourceStructure("demo").collect()
+    assert(structure.exists(r => r.getString(0) == "tag" && r.getString(2) == "pressure"))
+    val plot = g.getPlotData("demo", SeriesSelector("demo", Map("series_name" -> "temp")), t("2024-01-01T00:00:00Z"), t("2024-01-01T03:00:00Z"), 1)
+    assert(plot.collect().length == 4) // min/max/first/last of one bucket
+  }
+
+  test("metadata merge: earlier sources win, empty values fall through") {
+    val hi = Seq(("s1", "High desc", null.asInstanceOf[String])).toDF("series_name", "description", "unit")
+    val lo = Seq(("s1", "Low desc", "degC"), ("s2", "Only low", "bar")).toDF("series_name", "description", "unit")
+    val merged = MetadataSource.merge(Seq("series_name"), Seq(hi, lo)).orderBy("series_name").collect()
+    assert(merged(0).getAs[String]("description") == "High desc")
+    assert(merged(0).getAs[String]("unit") == "degC") // fell through
+    assert(merged(1).getAs[String]("description") == "Only low")
+  }
+
+  test("inspect lists and previews datasets") {
+    val dir = writeData()
+    val listing = Inspect.listPath(spark, dir).collect()
+    assert(listing.length == 2 && listing.forall(_.getString(1) == "directory"))
+    val preview = Inspect.preview(spark, s"$dir/data", 2)
+    assert(preview.collect().length == 2)
+    assert(preview.columns.contains("series_name"))
+  }
+
+  test("dictionary dir loads one dictionary per file") {
+    val dir = Files.createTempDirectory("graft-dict").toString
+    Files.writeString(java.nio.file.Path.of(dir, "onoff.csv"), "0,OFF\n1,ON\n")
+    Files.writeString(java.nio.file.Path.of(dir, "mode.csv"), "0,AUTO\n1,MANUAL\n2,HOLD\n")
+    val md = new MetadataSource(MetadataConfig(path = "unused", dictionaryDir = Some(dir)))
+    val dicts = md.dictionaries(spark).collect()
+    assert(dicts.length == 5)
+    assert(dicts.filter(_.getString(0) == "mode").map(_.getString(2)).sorted.toSeq == Seq("AUTO", "HOLD", "MANUAL"))
+  }
+}
