@@ -1,0 +1,120 @@
+package graft.sources
+
+import scala.collection.JavaConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowReader, ArrowStreamReader}
+import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Arrow IPC sources: the random-access *file* format (`.arrow`,
+  * Feather v2 — kukur/source/feather) and the *streaming* format
+  * (`.arrows` — kukur/source/arrows).
+  *
+  * Spark has no built-in Arrow IPC reader, so this distributes the
+  * decode: files land as `binaryFile` rows (one per file, so a
+  * directory of IPC files parallelizes per-file — the natural unit,
+  * since IPC footers aren't splittable), and each partition decodes its
+  * files with the Arrow Java reader. Schema is inferred driver-side
+  * from the first file's metadata only.
+  *
+  * The decoded frame feeds the same canonical pipeline as every other
+  * source (row/pivot semantics via ConfiguredSource-style reshaping).
+  */
+object ArrowIpcSource {
+
+  /** Read a directory (or single file) of Arrow IPC files. `streaming`
+    * selects the stream format (`.arrows`) over the file format.
+    */
+  def read(spark: SparkSession, path: String, streaming: Boolean = false): DataFrame = {
+    val bin = spark.read.format("binaryFile").load(path).select("content")
+    val sparkSchema = {
+      val firstBytes = bin.limit(1).collect().headOption
+        .map(_.getAs[Array[Byte]](0))
+        .getOrElse(throw new IllegalArgumentException(s"no files at $path"))
+      withReader(firstBytes, streaming)(r => toSparkSchema(r.getVectorSchemaRoot.getSchema))
+    }
+    val rows = bin.rdd.mapPartitions { files =>
+      files.flatMap { fileRow =>
+        val bytes = fileRow.getAs[Array[Byte]](0)
+        decodeAll(bytes, streaming, sparkSchema)
+      }
+    }
+    spark.createDataFrame(rows, sparkSchema)
+  }
+
+  private def withReader[T](bytes: Array[Byte], streaming: Boolean)(f: ArrowReader => T): T = {
+    val allocator = new RootAllocator(Long.MaxValue)
+    val reader =
+      if (streaming) new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), allocator)
+      else new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), allocator)
+    try f(reader)
+    finally {
+      reader.close()
+      allocator.close()
+    }
+  }
+
+  private def decodeAll(bytes: Array[Byte], streaming: Boolean, schema: StructType): Iterator[Row] = {
+    // decode eagerly per file (files are batch-sized by construction);
+    // keeps allocator lifetime simple inside the task
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    withReader(bytes, streaming) { reader =>
+      val root = reader.getVectorSchemaRoot
+      while (reader.loadNextBatch()) {
+        val vectors = root.getFieldVectors.asScala.toSeq
+        var i = 0
+        val n = root.getRowCount
+        while (i < n) {
+          out += Row.fromSeq(vectors.zip(schema.fields).map { case (v, f) => readValue(v, i, f.dataType) })
+          i += 1
+        }
+      }
+    }
+    out.iterator
+  }
+
+  private def readValue(v: FieldVector, i: Int, dt: DataType): Any = {
+    if (v.isNull(i)) null
+    else
+      (v, dt) match {
+        case (x: BigIntVector, _) => x.get(i)
+        case (x: IntVector, _) => x.get(i)
+        case (x: Float8Vector, _) => x.get(i)
+        case (x: Float4Vector, _) => x.get(i)
+        case (x: BitVector, _) => x.get(i) == 1
+        case (x: VarCharVector, _) => new String(x.get(i), "UTF-8")
+        case (x: TimeStampMicroVector, _) => microsToTimestamp(x.get(i))
+        case (x: TimeStampMicroTZVector, _) => microsToTimestamp(x.get(i))
+        case (x: TimeStampNanoVector, _) => microsToTimestamp(Math.floorDiv(x.get(i), 1000L))
+        case (x: TimeStampNanoTZVector, _) => microsToTimestamp(Math.floorDiv(x.get(i), 1000L))
+        case (x: TimeStampMilliVector, _) => microsToTimestamp(x.get(i) * 1000L)
+        case (x: TimeStampMilliTZVector, _) => microsToTimestamp(x.get(i) * 1000L)
+        case _ => throw new UnsupportedOperationException(s"unsupported arrow vector ${v.getClass}")
+      }
+  }
+
+  private def microsToTimestamp(us: Long): java.sql.Timestamp = {
+    val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
+  }
+
+  private def toSparkSchema(schema: org.apache.arrow.vector.types.pojo.Schema): StructType =
+    StructType(schema.getFields.asScala.toSeq.map { f =>
+      import org.apache.arrow.vector.types.pojo.ArrowType
+      val dt = f.getType match {
+        case t: ArrowType.Int if t.getBitWidth == 64 => LongType
+        case t: ArrowType.Int if t.getBitWidth == 32 => IntegerType
+        case t: ArrowType.FloatingPoint if t.getPrecision.name == "DOUBLE" => DoubleType
+        case _: ArrowType.FloatingPoint => FloatType
+        case _: ArrowType.Utf8 => StringType
+        case _: ArrowType.Bool => BooleanType
+        case _: ArrowType.Timestamp => TimestampType
+        case other => throw new UnsupportedOperationException(s"unsupported arrow type $other")
+      }
+      StructField(f.getName, dt, f.isNullable)
+    })
+}

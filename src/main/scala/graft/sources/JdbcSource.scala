@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL-database source (kukur/source/sql.py; covers the reference's
+  * sqlite / postgresql / cratedb / odbc / adodb family through Spark's
+  * JDBC data source).
+  *
+  * Configuration mirrors the reference: a `data_query`-style SQL text
+  * whose result supplies tag + ts + value columns, plus optional
+  * list/metadata queries. Spark pushes the query to the database and
+  * parallelizes with `partitionColumn`/`numPartitions` bounds when
+  * provided — the 100 TB path is N executors each reading a key-range
+  * slice instead of one cursor streaming everything.
+  */
+final case class JdbcSourceConfig(
+    url: String,
+    driver: String,
+    /** SQL producing tag columns + ts + value (kukur data_query) */
+    dataQuery: String,
+    tagColumns: Seq[String] = Seq("series_name"),
+    /** SQL producing one row per series (kukur list_query) */
+    listQuery: Option[String] = None,
+    /** SQL producing metadata rows (kukur metadata_query) */
+    metadataQuery: Option[String] = None,
+    /** numeric column + bounds to split the read across executors */
+    partitionColumn: Option[String] = None,
+    lowerBound: Option[Long] = None,
+    upperBound: Option[Long] = None,
+    numPartitions: Option[Int] = None,
+    properties: Map[String, String] = Map.empty,
+)
+
+final class JdbcSource(cfg: JdbcSourceConfig) {
+
+  private def reader(spark: SparkSession, query: String) = {
+    var r = spark.read
+      .format("jdbc")
+      .option("url", cfg.url)
+      .option("driver", cfg.driver)
+      .option("query", query)
+    cfg.properties.foreach { case (k, v) => r = r.option(k, v) }
+    (cfg.partitionColumn, cfg.lowerBound, cfg.upperBound, cfg.numPartitions) match {
+      case (Some(c), Some(lo), Some(hi), Some(n)) =>
+        // partitioned reads need dbtable, not query
+        spark.read
+          .format("jdbc")
+          .option("url", cfg.url)
+          .option("driver", cfg.driver)
+          .option("dbtable", s"($query) graft_sub")
+          .option("partitionColumn", c)
+          .option("lowerBound", lo)
+          .option("upperBound", hi)
+          .option("numPartitions", n)
+      case _ => r
+    }
+  }
+
+  /** Databases often fold identifiers to upper case (Derby, Oracle);
+    * canonical column names are lower-case.
+    */
+  private def lowered(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.toLowerCase): _*)
+
+  /** Canonical data frame: tags + ts + value straight from the DB. */
+  def read(spark: SparkSession): DataFrame =
+    lowered(reader(spark, cfg.dataQuery).load()).withColumn("ts", col("ts").cast("timestamp"))
+
+  /** Series discovery: the list query if configured, else distinct tags
+    * from the data query.
+    */
+  def search(spark: SparkSession): DataFrame = cfg.listQuery match {
+    case Some(q) => lowered(reader(spark, q).load())
+    case None    => read(spark).select(cfg.tagColumns.map(col): _*).distinct()
+  }
+
+  def metadata(spark: SparkSession): Option[DataFrame] =
+    cfg.metadataQuery.map(q => lowered(reader(spark, q).load()))
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.{DriverManager, Timestamp}
+import java.time.Instant
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.ipc.{ArrowFileWriter, ArrowStreamWriter}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ArrowIpcSource, JdbcSource, JdbcSourceConfig}
+
+class IpcJdbcSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def t(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  private def writeArrow(dir: String, name: String, streaming: Boolean): Unit = {
+    val allocator = new RootAllocator(Long.MaxValue)
+    val series = new VarCharVector("series_name", allocator)
+    val ts = new TimeStampMicroVector("ts", allocator)
+    val value = new Float8Vector("value", allocator)
+    val root = new VectorSchemaRoot(java.util.List.of[FieldVector](series, ts, value))
+    root.allocateNew()
+    val rows = Seq(("a", 1704067200000000L, 1.5), ("a", 1704067260000000L, 2.5), ("b", 1704067230000000L, 9.0))
+    rows.zipWithIndex.foreach { case ((s, us, v), i) =>
+      series.setSafe(i, s.getBytes("UTF-8"))
+      ts.setSafe(i, us)
+      value.setSafe(i, v)
+    }
+    root.setRowCount(rows.size)
+    val out = new java.io.FileOutputStream(s"$dir/$name")
+    val writer =
+      if (streaming) new ArrowStreamWriter(root, null, out.getChannel)
+      else new ArrowFileWriter(root, null, out.getChannel)
+    writer.start(); writer.writeBatch(); writer.end(); writer.close()
+    out.close(); root.close(); allocator.close()
+  }
+
+  test("arrow IPC file format round-trips (feather v2)") {
+    val dir = Files.createTempDirectory("graft-arrow").toString
+    writeArrow(dir, "part0.arrow", streaming = false)
+    writeArrow(dir, "part1.arrow", streaming = false)
+    val df = ArrowIpcSource.read(spark, dir)
+    assert(df.schema.fieldNames.toSeq == Seq("series_name", "ts", "value"))
+    assert(df.count() == 6) // two identical files
+    val row = df.where(org.apache.spark.sql.functions.col("value") === 9.0).collect().head
+    assert(row.getString(0) == "b")
+    assert(row.getTimestamp(1) == t("2024-01-01T00:00:30Z"))
+  }
+
+  test("arrow IPC streaming format round-trips (.arrows)") {
+    val dir = Files.createTempDirectory("graft-arrows").toString
+    writeArrow(dir, "stream0.arrows", streaming = true)
+    val df = ArrowIpcSource.read(spark, dir, streaming = true)
+    assert(df.count() == 3)
+    assert(df.collect().map(_.getDouble(2)).sorted.toSeq == Seq(1.5, 2.5, 9.0))
+  }
+
+  test("jdbc source reads canonical series data from an embedded database") {
+    val dbDir = Files.createTempDirectory("graft-derby").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE measurements (series VARCHAR(64), ts TIMESTAMP, val DOUBLE)")
+    st.execute("INSERT INTO measurements VALUES ('temp', TIMESTAMP('2024-01-01 00:00:00'), 20.5)")
+    st.execute("INSERT INTO measurements VALUES ('temp', TIMESTAMP('2024-01-01 01:00:00'), 21.5)")
+    st.execute("INSERT INTO measurements VALUES ('rpm', TIMESTAMP('2024-01-01 00:30:00'), 900.0)")
+    st.close(); conn.close()
+    val src = new JdbcSource(
+      JdbcSourceConfig(
+        url = url,
+        driver = "org.apache.derby.jdbc.EmbeddedDriver",
+        dataQuery = "SELECT series AS series_name, ts, val AS value FROM measurements",
+        listQuery = Some("SELECT DISTINCT series AS series_name FROM measurements"),
+      )
+    )
+    val data = src.read(spark).orderBy("series_name", "ts").collect()
+    assert(data.length == 3)
+    assert(data(0).getAs[String]("series_name") == "rpm")
+    assert(data(0).getAs[Double]("value") == 900.0)
+    assert(src.search(spark).collect().map(_.getString(0)).sorted.toSeq == Seq("rpm", "temp"))
+  }
+}
