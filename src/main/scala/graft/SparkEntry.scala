@@ -229,6 +229,25 @@ object SparkEntry {
         TimeSeriesOps.filterRange(src.read(s).where(col("series_name") === "click"), Start, End)
       )
     },
+    // A15c: JSON row-layout source (kukur/source/json)
+    "ts_row_source_json" -> { (s, dir) =>
+      val tmp = tmpPath(dir, "jsonrow")
+      Tables
+        .canonicalEvents(s, dir)
+        .where(col("series_name") === "purchase")
+        .select(col("series_name"), col("user_id"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"), col("value"))
+        .write.mode("overwrite").json(tmp)
+      val src = new ConfiguredSource(
+        SourceConfig(
+          path = tmp,
+          fileFormat = "json",
+          dataFormat = "row",
+          tagColumns = Seq("series_name", "user_id"),
+          datetimeFormat = Some("yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        )
+      )
+      ntz(src.read(s).withColumn("user_id", col("user_id").cast("long")))
+    },
     // A15b: metadata sidecar source — mapping, value mapping, coercion
     "ts_metadata_source" -> { (s, dir) =>
       import s.implicits._
@@ -498,6 +517,9 @@ object SparkEntry {
       """SELECT event_type AS series_name, ts, value FROM events
          WHERE event_type = 'click'
            AND ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'""",
+    "ts_row_source_json" ->
+      """SELECT event_type AS series_name, user_id, 'value' AS field, ts, value
+         FROM events WHERE event_type = 'purchase'""",
     "ts_metadata_source" ->
       """SELECT * FROM (VALUES
            ('temp', 'Temperature', 'degC', 0.0, 100.0, 'LINEAR', 'FLOAT64'),

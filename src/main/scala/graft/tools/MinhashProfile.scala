@@ -60,3 +60,22 @@ object MinhashTwice {
     spark.stop()
   }
 }
+
+object QueryTwice {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q1_agg")
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (d <- Seq("/root/testdata/sf0.001", dir, dir)) {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, d).write.format("noop").mode("overwrite").save()
+      println(f"$name @$d: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
