@@ -29,6 +29,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftOptimizations.install(spark)
     val names = headline.filter(SparkEntry.queries.contains) ++
       SparkEntry.queries.keys.filterNot(headline.contains).toSeq.sorted
     // Untimed warmup at the smallest SF: JIT-compiles every plan shape

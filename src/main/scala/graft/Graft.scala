@@ -24,6 +24,8 @@ import graft.sources.{ConfiguredSource, MetadataConfig, MetadataSource, SourceCo
   */
 final class Graft(spark: SparkSession) {
 
+  graft.plans.GraftOptimizations.install(spark)
+
   /** A registered source: data + ordered extra metadata sources
     * (earlier wins), mirroring kukur's Source/MetadataSource pairing
     * (kukur/source/__init__.py:95).

@@ -101,6 +101,8 @@ object GraftFunctions {
   * cluster injects the functions into every session.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.minhashSigDescriptor)
+    ext.injectOptimizerRule(_ => PushRangeThroughNanos)
+  }
 }

@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Optimizer rule: derive raw-nanosecond predicates from time-range
+  * filters on a converted µs timestamp.
+  *
+  * Nanosecond-precision parquet is read as a raw long (`nanosAsLong`)
+  * and converted with `timestamp_micros(ns div 1000)`. A filter on the
+  * conversion cannot reach the parquet scan — the data source API
+  * only pushes plain column comparisons — so a range query would scan
+  * the full history. The conversion is monotonic and exactly
+  * invertible on half-open bounds (`ns div 1000 >= s ⇔ ns >= s·1000`
+  * for positive epochs), so this rule adds the equivalent raw-long
+  * conjunct; source pushdown then carries it into the scan (row-group
+  * pruning on column stats — at 100 TB, one day scanned instead of
+  * years).
+  *
+  * By the time user rules run, earlier batches have already collapsed
+  * projections, so the conversion appears inline in the filter
+  * condition; the rule matches that shape. The original µs conjunct
+  * stays (cheap, and keeps the rewrite trivially semantics-preserving).
+  *
+  * Install session-local via [[GraftOptimizations.install]] or
+  * cluster-wide via `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+object PushRangeThroughNanos extends Rule[LogicalPlan] {
+
+  /** Matches `timestamp_micros(ns div 1000)` and yields `ns`. */
+  private object UsOfNanos {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case MicrosToTimestamp(IntegralDivide(ns, Literal(1000L, LongType), _)) => Some(ns)
+      case _ => None
+    }
+  }
+
+  private def nsBound(conjunct: Expression): Option[Expression] = conjunct match {
+    case GreaterThanOrEqual(UsOfNanos(ns), Literal(us: Long, TimestampType)) =>
+      Some(GreaterThanOrEqual(ns, Literal(us * 1000L, LongType)))
+    case GreaterThan(UsOfNanos(ns), Literal(us: Long, TimestampType)) =>
+      Some(GreaterThanOrEqual(ns, Literal((us + 1L) * 1000L, LongType)))
+    case LessThan(UsOfNanos(ns), Literal(us: Long, TimestampType)) =>
+      Some(LessThan(ns, Literal(us * 1000L, LongType)))
+    case LessThanOrEqual(UsOfNanos(ns), Literal(us: Long, TimestampType)) =>
+      Some(LessThan(ns, Literal((us + 1L) * 1000L, LongType)))
+    case EqualTo(UsOfNanos(ns), Literal(us: Long, TimestampType)) =>
+      Some(And(
+        GreaterThanOrEqual(ns, Literal(us * 1000L, LongType)),
+        LessThan(ns, Literal((us + 1L) * 1000L, LongType)),
+      ))
+    // literal-first spellings
+    case LessThanOrEqual(Literal(us: Long, TimestampType), UsOfNanos(ns)) =>
+      Some(GreaterThanOrEqual(ns, Literal(us * 1000L, LongType)))
+    case GreaterThan(Literal(us: Long, TimestampType), UsOfNanos(ns)) =>
+      Some(LessThan(ns, Literal(us * 1000L, LongType)))
+    case _ => None
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other     => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val conjuncts = splitConjuncts(cond)
+      // only top-level conjuncts are safe to strengthen (inside an
+      // OR/NOT the derived bound would change results)
+      val derived = conjuncts.flatMap(nsBound)
+      val missing = derived.filterNot(d => conjuncts.exists(_.semanticEquals(d)))
+      if (missing.isEmpty) f
+      else Filter(And(missing.reduce(And), cond), child)
+  }
+}
+
+object GraftOptimizations {
+
+  /** Install graft's optimizer rules into a live session (idempotent). */
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(PushRangeThroughNanos)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ (PushRangeThroughNanos: Rule[LogicalPlan])
+    }
+    GraftFunctions.register(spark)
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TimeSeriesOps
+import graft.plans.GraftOptimizations
+
+class OptimizerRuleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def t(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  test("range filter on derived us timestamp reaches the parquet scan as a ns predicate") {
+    GraftOptimizations.install(spark)
+    val df = TimeSeriesOps.filterRange(
+      Tables.events(spark, "/root/testdata/sf0.001"),
+      t("2024-01-08T00:00:00Z"),
+      t("2024-01-15T00:00:00Z"),
+    )
+    val physical = df.queryExecution.executedPlan.toString
+    // ns bounds: us * 1000
+    assert(physical.contains("1704672000000000000"), s"ns lower bound not pushed:\n$physical")
+    assert(physical.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,1704672000000000000)")
+      || physical.contains("GreaterThanOrEqual(ts,1704672000000000000)"), s"no pushed filter:\n$physical")
+    // results identical to the hand-pushed variant
+    val auto = df.count()
+    val manual = Tables.eventsInRange(spark, "/root/testdata/sf0.001", t("2024-01-08T00:00:00Z"), t("2024-01-15T00:00:00Z")).count()
+    assert(auto == manual)
+  }
+
+  test("rule leaves disjunctive predicates alone") {
+    GraftOptimizations.install(spark)
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val tricky = ev.where(col("ts") >= lit(t("2024-01-08T00:00:00Z")) || col("value") > 100.0)
+    // correctness: same rows as without the rule's involvement
+    val expected = ev.collect().count(r => {
+      val ts = r.getAs[Timestamp]("ts"); val v = r.getAs[Double]("value")
+      !ts.before(t("2024-01-08T00:00:00Z")) || v > 100.0
+    })
+    assert(tricky.count() == expected)
+  }
+}
