@@ -338,7 +338,7 @@ object SparkEntry {
       Tables.orders(s, dir)
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 3)
-        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk").cast("long").as("rk"))
     },
     // B5: sessionization (30 min inactivity) via lag + running sum
     "q_events_sessionize" -> { (s, dir) =>
@@ -390,7 +390,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       VectorFunctions
         .cosineTopK(emb.where(col("vec_id") < 5), emb, k = 10)
-        .withColumnRenamed("rank", "rk")
+        .withColumn("rk", col("rank").cast("long")).drop("rank")
     },
     // C7: hyperplane-LSH bucketed ANN (hash-dependent → rows-only check)
     "sim_lsh_ann" -> { (s, dir) =>
@@ -407,7 +407,7 @@ object SparkEntry {
       TextFunctions
         .qualityScore(Tables.documents(s, dir), col("text"))
         .select(
-          col("doc_id"), col("n_chars"), col("n_words"), col("avg_word_len"),
+          col("doc_id"), col("n_chars").cast("long").as("n_chars"), col("n_words").cast("long").as("n_words"), col("avg_word_len"),
           col("digit_ratio"), col("punct_ratio"), col("stopword_ratio"), col("quality_score"),
         )
     },
@@ -415,7 +415,7 @@ object SparkEntry {
     "text_tokens" -> { (s, dir) =>
       TextFunctions
         .tokenCounts(Tables.documents(s, dir), col("text"))
-        .select(col("doc_id"), col("ws_tokens"), col("regex_tokens"))
+        .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"), col("regex_tokens").cast("long").as("regex_tokens"))
     },
     // C11: winnowing fingerprints (k=8 char-grams, window 4)
     "text_fingerprint" -> { (s, dir) =>
@@ -521,7 +521,11 @@ object SparkEntry {
       """SELECT event_type AS series_name, user_id, 'value' AS field, ts, value
          FROM events WHERE event_type = 'purchase'""",
     "ts_metadata_source" ->
-      """SELECT * FROM (VALUES
+      """SELECT series_name, description, unit,
+                CAST(limit_low_physical AS DOUBLE) AS limit_low_physical,
+                CAST(limit_high_physical AS DOUBLE) AS limit_high_physical,
+                interpolation_type, data_type
+         FROM (VALUES
            ('temp', 'Temperature', 'degC', 0.0, 100.0, 'LINEAR', 'FLOAT64'),
            ('pressure', 'Pressure', 'bar', 0.5, 9.0, 'STEPPED', 'FLOAT32'),
            ('state', 'Machine state', NULL, NULL, NULL, 'STEPPED', 'DICTIONARY'),
@@ -609,7 +613,7 @@ object SparkEntry {
                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          sess AS (
-           SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+           SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
            FROM marked)
          SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
          FROM sess GROUP BY 1, 2""",

@@ -55,6 +55,10 @@ def main() -> None:
             print(f"FAIL {name}: rows {len(s)} vs {len(d)}")
             failures += 1
             continue
+        dt_mismatch = [(c, str(s[c].dtype), str(d[c].dtype)) for c in s.columns
+                       if str(s[c].dtype) != str(d[c].dtype)]
+        if dt_mismatch:
+            print(f"WARN {name}: dtype mismatch {dt_mismatch}")
         # exact compare, mirroring a hash check (nulls equal to nulls)
         so = s.astype(object).where(s.notna(), "\x00NULL")
         do = d.astype(object).where(d.notna(), "\x00NULL")
