@@ -151,6 +151,22 @@ object SparkEntry {
           Seq("series_name"), Start, End, stepSeconds = 3600L)
       )
     },
+    // A10b/A11b: same resamples through the custom physical operator
+    // (ResampleAlignExec: one exchange + one sort + single pass)
+    "ts_resample_stepped_exec" -> { (s, dir) =>
+      ntz(
+        TimeSeriesOps.resampleExec(
+          evRange(s, dir, new Timestamp(0L), End).select(col("series_name"), col("ts"), col("value")),
+          Seq("series_name"), linear = false, Start, End, stepSeconds = 3600L)
+      )
+    },
+    "ts_resample_linear_exec" -> { (s, dir) =>
+      ntz(
+        TimeSeriesOps.resampleExec(
+          ev(s, dir).select(col("series_name"), col("ts"), col("value")),
+          Seq("series_name"), linear = true, Start, End, stepSeconds = 3600L)
+      )
+    },
     // A18: metadata-driven physical-limit outlier screen
     "ts_outlier_limits" -> { (s, dir) =>
       import s.implicits._
@@ -535,6 +551,35 @@ object SparkEntry {
       """SELECT event_type AS series_name, user_id, ts, value FROM events
          WHERE event_type IN ('click', 'error')
            AND ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'""",
+    "ts_resample_stepped_exec" ->
+      """WITH data AS (
+           SELECT event_type AS series_name, ts, MAX(value) AS value FROM events
+           WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1, 2),
+         grid AS (
+           SELECT s.series_name, g.ts
+           FROM (SELECT DISTINCT event_type AS series_name FROM events) s
+           CROSS JOIN generate_series(TIMESTAMP '2024-01-08 00:00:00', TIMESTAMP '2024-01-14 23:00:00', INTERVAL 1 HOUR) g(ts))
+         SELECT g.series_name, g.ts, d.value
+         FROM grid g ASOF LEFT JOIN data d ON g.series_name = d.series_name AND g.ts >= d.ts""",
+    "ts_resample_linear_exec" ->
+      """WITH data AS (
+           SELECT event_type AS series_name, ts, epoch_us(ts) AS us, MAX(value) AS value FROM events GROUP BY 1, 2, 3),
+         grid AS (
+           SELECT s.series_name, g.ts, epoch_us(g.ts) AS us
+           FROM (SELECT DISTINCT event_type AS series_name FROM events) s
+           CROSS JOIN generate_series(TIMESTAMP '2024-01-08 00:00:00', TIMESTAMP '2024-01-14 23:00:00', INTERVAL 1 HOUR) g(ts)),
+         prev AS (
+           SELECT g.series_name, g.ts, g.us, d.us AS p_us, d.value AS p_v
+           FROM grid g ASOF LEFT JOIN data d ON g.series_name = d.series_name AND g.ts >= d.ts),
+         nxt AS (
+           SELECT g.series_name, g.ts, d.us AS n_us, d.value AS n_v
+           FROM grid g ASOF LEFT JOIN data d ON g.series_name = d.series_name AND g.ts <= d.ts)
+         SELECT p.series_name, p.ts,
+                CASE WHEN p.p_us IS NULL OR n.n_us IS NULL THEN NULL
+                     WHEN n.n_us = p.p_us THEN p.p_v
+                     ELSE p.p_v + (n.n_v - p.p_v) * CAST(p.us - p.p_us AS DOUBLE) / CAST(n.n_us - p.p_us AS DOUBLE)
+                END AS value
+         FROM prev p JOIN nxt n ON p.series_name = n.series_name AND p.ts = n.ts""",
     "ts_resample_stepped" ->
       """WITH data AS (
            SELECT event_type AS series_name, ts, MAX(value) AS value FROM events

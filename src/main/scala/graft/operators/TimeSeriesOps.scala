@@ -232,6 +232,35 @@ object TimeSeriesOps {
     df.groupBy((tagCols.map(col) :+ col("ts")): _*)
       .agg(max(col("value")).as("value"))
 
+  /** Whole-operator resample via the custom physical operator
+    * (graft.plans.ResampleAlignExec): one exchange + one sort + one
+    * forward pass, versus the window formulation's union + two sorts.
+    * Identical semantics to [[resampleLinear]] / [[resampleStepped]].
+    */
+  def resampleExec(
+      df: DataFrame,
+      tagCols: Seq[String],
+      linear: Boolean,
+      start: Timestamp,
+      end: Timestamp,
+      stepSeconds: Long,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    graft.plans.ResampleAlign.install(spark)
+    val child = df.select(tagCols.map(col) :+ col("ts") :+ col("value").cast("double").as("value"): _*)
+    org.apache.spark.sql.GraftSqlBridge.ofRows(
+      spark,
+      graft.plans.ResampleAlignPlan(
+        org.apache.spark.sql.GraftSqlBridge.logicalPlan(child),
+        tagCols.size,
+        linear,
+        start.getTime * 1000L,
+        end.getTime * 1000L,
+        stepSeconds * 1000000L,
+      ),
+    )
+  }
+
   /** One grid row per (series, step) over [start, end). Built from
     * `sequence`+`explode` against the distinct series set — the per-row
     * array stays bounded because callers size step vs range; for

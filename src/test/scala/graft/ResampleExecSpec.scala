@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TimeSeriesOps
+
+class ResampleExecSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  private def canonical(df: org.apache.spark.sql.DataFrame) =
+    df.select("series_name", "ts", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .sortBy(x => (x._1, x._2.getTime))
+      .toSeq
+
+  test("exec operator matches the window-based linear resample on real data") {
+    val ev = Tables.canonicalEvents(spark, "/root/testdata/sf0.001")
+      .select(col("series_name"), col("ts"), col("value"))
+    val start = t("2024-01-08T00:00:00Z"); val end = t("2024-01-15T00:00:00Z")
+    val viaWindows = TimeSeriesOps.resampleLinear(ev, Seq("series_name"), start, end, 3600L)
+    val viaExec = TimeSeriesOps.resampleExec(ev, Seq("series_name"), linear = true, start, end, 3600L)
+    assert(canonical(viaExec) == canonical(viaWindows))
+  }
+
+  test("exec operator matches the window-based stepped resample on real data") {
+    val ev = Tables.canonicalEvents(spark, "/root/testdata/sf0.001")
+      .where(col("ts") < lit(t("2024-01-15T00:00:00Z")))
+      .select(col("series_name"), col("ts"), col("value"))
+    val start = t("2024-01-08T00:00:00Z"); val end = t("2024-01-15T00:00:00Z")
+    val viaWindows = TimeSeriesOps.resampleStepped(ev, Seq("series_name"), start, end, 3600L)
+    val viaExec = TimeSeriesOps.resampleExec(ev, Seq("series_name"), linear = false, start, end, 3600L)
+    assert(canonical(viaExec) == canonical(viaWindows))
+  }
+
+  test("exec operator handles duplicate timestamps, exact hits and out-of-range nulls") {
+    val data = Seq(
+      ("a", t("2024-01-01T01:00:00Z"), 1.0),
+      ("a", t("2024-01-01T01:00:00Z"), 3.0), // dup ts: max wins
+      ("a", t("2024-01-01T02:30:00Z"), 6.0),
+      ("b", t("2024-01-01T05:00:00Z"), 9.0), // entirely after the grid
+    ).toDF("series_name", "ts", "value")
+    val out = TimeSeriesOps
+      .resampleExec(data, Seq("series_name"), linear = true, t("2024-01-01T00:00:00Z"), t("2024-01-01T04:00:00Z"), 3600L)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), Option(r.get(2))))
+      .sortBy(x => (x._1, x._2.getTime))
+    assert(out.length == 8) // two series x 4 grid points
+    val a = out.filter(_._1 == "a").map(_._3)
+    assert(a(0).isEmpty) // 00:00 before first
+    assert(a(1).contains(3.0)) // 01:00 exact hit, dup collapsed to max
+    assert(a(2).contains(3.0 + 3.0 * (60.0 / 90.0))) // 02:00 interpolated
+    assert(a(3).isEmpty) // 03:00 after last
+    assert(out.filter(_._1 == "b").forall(_._3.isEmpty)) // next exists but no prev
+  }
+
+  test("physical plan has exactly one exchange and one sort") {
+    val ev = Tables.canonicalEvents(spark, "/root/testdata/sf0.001")
+      .select(col("series_name"), col("ts"), col("value"))
+    val exec = TimeSeriesOps.resampleExec(ev, Seq("series_name"), linear = true, t("2024-01-08T00:00:00Z"), t("2024-01-15T00:00:00Z"), 3600L)
+    val plan = exec.queryExecution.executedPlan.toString
+    assert("(?i)exchange".r.findAllIn(plan).size == 1, plan)
+    assert(plan.split("\n").count(_.contains("Sort ")) == 1, plan)
+    assert(plan.contains("ResampleAlign"), plan)
+  }
+}
