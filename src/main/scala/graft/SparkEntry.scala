@@ -401,6 +401,10 @@ object SparkEntry {
         .jaccardPairs(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_a"), col("doc_b"), col("intersection"), col("union_size"))
     },
+    // C5b: embedding-cosine near-dup pairs (exact baseline, τ = 0.35)
+    "dedup_embedding" -> { (s, dir) =>
+      VectorFunctions.cosineDedupPairs(Tables.embeddings(s, dir), threshold = 0.35)
+    },
     // C6: brute-force cosine top-10 for 5 query vectors
     "sim_cosine_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -693,6 +697,16 @@ object SparkEntry {
          SELECT doc_a, doc_b, i AS intersection, na.n + nb.n - i AS union_size
          FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
          WHERE i * 5 >= (na.n + nb.n - i) * 4""",
+    "dedup_embedding" ->
+      """WITH norms AS (SELECT vec_id, list_sum(list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS n2 FROM embeddings)
+         SELECT vec_a, vec_b, cosine FROM (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  CAST(list_sum(list_transform(generate_series(1, 64), i -> CAST(FLOOR(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE)
+                    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           JOIN norms na ON na.vec_id = a.vec_id
+           JOIN norms nb ON nb.vec_id = b.vec_id)
+         WHERE cosine >= 0.35""",
     "sim_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),

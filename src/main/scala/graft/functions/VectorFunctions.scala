@@ -45,6 +45,27 @@ object VectorFunctions {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs — the exact baseline: all
+    * (a < b) pairs with cosine ≥ τ. Quadratic in candidates by
+    * definition; the scale path swaps the cross product for
+    * [[lshAnn]]-style bucket collisions while keeping this exact
+    * scoring. Threshold compares deterministic doubles (scaled-integer
+    * dots, IEEE sqrt), so the cut is engine-exact.
+    */
+  def cosineDedupPairs(df: DataFrame, threshold: Double): DataFrame = {
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val a = spread.select(col("vec_id").as("vec_a"), col("embedding").as("qe"))
+    val b = spread.select(col("vec_id").as("vec_b"), col("embedding").as("ce"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("dot", dotInt("qe", "ce"))
+      .withColumn(
+        "cosine",
+        col("dot").cast("double") / (sqrt(norm2Int("qe").cast("double")) * sqrt(norm2Int("ce").cast("double"))),
+      )
+      .where(col("cosine") >= lit(threshold))
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
   /** Random-hyperplane LSH bucket id: `planes` sign bits of dot products
     * against pseudo-random hyperplanes derived from `xxhash64(p, j)`
     * (deterministic, no stored model). Components lie in [-1, 1].
