@@ -79,3 +79,18 @@ object QueryTwice {
     spark.stop()
   }
 }
+
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    // deliberately NO nanosAsLong in the builder — mimics the driver's
+    // smoke-check session; Tables.events must set it dynamically
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.SparkEntry.entry(spark)
+    println(s"entry rows: ${df.count()}")
+    spark.stop()
+  }
+}

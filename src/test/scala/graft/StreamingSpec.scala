@@ -85,6 +85,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.getAs[Double]("value") == 2.0)
   }
 
+  test("kappa loop: stream writes land in the dir-layout source and read back") {
+    import graft.sources.{ConfiguredSource, SourceConfig}
+    val dir = java.nio.file.Files.createTempDirectory("graft-kappa").toString
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Timestamp, Double)]
+    val df = mem.toDF().toDF("series_name", "user_id", "ts", "value")
+    mem.addData(
+      ("click", 1L, t("2024-01-01T00:00:00Z"), 1.0),
+      ("view", 2L, t("2024-01-01T00:01:00Z"), 2.0),
+      ("click", 3L, t("2024-01-01T00:02:00Z"), 3.0),
+    )
+    val q = df.select("series_name", "ts", "value")
+      .writeStream.format("parquet")
+      .option("path", s"$dir/data")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .partitionBy("series_name")
+      .outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val src = new ConfiguredSource(SourceConfig(path = s"$dir/data", dataFormat = "dir"))
+    val back = src.read(spark)
+    assert(back.count() == 3)
+    assert(back.where(org.apache.spark.sql.functions.col("series_name") === "click").count() == 2)
+  }
+
   test("canonical streaming frame matches the batch canonical schema") {
     val (_, df) = mkStream(Seq(("click", 1L, t("2024-01-01T00:00:00Z"), 1.0)))
     val batchCols = Seq("series_name", "user_id", "ts", "value")
