@@ -123,6 +123,16 @@ object SparkEntry {
     "ts_metadata_agg" -> { (s, dir) =>
       ntz(TimeSeriesOps.metadataAgg(ev(s, dir), Seq("series_name", "user_id")))
     },
+    // A8b: per-series value distribution (exact percentiles; at 100 TB
+    // swap for approx_percentile — same plan shape)
+    "ts_percentiles" -> { (s, dir) =>
+      ev(s, dir)
+        .groupBy(col("series_name"))
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"),
+        )
+    },
     // A9: latest point per series
     "ts_latest" -> { (s, dir) =>
       ntz(TimeSeriesOps.latest(ev(s, dir), Seq("series_name", "user_id")))
@@ -512,6 +522,11 @@ object SparkEntry {
                 MIN(value) AS min_value, MAX(value) AS max_value,
                 ${exactSumSql("value")} / COUNT(*) AS mean_value
          FROM events GROUP BY 1, 2""",
+    "ts_percentiles" ->
+      """SELECT event_type AS series_name,
+                quantile_cont(value, 0.5) AS p50,
+                quantile_cont(value, 0.95) AS p95
+         FROM events GROUP BY 1""",
     "ts_latest" ->
       """SELECT event_type AS series_name, user_id, ts, value FROM (
            SELECT event_type, user_id, ts, value,
