@@ -145,6 +145,14 @@ object SparkEntry {
     "ts_simulator_sine" -> { (s, _) =>
       ntz(Simulators.sine(s, Start, End, periodSeconds = 86400.0, phaseSeconds = 3600.0, amplitude = 10.0, shift = 50.0, intervalSeconds = 60L))
     },
+    // A12b: white-noise simulator (hash-derived Box-Muller → rows-only)
+    "ts_simulator_noise" -> { (s, _) =>
+      ntz(Simulators.whiteNoise(s, Start, End, mean = 50.0, stdDev = 10.0, intervalSeconds = 60L))
+    },
+    // A12c: step simulator (per-day random walk → rows-only)
+    "ts_simulator_step" -> { (s, _) =>
+      ntz(Simulators.step(s, Start, End, minValue = 0.0, maxValue = 100.0, numberOfSteps = 10, intervalSeconds = 600L))
+    },
     // A10: stepped resample onto a 1h grid
     "ts_resample_stepped" -> { (s, dir) =>
       ntz(

@@ -99,6 +99,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(out(20).getDouble(1) == 0.0) // reset after 20 steps
   }
 
+  test("simulator white noise is deterministic with plausible moments") {
+    val a = Simulators.whiteNoise(spark, t("2024-01-01T00:00:00Z"), t("2024-01-03T00:00:00Z"), 50.0, 10.0, 60L).collect()
+    val b = Simulators.whiteNoise(spark, t("2024-01-01T00:00:00Z"), t("2024-01-03T00:00:00Z"), 50.0, 10.0, 60L).collect()
+    assert(a.map(_.getDouble(1)).toSeq == b.map(_.getDouble(1)).toSeq) // deterministic
+    val xs = a.map(_.getDouble(1))
+    val m = xs.sum / xs.length
+    val sd = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.length)
+    assert(math.abs(m - 50.0) < 1.0, s"mean $m")
+    assert(math.abs(sd - 10.0) < 1.0, s"sd $sd")
+    // sub-range regeneration matches the full run (per-point hashing)
+    val sub = Simulators.whiteNoise(spark, t("2024-01-02T00:00:00Z"), t("2024-01-03T00:00:00Z"), 50.0, 10.0, 60L).collect()
+    val fullTail = a.filter(!_.getTimestamp(0).before(t("2024-01-02T00:00:00Z")))
+    assert(sub.map(_.getDouble(1)).toSeq == fullTail.map(_.getDouble(1)).toSeq)
+  }
+
+  test("simulator step walks discrete levels within bounds, deterministic") {
+    val out = Simulators.step(spark, t("2024-01-01T00:00:00Z"), t("2024-01-02T00:00:00Z"), 0.0, 100.0, 10, 600L).orderBy("ts").collect()
+    assert(out.length == 144) // one day at 10 min
+    val vals = out.map(_.getDouble(1))
+    assert(vals.forall(v => v >= 0.0 && v <= 100.0))
+    assert(vals.forall(v => (v / 10.0) == math.floor(v / 10.0))) // on-grid levels
+    assert(vals.distinct.length > 3) // actually walks
+    val again = Simulators.step(spark, t("2024-01-01T00:00:00Z"), t("2024-01-02T00:00:00Z"), 0.0, 100.0, 10, 600L).orderBy("ts").collect()
+    assert(again.map(_.getDouble(1)).toSeq == vals.toSeq)
+  }
+
   test("simulator sine hits amplitude and shift") {
     val out = Simulators
       .sine(spark, t("2024-01-01T00:00:00Z"), t("2024-01-02T00:00:00Z"), 86400.0, 0.0, 10.0, 50.0, 3600L)
