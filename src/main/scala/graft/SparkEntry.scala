@@ -455,6 +455,22 @@ object SparkEntry {
         .tokenCounts(Tables.documents(s, dir), col("text"))
         .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"), col("regex_tokens").cast("long").as("regex_tokens"))
     },
+    // C10b: overlapping word-window chunking (64-word chunks, 16 overlap)
+    "text_chunk" -> { (s, dir) =>
+      TextFunctions.chunk(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .withColumn("chunk_id", col("chunk_id").cast("long"))
+    },
+    // C13: approximate per-series stats — the 100 TB scale path
+    // (sketches, not exact aggregation; rows-only by nature)
+    "ts_approx_stats" -> { (s, dir) =>
+      ev(s, dir)
+        .groupBy(col("series_name"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          expr("approx_percentile(value, array(0.5, 0.95), 10000)").as("approx_p"),
+        )
+        .select(col("series_name"), col("approx_users"), col("approx_p")(0).as("approx_p50"), col("approx_p")(1).as("approx_p95"))
+    },
     // C11: winnowing fingerprints (k=8 char-grams, window 4)
     "text_fingerprint" -> { (s, dir) =>
       TextFunctions.fingerprints(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -783,6 +799,16 @@ object SparkEntry {
                 len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS ws_tokens,
                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS regex_tokens
          FROM documents""",
+    "text_chunk" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+         c AS (SELECT doc_id,
+                 generate_series(0, CAST(GREATEST(CEIL((len(w) - 16) / CAST(48 AS DOUBLE)), 1) AS INT) - 1) AS ids,
+                 list_transform(generate_series(0, CAST(GREATEST(CEIL((len(w) - 16) / CAST(48 AS DOUBLE)), 1) AS INT) - 1),
+                                i -> array_to_string(list_slice(w, i * 48 + 1, i * 48 + 64), ' ')) AS chunks
+               FROM w)
+         SELECT doc_id, CAST(UNNEST(ids) AS BIGINT) AS chunk_id, UNNEST(chunks) AS chunk_text,
+                CAST(len(string_split(UNNEST(chunks), ' ')) AS BIGINT) AS n_words
+         FROM c""",
     "text_fingerprint" ->
       """WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
          hashes AS (SELECT doc_id,

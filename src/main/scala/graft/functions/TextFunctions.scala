@@ -115,6 +115,27 @@ object TextFunctions {
       .drop("__w")
   }
 
+  /** Chunk documents into overlapping word windows — the standard
+    * training-data prep step before tokenization. `size` words per
+    * chunk, stepping `size - overlap`; short docs yield one chunk.
+    * Emits (doc_id, chunk_id, chunk_text, n_words).
+    */
+  def chunk(df: DataFrame, idCol: Column, text: Column, size: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap < size, "overlap must be smaller than chunk size")
+    val step = size - overlap
+    df.withColumn("__w", words(text))
+      .withColumn(
+        "__chunks",
+        expr(
+          s"""transform(
+                sequence(0, CAST(greatest(ceil((size(__w) - $overlap) / CAST($step AS DOUBLE)), 1) AS INT) - 1),
+                i -> concat_ws(' ', slice(__w, i * $step + 1, $size)))"""
+        ),
+      )
+      .select(idCol.as("doc_id"), posexplode(col("__chunks")).as(Seq("chunk_id", "chunk_text")))
+      .withColumn("n_words", org.apache.spark.sql.functions.size(split(col("chunk_text"), " ")).cast("long"))
+  }
+
   /** Winnowing document fingerprint: k-char-gram md5 prefixes, minimum
     * per sliding window of w hashes, distinct. The standard MOSS
     * scheme; emits (doc, fingerprint) rows for index-style joins.
