@@ -210,6 +210,33 @@ object SparkEntry {
         )
       )
     },
+    // A21: OHLC bars per series-hour
+    "ts_ohlc" -> { (s, dir) =>
+      ntz(
+        TimeSeriesOps.ohlc(ev(s, dir), Seq("series_name"), date_trunc("hour", col("ts")).as("bucket"))
+      )
+    },
+    // A22: per-point derivative (rate of change per second)
+    "ts_derivative" -> { (s, dir) =>
+      ntz(TimeSeriesOps.derivative(ev(s, dir).where(col("series_name") === "error"), Seq("series_name"), "event_id"))
+    },
+    // A23: trailing 10-point moving average (exact scaled-int sums)
+    "ts_moving_avg" -> { (s, dir) =>
+      ntz(TimeSeriesOps.movingAvg(ev(s, dir).where(col("series_name") === "signup"), Seq("series_name"), "event_id", nPoints = 10))
+    },
+    // A24: as-of join with 1h staleness tolerance
+    "ts_asof_tolerance" -> { (s, dir) =>
+      val e = ev(s, dir)
+      ntz(
+        TimeSeriesOps.asofJoinTolerance(
+          e.where(col("series_name") === "purchase"),
+          e.where(col("series_name") === "click"),
+          keyCols = Seq("user_id"),
+          toleranceSeconds = 3600.0,
+          rightOut = "last_click_value",
+        )
+      )
+    },
     // A20: gap detection (> 1h between points of a series)
     "ts_gap_detect" -> { (s, dir) =>
       ntz(TimeSeriesOps.gapDetect(ev(s, dir), Seq("series_name"), "event_id", thresholdSeconds = 3600.0))
@@ -667,6 +694,34 @@ object SparkEntry {
            SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
          SELECT p.user_id, p.ts, p.value, c.value AS last_click_value
          FROM purchases p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "ts_ohlc" ->
+      """WITH r AS (SELECT event_type AS series_name, date_trunc('hour', ts) AS bucket, ts, value FROM events),
+         o AS (SELECT series_name, bucket, value AS open FROM (
+                 SELECT *, row_number() OVER (PARTITION BY series_name, bucket ORDER BY ts ASC, value ASC) AS rn FROM r) WHERE rn = 1),
+         c AS (SELECT series_name, bucket, value AS close FROM (
+                 SELECT *, row_number() OVER (PARTITION BY series_name, bucket ORDER BY ts DESC, value DESC) AS rn FROM r) WHERE rn = 1),
+         hl AS (SELECT series_name, bucket, MAX(value) AS high, MIN(value) AS low, COUNT(*) AS n FROM r GROUP BY 1, 2)
+         SELECT hl.series_name, hl.bucket, o.open, hl.high, hl.low, c.close, hl.n
+         FROM hl JOIN o USING (series_name, bucket) JOIN c USING (series_name, bucket)""",
+    "ts_derivative" ->
+      """SELECT series_name, ts, value, (value - prev_v) / ((epoch_us(ts) - prev_us) / 1000000.0) AS rate_per_sec
+         FROM (SELECT event_type AS series_name, ts, value,
+                      lag(value) OVER w AS prev_v, lag(epoch_us(ts)) OVER w AS prev_us
+               FROM events WHERE event_type = 'error'
+               WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))""",
+    "ts_moving_avg" ->
+      """SELECT series_name, ts, value,
+                SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) OVER w / 1000000.0 / COUNT(*) OVER w AS moving_avg
+         FROM (SELECT event_type AS series_name, ts, value, event_id FROM events WHERE event_type = 'signup')
+         WINDOW w AS (PARTITION BY series_name ORDER BY ts, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
+    "ts_asof_tolerance" ->
+      """WITH clicks AS (SELECT user_id, ts, MAX(value) AS value FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         purchases AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         j AS (SELECT p.user_id, p.ts, p.value, c.ts AS c_ts, c.value AS c_value
+               FROM purchases p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts)
+         SELECT user_id, ts, value,
+                CASE WHEN c_ts IS NOT NULL AND (epoch_us(ts) - epoch_us(c_ts)) / 1000000.0 <= 3600.0 THEN c_value END AS last_click_value
+         FROM j""",
     "ts_gap_detect" ->
       """SELECT series_name, prev_ts, ts, gap_seconds FROM (
            SELECT event_type AS series_name,

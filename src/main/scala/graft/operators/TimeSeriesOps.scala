@@ -352,6 +352,91 @@ object TimeSeriesOps {
       .drop("__chunk")
   }
 
+  /** OHLC/candlestick bars: per (series, bucket) the open (first),
+    * high, low and close (last) values. Same one-shuffle struct-extrema
+    * shape as [[plotData]], but shaped as columns — the standard
+    * downsample for financial/process data. Ties break like plotData
+    * (first/open: earliest ts then min value; close: latest then max;
+    * high/low on value then earliest ts).
+    */
+  def ohlc(df: DataFrame, tagCols: Seq[String], bucket: Column): DataFrame = {
+    val tsUs = unix_micros(col("ts"))
+    df.withColumn("bucket", bucket)
+      .groupBy((tagCols.map(col) :+ col("bucket")): _*)
+      .agg(
+        min(struct(tsUs.as("us"), col("value"))).getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(tsUs.as("us"), col("value"))).getField("value").as("close"),
+        count(lit(1)).as("n"),
+      )
+  }
+
+  /** Per-point rate of change: (v - v_prev) / (t - t_prev) seconds,
+    * per series. One window pass; null for each series' first point.
+    */
+  def derivative(df: DataFrame, tagCols: Seq[String], idCol: String): DataFrame = {
+    val w = Window.partitionBy(tagCols.map(col): _*).orderBy(col("ts"), col(idCol))
+    df.withColumn("prev_v", lag(col("value"), 1).over(w))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn(
+        "rate_per_sec",
+        (col("value") - col("prev_v")) / ((unix_micros(col("ts")) - col("prev_us")).cast("double") / lit(1000000.0)),
+      )
+      .select(tagCols.map(col) :+ col("ts") :+ col("value") :+ col("rate_per_sec"): _*)
+  }
+
+  /** Trailing moving average over the last `nPoints` points per series.
+    * Exact float policy: the windowed sum runs over scaled integers, so
+    * the result is order- and partitioning-independent.
+    */
+  def movingAvg(df: DataFrame, tagCols: Seq[String], idCol: String, nPoints: Int): DataFrame = {
+    val w = Window
+      .partitionBy(tagCols.map(col): _*)
+      .orderBy(col("ts"), col(idCol))
+      .rowsBetween(-(nPoints - 1), Window.currentRow)
+    df.withColumn(
+      "moving_avg",
+      sum(floor(col("value") * lit(1000000.0)).cast("long")).over(w) / lit(1000000.0) /
+        count(lit(1)).over(w),
+    ).select(tagCols.map(col) :+ col("ts") :+ col("value") :+ col("moving_avg"): _*)
+  }
+
+  /** As-of join bounded by a staleness tolerance: right values older
+    * than `toleranceSeconds` at the left timestamp are nulled out
+    * (common in alignment of irregularly sampled sensors). Same single
+    * window pass as [[asofJoin]], carrying the right timestamp too.
+    */
+  def asofJoinTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      toleranceSeconds: Double,
+      rightOut: String = "right_value",
+  ): DataFrame = {
+    val rightDedup = right
+      .groupBy((keyCols.map(col) :+ col("ts")): _*)
+      .agg(max(col("value")).as("value"))
+    val l = left.select(keyCols.map(col) :+ col("ts") :+ col("value") :+ lit(0).as("is_right") :+ lit(null).cast("double").as("rv"): _*)
+    val r = rightDedup.select(keyCols.map(col) :+ col("ts") :+ lit(null).cast("double").as("value") :+ lit(1).as("is_right") :+ col("value").as("rv"): _*)
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("ts"), col("is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("last_r", last(when(col("is_right") === 1, struct(unix_micros(col("ts")).as("us"), col("rv"))), ignoreNulls = true).over(w))
+      .where(col("is_right") === 0)
+      .withColumn(
+        rightOut,
+        when(
+          col("last_r").isNotNull &&
+            (unix_micros(col("ts")) - col("last_r.us")).cast("double") / lit(1000000.0) <= lit(toleranceSeconds),
+          col("last_r.rv"),
+        ),
+      )
+      .select(keyCols.map(col) :+ col("ts") :+ col("value") :+ col(rightOut): _*)
+  }
+
   /** Skew-safe equi-join: salt the skewed (big) side's key into
     * `saltFactor` sub-keys and explode the small side across all
     * salts. Use when one series/user dominates the key distribution
