@@ -33,6 +33,12 @@ final case class SourceConfig(
     qualityGood: Seq[Int] = Nil,
     csvHeader: Boolean = true,
     csvSeparator: String = ",",
+    /** value column type: "double" (default) or "string" — kukur's
+      * STRING series (kukur/base.py:152 DataType) keep labels/states
+      * as text; mixed sources promote to string like concat_tables
+      * (kukur/source/__init__.py:462).
+      */
+    valueType: String = "double",
 )
 
 final class ConfiguredSource(cfg: SourceConfig) {
@@ -86,7 +92,7 @@ final class ConfiguredSource(cfg: SourceConfig) {
     val tags = cfg.tagColumns.map(t => col(mapped(t)).as(t))
     val base = withQuality(raw).withColumn("ts", normalizeTs(col(mapped("ts"))))
     val stackExpr = cfg.fieldColumns
-      .map(f => s"'$f', cast(`${mapped(f)}` as double)")
+      .map(f => s"'$f', cast(`${mapped(f)}` as ${cfg.valueType})")
       .mkString(s"stack(${cfg.fieldColumns.size}, ", ", ", ") as (field, value)")
     val cols = tags ++ Seq(expr(stackExpr), col("ts")) ++
       (if (cfg.qualityGood.nonEmpty) Seq(col("quality")) else Nil)
@@ -122,7 +128,7 @@ final class ConfiguredSource(cfg: SourceConfig) {
   private def readDir(spark: SparkSession): DataFrame = {
     val raw = reader(spark).option("basePath", cfg.path).load(cfg.path)
     val base = withQuality(raw).withColumn("ts", normalizeTs(col(mapped("ts"))))
-    val cols = cfg.tagColumns.map(col) ++ Seq(col("ts"), col(mapped("value")).cast("double").as("value")) ++
+    val cols = cfg.tagColumns.map(col) ++ Seq(col("ts"), col(mapped("value")).cast(cfg.valueType).as("value")) ++
       (if (cfg.qualityGood.nonEmpty) Seq(col("quality")) else Nil)
     base.select(cols: _*)
   }

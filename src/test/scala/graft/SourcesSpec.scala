@@ -88,6 +88,35 @@ class SourcesSpec extends AnyFunSuite {
     assert(!plan.contains("series_name=b") || plan.contains("PartitionFilters"))
   }
 
+  test("string-valued series keep text values (kukur STRING data type)") {
+    val dir = tmp()
+    Seq(
+      ("valve1", "2024-01-01 00:00:00", "OPEN"),
+      ("valve1", "2024-01-01 00:01:00", "CLOSED"),
+    ).toDF("series_name", "ts", "state")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val src = new ConfiguredSource(
+      SourceConfig(
+        path = dir, fileFormat = "csv", dataFormat = "row",
+        fieldColumns = Seq("state"),
+        datetimeFormat = Some("yyyy-MM-dd HH:mm:ss"),
+        valueType = "string",
+      )
+    )
+    val rows = src.read(spark).orderBy("ts").collect()
+    assert(rows.map(_.getAs[String]("value")).toSeq == Seq("OPEN", "CLOSED"))
+    assert(rows.head.getAs[String]("field") == "state")
+  }
+
+  test("ORC row source round-trips") {
+    val dir = tmp()
+    Seq(("s1", t("2024-01-01T00:00:00Z"), 4.5)).toDF("series_name", "ts", "value")
+      .write.mode("overwrite").orc(dir)
+    val src = new ConfiguredSource(SourceConfig(path = dir, fileFormat = "orc", dataFormat = "row"))
+    val rows = src.read(spark).collect()
+    assert(rows.length == 1 && rows.head.getAs[Double]("value") == 4.5)
+  }
+
   test("simulator counter is periodic and epoch-aligned") {
     val out = Simulators
       .counter(spark, t("2024-01-01T00:00:00Z"), t("2024-01-01T01:00:00Z"), 0.0, 100.0, 5.0, 60L)

@@ -86,6 +86,27 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(out(1).getDouble(3) == 200.0)
   }
 
+  test("asofJoinTolerance nulls out stale right values") {
+    val left = Seq((1L, t("2024-01-01T02:00:00Z"), 5.0), (1L, t("2024-01-01T00:20:00Z"), 6.0)).toDF("user_id", "ts", "value")
+    val right = Seq((1L, t("2024-01-01T00:10:00Z"), 100.0)).toDF("user_id", "ts", "value")
+    val out = TimeSeriesOps
+      .asofJoinTolerance(left, right, Seq("user_id"), toleranceSeconds = 1800.0)
+      .orderBy("ts").collect()
+    assert(out(0).getDouble(3) == 100.0) // 10 min old: within tolerance
+    assert(out(1).isNullAt(3)) // ~2h old: stale
+  }
+
+  test("ohlc computes open/high/low/close per bucket") {
+    val out = TimeSeriesOps
+      .ohlc(series, Seq("series_name"), org.apache.spark.sql.functions.lit(0).as("bucket"))
+      .where($"series_name" === "a").collect().head
+    assert(out.getAs[Double]("open") == 1.0)
+    assert(out.getAs[Double]("high") == 3.0)
+    assert(out.getAs[Double]("low") == 1.0)
+    assert(out.getAs[Double]("close") == 2.0)
+    assert(out.getAs[Long]("n") == 3L)
+  }
+
   test("gapDetect flags deltas above threshold") {
     val out = TimeSeriesOps
       .gapDetect(series.withColumn("event_id", monotonically_increasing_id()), Seq("series_name"), "event_id", 5000.0)
