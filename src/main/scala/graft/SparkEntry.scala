@@ -210,6 +210,10 @@ object SparkEntry {
         )
       )
     },
+    // A25: trailing-window z-score anomaly detection
+    "ts_zscore_anomaly" -> { (s, dir) =>
+      ntz(TimeSeriesOps.zscoreAnomalies(ev(s, dir).where(col("series_name") === "view"), Seq("series_name"), "event_id", nPoints = 50, zThreshold = 3.0))
+    },
     // A21: OHLC bars per series-hour
     "ts_ohlc" -> { (s, dir) =>
       ntz(
@@ -449,6 +453,12 @@ object SparkEntry {
     // C5b: embedding-cosine near-dup pairs (exact baseline, τ = 0.35)
     "dedup_embedding" -> { (s, dir) =>
       VectorFunctions.cosineDedupPairs(Tables.embeddings(s, dir), threshold = 0.35)
+    },
+    // C14: dedup groups — connected components over exact-Jaccard pairs
+    "dedup_groups" -> { (s, dir) =>
+      DedupFunctions.dedupGroups(
+        DedupFunctions.jaccardPairs(Tables.documents(s, dir), "doc_id", "text")
+      )
     },
     // C6: brute-force cosine top-10 for 5 query vectors
     "sim_cosine_topk" -> { (s, dir) =>
@@ -801,6 +811,32 @@ object SparkEntry {
            JOIN norms na ON na.vec_id = a.vec_id
            JOIN norms nb ON nb.vec_id = b.vec_id)
          WHERE cosine >= 0.35""",
+    "dedup_groups" ->
+      """WITH RECURSIVE norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+         w AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+                FROM w WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b FROM inter
+                   JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+                   WHERE i * 5 >= (na.n + nb.n - i) * 4),
+         und AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM und UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+         SELECT a AS doc_id, LEAST(a, MIN(b)) AS group_id FROM reach GROUP BY a""",
+    "ts_zscore_anomaly" ->
+      """SELECT series_name, ts, value, z FROM (
+           SELECT series_name, ts, value,
+                  CASE WHEN sqrt(w_meansq - w_mean * w_mean) > 0
+                       THEN (value - w_mean) / sqrt(w_meansq - w_mean * w_mean) END AS z
+           FROM (
+             SELECT series_name, ts, value,
+                    SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) OVER w / 1000000.0 / COUNT(*) OVER w AS w_mean,
+                    SUM(CAST(FLOOR(value * value * 1000000000) AS BIGINT)) OVER w / 1000000000.0 / COUNT(*) OVER w AS w_meansq
+             FROM (SELECT event_type AS series_name, ts, value, event_id FROM events WHERE event_type = 'view')
+             WINDOW w AS (PARTITION BY series_name ORDER BY ts, event_id ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)))
+         WHERE abs(z) > 3.0""",
     "sim_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),

@@ -170,6 +170,43 @@ object DedupFunctions {
       .select(col("doc_a"), col("doc_b"), col("intersection"), col("union_size"), col("jaccard"))
   }
 
+  /** Connected components over near-duplicate pairs: every doc in a
+    * pair gets its component's minimum doc id as `group_id` — the
+    * actual dedup deliverable (keep one representative per group).
+    *
+    * Iterative min-label propagation: each round is one distributed
+    * join+aggregate; the driver only checks convergence (label count
+    * that changed), never touches data. Rounds needed = graph diameter
+    * (near-dup components are tiny chains), capped defensively.
+    */
+  def dedupGroups(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("node")).distinct().withColumn("label", col("node")).cache()
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "src").withColumnRenamed("label", "nl"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("nl")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      changed = updated
+        .join(labels.withColumnRenamed("label", "old"), "node")
+        .where(col("label") =!= col("old"))
+        .limit(1)
+        .count() > 0
+      labels = updated
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("group_id"))
+  }
+
   /** 64-bit SimHash per document: per bit, sign of the sum of ±1 votes
     * from `xxhash64(token)` over all tokens (with multiplicity).
     */

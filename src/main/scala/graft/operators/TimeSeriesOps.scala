@@ -437,6 +437,35 @@ object TimeSeriesOps {
       .select(keyCols.map(col) :+ col("ts") :+ col("value") :+ col(rightOut): _*)
   }
 
+  /** Trailing-window z-score anomalies: points whose value deviates
+    * more than `zThreshold` standard deviations from the trailing
+    * `nPoints` window. Sums and sums-of-squares run over scaled
+    * integers (1e6 / 1e9) so the statistics are partitioning-exact;
+    * the final sqrt/division are deterministic IEEE ops.
+    */
+  def zscoreAnomalies(
+      df: DataFrame,
+      tagCols: Seq[String],
+      idCol: String,
+      nPoints: Int,
+      zThreshold: Double,
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(tagCols.map(col): _*)
+      .orderBy(col("ts"), col(idCol))
+      .rowsBetween(-(nPoints - 1), Window.currentRow)
+    val n = count(lit(1)).over(w)
+    val mean = sum(floor(col("value") * lit(1000000.0)).cast("long")).over(w) / lit(1000000.0) / n
+    val meanSq = sum(floor(col("value") * col("value") * lit(1000000000.0)).cast("long")).over(w) / lit(1000000000.0) / n
+    df.withColumn("w_mean", mean)
+      .withColumn("w_std", sqrt(meanSq - col("w_mean") * col("w_mean")))
+      // zero std (first point / constant window) yields no anomaly —
+      // guarded, since ANSI mode raises on division by zero
+      .withColumn("z", when(col("w_std") > 0, (col("value") - col("w_mean")) / col("w_std")))
+      .where(abs(col("z")) > lit(zThreshold))
+      .select(tagCols.map(col) :+ col("ts") :+ col("value") :+ col("z"): _*)
+  }
+
   /** Skew-safe equi-join: salt the skewed (big) side's key into
     * `saltFactor` sub-keys and explode the small side across all
     * salts. Use when one series/user dominates the key distribution
