@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GPX track source (kukur/source/gpx): one time series set per track —
+  * lat, lon, ele plus derived `calc_distance`, `calc_total_distance`,
+  * `calc_time`, `calc_speed` columns (kukur/source/gpx/__init__.py:116
+  * `_calculate_additional_columns`, chord distance on an
+  * earth-radius sphere, replicated term for term).
+  *
+  * Spark-first shape: files load whole (GPX tracks are single-file
+  * sized), trackpoints explode to rows, and the pairwise-diff /
+  * cumulative-sum columns become window functions partitioned by file —
+  * a directory of tracks parallelizes per track.
+  */
+object GpxSource {
+
+  private val EarthRadius = 6378137.0
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("wholetext", "true").text(path)
+      .withColumn("track_file", regexp_extract(input_file_name(), "([^/]+)\\.gpx$", 1))
+    val points = raw
+      .select(
+        col("track_file"),
+        posexplode(expr("regexp_extract_all(value, '(?s)<trkpt.*?</trkpt>', 0)")).as(Seq("seq", "pt")),
+      )
+      .select(
+        col("track_file"),
+        col("seq"),
+        regexp_extract(col("pt"), "lat=\"([^\"]+)\"", 1).cast("double").as("lat"),
+        regexp_extract(col("pt"), "lon=\"([^\"]+)\"", 1).cast("double").as("lon"),
+        regexp_extract(col("pt"), "<ele>([^<]+)</ele>", 1).try_cast("double").as("ele"),
+        to_timestamp(regexp_extract(col("pt"), "<time>([^<]+)</time>", 1)).as("ts"),
+        regexp_extract(col("pt"), "<gpxtpx:hr>([^<]+)</gpxtpx:hr>", 1).try_cast("double").as("hr"),
+        regexp_extract(col("pt"), "<gpxtpx:cad>([^<]+)</gpxtpx:cad>", 1).try_cast("double").as("cad"),
+      )
+    val latRad = radians(col("lat"))
+    val lonRad = radians(col("lon"))
+    // reference's ECEF-style coordinates (gpx/__init__.py:130)
+    val x = lit(EarthRadius) * cos(lonRad) * sin(latRad)
+    val y = lit(EarthRadius) * sin(lonRad) * sin(latRad)
+    val z = lit(EarthRadius) * cos(latRad)
+    val w = Window.partitionBy(col("track_file")).orderBy(col("seq"))
+    val run = Window.partitionBy(col("track_file")).orderBy(col("seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dx = x - lag(x, 1).over(w)
+    val dy = y - lag(y, 1).over(w)
+    val dz = z - lag(z, 1).over(w)
+    val distance = coalesce(sqrt(dx * dx + dy * dy + dz * dz), lit(0.0))
+    val seconds = coalesce(
+      (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).cast("double") / lit(1000000.0),
+      lit(0.0),
+    )
+    points
+      .withColumn("calc_distance", distance)
+      .withColumn("calc_total_distance", sum(col("calc_distance")).over(run))
+      .withColumn("__seconds", seconds)
+      .withColumn("calc_time", sum(col("__seconds")).over(run))
+      .withColumn(
+        "calc_speed",
+        when(col("__seconds") > 0, col("calc_distance") / col("__seconds") * lit(3600.0) / lit(1000.0)),
+      )
+      .drop("__seconds")
+  }
+
+  /** Canonical melt: one row per (track, field, ts, value) — the kukur
+    * view of a GPX file as a set of series (lat/lon/ele/hr/cad/calc_*).
+    */
+  def canonical(spark: SparkSession, path: String): DataFrame = {
+    val wide = read(spark, path)
+    val fields = Seq("lat", "lon", "ele", "hr", "cad", "calc_distance", "calc_total_distance", "calc_time", "calc_speed")
+    val stackExpr = fields.map(f => s"'$f', $f").mkString(s"stack(${fields.size}, ", ", ", ") as (field, value)")
+    wide
+      .select(col("track_file").as("series_name"), col("ts"), expr(stackExpr))
+      .where(col("value").isNotNull)
+      .select(col("series_name"), col("field"), col("ts"), col("value"))
+  }
+}

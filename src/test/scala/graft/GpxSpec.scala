@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GpxSource
+
+class GpxSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def writeTrack(dir: String, name: String): Unit = {
+    val gpx =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<gpx version="1.1" xmlns="http://www.topografix.com/GPX/1/1"
+        |     xmlns:gpxtpx="http://www.garmin.com/xmlschemas/TrackPointExtension/v1">
+        | <trk><name>morning run</name><type>running</type>
+        |  <trkseg>
+        |   <trkpt lat="51.0000000" lon="5.0000000">
+        |    <ele>50.0</ele><time>2024-05-01T08:00:00Z</time>
+        |    <extensions><gpxtpx:TrackPointExtension><gpxtpx:hr>100</gpxtpx:hr><gpxtpx:cad>80</gpxtpx:cad></gpxtpx:TrackPointExtension></extensions>
+        |   </trkpt>
+        |   <trkpt lat="51.0001000" lon="5.0000000">
+        |    <ele>51.0</ele><time>2024-05-01T08:00:10Z</time>
+        |    <extensions><gpxtpx:TrackPointExtension><gpxtpx:hr>110</gpxtpx:hr><gpxtpx:cad>82</gpxtpx:cad></gpxtpx:TrackPointExtension></extensions>
+        |   </trkpt>
+        |   <trkpt lat="51.0002000" lon="5.0000000">
+        |    <time>2024-05-01T08:00:20Z</time>
+        |   </trkpt>
+        |  </trkseg>
+        | </trk>
+        |</gpx>""".stripMargin
+    Files.writeString(Path.of(dir, s"$name.gpx"), gpx)
+  }
+
+  test("gpx source parses trackpoints and derives distance/time/speed") {
+    val dir = Files.createTempDirectory("graft-gpx").toString
+    writeTrack(dir, "run1")
+    val df = GpxSource.read(spark, dir).orderBy("seq")
+    val rows = df.collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Double]("lat") == 51.0)
+    assert(rows(0).getAs[Double]("hr") == 100.0)
+    assert(rows(1).getAs[Double]("ele") == 51.0)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("ele"))) // missing ele -> null
+    // ~11m per 0.0001 deg lat; distance should be positive and plausible
+    val d1 = rows(1).getAs[Double]("calc_distance")
+    assert(d1 > 5 && d1 < 20, s"distance $d1")
+    assert(rows(2).getAs[Double]("calc_total_distance") > d1)
+    assert(rows(1).getAs[Double]("calc_time") == 10.0)
+    val speed = rows(1).getAs[Double]("calc_speed")
+    assert(speed > 1 && speed < 10, s"speed $speed") // km/h
+  }
+
+  test("gpx canonical melt yields one series per field, tracks in parallel") {
+    val dir = Files.createTempDirectory("graft-gpx2").toString
+    writeTrack(dir, "a")
+    writeTrack(dir, "b")
+    val c = GpxSource.canonical(spark, dir)
+    assert(c.columns.toSeq == Seq("series_name", "field", "ts", "value"))
+    val byTrack = c.groupBy("series_name").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTrack.keySet == Set("a", "b"))
+    val fields = c.select("field").distinct().collect().map(_.getString(0)).toSet
+    assert(Set("lat", "lon", "ele", "hr", "calc_speed").subsetOf(fields))
+  }
+}
