@@ -13,13 +13,20 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Scaled-integer squared norm of an embedding array. */
-  def norm2Int(emb: String): Column =
-    expr(s"aggregate(transform($emb, x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT)), 0L, (a, e) -> a + e)")
+  /** Scaled-integer squared norm of an embedding array (native
+    * graft_dot12 expression — bit-identical to the SQL formulation,
+    * one compiled loop instead of interpreted lambdas).
+    */
+  def norm2Int(emb: String): Column = expr(s"graft_dot12($emb, $emb)")
 
   /** Scaled-integer dot product of two embedding arrays. */
-  def dotInt(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12) AS BIGINT)), 0L, (a, e) -> a + e)")
+  def dotInt(a: String, b: String): Column = expr(s"graft_dot12($a, $b)")
+
+  /** Ensure the native expressions are registered in df's session. */
+  private def withFns(df: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df
+  }
 
   /** Brute-force cosine top-k: broadcast the (small) query set against
     * all candidates — the exact baseline. One broadcast join, no
@@ -27,6 +34,7 @@ object VectorFunctions {
     * (rank window over query_id).
     */
   def cosineTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    withFns(queries)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
     val scored = c
@@ -53,6 +61,7 @@ object VectorFunctions {
     * dots, IEEE sqrt), so the cut is engine-exact.
     */
   def cosineDedupPairs(df: DataFrame, threshold: Double): DataFrame = {
+    withFns(df)
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     val a = spread.select(col("vec_id").as("vec_a"), col("embedding").as("qe"))
     val b = spread.select(col("vec_id").as("vec_b"), col("embedding").as("ce"))
@@ -87,6 +96,7 @@ object VectorFunctions {
     * brute-force candidate set is replaced by bucket collisions.
     */
   def lshAnn(df: DataFrame, k: Int, planes: Int = 16): DataFrame = {
+    withFns(df)
     val withBucket = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
       col("vec_id"),
       col("embedding"),

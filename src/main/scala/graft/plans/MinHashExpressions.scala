@@ -70,6 +70,47 @@ case class MinHashSignature(child: Expression, perms: Int)
   override def prettyName: String = "graft_minhash_sig"
 }
 
+/** Native scaled-integer dot product: `Σ floor(a_i·b_i·1e12)` over two
+  * float arrays — the deterministic-cosine building block
+  * (graft.functions.VectorFunctions). One compiled loop instead of
+  * ~3 interpreted lambda evaluations per element; arithmetic is
+  * bit-identical to the SQL `zip_with`/`aggregate` formulation.
+  */
+case class ScaledIntDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.FloatType, _), ArrayType(org.apache.spark.sql.types.FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"scaled dot needs two array<float>, got $other"
+        )
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val ys = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += math.floor(xs.getFloat(i).toDouble * ys.getFloat(i).toDouble * 1e12).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ScaledIntDot =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_dot12"
+}
+
 /** Session registration for graft's native expressions. Idempotent —
   * also usable through `SparkSessionExtensions.injectFunction` for
   * cluster-wide installation via spark.sql.extensions.
@@ -88,10 +129,16 @@ object GraftFunctions {
     },
   )
 
+  val dotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot12"),
+    new ExpressionInfo(classOf[ScaledIntDot].getName, "graft_dot12"),
+    (children: Seq[Expression]) => ScaledIntDot(children(0), children(1)),
+  )
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(minhashSigDescriptor._1)) {
-      registry.registerFunction(minhashSigDescriptor._1, minhashSigDescriptor._2, minhashSigDescriptor._3)
+    Seq(minhashSigDescriptor, dotDescriptor).foreach { d =>
+      if (!registry.functionExists(d._1)) registry.registerFunction(d._1, d._2, d._3)
     }
   }
 }
@@ -103,6 +150,7 @@ object GraftFunctions {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.minhashSigDescriptor)
+    ext.injectFunction(GraftFunctions.dotDescriptor)
     ext.injectOptimizerRule(_ => PushRangeThroughNanos)
   }
 }
