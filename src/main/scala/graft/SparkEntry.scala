@@ -828,8 +828,8 @@ object SparkEntry {
     "ts_zscore_anomaly" ->
       """SELECT series_name, ts, value, z FROM (
            SELECT series_name, ts, value,
-                  CASE WHEN sqrt(w_meansq - w_mean * w_mean) > 0
-                       THEN (value - w_mean) / sqrt(w_meansq - w_mean * w_mean) END AS z
+                  CASE WHEN sqrt(GREATEST(w_meansq - w_mean * w_mean, 0.0)) > 0
+                       THEN (value - w_mean) / sqrt(GREATEST(w_meansq - w_mean * w_mean, 0.0)) END AS z
            FROM (
              SELECT series_name, ts, value,
                     SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) OVER w / 1000000.0 / COUNT(*) OVER w AS w_mean,

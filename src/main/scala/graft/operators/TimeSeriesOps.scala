@@ -457,8 +457,11 @@ object TimeSeriesOps {
     val n = count(lit(1)).over(w)
     val mean = sum(floor(col("value") * lit(1000000.0)).cast("long")).over(w) / lit(1000000.0) / n
     val meanSq = sum(floor(col("value") * col("value") * lit(1000000000.0)).cast("long")).over(w) / lit(1000000000.0) / n
+    // variance clamps at 0: floor-scaling can push meanSq - mean²
+    // epsilon-negative on near-constant windows, and sqrt(<0) is NaN
+    // here but an error in a C-engine oracle
     df.withColumn("w_mean", mean)
-      .withColumn("w_std", sqrt(meanSq - col("w_mean") * col("w_mean")))
+      .withColumn("w_std", sqrt(greatest(meanSq - col("w_mean") * col("w_mean"), lit(0.0))))
       // zero std (first point / constant window) yields no anomaly —
       // guarded, since ANSI mode raises on division by zero
       .withColumn("z", when(col("w_std") > 0, (col("value") - col("w_mean")) / col("w_std")))
