@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{DedupFunctions, TextFunctions}
+import graft.operators.TimeSeriesOps
+
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  test("derivative computes rate of change per second") {
+    val df = Seq(
+      ("a", t("2024-01-01T00:00:00Z"), 10.0, 1L),
+      ("a", t("2024-01-01T00:00:10Z"), 30.0, 2L),
+      ("a", t("2024-01-01T00:00:30Z"), 20.0, 3L),
+    ).toDF("series_name", "ts", "value", "event_id")
+    val out = TimeSeriesOps.derivative(df, Seq("series_name"), "event_id").orderBy("ts").collect()
+    assert(out(0).isNullAt(3)) // first point: no previous
+    assert(out(1).getDouble(3) == 2.0) // +20 over 10s
+    assert(out(2).getDouble(3) == -0.5) // -10 over 20s
+  }
+
+  test("movingAvg averages the trailing window exactly") {
+    val df = (1 to 5).map(i => ("a", t(f"2024-01-01T00:0$i:00Z"), i.toDouble, i.toLong))
+      .toDF("series_name", "ts", "value", "event_id")
+    val out = TimeSeriesOps.movingAvg(df, Seq("series_name"), "event_id", nPoints = 3).orderBy("ts").collect()
+    assert(out.map(_.getDouble(3)).toSeq == Seq(1.0, 1.5, 2.0, 3.0, 4.0))
+  }
+
+  test("zscoreAnomalies flags an obvious outlier, not the steady points") {
+    val steady = (1 to 60).map(i => ("a", new Timestamp(t("2024-01-01T00:00:00Z").getTime + i * 60000L), 100.0 + (i % 3), i.toLong))
+    val spike = Seq(("a", t("2024-01-01T02:00:00Z"), 500.0, 99L))
+    val df = (steady ++ spike).toDF("series_name", "ts", "value", "event_id")
+    val out = TimeSeriesOps.zscoreAnomalies(df, Seq("series_name"), "event_id", nPoints = 50, zThreshold = 3.0).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("value") == 500.0)
+  }
+
+  test("chunk produces overlapping windows covering every word") {
+    val text = (1 to 150).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val out = TextFunctions.chunk(df, col("doc_id"), col("text"), size = 64, overlap = 16).orderBy("chunk_id").collect()
+    assert(out.length == 3) // ceil((150-16)/48) = 3
+    assert(out(0).getAs[String]("chunk_text").startsWith("w1 "))
+    assert(out(1).getAs[String]("chunk_text").startsWith("w49 ")) // step 48
+    assert(out(0).getAs[Long]("n_words") == 64L)
+    assert(out.last.getAs[String]("chunk_text").endsWith("w150"))
+  }
+
+  test("dedupGroups assigns one representative per connected component") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val groups = DedupFunctions.dedupGroups(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("plan guards: q5 is a broadcast-join chain, range queries push ns filters") {
+    val dir = "/root/testdata/sf0.001"
+    val q5 = SparkEntry.queries("q5_multijoin")(spark, dir).queryExecution.executedPlan.toString
+    assert(q5.contains("BroadcastHashJoin"), q5.take(500))
+    assert(!q5.contains("SortMergeJoin"), "q5 should broadcast all dims at this scale")
+    val multi = SparkEntry.queries("ts_get_data_multi")(spark, dir).queryExecution.executedPlan.toString
+    assert(multi.contains("GreaterThanOrEqual(ts,1704672000000000000)"), multi.take(800))
+  }
+}
