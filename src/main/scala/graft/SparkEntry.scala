@@ -517,6 +517,23 @@ object SparkEntry {
       val assets = Multimodal.asAssets(Tables.documents(s, dir), "doc_id", "text", "source")
       Multimodal.stubDecode(assets).select(col("asset_id"), col("n_bytes"), col("checksum"))
     },
+    // C15: the composed training-data pipeline — quality gate → langid
+    // → near-dup removal (keep group representative) → chunking. Every
+    // stage is an operator proven above; this query proves they chain.
+    "pipeline_clean_corpus" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val scored = TextFunctions
+        .qualityScore(TextFunctions.langId(docs, col("text")), col("text"))
+        .select(col("doc_id"), col("text"), col("pred_lang"), col("quality_score"))
+      val kept = scored.where(col("quality_score") > 0.45 && col("pred_lang") === "en")
+      val dupes = DedupFunctions
+        .dedupGroups(DedupFunctions.jaccardPairs(kept, "doc_id", "text"))
+        .where(col("doc_id") =!= col("group_id"))
+      val reps = kept.join(dupes, Seq("doc_id"), "left_anti")
+      TextFunctions
+        .chunk(reps, col("doc_id"), col("text"))
+        .withColumn("chunk_id", col("chunk_id").cast("long"))
+    },
     // B6: tumbling 1h window aggregates over events
     "q_events_window_agg" -> { (s, dir) =>
       ntz(
@@ -775,6 +792,39 @@ object SparkEntry {
                 COUNT(*) AS n, ${exactSumSql("value")} AS sum_value,
                 COUNT(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1, 2""",
+    "pipeline_clean_corpus" ->
+      """WITH RECURSIVE w0 AS (
+           SELECT doc_id, text, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w,
+                  length(text) AS n_chars
+           FROM documents),
+         scored AS (
+           SELECT doc_id, text, w,
+                  CASE WHEN len(list_filter(w, t -> t IN ('the', 'a', 'and', 'of', 'to'))) >= GREATEST(len(list_filter(w, t -> t IN ('der', 'die', 'und', 'das', 'ist'))), len(list_filter(w, t -> t IN ('el', 'la', 'los', 'es', 'y'))), len(list_filter(w, t -> t IN ('le', 'les', 'est', 'et', 'une'))), len(list_filter(w, t -> t IN ('de', 'shi', 'bu', 'le', 'wo')))) THEN 'en' ELSE 'other' END AS pred_lang,
+                  0.3 * (FLOOR(CAST(len(list_filter(w, t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE) * 1000000.0 / GREATEST(len(w), 1)) / 1000000.0)
+                  + 0.3 * (1.0 - FLOOR(CAST(n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) * 1000000.0 / n_chars) / 1000000.0)
+                  + 0.4 * LEAST(CAST(len(w) AS DOUBLE) / 100.0, 1.0) AS quality_score
+           FROM w0),
+         kept AS (SELECT doc_id, text, w FROM scored WHERE quality_score > 0.45 AND pred_lang = 'en'),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+                FROM kept WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b FROM inter
+                   JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+                   WHERE i * 5 >= (na.n + nb.n - i) * 4),
+         und AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM und UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         dupes AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING LEAST(a, MIN(b)) <> a),
+         reps AS (SELECT doc_id, w FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dupes)),
+         c AS (SELECT doc_id,
+                 generate_series(0, CAST(GREATEST(CEIL((len(w) - 16) / CAST(48 AS DOUBLE)), 1) AS INT) - 1) AS ids,
+                 list_transform(generate_series(0, CAST(GREATEST(CEIL((len(w) - 16) / CAST(48 AS DOUBLE)), 1) AS INT) - 1),
+                                i -> array_to_string(list_slice(w, i * 48 + 1, i * 48 + 64), ' ')) AS chunks
+               FROM reps)
+         SELECT doc_id, CAST(UNNEST(ids) AS BIGINT) AS chunk_id, UNNEST(chunks) AS chunk_text,
+                CAST(len(string_split(UNNEST(chunks), ' ')) AS BIGINT) AS n_words
+         FROM c""",
     "dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
                 MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
