@@ -123,7 +123,10 @@ object TextFunctions {
   def chunk(df: DataFrame, idCol: Column, text: Column, size: Int = 64, overlap: Int = 16): DataFrame = {
     require(overlap < size, "overlap must be smaller than chunk size")
     val step = size - overlap
-    df.withColumn("__w", words(text))
+    // spread + materialized word array: single-file inputs would run
+    // the whole chunking lambda on one core otherwise
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("__w", words(text))
       .withColumn(
         "__chunks",
         expr(
