@@ -396,6 +396,20 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
     },
+    // B7: returned-item revenue ranking (TPC-H Q10 shape)
+    "q10_returns" -> { (s, dir) =>
+      ntz(
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .where(col("l_returnflag") === "R")
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"))
+          .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      )
+    },
     // B4: top-3 orders per customer by price (window rank)
     "q_window" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
@@ -771,6 +785,14 @@ object SparkEntry {
            AND c_nationkey = s_nationkey AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
            AND r_name = 'ASIA'
          GROUP BY n_name""",
+    "q10_returns" ->
+      s"""SELECT c_custkey, c_name, n_name, c_acctbal,
+                ${exactSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         FROM customer, orders, lineitem, nation
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+         GROUP BY c_custkey, c_name, n_name, c_acctbal
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q_window" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
