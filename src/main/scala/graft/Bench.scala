@@ -30,8 +30,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftOptimizations.install(spark)
-    val names = headline.filter(SparkEntry.queries.contains) ++
-      SparkEntry.queries.keys.filterNot(headline.contains).toSeq.sorted
+    // Optional query-name args: bench only that subset (profiling aid;
+    // the driver passes none and gets the full suite).
+    val names =
+      if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains)
+      else
+        headline.filter(SparkEntry.queries.contains) ++
+          SparkEntry.queries.keys.filterNot(headline.contains).toSeq.sorted
     // Untimed warmup at the smallest SF: JIT-compiles every plan shape
     // (first execution of interpreted HOF paths costs ~15s of JVM
     // warmup that a long-running cluster never sees per-query).
@@ -39,6 +44,7 @@ object Bench {
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      spark.catalog.clearCache()
     }
     // min of two timed runs: reports steady-state per-query latency,
     // damping first-materialization and machine noise
@@ -48,8 +54,13 @@ object Bench {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
+        // Release per-query cached frames (dedup shingle indexes etc.).
+        // Leaving them resident starves later queries of execution
+        // memory — r02 showed 10–30× slowdowns from exactly this.
+        spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }
+      System.err.println(f"[bench] $name%-28s ${times.min}%8.3f s  (runs: ${times.map(t => f"$t%.3f").mkString(", ")})")
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -201,6 +201,9 @@ object DedupFunctions {
         .where(col("label") =!= col("old"))
         .limit(1)
         .count() > 0
+      // the convergence count materialized `updated`; the previous
+      // iteration's cache is dead weight from here on
+      labels.unpersist(blocking = false)
       labels = updated
       iter += 1
     }
