@@ -100,9 +100,17 @@ object DedupFunctions {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int = 3, perms: Int = 128): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
+    // Filter on word count, NOT on size(__sh) > 0: the two are exactly
+    // equivalent (shingles() yields non-empty ⇔ size(__w) >= n), but a
+    // filter referencing __sh gets predicate-pushed below the
+    // repartition barrier with the whole shingle lambda INLINED — the
+    // normalize+split regex then re-runs ~3× per shingle slot per row
+    // inside the Filter (measured: 11.7 s vs 0.6 s for the signature
+    // stage at sf0.1). The word-count form pushes down as a single
+    // split() per row.
     wordsSpread(df, idCol, textCol)
+      .where(size(col("__w")) >= n)
       .withColumn("__sh", TextFunctions.shingles("__w", n))
-      .where(size(col("__sh")) > 0)
       .select(
         col("doc_id"),
         expr(s"graft_minhash_sig(transform(__sh, s -> xxhash64(s)), $perms)").as("sig"),
@@ -180,11 +188,20 @@ object DedupFunctions {
     * (near-dup components are tiny chains), capped defensively.
     */
   def dedupGroups(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    // localCheckpoint (eager) rather than cache: `labels` feeds BOTH the
+    // neighbor-min aggregate and the update join, so without lineage
+    // truncation the logical plan doubles every round (2^rounds nodes —
+    // analysis/optimization alone dominated the round-3 bench), and a
+    // partially-built cache recomputes the whole chain from parquet on
+    // every miss. Checkpointing pins each round's labels as a
+    // materialized RDD with a constant-size plan; on a cluster the same
+    // call trades executor-loss recovery for truncation, exactly like
+    // GraphX's periodic-checkpoint pattern for iterative algorithms.
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
-    var labels = edges.select(col("src").as("node")).distinct().withColumn("label", col("node")).cache()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct().withColumn("label", col("node")).localCheckpoint()
     var changed = true
     var iter = 0
     while (changed && iter < maxIterations) {
@@ -192,19 +209,15 @@ object DedupFunctions {
         .join(labels.withColumnRenamed("node", "src").withColumnRenamed("label", "nl"), "src")
         .groupBy(col("dst").as("node"))
         .agg(min(col("nl")).as("nmin"))
+      // keep the old label alongside the new one: change detection then
+      // needs no second join against the previous round
       val updated = labels
         .join(neighborMin, Seq("node"), "left")
-        .select(col("node"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
-      changed = updated
-        .join(labels.withColumnRenamed("label", "old"), "node")
-        .where(col("label") =!= col("old"))
-        .limit(1)
-        .count() > 0
-      // the convergence count materialized `updated`; the previous
-      // iteration's cache is dead weight from here on
+        .select(col("node"), col("label").as("old"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = updated.where(col("label") =!= col("old")).limit(1).count() > 0
       labels.unpersist(blocking = false)
-      labels = updated
+      labels = updated.select(col("node"), col("label"))
       iter += 1
     }
     labels.select(col("node").as("doc_id"), col("label").as("group_id"))

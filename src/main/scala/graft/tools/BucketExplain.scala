@@ -1,0 +1,25 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch: dump the optimized logical plan of lshBuckets to see
+  * whether the signature expression survives as a column or is inlined
+  * into the band lambda.
+  */
+object BucketExplain {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.plans.GraftFunctions.register(spark)
+    val docs = graft.Tables.documents(spark, dir)
+    val sigs = graft.functions.DedupFunctions.minhashSignatures(docs, "doc_id", "text")
+    val buckets = graft.functions.DedupFunctions.lshBuckets(sigs)
+    println(buckets.queryExecution.optimizedPlan.treeString.take(8000))
+    spark.stop()
+  }
+}

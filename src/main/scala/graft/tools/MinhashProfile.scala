@@ -33,6 +33,28 @@ object MinhashProfile {
     sh.cache(); sh.count()
     val sig2 = sh.select(col("doc_id"), expr("graft_minhash_sig(transform(__sh, s -> xxhash64(s)), 128)").as("sig"))
     time("+sig(cached shingles)")(sig2.select(sum(size(col("sig")))).collect().head.getLong(0))
+    // bisect the candidates path: buckets alone, then the self-join.
+    // clearCache first — the cached `sh` above would otherwise satisfy
+    // the shingle sub-plan of the candidates lineage and mask the cost.
+    spark.catalog.clearCache()
+    val sigs = graft.functions.DedupFunctions.minhashSignatures(docs, "doc_id", "text")
+    time("sigs w/ filter (sum)")(sigs.select(sum(size(col("sig")))).collect().head.getLong(0))
+    val rows = 4
+    val bandExprs = (0 until rows).map(r => s"element_at(sig, b * $rows + ${r + 1})").mkString(", ")
+    val bandArr = sigs.select(col("doc_id"), expr(s"transform(sequence(0, 31), b -> xxhash64($bandExprs))").as("ba"))
+    time("band array (sum)")(bandArr.select(sum(size(col("ba")))).collect().head.getLong(0))
+    time("buckets(no cache)")(graft.functions.DedupFunctions.lshBuckets(sigs).count())
+    val buckets = graft.functions.DedupFunctions.lshBuckets(sigs)
+    time("selfjoin(no cache)") {
+      buckets
+        .select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
+        .join(buckets.select(col("band"), col("band_sig"), col("doc_id").as("doc_b")), Seq("band", "band_sig"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+        .count()
+    }
+    time("full candidates")(graft.functions.DedupFunctions.minhashCandidates(docs, "doc_id", "text").count())
     spark.stop()
   }
 }
