@@ -32,8 +32,13 @@ object Bench {
     graft.plans.GraftOptimizations.install(spark)
     // Optional query-name args: bench only that subset (profiling aid;
     // the driver passes none and gets the full suite).
+    val unknown = args.toSeq.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"[bench] ERROR: unknown queries: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     val names =
-      if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains)
+      if (args.nonEmpty) args.toSeq
       else
         headline.filter(SparkEntry.queries.contains) ++
           SparkEntry.queries.keys.filterNot(headline.contains).toSeq.sorted
@@ -43,29 +48,40 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable => System.err.println(s"[bench] warmup failed for $name: ${e.getMessage}") }
       spark.catalog.clearCache()
     }
     // min of two timed runs: reports steady-state per-query latency,
-    // damping first-materialization and machine noise
+    // damping first-materialization and machine noise. A failed run is
+    // reported as -1, never as its elapsed time — a broken query must
+    // not masquerade as a fast pass.
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        // Release per-query cached frames (dedup shingle indexes etc.).
-        // Leaving them resident starves later queries of execution
-        // memory — r02 showed 10–30× slowdowns from exactly this.
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              false
+          }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // Release per-query cached frames (dedup shingle indexes etc.)
+        // AFTER capturing the time. Leaving them resident starves later
+        // queries of execution memory — r02 showed 10–30× slowdowns.
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        if (ok) elapsed else -1.0
       }
-      System.err.println(f"[bench] $name%-28s ${times.min}%8.3f s  (runs: ${times.map(t => f"$t%.3f").mkString(", ")})")
-      name -> times.min
+      val best = if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0
+      System.err.println(f"[bench] $name%-28s $best%8.3f s  (runs: ${times.map(t => f"$t%.3f").mkString(", ")})")
+      name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.count(_._2 < 0)
+    if (failed > 0) System.err.println(s"[bench] $failed queries FAILED (reported as -1)")
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -206,8 +206,14 @@ object TimeSeriesOps {
     // data before grid on ties so an exact hit resolves to that point
     // for both neighbours (interpolating to v0).
     val wNext = part.orderBy(col("ts").desc, col("is_grid")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val prevStruct = last(when(col("is_grid") === 0, struct(unix_micros(col("ts")).as("us"), col("v"))), ignoreNulls = true).over(wPrev)
-    val nextStruct = last(when(col("is_grid") === 0, struct(unix_micros(col("ts")).as("us"), col("v"))), ignoreNulls = true).over(wNext)
+    // `v.isNotNull` keeps null data values out of the neighbour structs:
+    // a null point is invisible to interpolation (same contract as
+    // stepped's last(ignoreNulls) and the ResampleAlignExec operator) —
+    // without it the struct wrapper defeats ignoreNulls (non-null struct
+    // with null v) and a null point would black-hole its neighbourhood.
+    val isPoint = col("is_grid") === 0 && col("v").isNotNull
+    val prevStruct = last(when(isPoint, struct(unix_micros(col("ts")).as("us"), col("v"))), ignoreNulls = true).over(wPrev)
+    val nextStruct = last(when(isPoint, struct(unix_micros(col("ts")).as("us"), col("v"))), ignoreNulls = true).over(wNext)
     both
       .withColumn("prev", prevStruct)
       .withColumn("next", nextStruct)

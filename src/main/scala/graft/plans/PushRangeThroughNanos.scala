@@ -38,25 +38,45 @@ object PushRangeThroughNanos extends Rule[LogicalPlan] {
     }
   }
 
+  /** Exact preimage bounds of `trunc(ns div 1000) cmp us` — valid for
+    * ALL signs. `div` truncates toward zero, so for negative epochs the
+    * naive `ns >= us·1000` is unsound (ns = −1500 satisfies
+    * `div >= −1` but not `ns >= −1000`); the preimage of `div >= us`
+    * is `ns >= us·1000 − 999` when us ≤ 0 and `ns >= us·1000` when
+    * us > 0, and symmetrically for upper bounds.
+    */
+  private def nsLower(us: Long): Option[Long] =
+    try Some(if (us > 0) Math.multiplyExact(us, 1000L) else Math.subtractExact(Math.multiplyExact(us, 1000L), 999L))
+    catch { case _: ArithmeticException => None }
+
+  private def nsUpper(us: Long): Option[Long] =
+    try Some(if (us >= 0) Math.addExact(Math.multiplyExact(us, 1000L), 999L) else Math.multiplyExact(us, 1000L))
+    catch { case _: ArithmeticException => None }
+
+  private def geq(ns: Expression, us: Long): Option[Expression] =
+    nsLower(us).map(lo => GreaterThanOrEqual(ns, Literal(lo, LongType)))
+
+  private def leq(ns: Expression, us: Long): Option[Expression] =
+    nsUpper(us).map { hi =>
+      // prefer the equivalent strict form (`ns < hi+1`): round bounds
+      // like `< 1705276800000000000` instead of `<= ...799999999999`
+      if (hi < Long.MaxValue) LessThan(ns, Literal(hi + 1L, LongType))
+      else LessThanOrEqual(ns, Literal(hi, LongType))
+    }
+
   private def nsBound(conjunct: Expression): Option[Expression] = conjunct match {
-    case GreaterThanOrEqual(UsOfNanos(ns), Literal(us: Long, TimestampType)) =>
-      Some(GreaterThanOrEqual(ns, Literal(us * 1000L, LongType)))
-    case GreaterThan(UsOfNanos(ns), Literal(us: Long, TimestampType)) =>
-      Some(GreaterThanOrEqual(ns, Literal((us + 1L) * 1000L, LongType)))
-    case LessThan(UsOfNanos(ns), Literal(us: Long, TimestampType)) =>
-      Some(LessThan(ns, Literal(us * 1000L, LongType)))
-    case LessThanOrEqual(UsOfNanos(ns), Literal(us: Long, TimestampType)) =>
-      Some(LessThan(ns, Literal((us + 1L) * 1000L, LongType)))
+    case GreaterThanOrEqual(UsOfNanos(ns), Literal(us: Long, TimestampType)) => geq(ns, us)
+    case GreaterThan(UsOfNanos(ns), Literal(us: Long, TimestampType)) if us < Long.MaxValue =>
+      geq(ns, us + 1L)
+    case LessThan(UsOfNanos(ns), Literal(us: Long, TimestampType)) if us > Long.MinValue =>
+      leq(ns, us - 1L)
+    case LessThanOrEqual(UsOfNanos(ns), Literal(us: Long, TimestampType)) => leq(ns, us)
     case EqualTo(UsOfNanos(ns), Literal(us: Long, TimestampType)) =>
-      Some(And(
-        GreaterThanOrEqual(ns, Literal(us * 1000L, LongType)),
-        LessThan(ns, Literal((us + 1L) * 1000L, LongType)),
-      ))
+      for (lo <- geq(ns, us); hi <- leq(ns, us)) yield And(lo, hi)
     // literal-first spellings
-    case LessThanOrEqual(Literal(us: Long, TimestampType), UsOfNanos(ns)) =>
-      Some(GreaterThanOrEqual(ns, Literal(us * 1000L, LongType)))
-    case GreaterThan(Literal(us: Long, TimestampType), UsOfNanos(ns)) =>
-      Some(LessThan(ns, Literal(us * 1000L, LongType)))
+    case LessThanOrEqual(Literal(us: Long, TimestampType), UsOfNanos(ns)) => geq(ns, us)
+    case GreaterThan(Literal(us: Long, TimestampType), UsOfNanos(ns)) if us > Long.MinValue =>
+      leq(ns, us - 1L)
     case _ => None
   }
 

@@ -151,13 +151,24 @@ final case class ResampleAlignExec(
             inGroup = false
             return
           }
-          var row = in.next()
-          var curUs = row.getLong(tsOrdinal)
-          var curV = row.getDouble(valueOrdinal)
+          // null values are invisible to interpolation — identical to
+          // the window formulation's last(..., ignoreNulls = true): a
+          // null never becomes a prev/next neighbour, and a duplicate
+          // timestamp collapses to the max over its NON-null values
+          // (all-null timestamps vanish entirely)
+          val row = in.next()
+          val curUs = row.getLong(tsOrdinal)
+          var haveVal = !row.isNullAt(valueOrdinal)
+          var curV = if (haveVal) row.getDouble(valueOrdinal) else 0.0
           while (in.hasNext && sameTags(groupTags, in.head) && in.head.getLong(tsOrdinal) == curUs) {
-            val v = in.next().getDouble(valueOrdinal)
-            if (v > curV) curV = v
+            val dup = in.next()
+            if (!dup.isNullAt(valueOrdinal)) {
+              val v = dup.getDouble(valueOrdinal)
+              if (!haveVal || v > curV) curV = v
+              haveVal = true
+            }
           }
+          if (!haveVal) return
           // grid points before cur interpolate prev→cur; a grid point
           // exactly at cur takes cur's value
           drainBefore(curUs, curUs, curV, haveNext = true)

@@ -35,25 +35,23 @@ final case class JdbcSourceConfig(
 final class JdbcSource(cfg: JdbcSourceConfig) {
 
   private def reader(spark: SparkSession, query: String) = {
+    // connection options (url/driver/user/password/fetchsize/...) apply
+    // to BOTH branches — the partitioned path only swaps how the query
+    // is attached (dbtable subquery + bounds instead of `query`)
     var r = spark.read
       .format("jdbc")
       .option("url", cfg.url)
       .option("driver", cfg.driver)
-      .option("query", query)
     cfg.properties.foreach { case (k, v) => r = r.option(k, v) }
     (cfg.partitionColumn, cfg.lowerBound, cfg.upperBound, cfg.numPartitions) match {
       case (Some(c), Some(lo), Some(hi), Some(n)) =>
         // partitioned reads need dbtable, not query
-        spark.read
-          .format("jdbc")
-          .option("url", cfg.url)
-          .option("driver", cfg.driver)
-          .option("dbtable", s"($query) graft_sub")
+        r.option("dbtable", s"($query) graft_sub")
           .option("partitionColumn", c)
           .option("lowerBound", lo)
           .option("upperBound", hi)
           .option("numPartitions", n)
-      case _ => r
+      case _ => r.option("query", query)
     }
   }
 

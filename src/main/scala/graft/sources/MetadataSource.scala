@@ -37,11 +37,21 @@ final class MetadataSource(cfg: MetadataConfig) {
 
   private def mapped(name: String): String = cfg.fieldMapping.getOrElse(name, name)
 
+  /** One CASE over the ORIGINAL column value — folding when/otherwise
+    * onto the accumulated column would re-match already-mapped values,
+    * so a→b, b→c could chain into a→c depending on Map iteration order
+    * (kukur MetadataValueMapper maps each source value exactly once).
+    */
   private def valueMapped(field: String, c: Column): Column =
     cfg.valueMapping.get(field) match {
-      case None => c
+      case None                 => c
+      case Some(m) if m.isEmpty => c
       case Some(m) =>
-        m.foldLeft(c) { case (acc, (from, to)) => when(acc === lit(from), lit(to)).otherwise(acc) }
+        m.tail
+          .foldLeft(when(c === lit(m.head._1), lit(m.head._2))) { case (acc, (from, to)) =>
+            acc.when(c === lit(from), lit(to))
+          }
+          .otherwise(c)
     }
 
   /** Parse a numeric field, null on garbage (kukur `_parse_float` /

@@ -78,6 +78,19 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(merged(1).getAs[String]("description") == "Only low")
   }
 
+  test("value mapping applies each source value exactly once, never chained") {
+    val dir = Files.createTempDirectory("graft-valuemap").toString
+    Seq(("s1", "a"), ("s2", "b"), ("s3", "x"))
+      .toDF("series_name", "unit")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$dir/meta")
+    // overlapping mapping: a→b and b→c — a must land on b, NOT chain to c
+    val md = new MetadataSource(
+      MetadataConfig(path = s"$dir/meta", valueMapping = Map("unit" -> Map("a" -> "b", "b" -> "c")))
+    )
+    val units = md.read(spark).orderBy("series_name").collect().map(_.getAs[String]("unit")).toSeq
+    assert(units == Seq("b", "c", "x"))
+  }
+
   test("inspect lists and previews datasets") {
     val dir = writeData()
     val listing = Inspect.listPath(spark, dir).collect()

@@ -82,4 +82,38 @@ class IpcJdbcSpec extends AnyFunSuite {
     assert(data(0).getAs[Double]("value") == 900.0)
     assert(src.search(spark).collect().map(_.getString(0)).sorted.toSeq == Seq("rpm", "temp"))
   }
+
+  test("partitioned jdbc read honors connection properties") {
+    val dbDir = Files.createTempDirectory("graft-derby-part").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE measurements (id INT, series VARCHAR(64), ts TIMESTAMP, val DOUBLE)")
+    (1 to 4).foreach(i => st.execute(s"INSERT INTO measurements VALUES ($i, 'temp', TIMESTAMP('2024-01-01 0$i:00:00'), $i.5)"))
+    st.execute("CREATE TABLE conn_log (marker INT)")
+    st.close(); conn.close()
+    // sessionInitStatement runs once per JDBC connection — if the
+    // partitioned branch dropped `properties` (the round-1 bug), the
+    // log table would stay empty
+    val src = new JdbcSource(
+      JdbcSourceConfig(
+        url = url,
+        driver = "org.apache.derby.jdbc.EmbeddedDriver",
+        dataQuery = "SELECT id, series AS series_name, ts, val AS value FROM measurements",
+        partitionColumn = Some("id"),
+        lowerBound = Some(0L),
+        upperBound = Some(5L),
+        numPartitions = Some(2),
+        properties = Map("sessionInitStatement" -> "INSERT INTO APP.CONN_LOG VALUES (1)"),
+      )
+    )
+    val df = src.read(spark)
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.count() == 4)
+    val check = DriverManager.getConnection(url)
+    val rs = check.createStatement().executeQuery("SELECT COUNT(*) FROM conn_log")
+    rs.next()
+    assert(rs.getInt(1) >= 2) // one init per partition connection
+    check.close()
+  }
 }

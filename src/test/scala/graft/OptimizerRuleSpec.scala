@@ -32,6 +32,26 @@ class OptimizerRuleSpec extends AnyFunSuite {
     assert(auto == manual)
   }
 
+  test("derived ns bounds are exact for pre-1970 (negative-epoch) timestamps") {
+    GraftOptimizations.install(spark)
+    import spark.implicits._
+    // div truncates toward zero: trunc(-1500/1000) = -1, so a naive
+    // `ns >= us*1000` bound would wrongly drop ns = -1500 for us = -1
+    val ns = Seq(-2001L, -2000L, -1999L, -1500L, -1000L, -999L, -1L, 0L, 500L, 999L, 1000L, 1500L)
+    val df = ns.toDF("ns").select(col("ns"), expr("timestamp_micros(ns div 1000)").as("ts"))
+    val usBound = Timestamp.from(Instant.ofEpochSecond(0, -1000)) // -1 µs
+
+    val geq = df.where(col("ts") >= lit(usBound)).select("ns").as[Long].collect().sorted
+    val geqExpected = ns.filter(v => v / 1000L >= -1L).sorted
+    assert(geq.toSeq == geqExpected, s"got ${geq.toSeq}, want $geqExpected")
+
+    val lt = df.where(col("ts") < lit(usBound)).select("ns").as[Long].collect().sorted
+    assert(lt.toSeq == ns.filter(v => v / 1000L < -1L).sorted)
+
+    val eqZero = df.where(col("ts") === lit(Timestamp.from(Instant.EPOCH))).select("ns").as[Long].collect().sorted
+    assert(eqZero.toSeq == ns.filter(v => v / 1000L == 0L).sorted) // preimage of 0 is [-999, 999]
+  }
+
   test("rule leaves disjunctive predicates alone") {
     GraftOptimizations.install(spark)
     val ev = Tables.events(spark, "/root/testdata/sf0.001")

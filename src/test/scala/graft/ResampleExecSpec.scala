@@ -61,6 +61,34 @@ class ResampleExecSpec extends AnyFunSuite {
     assert(out.filter(_._1 == "b").forall(_._3.isEmpty)) // next exists but no prev
   }
 
+  test("null values are skipped like last(ignoreNulls), never coerced to 0.0") {
+    val data = Seq(
+      ("a", t("2024-01-01T01:00:00Z"), Some(2.0)),
+      ("a", t("2024-01-01T01:30:00Z"), None), // must NOT become prev=0.0
+      ("a", t("2024-01-01T02:30:00Z"), Some(8.0)),
+      ("a", t("2024-01-01T03:00:00Z"), None), // dup group below collapses over non-null only
+      ("a", t("2024-01-01T03:00:00Z"), Some(4.0)),
+      ("b", t("2024-01-01T01:00:00Z"), None), // all-null series: no neighbours at all
+    ).toDF("series_name", "ts", "value")
+    val out = TimeSeriesOps
+      .resampleExec(data, Seq("series_name"), linear = true, t("2024-01-01T00:00:00Z"), t("2024-01-01T04:00:00Z"), 3600L)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .sortBy(x => (x._1, x._2.getTime))
+    val a = out.filter(_._1 == "a").map(_._3)
+    assert(a(0).isEmpty) // 00:00 before first point
+    assert(a(1).contains(2.0)) // 01:00 exact hit
+    // 02:00 interpolates 01:00(2.0) -> 02:30(8.0), the null at 01:30 is invisible
+    assert(a(2).contains(2.0 + 6.0 * (60.0 / 90.0)))
+    assert(a(3).contains(4.0)) // 03:00 exact hit; dup (null, 4.0) collapses to 4.0
+    assert(out.filter(_._1 == "b").forall(_._3.isEmpty))
+    // the window formulation agrees on the same frame
+    val viaWindows = canonical(
+      TimeSeriesOps.resampleLinear(data, Seq("series_name"), t("2024-01-01T00:00:00Z"), t("2024-01-01T04:00:00Z"), 3600L)
+    )
+    assert(out.toSeq == viaWindows)
+  }
+
   test("physical plan has exactly one exchange and one sort") {
     val ev = Tables.canonicalEvents(spark, "/root/testdata/sf0.001")
       .select(col("series_name"), col("ts"), col("value"))
