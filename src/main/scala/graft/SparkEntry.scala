@@ -313,6 +313,49 @@ object SparkEntry {
       )
       ntz(src.read(s).withColumn("user_id", col("user_id").cast("long")))
     },
+    // A15d: string-valued series end-to-end (kukur DataType.STRING,
+    // kukur/base.py:152) — state labels stay text through the source
+    "ts_string_series" -> { (s, dir) =>
+      val tmp = tmpPath(dir, "strsrc")
+      Tables
+        .canonicalEvents(s, dir)
+        .select(
+          lit("machine_state").as("series_name"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          upper(col("series_name")).as("value"),
+        )
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      val src = new ConfiguredSource(
+        SourceConfig(
+          path = tmp,
+          fileFormat = "csv",
+          dataFormat = "row",
+          tagColumns = Seq("series_name"),
+          datetimeFormat = Some("yyyy-MM-dd HH:mm:ss.SSSSSS"),
+          valueType = "string",
+        )
+      )
+      ntz(src.read(s))
+    },
+    // A15e: mixed-type promotion across sources (kukur concat_tables,
+    // kukur/source/__init__.py:462): int + string frames ⇒ string values
+    "ts_mixed_promotion" -> { (s, dir) =>
+      val ev0 = Tables.canonicalEvents(s, dir)
+      val intFrame = ev0
+        .where(col("series_name") === "click")
+        .select(col("series_name"), col("ts"), col("user_id").cast("long").as("value"))
+      val strFrame = ev0
+        .where(col("series_name") === "error")
+        .select(col("series_name"), col("ts"), upper(col("series_name")).as("value"))
+      ntz(ConfiguredSource.promoteUnion(Seq(intFrame, strFrame)))
+    },
+    // A6b: quality mapping over string codes (kukur quality good-list is
+    // list[str | int], kukur/source/quality.py:26)
+    "ts_quality_map_str" -> { (s, dir) =>
+      ev(s, dir)
+        .withColumn("quality", TimeSeriesOps.qualityMapValues(col("series_name"), Seq("click", "purchase")))
+        .select(col("event_id"), col("series_name"), col("quality"))
+    },
     // A15b: metadata sidecar source — mapping, value mapping, coercion
     "ts_metadata_source" -> { (s, dir) =>
       import s.implicits._
@@ -647,6 +690,19 @@ object SparkEntry {
     "ts_row_source_json" ->
       """SELECT event_type AS series_name, user_id, 'value' AS field, ts, value
          FROM events WHERE event_type = 'purchase'""",
+    "ts_string_series" ->
+      """SELECT 'machine_state' AS series_name, 'value' AS field, ts, upper(event_type) AS value
+         FROM events""",
+    "ts_mixed_promotion" ->
+      """SELECT event_type AS series_name, ts, CAST(user_id AS VARCHAR) AS value
+         FROM events WHERE event_type = 'click'
+         UNION ALL
+         SELECT event_type AS series_name, ts, 'ERROR' AS value
+         FROM events WHERE event_type = 'error'""",
+    "ts_quality_map_str" ->
+      """SELECT event_id, event_type AS series_name,
+                CASE WHEN event_type IN ('click', 'purchase') THEN 1 ELSE 0 END AS quality
+         FROM events""",
     "ts_metadata_source" ->
       """SELECT series_name, description, unit,
                 CAST(limit_low_physical AS DOUBLE) AS limit_low_physical,

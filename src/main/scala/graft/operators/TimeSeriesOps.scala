@@ -87,6 +87,14 @@ object TimeSeriesOps {
   def qualityMap(raw: Column, goodSet: Seq[Int]): Column =
     when(raw.isin(goodSet: _*), lit(1)).otherwise(lit(0)).cast("int")
 
+  /** Quality mapping over arbitrary code values — the reference's
+    * good-list is `list[str | int]` (kukur/source/quality.py:26), so
+    * string codes ("OK", "192") must work too. Both sides compare as
+    * strings; still a codegen'd IN over a literal set.
+    */
+  def qualityMapValues(raw: Column, goodSet: Seq[String]): Column =
+    when(raw.cast("string").isin(goodSet: _*), lit(1)).otherwise(lit(0)).cast("int")
+
   /** Dictionary decode: integer values → labels via a broadcast join
     * (kukur/source/csv.py:248 __get_dictionary). The dictionary is tiny
     * by construction, so broadcast avoids any shuffle of the data side.

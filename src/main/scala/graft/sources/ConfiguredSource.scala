@@ -29,8 +29,11 @@ final case class SourceConfig(
     datetimeFormat: Option[String] = None,
     /** timezone to assume for naive timestamps (kukur data_timezone) */
     dataTimezone: Option[String] = None,
-    /** raw quality values considered GOOD (kukur quality_mapping) */
-    qualityGood: Seq[Int] = Nil,
+    /** raw quality values considered GOOD — ints or strings, matching
+      * the reference's `list[str | int]` good-list
+      * (kukur/source/quality.py:26)
+      */
+    qualityGood: Seq[Any] = Nil,
     csvHeader: Boolean = true,
     csvSeparator: String = ",",
     /** value column type: "double" (default) or "string" — kukur's
@@ -72,7 +75,7 @@ final class ConfiguredSource(cfg: SourceConfig) {
     else
       df.withColumn(
         "quality",
-        when(col(mapped("quality")).isin(cfg.qualityGood: _*), lit(1)).otherwise(lit(0)).cast("int"),
+        graft.operators.TimeSeriesOps.qualityMapValues(col(mapped("quality")), cfg.qualityGood.map(_.toString)),
       )
 
   /** Canonical read: one distributed frame with all series. */
@@ -149,5 +152,35 @@ final class ConfiguredSource(cfg: SourceConfig) {
           .distinct()
           .crossJoin(broadcast(cfg.fieldColumns.toDF("field")))
     }
+  }
+}
+
+object ConfiguredSource {
+
+  import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType, LongType, ShortType, StringType}
+
+  /** Value-type promotion when combining canonical frames from several
+    * sources — kukur `concat_tables` (kukur/source/__init__.py:462):
+    * any string value column ⇒ string, all integer ⇒ int64, else
+    * float64. Frames carrying a `quality` column keep it; if any frame
+    * has one, the others gain a null quality so the union aligns.
+    *
+    * A pure plan transformation (casts + unionByName): no shuffle, no
+    * driver data — safe at any scale.
+    */
+  def promoteUnion(frames: Seq[DataFrame]): DataFrame = {
+    require(frames.nonEmpty, "need at least one frame")
+    val valueTypes = frames.map(_.schema("value").dataType)
+    val target: DataType =
+      if (valueTypes.contains(StringType)) StringType
+      else if (valueTypes.forall(t => t == ByteType || t == ShortType || t == IntegerType || t == LongType)) LongType
+      else DoubleType
+    val anyQuality = frames.exists(_.columns.contains("quality"))
+    frames
+      .map { f =>
+        val v = f.withColumn("value", col("value").cast(target))
+        if (anyQuality && !v.columns.contains("quality")) v.withColumn("quality", lit(null).cast("int")) else v
+      }
+      .reduce(_.unionByName(_))
   }
 }

@@ -44,6 +44,49 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows(1).getAs[Int]("quality") == 0)
   }
 
+  test("promoteUnion follows concat_tables promotion: any-string, all-int, else double") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    val ints = Seq(("a", t("2024-01-01T00:00:00Z"), 1)).toDF("series_name", "ts", "value")
+    val longs = Seq(("b", t("2024-01-01T00:00:00Z"), 5L)).toDF("series_name", "ts", "value")
+    val dbls = Seq(("c", t("2024-01-01T00:00:00Z"), 1.5)).toDF("series_name", "ts", "value")
+    val strs = Seq(("d", t("2024-01-01T00:00:00Z"), "ON")).toDF("series_name", "ts", "value")
+
+    val allInt = ConfiguredSource.promoteUnion(Seq(ints, longs))
+    assert(allInt.schema("value").dataType == LongType)
+    assert(allInt.count() == 2)
+
+    val mixedNum = ConfiguredSource.promoteUnion(Seq(ints, dbls))
+    assert(mixedNum.schema("value").dataType == DoubleType)
+
+    val withStr = ConfiguredSource.promoteUnion(Seq(ints, dbls, strs))
+    assert(withStr.schema("value").dataType == StringType)
+    assert(withStr.orderBy("series_name").collect().map(_.getString(2)).toSeq == Seq("1", "1.5", "ON"))
+
+    // quality alignment: frames without quality gain a null column
+    val withQ = Seq(("e", t("2024-01-01T00:00:00Z"), 2.0, 1)).toDF("series_name", "ts", "value", "quality")
+    val aligned = ConfiguredSource.promoteUnion(Seq(withQ, dbls))
+    assert(aligned.columns.contains("quality"))
+    assert(aligned.where(col("series_name") === "c").collect().head.isNullAt(3))
+  }
+
+  test("string quality codes map through the good-list") {
+    val dir = tmp()
+    Seq(
+      ("s1", "2024-01-01 00:00:00", 1.5, "OK"),
+      ("s1", "2024-01-01 00:01:00", 2.5, "SUSPECT"),
+    ).toDF("series_name", "ts", "value", "quality")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val src = new ConfiguredSource(
+      SourceConfig(
+        path = dir, fileFormat = "csv", dataFormat = "row",
+        datetimeFormat = Some("yyyy-MM-dd HH:mm:ss"),
+        qualityGood = Seq("OK"),
+      )
+    )
+    val rows = src.read(spark).orderBy("ts").collect()
+    assert(rows.map(_.getAs[Int]("quality")).toSeq == Seq(1, 0))
+  }
+
   test("row source with data timezone converts to UTC") {
     val dir = tmp()
     Seq(("s1", "2024-06-01 12:00:00", 1.0)).toDF("series_name", "ts", "value")
