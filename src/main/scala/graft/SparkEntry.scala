@@ -511,6 +511,12 @@ object SparkEntry {
     "dedup_embedding" -> { (s, dir) =>
       VectorFunctions.cosineDedupPairs(Tables.embeddings(s, dir), threshold = 0.35)
     },
+    // C5c: embedding near-dup at scale — banded hyperplane-LSH
+    // candidates + exact cosine verify (hash-dependent → rows-only;
+    // VectorDedupSpec measures recall ≥ 0.9 vs the exact baseline)
+    "dedup_embedding_lsh" -> { (s, dir) =>
+      VectorFunctions.cosineDedupPairsLsh(Tables.embeddings(s, dir), threshold = 0.35)
+    },
     // C14: dedup groups — connected components over exact-Jaccard pairs
     "dedup_groups" -> { (s, dir) =>
       DedupFunctions.dedupGroups(

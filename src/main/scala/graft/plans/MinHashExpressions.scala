@@ -111,6 +111,71 @@ case class ScaledIntDot(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot12"
 }
 
+/** Random-hyperplane signature for embedding LSH: bit p of the result
+  * is the sign of `Σ_j emb[j] · c(p,j)` against pseudo-random plane
+  * components `c(p,j) = (xxhash64-chain(p,j) mod 1001) / 1000 ∈ [-1,1]`
+  * — deterministic, no stored model (the plane is derived from its
+  * index, so every executor and every run agrees). One compiled
+  * planes×dim loop per row; the SQL spelling would be `planes`
+  * interpreted aggregate() passes.
+  */
+case class HyperplaneSignature(child: Expression, planes: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(planes >= 1 && planes <= 64, s"planes must be in [1, 64], got $planes")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane signature needs array<float>, got $other"
+        )
+    }
+
+  /** plane components are small and reused across rows: cache per dim
+    * length on first evaluation (embedding dim is constant per column)
+    */
+  @transient private var cachedDim: Int = -1
+  @transient private var cachedPlanes: Array[Array[Double]] = _
+
+  private def planesFor(dim: Int): Array[Array[Double]] = {
+    if (dim != cachedDim) {
+      cachedPlanes = Array.tabulate(planes, dim) { (p, j) =>
+        (XXH64.hashLong(j.toLong, XXH64.hashLong(p.toLong, 42L)) % 1001L).toDouble / 1000.0
+      }
+      cachedDim = dim
+    }
+    cachedPlanes
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val emb = input.asInstanceOf[ArrayData]
+    val dim = emb.numElements()
+    val pl = planesFor(dim)
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      val comp = pl(p)
+      var acc = 0.0
+      var j = 0
+      while (j < dim) { acc += emb.getFloat(j).toDouble * comp(j); j += 1 }
+      if (acc > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignature =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_hplane_sig"
+}
+
 /** Session registration for graft's native expressions. Idempotent —
   * also usable through `SparkSessionExtensions.injectFunction` for
   * cluster-wide installation via spark.sql.extensions.
@@ -135,9 +200,21 @@ object GraftFunctions {
     (children: Seq[Expression]) => ScaledIntDot(children(0), children(1)),
   )
 
+  val hyperplaneSigDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hplane_sig"),
+    new ExpressionInfo(classOf[HyperplaneSignature].getName, "graft_hplane_sig"),
+    (children: Seq[Expression]) => {
+      val planes = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"planes must be an int literal, got $other")
+      }
+      HyperplaneSignature(children.head, planes)
+    },
+  )
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(minhashSigDescriptor, dotDescriptor).foreach { d =>
+    Seq(minhashSigDescriptor, dotDescriptor, hyperplaneSigDescriptor).foreach { d =>
       if (!registry.functionExists(d._1)) registry.registerFunction(d._1, d._2, d._3)
     }
   }
@@ -151,6 +228,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.minhashSigDescriptor)
     ext.injectFunction(GraftFunctions.dotDescriptor)
+    ext.injectFunction(GraftFunctions.hyperplaneSigDescriptor)
     ext.injectOptimizerRule(_ => PushRangeThroughNanos)
   }
 }

@@ -86,6 +86,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!forZero.exists(_.getLong(1) == 2L)) // opposite bucket
   }
 
+  test("cosineDedupPairsLsh: verified pairs are a subset of exact pairs with recall >= 0.9") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val exact = VectorFunctions
+      .cosineDedupPairs(emb, threshold = 0.35)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val lsh = VectorFunctions
+      .cosineDedupPairsLsh(emb, threshold = 0.35)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(lsh.subsetOf(exact), s"LSH produced non-exact pairs: ${lsh.diff(exact).take(5)}")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size}) below 0.9")
+  }
+
   test("text features: tokens, quality, langid, fingerprints") {
     val d = Seq((0L, "The quick  brown fox and the lazy dog, worth 10 points!")).toDF("doc_id", "text")
     val tok = TextFunctions.tokenCounts(d, col("text")).collect().head
