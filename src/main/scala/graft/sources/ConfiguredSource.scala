@@ -42,6 +42,12 @@ final case class SourceConfig(
       * (kukur/source/__init__.py:462).
       */
     valueType: String = "double",
+    /** dir layout only: how the series key is encoded in the path.
+      * None = Hive partition discovery (`series_name=<v>/`);
+      * Some("base64") = one flat file per series named
+      * `<base64(series)>.<ext>` (kukur/source/arrow.py:205).
+      */
+    pathEncoding: Option[String] = None,
 )
 
 final class ConfiguredSource(cfg: SourceConfig) {
@@ -128,9 +134,31 @@ final class ConfiguredSource(cfg: SourceConfig) {
     * as a `series_name` column and single-series queries prune to one
     * directory (the 100 TB path: partition pruning, no full scan).
     */
-  private def readDir(spark: SparkSession): DataFrame = {
-    val raw = reader(spark).option("basePath", cfg.path).load(cfg.path)
-    val base = withQuality(raw).withColumn("ts", normalizeTs(col(mapped("ts"))))
+  private def readDir(spark: SparkSession): DataFrame = cfg.pathEncoding match {
+    case Some("base64") => readDirBase64(spark)
+    case Some(other)    => throw new IllegalArgumentException(s"unknown path encoding: $other")
+    case None =>
+      val raw = reader(spark).option("basePath", cfg.path).load(cfg.path)
+      val base = withQuality(raw).withColumn("ts", normalizeTs(col(mapped("ts"))))
+      val cols = cfg.tagColumns.map(col) ++ Seq(col("ts"), col(mapped("value")).cast(cfg.valueType).as("value")) ++
+        (if (cfg.qualityGood.nonEmpty) Seq(col("quality")) else Nil)
+      base.select(cols: _*)
+  }
+
+  /** Base64 dir layout (kukur/source/arrow.py:205): one flat file per
+    * series, the file name is the base64-encoded series key. The key
+    * comes back by decoding `input_file_name()` — a narrow projection,
+    * no shuffle; Spark still reads all files in one distributed scan.
+    * Single tag column only (nested partitions use the Hive layout).
+    */
+  private def readDirBase64(spark: SparkSession): DataFrame = {
+    require(cfg.tagColumns.size == 1, "base64 dir layout supports exactly one tag column")
+    val raw = reader(spark).load(cfg.path)
+    val encoded = regexp_extract(url_decode(input_file_name()), "([^/]+)\\.[A-Za-z0-9]+$", 1)
+    val series = decode(unbase64(encoded), "UTF-8")
+    val base = withQuality(raw)
+      .withColumn(cfg.tagColumns.head, series)
+      .withColumn("ts", normalizeTs(col(mapped("ts"))))
     val cols = cfg.tagColumns.map(col) ++ Seq(col("ts"), col(mapped("value")).cast(cfg.valueType).as("value")) ++
       (if (cfg.qualityGood.nonEmpty) Seq(col("quality")) else Nil)
     base.select(cols: _*)

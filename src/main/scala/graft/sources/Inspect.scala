@@ -62,6 +62,45 @@ object Inspect {
       .load(uri)
   }
 
+  /** Database-backed inspect (kukur/inspect/postgres.py:1,
+    * databricks_sql.py, odbc.py): list tables through the standard
+    * `information_schema` (override `catalogQuery` for databases
+    * without one, e.g. Derby's SYS tables) — the listing itself is a
+    * JDBC read, so it honors the same connection properties as data
+    * reads and shows up in the same plans.
+    */
+  def listDatabase(
+      spark: SparkSession,
+      url: String,
+      driver: String,
+      properties: Map[String, String] = Map.empty,
+      catalogQuery: Option[String] = None,
+  ): DataFrame = {
+    val q = catalogQuery.getOrElse(
+      "SELECT table_schema AS schema_name, table_name FROM information_schema.tables ORDER BY 1, 2"
+    )
+    jdbcReader(spark, url, driver, properties).option("query", q).load()
+  }
+
+  /** Preview the first rows of a database table (kukur inspect
+    * preview over SQL backends).
+    */
+  def previewDatabase(
+      spark: SparkSession,
+      url: String,
+      driver: String,
+      table: String,
+      limit: Int = 100,
+      properties: Map[String, String] = Map.empty,
+  ): DataFrame =
+    jdbcReader(spark, url, driver, properties).option("dbtable", table).load().limit(limit)
+
+  private def jdbcReader(spark: SparkSession, url: String, driver: String, properties: Map[String, String]) = {
+    var r = spark.read.format("jdbc").option("url", url).option("driver", driver)
+    properties.foreach { case (k, v) => r = r.option(k, v) }
+    r
+  }
+
   private def inferFormat(spark: SparkSession, uri: String): String = {
     val direct = SupportedExtensions.get(uri.split('.').last.toLowerCase)
     direct.getOrElse {

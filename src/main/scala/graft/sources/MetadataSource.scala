@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *
   * Canonical metadata columns: tag columns + description, unit,
   * limit_low_physical, limit_high_physical, limit_low_functional,
-  * limit_high_functional, accuracy, interpolation_type, data_type,
-  * dictionary_name (kukur/metadata/fields.py).
+  * limit_high_functional, accuracy, accuracy_percentage,
+  * interpolation_type, data_type, dictionary_name
+  * (kukur/metadata/fields.py).
   */
 final case class MetadataConfig(
     path: String,
@@ -76,6 +77,7 @@ final class MetadataSource(cfg: MetadataConfig) {
       numeric(valueMapped("limit_low_functional", colOrNull("limit_low_functional"))).as("limit_low_functional"),
       numeric(valueMapped("limit_high_functional", colOrNull("limit_high_functional"))).as("limit_high_functional"),
       numeric(valueMapped("accuracy", colOrNull("accuracy"))).as("accuracy"),
+      numeric(valueMapped("accuracy_percentage", colOrNull("accuracy_percentage"))).as("accuracy_percentage"),
       upper(valueMapped("interpolation_type", colOrNull("interpolation_type")).cast("string")).as("interpolation_type"),
       upper(valueMapped("data_type", colOrNull("data_type")).cast("string")).as("data_type"),
       valueMapped("dictionary_name", colOrNull("dictionary_name")).cast("string").as("dictionary_name"),

@@ -83,6 +83,31 @@ class IpcJdbcSpec extends AnyFunSuite {
     assert(src.search(spark).collect().map(_.getString(0)).sorted.toSeq == Seq("rpm", "temp"))
   }
 
+  test("database-backed inspect lists tables and previews rows") {
+    val dbDir = Files.createTempDirectory("graft-derby-inspect").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE sensor_data (series VARCHAR(64), val DOUBLE)")
+    st.execute("INSERT INTO sensor_data VALUES ('temp', 20.5)")
+    st.close(); conn.close()
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    // Derby has no information_schema — pass its SYS-tables catalog query
+    val tables = graft.sources.Inspect
+      .listDatabase(
+        spark, url, driver,
+        catalogQuery = Some(
+          """SELECT s.schemaname AS schema_name, t.tablename AS table_name
+             FROM sys.systables t JOIN sys.sysschemas s ON t.schemaid = s.schemaid
+             WHERE t.tabletype = 'T'"""
+        ),
+      )
+      .collect()
+    assert(tables.exists(_.getString(1).equalsIgnoreCase("sensor_data")))
+    val preview = graft.sources.Inspect.previewDatabase(spark, url, driver, "sensor_data", limit = 10).collect()
+    assert(preview.length == 1 && preview.head.getDouble(1) == 20.5)
+  }
+
   test("partitioned jdbc read honors connection properties") {
     val dbDir = Files.createTempDirectory("graft-derby-part").toString
     val url = s"jdbc:derby:$dbDir/db;create=true"

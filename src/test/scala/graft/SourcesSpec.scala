@@ -87,6 +87,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Int]("quality")).toSeq == Seq(1, 0))
   }
 
+  test("base64 dir layout decodes the series key from the file name") {
+    val dir = tmp()
+    def b64(s: String) = java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    Files.writeString(java.nio.file.Path.of(dir, s"${b64("temp")}.csv"), "ts,value\n2024-01-01 00:00:00,1.5\n")
+    Files.writeString(java.nio.file.Path.of(dir, s"${b64("unit one")}.csv"), "ts,value\n2024-01-01 00:01:00,9.0\n")
+    val src = new ConfiguredSource(
+      SourceConfig(
+        path = dir, fileFormat = "csv", dataFormat = "dir",
+        datetimeFormat = Some("yyyy-MM-dd HH:mm:ss"),
+        pathEncoding = Some("base64"),
+      )
+    )
+    val rows = src.read(spark).orderBy("ts").collect()
+    assert(rows.map(_.getAs[String]("series_name")).toSeq == Seq("temp", "unit one"))
+    assert(rows.map(_.getAs[Double]("value")).toSeq == Seq(1.5, 9.0))
+  }
+
   test("row source with data timezone converts to UTC") {
     val dir = tmp()
     Seq(("s1", "2024-06-01 12:00:00", 1.0)).toDF("series_name", "ts", "value")
