@@ -225,26 +225,16 @@ object DedupFunctions {
 
   /** 64-bit SimHash per document: per bit, sign of the sum of ±1 votes
     * from `xxhash64(token)` over all tokens (with multiplicity).
+    * The vote fold runs in the native `graft_simhash64` expression —
+    * one compiled tokens×64 loop per row; the SQL spelling
+    * (`aggregate` + `zip_with`) allocates a 64-slot array per token
+    * per row in the interpreted evaluator. No explode, no shuffle.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     wordsSpread(df, idCol, textCol)
-      // per-row bit-vote accumulation: one 64-slot vote array per doc,
-      // folded over tokens inside the row — no explode, no shuffle
-      .withColumn(
-        "__votes",
-        expr(
-          """aggregate(
-               transform(__w, t -> xxhash64(t)),
-               array_repeat(0L, 64),
-               (acc, h) -> zip_with(acc, sequence(0L, 63L), (a, b) -> a + CASE WHEN (h >> b) & 1 = 1 THEN 1L ELSE -1L END))"""
-        ),
-      )
-      .select(
-        col("doc_id"),
-        expr(
-          "aggregate(zip_with(__votes, sequence(0L, 63L), (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, CAST(b AS INT)) ELSE 0L END), 0L, (a, e) -> a + e)"
-        ).as("simhash"),
-      )
+      .select(col("doc_id"), expr("graft_simhash64(transform(__w, t -> xxhash64(t)))").as("simhash"))
+  }
 
   /** SimHash near-dup candidates: 4 bands of 16 bits each (any shared
     * band ⇒ candidate), verified by full hamming distance ≤ maxHamming.

@@ -111,6 +111,55 @@ case class ScaledIntDot(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot12"
 }
 
+/** 64-bit SimHash over pre-hashed tokens: per bit, the sign of the sum
+  * of ±1 votes from each token hash (with multiplicity). Semantics are
+  * identical to the SQL formulation
+  * (`aggregate(hashes, array_repeat(0,64), zip_with votes)` then the
+  * sign fold) but one compiled tokens×64 loop per row instead of a
+  * 64-slot array allocation per token per row.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash needs array<bigint>, got $other"
+        )
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hashes = input.asInstanceOf[ArrayData]
+    val n = hashes.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = hashes.getLong(j)
+      var b = 0
+      while (b < 64) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_simhash64"
+}
+
 /** Random-hyperplane signature for embedding LSH: bit p of the result
   * is the sign of `Σ_j emb[j] · c(p,j)` against pseudo-random plane
   * components `c(p,j) = (xxhash64-chain(p,j) mod 1001) / 1000 ∈ [-1,1]`
@@ -212,9 +261,15 @@ object GraftFunctions {
     },
   )
 
+  val simhashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash64"),
+    new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+    (children: Seq[Expression]) => SimHash64(children.head),
+  )
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(minhashSigDescriptor, dotDescriptor, hyperplaneSigDescriptor).foreach { d =>
+    Seq(minhashSigDescriptor, dotDescriptor, hyperplaneSigDescriptor, simhashDescriptor).foreach { d =>
       if (!registry.functionExists(d._1)) registry.registerFunction(d._1, d._2, d._3)
     }
   }
@@ -229,6 +284,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.minhashSigDescriptor)
     ext.injectFunction(GraftFunctions.dotDescriptor)
     ext.injectFunction(GraftFunctions.hyperplaneSigDescriptor)
+    ext.injectFunction(GraftFunctions.simhashDescriptor)
     ext.injectOptimizerRule(_ => PushRangeThroughNanos)
   }
 }

@@ -57,6 +57,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(h((0L, 1L)) == 0L)
   }
 
+  test("native graft_simhash64 is bit-identical to the SQL vote fold") {
+    graft.plans.GraftFunctions.register(spark)
+    val d = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val w = d.select(col("doc_id"), graft.functions.TextFunctions.words(col("text")).as("__w"))
+    val native = w
+      .select(col("doc_id"), expr("graft_simhash64(transform(__w, t -> xxhash64(t)))").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaSql = w
+      .withColumn(
+        "__votes",
+        expr(
+          """aggregate(
+               transform(__w, t -> xxhash64(t)),
+               array_repeat(0L, 64),
+               (acc, h) -> zip_with(acc, sequence(0L, 63L), (a, b) -> a + CASE WHEN (h >> b) & 1 = 1 THEN 1L ELSE -1L END))"""
+        ),
+      )
+      .select(
+        col("doc_id"),
+        expr(
+          "aggregate(zip_with(__votes, sequence(0L, 63L), (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, CAST(b AS INT)) ELSE 0L END), 0L, (a, e) -> a + e)"
+        ).as("sig"),
+      )
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == viaSql)
+  }
+
   test("cosineTopK ranks an identical vector first") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
