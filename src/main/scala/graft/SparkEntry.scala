@@ -588,6 +588,15 @@ object SparkEntry {
       TextFunctions.chunk(Tables.documents(s, dir), col("doc_id"), col("text"))
         .withColumn("chunk_id", col("chunk_id").cast("long"))
     },
+    // C16: sequence packing — chunks → fixed-capacity training
+    // sequences, per-doc (no contamination across documents)
+    "text_pack" -> { (s, dir) =>
+      TextFunctions.packChunks(
+        TextFunctions.chunk(Tables.documents(s, dir), col("doc_id"), col("text"))
+          .withColumn("chunk_id", col("chunk_id").cast("long")),
+        capacity = 256,
+      )
+    },
     // C13: approximate per-series stats — the 100 TB scale path
     // (sketches, not exact aggregation; rows-only by nature)
     "ts_approx_stats" -> { (s, dir) =>
@@ -1062,6 +1071,26 @@ object SparkEntry {
          SELECT doc_id, CAST(UNNEST(ids) AS BIGINT) AS chunk_id, UNNEST(chunks) AS chunk_text,
                 CAST(len(string_split(UNNEST(chunks), ' ')) AS BIGINT) AS n_words
          FROM c""",
+    "text_pack" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+         c AS (SELECT doc_id,
+                 generate_series(0, CAST(GREATEST(CEIL((len(w) - 16) / CAST(48 AS DOUBLE)), 1) AS INT) - 1) AS ids,
+                 list_transform(generate_series(0, CAST(GREATEST(CEIL((len(w) - 16) / CAST(48 AS DOUBLE)), 1) AS INT) - 1),
+                                i -> array_to_string(list_slice(w, i * 48 + 1, i * 48 + 64), ' ')) AS chunks
+               FROM w),
+         chunked AS (
+           SELECT doc_id, CAST(UNNEST(ids) AS BIGINT) AS chunk_id, UNNEST(chunks) AS chunk_text,
+                  CAST(len(string_split(UNNEST(chunks), ' ')) AS BIGINT) AS n_words
+           FROM c),
+         offsets AS (
+           SELECT doc_id, chunk_id, chunk_text, n_words,
+                  COALESCE(SUM(n_words) OVER (PARTITION BY doc_id ORDER BY chunk_id
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wb
+           FROM chunked)
+         SELECT doc_id, CAST(FLOOR(wb / 256.0) AS BIGINT) AS seq_id,
+                COUNT(*) AS n_chunks, CAST(SUM(n_words) AS BIGINT) AS n_words,
+                string_agg(chunk_text, ' ' ORDER BY chunk_id) AS seq_text
+         FROM offsets GROUP BY 1, 2""",
     "text_fingerprint" ->
       """WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
          hashes AS (SELECT doc_id,

@@ -139,6 +139,38 @@ object TextFunctions {
       .withColumn("n_words", org.apache.spark.sql.functions.size(split(col("chunk_text"), " ")).cast("long"))
   }
 
+  /** Pack chunk windows into fixed-capacity training sequences — the
+    * step between chunking and tokenization in a training-data
+    * pipeline. Packing never crosses a document boundary (the standard
+    * no-contamination mode), so it parallelizes per doc: a chunk joins
+    * the sequence its running word offset starts in
+    * (`seq_id = floor(words_before / capacity)`), computed with one
+    * per-doc window — no global order, no single-partition bottleneck.
+    * Emits (doc_id, seq_id, n_chunks, n_words, seq_text) with chunks
+    * concatenated in chunk order.
+    */
+  def packChunks(chunks: DataFrame, capacity: Int = 256): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("chunk_id"))
+      .rowsBetween(Long.MinValue, -1)
+    chunks
+      .withColumn("__wb", coalesce(sum(col("n_words")).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("__wb") / lit(capacity)).cast("long"))
+      .groupBy(col("doc_id"), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_words")).as("n_words"),
+        concat_ws(
+          " ",
+          transform(
+            array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+            x => x.getField("chunk_text"),
+          ),
+        ).as("seq_text"),
+      )
+  }
+
   /** Winnowing document fingerprint: k-char-gram md5 prefixes, minimum
     * per sliding window of w hashes, distinct. The standard MOSS
     * scheme; emits (doc, fingerprint) rows for index-style joins.

@@ -130,6 +130,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size}) below 0.9")
   }
 
+  test("packChunks fills fixed-capacity sequences without crossing documents") {
+    val docs = Seq(
+      (1L, Array.fill(100)("w").mkString(" ")), // 100 words -> 2 chunks of 64/52
+      (2L, "short doc"),
+    ).toDF("doc_id", "text")
+    val chunks = TextFunctions.chunk(docs, col("doc_id"), col("text"))
+      .withColumn("chunk_id", col("chunk_id").cast("long"))
+    val packed = TextFunctions.packChunks(chunks, capacity = 64).collect()
+    // doc 1: chunk0 starts at offset 0 -> seq 0; chunk1 starts at 64 -> seq 1
+    val d1 = packed.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+    assert(d1.map(_.getLong(1)).toSeq == Seq(0L, 1L))
+    // doc 2 packs into its own sequence 0 — never merged into doc 1
+    val d2 = packed.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getLong(1) == 0L)
+    // sequence text preserves chunk order and word counts add up
+    assert(d1.map(_.getAs[Long]("n_words")).sum == chunks.where(col("doc_id") === 1).agg(sum("n_words")).collect().head.getLong(0))
+  }
+
   test("text features: tokens, quality, langid, fingerprints") {
     val d = Seq((0L, "The quick  brown fox and the lazy dog, worth 10 points!")).toDF("doc_id", "text")
     val tok = TextFunctions.tokenCounts(d, col("text")).collect().head
