@@ -57,24 +57,52 @@ object ArrowIpcSource {
     }
   }
 
-  private def decodeAll(bytes: Array[Byte], streaming: Boolean, schema: StructType): Iterator[Row] = {
-    // decode eagerly per file (files are batch-sized by construction);
-    // keeps allocator lifetime simple inside the task
-    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-    withReader(bytes, streaming) { reader =>
-      val root = reader.getVectorSchemaRoot
-      while (reader.loadNextBatch()) {
-        val vectors = root.getFieldVectors.asScala.toSeq
-        var i = 0
-        val n = root.getRowCount
-        while (i < n) {
-          out += Row.fromSeq(vectors.zip(schema.fields).map { case (v, f) => readValue(v, i, f.dataType) })
-          i += 1
+  /** Lazy per-batch decode: rows stream out batch by batch, so task
+    * memory is bounded by one file's raw bytes (the binaryFile row —
+    * IPC footers aren't splittable) plus ONE decoded Arrow batch, not
+    * the whole decoded file. The reader/allocator close when the
+    * iterator drains; a task-completion listener covers early
+    * termination (limit, failure).
+    */
+  private def decodeAll(bytes: Array[Byte], streaming: Boolean, schema: StructType): Iterator[Row] =
+    new Iterator[Row] {
+      private val allocator = new RootAllocator(Long.MaxValue)
+      private val reader: ArrowReader =
+        if (streaming) new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), allocator)
+        else new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), allocator)
+      private val root = reader.getVectorSchemaRoot
+      private var rowIdx = 0
+      private var rowCount = 0
+      private var open = true
+
+      Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => close()))
+
+      private def close(): Unit =
+        if (open) {
+          open = false
+          reader.close()
+          allocator.close()
         }
+
+      private def advance(): Unit =
+        while (open && rowIdx >= rowCount) {
+          if (reader.loadNextBatch()) {
+            rowIdx = 0
+            rowCount = root.getRowCount
+          } else close()
+        }
+
+      override def hasNext: Boolean = { advance(); open }
+
+      override def next(): Row = {
+        advance()
+        if (!open) throw new NoSuchElementException("exhausted arrow batch iterator")
+        val vectors = root.getFieldVectors.asScala.toSeq
+        val r = Row.fromSeq(vectors.zip(schema.fields).map { case (v, f) => readValue(v, rowIdx, f.dataType) })
+        rowIdx += 1
+        r
       }
     }
-    out.iterator
-  }
 
   private def readValue(v: FieldVector, i: Int, dt: DataType): Any = {
     if (v.isNull(i)) null
