@@ -74,6 +74,21 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup for document ingest — the streaming dual of
+    * DedupFunctions.exactGroups: drop any document whose normalized-text
+    * fingerprint was already seen within the watermark horizon.
+    * `dropDuplicates` keeps one state entry per fingerprint and the
+    * event-time watermark bounds that state (duplicates in a training
+    * crawl arrive close together; far-apart repeats are caught by the
+    * batch pass) — constant memory at any throughput, no shuffle beyond
+    * the fingerprint hash partitioning.
+    */
+  def dedupStream(docStream: DataFrame, tsCol: String = "ingest_ts", watermark: String = "1 hour"): DataFrame =
+    docStream
+      .withColumn("fp", md5(graft.functions.TextFunctions.normText(col("text"))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("fp"))
+
   /** Convenience: run a streaming frame to completion against a memory
     * sink (test/demo harness; production would use a real sink).
     */

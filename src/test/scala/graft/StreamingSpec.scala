@@ -65,6 +65,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(1).getAs[Long]("n") == 1L)
   }
 
+  test("dedupStream drops repeated documents within the watermark horizon") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    mem.addData(
+      (1L, "The quick brown fox", t("2024-01-01T00:00:00Z")),
+      (2L, "the  QUICK brown fox", t("2024-01-01T00:05:00Z")), // same after normalization
+      (3L, "something else entirely", t("2024-01-01T00:06:00Z")),
+    )
+    val df = mem.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = EventStream
+      .dedupStream(df)
+      .writeStream.format("memory").queryName("dedup_stream").outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    // second batch: another copy of the fox doc — still within watermark
+    mem.addData((4L, "the quick brown fox ", t("2024-01-01T00:10:00Z")))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup_stream").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L)) // 2 and 4 are dropped as duplicates
+  }
+
   test("statefulLatest keeps the newest point per series across batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(String, Long, Timestamp, Double)]
