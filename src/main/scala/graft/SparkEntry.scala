@@ -625,7 +625,10 @@ object SparkEntry {
       val scored = TextFunctions
         .qualityScore(TextFunctions.langId(docs, col("text")), col("text"))
         .select(col("doc_id"), col("text"), col("pred_lang"), col("quality_score"))
-      val kept = scored.where(col("quality_score") > 0.45 && col("pred_lang") === "en")
+      // kept feeds both the shingle index (via jaccardPairs) and the
+      // final anti-join + chunking — cache the filtered frame so the
+      // regex-heavy quality/langid scoring runs once
+      val kept = scored.where(col("quality_score") > 0.45 && col("pred_lang") === "en").cache()
       val dupes = DedupFunctions
         .dedupGroups(DedupFunctions.jaccardPairs(kept, "doc_id", "text"))
         .where(col("doc_id") =!= col("group_id"))
