@@ -30,9 +30,15 @@ object SparkEntry {
   /** Order-independent exact sum of a double expression: scaled to µ-units,
     * summed as integers, descaled. Bit-identical across engines and
     * partitionings — see SURVEY.md float-determinism policy.
+    *
+    * The accumulator is decimal(38,0), not long: at 100 TB a whole-table
+    * sum of µ-scaled values (~5·10¹⁹) silently wraps a 64-bit
+    * accumulator. The DuckDB oracle already sums into a 128-bit
+    * hugeint, and both engines round the same exact integer to double,
+    * so results stay bit-identical.
     */
   private def exactSum(c: Column): Column =
-    sum(floor(c * lit(1000000.0)).cast("long")) / lit(1000000.0)
+    sum(floor(c * lit(1000000.0)).cast("decimal(38,0)")).cast("double") / lit(1000000.0)
 
   /** SQL rendering of [[exactSum]] for the DuckDB oracle. */
   private def exactSumSql(e: String): String =

@@ -65,8 +65,11 @@ object TimeSeriesOps {
       .select(tagCols.map(col) :+ col("last.ts").as("ts") :+ col("last.value").as("value"): _*)
 
   /** Computed per-series metadata: point count, time span, value stats.
-    * Sums are computed on scaled integers (`floor(v*1e6)` as long) so the
-    * result is order-independent — see SURVEY.md float policy.
+    * Sums are computed on scaled integers (`floor(v*1e6)`) so the
+    * result is order-independent — see SURVEY.md float policy. The
+    * accumulator is decimal(38,0): a long would wrap on a 10¹⁰-point
+    * series; the DuckDB oracle's hugeint sum rounds the same exact
+    * integer to double.
     */
   def metadataAgg(df: DataFrame, tagCols: Seq[String]): DataFrame =
     df.groupBy(tagCols.map(col): _*)
@@ -76,7 +79,7 @@ object TimeSeriesOps {
         max(col("ts")).as("max_ts"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"),
-        (sum(floor(col("value") * lit(1000000.0)).cast("long")) / lit(1000000.0) / count(lit(1)))
+        (sum(floor(col("value") * lit(1000000.0)).cast("decimal(38,0)")).cast("double") / lit(1000000.0) / count(lit(1)))
           .as("mean_value"),
       )
 
