@@ -541,6 +541,14 @@ object SparkEntry {
         .jaccardPairs(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_a"), col("doc_b"), col("intersection"), col("union_size"))
     },
+    // C5d: prefix-filtered exact Jaccard — identical output to
+    // dedup_ngram_jaccard (same oracle), skew-resistant candidate
+    // generation for corpus scale (AllPairs/PPJoin prefix scheme)
+    "dedup_jaccard_prefix" -> { (s, dir) =>
+      DedupFunctions
+        .jaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"), col("intersection"), col("union_size"))
+    },
     // C5b: embedding-cosine near-dup pairs (exact baseline, τ = 0.35)
     "dedup_embedding" -> { (s, dir) =>
       VectorFunctions.cosineDedupPairs(Tables.embeddings(s, dir), threshold = 0.35)
@@ -960,6 +968,19 @@ object SparkEntry {
                 MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY 1""",
     "dedup_ngram_jaccard" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+         w AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+                FROM w WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT doc_a, doc_b, i AS intersection, na.n + nb.n - i AS union_size
+         FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+         WHERE i * 5 >= (na.n + nb.n - i) * 4""",
+    // prefix filtering only changes candidate generation — the exact
+    // result set is the same, so the oracle is the same
+    "dedup_jaccard_prefix" ->
       """WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
          w AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
          sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s

@@ -52,6 +52,11 @@ object DedupFunctions {
     * The threshold compares scaled integers (`den*i >= num*u`), so no
     * float boundary ambiguity. numThreshold/denThreshold = τ as a
     * fraction, e.g. 4/5 for 0.8.
+    *
+    * The join output is Σ df² per shingle — fine while no shingle is
+    * hot, pathological on stop-word-like shingles at corpus scale; see
+    * [[jaccardPairsPrefix]] for the skew-resistant formulation with
+    * identical output.
     */
   def jaccardPairs(
       df: DataFrame,
@@ -72,6 +77,61 @@ object DedupFunctions {
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("union_size", col("n_a") + col("n_b") - col("intersection"))
+      .where(col("intersection") * denThreshold >= col("union_size") * numThreshold)
+      .withColumn("jaccard", round(col("intersection").cast("double") / col("union_size"), 6))
+      .select(col("doc_a"), col("doc_b"), col("intersection"), col("union_size"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard with prefix filtering — the AllPairs/PPJoin
+    * candidate scheme, bit-identical output to [[jaccardPairs]] but
+    * skew-resistant: docs join only on their `|S| − ⌈τ·|S|⌉ + 1`
+    * globally RAREST shingles (any pair with Jaccard ≥ τ provably
+    * shares one — the smallest shared shingle under a common
+    * (df, shingle) order lies in both prefixes since each prefix
+    * assumes t = ⌈τ|S|⌉ ≤ |A∩B|), then candidates verify exactly via
+    * `array_intersect` on the full sets plus the τ·|A| ≤ |B| length
+    * filter. Candidate volume is bounded by rare-shingle collisions,
+    * never Σ df² over hot shingles — this is the 100 TB formulation;
+    * the extra df/window stages make it slower than the naive join at
+    * small scale.
+    */
+  def jaccardPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numThreshold: Int = 4,
+      denThreshold: Int = 5,
+  ): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol, n).cache()
+    // one row per doc: sorted shingle set + size, for exact verification
+    val docSets = sh
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("shingles"), count(lit(1)).as("n_sh"))
+    // global rarity order: document frequency, ties broken by shingle
+    val withDf = sh.join(sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")), "shingle")
+    val rk = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val szW = Window.partitionBy(col("doc_id"))
+    // prefix length |S| - ceil(τ|S|) + 1, with ceil(τs) = ceil(num*s/den)
+    val prefix = withDf
+      .withColumn("rk", row_number().over(rk))
+      .withColumn("sz", count(lit(1)).over(szW))
+      .where(col("rk") <= col("sz") - ceil(col("sz") * numThreshold / denThreshold) + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cands = prefix
+      .withColumnRenamed("doc_id", "doc_a")
+      .join(prefix.withColumnRenamed("doc_id", "doc_b"), "shingle")
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cands
+      .join(docSets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("n_sh").as("n_b")), "doc_b")
+      // length filter: τ|A| ≤ |B| and τ|B| ≤ |A| are necessary for J ≥ τ
+      .where(col("n_a") * numThreshold <= col("n_b") * denThreshold &&
+        col("n_b") * numThreshold <= col("n_a") * denThreshold)
+      .withColumn("intersection", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("union_size", col("n_a") + col("n_b") - col("intersection"))
       .where(col("intersection") * denThreshold >= col("union_size") * numThreshold)
       .withColumn("jaccard", round(col("intersection").cast("double") / col("union_size"), 6))

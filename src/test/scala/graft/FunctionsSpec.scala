@@ -113,6 +113,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!forZero.exists(_.getLong(1) == 2L)) // opposite bucket
   }
 
+  test("prefix-filtered jaccard equals the naive inverted-index join exactly") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.01")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val naive = DedupFunctions.jaccardPairs(d, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"), col("intersection"), col("union_size"))
+      .collect().map(key).toSet
+    val prefix = DedupFunctions.jaccardPairsPrefix(d, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"), col("intersection"), col("union_size"))
+      .collect().map(key).toSet
+    assert(prefix == naive)
+  }
+
   test("cosineDedupPairsLsh: verified pairs are a subset of exact pairs with recall >= 0.9") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val exact = VectorFunctions
