@@ -602,6 +602,11 @@ object SparkEntry {
       TextFunctions.chunk(Tables.documents(s, dir), col("doc_id"), col("text"))
         .withColumn("chunk_id", col("chunk_id").cast("long"))
     },
+    // C17: repetition quality signals (Gopher-style: duplicated
+    // trigram fraction + top-bigram share)
+    "text_repetition" -> { (s, dir) =>
+      TextFunctions.repetitionScores(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
     // C16: sequence packing — chunks → fixed-capacity training
     // sequences, per-doc (no contamination across documents)
     "text_pack" -> { (s, dir) =>
@@ -1101,6 +1106,28 @@ object SparkEntry {
          SELECT doc_id, CAST(UNNEST(ids) AS BIGINT) AS chunk_id, UNNEST(chunks) AS chunk_text,
                 CAST(len(string_split(UNNEST(chunks), ' ')) AS BIGINT) AS n_words
          FROM c""",
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+         grams AS (
+           SELECT doc_id,
+                  CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END AS tri,
+                  CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]) ELSE [] END AS bi
+           FROM w),
+         dup AS (
+           SELECT doc_id,
+                  CASE WHEN len(tri) > 0
+                       THEN FLOOR((len(tri) - len(list_distinct(tri))) * 1000000.0 / len(tri)) / 1000000.0
+                       ELSE 0.0 END AS dup_trigram_frac,
+                  bi
+           FROM grams),
+         bic AS (
+           SELECT doc_id, UNNEST(bi) AS bigram FROM dup),
+         top AS (
+           SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt) AS n_bi
+           FROM (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bic GROUP BY 1, 2) GROUP BY 1)
+         SELECT d.doc_id, d.dup_trigram_frac,
+                COALESCE(FLOOR(t.top_cnt * 1000000.0 / t.n_bi) / 1000000.0, 0.0) AS top_bigram_frac
+         FROM dup d LEFT JOIN top t ON d.doc_id = t.doc_id""",
     "text_pack" ->
       """WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
          c AS (SELECT doc_id,

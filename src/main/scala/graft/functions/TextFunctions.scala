@@ -139,6 +139,48 @@ object TextFunctions {
       .withColumn("n_words", org.apache.spark.sql.functions.size(split(col("chunk_text"), " ")).cast("long"))
   }
 
+  /** Repetition signals (Gopher/C4-style quality filters): the fraction
+    * of duplicated word 3-grams and the share of the most frequent word
+    * bigram. Highly repetitive documents (boilerplate, keyword spam,
+    * generation loops) score high on both. Distinct-fraction is a
+    * per-row HOF (no shuffle); the top-bigram share needs one
+    * explode + per-doc aggregate — a single hash shuffle keyed by
+    * (doc_id, bigram), bounded by corpus token count.
+    * Ratios are floor-scaled at 1e-6 like every other ratio here.
+    */
+  def repetitionScores(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val base = spread
+      .select(idCol.as("doc_id"), words(text).as("__w"))
+      // CASE guards like shingles(): sequence(1, 0) counts DOWNWARD
+      .withColumn(
+        "__tri",
+        expr("CASE WHEN size(__w) >= 3 THEN transform(sequence(1, size(__w) - 2), i -> concat_ws(' ', element_at(__w, i), element_at(__w, i + 1), element_at(__w, i + 2))) ELSE array() END"),
+      )
+      .withColumn(
+        "__bi",
+        expr("CASE WHEN size(__w) >= 2 THEN transform(sequence(1, size(__w) - 1), i -> concat_ws(' ', element_at(__w, i), element_at(__w, i + 1))) ELSE array() END"),
+      )
+    val dupTri = base.select(
+      col("doc_id"),
+      when(size(col("__tri")) > 0,
+        ratio6(size(col("__tri")) - size(array_distinct(col("__tri"))), size(col("__tri"))))
+        .otherwise(lit(0.0)).as("dup_trigram_frac"),
+      col("__bi"),
+    )
+    val topBigram = dupTri
+      .select(col("doc_id"), explode(col("__bi")).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("n_bi"))
+      .select(col("doc_id"), ratio6(col("top_cnt"), col("n_bi")).as("top_bigram_frac"))
+    dupTri
+      .select(col("doc_id"), col("dup_trigram_frac"))
+      .join(topBigram, Seq("doc_id"), "left")
+      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+  }
+
   /** Pack chunk windows into fixed-capacity training sequences — the
     * step between chunking and tokenization in a training-data
     * pipeline. Packing never crosses a document boundary (the standard

@@ -142,6 +142,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size}) below 0.9")
   }
 
+  test("repetitionScores flags repetitive docs, zeroes clean and degenerate ones") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam"), // one trigram repeated
+      (2L, "every word here is fully unique today"),
+      (3L, "hi"), // shorter than a bigram window
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.repetitionScores(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 0.75) // 4 trigrams, 1 distinct -> 3/4 duplicated
+    assert(out(1L)._2 == 1.0) // the single bigram is every bigram
+    assert(out(2L) == ((0.0, ratio(1, 6))))
+    assert(out(3L) == ((0.0, 0.0)))
+  }
+
+  private def ratio(num: Int, den: Int): Double = math.floor(num * 1000000.0 / den) / 1000000.0
+
   test("packChunks fills fixed-capacity sequences without crossing documents") {
     val docs = Seq(
       (1L, Array.fill(100)("w").mkString(" ")), // 100 words -> 2 chunks of 64/52
