@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch: round count + per-round time of the CC loop at a given SF. */
+object CcProfile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val pairs = graft.functions.DedupFunctions
+      .jaccardPairs(graft.Tables.documents(spark, dir), "doc_id", "text")
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    println(s"edges: ${edges.count()}")
+    var labels = edges.select(col("src").as("node")).distinct().withColumn("label", col("node")).localCheckpoint()
+    var changed = true
+    var iter = 0
+    while (changed && iter < 20) {
+      val t0 = System.nanoTime()
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "src").withColumnRenamed("label", "nl"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("nl")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"), col("label").as("old"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = updated.where(col("label") =!= col("old")).limit(1).count() > 0
+      labels = updated.select(col("node"), col("label"))
+      iter += 1
+      println(f"round $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s changed=$changed")
+    }
+    spark.stop()
+  }
+}
