@@ -73,16 +73,18 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) elapsed else -1.0
       }
-      val best = if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0
+      val best = if (times.forall(_ >= 0)) times.min else -1.0
       System.err.println(f"[bench] $name%-28s $best%8.3f s  (runs: ${times.map(t => f"$t%.3f").mkString(", ")})")
       name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // failed count goes INTO the JSON: a query regressing to -1 must
+    // not read as a faster total to a consumer comparing across rounds
     val failed = results.count(_._2 < 0)
     if (failed > 0) System.err.println(s"[bench] $failed queries FAILED (reported as -1)")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -52,12 +52,16 @@ case class MinHashSignature(child: Expression, perms: Int)
     java.util.Arrays.fill(sig, Long.MaxValue)
     var j = 0
     while (j < n) {
-      val h = hashes.getLong(j)
-      var i = 0
-      while (i < perms) {
-        val v = XXH64.hashLong(h, seeds(i))
-        if (v < sig(i)) sig(i) = v
-        i += 1
+      // null slots are absent elements (ArrayData.getLong on a null
+      // slot returns an undefined value — never fold it in)
+      if (!hashes.isNullAt(j)) {
+        val h = hashes.getLong(j)
+        var i = 0
+        while (i < perms) {
+          val v = XXH64.hashLong(h, seeds(i))
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
       }
       j += 1
     }
@@ -99,7 +103,9 @@ case class ScaledIntDot(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
-      acc += math.floor(xs.getFloat(i).toDouble * ys.getFloat(i).toDouble * 1e12).toLong
+      // null slots contribute nothing (undefined getFloat on null slots)
+      if (!xs.isNullAt(i) && !ys.isNullAt(i))
+        acc += math.floor(xs.getFloat(i).toDouble * ys.getFloat(i).toDouble * 1e12).toLong
       i += 1
     }
     acc
@@ -137,11 +143,14 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     val votes = new Array[Int](64)
     var j = 0
     while (j < n) {
-      val h = hashes.getLong(j)
-      var b = 0
-      while (b < 64) {
-        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+      // null slots cast no votes (undefined getLong on null slots)
+      if (!hashes.isNullAt(j)) {
+        val h = hashes.getLong(j)
+        var b = 0
+        while (b < 64) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
       }
       j += 1
     }
@@ -212,7 +221,10 @@ case class HyperplaneSignature(child: Expression, planes: Int)
       val comp = pl(p)
       var acc = 0.0
       var j = 0
-      while (j < dim) { acc += emb.getFloat(j).toDouble * comp(j); j += 1 }
+      while (j < dim) {
+        if (!emb.isNullAt(j)) acc += emb.getFloat(j).toDouble * comp(j)
+        j += 1
+      }
       if (acc > 0) sig |= (1L << p)
       p += 1
     }

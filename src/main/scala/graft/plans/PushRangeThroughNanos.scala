@@ -75,6 +75,9 @@ object PushRangeThroughNanos extends Rule[LogicalPlan] {
       for (lo <- geq(ns, us); hi <- leq(ns, us)) yield And(lo, hi)
     // literal-first spellings
     case LessThanOrEqual(Literal(us: Long, TimestampType), UsOfNanos(ns)) => geq(ns, us)
+    case LessThan(Literal(us: Long, TimestampType), UsOfNanos(ns)) if us < Long.MaxValue =>
+      geq(ns, us + 1L)
+    case GreaterThanOrEqual(Literal(us: Long, TimestampType), UsOfNanos(ns)) => leq(ns, us)
     case GreaterThan(Literal(us: Long, TimestampType), UsOfNanos(ns)) if us > Long.MinValue =>
       leq(ns, us - 1L)
     case _ => None

@@ -67,10 +67,17 @@ object ArrowIpcSource {
   private def decodeAll(bytes: Array[Byte], streaming: Boolean, schema: StructType): Iterator[Row] =
     new Iterator[Row] {
       private val allocator = new RootAllocator(Long.MaxValue)
+      // corrupt bytes throw during construction — the allocator must
+      // not outlive a reader that never existed
       private val reader: ArrowReader =
-        if (streaming) new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), allocator)
-        else new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), allocator)
-      private val root = reader.getVectorSchemaRoot
+        try {
+          if (streaming) new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), allocator)
+          else new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), allocator)
+        } catch { case e: Throwable => allocator.close(); throw e }
+      private val root =
+        try reader.getVectorSchemaRoot
+        catch { case e: Throwable => reader.close(); allocator.close(); throw e }
+      private var vectors: Seq[(FieldVector, DataType)] = Nil
       private var rowIdx = 0
       private var rowCount = 0
       private var open = true
@@ -89,6 +96,9 @@ object ArrowIpcSource {
           if (reader.loadNextBatch()) {
             rowIdx = 0
             rowCount = root.getRowCount
+            // field-vector handles are per-batch state: hoist once here
+            // instead of rebuilding the Seq on every row
+            vectors = root.getFieldVectors.asScala.toSeq.zip(schema.fields.toSeq.map(_.dataType))
           } else close()
         }
 
@@ -97,8 +107,7 @@ object ArrowIpcSource {
       override def next(): Row = {
         advance()
         if (!open) throw new NoSuchElementException("exhausted arrow batch iterator")
-        val vectors = root.getFieldVectors.asScala.toSeq
-        val r = Row.fromSeq(vectors.zip(schema.fields).map { case (v, f) => readValue(v, rowIdx, f.dataType) })
+        val r = Row.fromSeq(vectors.map { case (v, dt) => readValue(v, rowIdx, dt) })
         rowIdx += 1
         r
       }

@@ -76,13 +76,20 @@ final class ConfiguredSource(cfg: SourceConfig) {
     }
   }
 
+  /** GOOD(1)/BAD(0) from the raw quality column. Each good value
+    * compares as a TYPED literal (`col === lit(v)`, OR-folded), so an
+    * integer good-list still matches a DOUBLE/FLOAT quality column via
+    * numeric coercion (192 matches 192.0) and string codes compare as
+    * strings — a string-cast comparison would render 192.0 as "192.0"
+    * and silently mark every row BAD.
+    */
   private def withQuality(df: DataFrame): DataFrame =
     if (cfg.qualityGood.isEmpty) df
-    else
-      df.withColumn(
-        "quality",
-        graft.operators.TimeSeriesOps.qualityMapValues(col(mapped("quality")), cfg.qualityGood.map(_.toString)),
-      )
+    else {
+      val raw = col(mapped("quality"))
+      val isGood = cfg.qualityGood.map(v => raw === lit(v)).reduce(_ || _)
+      df.withColumn("quality", when(isGood, lit(1)).otherwise(lit(0)).cast("int"))
+    }
 
   /** Canonical read: one distributed frame with all series. */
   def read(spark: SparkSession): DataFrame = cfg.dataFormat match {
@@ -154,7 +161,13 @@ final class ConfiguredSource(cfg: SourceConfig) {
   private def readDirBase64(spark: SparkSession): DataFrame = {
     require(cfg.tagColumns.size == 1, "base64 dir layout supports exactly one tag column")
     val raw = reader(spark).load(cfg.path)
-    val encoded = regexp_extract(url_decode(input_file_name()), "([^/]+)\\.[A-Za-z0-9]+$", 1)
+    // NO url_decode: it is x-www-form-urlencoded and would turn a
+    // literal '+' — a standard base64 alphabet character that
+    // input_file_name() leaves unencoded — into a space, corrupting the
+    // key. Only %XX escapes need undoing; base64 names never contain
+    // '%', so a targeted %XX→byte rewrite is safe.
+    val fileName = regexp_extract(input_file_name(), "([^/]+)\\.[A-Za-z0-9]+$", 1)
+    val encoded = regexp_replace(fileName, "%2[Bb]", "+")
     val series = decode(unbase64(encoded), "UTF-8")
     val base = withQuality(raw)
       .withColumn(cfg.tagColumns.head, series)

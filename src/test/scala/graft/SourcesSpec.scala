@@ -90,8 +90,10 @@ class SourcesSpec extends AnyFunSuite {
   test("base64 dir layout decodes the series key from the file name") {
     val dir = tmp()
     def b64(s: String) = java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    assert(b64("~~~").contains("+")) // guard: the '+'-alphabet case stays covered
     Files.writeString(java.nio.file.Path.of(dir, s"${b64("temp")}.csv"), "ts,value\n2024-01-01 00:00:00,1.5\n")
     Files.writeString(java.nio.file.Path.of(dir, s"${b64("unit one")}.csv"), "ts,value\n2024-01-01 00:01:00,9.0\n")
+    Files.writeString(java.nio.file.Path.of(dir, s"${b64("~~~")}.csv"), "ts,value\n2024-01-01 00:02:00,4.0\n")
     val src = new ConfiguredSource(
       SourceConfig(
         path = dir, fileFormat = "csv", dataFormat = "dir",
@@ -100,8 +102,20 @@ class SourcesSpec extends AnyFunSuite {
       )
     )
     val rows = src.read(spark).orderBy("ts").collect()
-    assert(rows.map(_.getAs[String]("series_name")).toSeq == Seq("temp", "unit one"))
-    assert(rows.map(_.getAs[Double]("value")).toSeq == Seq(1.5, 9.0))
+    assert(rows.map(_.getAs[String]("series_name")).toSeq == Seq("temp", "unit one", "~~~"))
+    assert(rows.map(_.getAs[Double]("value")).toSeq == Seq(1.5, 9.0, 4.0))
+  }
+
+  test("integer good-list matches a double-typed quality column") {
+    val dir = tmp()
+    Seq(
+      ("s1", t("2024-01-01T00:00:00Z"), 1.5, 192.0),
+      ("s1", t("2024-01-01T00:01:00Z"), 2.5, 0.0),
+    ).toDF("series_name", "ts", "value", "quality")
+      .write.mode("overwrite").parquet(dir)
+    val src = new ConfiguredSource(SourceConfig(path = dir, dataFormat = "row", qualityGood = Seq(192)))
+    val rows = src.read(spark).orderBy("ts").collect()
+    assert(rows.map(_.getAs[Int]("quality")).toSeq == Seq(1, 0))
   }
 
   test("row source with data timezone converts to UTC") {
