@@ -50,6 +50,12 @@ class OptimizerRuleSpec extends AnyFunSuite {
 
     val eqZero = df.where(col("ts") === lit(Timestamp.from(Instant.EPOCH))).select("ns").as[Long].collect().sorted
     assert(eqZero.toSeq == ns.filter(v => v / 1000L == 0L).sorted) // preimage of 0 is [-999, 999]
+
+    // literal-first spellings must derive the same (correct) bounds
+    val litFirstGe = df.where(lit(usBound) >= col("ts")).select("ns").as[Long].collect().sorted
+    assert(litFirstGe.toSeq == ns.filter(v => v / 1000L <= -1L).sorted)
+    val litFirstLt = df.where(lit(usBound) < col("ts")).select("ns").as[Long].collect().sorted
+    assert(litFirstLt.toSeq == ns.filter(v => v / 1000L > -1L).sorted)
   }
 
   test("rule leaves disjunctive predicates alone") {
