@@ -259,24 +259,17 @@ object DedupFunctions {
     // GraphX's periodic-checkpoint pattern for iterative algorithms.
     // Dataset.unpersist is a NO-OP on localCheckpoint'd frames (it only
     // clears CacheManager entries; the checkpoint persists at the RDD
-    // level), so stale rounds must be released through the RDD handles.
-    // getPersistentRDDs before/after each checkpoint identifies the
-    // round's RDD id; the previous round's is unpersisted once the new
-    // one is materialized.
-    val sc = pairs.sparkSession.sparkContext
-    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    def unpersistIds(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    // level), so stale rounds are released through the checkpointed RDD
+    // handle (GraftSqlBridge.checkpointedRdd) once superseded.
+    def release(df: DataFrame): Unit =
+      org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(df).foreach(_.unpersist(blocking = false))
 
-    val beforeEdges = persistedIds
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    val edgeIds = persistedIds -- beforeEdges
-    val beforeInit = persistedIds
-    var labels = edges.select(col("src").as("node")).distinct().withColumn("label", col("node")).localCheckpoint()
-    var labelIds = persistedIds -- beforeInit
+    var checkpointed = edges.select(col("src").as("node")).distinct().withColumn("label", col("node")).localCheckpoint()
+    var labels = checkpointed
     var changed = true
     var iter = 0
     while (changed && iter < maxIterations) {
@@ -286,21 +279,19 @@ object DedupFunctions {
         .agg(min(col("nl")).as("nmin"))
       // keep the old label alongside the new one: change detection then
       // needs no second join against the previous round
-      val before = persistedIds
       val updated = labels
         .join(neighborMin, Seq("node"), "left")
         .select(col("node"), col("label").as("old"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint()
-      val updatedIds = persistedIds -- before
       changed = updated.where(col("label") =!= col("old")).limit(1).count() > 0
-      unpersistIds(labelIds)
-      labelIds = updatedIds
+      release(checkpointed)
+      checkpointed = updated
       labels = updated.select(col("node"), col("label"))
       iter += 1
     }
     // edges are dead once the loop converges; the final labels
     // checkpoint stays resident — the returned frame reads from it
-    unpersistIds(edgeIds)
+    release(edges)
     labels.select(col("node").as("doc_id"), col("label").as("group_id"))
   }
 

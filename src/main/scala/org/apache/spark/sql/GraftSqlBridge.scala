@@ -14,4 +14,14 @@ object GraftSqlBridge {
 
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].logicalPlan
+
+  /** The materialized RDD behind a `localCheckpoint()`ed frame, if any.
+    * `Dataset.unpersist` cannot release checkpoint storage (it only
+    * clears CacheManager entries), so iterative algorithms need the
+    * RDD handle to unpersist superseded rounds explicitly.
+    */
+  def checkpointedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
 }
