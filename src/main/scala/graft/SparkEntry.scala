@@ -576,6 +576,12 @@ object SparkEntry {
     "sim_lsh_ann" -> { (s, dir) =>
       VectorFunctions.lshAnn(Tables.embeddings(s, dir), k = 5)
     },
+    // C7b: IVF coarse-quantizer ANN — deterministic Lloyd cells,
+    // nProbe nearest cells per query (model-dependent → rows-only;
+    // VectorDedup spec measures recall vs brute force)
+    "sim_ivf_ann" -> { (s, dir) =>
+      VectorFunctions.ivfAnn(Tables.embeddings(s, dir), k = 5)
+    },
     // C8: heuristic language ID
     "text_langid" -> { (s, dir) =>
       TextFunctions

@@ -132,6 +132,110 @@ object VectorFunctions {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer alternative to
+    * [[lshAnn]]: k-means cells learned with a few Lloyd iterations,
+    * then exact cosine ranking within each query's `nProbe` nearest
+    * cells. Centroids are driver-side literals (nCells × dim doubles —
+    * dictionary-broadcast sized); everything per-row is a distributed
+    * plan. Deterministic end to end: init takes the nCells lowest
+    * vec_ids, per-cell means accumulate as scaled integers (order-
+    * independent), and ties break on cell id — same cells on every
+    * run and every partitioning.
+    *
+    * At 100 TB the train step runs on a sample (`trainLimit` lowest
+    * ids) while assignment and probing stay full-table — the standard
+    * IVF recipe (train small, index everything).
+    */
+  def ivfAnn(
+      df: DataFrame,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      lloydIterations: Int = 5,
+      trainLimit: Int = 100000,
+  ): DataFrame = {
+    withFns(df)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"))
+      .cache()
+
+    // squared L2 distance to a centroid literal, on doubles; only the
+    // ARGMIN is consumed, and the per-(vector, centroid) evaluation
+    // order is fixed, so float non-associativity cannot change cells
+    def dist2(emb: Column, centroid: Array[Double]): Column = {
+      val c = array(centroid.map(lit): _*)
+      aggregate(
+        zip_with(emb, c, (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0),
+        (acc, x) => acc + x,
+      )
+    }
+
+    def assignCell(frame: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+      val scored = centroids.zipWithIndex.map { case (cen, i) =>
+        struct(dist2(col("embedding"), cen).as("d"), lit(i).as("cell"))
+      }
+      frame.withColumn("cell", least(scored: _*).getField("cell"))
+    }
+
+    val train = vecs.orderBy("vec_id").limit(trainLimit).cache()
+    var centroids: Array[Array[Double]] = train
+      .orderBy("vec_id")
+      .limit(nCells)
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    for (_ <- 1 to lloydIterations) {
+      // per-(cell, position) mean via scaled-integer sums: one hash
+      // aggregate, order-independent, so the learned centroids are
+      // identical on every run and partitioning. Only nCells × dim
+      // summary rows reach the driver.
+      val sums = assignCell(train, centroids)
+        .select(
+          col("cell"),
+          posexplode(expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e9) AS BIGINT))")).as(Seq("pos", "qv")),
+        )
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        old.indices.map { p =>
+          sums.get((i, p)) match {
+            case Some((s, n)) if n > 0 => s.toDouble / 1e9 / n
+            case _                     => old(p) // empty cell keeps its centroid
+          }
+        }.toArray
+      }
+    }
+    train.unpersist(blocking = false)
+
+    val indexed = assignCell(vecs, centroids).select(col("cell"), col("vec_id"), col("embedding")).cache()
+    // probe list: each query's nProbe nearest cells
+    val probeStructs = centroids.zipWithIndex.map { case (cen, i) =>
+      struct(dist2(col("embedding"), cen).as("d"), lit(i).as("cell"))
+    }
+    val probes = vecs
+      .withColumn("probe", explode(slice(array_sort(array(probeStructs: _*)), 1, nProbe)))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("probe.cell").as("cell"))
+    val ranked = probes
+      .join(indexed.select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("ce")), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", dotInt("qe", "ce"))
+      .withColumn(
+        "cosine",
+        col("dot").cast("double") / (sqrt(norm2Int("qe").cast("double")) * sqrt(norm2Int("ce").cast("double"))),
+      )
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    ranked
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Random-hyperplane LSH bucket id: `planes` sign bits of dot products
     * against pseudo-random hyperplanes derived from `xxhash64(p, j)`
     * (deterministic, no stored model). Components lie in [-1, 1].

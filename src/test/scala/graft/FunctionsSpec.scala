@@ -176,6 +176,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(d1.map(_.getAs[Long]("n_words")).sum == chunks.where(col("doc_id") === 1).agg(sum("n_words")).collect().head.getLong(0))
   }
 
+  test("ivfAnn recalls most brute-force top-5 neighbours and is deterministic") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(VectorFunctions.cosineTopK(emb, emb, k = 5).select("query_id", "neighbor_id"))
+    val ivf1 = pairs(VectorFunctions.ivfAnn(emb, k = 5).select("query_id", "neighbor_id"))
+    val ivf2 = pairs(VectorFunctions.ivfAnn(emb, k = 5).select("query_id", "neighbor_id"))
+    assert(ivf1 == ivf2) // deterministic cells and ranking
+    val recall = ivf1.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low") // 4 of 16 cells probed
+  }
+
   test("text features: tokens, quality, langid, fingerprints") {
     val d = Seq((0L, "The quick  brown fox and the lazy dog, worth 10 points!")).toDF("doc_id", "text")
     val tok = TextFunctions.tokenCounts(d, col("text")).collect().head
