@@ -50,6 +50,7 @@ object Bench {
       try SparkEntry.queries(name)(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] warmup failed for $name: ${e.getMessage}") }
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // min of two timed runs: reports steady-state per-query latency,
     // damping first-materialization and machine noise. A failed run is
@@ -70,7 +71,12 @@ object Bench {
         // Release per-query cached frames (dedup shingle indexes etc.)
         // AFTER capturing the time. Leaving them resident starves later
         // queries of execution memory — r02 showed 10–30× slowdowns.
+        // clearCache misses localCheckpoint RDDs (they live at the RDD
+        // layer, not in CacheManager): dedup_groups / clean_corpus each
+        // pin their final-round labels until ContextCleaner GCs them,
+        // which made the next query (q5_multijoin) 4× slower in r04.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         if (ok) elapsed else -1.0
       }
       val best = if (times.forall(_ >= 0)) times.min else -1.0
