@@ -622,6 +622,21 @@ object SparkEntry {
         capacity = 256,
       )
     },
+    // C17: benchmark decontamination — docs sharing any word 5-gram
+    // with the eval holdout (doc_id % 20 == 0) are flagged
+    "text_decontaminate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      TextFunctions.decontaminate(
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0),
+        col("doc_id"),
+        col("text"),
+      )
+    },
+    // C18: PII redaction — URL/email/IP/phone placeholders + counts
+    "text_scrub" -> { (s, dir) =>
+      TextFunctions.piiScrub(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
     // C13: approximate per-series stats — the 100 TB scale path
     // (sketches, not exact aggregation; rows-only by nature)
     "ts_approx_stats" -> { (s, dir) =>
@@ -1163,6 +1178,31 @@ object SparkEntry {
                     list_distinct(list_transform(generate_series(1, GREATEST(len(hs) - 3, 1)), j -> list_aggregate(list_slice(hs, j, j + 3), 'min'))) AS fps
                   FROM hashes)
          SELECT doc_id, unnest(fps) AS fp FROM wins""",
+    "text_decontaminate" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+         w AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 4),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS s
+                FROM w WHERE len(w) >= 5),
+         bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+         hits AS (SELECT a.doc_id, COUNT(*) AS n_hits
+                  FROM sh a JOIN bench b ON a.s = b.s WHERE a.doc_id % 20 <> 0 GROUP BY 1)
+         SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                COALESCE(h.n_hits, 0) > 0 AS contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+         LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+    "text_scrub" ->
+      """SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                  'https?://[^\s]+', '<URL>', 'g'),
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                  '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS clean_text,
+                CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+                CAST(len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phone
+         FROM documents""",
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
                 ${exactSumSql("l_quantity")} AS sum_qty,

@@ -216,6 +216,63 @@ object TextFunctions {
       )
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * n-gram with an evaluation/benchmark set — the standard test-set
+    * overlap check run before training. Emits one row per corpus doc:
+    * (doc_id, n_hits = distinct overlapping shingles, contaminated).
+    *
+    * Scale shape: benchmark suites are tiny next to a 100 TB corpus, so
+    * the benchmark shingle set is broadcast — the corpus side joins
+    * map-side with no shuffle, and the only exchange is the final
+    * per-doc hash aggregate. `explode_outer` keeps sub-n-word docs in
+    * the output with n_hits = 0.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: Column, text: Column, n: Int = 5): DataFrame = {
+    val benchSh = benchmark
+      .select(words(text).as("__w"))
+      .select(explode(shingles("__w", n)).as("s"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(idCol.as("doc_id"), words(text).as("__w"))
+      .select(col("doc_id"), explode_outer(shingles("__w", n)).as("s"))
+      .join(broadcast(benchSh), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("__hit").isNotNull, lit(1L)).otherwise(lit(0L))).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  /** PII patterns scrubbed by [[piiScrub]], in application order.
+    * RE2-compatible (no backrefs/lookaround) so the DuckDB oracle runs
+    * the identical expressions.
+    */
+  private val PiiPatterns = Seq(
+    ("url", """https?://[^\s]+""", "<URL>"),
+    ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+    ("ip", """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "<IP>"),
+    ("phone", """\b\d{3}[-. ]\d{3}[-. ]\d{4}\b""", "<PHONE>"),
+  )
+
+  /** PII redaction: URLs, emails, IPv4 addresses and phone numbers are
+    * replaced by typed placeholders; per-pattern match counts are taken
+    * on the ORIGINAL text (so an email inside a URL counts as both even
+    * though the URL replacement consumes it first). Pure regexp
+    * built-ins — codegen'd, embarrassingly parallel, no shuffle.
+    */
+  def piiScrub(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val counted = PiiPatterns.foldLeft(df.select(idCol.as("doc_id"), text.as("__t"))) {
+      case (d, (name, re, _)) =>
+        d.withColumn(s"n_$name", size(regexp_extract_all(col("__t"), lit(re), lit(0))).cast("long"))
+    }
+    val scrubbed = PiiPatterns.foldLeft(counted) { case (d, (_, re, repl)) =>
+      d.withColumn("__t", regexp_replace(col("__t"), re, repl))
+    }
+    scrubbed.select(
+      col("doc_id") +: col("__t").as("clean_text") +: PiiPatterns.map { case (n, _, _) => col(s"n_$n") }: _*
+    )
+  }
+
   /** Winnowing document fingerprint: k-char-gram md5 prefixes, minimum
     * per sliding window of w hashes, distinct. The standard MOSS
     * scheme; emits (doc, fingerprint) rows for index-style joins.

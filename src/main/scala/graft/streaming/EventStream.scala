@@ -89,6 +89,59 @@ object EventStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("fp"))
 
+  final case class UserEvent(user_id: Long, ts: Timestamp)
+  final case class SessionAcc(startMs: Long, endMs: Long, n: Long)
+  final case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+  /** Streaming sessionization — the streaming dual of
+    * q_events_sessionize (30-minute inactivity gap). State is one open
+    * session per user, closed either by an in-stream gap or by an
+    * event-time timeout once the watermark passes `end + gap`; emitted
+    * sessions are final (append mode), and the watermark bounds both
+    * state size and result lateness. Partitioning is the groupByKey
+    * hash on user_id — the same shuffle the batch window uses.
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30, watermark: String = "1 hour"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .select(col("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, Session](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, it, state) =>
+          if (state.hasTimedOut) {
+            val a = state.get
+            state.remove()
+            Iterator(Session(user, new Timestamp(a.startMs), new Timestamp(a.endMs), a.n))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var acc = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              acc = acc match {
+                case Some(a) if t - a.endMs <= gapMs =>
+                  Some(a.copy(endMs = math.max(a.endMs, t), n = a.n + 1))
+                case Some(a) =>
+                  closed += Session(user, new Timestamp(a.startMs), new Timestamp(a.endMs), a.n)
+                  Some(SessionAcc(t, t, 1))
+                case None => Some(SessionAcc(t, t, 1))
+              }
+            }
+            acc.foreach { a =>
+              state.update(a)
+              // timeout must sit strictly past the current watermark or
+              // Spark rejects it (late stragglers extend an old session)
+              state.setTimeoutTimestamp(math.max(a.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Convenience: run a streaming frame to completion against a memory
     * sink (test/demo harness; production would use a real sink).
     */

@@ -188,6 +188,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low") // 4 of 16 cells probed
   }
 
+  test("decontaminate flags corpus docs overlapping the benchmark set") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"), // contains bench 5-gram
+      (2L, "one two three four five six seven"), // clean
+      (3L, "tiny doc"), // < 5 words → n_hits 0, still present
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val out = TextFunctions
+      .decontaminate(corpus, bench, col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((0L, false)))
+    assert(out(3L) == ((0L, false)))
+  }
+
+  test("piiScrub redacts urls, emails, ips and phones with original-text counts") {
+    val d = Seq(
+      (0L, "mail me at jo.doe+x@example.org or visit https://ex.org/a?b=1 from 10.0.0.1 tel 555-123-4567"),
+      (1L, "nothing sensitive here"),
+    ).toDF("doc_id", "text")
+    val rows = TextFunctions.piiScrub(d, col("doc_id"), col("text")).collect()
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getAs[String]("clean_text") ==
+      "mail me at <EMAIL> or visit <URL> from <IP> tel <PHONE>")
+    assert(r0.getAs[Long]("n_url") == 1 && r0.getAs[Long]("n_email") == 1)
+    assert(r0.getAs[Long]("n_ip") == 1 && r0.getAs[Long]("n_phone") == 1)
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    assert(r1.getAs[String]("clean_text") == "nothing sensitive here")
+    assert(Seq("n_url", "n_email", "n_ip", "n_phone").forall(c => r1.getAs[Long](c) == 0))
+  }
+
   test("text features: tokens, quality, langid, fingerprints") {
     val d = Seq((0L, "The quick  brown fox and the lazy dog, worth 10 points!")).toDF("doc_id", "text")
     val tok = TextFunctions.tokenCounts(d, col("text")).collect().head

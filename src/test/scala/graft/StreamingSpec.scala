@@ -107,6 +107,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.getAs[Double]("value") == 2.0)
   }
 
+  test("sessionizeStream closes sessions on gap and on watermark timeout") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = mem.toDF().toDF("user_id", "ts")
+    val q = graft.streaming.EventStream
+      .sessionizeStream(df)
+      .writeStream.format("memory").queryName("sessions").outputMode(OutputMode.Append())
+      .start()
+    // session 1: two events 10 min apart; session 2 starts 90 min later
+    // (gap > 30 min closes session 1 in-stream)
+    mem.addData(
+      (1L, t("2024-01-01T00:00:00Z")),
+      (1L, t("2024-01-01T00:10:00Z")),
+      (1L, t("2024-01-01T01:40:00Z")),
+    )
+    q.processAllAvailable()
+    // a far-future event on another user advances the watermark past
+    // session 2's end + gap → its event-time timeout fires
+    mem.addData((2L, t("2024-01-01T06:00:00Z")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions").orderBy("session_start").collect()
+    assert(rows.length == 2) // user 2's session is still open
+    assert(rows(0).getAs[Long]("user_id") == 1L)
+    assert(rows(0).getAs[Timestamp]("session_start") == t("2024-01-01T00:00:00Z"))
+    assert(rows(0).getAs[Timestamp]("session_end") == t("2024-01-01T00:10:00Z"))
+    assert(rows(0).getAs[Long]("n_events") == 2L)
+    assert(rows(1).getAs[Timestamp]("session_start") == t("2024-01-01T01:40:00Z"))
+    assert(rows(1).getAs[Long]("n_events") == 1L)
+  }
+
   test("kappa loop: stream writes land in the dir-layout source and read back") {
     import graft.sources.{ConfiguredSource, SourceConfig}
     val dir = java.nio.file.Files.createTempDirectory("graft-kappa").toString
