@@ -312,6 +312,43 @@ object SparkEntry {
       )
       ntz(src.read(s).withColumn("user_id", col("user_id").cast("long")))
     },
+    // A15d: external-command plugin source (kukur/source/plugin) —
+    // per-series Arrow IPC responses decoded distributed; the demo
+    // plugin serves staged per-series stream files and ignores the
+    // request's date range (full-series responses, like the fixture)
+    "ts_plugin_source" -> { (s, dir) =>
+      val p = fixture(dir, "plugin") { path =>
+        new java.io.File(path).mkdirs()
+        for (sn <- Seq("click", "view"))
+          graft.sources.ArrowIpcSource.write(
+            Tables
+              .canonicalEvents(s, dir)
+              .where(col("series_name") === sn)
+              .select(col("ts"), col("value"))
+              .repartition(1),
+            s"$path/data_$sn",
+          )
+        val script =
+          s"""#!/bin/sh
+             |action="$$1"
+             |req=$$(cat)
+             |case "$$action" in
+             |  search) printf '%s' '{"series":[{"source":"plugin","tags":{"series name":"click"},"field":"value"},{"source":"plugin","tags":{"series name":"view"},"field":"value"}]}' ;;
+             |  data)
+             |    sn=$$(printf '%s' "$$req" | sed -n 's/.*"series name":"\\([^"]*\\)".*/\\1/p')
+             |    cat "$path/data_$$sn"/*.arrows ;;
+             |  *) echo "unknown action $$action" >&2; exit 2 ;;
+             |esac
+             |""".stripMargin
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/plugin.sh"), script)
+        new java.io.File(s"$path/plugin.sh").setExecutable(true)
+      }
+      ntz(
+        graft.sources
+          .PluginSource(Seq(s"$p/plugin.sh"))
+          .data(s, Seq("click", "view"), Start, End)
+      )
+    },
     // A16: dir-layout source — series key in the path, partition pruning
     "ts_dir_source" -> { (s, dir) =>
       val tmp = fixture(dir, "dirsrc") { p =>
@@ -769,6 +806,9 @@ object SparkEntry {
     "ts_row_source_csv" ->
       """SELECT event_type AS series_name, user_id, 'value' AS field, ts, value
          FROM events WHERE event_type IN ('click', 'error')""",
+    "ts_plugin_source" ->
+      """SELECT event_type AS series_name, ts, value
+         FROM events WHERE event_type IN ('click', 'view')""",
     "ts_dir_source" ->
       """SELECT event_type AS series_name, ts, value FROM events
          WHERE event_type = 'click'

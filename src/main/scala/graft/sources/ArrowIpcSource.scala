@@ -4,7 +4,7 @@ import scala.collection.JavaConverters._
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
-import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowReader, ArrowStreamReader}
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowReader, ArrowStreamReader, ArrowStreamWriter}
 import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
@@ -45,7 +45,78 @@ object ArrowIpcSource {
     spark.createDataFrame(rows, sparkSchema)
   }
 
-  private def withReader[T](bytes: Array[Byte], streaming: Boolean)(f: ArrowReader => T): T = {
+  /** Write a frame as a directory of Arrow IPC streaming files, one per
+    * partition — the sink dual of [[read]]'s per-file parallel decode.
+    * Each task writes its own `part-N.arrows` in batches of
+    * `batchRows`, so executor memory holds one batch, not a partition.
+    * Paths are executor-local unless `dir` is on a shared filesystem —
+    * same contract as any local-FS sink.
+    */
+  def write(df: DataFrame, dir: String, batchRows: Int = 4096): Unit = {
+    val schema = df.schema
+    new java.io.File(dir).mkdirs()
+    df.rdd.foreachPartition { it =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        writeRows(it, schema, s"$dir/part-$pid.arrows", batchRows)
+      }
+    }
+  }
+
+  /** Encode rows into one Arrow IPC streaming file (driver- or
+    * task-side).
+    */
+  private[sources] def writeRows(rows: Iterator[Row], schema: StructType, path: String, batchRows: Int): Unit = {
+    val allocator = new RootAllocator(Long.MaxValue)
+    val vectors: Seq[FieldVector] = schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case LongType => new BigIntVector(f.name, allocator)
+        case IntegerType => new IntVector(f.name, allocator)
+        case DoubleType => new Float8Vector(f.name, allocator)
+        case FloatType => new Float4Vector(f.name, allocator)
+        case BooleanType => new BitVector(f.name, allocator)
+        case StringType => new VarCharVector(f.name, allocator)
+        case TimestampType => new TimeStampMicroVector(f.name, allocator)
+        case other => throw new UnsupportedOperationException(s"unsupported arrow write type $other")
+      }
+    }
+    val root = new VectorSchemaRoot(vectors.asJava)
+    val out = new java.io.FileOutputStream(path)
+    val writer = new ArrowStreamWriter(root, null, out.getChannel)
+    try {
+      writer.start()
+      rows.grouped(batchRows).foreach { batch =>
+        root.allocateNew()
+        batch.zipWithIndex.foreach { case (row, i) =>
+          vectors.zipWithIndex.foreach { case (v, c) =>
+            if (row.isNullAt(c)) () // setSafe skipped → null slot
+            else writeValue(v, i, row.get(c))
+          }
+        }
+        root.setRowCount(batch.size)
+        writer.writeBatch()
+      }
+      writer.end()
+    } finally {
+      writer.close(); out.close(); root.close(); allocator.close()
+    }
+  }
+
+  private def writeValue(v: FieldVector, i: Int, value: Any): Unit = (v, value) match {
+    case (x: BigIntVector, a: Long) => x.setSafe(i, a)
+    case (x: IntVector, a: Int) => x.setSafe(i, a)
+    case (x: Float8Vector, a: Double) => x.setSafe(i, a)
+    case (x: Float4Vector, a: Float) => x.setSafe(i, a)
+    case (x: BitVector, a: Boolean) => x.setSafe(i, if (a) 1 else 0)
+    case (x: VarCharVector, a: String) => x.setSafe(i, a.getBytes("UTF-8"))
+    // getTime carries the ms part of nanos already; the extra term is
+    // the µs remainder within the millisecond (getNanos ∈ [0, 1e9))
+    case (x: TimeStampMicroVector, a: java.sql.Timestamp) =>
+      x.setSafe(i, a.getTime * 1000L + a.getNanos / 1000L % 1000L)
+    case _ => throw new UnsupportedOperationException(s"cannot write $value to ${v.getClass}")
+  }
+
+  private[sources] def withReader[T](bytes: Array[Byte], streaming: Boolean)(f: ArrowReader => T): T = {
     val allocator = new RootAllocator(Long.MaxValue)
     val reader =
       if (streaming) new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), allocator)
@@ -64,7 +135,7 @@ object ArrowIpcSource {
     * iterator drains; a task-completion listener covers early
     * termination (limit, failure).
     */
-  private def decodeAll(bytes: Array[Byte], streaming: Boolean, schema: StructType): Iterator[Row] =
+  private[sources] def decodeAll(bytes: Array[Byte], streaming: Boolean, schema: StructType): Iterator[Row] =
     new Iterator[Row] {
       private val allocator = new RootAllocator(Long.MaxValue)
       // corrupt bytes throw during construction — the allocator must
@@ -139,7 +210,7 @@ object ArrowIpcSource {
     ts
   }
 
-  private def toSparkSchema(schema: org.apache.arrow.vector.types.pojo.Schema): StructType =
+  private[sources] def toSparkSchema(schema: org.apache.arrow.vector.types.pojo.Schema): StructType =
     StructType(schema.getFields.asScala.toSeq.map { f =>
       import org.apache.arrow.vector.types.pojo.ArrowType
       val dt = f.getType match {

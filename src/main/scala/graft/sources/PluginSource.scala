@@ -1,0 +1,168 @@
+package graft.sources
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Configuration for an external-command ("plugin") source.
+  *
+  * @param cmd        command + fixed args; the action name is appended
+  * @param configJson raw JSON object forwarded verbatim as `config`
+  * @param source     source name echoed into every request
+  */
+final case class PluginSourceConfig(
+    cmd: Seq[String],
+    configJson: String = "{}",
+    source: String = "plugin",
+)
+
+/** External-command source — the JSON/binary plugin interface of
+  * kukur/source/plugin/plugin.py:24-111.
+  *
+  * Protocol: spawn `cmd :+ action` with a JSON request on stdin;
+  * stdout is JSON for `search`/`metadata` and an Arrow IPC *stream*
+  * for `data` (plugin.py:69-71). Requests mirror the reference shape:
+  * `{"config": …, "data": {"series": {"source", "tags": {"series
+  * name"}, "field"}, "startDate", "endDate"}}` (SeriesSelector.to_data,
+  * kukur/base.py).
+  *
+  * Scale shape: the reference invokes the binary once per request on a
+  * single node. Here `search`/`metadata` stay driver-side (results are
+  * series lists — tiny), while `data` fans out as one (series,
+  * interval-chunk) request per task via `mapPartitions`: a cluster
+  * pulls every series range concurrently, and each task streams its
+  * plugin's stdout through the lazy per-batch Arrow decode (bounded
+  * memory). A subprocess per task is genuine per-partition imperative
+  * work — the documented last-resort case for dropping below the
+  * DataFrame API.
+  */
+class PluginSource(cfg: PluginSourceConfig) extends Serializable {
+  import PluginSource._
+
+  /** Series discovery: parse the plugin's `search` JSON with Spark's
+    * JSON reader and explode the series selectors to
+    * (source, series_name, field) rows — same shape as ts_search.
+    */
+  def search(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = new String(run(cfg.cmd :+ "search", searchRequest(cfg)), "UTF-8")
+    spark.read.json(Seq(out).toDS)
+      .select(explode(col("series")).as("s"))
+      .select(
+        col("s.source").as("source"),
+        col("s.tags.`series name`").as("series_name"),
+        coalesce(col("s.field"), lit("value")).as("field"),
+      )
+  }
+
+  /** Metadata for one series: the plugin's JSON object as a one-row
+    * frame (schema is plugin-defined, like Metadata.from_data).
+    */
+  def metadata(spark: SparkSession, series: String): DataFrame = {
+    import spark.implicits._
+    val out = new String(run(cfg.cmd :+ "metadata", metadataRequest(cfg, series)), "UTF-8")
+    spark.read.json(Seq(out).toDS)
+  }
+
+  /** Distributed data read: one plugin invocation per (series,
+    * interval chunk), fanned out over the cluster. `chunksPerSeries`
+    * splits [start, end) into half-open sub-ranges — the same
+    * parallelization lever as ts_interval_chunks — so long ranges
+    * don't serialize behind one subprocess. Schema is probed once
+    * driver-side from the first task's response.
+    */
+  def data(
+      spark: SparkSession,
+      seriesNames: Seq[String],
+      start: Timestamp,
+      end: Timestamp,
+      chunksPerSeries: Int = 1,
+  ): DataFrame = {
+    require(seriesNames.nonEmpty, "plugin data read needs at least one series")
+    require(chunksPerSeries >= 1, "chunksPerSeries must be positive")
+    val startMs = start.getTime
+    val spanMs = end.getTime - startMs
+    val tasks: Seq[(String, String, String)] = for {
+      s <- seriesNames
+      i <- 0 until chunksPerSeries
+    } yield (
+      s,
+      isoMs(startMs + spanMs * i / chunksPerSeries),
+      isoMs(startMs + spanMs * (i + 1) / chunksPerSeries),
+    )
+    val dataSchema = {
+      val (s0, a0, b0) = tasks.head
+      val probe = run(cfg.cmd :+ "data", dataRequest(cfg, s0, a0, b0))
+      ArrowIpcSource.withReader(probe, streaming = true)(r =>
+        ArrowIpcSource.toSparkSchema(r.getVectorSchemaRoot.getSchema)
+      )
+    }
+    val schema = StructType(StructField("series_name", StringType, nullable = false) +: dataSchema.fields)
+    val conf = cfg // avoid capturing `this` in the task closure
+    val taskRdd = spark.sparkContext
+      .parallelize(tasks, math.min(tasks.size, spark.sparkContext.defaultParallelism))
+    val rows = taskRdd.mapPartitions { it =>
+      it.flatMap { case (series, fromIso, toIso) =>
+        val bytes = run(conf.cmd :+ "data", dataRequest(conf, series, fromIso, toIso))
+        ArrowIpcSource
+          .decodeAll(bytes, streaming = true, dataSchema)
+          .map(r => Row.fromSeq(series +: r.toSeq))
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+}
+
+object PluginSource {
+
+  def apply(cmd: Seq[String], configJson: String = "{}", source: String = "plugin"): PluginSource =
+    new PluginSource(PluginSourceConfig(cmd, configJson, source))
+
+  private def searchRequest(cfg: PluginSourceConfig): String =
+    s"""{"config":${cfg.configJson},"search":{"source":${jstr(cfg.source)}}}"""
+
+  private def metadataRequest(cfg: PluginSourceConfig, series: String): String =
+    s"""{"config":${cfg.configJson},"metadata":{"series":${selector(cfg, series)}}}"""
+
+  private def dataRequest(cfg: PluginSourceConfig, series: String, fromIso: String, toIso: String): String =
+    s"""{"config":${cfg.configJson},"data":{"series":${selector(cfg, series)},""" +
+      s""""startDate":${jstr(fromIso)},"endDate":${jstr(toIso)}}}"""
+
+  private def selector(cfg: PluginSourceConfig, series: String): String =
+    s"""{"source":${jstr(cfg.source)},"tags":{"series name":${jstr(series)}},"field":"value"}"""
+
+  private def isoMs(ms: Long): String =
+    java.time.Instant.ofEpochMilli(ms).toString
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Spawn the plugin and exchange one request/response. Requests are
+    * small (well under the OS pipe buffer), so writing stdin before
+    * draining stdout cannot deadlock; responses are read fully —
+    * bounded by one (series, chunk) range, the unit the caller sizes
+    * via `chunksPerSeries`.
+    */
+  private[sources] def run(cmd: Seq[String], input: String): Array[Byte] = {
+    val p = new ProcessBuilder(cmd: _*).start()
+    val stdin = p.getOutputStream
+    stdin.write(input.getBytes("UTF-8"))
+    stdin.close()
+    val out = p.getInputStream.readAllBytes()
+    val err = new String(p.getErrorStream.readAllBytes(), "UTF-8")
+    val code = p.waitFor()
+    if (code != 0)
+      throw new RuntimeException(s"plugin '${cmd.mkString(" ")}' exited $code: ${err.take(500)}")
+    if (err.nonEmpty) System.err.println(s"[plugin ${cmd.headOption.getOrElse("")}] $err")
+    out
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ArrowIpcSource, PluginSource}
+
+class PluginSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  /** Stage a demo plugin: per-series Arrow IPC stream files plus a
+    * shell script that answers search/metadata from literals and data
+    * by extracting the series name from the request JSON.
+    */
+  private lazy val pluginDir: String = {
+    val dir = Files.createTempDirectory("graft-plugin").toString
+    val a = Seq((t("2024-01-01T00:00:00Z"), 1.5), (t("2024-01-01T00:01:00Z"), 2.5)).toDF("ts", "value")
+    val b = Seq((t("2024-01-01T00:00:30Z"), 9.0)).toDF("ts", "value")
+    ArrowIpcSource.write(a.repartition(1), s"$dir/data_a")
+    ArrowIpcSource.write(b.repartition(1), s"$dir/data_b")
+    val script = s"""#!/bin/sh
+                    |action="$$1"
+                    |req=$$(cat)
+                    |case "$$action" in
+                    |  search) printf '%s' '{"series":[{"source":"plugin","tags":{"series name":"a"},"field":"value"},{"source":"plugin","tags":{"series name":"b"}}]}' ;;
+                    |  metadata) printf '%s' '{"description":"demo series","unit":"m/s"}' ;;
+                    |  data)
+                    |    s=$$(printf '%s' "$$req" | sed -n 's/.*"series name":"\\([^"]*\\)".*/\\1/p')
+                    |    cat "$dir/data_$$s"/*.arrows ;;
+                    |  *) echo "unknown action $$action" >&2; exit 2 ;;
+                    |esac
+                    |""".stripMargin
+    Files.writeString(Paths.get(s"$dir/plugin.sh"), script)
+    new java.io.File(s"$dir/plugin.sh").setExecutable(true)
+    dir
+  }
+
+  test("plugin search parses the series list") {
+    val rows = PluginSource(Seq(s"$pluginDir/plugin.sh")).search(spark).collect()
+    assert(rows.map(_.getString(1)).sorted.toSeq == Seq("a", "b"))
+    assert(rows.forall(_.getString(0) == "plugin"))
+    assert(rows.forall(_.getString(2) == "value")) // missing field defaults
+  }
+
+  test("plugin metadata returns the JSON object as a row") {
+    val md = PluginSource(Seq(s"$pluginDir/plugin.sh")).metadata(spark, "a").collect().head
+    assert(md.getAs[String]("description") == "demo series")
+    assert(md.getAs[String]("unit") == "m/s")
+  }
+
+  test("plugin data distributes one request per series and decodes arrow streams") {
+    val df = PluginSource(Seq(s"$pluginDir/plugin.sh"))
+      .data(spark, Seq("a", "b"), t("2024-01-01T00:00:00Z"), t("2024-01-02T00:00:00Z"))
+    assert(df.schema.fieldNames.toSeq == Seq("series_name", "ts", "value"))
+    val rows = df.collect()
+    assert(rows.length == 3)
+    val bRow = rows.find(_.getString(0) == "b").get
+    assert(bRow.getTimestamp(1) == t("2024-01-01T00:00:30Z"))
+    assert(bRow.getDouble(2) == 9.0)
+    assert(rows.count(_.getString(0) == "a") == 2)
+  }
+
+  test("plugin failures surface the exit code and stderr") {
+    val dir = Files.createTempDirectory("graft-plugin-fail").toString
+    Files.writeString(Paths.get(s"$dir/fail.sh"), "#!/bin/sh\ncat > /dev/null\necho boom >&2\nexit 3\n")
+    new java.io.File(s"$dir/fail.sh").setExecutable(true)
+    val e = intercept[RuntimeException] {
+      PluginSource(Seq(s"$dir/fail.sh")).metadata(spark, "a")
+    }
+    assert(e.getMessage.contains("exited 3") && e.getMessage.contains("boom"))
+  }
+}
