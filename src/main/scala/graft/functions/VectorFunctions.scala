@@ -181,7 +181,13 @@ object VectorFunctions {
       frame.withColumn("cell", least(scored: _*).getField("cell"))
     }
 
-    val train = vecs.orderBy("vec_id").limit(trainLimit).cache()
+    // limit() collapses to one partition — respread or every Lloyd
+    // assignment pass runs single-core
+    val train = vecs
+      .orderBy("vec_id")
+      .limit(trainLimit)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .cache()
     var centroids: Array[Array[Double]] = train
       .orderBy("vec_id")
       .limit(nCells)
