@@ -674,6 +674,16 @@ object SparkEntry {
     "text_scrub" -> { (s, dir) =>
       TextFunctions.piiScrub(Tables.documents(s, dir), col("doc_id"), col("text"))
     },
+    // C19: corpus-level top-k trigram frequencies
+    "text_topk_ngrams" -> { (s, dir) =>
+      TextFunctions.topkNgrams(Tables.documents(s, dir), col("text"))
+    },
+    // C20: deterministic hash-based train/val/test split
+    "text_hash_split" -> { (s, dir) =>
+      TextFunctions
+        .hashSplit(Tables.documents(s, dir), col("doc_id"))
+        .select(col("doc_id"), col("split"))
+    },
     // C13: approximate per-series stats — the 100 TB scale path
     // (sketches, not exact aggregation; rows-only by nature)
     "ts_approx_stats" -> { (s, dir) =>
@@ -1218,6 +1228,20 @@ object SparkEntry {
                     list_distinct(list_transform(generate_series(1, GREATEST(len(hs) - 3, 1)), j -> list_aggregate(list_slice(hs, j, j + 3), 'min'))) AS fps
                   FROM hashes)
          SELECT doc_id, unnest(fps) AS fp FROM wins""",
+    "text_topk_ngrams" ->
+      """WITH norm AS (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+         w AS (SELECT string_split(t, ' ') AS w FROM norm),
+         g AS (SELECT unnest(list_transform(generate_series(1, len(w) - 2),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ngram
+               FROM w WHERE len(w) >= 3)
+         SELECT ngram, COUNT(*) AS cnt FROM g GROUP BY 1
+         ORDER BY cnt DESC, ngram LIMIT 20""",
+    "text_hash_split" ->
+      """SELECT doc_id,
+                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7','8','9','a','b','c','d') THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'e' THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents""",
     "text_decontaminate" ->
       """WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
          w AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),

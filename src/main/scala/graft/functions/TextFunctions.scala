@@ -216,6 +216,46 @@ object TextFunctions {
       )
   }
 
+  /** Corpus-level top-k n-gram frequencies (non-distinct — frequency,
+    * not presence): the dataset-analysis staple behind vocabulary
+    * inspection and boilerplate discovery. Two-phase hash aggregate
+    * (map-side partial combine) then a TakeOrdered k — no full sort at
+    * any scale; ties break on the n-gram text so the result set is
+    * deterministic.
+    */
+  def topkNgrams(df: DataFrame, text: Column, n: Int = 3, k: Int = 20): DataFrame = {
+    val mk = (0 until n).map(j => s"element_at(__w, i + $j)").mkString("concat_ws(' ', ", ", ", ")")
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(words(text).as("__w"))
+      .select(
+        explode(
+          expr(s"CASE WHEN size(__w) >= $n THEN transform(sequence(1, size(__w) - ${n - 1}), i -> $mk) ELSE array() END")
+        ).as("ngram")
+      )
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(k)
+  }
+
+  /** Deterministic train/val/test assignment by content-stable hash:
+    * the first hex digit of md5(id) picks one of 16 buckets, and
+    * `weights` (name → bucket count, summing to 16) maps buckets to
+    * split names. Pure per-row projection — no shuffle, reproducible
+    * across runs, engines and partitionings (the property random
+    * `sample()` lacks).
+    */
+  def hashSplit(df: DataFrame, idCol: Column, weights: Seq[(String, Int)] = Seq(("train", 14), ("val", 1), ("test", 1))): DataFrame = {
+    require(weights.map(_._2).sum == 16, "bucket weights must sum to 16 (one md5 hex digit)")
+    val hexDigits = "0123456789abcdef"
+    val buckets = weights.flatMap { case (name, w) => Seq.fill(w)(name) }
+    val digit = substring(md5(idCol.cast("string")), 1, 1)
+    val split = hexDigits.zip(buckets).foldRight(lit(buckets.last): Column) { case ((d, name), rest) =>
+      when(digit === d.toString, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", split)
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * n-gram with an evaluation/benchmark set — the standard test-set
     * overlap check run before training. Emits one row per corpus doc:
