@@ -17,18 +17,21 @@ object TextFunctions {
   /** Whitespace word tokens of normalized text. */
   def words(c: Column): Column = split(normText(c), " ")
 
-  /** Distinct word n-gram shingles (the dedup unit) over a column named
-    * `wordsColName`. Guarded for texts shorter than n words (`sequence`
-    * would count downward on a negative span).
+  /** Word n-gram array over a column named `wordsColName`, guarded for
+    * texts shorter than n words (`sequence` would count downward on a
+    * negative span). `distinct = false` keeps multiplicity — the
+    * frequency variant.
     */
-  def shingles(wordsColName: String, n: Int): Column = {
+  private def ngramArray(wordsColName: String, n: Int, distinct: Boolean): Column = {
     val w = wordsColName
     val mk = (0 until n).map(j => s"element_at($w, i + $j)").mkString("concat_ws(' ', ", ", ", ")")
-    expr(
-      s"CASE WHEN size($w) >= $n THEN array_distinct(transform(sequence(1, size($w) - ${n - 1}), i -> $mk)) " +
-        "ELSE array() END"
-    )
+    val grams = s"transform(sequence(1, size($w) - ${n - 1}), i -> $mk)"
+    val body = if (distinct) s"array_distinct($grams)" else grams
+    expr(s"CASE WHEN size($w) >= $n THEN $body ELSE array() END")
   }
+
+  /** Distinct word n-gram shingles (the dedup unit). */
+  def shingles(wordsColName: String, n: Int): Column = ngramArray(wordsColName, n, distinct = true)
 
   /** Token-count features: whitespace words and a BPE-ish regex token
     * count (letter runs / single digits / single punctuation marks).
@@ -224,14 +227,9 @@ object TextFunctions {
     * deterministic.
     */
   def topkNgrams(df: DataFrame, text: Column, n: Int = 3, k: Int = 20): DataFrame = {
-    val mk = (0 until n).map(j => s"element_at(__w, i + $j)").mkString("concat_ws(' ', ", ", ", ")")
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(words(text).as("__w"))
-      .select(
-        explode(
-          expr(s"CASE WHEN size(__w) >= $n THEN transform(sequence(1, size(__w) - ${n - 1}), i -> $mk) ELSE array() END")
-        ).as("ngram")
-      )
+      .select(explode(ngramArray("__w", n, distinct = false)).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram"))
@@ -253,7 +251,9 @@ object TextFunctions {
     val split = hexDigits.zip(buckets).foldRight(lit(buckets.last): Column) { case ((d, name), rest) =>
       when(digit === d.toString, lit(name)).otherwise(rest)
     }
-    df.withColumn("split", split)
+    // a null id must not silently land in the last bucket (md5(null) is
+    // null, so every when() misses and the otherwise would catch it)
+    df.withColumn("split", when(idCol.isNull, lit(null)).otherwise(split))
   }
 
   /** Benchmark decontamination: flag corpus documents sharing any word
@@ -288,7 +288,9 @@ object TextFunctions {
     * the identical expressions.
     */
   private val PiiPatterns = Seq(
-    ("url", """https?://[^\s]+""", "<URL>"),
+    // explicit whitespace class: Java's \s includes \x0B, RE2's does
+    // not — spelling it out keeps Spark and the DuckDB oracle identical
+    ("url", """https?://[^ \t\n\x0B\f\r]+""", "<URL>"),
     ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
     ("ip", """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "<IP>"),
     ("phone", """\b\d{3}[-. ]\d{3}[-. ]\d{4}\b""", "<PHONE>"),

@@ -154,6 +154,8 @@ object VectorFunctions {
       lloydIterations: Int = 5,
       trainLimit: Int = 100000,
   ): DataFrame = {
+    require(nCells >= 2, "ivfAnn needs at least 2 cells (least() argmin is binary-plus)")
+    require(nProbe >= 1 && nProbe <= nCells, "nProbe must be in [1, nCells]")
     withFns(df)
     val spark = df.sparkSession
     import spark.implicits._
@@ -236,10 +238,17 @@ object VectorFunctions {
         col("dot").cast("double") / (sqrt(norm2Int("qe").cast("double")) * sqrt(norm2Int("ce").cast("double"))),
       )
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    ranked
+    val out = ranked
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      // materialize the small result (|queries| × k rows) so the big
+      // cached inputs release NOW — without this every call pins two
+      // cached copies of the table until the caller drops the frame
+      .localCheckpoint()
+    vecs.unpersist(blocking = false)
+    indexed.unpersist(blocking = false)
+    out
   }
 
   /** Random-hyperplane LSH bucket id: `planes` sign bits of dot products

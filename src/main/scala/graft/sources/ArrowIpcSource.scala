@@ -54,52 +54,80 @@ object ArrowIpcSource {
     */
   def write(df: DataFrame, dir: String, batchRows: Int = 4096): Unit = {
     val schema = df.schema
-    new java.io.File(dir).mkdirs()
+    checkWritableSchema(schema)
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    // overwrite semantics: a previous wider write must not leave stale
+    // part files that a later read (or glob) would mix into the result
+    Option(d.listFiles()).getOrElse(Array.empty).filter(_.getName.endsWith(".arrows")).foreach(_.delete())
     df.rdd.foreachPartition { it =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         writeRows(it, schema, s"$dir/part-$pid.arrows", batchRows)
       }
     }
+    // empty frame (or all-empty partitions): still emit one schema-only
+    // file so the directory stays readable and globs stay non-empty
+    if (Option(d.listFiles()).getOrElse(Array.empty).count(_.getName.endsWith(".arrows")) == 0)
+      writeRows(Iterator.empty, schema, s"$dir/part-0.arrows", batchRows)
   }
 
+  /** Supported write types — validated BEFORE any native allocation so
+    * an unsupported schema cannot leak Arrow direct memory.
+    */
+  private def checkWritableSchema(schema: StructType): Unit =
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType | IntegerType | DoubleType | FloatType | BooleanType | StringType | TimestampType => ()
+        case other => throw new UnsupportedOperationException(s"unsupported arrow write type $other (column ${f.name})")
+      }
+    }
+
   /** Encode rows into one Arrow IPC streaming file (driver- or
-    * task-side).
+    * task-side). Nested try/finally: each native resource closes even
+    * when a later one fails to construct.
     */
   private[sources] def writeRows(rows: Iterator[Row], schema: StructType, path: String, batchRows: Int): Unit = {
+    checkWritableSchema(schema)
     val allocator = new RootAllocator(Long.MaxValue)
-    val vectors: Seq[FieldVector] = schema.fields.toSeq.map { f =>
-      f.dataType match {
-        case LongType => new BigIntVector(f.name, allocator)
-        case IntegerType => new IntVector(f.name, allocator)
-        case DoubleType => new Float8Vector(f.name, allocator)
-        case FloatType => new Float4Vector(f.name, allocator)
-        case BooleanType => new BitVector(f.name, allocator)
-        case StringType => new VarCharVector(f.name, allocator)
-        case TimestampType => new TimeStampMicroVector(f.name, allocator)
-        case other => throw new UnsupportedOperationException(s"unsupported arrow write type $other")
-      }
-    }
-    val root = new VectorSchemaRoot(vectors.asJava)
-    val out = new java.io.FileOutputStream(path)
-    val writer = new ArrowStreamWriter(root, null, out.getChannel)
     try {
-      writer.start()
-      rows.grouped(batchRows).foreach { batch =>
-        root.allocateNew()
-        batch.zipWithIndex.foreach { case (row, i) =>
-          vectors.zipWithIndex.foreach { case (v, c) =>
-            if (row.isNullAt(c)) () // setSafe skipped → null slot
-            else writeValue(v, i, row.get(c))
-          }
+      // cannot throw: schema pre-validated
+      val vectors: Seq[FieldVector] = schema.fields.toSeq.map { f =>
+        f.dataType match {
+          case LongType => new BigIntVector(f.name, allocator)
+          case IntegerType => new IntVector(f.name, allocator)
+          case DoubleType => new Float8Vector(f.name, allocator)
+          case FloatType => new Float4Vector(f.name, allocator)
+          case BooleanType => new BitVector(f.name, allocator)
+          case StringType => new VarCharVector(f.name, allocator)
+          case TimestampType => new TimeStampMicroVector(f.name, allocator)
+          case other => throw new UnsupportedOperationException(s"unreachable: $other")
         }
-        root.setRowCount(batch.size)
-        writer.writeBatch()
       }
-      writer.end()
-    } finally {
-      writer.close(); out.close(); root.close(); allocator.close()
-    }
+      val root = new VectorSchemaRoot(vectors.asJava)
+      try {
+        val out = new java.io.FileOutputStream(path)
+        try {
+          val writer = new ArrowStreamWriter(root, null, out.getChannel)
+          try {
+            writer.start()
+            rows.grouped(batchRows).foreach { batch =>
+              root.allocateNew()
+              batch.zipWithIndex.foreach { case (row, i) =>
+                vectors.zipWithIndex.foreach { case (v, c) =>
+                  if (row.isNullAt(c)) () // setSafe skipped → null slot
+                  else writeValue(v, i, row.get(c))
+                }
+              }
+              root.setRowCount(batch.size)
+              writer.writeBatch()
+            }
+            // a zero-batch stream still carries the schema header
+            writer.end()
+          } finally writer.close()
+        } finally out.close()
+      } finally root.close()
+    } finally allocator.close()
   }
 
   private def writeValue(v: FieldVector, i: Int, value: Any): Unit = (v, value) match {

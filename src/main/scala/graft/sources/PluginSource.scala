@@ -70,8 +70,11 @@ class PluginSource(cfg: PluginSourceConfig) extends Serializable {
     * interval chunk), fanned out over the cluster. `chunksPerSeries`
     * splits [start, end) into half-open sub-ranges — the same
     * parallelization lever as ts_interval_chunks — so long ranges
-    * don't serialize behind one subprocess. Schema is probed once
-    * driver-side from the first task's response.
+    * don't serialize behind one subprocess. Pass `schema` when the
+    * plugin's response shape is known; otherwise it is probed once
+    * driver-side by running the FIRST task's request eagerly (that
+    * request therefore executes twice — probe + task — so point
+    * non-idempotent or metered plugins at a known schema instead).
     */
   def data(
       spark: SparkSession,
@@ -79,6 +82,7 @@ class PluginSource(cfg: PluginSourceConfig) extends Serializable {
       start: Timestamp,
       end: Timestamp,
       chunksPerSeries: Int = 1,
+      schema: Option[StructType] = None,
   ): DataFrame = {
     require(seriesNames.nonEmpty, "plugin data read needs at least one series")
     require(chunksPerSeries >= 1, "chunksPerSeries must be positive")
@@ -92,14 +96,14 @@ class PluginSource(cfg: PluginSourceConfig) extends Serializable {
       isoMs(startMs + spanMs * i / chunksPerSeries),
       isoMs(startMs + spanMs * (i + 1) / chunksPerSeries),
     )
-    val dataSchema = {
+    val dataSchema = schema.getOrElse {
       val (s0, a0, b0) = tasks.head
       val probe = run(cfg.cmd :+ "data", dataRequest(cfg, s0, a0, b0))
       ArrowIpcSource.withReader(probe, streaming = true)(r =>
         ArrowIpcSource.toSparkSchema(r.getVectorSchemaRoot.getSchema)
       )
     }
-    val schema = StructType(StructField("series_name", StringType, nullable = false) +: dataSchema.fields)
+    val outSchema = StructType(StructField("series_name", StringType, nullable = false) +: dataSchema.fields)
     val conf = cfg // avoid capturing `this` in the task closure
     val taskRdd = spark.sparkContext
       .parallelize(tasks, math.min(tasks.size, spark.sparkContext.defaultParallelism))
@@ -111,7 +115,7 @@ class PluginSource(cfg: PluginSourceConfig) extends Serializable {
           .map(r => Row.fromSeq(series +: r.toSeq))
       }
     }
-    spark.createDataFrame(rows, schema)
+    spark.createDataFrame(rows, outSchema)
   }
 }
 
@@ -148,18 +152,24 @@ object PluginSource {
 
   /** Spawn the plugin and exchange one request/response. Requests are
     * small (well under the OS pipe buffer), so writing stdin before
-    * draining stdout cannot deadlock; responses are read fully —
-    * bounded by one (series, chunk) range, the unit the caller sizes
-    * via `chunksPerSeries`.
+    * draining stdout cannot deadlock; stderr is drained on a separate
+    * thread so a chatty plugin can't fill its pipe and wedge the task
+    * mid-stdout. Responses are read fully — bounded by one (series,
+    * chunk) range, the unit the caller sizes via `chunksPerSeries`.
     */
   private[sources] def run(cmd: Seq[String], input: String): Array[Byte] = {
     val p = new ProcessBuilder(cmd: _*).start()
+    val errBytes = new java.util.concurrent.atomic.AtomicReference[Array[Byte]](Array.empty)
+    val drainer = new Thread(() => errBytes.set(p.getErrorStream.readAllBytes()))
+    drainer.setDaemon(true)
+    drainer.start()
     val stdin = p.getOutputStream
     stdin.write(input.getBytes("UTF-8"))
     stdin.close()
     val out = p.getInputStream.readAllBytes()
-    val err = new String(p.getErrorStream.readAllBytes(), "UTF-8")
     val code = p.waitFor()
+    drainer.join(10000)
+    val err = new String(errBytes.get(), "UTF-8")
     if (code != 0)
       throw new RuntimeException(s"plugin '${cmd.mkString(" ")}' exited $code: ${err.take(500)}")
     if (err.nonEmpty) System.err.println(s"[plugin ${cmd.headOption.getOrElse("")}] $err")

@@ -91,54 +91,55 @@ object EventStream {
 
   final case class UserEvent(user_id: Long, ts: Timestamp)
   final case class SessionAcc(startMs: Long, endMs: Long, n: Long)
+  final case class SessionList(sessions: Seq[SessionAcc])
   final case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
 
   /** Streaming sessionization — the streaming dual of
-    * q_events_sessionize (30-minute inactivity gap). State is one open
-    * session per user, closed either by an in-stream gap or by an
-    * event-time timeout once the watermark passes `end + gap`; emitted
-    * sessions are final (append mode), and the watermark bounds both
-    * state size and result lateness. Partitioning is the groupByKey
-    * hash on user_id — the same shuffle the batch window uses.
+    * q_events_sessionize (30-minute inactivity gap). State holds the
+    * user's OPEN sessions (plural: out-of-order events inside the
+    * watermark horizon can open an earlier disjoint session or merge
+    * two); each batch folds the sorted union of state and new events
+    * into disjoint sessions. A session is emitted only once the
+    * watermark passes `end + gap` — Spark drops input older than the
+    * watermark, so nothing can extend it afterwards and append-mode
+    * results are final. The watermark bounds state size and result
+    * lateness; partitioning is the groupByKey hash on user_id — the
+    * same shuffle the batch window uses.
     */
   def sessionizeStream(events: DataFrame, gapMinutes: Int = 30, watermark: String = "1 hour"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
+
+    // fold intervals (sorted by start) into maximal gap-separated runs
+    def merge(intervals: Seq[SessionAcc]): Seq[SessionAcc] =
+      intervals.sortBy(a => (a.startMs, a.endMs)).foldLeft(List.empty[SessionAcc]) {
+        case (cur :: done, a) if a.startMs - cur.endMs <= gapMs =>
+          cur.copy(endMs = math.max(cur.endMs, a.endMs), n = cur.n + a.n) :: done
+        case (acc, a) => a :: acc
+      }.reverse
+
     events
       .select(col("user_id"), col("ts"))
       .withWatermark("ts", watermark)
       .as[UserEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionAcc, Session](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      .flatMapGroupsWithState[SessionList, Session](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user, it, state) =>
-          if (state.hasTimedOut) {
-            val a = state.get
-            state.remove()
-            Iterator(Session(user, new Timestamp(a.startMs), new Timestamp(a.endMs), a.n))
-          } else {
-            val sorted = it.toSeq.sortBy(_.ts.getTime)
-            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-            var acc = state.getOption
-            for (e <- sorted) {
-              val t = e.ts.getTime
-              acc = acc match {
-                case Some(a) if t - a.endMs <= gapMs =>
-                  Some(a.copy(endMs = math.max(a.endMs, t), n = a.n + 1))
-                case Some(a) =>
-                  closed += Session(user, new Timestamp(a.startMs), new Timestamp(a.endMs), a.n)
-                  Some(SessionAcc(t, t, 1))
-                case None => Some(SessionAcc(t, t, 1))
-              }
-            }
-            acc.foreach { a =>
-              state.update(a)
-              // timeout must sit strictly past the current watermark or
-              // Spark rejects it (late stragglers extend an old session)
-              state.setTimeoutTimestamp(math.max(a.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
-            }
-            closed.iterator
+          val prior = state.getOption.map(_.sessions).getOrElse(Nil)
+          val incoming = it.map(e => SessionAcc(e.ts.getTime, e.ts.getTime, 1)).toSeq
+          val all = merge(prior ++ incoming)
+          // final = nothing at or after the watermark can merge into it
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) = all.partition(_.endMs + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionList(open))
+            // timeout must sit strictly past the current watermark or
+            // Spark rejects it
+            state.setTimeoutTimestamp(math.max(open.map(_.endMs + gapMs).min, wm + 1))
           }
+          closed.iterator.map(a => Session(user, new Timestamp(a.startMs), new Timestamp(a.endMs), a.n))
       }
   }
 

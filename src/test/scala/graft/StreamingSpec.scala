@@ -138,6 +138,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(1).getAs[Long]("n_events") == 1L)
   }
 
+  test("sessionizeStream folds late in-watermark events into the right session") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = mem.toDF().toDF("user_id", "ts")
+    val q = graft.streaming.EventStream
+      .sessionizeStream(df)
+      .writeStream.format("memory").queryName("sessions_ooo").outputMode(OutputMode.Append())
+      .start()
+    mem.addData((1L, t("2024-01-01T10:00:00Z")))
+    q.processAllAvailable()
+    // late but inside the 1h watermark horizon: must extend the open
+    // session BACKWARD (start moves to 09:45), not hang off its end
+    mem.addData((1L, t("2024-01-01T09:45:00Z")))
+    q.processAllAvailable()
+    // advance the watermark past end + gap → the session finalizes
+    mem.addData((2L, t("2024-01-01T13:00:00Z")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions_ooo").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("user_id") == 1L)
+    assert(rows(0).getAs[Timestamp]("session_start") == t("2024-01-01T09:45:00Z"))
+    assert(rows(0).getAs[Timestamp]("session_end") == t("2024-01-01T10:00:00Z"))
+    assert(rows(0).getAs[Long]("n_events") == 2L)
+  }
+
   test("kappa loop: stream writes land in the dir-layout source and read back") {
     import graft.sources.{ConfiguredSource, SourceConfig}
     val dir = java.nio.file.Files.createTempDirectory("graft-kappa").toString
