@@ -724,6 +724,29 @@ object SparkEntry {
         .chunk(reps, col("doc_id"), col("text"))
         .withColumn("chunk_id", col("chunk_id").cast("long"))
     },
+    // C21: the curation pipeline — PII scrub → quality gate →
+    // benchmark decontamination → deterministic split assignment,
+    // chained in one plan (the publishing-side dual of
+    // pipeline_clean_corpus's dedup-centric chain)
+    "pipeline_curate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val scrubbed = TextFunctions
+        .piiScrub(docs, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val kept = TextFunctions
+        .qualityScore(scrubbed, col("text"))
+        .where(col("quality_score") > 0.45)
+        .select(col("doc_id"), col("text"))
+      val decon = TextFunctions.decontaminate(
+        kept.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0),
+        col("doc_id"),
+        col("text"),
+      )
+      TextFunctions
+        .hashSplit(kept.join(decon.where(!col("contaminated")).select("doc_id"), Seq("doc_id")), col("doc_id"))
+        .select(col("doc_id"), col("split"))
+    },
     // B6: tumbling 1h window aggregates over events
     "q_events_window_agg" -> { (s, dir) =>
       ntz(
@@ -1228,6 +1251,45 @@ object SparkEntry {
                     list_distinct(list_transform(generate_series(1, GREATEST(len(hs) - 3, 1)), j -> list_aggregate(list_slice(hs, j, j + 3), 'min'))) AS fps
                   FROM hashes)
          SELECT doc_id, unnest(fps) AS fp FROM wins""",
+    "pipeline_curate" ->
+      """WITH scrub AS (
+           SELECT doc_id,
+                  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                    'https?://[^ \t\n\x0B\f\r]+', '<URL>', 'g'),
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS text
+           FROM documents),
+         base AS (
+           SELECT doc_id, text, length(text) AS n_chars,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+           FROM scrub),
+         feat AS (
+           SELECT doc_id, w, len(w) AS n_words,
+                  FLOOR(CAST(n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) * 1000000.0 / n_chars) / 1000000.0 AS punct_ratio,
+                  FLOOR(CAST(len(list_filter(w, t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE) * 1000000.0 / GREATEST(len(w), 1)) / 1000000.0 AS stopword_ratio
+           FROM base),
+         kept AS (
+           SELECT doc_id, w FROM feat
+           WHERE 0.3 * stopword_ratio + 0.3 * (1.0 - punct_ratio) + 0.4 * LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) > 0.45),
+         bnorm AS (
+           SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+           FROM documents WHERE doc_id % 20 = 0),
+         bench AS (
+           SELECT DISTINCT unnest(list_distinct(list_transform(generate_series(1, len(w) - 4),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS s
+           FROM bnorm WHERE len(w) >= 5),
+         csh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 4),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS s
+           FROM kept WHERE doc_id % 20 <> 0 AND len(w) >= 5),
+         contaminated AS (SELECT DISTINCT a.doc_id FROM csh a JOIN bench b ON a.s = b.s)
+         SELECT k.doc_id,
+                CASE WHEN substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7','8','9','a','b','c','d') THEN 'train'
+                     WHEN substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 1) = 'e' THEN 'val'
+                     ELSE 'test' END AS split
+         FROM kept k
+         WHERE k.doc_id % 20 <> 0 AND k.doc_id NOT IN (SELECT doc_id FROM contaminated)""",
     "text_topk_ngrams" ->
       """WITH norm AS (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
          w AS (SELECT string_split(t, ' ') AS w FROM norm),
