@@ -264,9 +264,18 @@ object DedupFunctions {
     def release(df: DataFrame): Unit =
       org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(df).foreach(_.unpersist(blocking = false))
 
+    // both directions from ONE scan of the pairs plan — a union of two
+    // selects would evaluate the (expensive) candidate-pair join twice
     val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .select(
+        explode(
+          array(
+            struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+            struct(col("doc_b").as("src"), col("doc_a").as("dst")),
+          )
+        ).as("e")
+      )
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     var checkpointed = edges.select(col("src").as("node")).distinct().withColumn("label", col("node")).localCheckpoint()
     var labels = checkpointed

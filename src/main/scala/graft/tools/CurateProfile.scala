@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage-timing probe for pipeline_clean_corpus (dev tool). */
+object CurateProfile {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftOptimizations.install(spark)
+    val dir = "/root/testdata/sf0.1"
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    import graft.functions.{DedupFunctions, TextFunctions}
+    // warm up the IO path once
+    graft.Tables.documents(spark, dir).count()
+    for (round <- 1 to 2) {
+      println(s"--- round $round")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      val docs = graft.Tables.documents(spark, dir)
+      val scored = TextFunctions
+        .qualityScore(TextFunctions.langId(docs, col("text")), col("text"))
+        .select(col("doc_id"), col("text"), col("pred_lang"), col("quality_score"))
+      val kept = scored.where(col("quality_score") > 0.45 && col("pred_lang") === "en").cache()
+      time("score+filter+cache")(kept.count())
+      val pairs = DedupFunctions.jaccardPairs(kept, "doc_id", "text")
+      time("jaccardPairs")(pairs.write.format("noop").mode("overwrite").save())
+      val groups = time("dedupGroups")(DedupFunctions.dedupGroups(pairs))
+      time("dedupGroups materialize")(groups.write.format("noop").mode("overwrite").save())
+      val dupes = groups.where(col("doc_id") =!= col("group_id"))
+      val reps = kept.join(dupes, Seq("doc_id"), "left_anti")
+      val out = TextFunctions.chunk(reps, col("doc_id"), col("text")).withColumn("chunk_id", col("chunk_id").cast("long"))
+      time("chunk+write")(out.write.format("noop").mode("overwrite").save())
+    }
+    spark.stop()
+  }
+}
