@@ -6,7 +6,7 @@ import java.time.Instant
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{DedupFunctions, TextFunctions, VectorFunctions}
+import graft.functions.{CorpusFunctions, DedupFunctions, TextFunctions, VectorFunctions}
 import graft.model.SeriesDictionary
 import graft.multimodal.Multimodal
 import graft.operators.TimeSeriesOps
@@ -684,6 +684,36 @@ object SparkEntry {
         .hashSplit(Tables.documents(s, dir), col("doc_id"))
         .select(col("doc_id"), col("split"))
     },
+    // C22: per-language corpus composition (docs, token/char volume,
+    // exact length quantiles — the pre-mixing inspection step)
+    "corpus_stats" -> { (s, dir) =>
+      CorpusFunctions.corpusStats(Tables.documents(s, dir), col("lang"), col("text"))
+    },
+    // C23: deterministic stratified sampling — down-weight dominant
+    // strata by content-stable hash (en keeps 1/4, zh 1/2, rest all)
+    "corpus_sample_stratified" -> { (s, dir) =>
+      CorpusFunctions
+        .stratifiedSample(
+          Tables.documents(s, dir),
+          col("doc_id"),
+          col("lang"),
+          Map("en" -> 0.25, "zh" -> 0.5),
+        )
+        .select(col("doc_id"), col("lang"))
+    },
+    // C24: exact repeated-span detection (word-level substring dedup) —
+    // merged per-doc intervals of corpus-repeated 10-word grams
+    "dedup_substring" -> { (s, dir) =>
+      DedupFunctions.repeatedSpans(Tables.documents(s, dir), "doc_id", "text", k = 10)
+    },
+    // C25: per-dimension int8 embedding quantization, exploded to
+    // (vec_id, dim, q) scalar rows for the oracle compare
+    "embedding_quantize" -> { (s, dir) =>
+      VectorFunctions
+        .quantizeInt8(Tables.embeddings(s, dir))
+        .select(col("vec_id"), posexplode(col("qvec")).as(Seq("dim", "q")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("q"))
+    },
     // C13: approximate per-series stats — the 100 TB scale path
     // (sketches, not exact aggregation; rows-only by nature)
     "ts_approx_stats" -> { (s, dir) =>
@@ -1305,6 +1335,51 @@ object SparkEntry {
                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'e' THEN 'val'
                      ELSE 'test' END AS split
          FROM documents""",
+    "corpus_stats" ->
+      """WITH b AS (SELECT lang AS stratum,
+                           CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS nw,
+                           CAST(length(text) AS BIGINT) AS nc
+                    FROM documents)
+         SELECT stratum, COUNT(*) AS n_docs,
+                CAST(SUM(nw) AS BIGINT) AS total_words,
+                CAST(SUM(nc) AS BIGINT) AS total_chars,
+                quantile_cont(nc, 0.5) AS p50_chars,
+                quantile_cont(nc, 0.95) AS p95_chars
+         FROM b GROUP BY 1""",
+    "corpus_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CASE WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+                    WHEN lang = 'zh' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+                    ELSE TRUE END""",
+    "dedup_substring" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+         g AS (SELECT doc_id,
+                      CAST(UNNEST(generate_series(1, len(w) - 9)) AS BIGINT) AS strt,
+                      UNNEST(list_transform(generate_series(1, len(w) - 9), i -> array_to_string(list_slice(w, i, i + 9), ' '))) AS gram
+               FROM w WHERE len(w) >= 10),
+         dup AS (SELECT gram FROM g GROUP BY 1 HAVING COUNT(*) > 1),
+         m AS (SELECT doc_id, strt, strt + 9 AS en FROM g JOIN dup USING (gram)),
+         mm AS (SELECT doc_id, strt, en,
+                       MAX(en) OVER (PARTITION BY doc_id ORDER BY strt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                FROM m),
+         isl AS (SELECT doc_id, strt, en,
+                        SUM(CASE WHEN pmax IS NULL OR strt > pmax + 1 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY strt) AS island
+                 FROM mm)
+         SELECT doc_id, MIN(strt) AS span_start, MAX(en) AS span_end,
+                MAX(en) - MIN(strt) + 1 AS span_words
+         FROM isl GROUP BY doc_id, island""",
+    "embedding_quantize" ->
+      """WITH d AS (SELECT UNNEST(embedding) AS x, UNNEST(generate_series(1, len(embedding))) AS i FROM embeddings),
+         s AS (SELECT i, MAX(ABS(x)) AS mx FROM d GROUP BY 1),
+         sc AS (SELECT list(mx ORDER BY i) AS scales FROM s)
+         SELECT vec_id,
+                CAST(UNNEST(generate_series(1, len(embedding))) - 1 AS BIGINT) AS dim,
+                UNNEST(list_transform(generate_series(1, len(embedding)),
+                       j -> CASE WHEN scales[j] = 0
+                                 THEN 0
+                                 ELSE CAST(FLOOR(CAST(embedding[j] AS DOUBLE) * 127.0 / CAST(scales[j] AS DOUBLE) + 0.5) AS INT) END)) AS q
+         FROM embeddings, sc""",
     "text_decontaminate" ->
       """WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
          w AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),

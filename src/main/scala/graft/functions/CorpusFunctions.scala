@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level dataset operators: composition statistics and
+  * deterministic stratified sampling — the data-mixing side of a
+  * training-data pipeline (inspect the language/source distribution,
+  * then rebalance it without moving data twice).
+  *
+  * Like the rest of the text stack, everything is codegen'd built-ins:
+  * no UDFs, no driver-side data, deterministic across engines and
+  * partitionings.
+  */
+object CorpusFunctions {
+
+  /** Per-stratum corpus composition: document counts, token/char
+    * volume and exact char-length quantiles. One hash aggregate with
+    * map-side partial combine; stratum cardinality (languages,
+    * sources) is tiny, so the reduce side is trivial at any corpus
+    * size. `percentile` keeps a per-group sort of the length values —
+    * at 100 TB swap in `approx_percentile` exactly as `ts_approx_stats`
+    * does for series stats; counts and sums are exact either way.
+    */
+  def corpusStats(df: DataFrame, stratum: Column, text: Column): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        stratum.as("stratum"),
+        size(TextFunctions.words(text)).cast("long").as("__nw"),
+        length(text).cast("long").as("__nc"),
+      )
+      .groupBy(col("stratum"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nw")).as("total_words"),
+        sum(col("__nc")).as("total_chars"),
+        expr("percentile(__nc, array(0.5, 0.95))").as("__p"),
+      )
+      .select(
+        col("stratum"),
+        col("n_docs"),
+        col("total_words"),
+        col("total_chars"),
+        col("__p")(0).as("p50_chars"),
+        col("__p")(1).as("p95_chars"),
+      )
+
+  /** Deterministic stratified sampling: a row survives iff the first
+    * 8 hex digits of `md5(id)` fall below its stratum's rate
+    * threshold. For fixed-width lowercase hex, lexicographic string
+    * comparison IS numeric comparison, so the cut is engine- and
+    * partitioning-stable — the reproducibility property random
+    * `sample()` lacks, and the same trick [[TextFunctions.hashSplit]]
+    * uses for split assignment. A pure per-row projection + filter:
+    * no shuffle, no sampling state, embarrassingly parallel at 100 TB.
+    *
+    * `rates` maps stratum value → keep-rate in [0, 1]; strata not
+    * listed keep everything. The standard use is down-weighting a
+    * dominant language/source before training.
+    */
+  def stratifiedSample(df: DataFrame, idCol: Column, stratum: Column, rates: Map[String, Double]): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0), "rates must be in [0, 1]")
+    val digits = substring(md5(idCol.cast("string")), 1, 8)
+    // threshold = floor(rate · 16^8) as 8 lowercase hex digits; rate 1
+    // has no 8-digit representation, so it short-circuits to true
+    def keepAt(rate: Double): Column =
+      if (rate >= 1.0) lit(true)
+      else digits < lit(f"${math.floor(rate * 4294967296.0).toLong}%08x")
+    val keep = rates.toSeq.sortBy(_._1).foldRight(lit(true)) { case ((s, r), rest) =>
+      when(stratum === s, keepAt(r)).otherwise(rest)
+    }
+    df.where(keep)
+  }
+}

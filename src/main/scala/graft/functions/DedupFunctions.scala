@@ -338,4 +338,141 @@ object DedupFunctions {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Connected components via alternating large-star/small-star
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") — the scale path next to [[dedupGroups]]'s plain label
+    * propagation: propagation needs diameter rounds (fine for the
+    * short chains near-dup graphs produce, linear in path length on
+    * adversarial ones), star contraction converges in O(log²)
+    * rounds on ANY shape, so a 100 TB run with unexpectedly long
+    * chains can't blow the round budget.
+    *
+    * Each half-round is two hash shuffles on node id (a min aggregate
+    * and an edge join) — no `collect_list` of neighborhoods, so a hub
+    * node never materializes its adjacency in one task:
+    *   m(u) = min(u, min N(u));
+    *   large-star re-points every neighbor v > u at m(u);
+    *   small-star re-points every neighbor v ≤ u (and u itself) at m(u).
+    * At the fixpoint every component is a star rooted at its minimum;
+    * the root's self-edge keeps singleton stars in the frame.
+    * Output matches [[dedupGroups]] exactly: (doc_id, group_id).
+    */
+  def dedupGroupsStar(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    def release(df: DataFrame): Unit =
+      org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(df).foreach(_.unpersist(blocking = false))
+
+    // undirected edges, both directions, from one scan of the pair plan
+    var edges = pairs
+      .select(
+        explode(
+          array(
+            struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+            struct(col("doc_b").as("src"), col("doc_a").as("dst")),
+          )
+        ).as("e")
+      )
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+      .localCheckpoint()
+
+    def minNeighbor(e: DataFrame): DataFrame =
+      e.groupBy(col("src")).agg(least(col("src"), min(col("dst"))).as("m"))
+
+    // one star half-round: re-point the selected side of each
+    // neighborhood at its minimum. `keepLarger` true = large-star.
+    def star(e: DataFrame, keepLarger: Boolean): DataFrame = {
+      val joined = e.join(minNeighbor(e), Seq("src"))
+      val repointed =
+        if (keepLarger)
+          joined.where(col("dst") > col("src")).select(col("dst").as("src"), col("m").as("dst"))
+        else
+          joined
+            .where(col("dst") <= col("src"))
+            .select(col("dst").as("src"), col("m").as("dst"))
+            .union(joined.select(col("src"), col("m").as("dst")))
+      // the root's self-edge (m, m) collapses to a loop — keep exactly
+      // one per root so singleton stars survive as rows
+      repointed
+        .where(col("src") =!= col("dst"))
+        .union(joined.select(col("m").as("src"), col("m").as("dst")))
+        .distinct()
+        .localCheckpoint()
+    }
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      val afterLarge = star(edges, keepLarger = true)
+      val afterSmall = star(afterLarge, keepLarger = false)
+      release(afterLarge)
+      // fixpoint = every edge already points at its source's minimum:
+      // the next half-round can't move anything. Node-count-sized check.
+      converged = afterSmall
+        .join(minNeighbor(afterSmall), Seq("src"))
+        .where(col("dst") =!= col("m") && col("src") =!= col("dst"))
+        .limit(1)
+        .count() == 0
+      release(edges)
+      edges = afterSmall
+      iter += 1
+    }
+    edges
+      .groupBy(col("src").as("doc_id"))
+      .agg(least(col("src"), min(col("dst"))).as("group_id"))
+  }
+
+  /** Exact repeated-span detection — the word-level analog of exact
+    * substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): every k-word gram occurring more
+    * than once in the corpus marks its span, and overlapping/adjacent
+    * marked spans merge into maximal per-doc word intervals — the
+    * regions a dedup pass would cut, at finer grain than whole-doc
+    * near-dup removal.
+    *
+    * Shape: positioned gram explode → corpus-wide gram count (hash
+    * aggregate with map-side combine; only grams with count > 1
+    * survive) → join back → per-doc window interval-merge (running-max
+    * end marks island starts, prefix-sum numbers the islands). Every
+    * stage shuffles on a bounded key (gram text, then doc id) — no
+    * all-pairs anything, and the merge is one sort per doc partition.
+    * Emits (doc_id, span_start, span_end, span_words), word positions
+    * 1-based inclusive.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String, k: Int = 10): DataFrame = {
+    require(k >= 2, "span gram size must be at least 2 words")
+    val grams = wordsSpread(df, idCol, textCol)
+      .where(size(col("__w")) >= k)
+      .select(
+        col("doc_id"),
+        posexplode(
+          expr(s"transform(sequence(1, size(__w) - ${k - 1}), i -> concat_ws(' ', slice(__w, i, $k)))")
+        ).as(Seq("off", "gram")),
+      )
+      .select(col("doc_id"), (col("off") + 1).cast("long").as("start"), col("gram"))
+    val dupGrams = grams
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+      .select(col("gram"))
+    val marked = grams
+      .join(dupGrams, Seq("gram"))
+      .select(col("doc_id"), col("start"), (col("start") + (k - 1)).as("end"))
+    // interval merge: a span starts a new island iff it begins past the
+    // running max end of everything before it (+1: adjacent spans merge)
+    val before = Window.partitionBy(col("doc_id")).orderBy(col("start")).rowsBetween(Window.unboundedPreceding, -1)
+    val upToHere = Window.partitionBy(col("doc_id")).orderBy(col("start")).rowsBetween(Window.unboundedPreceding, 0)
+    marked
+      .withColumn("__pmax", max(col("end")).over(before))
+      .withColumn("__new", when(col("__pmax").isNull || col("start") > col("__pmax") + 1, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(upToHere))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("start")).as("span_start"), max(col("end")).as("span_end"))
+      .select(
+        col("doc_id"),
+        col("span_start"),
+        col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_words"),
+      )
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{DedupFunctions, TextFunctions, VectorFunctions}
+import graft.functions.{CorpusFunctions, DedupFunctions, TextFunctions, VectorFunctions}
 
 class FunctionsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -246,5 +246,84 @@ class FunctionsSpec extends AnyFunSuite {
     val f3 = fpSet(3L)
     assert((f0 intersect f2).size * 2 > f0.size)
     assert((f0 intersect f3).size * 5 < f0.size)
+  }
+
+  test("dedupGroupsStar matches label propagation and contracts a long chain") {
+    // the near-dup pairs of the shared fixture
+    val pairs = DedupFunctions.jaccardPairs(docs, "doc_id", "text", numThreshold = 1, denThreshold = 2)
+    def groupsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groupsOf(DedupFunctions.dedupGroupsStar(pairs)) == groupsOf(DedupFunctions.dedupGroups(pairs)))
+    // a 64-node path graph: diameter 63 — label propagation at the
+    // default cap would NOT converge, star contraction must (and in
+    // far fewer than the 20-iteration cap)
+    val chain = spark.range(0, 63).select($"id".as("doc_a"), ($"id" + 1).as("doc_b"))
+    val star = groupsOf(DedupFunctions.dedupGroupsStar(chain))
+    assert(star.size == 64 && star.values.forall(_ == 0L))
+  }
+
+  test("corpusStats aggregates per stratum and counts sum to the corpus") {
+    val d = Seq(
+      (0L, "en", "one two three"),
+      (1L, "en", "four five"),
+      (2L, "de", "sechs"),
+    ).toDF("doc_id", "lang", "text")
+    val stats = CorpusFunctions.corpusStats(d, col("lang"), col("text")).collect()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == 3)
+    val en = stats.find(_.getString(0) == "en").get
+    assert(en.getAs[Long]("n_docs") == 2 && en.getAs[Long]("total_words") == 5)
+    assert(en.getAs[Double]("p95_chars") <= 13.0 && en.getAs[Double]("p50_chars") >= 9.0)
+  }
+
+  test("stratifiedSample: content-stable, rate-respecting, absent strata untouched") {
+    val d = spark.range(0, 2000).select($"id".as("doc_id"), (when($"id" % 2 === 0, "en").otherwise("fr")).as("lang"))
+    val sampled = CorpusFunctions.stratifiedSample(d, col("doc_id"), col("lang"), Map("en" -> 0.25))
+    val byLang = sampled.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("fr") == 1000) // unlisted stratum keeps everything
+    assert(byLang("en") > 150 && byLang("en") < 350) // ~250 expected
+    // content-stable: the same ids survive regardless of partitioning
+    val again = CorpusFunctions
+      .stratifiedSample(d.repartition(7), col("doc_id"), col("lang"), Map("en" -> 0.25))
+    assert(again.collect().map(_.getLong(0)).sorted.sameElements(sampled.collect().map(_.getLong(0)).sorted))
+    // rate 0 drops the stratum entirely; rate 1 keeps it entirely
+    val edges = CorpusFunctions
+      .stratifiedSample(d, col("doc_id"), col("lang"), Map("en" -> 0.0, "fr" -> 1.0))
+    assert(edges.where($"lang" === "en").count() == 0 && edges.where($"lang" === "fr").count() == 1000)
+  }
+
+  test("repeatedSpans marks corpus-repeated grams and merges overlapping spans") {
+    // docs 0 and 1 share words 1..12 (two overlapping 10-grams each:
+    // starts 1..3) and differ afterwards; doc 2 shares nothing
+    val shared = "a b c d e f g h i j k l"
+    val d = Seq(
+      (0L, s"$shared unique0 tail0 x0 y0 z0 w0 v0 u0 t0 s0"),
+      (1L, s"$shared unique1 tail1 x1 y1 z1 w1 v1 u1 t1 s1"),
+      (2L, "totally different words with no repeated ten gram span here at all"),
+    ).toDF("doc_id", "text")
+    val spans = DedupFunctions.repeatedSpans(d, "doc_id", "text", k = 10).collect()
+    assert(spans.length == 2) // one merged interval per sharing doc
+    spans.foreach { r =>
+      assert(Set(0L, 1L).contains(r.getLong(0)))
+      assert(r.getAs[Long]("span_start") == 1L && r.getAs[Long]("span_end") == 12L)
+      assert(r.getAs[Long]("span_words") == 12L)
+    }
+  }
+
+  test("quantizeInt8: codes bounded by 127, hit the extremes, reconstruct within a half step") {
+    val d = Seq(
+      (0L, Array(1.0f, -2.0f, 0.0f)),
+      (1L, Array(0.5f, 2.0f, 0.0f)),
+      (2L, Array(-1.0f, 1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val q = VectorFunctions.quantizeInt8(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // scales: (1.0, 2.0, 0.0); all-zero dim quantizes to 0, not NaN
+    assert(q(0L) == Seq(127, -127, 0))
+    assert(q(1L) == Seq(64, 127, 0)) // floor(0.5*127 + 0.5) = 64
+    assert(q(2L) == Seq(-127, 64, 0))
+    assert(q.values.flatten.forall(v => v >= -127 && v <= 127))
+    // reconstruction error ≤ scale/254 + float eps for every code
+    val err0 = math.abs(q(1L)(0) * 1.0 / 127.0 - 0.5)
+    assert(err0 <= 1.0 / 254.0 + 1e-6)
   }
 }
