@@ -602,6 +602,13 @@ object SparkEntry {
         DedupFunctions.jaccardPairs(Tables.documents(s, dir), "doc_id", "text")
       )
     },
+    // C14b: same components via alternating large/small-star contraction
+    // — the long-diameter scale path; same recursive-CTE oracle as C14
+    "dedup_groups_star" -> { (s, dir) =>
+      DedupFunctions.dedupGroupsStar(
+        DedupFunctions.jaccardPairs(Tables.documents(s, dir), "doc_id", "text")
+      )
+    },
     // C6: brute-force cosine top-10 for 5 query vectors
     "sim_cosine_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -1142,6 +1149,20 @@ object SparkEntry {
            JOIN norms nb ON nb.vec_id = b.vec_id)
          WHERE cosine >= 0.35""",
     "dedup_groups" ->
+      """WITH RECURSIVE norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+         w AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+                FROM w WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b FROM inter
+                   JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+                   WHERE i * 5 >= (na.n + nb.n - i) * 4),
+         und AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM und UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+         SELECT a AS doc_id, LEAST(a, MIN(b)) AS group_id FROM reach GROUP BY a""",
+    "dedup_groups_star" ->
       """WITH RECURSIVE norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
          w AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
          sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s

@@ -362,64 +362,77 @@ object DedupFunctions {
     def release(df: DataFrame): Unit =
       org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(df).foreach(_.unpersist(blocking = false))
 
-    // undirected edges, both directions, from one scan of the pair plan
+    // canonical orientation: one row per undirected edge, src > dst.
     var edges = pairs
       .select(
-        explode(
-          array(
-            struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-            struct(col("doc_b").as("src"), col("doc_a").as("dst")),
-          )
-        ).as("e")
+        greatest(col("doc_a"), col("doc_b")).as("src"),
+        least(col("doc_a"), col("doc_b")).as("dst"),
       )
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
 
-    def minNeighbor(e: DataFrame): DataFrame =
-      e.groupBy(col("src")).agg(least(col("src"), min(col("dst"))).as("m"))
-
-    // one star half-round: re-point the selected side of each
-    // neighborhood at its minimum. `keepLarger` true = large-star.
-    def star(e: DataFrame, keepLarger: Boolean): DataFrame = {
-      val joined = e.join(minNeighbor(e), Seq("src"))
-      val repointed =
-        if (keepLarger)
-          joined.where(col("dst") > col("src")).select(col("dst").as("src"), col("m").as("dst"))
-        else
-          joined
-            .where(col("dst") <= col("src"))
-            .select(col("dst").as("src"), col("m").as("dst"))
-            .union(joined.select(col("src"), col("m").as("dst")))
-      // the root's self-edge (m, m) collapses to a loop — keep exactly
-      // one per root so singleton stars survive as rows
-      repointed
-        .where(col("src") =!= col("dst"))
-        .union(joined.select(col("m").as("src"), col("m").as("dst")))
+    // large-star sees the FULL neighborhood of u — both directions,
+    // re-derived from the one-directional canonical store every round
+    // (storing only one direction and aggregating over it is how the
+    // first version lost every in-neighborhood after round 1) — and
+    // points every neighbor v > u at m(u) = min(N(u) ∪ {u}). Emitted
+    // edges are (v, m) with m ≤ u < v, so canonical form is preserved.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym  = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy(col("src")).agg(least(col("src"), min(col("dst"))).as("m"))
+      sym
+        .join(mins, Seq("src"))
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
         .distinct()
-        .localCheckpoint()
+    }
+
+    // small-star sees only the ≤-neighbors of u — exactly the rows the
+    // canonical orientation stores under src = u — takes m over that
+    // neighborhood ∪ {u} (all dst < src, so min(dst) suffices; NOT the
+    // global neighbor min), and points u and each smaller neighbor at
+    // m. Emitted edges again satisfy src > dst.
+    def smallStar(e: DataFrame): DataFrame = {
+      val joined = e.join(
+        e.groupBy(col("src")).agg(min(col("dst")).as("m")),
+        Seq("src"),
+      )
+      joined
+        .where(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(joined.select(col("src"), col("m").as("dst")))
+        .distinct()
     }
 
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
-      val afterLarge = star(edges, keepLarger = true)
-      val afterSmall = star(afterLarge, keepLarger = false)
-      release(afterLarge)
-      // fixpoint = every edge already points at its source's minimum:
-      // the next half-round can't move anything. Node-count-sized check.
-      converged = afterSmall
-        .join(minNeighbor(afterSmall), Seq("src"))
-        .where(col("dst") =!= col("m") && col("src") =!= col("dst"))
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // fixpoint = the edge set is a star forest in canonical form:
+      // no node is both a child and a root (no chains left), and no
+      // child points at two roots. Both checks are bounded single-pass
+      // jobs; either failing means another round can still move edges.
+      val chained = next
+        .as("a")
+        .join(next.as("b"), col("a.dst") === col("b.src"), "left_semi")
         .limit(1)
-        .count() == 0
+        .count() > 0
+      val multiRoot = !chained && next
+        .groupBy(col("src"))
+        .agg(countDistinct(col("dst")).as("n"))
+        .where(col("n") > 1)
+        .limit(1)
+        .count() > 0
+      converged = !chained && !multiRoot
       release(edges)
-      edges = afterSmall
+      edges = next
       iter += 1
     }
     edges
-      .groupBy(col("src").as("doc_id"))
-      .agg(least(col("src"), min(col("dst"))).as("group_id"))
+      .select(col("src").as("doc_id"), col("dst").as("group_id"))
+      .union(edges.select(col("dst").as("doc_id"), col("dst").as("group_id")))
+      .distinct()
   }
 
   /** Exact repeated-span detection — the word-level analog of exact
