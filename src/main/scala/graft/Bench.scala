@@ -6,6 +6,16 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line. Results are fully materialized through the
   * `noop` sink so the measurement covers the whole plan (a bare count()
   * would let Spark skip column evaluation).
+  *
+  * Output contract: the harness captures only the LAST ~2 kB of stdout
+  * and parses the first `{"metric"…}` line it finds there, and sbt
+  * appends its own `[success]` line after ours. So we emit (a) the
+  * full-precision JSON with every query — parseable whenever the suite
+  * is small enough to fit the window, (b) the same JSON to
+  * `target/bench.json` for local tooling, and (c) a compact summary
+  * line LAST (total + slowest ten), which always fits the window even
+  * when (a) outgrows it. The truncated remnant of (a) cannot contain a
+  * `{"metric"` prefix, so a first-match parser falls through to (c).
   */
 object Bench {
   /** Headline queries; every key must exist in SparkEntry.queries. */
@@ -52,13 +62,16 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
-    // min of two timed runs: reports steady-state per-query latency,
-    // damping first-materialization and machine noise. A failed run is
-    // reported as -1, never as its elapsed time — a broken query must
-    // not masquerade as a fast pass.
+    // Median of three timed runs: single-run timings on this box wobble
+    // 2–4× on identical plans (q_events_window_agg r3↔r4), and min-of-2
+    // still inherits one outlier when both runs land hot or cold. The
+    // median is the standard robust point estimate at n=3. A failed run
+    // is reported as -1, never as its elapsed time — a broken query
+    // must not masquerade as a fast pass.
+    val runsPerQuery = 3
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 2).map { _ =>
+      val times = (1 to runsPerQuery).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -67,30 +80,42 @@ object Bench {
               System.err.println(s"[bench] FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
               false
           }
+        // capture the elapsed time BEFORE cache teardown — clearCache
+        // of a query's cached frames is bookkeeping, not query latency
         val elapsed = (System.nanoTime() - t0) / 1e9
-        // Release per-query cached frames (dedup shingle indexes etc.)
-        // AFTER capturing the time. Leaving them resident starves later
-        // queries of execution memory — r02 showed 10–30× slowdowns.
-        // clearCache misses localCheckpoint RDDs (they live at the RDD
-        // layer, not in CacheManager): dedup_groups / clean_corpus each
-        // pin their final-round labels until ContextCleaner GCs them,
-        // which made the next query (q5_multijoin) 4× slower in r04.
+        // Release per-query cached frames (dedup shingle indexes etc.).
+        // Leaving them resident starves later queries of execution
+        // memory — r02 showed 10–30× slowdowns. clearCache misses
+        // localCheckpoint RDDs (they live at the RDD layer, not in
+        // CacheManager): dedup_groups / clean_corpus each pin their
+        // final-round labels until ContextCleaner GCs them, which made
+        // the next query (q5_multijoin) 4× slower in r04.
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         if (ok) elapsed else -1.0
       }
-      val best = if (times.forall(_ >= 0)) times.min else -1.0
+      val best = if (times.forall(_ >= 0)) times.sorted.apply(runsPerQuery / 2) else -1.0
       System.err.println(f"[bench] $name%-28s $best%8.3f s  (runs: ${times.map(t => f"$t%.3f").mkString(", ")})")
       name -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // failed count goes INTO the JSON: a query regressing to -1 must
     // not read as a faster total to a consumer comparing across rounds
     val failed = results.count(_._2 < 0)
     if (failed > 0) System.err.println(s"[bench] $failed queries FAILED (reported as -1)")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    def jsonLine(rs: Seq[(String, Double)]): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    val full = jsonLine(results)
+    println(full)
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), full + "\n")
+    } catch { case e: Exception => System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}") }
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => k -> (math.round(v * 1000) / 1000.0) }
+    println(jsonLine(slowest))
     spark.stop()
   }
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.SeriesSelector
 import graft.operators.TimeSeriesOps
-import graft.sources.{ConfiguredSource, MetadataConfig, MetadataSource, SourceConfig}
+import graft.sources.{ConfiguredSource, GraftConfig, MetadataConfig, MetadataSource, SourceConfig}
 
 /** The client facade — graft's equivalent of the reference's Flight API
   * surface (kukur/client.py: search, get_metadata, get_data,
@@ -95,5 +95,22 @@ final class Graft(spark: SparkSession) {
   def getSourceStructure(sourceName: String): DataFrame = {
     val cfg = registered(sourceName).dataConfig
     TimeSeriesOps.sourceStructure(readAll(sourceName), cfg.tagColumns, cfg.fieldColumns)
+  }
+}
+
+object Graft {
+
+  def apply(spark: SparkSession): Graft = new Graft(spark)
+
+  /** Build a facade from a declarative config file — the reference's
+    * primary UX (`Kukur.toml` + kukur/config.py): every source in the
+    * file (plus its `include` fragments) is registered with its
+    * metadata sidecars, mappings and quality mapping resolved. See
+    * [[graft.sources.GraftConfig]] for the accepted JSON structure.
+    */
+  def fromConfig(spark: SparkSession, configPath: String): Graft = {
+    val g = new Graft(spark)
+    GraftConfig.load(configPath).foreach(s => g.registerSource(s.name, s.data, s.metadata))
+    g
   }
 }

@@ -736,10 +736,14 @@ object SparkEntry {
     "text_fingerprint" -> { (s, dir) =>
       TextFunctions.fingerprints(Tables.documents(s, dir), col("doc_id"), col("text"))
     },
-    // C12: multimodal binary-column pipeline with stubbed decode
+    // C12: multimodal binary-column pipeline — PNG-encode each payload
+    // (real ImageIO write) then decode it back (real ImageIO read):
+    // format/width/height are true codec outputs, not stub values
     "mm_pipeline" -> { (s, dir) =>
       val assets = Multimodal.asAssets(Tables.documents(s, dir), "doc_id", "text", "source")
-      Multimodal.stubDecode(assets).select(col("asset_id"), col("n_bytes"), col("checksum"))
+      Multimodal
+        .decodeImages(Multimodal.toPngAssets(assets))
+        .select(col("asset_id"), col("format"), col("width"), col("height"), col("n_bytes"))
     },
     // C15: the composed training-data pipeline — quality gate → langid
     // → near-dup removal (keep group representative) → chunking. Every

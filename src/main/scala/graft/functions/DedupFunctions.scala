@@ -292,7 +292,11 @@ object DedupFunctions {
         .join(neighborMin, Seq("node"), "left")
         .select(col("node"), col("label").as("old"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = updated.where(col("label") =!= col("old")).limit(1).count() > 0
+      // full count, not limit(1): a limit can short-circuit after a few
+      // partitions, and the convergence check must never release the
+      // previous round before this one is completely materialized
+      // (localCheckpoint is eager, but keep the check unconditional)
+      changed = updated.where(col("label") =!= col("old")).count() > 0
       release(checkpointed)
       checkpointed = updated
       labels = updated.select(col("node"), col("label"))

@@ -104,7 +104,20 @@ final class ConfiguredSource(cfg: SourceConfig) {
     * sources land in the same canonical shape.
     */
   private def readRow(spark: SparkSession): DataFrame = {
-    val raw = reader(spark).load(cfg.path)
+    val loaded = reader(spark).load(cfg.path)
+    // Headerless CSV names columns positionally: tags, ts, fields
+    // (+ quality) — kukur/source/arrow.py:164's column_names order for
+    // sources with header_row = false (the reference default).
+    val raw =
+      if (cfg.fileFormat == "csv" && !cfg.csvHeader && cfg.columnMapping.isEmpty) {
+        val names = cfg.tagColumns ++ Seq("ts") ++ cfg.fieldColumns ++
+          (if (cfg.qualityGood.nonEmpty) Seq("quality") else Nil)
+        require(
+          loaded.columns.length == names.length,
+          s"headerless csv at ${cfg.path} has ${loaded.columns.length} columns; expected ${names.mkString(", ")}",
+        )
+        loaded.toDF(names: _*)
+      } else loaded
     val tags = cfg.tagColumns.map(t => col(mapped(t)).as(t))
     val base = withQuality(raw).withColumn("ts", normalizeTs(col(mapped("ts"))))
     val stackExpr = cfg.fieldColumns

@@ -1,0 +1,254 @@
+package graft.sources
+
+import java.nio.file.{FileSystems, Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+/** Config-file source registry — the reference's primary UX is "declare
+  * sources in a config file" (kukur/config.py + Kukur.toml +
+  * kukur/source/__init__.py SourceFactory), not programmatic
+  * registration. This loader reads the same structure from JSON
+  * (Jackson ships with Spark; no TOML parser does offline):
+  *
+  * {{{
+  * {
+  *   "include": [{"glob": "*.fragment.json"}],   // also: dir globs like conf.d slash *.json
+  *   "source": {
+  *     "sensors": {"type": "csv", "path": "sensors.csv",
+  *                 "metadata": "sensors-metadata.csv",
+  *                 "metadata_sources": ["extra"],
+  *                 "quality_mapping": "opc"}
+  *   },
+  *   "metadata": {"extra": {"type": "csv", "path": "m.csv", "fields": ["unit"]}},
+  *   "metadata_mapping":       {"name": {"description": "DESC"}},
+  *   "metadata_value_mapping": {"name": {"interpolation_type": {"LINEAR": "line"}}},
+  *   "quality_mapping":        {"opc":  {"GOOD": [192, [200, 210], "good"]}}
+  * }
+  * }}}
+  *
+  * Key names and semantics mirror the reference: `include` globs merge
+  * fragments (lists extend, dicts update two levels deep —
+  * kukur/config.py merge_fragment), per-source keys are the
+  * SourceFactory vocabulary (type, path, format, tag_columns,
+  * field_columns, column_mapping, data_datetime_format, data_timezone,
+  * header_row, path_encoding, metadata, metadata_sources, and NAMED
+  * references into the top-level metadata_mapping /
+  * metadata_value_mapping / quality_mapping sections —
+  * kukur/source/__init__.py:441-460). Relative paths resolve against
+  * the config file's directory.
+  */
+object GraftConfig {
+
+  private val json = new ObjectMapper()
+
+  /** One declared source: data config + ordered metadata configs
+    * (source's own sidecar first, then `metadata_sources` extras — the
+    * reference's merge precedence, kukur/source/__init__.py:170).
+    */
+  final case class DeclaredSource(name: String, data: SourceConfig, metadata: Seq[MetadataConfig])
+
+  private val supportedTypes = Set("csv", "parquet", "json", "orc")
+
+  def load(configPath: String): Seq[DeclaredSource] = {
+    val path = Paths.get(configPath).toAbsolutePath
+    val dir = path.getParent
+    val root = parseWithIncludes(path)
+    root
+      .path("source")
+      .fields()
+      .asScala
+      .map { e =>
+        val (name, node) = (e.getKey, e.getValue)
+        val typ = str(node, "type").getOrElse(fail(s""""$name" has no type"""))
+        if (!supportedTypes.contains(typ))
+          fail(s"""source "$name" has unknown type "$typ" (supported: ${supportedTypes.toSeq.sorted.mkString(", ")})""")
+        val tagColumns = strSeq(node, "tag_columns").getOrElse(Seq("series_name"))
+        val data = SourceConfig(
+          path = resolve(dir, str(node, "path").getOrElse(fail(s""""$name" has no path"""))),
+          fileFormat = typ,
+          dataFormat = str(node, "format").getOrElse("row"),
+          tagColumns = tagColumns,
+          fieldColumns = strSeq(node, "field_columns").getOrElse(Seq("value")),
+          columnMapping = objMap(node.get("column_mapping")),
+          datetimeFormat = str(node, "data_datetime_format"),
+          dataTimezone = str(node, "data_timezone"),
+          qualityGood = str(node, "quality_mapping")
+            .map(n => qualityGood(root.path("quality_mapping").path(n)))
+            .getOrElse(Nil),
+          // header_row defaults FALSE like the reference (csv.py:58);
+          // headerless files get positional tag/ts/field column names
+          csvHeader = Option(node.get("header_row")).exists(_.asBoolean),
+          csvSeparator = str(node, "data_column_separator").getOrElse(","),
+          valueType = str(node, "value_type").getOrElse("double"),
+          pathEncoding = str(node, "path_encoding"),
+        )
+        val sidecar = str(node, "metadata").map { mdPath =>
+          MetadataConfig(
+            path = resolve(dir, mdPath),
+            fileFormat = typ,
+            tagColumns = tagColumns,
+            fieldMapping = namedSection(root, "metadata_mapping", node).map(objMap).getOrElse(Map.empty),
+            valueMapping = namedSection(root, "metadata_value_mapping", node).map(valueMapping).getOrElse(Map.empty),
+            dictionaryDir = str(node, "dictionary_dir").map(resolve(dir, _)),
+            csvSeparator = str(node, "data_column_separator").getOrElse(","),
+            fields = strSeq(node, "metadata_fields").orElse(strSeq(node, "fields")).getOrElse(Nil),
+          )
+        }
+        val extras = strSeq(node, "metadata_sources").getOrElse(Nil).map { mdName =>
+          val mdNode = root.path("metadata").path(mdName)
+          if (mdNode.isMissingNode)
+            fail(s"""metadata source "$mdName" for source "$name" not found""")
+          val mdType = str(mdNode, "type").getOrElse(fail(s"""metadata source "$mdName" has no type"""))
+          if (!supportedTypes.contains(mdType))
+            fail(s"""metadata source "$mdName" has unknown type "$mdType"""")
+          MetadataConfig(
+            path = resolve(dir, str(mdNode, "path").getOrElse(fail(s"""metadata source "$mdName" has no path"""))),
+            fileFormat = mdType,
+            tagColumns = strSeq(mdNode, "tag_columns").getOrElse(tagColumns),
+            fieldMapping = namedSection(root, "metadata_mapping", mdNode).map(objMap).getOrElse(Map.empty),
+            valueMapping = namedSection(root, "metadata_value_mapping", mdNode).map(valueMapping).getOrElse(Map.empty),
+            dictionaryDir = str(mdNode, "dictionary_dir").map(resolve(dir, _)),
+            csvSeparator = str(mdNode, "data_column_separator").getOrElse(","),
+            fields = strSeq(mdNode, "fields").getOrElse(Nil),
+          )
+        }
+        DeclaredSource(name, data, sidecar.toSeq ++ extras)
+      }
+      .toSeq
+  }
+
+  /** Parse a config file and fold in its `include` globs —
+    * kukur/config.py from_toml: each matched file merges as a fragment,
+    * in sorted path order.
+    */
+  private[sources] def parseWithIncludes(path: Path): ObjectNode = {
+    val root = json.readTree(Files.readString(path)) match {
+      case o: ObjectNode => o
+      case _ => fail(s"config root must be a JSON object: $path")
+    }
+    root.path("include").elements().asScala.toSeq.foreach { inc =>
+      val glob = str(inc, "glob").getOrElse(fail("""invalid include: "glob" is required"""))
+      globFiles(path.getParent, glob).foreach { p =>
+        json.readTree(Files.readString(p)) match {
+          case o: ObjectNode => mergeFragment(root, o)
+          case _ => fail(s"include fragment must be a JSON object: $p")
+        }
+      }
+    }
+    root
+  }
+
+  /** merge_fragment semantics (kukur/config.py:38-58): top-level lists
+    * extend, top-level dicts update — with second-level dicts updating
+    * key-wise rather than being replaced — scalars overwrite.
+    */
+  private[sources] def mergeFragment(config: ObjectNode, fragment: ObjectNode): Unit =
+    fragment.fields().asScala.foreach { e =>
+      val (k, v) = (e.getKey, e.getValue)
+      config.get(k) match {
+        case arr: ArrayNode if v.isArray => arr.addAll(v.asInstanceOf[ArrayNode]); ()
+        case obj: ObjectNode if v.isObject =>
+          v.fields().asScala.foreach { e2 =>
+            obj.get(e2.getKey) match {
+              case o2: ObjectNode if e2.getValue.isObject =>
+                e2.getValue.fields().asScala.foreach(e3 => o2.set[JsonNode](e3.getKey, e3.getValue))
+              case _ => obj.set[JsonNode](e2.getKey, e2.getValue)
+            }
+          }
+        case _ => config.set[JsonNode](k, v)
+      }
+    }
+
+  /** Files matching a glob, sorted by path (kukur sorts include
+    * matches). The walk starts at the deepest glob-free prefix, so a
+    * `*.json` glob inside a conf.d directory never scans the whole
+    * filesystem.
+    */
+  private[sources] def globFiles(baseDir: Path, pattern: String): Seq[Path] = {
+    val abs =
+      if (Paths.get(pattern).isAbsolute) pattern
+      else baseDir.resolve(pattern).toString
+    val matcher = FileSystems.getDefault.getPathMatcher("glob:" + abs)
+    val globChars = "*?[{".toSet
+    val prefix = abs.split('/').takeWhile(seg => !seg.exists(globChars)).mkString("/")
+    val walkRoot = Paths.get(if (prefix.isEmpty) "/" else prefix)
+    if (!Files.isDirectory(walkRoot)) Seq.empty
+    else {
+      val stream = Files.walk(walkRoot)
+      try
+        stream
+          .iterator()
+          .asScala
+          .filter(p => Files.isRegularFile(p) && matcher.matches(p))
+          .toSeq
+          .sortBy(_.toString)
+      finally stream.close()
+    }
+  }
+
+  /** `{"GOOD": [192, [200, 210], "good"]}` → the good-value list; a
+    * two-element inner array is an inclusive integer range
+    * (QualityMapper.from_config, kukur/source/quality.py:29-42).
+    */
+  private[sources] def qualityGood(node: JsonNode): Seq[Any] =
+    node
+      .path("GOOD")
+      .elements()
+      .asScala
+      .flatMap { e =>
+        if (e.isArray) {
+          val xs = e.elements().asScala.toSeq
+          if (xs.length > 1) (xs.head.asInt to xs(1).asInt).map(identity[Any])
+          else xs.map(x => if (x.isNumber) (x.asInt: Any) else (x.asText: Any))
+        } else if (e.isNumber) Seq(e.asInt: Any)
+        else Seq(e.asText: Any)
+      }
+      .toSeq
+
+  /** Named double-dict section → graft's (source value → canonical
+    * value) orientation. The reference maps canonical → external
+    * (one-to-many), and translates FROM the source by inverting
+    * (MetadataValueMapper.from_config + from_source,
+    * kukur/source/metadata.py:49-78); graft's MetadataSource applies
+    * the inverted map directly.
+    */
+  private[sources] def valueMapping(node: JsonNode): Map[String, Map[String, String]] =
+    node
+      .fields()
+      .asScala
+      .map { fieldEntry =>
+        val inverted = fieldEntry.getValue
+          .fields()
+          .asScala
+          .flatMap { e =>
+            if (e.getValue.isArray) e.getValue.elements().asScala.map(_.asText -> e.getKey).toSeq
+            else Seq(e.getValue.asText -> e.getKey)
+          }
+          .toMap
+        fieldEntry.getKey -> inverted
+      }
+      .toMap
+
+  /** Resolve `node`'s reference into a top-level named section, e.g.
+    * `"metadata_mapping": "room"` → root.metadata_mapping.room.
+    */
+  private def namedSection(root: JsonNode, section: String, node: JsonNode): Option[JsonNode] =
+    str(node, section).map(root.path(section).path(_)).filter(!_.isMissingNode)
+
+  private def resolve(dir: Path, p: String): String =
+    if (Paths.get(p).isAbsolute) p else dir.resolve(p).toString
+
+  private def str(n: JsonNode, key: String): Option[String] =
+    Option(n.get(key)).filterNot(_.isNull).map(_.asText)
+
+  private def strSeq(n: JsonNode, key: String): Option[Seq[String]] =
+    Option(n.get(key)).filterNot(_.isNull).map(_.elements().asScala.map(_.asText).toSeq)
+
+  private def objMap(n: JsonNode): Map[String, String] =
+    Option(n).filterNot(_ == null).map(_.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty)
+
+  private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+}

@@ -30,6 +30,11 @@ final case class MetadataConfig(
     /** directory of `<dictionary_name>.csv` files with code,label rows */
     dictionaryDir: Option[String] = None,
     csvSeparator: String = ",",
+    /** when non-empty, the canonical fields this source contributes —
+      * others read as null so merge precedence skips them (kukur
+      * MetadataSource.fields, kukur/source/__init__.py:97-101)
+      */
+    fields: Seq[String] = Nil,
 )
 
 final class MetadataSource(cfg: MetadataConfig) {
@@ -82,7 +87,13 @@ final class MetadataSource(cfg: MetadataConfig) {
       upper(valueMapped("data_type", colOrNull("data_type")).cast("string")).as("data_type"),
       valueMapped("dictionary_name", colOrNull("dictionary_name")).cast("string").as("dictionary_name"),
     )
-    raw.select(tags ++ fields: _*)
+    val selected = raw.select(tags ++ fields: _*)
+    if (cfg.fields.isEmpty) selected
+    else
+      selected.columns
+        .filterNot(cfg.tagColumns.contains)
+        .filterNot(cfg.fields.contains)
+        .foldLeft(selected)((d, f) => d.withColumn(f, lit(null).cast(d.schema(f).dataType)))
   }
 
   /** All dictionaries in the dictionary dir as one frame

@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.SeriesSelector
+
+class GraftConfigSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  /** Stage a config dir: a headerless sensors CSV + metadata sidecar +
+    * an extra metadata source, a parquet source pulled in via an
+    * include fragment, and named mapping sections.
+    */
+  private lazy val confDir: String = {
+    val dir = Files.createTempDirectory("graft-config").toString
+    // headerless, positional: series_name, ts, value, quality
+    Files.writeString(
+      Paths.get(s"$dir/sensors.csv"),
+      """temp,2024-01-01T00:00:00Z,1.5,192
+        |temp,2024-01-01T01:00:00Z,2.5,0
+        |pressure,2024-01-01T00:30:00Z,9.0,201
+        |""".stripMargin,
+    )
+    // sidecar metadata WITH header; description arrives via mapped DESC
+    // column, interpolation_type via value mapping "line" -> LINEAR
+    Files.writeString(
+      Paths.get(s"$dir/sensors-metadata.csv"),
+      """series_name,DESC,interpolation_type
+        |temp,outdoor temperature,line
+        |pressure,line pressure,step
+        |""".stripMargin,
+    )
+    // extra metadata source: provides unit AND a competing description;
+    // fields=[unit] must keep only unit in the merge
+    Files.writeString(
+      Paths.get(s"$dir/extra-metadata.csv"),
+      """series_name,unit,description
+        |temp,degC,WRONG - fields filter must drop this
+        |""".stripMargin,
+    )
+    Seq(("hist1", t("2024-02-01T00:00:00Z"), 5.0))
+      .toDF("series_name", "ts", "value")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/hist.parquet")
+    Files.createDirectories(Paths.get(s"$dir/conf.d"))
+    Files.writeString(
+      Paths.get(s"$dir/conf.d/hist.json"),
+      """{"source": {"hist": {"type": "parquet", "path": "hist.parquet",
+        |                     "tag_columns": ["series_name"], "header_row": true}}}""".stripMargin,
+    )
+    Files.writeString(
+      Paths.get(s"$dir/graft.json"),
+      """{
+        |  "include": [{"glob": "conf.d/*.json"}],
+        |  "source": {
+        |    "sensors": {
+        |      "type": "csv",
+        |      "path": "sensors.csv",
+        |      "tag_columns": ["series_name"],
+        |      "metadata": "sensors-metadata.csv",
+        |      "metadata_mapping": "sensor_fields",
+        |      "metadata_value_mapping": "sensor_values",
+        |      "quality_mapping": "opc",
+        |      "metadata_sources": ["units"]
+        |    }
+        |  },
+        |  "metadata": {
+        |    "units": {"type": "csv", "path": "extra-metadata.csv", "fields": ["unit"]}
+        |  },
+        |  "metadata_mapping": {"sensor_fields": {"description": "DESC"}},
+        |  "metadata_value_mapping": {"sensor_values": {"interpolation_type": {"LINEAR": "line", "STEPPED": "step"}}},
+        |  "quality_mapping": {"opc": {"GOOD": [192, [200, 202]]}}
+        |}""".stripMargin,
+    )
+    dir
+  }
+
+  // header_row=false (the reference default) applies to the DATA csv
+  // only; metadata sidecars always read with headers, like the
+  // reference's DictReader-based metadata loader
+  private lazy val graft: Graft = Graft.fromConfig(spark, s"$confDir/graft.json")
+
+  test("fromConfig registers every source, including include fragments") {
+    assert(graft.listSources.toSet == Set("sensors", "hist"))
+  }
+
+  test("search and getData work through a config-declared headerless csv source") {
+    val names = graft.search("sensors").select("series_name").distinct().as[String].collect().sorted
+    assert(names.toSeq == Seq("pressure", "temp"))
+    val df = graft
+      .getData("sensors", SeriesSelector("sensors", Map("series_name" -> "temp")), t("2024-01-01T00:00:00Z"), t("2024-01-02T00:00:00Z"))
+      .orderBy("ts")
+      .collect()
+    assert(df.length == 2)
+    assert(df(0).getAs[Double]("value") == 1.5)
+    // quality mapping: 192 is GOOD (1), 0 is not (0)
+    assert(df(0).getAs[Int]("quality") == 1 && df(1).getAs[Int]("quality") == 0)
+  }
+
+  test("quality_mapping ranges mark values inside [lo, hi] as good") {
+    val df = graft
+      .getData("sensors", SeriesSelector("sensors", Map("series_name" -> "pressure")), t("2024-01-01T00:00:00Z"), t("2024-01-02T00:00:00Z"))
+      .collect()
+    assert(df.length == 1 && df(0).getAs[Int]("quality") == 1) // 201 ∈ [200, 202]
+  }
+
+  test("getMetadata applies field mapping, value mapping, and merges extras by fields") {
+    val md = graft.getMetadata("sensors").orderBy("series_name").collect()
+    assert(md.length == 2)
+    val temp = md.find(_.getAs[String]("series_name") == "temp").get
+    assert(temp.getAs[String]("description") == "outdoor temperature") // mapped from DESC, sidecar wins
+    assert(temp.getAs[String]("interpolation_type") == "LINEAR") // value-mapped from "line"
+    assert(temp.getAs[String]("unit") == "degC") // filled by the extra source
+    val pressure = md.find(_.getAs[String]("series_name") == "pressure").get
+    assert(pressure.getAs[String]("interpolation_type") == "STEPPED")
+    assert(pressure.getAs[String]("unit") == null) // extra source has no pressure row
+  }
+
+  test("parquet source from an include fragment reads through the facade") {
+    val rows = graft.readAll("hist").collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("series_name") == "hist1")
+  }
+
+  test("unknown source type fails with a clear message") {
+    val dir = Files.createTempDirectory("graft-config-bad").toString
+    Files.writeString(
+      Paths.get(s"$dir/bad.json"),
+      """{"source": {"x": {"type": "influxdb", "path": "nope"}}}""",
+    )
+    val e = intercept[IllegalArgumentException](Graft.fromConfig(spark, s"$dir/bad.json"))
+    assert(e.getMessage.contains("influxdb") && e.getMessage.contains("supported"))
+  }
+}

@@ -29,4 +29,58 @@ class MultimodalSpec extends AnyFunSuite {
     val f = rows(0).getSeq[Double](3)
     assert(f.length == 4 && math.abs(f.sum - 1.0) < 1e-9)
   }
+
+  /** Hand-built PNG fixtures: known dimensions and solid colors, so the
+    * decoded width/height/luma histogram have exact expected values.
+    */
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("decodeImages extracts real format, dimensions and luminance from PNG bytes") {
+    val assets = Seq(
+      (1L, png(7, 3, 0xffffff), "white 7x3"),
+      (2L, png(2, 2, 0x000000), "black 2x2"),
+      (3L, "not an image".getBytes("UTF-8"), "garbage"),
+    ).toDF("asset_id", "content", "label")
+      .select(
+        $"asset_id",
+        $"content",
+        org.apache.spark.sql.functions
+          .struct(
+            org.apache.spark.sql.functions.lit("image/png").as("mime"),
+            org.apache.spark.sql.functions.length($"content").as("n_bytes"),
+            $"label".as("source"),
+          )
+          .as("meta"),
+      )
+    val rows = Multimodal.decodeImages(assets).orderBy("asset_id").collect()
+    assert(rows(0).getAs[String]("format") == "png")
+    assert(rows(0).getAs[Int]("width") == 7 && rows(0).getAs[Int]("height") == 3)
+    assert(rows(0).getSeq[Double](5) == Seq(0.0, 0.0, 0.0, 1.0)) // all-white → top luma bin
+    assert(rows(1).getAs[Int]("width") == 2 && rows(1).getAs[Int]("height") == 2)
+    assert(rows(1).getSeq[Double](5) == Seq(1.0, 0.0, 0.0, 0.0)) // all-black → bottom bin
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2)) // unreadable bytes → null, not a task failure
+    assert(rows(2).getAs[Int]("n_bytes") == 12)
+  }
+
+  test("toPngAssets round-trips payload bytes through a real codec") {
+    val docs = Seq((1L, "hello multimodal world", "srcA"), (2L, "x" * 100, "srcB"))
+      .toDF("doc_id", "text", "source")
+    val pngs = Multimodal.toPngAssets(Multimodal.asAssets(docs, "doc_id", "text", "source"), width = 8)
+    val decoded = Multimodal.decodeImages(pngs).orderBy("asset_id").collect()
+    // doc 1: 22 payload bytes at width 8 → 3 pixel rows; doc 2: 100 → 13
+    assert(decoded(0).getAs[String]("format") == "png")
+    assert(decoded(0).getAs[Int]("width") == 8 && decoded(0).getAs[Int]("height") == 3)
+    assert(decoded(1).getAs[Int]("width") == 8 && decoded(1).getAs[Int]("height") == 13)
+    // deterministic: same payload → byte-identical PNG → same histogram
+    val again = Multimodal.decodeImages(
+      Multimodal.toPngAssets(Multimodal.asAssets(docs, "doc_id", "text", "source"), width = 8)
+    ).orderBy("asset_id").collect()
+    assert(decoded.map(_.getSeq[Double](5)).toSeq == again.map(_.getSeq[Double](5)).toSeq)
+  }
 }

@@ -6,7 +6,7 @@ import java.time.Instant
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{ArrowIpcSource, PluginSource}
+import graft.sources.{ArrowIpcSource, PluginSource, SeriesKey}
 
 class PluginSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -28,7 +28,7 @@ class PluginSpec extends AnyFunSuite {
                     |action="$$1"
                     |req=$$(cat)
                     |case "$$action" in
-                    |  search) printf '%s' '{"series":[{"source":"plugin","tags":{"series name":"a"},"field":"value"},{"source":"plugin","tags":{"series name":"b"}}]}' ;;
+                    |  search) printf '%s' '{"series":[{"source":"plugin","tags":{"series name":"a"},"field":"value"},{"source":"plugin","tags":{"series name":"b"}}],"metadata":[{"series":{"source":"plugin","tags":{"series name":"a"}},"description":"series a","unit":"m"}]}' ;;
                     |  metadata) printf '%s' '{"description":"demo series","unit":"m/s"}' ;;
                     |  data)
                     |    s=$$(printf '%s' "$$req" | sed -n 's/.*"series name":"\\([^"]*\\)".*/\\1/p')
@@ -64,6 +64,97 @@ class PluginSpec extends AnyFunSuite {
     assert(bRow.getTimestamp(1) == t("2024-01-01T00:00:30Z"))
     assert(bRow.getDouble(2) == 9.0)
     assert(rows.count(_.getString(0) == "a") == 2)
+  }
+
+  test("plugin search also yields plugin-provided metadata items") {
+    val md = PluginSource(Seq(s"$pluginDir/plugin.sh")).searchMetadata(spark).collect()
+    assert(md.length == 1)
+    val row = md.head
+    assert(row.getAs[String]("series_name") == "a")
+    assert(row.getAs[String]("source") == "plugin")
+    assert(row.getAs[String]("description") == "series a")
+    assert(row.getAs[String]("unit") == "m")
+  }
+
+  /** A plugin that records every request to a log file and answers
+    * `plot` with pre-bucketed data, `data` with raw points.
+    */
+  private def loggingPlugin(features: Boolean): (String, String) = {
+    val dir = Files.createTempDirectory("graft-plugin-plot").toString
+    val raw = Seq(
+      (t("2024-01-01T00:00:00Z"), 1.0),
+      (t("2024-01-01T00:01:00Z"), 5.0),
+      (t("2024-01-01T00:02:00Z"), 3.0),
+    ).toDF("ts", "value")
+    val buckets = Seq((t("2024-01-01T00:00:00Z"), 1.0, 5.0)).toDF("ts", "min_value", "max_value")
+    ArrowIpcSource.write(raw.repartition(1), s"$dir/raw")
+    ArrowIpcSource.write(buckets.repartition(1), s"$dir/buckets")
+    val script = s"""#!/bin/sh
+                    |action="$$1"
+                    |req=$$(cat)
+                    |printf '%s %s\\n' "$$action" "$$req" >> "$dir/requests.log"
+                    |case "$$action" in
+                    |  plot) cat "$dir/buckets"/*.arrows ;;
+                    |  data) cat "$dir/raw"/*.arrows ;;
+                    |  *) echo "unknown action $$action" >&2; exit 2 ;;
+                    |esac
+                    |""".stripMargin
+    Files.writeString(Paths.get(s"$dir/plugin.sh"), script)
+    new java.io.File(s"$dir/plugin.sh").setExecutable(true)
+    val config = if (features) """{"features":{"plot":true}}""" else "{}"
+    (dir, config)
+  }
+
+  test("plugin plot uses the plot action when features.plot is advertised") {
+    val (dir, config) = loggingPlugin(features = true)
+    val df = PluginSource(Seq(s"$dir/plugin.sh"), config).plotData(
+      spark,
+      Seq(SeriesKey("a")),
+      t("2024-01-01T00:00:00Z"),
+      t("2024-01-02T00:00:00Z"),
+      intervalCount = 200,
+    )
+    assert(df.schema.fieldNames.toSeq == Seq("series_name", "ts", "min_value", "max_value"))
+    val rows = df.collect()
+    assert(rows.length == 1 && rows.head.getDouble(3) == 5.0)
+    val log = Files.readString(Paths.get(s"$dir/requests.log"))
+    assert(log.linesIterator.forall(_.startsWith("plot ")))
+    assert(log.contains(""""intervalCount":200"""))
+  }
+
+  test("plugin plot falls back to the data action without features.plot") {
+    val (dir, config) = loggingPlugin(features = false)
+    val df = PluginSource(Seq(s"$dir/plugin.sh"), config).plotData(
+      spark,
+      Seq(SeriesKey("a")),
+      t("2024-01-01T00:00:00Z"),
+      t("2024-01-02T00:00:00Z"),
+      intervalCount = 200,
+    )
+    assert(df.collect().length == 3)
+    val log = Files.readString(Paths.get(s"$dir/requests.log"))
+    assert(log.linesIterator.forall(_.startsWith("data ")))
+    assert(log.contains(""""intervalCount":200""")) // sent on the fallback too
+  }
+
+  test("plugin requests carry arbitrary tag maps and fields") {
+    val (dir, config) = loggingPlugin(features = false)
+    val key = SeriesKey(Map("series name" -> "a", "location" -> "plant-1"), field = "max")
+    val df = PluginSource(Seq(s"$dir/plugin.sh"), config)
+      .dataForKeys(spark, Seq(key), t("2024-01-01T00:00:00Z"), t("2024-01-02T00:00:00Z"))
+    assert(df.collect().forall(_.getString(0) == "a,location=plant-1::max"))
+    val log = Files.readString(Paths.get(s"$dir/requests.log"))
+    assert(log.contains(""""tags":{"location":"plant-1","series name":"a"}"""))
+    assert(log.contains(""""field":"max""""))
+  }
+
+  test("plugin schema probe reuses its response — one invocation per task") {
+    val (dir, _) = loggingPlugin(features = false)
+    val df = PluginSource(Seq(s"$dir/plugin.sh"))
+      .data(spark, Seq("a", "b"), t("2024-01-01T00:00:00Z"), t("2024-01-02T00:00:00Z"))
+    assert(df.collect().length == 6) // 3 raw rows per series
+    val log = Files.readString(Paths.get(s"$dir/requests.log"))
+    assert(log.linesIterator.size == 2) // probe served series a; only b re-ran
   }
 
   test("plugin failures surface the exit code and stderr") {
