@@ -312,6 +312,33 @@ object SparkEntry {
       )
       ntz(src.read(s).withColumn("user_id", col("user_id").cast("long")))
     },
+    // A15e: config-file-declared source (kukur/config.py + Kukur.toml,
+    // SourceFactory vocabulary): a headerless positional CSV declared
+    // in a JSON config, registered and read through Graft.fromConfig —
+    // the reference's primary "declare sources in a file" UX on the
+    // oracle surface, not just in specs
+    "ts_config_source" -> { (s, dir) =>
+      val tmp = fixture(dir, "cfgsrc") { p =>
+        new java.io.File(p).mkdirs()
+        Tables
+          .canonicalEvents(s, dir)
+          .where(col("series_name").isin("view", "purchase"))
+          .select(
+            col("series_name"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            col("value"),
+          )
+          .write.mode("overwrite").csv(s"$p/data")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$p/graft.json"),
+          """{"source": {"events_csv": {
+            |  "type": "csv", "path": "data",
+            |  "tag_columns": ["series_name"],
+            |  "data_datetime_format": "yyyy-MM-dd HH:mm:ss.SSSSSS"}}}""".stripMargin,
+        )
+      }
+      ntz(Graft.fromConfig(s, s"$tmp/graft.json").readAll("events_csv"))
+    },
     // A15d: external-command plugin source (kukur/source/plugin) —
     // per-series Arrow IPC responses decoded distributed; the demo
     // plugin serves staged per-series stream files and ignores the
@@ -883,6 +910,9 @@ object SparkEntry {
     "ts_plugin_source" ->
       """SELECT event_type AS series_name, ts, value
          FROM events WHERE event_type IN ('click', 'view')""",
+    "ts_config_source" ->
+      """SELECT event_type AS series_name, 'value' AS field, ts, value
+         FROM events WHERE event_type IN ('view', 'purchase')""",
     "ts_dir_source" ->
       """SELECT event_type AS series_name, ts, value FROM events
          WHERE event_type = 'click'
