@@ -122,23 +122,28 @@ object GraftConfig {
 
   /** Parse a config file and fold in its `include` globs —
     * kukur/config.py from_toml: each matched file merges as a fragment,
-    * in sorted path order.
+    * in sorted path order. `.toml` files parse via [[TomlLite]] (the
+    * reference's native format), everything else as JSON; fragments
+    * pick their parser by their own extension, so a JSON root can
+    * include TOML fragments and vice versa.
     */
   private[sources] def parseWithIncludes(path: Path): ObjectNode = {
-    val root = json.readTree(Files.readString(path)) match {
-      case o: ObjectNode => o
-      case _ => fail(s"config root must be a JSON object: $path")
-    }
+    val root = parseFile(path)
     root.path("include").elements().asScala.toSeq.foreach { inc =>
       val glob = str(inc, "glob").getOrElse(fail("""invalid include: "glob" is required"""))
-      globFiles(path.getParent, glob).foreach { p =>
-        json.readTree(Files.readString(p)) match {
-          case o: ObjectNode => mergeFragment(root, o)
-          case _ => fail(s"include fragment must be a JSON object: $p")
-        }
-      }
+      globFiles(path.getParent, glob).foreach(p => mergeFragment(root, parseFile(p)))
     }
     root
+  }
+
+  private def parseFile(path: Path): ObjectNode = {
+    val text = Files.readString(path)
+    if (path.toString.endsWith(".toml")) TomlLite.parse(text)
+    else
+      json.readTree(text) match {
+        case o: ObjectNode => o
+        case _ => fail(s"config root must be a JSON object: $path")
+      }
   }
 
   /** merge_fragment semantics (kukur/config.py:38-58): top-level lists

@@ -1,0 +1,257 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+/** Minimal TOML reader producing the same Jackson tree [[GraftConfig]]
+  * consumes from JSON — so `Graft.fromConfig` accepts the reference's
+  * native config format (`Kukur.toml`, kukur/config.py reads TOML) with
+  * zero new dependencies.
+  *
+  * Supported subset — everything the reference's source configs use
+  * (tables, arrays of tables `[[include]]`, dotted/quoted keys, basic
+  * and literal strings, integers, floats, booleans, (multiline) arrays,
+  * inline tables, comments):
+  *
+  * {{{
+  * data_dir = "db"
+  * [[include]]
+  * glob = "*.fragment.toml"
+  * [source.sensors]
+  * type = "csv"
+  * tag_columns = ["series name", "location"]
+  * }}}
+  *
+  * NOT supported (unused by kukur configs): datetimes, multiline
+  * strings, exotic escapes beyond \" \\ \n \r \t \uXXXX. A malformed
+  * document fails with line/position context rather than guessing.
+  */
+object TomlLite {
+
+  private val mapper = new ObjectMapper()
+
+  def parse(text: String): ObjectNode = new Parser(text).document()
+
+  private final class Parser(input: String) {
+    private var pos = 0
+    private val root = mapper.createObjectNode()
+    private var current: ObjectNode = root
+
+    def document(): ObjectNode = {
+      skipTrivia(newlines = true)
+      while (pos < input.length) {
+        if (peek == '[') header() else keyValue(current)
+        endOfLine()
+        skipTrivia(newlines = true)
+      }
+      root
+    }
+
+    // ---- structure ------------------------------------------------------
+
+    private def header(): Unit = {
+      expect('[')
+      val isArray = peek == '['
+      if (isArray) pos += 1
+      skipWs()
+      val path = dottedKey()
+      skipWs()
+      expect(']')
+      if (isArray) expect(']')
+      current =
+        if (isArray) {
+          val parent = descend(root, path.init)
+          val arr = parent.get(path.last) match {
+            case a: ArrayNode => a
+            case null => parent.putArray(path.last)
+            case other => fail(s"cannot redefine ${path.mkString(".")} (${other.getNodeType}) as array of tables")
+          }
+          arr.addObject()
+        } else descend(root, path)
+    }
+
+    private def keyValue(target: ObjectNode): Unit = {
+      val path = dottedKey()
+      skipWs()
+      expect('=')
+      skipWs()
+      val obj = descend(target, path.init)
+      if (obj.has(path.last)) fail(s"duplicate key: ${path.mkString(".")}")
+      obj.set[ObjectNode](path.last, value())
+      ()
+    }
+
+    private def descend(from: ObjectNode, path: Seq[String]): ObjectNode =
+      path.foldLeft(from) { (node, seg) =>
+        node.get(seg) match {
+          case o: ObjectNode => o
+          // [[x]] then [x.y]: descend into the LAST table of the array
+          case a: ArrayNode if a.size > 0 && a.get(a.size - 1).isInstanceOf[ObjectNode] =>
+            a.get(a.size - 1).asInstanceOf[ObjectNode]
+          case null => node.putObject(seg)
+          case other => fail(s"cannot descend into $seg: already a ${other.getNodeType}")
+        }
+      }
+
+    // ---- values ---------------------------------------------------------
+
+    private def value(): com.fasterxml.jackson.databind.JsonNode = {
+      if (pos >= input.length) fail("expected a value")
+      peek match {
+        case '"' => mapper.getNodeFactory.textNode(basicString())
+        case '\'' => mapper.getNodeFactory.textNode(literalString())
+        case '[' => array()
+        case '{' => inlineTable()
+        case 't' | 'f' => boolean()
+        case _ => number()
+      }
+    }
+
+    private def array(): ArrayNode = {
+      expect('[')
+      val arr = mapper.createArrayNode()
+      skipTrivia(newlines = true) // arrays may span lines
+      while (pos < input.length && peek != ']') {
+        arr.add(value())
+        skipTrivia(newlines = true)
+        if (pos < input.length && peek == ',') { pos += 1; skipTrivia(newlines = true) }
+        else if (pos < input.length && peek != ']') fail("expected ',' or ']' in array")
+      }
+      expect(']')
+      arr
+    }
+
+    private def inlineTable(): ObjectNode = {
+      expect('{')
+      val obj = mapper.createObjectNode()
+      skipWs()
+      while (pos < input.length && peek != '}') {
+        keyValue(obj)
+        skipWs()
+        if (pos < input.length && peek == ',') { pos += 1; skipWs() }
+        else if (pos < input.length && peek != '}') fail("expected ',' or '}' in inline table")
+      }
+      expect('}')
+      obj
+    }
+
+    private def boolean(): com.fasterxml.jackson.databind.JsonNode =
+      if (input.startsWith("true", pos)) { pos += 4; mapper.getNodeFactory.booleanNode(true) }
+      else if (input.startsWith("false", pos)) { pos += 5; mapper.getNodeFactory.booleanNode(false) }
+      else fail("expected a value")
+
+    private def number(): com.fasterxml.jackson.databind.JsonNode = {
+      val start = pos
+      while (pos < input.length && !",]}#\n\r\t ".contains(input.charAt(pos))) pos += 1
+      val raw = input.substring(start, pos).replace("_", "")
+      if (raw.isEmpty) fail("expected a value")
+      try {
+        if (raw.exists(c => c == '.' || c == 'e' || c == 'E') && !raw.startsWith("0x"))
+          mapper.getNodeFactory.numberNode(java.lang.Double.parseDouble(raw))
+        else mapper.getNodeFactory.numberNode(java.lang.Long.parseLong(raw))
+      } catch { case _: NumberFormatException => fail(s"not a TOML number: $raw") }
+    }
+
+    private def basicString(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (pos < input.length && peek != '"') {
+        if (peek == '\n') fail("newline in basic string")
+        if (peek == '\\') {
+          pos += 1
+          if (pos >= input.length) fail("dangling escape")
+          peek match {
+            case '"' => sb += '"'
+            case '\\' => sb += '\\'
+            case 'n' => sb += '\n'
+            case 'r' => sb += '\r'
+            case 't' => sb += '\t'
+            case 'u' =>
+              if (pos + 4 >= input.length) fail("truncated unicode escape")
+              sb += Integer.parseInt(input.substring(pos + 1, pos + 5), 16).toChar
+              pos += 4
+            case c => fail(s"unsupported escape \\$c")
+          }
+        } else sb += peek
+        pos += 1
+      }
+      expect('"')
+      sb.result()
+    }
+
+    private def literalString(): String = {
+      expect('\'')
+      val end = input.indexOf('\'', pos)
+      if (end < 0) fail("unterminated literal string")
+      val s = input.substring(pos, end)
+      if (s.contains('\n')) fail("newline in literal string")
+      pos = end + 1
+      s
+    }
+
+    // ---- keys -----------------------------------------------------------
+
+    private def dottedKey(): Seq[String] = {
+      val segs = Seq.newBuilder[String]
+      segs += keySegment()
+      skipWs()
+      while (pos < input.length && peek == '.') {
+        pos += 1
+        skipWs()
+        segs += keySegment()
+        skipWs()
+      }
+      segs.result()
+    }
+
+    private def keySegment(): String =
+      if (pos < input.length && peek == '"') basicString()
+      else if (pos < input.length && peek == '\'') literalString()
+      else {
+        val start = pos
+        while (pos < input.length && (peek.isLetterOrDigit || peek == '_' || peek == '-')) pos += 1
+        if (pos == start) fail("expected a key")
+        input.substring(start, pos)
+      }
+
+    // ---- lexing ---------------------------------------------------------
+
+    private def peek: Char = input.charAt(pos)
+
+    private def expect(c: Char): Unit =
+      if (pos < input.length && peek == c) pos += 1
+      else fail(s"expected '$c'")
+
+    private def skipWs(): Unit =
+      while (pos < input.length && (peek == ' ' || peek == '\t')) pos += 1
+
+    /** whitespace + comments; optionally across newlines */
+    private def skipTrivia(newlines: Boolean): Unit = {
+      var moved = true
+      while (moved) {
+        moved = false
+        skipWs()
+        if (pos < input.length && peek == '#') {
+          while (pos < input.length && peek != '\n') pos += 1
+          moved = true
+        }
+        if (newlines && pos < input.length && (peek == '\n' || peek == '\r')) {
+          pos += 1
+          moved = true
+        }
+      }
+    }
+
+    /** after a header or key=value: only trivia may follow on the line */
+    private def endOfLine(): Unit = {
+      skipTrivia(newlines = false)
+      if (pos < input.length && peek != '\n' && peek != '\r')
+        fail(s"unexpected content: '${input.substring(pos, math.min(pos + 20, input.length))}'")
+    }
+
+    private def fail(msg: String): Nothing = {
+      val line = input.substring(0, math.min(pos, input.length)).count(_ == '\n') + 1
+      throw new IllegalArgumentException(s"TOML parse error at line $line: $msg")
+    }
+  }
+}

@@ -7,6 +7,7 @@ import java.time.Instant
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model.SeriesSelector
+import graft.sources.TomlLite
 
 class GraftConfigSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -127,6 +128,81 @@ class GraftConfigSpec extends AnyFunSuite {
   test("parquet source from an include fragment reads through the facade") {
     val rows = graft.readAll("hist").collect()
     assert(rows.length == 1 && rows.head.getAs[String]("series_name") == "hist1")
+  }
+
+  test("TomlLite parses the reference config shapes") {
+    val root = TomlLite.parse(
+      """# kukur-style config
+        |data_dir = "db"   # trailing comment
+        |max_retries = 3
+        |ratio = 0.5
+        |enabled = true
+        |
+        |[[include]]
+        |glob = "tests/*.toml"
+        |[[include]]
+        |glob = 'data/*.toml'
+        |
+        |[source."room sensors"]
+        |type = "csv"
+        |tag_columns = [
+        |  "series name",
+        |  "location",
+        |]
+        |inline = { a = 1, b = "two" }
+        |
+        |[quality_mapping.opc.nested]
+        |GOOD = [192, [200, 210], "good"]
+        |""".stripMargin
+    )
+    assert(root.get("data_dir").asText == "db")
+    assert(root.get("max_retries").asLong == 3L)
+    assert(root.get("ratio").asDouble == 0.5)
+    assert(root.get("enabled").asBoolean)
+    assert(root.get("include").size == 2)
+    assert(root.get("include").get(1).get("glob").asText == "data/*.toml")
+    val sensors = root.get("source").get("room sensors")
+    assert(sensors.get("type").asText == "csv")
+    assert(sensors.get("tag_columns").get(0).asText == "series name")
+    assert(sensors.get("inline").get("b").asText == "two")
+    val good = root.get("quality_mapping").get("opc").get("nested").get("GOOD")
+    assert(good.get(1).get(1).asInt == 210 && good.get(2).asText == "good")
+  }
+
+  test("TomlLite rejects malformed documents with line context") {
+    val e = intercept[IllegalArgumentException](
+      TomlLite.parse("ok = 1\nbroken = \"unterminated\nnext = 2\n")
+    )
+    assert(e.getMessage.contains("line 2"))
+  }
+
+  test("fromConfig loads the reference's native TOML format") {
+    val dir = Files.createTempDirectory("graft-config-toml").toString
+    Files.writeString(
+      Paths.get(s"$dir/data.csv"),
+      "temp,2024-01-01T00:00:00Z,1.5\n",
+    )
+    Files.createDirectories(Paths.get(s"$dir/conf.d"))
+    // TOML root + JSON fragment: parser picked per file extension
+    Files.writeString(
+      Paths.get(s"$dir/conf.d/extra.json"),
+      """{"source": {"extra_json": {"type": "csv", "path": "data.csv", "tag_columns": ["series_name"]}}}""",
+    )
+    Files.writeString(
+      Paths.get(s"$dir/graft.toml"),
+      """[[include]]
+        |glob = "conf.d/*.json"
+        |
+        |[source.sensors_toml]
+        |type = "csv"
+        |path = "data.csv"
+        |tag_columns = ["series_name"]
+        |""".stripMargin,
+    )
+    val g = Graft.fromConfig(spark, s"$dir/graft.toml")
+    assert(g.listSources.toSet == Set("sensors_toml", "extra_json"))
+    val rows = g.readAll("sensors_toml").collect()
+    assert(rows.length == 1 && rows.head.getAs[Double]("value") == 1.5)
   }
 
   test("unknown source type fails with a clear message") {
