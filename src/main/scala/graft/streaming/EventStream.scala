@@ -89,6 +89,66 @@ object EventStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("fp"))
 
+  /** Streaming NEAR-duplicate detection — the streaming dual of the
+    * batch MinHash+LSH path (C2). Per document: the same banded minhash
+    * signature as DedupFunctions.minhashSignatures (native
+    * `graft_minhash_sig`, deterministic so streaming-safe), exploded to
+    * (band, band_sig) bucket keys. Two chained stateful operators
+    * (Spark 4 multi-stateful append pipeline):
+    *
+    *  1. `dropDuplicatesWithinWatermark(band, band_sig)` keeps the
+    *     FIRST document per LSH bucket inside the watermark horizon —
+    *     one state row per distinct bucket, watermark-bounded;
+    *  2. a windowed count per document of its surviving buckets.
+    *
+    * A document whose every band survived collided with nobody →
+    * `novel = true`; any lost band means an earlier in-horizon document
+    * shares an LSH bucket — exactly the candidate criterion of the
+    * batch `minhashCandidates`. Output contract: a document that owns
+    * NO first-seen bucket (an exact/near-total duplicate) emits no row
+    * at all — consumers keep `novel = true` rows and treat the rest
+    * (flagged or absent) as duplicates. No pair materialization, no
+    * all-pairs state; far-apart repeats beyond the horizon are the
+    * batch pass's job, like [[dedupStream]].
+    */
+  def nearDupStream(
+      docStream: DataFrame,
+      tsCol: String = "ingest_ts",
+      watermark: String = "1 hour",
+      window_ : String = "1 hour",
+      n: Int = 3,
+      perms: Int = 128,
+      bands: Int = 32,
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(docStream.sparkSession)
+    val rows = perms / bands
+    val bandExprs = (0 until rows).map(r => s"element_at(sig, b * $rows + ${r + 1})").mkString(", ")
+    docStream
+      .select(col("doc_id"), col(tsCol).as("__ts"), graft.functions.TextFunctions.words(col("text")).as("__w"))
+      .where(size(col("__w")) >= n)
+      .withColumn("__sh", graft.functions.TextFunctions.shingles("__w", n))
+      .select(
+        col("doc_id"),
+        col("__ts"),
+        expr(s"graft_minhash_sig(transform(__sh, s -> xxhash64(s)), $perms)").as("sig"),
+      )
+      .select(
+        col("doc_id"),
+        col("__ts"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64($bandExprs))")).as(Seq("band", "band_sig")),
+      )
+      .withWatermark("__ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("band", "band_sig"))
+      .groupBy(window(col("__ts"), window_), col("doc_id"))
+      .agg(count(lit(1)).as("n_first_buckets"))
+      .select(
+        col("window.start").as("window_start"),
+        col("doc_id"),
+        col("n_first_buckets"),
+        (col("n_first_buckets") === bands).as("novel"),
+      )
+  }
+
   final case class UserEvent(user_id: Long, ts: Timestamp)
   final case class SessionAcc(startMs: Long, endMs: Long, n: Long)
   final case class SessionList(sessions: Seq[SessionAcc])

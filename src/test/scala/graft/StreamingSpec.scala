@@ -107,6 +107,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.getAs[Double]("value") == 2.0)
   }
 
+  test("nearDupStream flags LSH-bucket collisions across a two-stateful-operator pipeline") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    mem.addData(
+      (1L, base, t("2024-01-01T00:10:00Z")),
+      (3L, "an entirely different document about completely other things altogether today", t("2024-01-01T00:12:00Z")),
+    )
+    val df = mem.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = EventStream
+      .nearDupStream(df, watermark = "30 minutes", window_ = "1 hour")
+      .writeStream.format("memory").queryName("near_dup_stream").outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    // second batch: a near-dup of doc 1 (one word changed — most
+    // shingles shared, so SOME bands collide and some are new)
+    mem.addData((2L, base.replace(" mu", " nu"), t("2024-01-01T00:20:00Z")))
+    q.processAllAvailable()
+    // flush: advance the watermark far past the window end
+    mem.addData((9L, "watermark advancer far in the future beyond every open window", t("2024-01-01T05:00:00Z")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("near_dup_stream").collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("novel")).toMap
+    assert(out(1L)) // first copy: every bucket first-seen
+    assert(out(3L)) // unrelated doc: every bucket first-seen
+    assert(out.contains(2L) && !out(2L)) // near-dup: lost at least one band to doc 1
+  }
+
   test("sessionizeStream closes sessions on gap and on watermark timeout") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
