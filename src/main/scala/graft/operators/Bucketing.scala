@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed persistent storage — the cluster-scale lever for REPEATED
+  * co-located joins and aggregations on the same key (the reference has
+  * no storage layout story; at 100 TB it is the difference between one
+  * shuffle ever and one shuffle per query).
+  *
+  * Writing both sides of a hot join bucketed by the join key into the
+  * same bucket count makes every later equi-join on that key plan as a
+  * zero-Exchange sort-merge join: Spark's `HashPartitioning(key, n)`
+  * output of a bucketed scan satisfies the join's required
+  * distribution, so no shuffle is emitted at all. The one-time bucketed
+  * write amortizes over every downstream query — the standard warehouse
+  * pattern for fact/fact joins too big to broadcast.
+  *
+  * Bucketing rides the session catalog (`saveAsTable`; bare-path writes
+  * cannot carry bucket metadata). `sortBy` additionally orders rows
+  * inside each bucket file so point/merge reads skip the sort when one
+  * file per bucket exists.
+  */
+object Bucketing {
+
+  /** Persist `df` bucketed (and optionally bucket-sorted) by `keys`
+    * into the session catalog as `table`.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      nBuckets: Int,
+      keys: Seq[String],
+      sortKeys: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite,
+  ): Unit = {
+    require(keys.nonEmpty, "bucketing needs at least one key column")
+    val w = df.write.mode(mode).format("parquet").bucketBy(nBuckets, keys.head, keys.tail: _*)
+    (if (sortKeys.nonEmpty) w.sortBy(sortKeys.head, sortKeys.tail: _*) else w).saveAsTable(table)
+  }
+
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** True when the executed plan of `df` contains no shuffle at all —
+    * the property bucketed co-located joins buy. Call AFTER an action
+    * so AQE has finalized the plan.
+    */
+  def isExchangeFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange")
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bucketing
+
+class BucketingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bucketed tables join and aggregate without any Exchange") {
+    val orders = (1L to 500L).map(i => (i, s"cust_${i % 50}", i * 1.5)).toDF("order_id", "customer", "amount")
+    val items = (1L to 2000L).map(i => (i % 500 + 1, s"part_${i % 40}", (i % 7).toInt)).toDF("order_id", "part", "qty")
+    Bucketing.writeBucketed(orders, "b_orders", nBuckets = 8, keys = Seq("order_id"), sortKeys = Seq("order_id"))
+    Bucketing.writeBucketed(items, "b_items", nBuckets = 8, keys = Seq("order_id"), sortKeys = Seq("order_id"))
+
+    // merge hint: force a sort-merge join so the assertion is about the
+    // Exchange, not about broadcast dodging it
+    val joined = Bucketing
+      .table(spark, "b_orders")
+      .hint("merge")
+      .join(Bucketing.table(spark, "b_items"), "order_id")
+      .groupBy("order_id")
+      .agg(sum(col("qty") * col("amount")).as("total"))
+    val n = joined.count()
+    assert(n == 500)
+    assert(Bucketing.isExchangeFree(joined), joined.queryExecution.executedPlan.toString)
+
+    // control: the same join from plain (unbucketed) frames DOES shuffle
+    val plain = orders.hint("merge").join(items, "order_id").groupBy("order_id").count()
+    plain.count()
+    assert(!Bucketing.isExchangeFree(plain))
+  }
+
+  test("single-side bucketed scan still avoids re-shuffling the bucketed side's aggregate") {
+    val agg = Bucketing.table(spark, "b_orders").groupBy("order_id").agg(max("amount"))
+    agg.count()
+    assert(Bucketing.isExchangeFree(agg), agg.queryExecution.executedPlan.toString)
+  }
+}
