@@ -653,6 +653,13 @@ object SparkEntry {
     "sim_ivf_ann" -> { (s, dir) =>
       VectorFunctions.ivfAnn(Tables.embeddings(s, dir), k = 5)
     },
+    // C7c: product-quantization ANN — corpus compressed to m byte codes
+    // per vector, queries rank by ADC lookup-table scan (rows-only:
+    // learned codebooks; recall-spec'd vs the exact L2 baseline)
+    "sim_pq_ann" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      VectorFunctions.pqAnn(emb, emb.orderBy("vec_id").limit(20), k = 5)
+    },
     // C8: heuristic language ID
     "text_langid" -> { (s, dir) =>
       TextFunctions

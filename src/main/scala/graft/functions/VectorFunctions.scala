@@ -251,6 +251,173 @@ object VectorFunctions {
     out
   }
 
+  /** Product quantization with ADC search — the memory-scale ANN path
+    * beyond [[quantizeInt8]]: each vector is encoded as `m` small codes
+    * (one per contiguous subspace of `dim / m` dimensions, argmin over
+    * a `codebookSize`-entry codebook), compressing the corpus
+    * ~`dim·4 / m` ×; queries rank candidates by ADC (asymmetric
+    * distance): the query precomputes its `m × codebookSize` lookup
+    * table of exact subspace distances ONCE, and every candidate then
+    * costs just `m` array lookups — the real PQ scan kernel.
+    *
+    * Determinism mirrors [[ivfAnn]]: codebooks train with the same
+    * scaled-integer Lloyd on the `trainLimit` lowest vec_ids (init =
+    * first `codebookSize` train vectors per subspace, empty clusters
+    * keep their codeword, ties break on code index), so codes and
+    * rankings are identical across runs and partitionings. Ranking is
+    * by approximate squared L2, ties on neighbor_id.
+    *
+    * The ADC scan keeps a shortlist of `rerankFactor · k` candidates
+    * per query, which are then re-ranked by EXACT distance on their
+    * full vectors — the standard two-stage PQ recipe: compression
+    * bounds the scan cost, the exact rerank restores precision on the
+    * tiny shortlist (|queries| × rerankFactor · k rows).
+    *
+    * At 100 TB: codes live comfortably in memory (m bytes per vector),
+    * the query side broadcasts, and cell pruning composes with
+    * [[ivfAnn]] (IVF-PQ) — here the scan is exhaustive over codes, the
+    * standard flat-PQ formulation.
+    */
+  def pqAnn(
+      df: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      m: Int = 4,
+      codebookSize: Int = 16,
+      rerankFactor: Int = 10,
+      lloydIterations: Int = 5,
+      trainLimit: Int = 100000,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val dim = df.select(size(col("embedding"))).first().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must divide into $m subspaces")
+    require(codebookSize >= 2, "pqAnn needs at least 2 codewords per subspace")
+    val dsub = dim / m
+    val vecs = df
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"))
+      .cache()
+
+    // exact squared L2 between one subspace slice and a codeword
+    // literal — fixed evaluation order, deterministic like ivfAnn.dist2
+    def subDist2(emb: Column, s: Int, cw: Array[Double]): Column =
+      aggregate(
+        zip_with(
+          slice(emb, s * dsub + 1, dsub),
+          array(cw.map(lit): _*),
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        lit(0.0),
+        (acc, x) => acc + x,
+      )
+
+    // per-subspace argmin code over the codebook (ties → lowest code)
+    def codesExpr(books: Array[Array[Array[Double]]]): Column =
+      array((0 until m).map { s =>
+        least(books(s).zipWithIndex.map { case (cw, c) =>
+          struct(subDist2(col("embedding"), s, cw).as("d"), lit(c).as("c"))
+        }: _*).getField("c")
+      }: _*)
+
+    val train = vecs
+      .orderBy("vec_id")
+      .limit(trainLimit)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .cache()
+    // init: subspace slices of the codebookSize lowest train vectors
+    var books: Array[Array[Array[Double]]] = {
+      val seed = train
+        .orderBy("vec_id")
+        .limit(codebookSize)
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      Array.tabulate(m)(s => seed.map(v => v.slice(s * dsub, (s + 1) * dsub)))
+    }
+    for (_ <- 1 to lloydIterations) {
+      // one pass refines ALL m codebooks: explode scaled-int dimension
+      // values, key them by (subspace, code, position-in-subspace) —
+      // only m × codebookSize × dsub summary rows reach the driver
+      val sums = train
+        .withColumn("__codes", codesExpr(books))
+        .select(
+          col("__codes"),
+          posexplode(expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e9) AS BIGINT))")).as(Seq("pos", "qv")),
+        )
+        .select(
+          (col("pos") / dsub).cast("int").as("s"),
+          (col("pos") % dsub).as("p"),
+          element_at(col("__codes"), (col("pos") / dsub).cast("int") + 1).as("c"),
+          col("qv"),
+        )
+        .groupBy(col("s"), col("c"), col("p"))
+        .agg(sum(col("qv")).as("sum"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> (r.getLong(3), r.getLong(4)))
+        .toMap
+      books = Array.tabulate(m) { s =>
+        books(s).zipWithIndex.map { case (old, c) =>
+          old.indices.map { p =>
+            sums.get((s, c, p)) match {
+              case Some((sv, n)) if n > 0 => sv.toDouble / 1e9 / n
+              case _                      => old(p) // empty cluster keeps its codeword
+            }
+          }.toArray
+        }
+      }
+    }
+    train.unpersist(blocking = false)
+
+    // encode the whole corpus; codes are the only per-candidate state
+    // the scan reads
+    val coded = vecs.withColumn("codes", codesExpr(books)).select(col("vec_id"), col("codes"))
+
+    // each query precomputes its LUT: exact subspace distance to every
+    // codeword, laid out [s * codebookSize + c]
+    val lutExpr = array((for { s <- 0 until m; c <- 0 until codebookSize } yield subDist2(col("embedding"), s, books(s)(c))): _*)
+    val q = queries
+      .select(col("vec_id").as("query_id"), lutExpr.as("lut"))
+
+    // ADC scan: m lookups + a sum per (query, candidate); keep a
+    // rerankFactor·k shortlist per query
+    val scored = coded
+      .join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .withColumn(
+        "approx_d2",
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)), (c, s) => element_at(col("lut"), s * codebookSize + c + 1)),
+          lit(0.0),
+          (acc, x) => acc + x,
+        ),
+      )
+    val wApprox = Window.partitionBy(col("query_id")).orderBy(col("approx_d2").asc, col("vec_id"))
+    val shortlist = scored
+      .withColumn("arank", row_number().over(wApprox))
+      .where(col("arank") <= k * rerankFactor)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+    // exact rerank of the shortlist on full vectors: per-pair fixed
+    // evaluation order, so the distances (and the cut) are deterministic
+    def fullDist2(a: Column, b: Column): Column =
+      aggregate(
+        zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0),
+        (acc, x) => acc + x,
+      )
+    val qVecs = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val reranked = shortlist
+      .join(vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")), "neighbor_id")
+      .join(broadcast(qVecs), "query_id")
+      .withColumn("d2", fullDist2(col("qe"), col("ce")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("neighbor_id"))
+    val out = reranked
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("d2"), 6).as("d2"), col("rank"))
+      .localCheckpoint()
+    vecs.unpersist(blocking = false)
+    out
+  }
+
   /** Per-dimension symmetric int8 quantization — the standard ANN
     * memory optimization (4× smaller vectors, SIMD-friendly integer
     * dot products): `scale_j = max |x_j|` over the corpus,

@@ -188,6 +188,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low") // 4 of 16 cells probed
   }
 
+  test("pqAnn recalls most exact L2 top-5 neighbours and is deterministic") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.orderBy("vec_id").limit(20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq1 = pairs(VectorFunctions.pqAnn(emb, queries, k = 5).select("query_id", "neighbor_id"))
+    val pq2 = pairs(VectorFunctions.pqAnn(emb, queries, k = 5).select("query_id", "neighbor_id"))
+    assert(pq1 == pq2) // deterministic codebooks, codes, and ranking
+    // exact L2 top-5 baseline, computed directly (test scale only)
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    val qids = queries.collect().map(_.getLong(0))
+    val exact = qids.flatMap { q =>
+      val qv = vecs(q)
+      vecs.toSeq
+        .filter(_._1 != q)
+        .map { case (id, v) =>
+          var d = 0.0
+          var i = 0
+          while (i < qv.length) { val x = qv(i).toDouble - v(i); d += x * x; i += 1 }
+          (id, d)
+        }
+        .sortBy { case (id, d) => (d, id) }
+        .take(5)
+        .map { case (id, _) => (q, id) }
+    }.toSet
+    val recall = pq1.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall $recall too low")
+  }
+
   test("decontaminate flags corpus docs overlapping the benchmark set") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta"), // contains bench 5-gram
