@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.SeriesSelector
 import graft.operators.TimeSeriesOps
-import graft.sources.{ConfiguredSource, GraftConfig, MetadataConfig, MetadataSource, SourceConfig}
+import graft.sources.{ConfiguredSource, GraftConfig, MetadataConfig, MetadataSource, PluginSource, SeriesKey, SimulatorSignal, Simulators, SourceConfig}
 
 /** The client facade — graft's equivalent of the reference's Flight API
   * surface (kukur/client.py: search, get_metadata, get_data,
@@ -21,20 +21,28 @@ import graft.sources.{ConfiguredSource, GraftConfig, MetadataConfig, MetadataSou
   * becomes `graft.getData("src", selector, start, end)`; the result is
   * the same canonical (ts, value[, quality]) relation, but nothing is
   * materialized until the caller acts on it.
+  *
+  * Sources come in three kinds, like the reference's SourceFactory:
+  * file-backed (csv/parquet/json/orc in row/pivot/dir layouts),
+  * external-command plugins, and signal simulators — each registered
+  * programmatically or declared in a config file ([[Graft.fromConfig]]).
   */
 final class Graft(spark: SparkSession) {
 
   graft.plans.GraftOptimizations.install(spark)
 
-  /** A registered source: data + ordered extra metadata sources
-    * (earlier wins), mirroring kukur's Source/MetadataSource pairing
-    * (kukur/source/__init__.py:95).
+  /** A registered source, by kind — kukur's Source/MetadataSource
+    * pairing (kukur/source/__init__.py:95) for files, PluginSource for
+    * `type = "plugin"`, configured signals for `type = "simulator"`.
     */
-  final case class Registered(
+  sealed trait Registered
+  final case class FileRegistered(
       data: ConfiguredSource,
       dataConfig: SourceConfig,
       metadata: Seq[MetadataSource] = Nil,
-  )
+  ) extends Registered
+  final case class PluginRegistered(plugin: PluginSource) extends Registered
+  final case class SimulatorRegistered(signals: Seq[SimulatorSignal]) extends Registered
 
   private val sources = mutable.LinkedHashMap.empty[String, Registered]
 
@@ -43,7 +51,18 @@ final class Graft(spark: SparkSession) {
       config: SourceConfig,
       metadata: Seq[MetadataConfig] = Nil,
   ): this.type = {
-    sources(name) = Registered(new ConfiguredSource(config), config, metadata.map(new MetadataSource(_)))
+    sources(name) = FileRegistered(new ConfiguredSource(config), config, metadata.map(new MetadataSource(_)))
+    this
+  }
+
+  def registerPluginSource(name: String, plugin: PluginSource): this.type = {
+    sources(name) = PluginRegistered(plugin)
+    this
+  }
+
+  def registerSimulatorSource(name: String, signals: Seq[SimulatorSignal]): this.type = {
+    require(signals.nonEmpty, s"simulator source $name needs at least one signal")
+    sources(name) = SimulatorRegistered(signals)
     this
   }
 
@@ -52,48 +71,102 @@ final class Graft(spark: SparkSession) {
   private def registered(name: String): Registered =
     sources.getOrElse(name, throw new IllegalArgumentException(s"unknown source: $name"))
 
-  /** All series in a source (kukur search). */
-  def search(sourceName: String): DataFrame =
-    registered(sourceName).data.search(spark)
+  private def fileOnly(name: String, op: String): FileRegistered = registered(name) match {
+    case f: FileRegistered => f
+    case other => throw new IllegalArgumentException(s"$op needs a file-backed source; $name is ${other.getClass.getSimpleName}")
+  }
 
-  /** Canonical data frame for the whole source. */
-  def readAll(sourceName: String): DataFrame =
-    registered(sourceName).data.read(spark)
+  /** All series in a source (kukur search). File sources enumerate
+    * distinct tag combinations, plugins answer their `search` action,
+    * simulators list their configured signals.
+    */
+  def search(sourceName: String): DataFrame = registered(sourceName) match {
+    case f: FileRegistered => f.data.search(spark)
+    case p: PluginRegistered => p.plugin.search(spark)
+    case s: SimulatorRegistered =>
+      import spark.implicits._
+      s.signals.map(sig => (sig.seriesName, sig.signalType)).toDF("series_name", "signal_type")
+  }
+
+  /** Canonical data frame for the whole source — file sources only:
+    * plugins and simulators have no "all of it" without a time range.
+    */
+  def readAll(sourceName: String): DataFrame = fileOnly(sourceName, "readAll").data.read(spark)
 
   private def filterTags(df: DataFrame, selector: SeriesSelector): DataFrame =
     selector.tags.foldLeft(df) { case (d, (k, v)) => d.where(col(k).cast("string") === lit(v)) }
 
+  private def selectorSeriesName(selector: SeriesSelector): String =
+    selector.tags.getOrElse(
+      SeriesSelector.SeriesNameTag,
+      selector.tags.getOrElse("series_name", throw new IllegalArgumentException("selector needs a series name tag")),
+    )
+
+  private def simulatorData(
+      s: SimulatorRegistered,
+      selector: SeriesSelector,
+      start: Timestamp,
+      end: Timestamp,
+  ): DataFrame = {
+    val name = selectorSeriesName(selector)
+    val sig = s.signals
+      .find(_.seriesName == name)
+      .getOrElse(throw new IllegalArgumentException(s"no configured signal: $name"))
+    Simulators.generate(spark, sig, start, end).select(lit(name).as("series_name"), col("ts"), col("value"))
+  }
+
   /** Range data for one series (kukur get_data): tag filter + half-open
     * time range, both pushed into the scan where the format allows.
+    * Plugin sources issue a `data` request; simulators generate the
+    * configured signal over exactly [start, end).
     */
   def getData(sourceName: String, selector: SeriesSelector, start: Timestamp, end: Timestamp): DataFrame =
-    TimeSeriesOps.filterRange(filterTags(readAll(sourceName), selector), start, end)
+    registered(sourceName) match {
+      case _: FileRegistered =>
+        TimeSeriesOps.filterRange(filterTags(readAll(sourceName), selector), start, end)
+      case p: PluginRegistered =>
+        p.plugin.dataForKeys(spark, Seq(SeriesKey(selector.tags, selector.field)), start, end)
+      case s: SimulatorRegistered => simulatorData(s, selector, start, end)
+    }
 
-  /** Plot-ready downsample (kukur get_plot_data). */
+  /** Plot-ready downsample (kukur get_plot_data). Plugins with
+    * `features.plot` serve pre-bucketed data via their `plot` action;
+    * other kinds bucket with the same min/max/first/last operator the
+    * reference's plot path uses.
+    */
   def getPlotData(
       sourceName: String,
       selector: SeriesSelector,
       start: Timestamp,
       end: Timestamp,
       intervalCount: Int,
-  ): DataFrame = {
-    val cfg = registered(sourceName).dataConfig
-    TimeSeriesOps.plotData(filterTags(readAll(sourceName), selector), cfg.tagColumns, start, end, intervalCount)
+  ): DataFrame = registered(sourceName) match {
+    case f: FileRegistered =>
+      TimeSeriesOps.plotData(filterTags(readAll(sourceName), selector), f.dataConfig.tagColumns, start, end, intervalCount)
+    case p: PluginRegistered =>
+      p.plugin.plotData(spark, Seq(SeriesKey(selector.tags, selector.field)), start, end, intervalCount)
+    case s: SimulatorRegistered =>
+      TimeSeriesOps.plotData(simulatorData(s, selector, start, end), Seq("series_name"), start, end, intervalCount)
   }
 
   /** Merged metadata for a source (kukur get_metadata): extra metadata
     * sources in registration order take precedence, field by field.
+    * Plugin sources answer their `metadata` action for the selector.
     */
-  def getMetadata(sourceName: String, selector: SeriesSelector = SeriesSelector("", Map.empty)): DataFrame = {
-    val reg = registered(sourceName)
-    require(reg.metadata.nonEmpty, s"source $sourceName has no metadata sources")
-    val merged = MetadataSource.merge(reg.dataConfig.tagColumns, reg.metadata.map(_.read(spark)))
-    filterTags(merged, selector)
-  }
+  def getMetadata(sourceName: String, selector: SeriesSelector = SeriesSelector("", Map.empty)): DataFrame =
+    registered(sourceName) match {
+      case f: FileRegistered =>
+        require(f.metadata.nonEmpty, s"source $sourceName has no metadata sources")
+        val merged = MetadataSource.merge(f.dataConfig.tagColumns, f.metadata.map(_.read(spark)))
+        filterTags(merged, selector)
+      case p: PluginRegistered => p.plugin.metadata(spark, SeriesKey(selector.tags, selector.field))
+      case _: SimulatorRegistered =>
+        throw new IllegalArgumentException(s"simulator source $sourceName has no metadata")
+    }
 
   /** Tag/field structure of a source (kukur get_source_structure). */
   def getSourceStructure(sourceName: String): DataFrame = {
-    val cfg = registered(sourceName).dataConfig
+    val cfg = fileOnly(sourceName, "getSourceStructure").dataConfig
     TimeSeriesOps.sourceStructure(readAll(sourceName), cfg.tagColumns, cfg.fieldColumns)
   }
 }
@@ -106,11 +179,18 @@ object Graft {
     * primary UX (`Kukur.toml` + kukur/config.py): every source in the
     * file (plus its `include` fragments) is registered with its
     * metadata sidecars, mappings and quality mapping resolved. See
-    * [[graft.sources.GraftConfig]] for the accepted JSON structure.
+    * [[graft.sources.GraftConfig]] for the accepted JSON/TOML
+    * structure; `type = "plugin"` and `type = "simulator"` sources
+    * register alongside the file-backed kinds.
     */
   def fromConfig(spark: SparkSession, configPath: String): Graft = {
     val g = new Graft(spark)
-    GraftConfig.load(configPath).foreach(s => g.registerSource(s.name, s.data, s.metadata))
+    GraftConfig.load(configPath).foreach {
+      case GraftConfig.DeclaredFile(name, data, metadata) => g.registerSource(name, data, metadata)
+      case GraftConfig.DeclaredPlugin(name, cmd, configJson, source) =>
+        g.registerPluginSource(name, PluginSource(cmd, configJson, source))
+      case GraftConfig.DeclaredSimulator(name, signals) => g.registerSimulatorSource(name, signals)
+    }
     g
   }
 }

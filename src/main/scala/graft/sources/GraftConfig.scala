@@ -44,15 +44,22 @@ object GraftConfig {
 
   private val json = new ObjectMapper()
 
-  /** One declared source: data config + ordered metadata configs
-    * (source's own sidecar first, then `metadata_sources` extras — the
-    * reference's merge precedence, kukur/source/__init__.py:170).
+  /** One declared source, by kind. Files carry a data config + ordered
+    * metadata configs (source's own sidecar first, then
+    * `metadata_sources` extras — the reference's merge precedence,
+    * kukur/source/__init__.py:170); plugins carry their command and the
+    * verbatim config object (plugin.py:115-122 forwards the whole
+    * dict); simulators carry inline signal definitions.
     */
-  final case class DeclaredSource(name: String, data: SourceConfig, metadata: Seq[MetadataConfig])
+  sealed trait Declared { def name: String }
+  final case class DeclaredFile(name: String, data: SourceConfig, metadata: Seq[MetadataConfig]) extends Declared
+  final case class DeclaredPlugin(name: String, cmd: Seq[String], configJson: String, source: String) extends Declared
+  final case class DeclaredSimulator(name: String, signals: Seq[SimulatorSignal]) extends Declared
 
-  private val supportedTypes = Set("csv", "parquet", "json", "orc")
+  private val fileTypes = Set("csv", "parquet", "json", "orc")
+  private val supportedTypes = fileTypes ++ Set("plugin", "simulator")
 
-  def load(configPath: String): Seq[DeclaredSource] = {
+  def load(configPath: String): Seq[Declared] = {
     val path = Paths.get(configPath).toAbsolutePath
     val dir = path.getParent
     val root = parseWithIncludes(path)
@@ -65,6 +72,61 @@ object GraftConfig {
         val typ = str(node, "type").getOrElse(fail(s""""$name" has no type"""))
         if (!supportedTypes.contains(typ))
           fail(s"""source "$name" has unknown type "$typ" (supported: ${supportedTypes.toSeq.sorted.mkString(", ")})""")
+        if (typ == "plugin") declaredPlugin(name, node)
+        else if (typ == "simulator") declaredSimulator(name, node)
+        else declaredFile(root, dir, name, node, typ)
+      }
+      .toSeq
+  }
+
+  /** `type = "plugin"`: `cmd` is a string or list (plugin.py:119-121);
+    * the WHOLE source object forwards as the request `config`, exactly
+    * like the reference passes its config dict through.
+    */
+  private def declaredPlugin(name: String, node: JsonNode): DeclaredPlugin = {
+    val cmd = Option(node.get("cmd")) match {
+      case Some(c) if c.isArray => c.elements().asScala.map(_.asText).toSeq
+      case Some(c) => Seq(c.asText)
+      case None => fail(s"""plugin source "$name" requires a "cmd" entry""")
+    }
+    DeclaredPlugin(name, cmd, node.toString, name)
+  }
+
+  /** `type = "simulator"`: inline `signals` list — the reference's YAML
+    * signal fields (simulator.py:72-195) under the same snake_case
+    * names, restricted to fixed intervals.
+    */
+  private def declaredSimulator(name: String, node: JsonNode): DeclaredSimulator = {
+    val signals = Option(node.get("signals"))
+      .map(_.elements().asScala.toSeq)
+      .getOrElse(fail(s"""simulator source "$name" requires a "signals" list"""))
+      .map { sn =>
+        val base = SimulatorSignal(
+          seriesName = str(sn, "series_name").getOrElse(fail(s"simulator signal in $name needs series_name")),
+          signalType = str(sn, "signal_type").getOrElse(fail(s"simulator signal in $name needs signal_type")),
+        )
+        def d(key: String, dflt: Double) = Option(sn.get(key)).map(_.asDouble).getOrElse(dflt)
+        def l(key: String, dflt: Long) = Option(sn.get(key)).map(_.asLong).getOrElse(dflt)
+        base.copy(
+          intervalSeconds = l("interval_seconds", base.intervalSeconds),
+          seed = l("seed", base.seed),
+          minValue = d("min_value", base.minValue),
+          maxValue = d("max_value", base.maxValue),
+          increase = d("increase", base.increase),
+          periodSeconds = d("period_seconds", base.periodSeconds),
+          phaseSeconds = d("phase_seconds", base.phaseSeconds),
+          amplitude = d("amplitude", base.amplitude),
+          shift = d("shift", base.shift),
+          mean = d("mean", base.mean),
+          stdDev = d("standard_deviation", base.stdDev),
+          numberOfSteps = l("number_of_steps", base.numberOfSteps.toLong).toInt,
+        )
+      }
+    DeclaredSimulator(name, signals)
+  }
+
+  private def declaredFile(root: ObjectNode, dir: Path, name: String, node: JsonNode, typ: String): DeclaredFile = {
+    {
         val tagColumns = strSeq(node, "tag_columns").getOrElse(Seq("series_name"))
         val data = SourceConfig(
           path = resolve(dir, str(node, "path").getOrElse(fail(s""""$name" has no path"""))),
@@ -102,7 +164,7 @@ object GraftConfig {
           if (mdNode.isMissingNode)
             fail(s"""metadata source "$mdName" for source "$name" not found""")
           val mdType = str(mdNode, "type").getOrElse(fail(s"""metadata source "$mdName" has no type"""))
-          if (!supportedTypes.contains(mdType))
+          if (!fileTypes.contains(mdType))
             fail(s"""metadata source "$mdName" has unknown type "$mdType"""")
           MetadataConfig(
             path = resolve(dir, str(mdNode, "path").getOrElse(fail(s"""metadata source "$mdName" has no path"""))),
@@ -115,9 +177,8 @@ object GraftConfig {
             fields = strSeq(mdNode, "fields").getOrElse(Nil),
           )
         }
-        DeclaredSource(name, data, sidecar.toSeq ++ extras)
-      }
-      .toSeq
+        DeclaredFile(name, data, sidecar.toSeq ++ extras)
+    }
   }
 
   /** Parse a config file and fold in its `include` globs —

@@ -7,7 +7,7 @@ import java.time.Instant
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model.SeriesSelector
-import graft.sources.TomlLite
+import graft.sources.{ArrowIpcSource, TomlLite}
 
 class GraftConfigSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -203,6 +203,73 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(g.listSources.toSet == Set("sensors_toml", "extra_json"))
     val rows = g.readAll("sensors_toml").collect()
     assert(rows.length == 1 && rows.head.getAs[Double]("value") == 1.5)
+  }
+
+  test("config-declared simulator source serves search, getData and getPlotData") {
+    val dir = Files.createTempDirectory("graft-config-sim").toString
+    Files.writeString(
+      Paths.get(s"$dir/sim.toml"),
+      """[source.sim]
+        |type = "simulator"
+        |
+        |[[source.sim.signals]]
+        |series_name = "count_up"
+        |signal_type = "counter"
+        |interval_seconds = 60
+        |min_value = 0.0
+        |max_value = 10.0
+        |increase = 1.0
+        |
+        |[[source.sim.signals]]
+        |series_name = "wave"
+        |signal_type = "sine"
+        |interval_seconds = 300
+        |amplitude = 2.0
+        |""".stripMargin,
+    )
+    val g = Graft.fromConfig(spark, s"$dir/sim.toml")
+    assert(g.search("sim").collect().map(_.getString(0)).sorted.toSeq == Seq("count_up", "wave"))
+    val sel = SeriesSelector("sim", Map("series name" -> "count_up"))
+    val rows = g.getData("sim", sel, t("2024-01-01T00:00:00Z"), t("2024-01-01T01:00:00Z")).orderBy("ts").collect()
+    assert(rows.length == 61) // one point per minute, endpoints inclusive (reference simulator semantics)
+    assert(rows.head.getAs[Double]("value") == 0.0 && rows(5).getAs[Double]("value") == 5.0)
+    assert(rows.forall(_.getString(0) == "count_up"))
+    val plot = g.getPlotData("sim", sel, t("2024-01-01T00:00:00Z"), t("2024-01-01T01:00:00Z"), intervalCount = 6)
+    assert(plot.collect().nonEmpty)
+  }
+
+  test("config-declared plugin source routes getData through the external command") {
+    val dir = Files.createTempDirectory("graft-config-plugin").toString
+    val pts = Seq((t("2024-03-01T00:00:00Z"), 4.5), (t("2024-03-01T00:01:00Z"), 6.5)).toDF("ts", "value")
+    ArrowIpcSource.write(pts.repartition(1), s"$dir/points")
+    Files.writeString(
+      Paths.get(s"$dir/plugin.sh"),
+      s"""#!/bin/sh
+         |action="$$1"
+         |cat > /dev/null
+         |case "$$action" in
+         |  search) printf '%s' '{"series":[{"source":"ext","tags":{"series name":"p1"},"field":"value"}]}' ;;
+         |  data) cat "$dir/points"/*.arrows ;;
+         |  *) exit 2 ;;
+         |esac
+         |""".stripMargin,
+    )
+    new java.io.File(s"$dir/plugin.sh").setExecutable(true)
+    Files.writeString(
+      Paths.get(s"$dir/graft.toml"),
+      s"""[source.ext]
+         |type = "plugin"
+         |cmd = ["$dir/plugin.sh"]
+         |""".stripMargin,
+    )
+    val g = Graft.fromConfig(spark, s"$dir/graft.toml")
+    assert(g.search("ext").collect().map(_.getString(1)).toSeq == Seq("p1"))
+    val sel = SeriesSelector("ext", Map("series name" -> "p1"))
+    val rows = g.getData("ext", sel, t("2024-03-01T00:00:00Z"), t("2024-03-02T00:00:00Z")).orderBy("ts").collect()
+    assert(rows.length == 2 && rows.head.getAs[Double]("value") == 4.5)
+    // readAll has no meaning without a range for a plugin
+    val e = intercept[IllegalArgumentException](g.readAll("ext"))
+    assert(e.getMessage.contains("file-backed"))
   }
 
   test("unknown source type fails with a clear message") {
