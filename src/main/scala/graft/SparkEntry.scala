@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{CorpusFunctions, DedupFunctions, TextFunctions, VectorFunctions}
 import graft.model.SeriesDictionary
 import graft.multimodal.Multimodal
-import graft.operators.TimeSeriesOps
+import graft.operators.{Downsample, TimeSeriesOps}
 import graft.sources.{ConfiguredSource, MetadataConfig, MetadataSource, Simulators, SourceConfig}
 
 /** Driver contract — one `queries` entry (+ DuckDB oracle where
@@ -173,6 +173,24 @@ object SparkEntry {
     "ts_simulator_sine" -> { (s, _) =>
       ntz(Simulators.sine(s, Start, End, periodSeconds = 86400.0, phaseSeconds = 3600.0, amplitude = 10.0, shift = 50.0, intervalSeconds = 60L))
     },
+    // A13b: the same sine via the DataSource V2 connector (ts-range
+    // pushdown into the generator, column pruning) — same oracle
+    "ts_simulator_v2" -> { (s, _) =>
+      ntz(
+        s.read
+          .format("graft-simulator")
+          .option("type", "sine")
+          .option("start", "2024-01-08T00:00:00Z")
+          .option("end", "2024-01-15T00:00:00Z")
+          .option("intervalSeconds", "60")
+          .option("periodSeconds", "86400")
+          .option("phaseSeconds", "3600")
+          .option("amplitude", "10")
+          .option("shift", "50")
+          .load()
+          .select(col("ts"), col("value"))
+      )
+    },
     // A12b: white-noise simulator (hash-derived Box-Muller → rows-only)
     "ts_simulator_noise" -> { (s, _) =>
       ntz(Simulators.whiteNoise(s, Start, End, mean = 50.0, stdDev = 10.0, intervalSeconds = 60L))
@@ -255,6 +273,28 @@ object SparkEntry {
     // A23: trailing 10-point moving average (exact scaled-int sums)
     "ts_moving_avg" -> { (s, dir) =>
       ntz(TimeSeriesOps.movingAvg(ev(s, dir).where(col("series_name") === "signup"), Seq("series_name"), "event_id", nPoints = 10))
+    },
+    // A26: counter-wrap correction (monotone running total of a
+    // resetting counter; every decrease treated as a reset)
+    "ts_counter_reset" -> { (s, dir) =>
+      ntz(
+        TimeSeriesOps
+          .counterReset(ev(s, dir).where(col("series_name") === "click"), Seq("series_name", "user_id"), "event_id")
+      )
+    },
+    // A27: per-series lag-1 autocorrelation (exact integer moment sums)
+    "ts_autocorr" -> { (s, dir) =>
+      TimeSeriesOps.autocorr(ev(s, dir), Seq("series_name"), "event_id", lagK = 1)
+    },
+    // A28: fixed-range value histogram (20 × 25-wide buckets over [0, 500))
+    "ts_histogram" -> { (s, dir) =>
+      TimeSeriesOps.valueHistogram(ev(s, dir), Seq("series_name"), lo = 0.0, hi = 500.0, bins = 20)
+    },
+    // A29: LTTB plot downsampling (Steinarsson 2013) — sequential
+    // within a series, parallel across series; selection depends on
+    // bucket-average anchors → rows-only + DownsampleSpec
+    "ts_downsample_lttb" -> { (s, dir) =>
+      ntz(Downsample.lttb(ev(s, dir).select(col("series_name"), col("ts"), col("value")), "series_name", nOut = 200))
     },
     // A24: as-of join with 1h staleness tolerance
     "ts_asof_tolerance" -> { (s, dir) =>
@@ -636,6 +676,23 @@ object SparkEntry {
         DedupFunctions.jaccardPairs(Tables.documents(s, dir), "doc_id", "text")
       )
     },
+    // C26: incremental exact dedup — the daily-delta shape: batch =
+    // doc_id ≡ 0 (mod 10) deduped against the rest as corpus
+    "dedup_incremental" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      DedupFunctions.incrementalDedup(
+        docs.where(pmod(col("doc_id"), lit(10)) === 0),
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id",
+        "text",
+      )
+    },
+    // C27: SemDeDup semantic dedup — k-means cells + within-cell cosine
+    // τ = 0.35, keep lowest id (learned cells → rows-only; VectorDedupSpec
+    // checks planted near-dup removal and survivor count)
+    "dedup_semantic" -> { (s, dir) =>
+      VectorFunctions.semanticDedup(Tables.embeddings(s, dir), threshold = 0.35)
+    },
     // C6: brute-force cosine top-10 for 5 query vectors
     "sim_cosine_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -729,6 +786,15 @@ object SparkEntry {
     // exact length quantiles — the pre-mixing inspection step)
     "corpus_stats" -> { (s, dir) =>
       CorpusFunctions.corpusStats(Tables.documents(s, dir), col("lang"), col("text"))
+    },
+    // C28: per-document word rarity — integer-exact unigram-LM quality
+    // signal (avg corpus word frequency + rare-word ratio)
+    "text_word_rarity" -> { (s, dir) =>
+      CorpusFunctions.wordRarity(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
+    // C29: per-source (domain) composition + exact-duplication rate
+    "corpus_domain_stats" -> { (s, dir) =>
+      CorpusFunctions.domainStats(Tables.documents(s, dir), col("source"), col("lang"), col("doc_id"), col("text"))
     },
     // C23: deterministic stratified sampling — down-weight dominant
     // strata by content-stable hash (en keeps 1/4, zh 1/2, rest all)
@@ -908,6 +974,11 @@ object SparkEntry {
                 round(10.0 * sin(2 * pi() * (us / 1000000.0 + 3600.0) / 86400.0) + 50.0, 6) AS value
          FROM (SELECT 1704672000000000 + 60000000 * g AS us
                FROM generate_series(0, CAST((1705276800000000 - 1704672000000000) / 60000000 AS BIGINT)) AS t(g))""",
+    "ts_simulator_v2" ->
+      """SELECT CAST(TIMESTAMP '1970-01-01 00:00:00' + INTERVAL (us) MICROSECOND AS TIMESTAMP) AS ts,
+                round(10.0 * sin(2 * pi() * (us / 1000000.0 + 3600.0) / 86400.0) + 50.0, 6) AS value
+         FROM (SELECT 1704672000000000 + 60000000 * g AS us
+               FROM generate_series(0, CAST((1705276800000000 - 1704672000000000) / 60000000 AS BIGINT)) AS t(g))""",
     "ts_pivot_read" ->
       """SELECT event_type AS series_name, date_trunc('minute', ts) AS ts, MAX(value) AS value
          FROM events GROUP BY 1, 2""",
@@ -1048,6 +1119,38 @@ object SparkEntry {
                 SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) OVER w / 1000000.0 / COUNT(*) OVER w AS moving_avg
          FROM (SELECT event_type AS series_name, ts, value, event_id FROM events WHERE event_type = 'signup')
          WINDOW w AS (PARTITION BY series_name ORDER BY ts, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
+    "ts_counter_reset" ->
+      """WITH pts AS (SELECT event_type AS series_name, user_id, ts, value, event_id,
+                             lag(value) OVER (PARTITION BY event_type, user_id ORDER BY ts, event_id) AS prev_v
+                      FROM events WHERE event_type = 'click'),
+         d AS (SELECT series_name, user_id, ts, value, event_id,
+                      CASE WHEN prev_v IS NOT NULL AND value < prev_v THEN prev_v ELSE 0.0 END AS drop_amt
+               FROM pts)
+         SELECT series_name, user_id, ts, value,
+                value + SUM(CAST(FLOOR(drop_amt * 1000000) AS BIGINT)) OVER (PARTITION BY series_name, user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1000000.0 AS counter_total
+         FROM d""",
+    "ts_autocorr" ->
+      """WITH pts AS (SELECT event_type AS series_name, value,
+                             lag(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS lv
+                      FROM events),
+         s AS (SELECT series_name,
+                      COUNT(*) AS n,
+                      CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS DOUBLE) AS sx,
+                      CAST(SUM(CAST(FLOOR(lv * 1000000) AS BIGINT)) AS DOUBLE) AS sy,
+                      CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT) * CAST(FLOOR(lv * 1000000) AS BIGINT)) AS DOUBLE) AS sxy,
+                      CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT) * CAST(FLOOR(value * 1000000) AS BIGINT)) AS DOUBLE) AS sxx,
+                      CAST(SUM(CAST(FLOOR(lv * 1000000) AS BIGINT) * CAST(FLOOR(lv * 1000000) AS BIGINT)) AS DOUBLE) AS syy
+               FROM pts WHERE lv IS NOT NULL GROUP BY 1)
+         SELECT series_name, n,
+                (CAST(n AS DOUBLE) * sxy - sx * sy) /
+                sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r
+         FROM s""",
+    "ts_histogram" ->
+      """WITH b AS (SELECT event_type AS series_name,
+                           CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 25.0), 0.0), 19.0) AS INTEGER) AS bin
+                    FROM events)
+         SELECT series_name, bin, 0.0 + CAST(bin AS DOUBLE) * 25.0 AS bin_lo, COUNT(*) AS n
+         FROM b GROUP BY 1, 2""",
     "ts_asof_tolerance" ->
       """WITH clicks AS (SELECT user_id, ts, MAX(value) AS value FROM events WHERE event_type = 'click' GROUP BY 1, 2),
          purchases AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
@@ -1413,6 +1516,31 @@ object SparkEntry {
          WHERE CASE WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
                     WHEN lang = 'zh' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
                     ELSE TRUE END""",
+    "text_word_rarity" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+         toks AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm) WHERE w <> ''),
+         freq AS (SELECT w, COUNT(*) AS cf FROM toks GROUP BY 1)
+         SELECT doc_id, COUNT(*) AS n_words,
+                CAST(SUM(cf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_word_freq,
+                CAST(SUM(CASE WHEN cf <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rare_ratio
+         FROM toks JOIN freq USING (w)
+         GROUP BY 1""",
+    "corpus_domain_stats" ->
+      """WITH d AS (SELECT source, lang, CAST(length(text) AS BIGINT) AS nc,
+                           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+                    FROM documents)
+         SELECT source, COUNT(*) AS n_docs, CAST(SUM(nc) AS BIGINT) AS total_chars,
+                COUNT(DISTINCT lang) AS n_langs,
+                COUNT(*) - COUNT(DISTINCT fp) AS n_dup_docs
+         FROM d GROUP BY 1""",
+    "dedup_incremental" ->
+      """WITH fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM documents),
+         batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 10 = 0),
+         corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 <> 0)
+         SELECT doc_id, fp FROM (
+           SELECT b.doc_id, b.fp, row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+           FROM batch b ANTI JOIN corpus c USING (fp))
+         WHERE rn = 1""",
     "dedup_substring" ->
       """WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
          g AS (SELECT doc_id,

@@ -71,4 +71,79 @@ object CorpusFunctions {
     }
     df.where(keep)
   }
+
+  /** Per-document word-rarity profile — the integer-exact stand-in for
+    * unigram language-model surprisal: for each doc, the average corpus
+    * frequency of its words (common-word docs score high) and the
+    * fraction of words the corpus has seen at most `rareMax` times
+    * (OOV/noise ratio). A count-based score ranks documents the same
+    * way −avg log p(w) does for quality filtering, but stays in integer
+    * arithmetic end-to-end, so it is bit-reproducible across engines —
+    * the float log would differ in final ulps between libm
+    * implementations.
+    *
+    * Plan: one explode → vocabulary count aggregate → join back on the
+    * word → per-doc aggregate. The join key is the word and word
+    * frequency is Zipfian, so the head IS the skew: the top word alone
+    * is ~7% of all tokens. The join therefore splits hot/cold — words
+    * above `hotMin` occurrences (a BOUNDED set: at most
+    * totalTokens/hotMin rows, a few thousand at any corpus size)
+    * broadcast-join, everything below shuffles with a guaranteed
+    * per-key fanout < hotMin. Output is identical to the naive join;
+    * no key is ever hot on the shuffle path, at any scale. Docs with no
+    * words after normalization drop out (no tokens ⇒ no score),
+    * mirroring the oracle's unnest semantics.
+    */
+  def wordRarity(df: DataFrame, idCol: Column, text: Column, rareMax: Long = 2L, hotMin: Long = 1000L): DataFrame = {
+    val toks = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(idCol.as("doc_id"), explode(TextFunctions.words(text)).as("w"))
+      .where(col("w") =!= "")
+      .cache()
+    val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("cf"))
+    val probed = toks.join(broadcast(freq.where(col("cf") >= hotMin)), Seq("w"), "left")
+    val scored = probed
+      .where(col("cf").isNotNull)
+      .unionByName(
+        probed.where(col("cf").isNull).drop("cf").join(freq.where(col("cf") < hotMin), Seq("w"))
+      )
+    val out = scored
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("cf")).as("sum_cf"),
+        sum(when(col("cf") <= rareMax, 1L).otherwise(0L)).as("n_rare"),
+      )
+      .withColumn("avg_word_freq", col("sum_cf").cast("double") / col("n_words").cast("double"))
+      .withColumn("rare_ratio", col("n_rare").cast("double") / col("n_words").cast("double"))
+      .select(col("doc_id"), col("n_words"), col("avg_word_freq"), col("rare_ratio"))
+      // materialize the small per-doc result so the cached token frame
+      // (used by the freq aggregate and both join arms) releases NOW
+      .localCheckpoint()
+    toks.unpersist(blocking = false)
+    out
+  }
+
+  /** Per-source (domain) corpus composition + exact-duplication rate:
+    * how many docs, how much text, how many languages, and how many
+    * docs are exact copies of an earlier doc in the same source — the
+    * per-domain triage view that decides which crawls to keep. One
+    * hash aggregate; `count(distinct)` pairs rewrite to a two-phase
+    * partial-distinct plan, still one shuffle on the tiny source key.
+    */
+  def domainStats(df: DataFrame, source: Column, lang: Column, idCol: Column, text: Column): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        source.as("source"),
+        lang.as("lang"),
+        length(text).cast("long").as("__nc"),
+        md5(TextFunctions.normText(text)).as("__fp"),
+      )
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nc")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("__fp"))).as("n_dup_docs"),
+      )
 }

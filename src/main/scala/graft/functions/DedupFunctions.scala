@@ -492,4 +492,45 @@ object DedupFunctions {
         (col("span_end") - col("span_start") + 1).as("span_words"),
       )
   }
+
+  /** Incremental exact dedup: which docs of a NEW batch survive against
+    * an already-ingested corpus — the shape every continuously-fed
+    * training pipeline runs daily (dedup the delta, never re-scan the
+    * lake). A batch doc survives iff its normalized-text fingerprint
+    * (a) does not appear in the corpus (left-anti join) and (b) is the
+    * lowest-id copy within the batch itself (one window pass).
+    *
+    * Both stages shuffle on the 128-bit fingerprint — uniformly
+    * distributed, no hot keys by construction. At 100 TB the corpus
+    * side is a pre-materialized fingerprint table ([[exactGroups]]
+    * output, bucketed on fp via [[graft.operators.Bucketing]]), so the
+    * anti-join co-locates with zero corpus shuffle and the daily cost
+    * scales with the batch, not the lake.
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    incrementalDedupFp(
+      batch,
+      corpus.select(md5(TextFunctions.normText(col(textCol))).as("fp")).distinct(),
+      idCol,
+      textCol,
+    )
+
+  /** [[incrementalDedup]] against a pre-materialized corpus fingerprint
+    * table (distinct `fp` column — [[exactGroups]] output). When that
+    * table is stored bucketed on `fp` ([[graft.operators.Bucketing]]),
+    * the anti-join plans with ZERO corpus-side shuffle: only the daily
+    * batch is exchanged (into the bucket count), the lake is read
+    * in place — BucketingSpec proves the single-Exchange plan. The
+    * survivor window then reuses the join's fp-partitioning, so the
+    * whole delta dedup costs one shuffle of the batch, period.
+    */
+  def incrementalDedupFp(batch: DataFrame, corpusFp: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bFp = batch.select(col(idCol).as("doc_id"), md5(TextFunctions.normText(col(textCol))).as("fp"))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    bFp
+      .join(corpusFp.select(col("fp")), Seq("fp"), "left_anti")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("doc_id"), col("fp"))
+  }
 }

@@ -132,6 +132,131 @@ object VectorFunctions {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  /** Squared L2 distance to a centroid literal, on doubles; only the
+    * ARGMIN is consumed, and the per-(vector, centroid) evaluation
+    * order is fixed, so float non-associativity cannot change cells.
+    */
+  private def dist2(emb: Column, centroid: Array[Double]): Column = {
+    val c = array(centroid.map(lit): _*)
+    aggregate(
+      zip_with(emb, c, (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0),
+      (acc, x) => acc + x,
+    )
+  }
+
+  /** Nearest-centroid assignment as a `cell` column (argmin via
+    * `least` over (distance, id) structs — ties break on cell id).
+    */
+  private def assignCell(frame: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val scored = centroids.zipWithIndex.map { case (cen, i) =>
+      struct(dist2(col("embedding"), cen).as("d"), lit(i).as("cell"))
+    }
+    frame.withColumn("cell", least(scored: _*).getField("cell"))
+  }
+
+  /** Deterministic k-means over `(vec_id, embedding)`: init = the
+    * `nCells` lowest vec_ids, per-(cell, position) means via scaled-
+    * integer sums (one hash aggregate per pass, order-independent —
+    * identical centroids on every run and partitioning), empty cells
+    * keep their centroid. Only nCells × dim summary rows ever reach
+    * the driver; training runs on the `trainLimit` lowest ids (train
+    * small, index everything — the standard coarse-quantizer recipe).
+    */
+  private def trainKmeans(
+      vecs: DataFrame,
+      nCells: Int,
+      lloydIterations: Int,
+      trainLimit: Int,
+  ): Array[Array[Double]] = {
+    val spark = vecs.sparkSession
+    // limit() collapses to one partition — respread or every Lloyd
+    // assignment pass runs single-core
+    val train = vecs
+      .orderBy("vec_id")
+      .limit(trainLimit)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .cache()
+    var centroids: Array[Array[Double]] = train
+      .orderBy("vec_id")
+      .limit(nCells)
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    for (_ <- 1 to lloydIterations) {
+      val sums = assignCell(train, centroids)
+        .select(
+          col("cell"),
+          posexplode(expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e9) AS BIGINT))")).as(Seq("pos", "qv")),
+        )
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        old.indices.map { p =>
+          sums.get((i, p)) match {
+            case Some((s, n)) if n > 0 => s.toDouble / 1e9 / n
+            case _                     => old(p) // empty cell keeps its centroid
+          }
+        }.toArray
+      }
+    }
+    train.unpersist(blocking = false)
+    centroids
+  }
+
+  /** SemDeDup semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding space with k-means, then
+    * drop every vector whose cosine to a LOWER-id vector in the SAME
+    * cluster exceeds τ — near-duplicates in meaning, not just form.
+    * Clustering bounds the pair volume to Σ cell² (pick `nCells` ∝ √n
+    * at scale, exactly the paper's recipe) instead of all-pairs, and
+    * pair scoring reuses the exact scaled-integer cosine, so given the
+    * learned cells the keep/drop decision is engine-exact and the
+    * greedy keep-lowest-id rule is deterministic.
+    *
+    * Returns survivors: `(vec_id, cell)` — one row per kept vector.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      threshold: Double,
+      nCells: Int = 16,
+      lloydIterations: Int = 5,
+      trainLimit: Int = 100000,
+  ): DataFrame = {
+    require(nCells >= 2, "semanticDedup needs at least 2 cells")
+    withFns(df)
+    val spark = df.sparkSession
+    val vecs = df
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"))
+      .cache()
+    val centroids = trainKmeans(vecs, nCells, lloydIterations, trainLimit)
+    val indexed = assignCell(vecs, centroids).select(col("cell"), col("vec_id"), col("embedding")).cache()
+    val dupped = indexed
+      .select(col("cell"), col("vec_id").as("vec_b"), col("embedding").as("ce"))
+      .join(indexed.select(col("cell"), col("vec_id").as("vec_a"), col("embedding").as("qe")), Seq("cell"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("dot", dotInt("qe", "ce"))
+      .withColumn(
+        "cosine",
+        col("dot").cast("double") / (sqrt(norm2Int("qe").cast("double")) * sqrt(norm2Int("ce").cast("double"))),
+      )
+      .where(col("cosine") >= lit(threshold))
+      .select(col("vec_b").as("vec_id"))
+      .distinct()
+    val out = indexed
+      .join(dupped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+      // small survivor list; release the cached inputs immediately
+      .localCheckpoint()
+    vecs.unpersist(blocking = false)
+    indexed.unpersist(blocking = false)
+    out
+  }
+
   /** IVF (inverted-file) ANN — the coarse-quantizer alternative to
     * [[lshAnn]]: k-means cells learned with a few Lloyd iterations,
     * then exact cosine ranking within each query's `nProbe` nearest
@@ -158,68 +283,12 @@ object VectorFunctions {
     require(nProbe >= 1 && nProbe <= nCells, "nProbe must be in [1, nCells]")
     withFns(df)
     val spark = df.sparkSession
-    import spark.implicits._
     val vecs = df
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"))
       .cache()
 
-    // squared L2 distance to a centroid literal, on doubles; only the
-    // ARGMIN is consumed, and the per-(vector, centroid) evaluation
-    // order is fixed, so float non-associativity cannot change cells
-    def dist2(emb: Column, centroid: Array[Double]): Column = {
-      val c = array(centroid.map(lit): _*)
-      aggregate(
-        zip_with(emb, c, (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-        lit(0.0),
-        (acc, x) => acc + x,
-      )
-    }
-
-    def assignCell(frame: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-      val scored = centroids.zipWithIndex.map { case (cen, i) =>
-        struct(dist2(col("embedding"), cen).as("d"), lit(i).as("cell"))
-      }
-      frame.withColumn("cell", least(scored: _*).getField("cell"))
-    }
-
-    // limit() collapses to one partition — respread or every Lloyd
-    // assignment pass runs single-core
-    val train = vecs
-      .orderBy("vec_id")
-      .limit(trainLimit)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .cache()
-    var centroids: Array[Array[Double]] = train
-      .orderBy("vec_id")
-      .limit(nCells)
-      .collect()
-      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
-    for (_ <- 1 to lloydIterations) {
-      // per-(cell, position) mean via scaled-integer sums: one hash
-      // aggregate, order-independent, so the learned centroids are
-      // identical on every run and partitioning. Only nCells × dim
-      // summary rows reach the driver.
-      val sums = assignCell(train, centroids)
-        .select(
-          col("cell"),
-          posexplode(expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e9) AS BIGINT))")).as(Seq("pos", "qv")),
-        )
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
-        .toMap
-      centroids = centroids.zipWithIndex.map { case (old, i) =>
-        old.indices.map { p =>
-          sums.get((i, p)) match {
-            case Some((s, n)) if n > 0 => s.toDouble / 1e9 / n
-            case _                     => old(p) // empty cell keeps its centroid
-          }
-        }.toArray
-      }
-    }
-    train.unpersist(blocking = false)
+    val centroids = trainKmeans(vecs, nCells, lloydIterations, trainLimit)
 
     val indexed = assignCell(vecs, centroids).select(col("cell"), col("vec_id"), col("embedding")).cache()
     // probe list: each query's nProbe nearest cells

@@ -1,0 +1,121 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Largest-Triangle-Three-Buckets plot downsampling (Steinarsson 2013)
+  * — the visual-fidelity alternative to [[TimeSeriesOps.plotData]]'s
+  * min/max buckets: picks the `nOut` points that preserve the visual
+  * shape of each series (peaks, trends) by maximizing triangle areas
+  * between neighboring buckets.
+  *
+  * LTTB is inherently sequential WITHIN a series (each bucket's pick
+  * anchors the next bucket's triangles) but embarrassingly parallel
+  * ACROSS series, which is exactly how it's laid out here: repartition
+  * by series key, sort within partitions by (key, ts), then one typed
+  * `mapPartitions` pass that buffers one series at a time. Memory bound
+  * = the largest single series in the queried range — the same bound
+  * the reference accepts when it materializes one series per request
+  * (kukur/source/arrow.py read path); at 100 TB you chunk the time
+  * range first ([[TimeSeriesOps.intervalChunks]]) and LTTB each chunk.
+  *
+  * Determinism: input totally ordered by (ts, value); strict `>`
+  * comparison keeps the FIRST maximal-area point on ties, so output is
+  * identical on every partitioning.
+  */
+object Downsample {
+
+  /** Indices LTTB selects from a series already sorted by time.
+    * First and last points are always kept.
+    */
+  private[graft] def lttbIndices(ts: Array[Long], vs: Array[Double], nOut: Int): Array[Int] = {
+    val n = ts.length
+    if (n <= nOut) return Array.range(0, n)
+    val out = new ArrayBuffer[Int](nOut)
+    out += 0
+    val bucketSize = (n - 2).toDouble / (nOut - 2)
+    var a = 0
+    var i = 0
+    while (i < nOut - 2) {
+      val bStart = (i * bucketSize).toInt + 1
+      val bEnd = math.min(((i + 1) * bucketSize).toInt + 1, n - 1)
+      // anchor C = average of the NEXT bucket (the last bucket's
+      // successor is the final point itself)
+      val nStart = bEnd
+      val nEnd = math.min(((i + 2) * bucketSize).toInt + 1, n)
+      var avgT = 0.0
+      var avgV = 0.0
+      if (nStart < nEnd) {
+        var j = nStart
+        while (j < nEnd) { avgT += ts(j).toDouble; avgV += vs(j); j += 1 }
+        avgT /= (nEnd - nStart)
+        avgV /= (nEnd - nStart)
+      } else {
+        avgT = ts(n - 1).toDouble
+        avgV = vs(n - 1)
+      }
+      val at = ts(a).toDouble
+      val av = vs(a)
+      var best = bStart
+      var bestArea = -1.0
+      var j = bStart
+      while (j < bEnd) {
+        // 2×triangle area of (A, candidate, C); abs via the raw cross product
+        val area = math.abs((at - avgT) * (vs(j) - av) - (at - ts(j).toDouble) * (avgV - av))
+        if (area > bestArea) { bestArea = area; best = j }
+        j += 1
+      }
+      out += best
+      a = best
+      i += 1
+    }
+    out += n - 1
+    out.toArray
+  }
+
+  /** Downsample each series (identified by the string column `tagCol`)
+    * to at most `nOut` visually representative points. Output:
+    * `(tagCol, ts, value)`, each row one of the input points.
+    */
+  def lttb(df: DataFrame, tagCol: String, nOut: Int): DataFrame = {
+    require(nOut >= 3, "LTTB needs nOut >= 3 (endpoints + at least one bucket)")
+    val prepped = df
+      .select(col(tagCol).cast("string").as("k"), unix_micros(col("ts")).as("us"), col("value").cast("double").as("v"))
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("us"), col("v"))
+      .as[(String, Long, Double)](Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaDouble))
+    val picked = prepped.mapPartitions { it =>
+      new Iterator[(String, Long, Double)] {
+        private val in = it.buffered
+        private var pending: Iterator[(String, Long, Double)] = Iterator.empty
+
+        private def loadNextSeries(): Unit = {
+          if (in.hasNext) {
+            val key = in.head._1
+            val ts = new ArrayBuffer[Long]
+            val vs = new ArrayBuffer[Double]
+            while (in.hasNext && in.head._1 == key) {
+              val r = in.next()
+              ts += r._2
+              vs += r._3
+            }
+            val tsA = ts.toArray
+            val vsA = vs.toArray
+            pending = lttbIndices(tsA, vsA, nOut).iterator.map(ix => (key, tsA(ix), vsA(ix)))
+          }
+        }
+
+        def hasNext: Boolean = {
+          while (!pending.hasNext && in.hasNext) loadNextSeries()
+          pending.hasNext
+        }
+        def next(): (String, Long, Double) = { hasNext; pending.next() }
+      }
+    }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaDouble))
+    picked
+      .toDF("k", "us", "v")
+      .select(col("k").as(tagCol), timestamp_micros(col("us")).as("ts"), col("v").as("value"))
+  }
+}

@@ -38,4 +38,28 @@ class BucketingSpec extends AnyFunSuite {
     agg.count()
     assert(Bucketing.isExchangeFree(agg), agg.queryExecution.executedPlan.toString)
   }
+
+  test("incremental dedup against a bucketed corpus fingerprint table shuffles only the batch") {
+    val corpus = Seq((100L, "an old document"), (101L, "an archived document")).toDF("doc_id", "text")
+    val corpusFp = graft.functions.DedupFunctions
+      .exactGroups(corpus, "doc_id", "text")
+      .select(col("fp"))
+    Bucketing.writeBucketed(corpusFp, "b_corpus_fp", nBuckets = 8, keys = Seq("fp"), sortKeys = Seq("fp"))
+
+    val batch = Seq((1L, "an old  DOCUMENT"), (2L, "a new document"), (3L, "a NEW document")).toDF("doc_id", "text")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a sort-merge anti join: the claim is about the Exchange
+      // layout, broadcast would dodge the question
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = graft.functions.DedupFunctions
+        .incrementalDedupFp(batch, Bucketing.table(spark, "b_corpus_fp"), "doc_id", "text")
+      assert(out.collect().map(_.getLong(0)).toSet == Set(2L))
+      // AQE prints the final plan followed by the initial one — count
+      // Exchanges only in the final section
+      val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1, s"expected only the batch-side Exchange, got $exchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

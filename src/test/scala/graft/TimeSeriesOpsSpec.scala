@@ -136,4 +136,40 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       .collect()
     assert(out.map(r => Option(r.getString(2))).toSeq == Seq(Some("OFF"), Some("FAULT"), None))
   }
+
+  test("counterReset rebuilds the monotone total across wraps") {
+    val pts = Seq(
+      ("c", t("2024-01-01T00:00:00Z"), 0.0, 1L),
+      ("c", t("2024-01-01T00:01:00Z"), 5.0, 2L),
+      ("c", t("2024-01-01T00:02:00Z"), 8.0, 3L),
+      ("c", t("2024-01-01T00:03:00Z"), 2.0, 4L), // wrap: 8 -> 2
+      ("c", t("2024-01-01T00:04:00Z"), 4.0, 5L),
+      ("c", t("2024-01-01T00:05:00Z"), 1.0, 6L), // wrap: 4 -> 1
+    ).toDF("series_name", "ts", "value", "event_id")
+    val out = TimeSeriesOps
+      .counterReset(pts, Seq("series_name"), "event_id")
+      .orderBy("ts")
+      .collect()
+      .map(_.getDouble(3))
+    assert(out.toSeq == Seq(0.0, 5.0, 8.0, 10.0, 12.0, 13.0))
+  }
+
+  test("autocorr is exactly 1 on a linear ramp and NaN-free on constants") {
+    val ramp = (1 to 5).map(i => ("a", t(f"2024-01-01T00:0$i:00Z"), i.toDouble, i.toLong))
+      .toDF("series_name", "ts", "value", "event_id")
+    val r = TimeSeriesOps.autocorr(ramp, Seq("series_name"), "event_id", lagK = 1).collect().head
+    assert(r.getLong(1) == 4L) // 5 points, 4 lagged pairs
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("valueHistogram clamps under/overflow into edge bins") {
+    val pts = Seq(("a", t("2024-01-01T00:00:00Z"), -5.0), ("a", t("2024-01-01T00:01:00Z"), 30.0), ("a", t("2024-01-01T00:02:00Z"), 505.0))
+      .toDF("series_name", "ts", "value")
+    val out = TimeSeriesOps
+      .valueHistogram(pts, Seq("series_name"), lo = 0.0, hi = 500.0, bins = 20)
+      .collect()
+      .map(r => r.getInt(1) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(out == Map(0 -> ((0.0, 1L)), 1 -> ((25.0, 1L)), 19 -> ((475.0, 1L))))
+  }
 }
