@@ -717,6 +717,13 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       VectorFunctions.pqAnn(emb, emb.orderBy("vec_id").limit(20), k = 5)
     },
+    // C7d: IVF-PQ — coarse cells prune the scan, ADC ranks within
+    // probed cells, exact rerank of the shortlist (rows-only: learned
+    // quantizers; recall-spec'd vs exact L2)
+    "sim_ivfpq_ann" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      VectorFunctions.ivfPqAnn(emb, emb.orderBy("vec_id").limit(20), k = 5)
+    },
     // C8: heuristic language ID
     "text_langid" -> { (s, dir) =>
       TextFunctions

@@ -367,33 +367,87 @@ object VectorFunctions {
       .select(col("vec_id"), col("embedding"))
       .cache()
 
-    // exact squared L2 between one subspace slice and a codeword
-    // literal — fixed evaluation order, deterministic like ivfAnn.dist2
-    def subDist2(emb: Column, s: Int, cw: Array[Double]): Column =
-      aggregate(
-        zip_with(
-          slice(emb, s * dsub + 1, dsub),
-          array(cw.map(lit): _*),
-          (a, b) => (a.cast("double") - b) * (a.cast("double") - b),
-        ),
-        lit(0.0),
-        (acc, x) => acc + x,
-      )
+    val books = trainPqBooks(vecs, m, dsub, codebookSize, lloydIterations, trainLimit)
 
-    // per-subspace argmin code over the codebook (ties → lowest code)
-    def codesExpr(books: Array[Array[Array[Double]]]): Column =
-      array((0 until m).map { s =>
-        least(books(s).zipWithIndex.map { case (cw, c) =>
-          struct(subDist2(col("embedding"), s, cw).as("d"), lit(c).as("c"))
-        }: _*).getField("c")
-      }: _*)
+    // encode the whole corpus; codes are the only per-candidate state
+    // the scan reads
+    val coded = vecs.withColumn("codes", pqCodesExpr(books, m, dsub)).select(col("vec_id"), col("codes"))
 
+    val q = queries
+      .select(col("vec_id").as("query_id"), pqLutExpr(books, m, dsub, codebookSize).as("lut"))
+
+    // ADC scan: m lookups + a sum per (query, candidate); keep a
+    // rerankFactor·k shortlist per query
+    val scored = coded
+      .join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .withColumn("approx_d2", adcExpr(m, codebookSize))
+    val wApprox = Window.partitionBy(col("query_id")).orderBy(col("approx_d2").asc, col("vec_id"))
+    val shortlist = scored
+      .withColumn("arank", row_number().over(wApprox))
+      .where(col("arank") <= k * rerankFactor)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+    val out = rerankExact(shortlist, vecs, queries, k)
+    vecs.unpersist(blocking = false)
+    out
+  }
+
+  /** Exact squared L2 between one subspace slice and a codeword
+    * literal — fixed evaluation order, deterministic like [[dist2]].
+    */
+  private def subDist2(emb: Column, s: Int, dsub: Int, cw: Array[Double]): Column =
+    aggregate(
+      zip_with(
+        slice(emb, s * dsub + 1, dsub),
+        array(cw.map(lit): _*),
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b),
+      ),
+      lit(0.0),
+      (acc, x) => acc + x,
+    )
+
+  /** Per-subspace argmin code over the codebooks (ties → lowest code). */
+  private def pqCodesExpr(books: Array[Array[Array[Double]]], m: Int, dsub: Int): Column =
+    array((0 until m).map { s =>
+      least(books(s).zipWithIndex.map { case (cw, c) =>
+        struct(subDist2(col("embedding"), s, dsub, cw).as("d"), lit(c).as("c"))
+      }: _*).getField("c")
+    }: _*)
+
+  /** Query-side ADC lookup table: exact subspace distance to every
+    * codeword, laid out `[s * codebookSize + c]`.
+    */
+  private def pqLutExpr(books: Array[Array[Array[Double]]], m: Int, dsub: Int, codebookSize: Int): Column =
+    array((for { s <- 0 until m; c <- 0 until codebookSize } yield subDist2(col("embedding"), s, dsub, books(s)(c))): _*)
+
+  /** ADC distance: m LUT lookups folded over the `codes` column. */
+  private def adcExpr(m: Int, codebookSize: Int): Column =
+    aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)), (c, s) => element_at(col("lut"), s * codebookSize + c + 1)),
+      lit(0.0),
+      (acc, x) => acc + x,
+    )
+
+  /** Deterministic per-subspace Lloyd codebooks (init = subspace slices
+    * of the `codebookSize` lowest train ids; scaled-integer means keyed
+    * by (subspace, code, position) — one aggregate pass refines ALL m
+    * codebooks, only m × codebookSize × dsub summary rows reach the
+    * driver; empty clusters keep their codeword).
+    */
+  private def trainPqBooks(
+      vecs: DataFrame,
+      m: Int,
+      dsub: Int,
+      codebookSize: Int,
+      lloydIterations: Int,
+      trainLimit: Int,
+  ): Array[Array[Array[Double]]] = {
+    val spark = vecs.sparkSession
     val train = vecs
       .orderBy("vec_id")
       .limit(trainLimit)
       .repartition(spark.sparkContext.defaultParallelism)
       .cache()
-    // init: subspace slices of the codebookSize lowest train vectors
     var books: Array[Array[Array[Double]]] = {
       val seed = train
         .orderBy("vec_id")
@@ -403,11 +457,8 @@ object VectorFunctions {
       Array.tabulate(m)(s => seed.map(v => v.slice(s * dsub, (s + 1) * dsub)))
     }
     for (_ <- 1 to lloydIterations) {
-      // one pass refines ALL m codebooks: explode scaled-int dimension
-      // values, key them by (subspace, code, position-in-subspace) —
-      // only m × codebookSize × dsub summary rows reach the driver
       val sums = train
-        .withColumn("__codes", codesExpr(books))
+        .withColumn("__codes", pqCodesExpr(books, m, dsub))
         .select(
           col("__codes"),
           posexplode(expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e9) AS BIGINT))")).as(Seq("pos", "qv")),
@@ -435,54 +486,99 @@ object VectorFunctions {
       }
     }
     train.unpersist(blocking = false)
+    books
+  }
 
-    // encode the whole corpus; codes are the only per-candidate state
-    // the scan reads
-    val coded = vecs.withColumn("codes", codesExpr(books)).select(col("vec_id"), col("codes"))
+  /** Exact squared L2 on full vectors — per-pair fixed evaluation
+    * order, so distances (and every cut on them) are deterministic.
+    */
+  private def fullDist2(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0),
+      (acc, x) => acc + x,
+    )
 
-    // each query precomputes its LUT: exact subspace distance to every
-    // codeword, laid out [s * codebookSize + c]
-    val lutExpr = array((for { s <- 0 until m; c <- 0 until codebookSize } yield subDist2(col("embedding"), s, books(s)(c))): _*)
-    val q = queries
-      .select(col("vec_id").as("query_id"), lutExpr.as("lut"))
-
-    // ADC scan: m lookups + a sum per (query, candidate); keep a
-    // rerankFactor·k shortlist per query
-    val scored = coded
-      .join(broadcast(q), col("query_id") =!= col("vec_id"))
-      .withColumn(
-        "approx_d2",
-        aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(m - 1)), (c, s) => element_at(col("lut"), s * codebookSize + c + 1)),
-          lit(0.0),
-          (acc, x) => acc + x,
-        ),
-      )
-    val wApprox = Window.partitionBy(col("query_id")).orderBy(col("approx_d2").asc, col("vec_id"))
-    val shortlist = scored
-      .withColumn("arank", row_number().over(wApprox))
-      .where(col("arank") <= k * rerankFactor)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-
-    // exact rerank of the shortlist on full vectors: per-pair fixed
-    // evaluation order, so the distances (and the cut) are deterministic
-    def fullDist2(a: Column, b: Column): Column =
-      aggregate(
-        zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-        lit(0.0),
-        (acc, x) => acc + x,
-      )
+  /** Exact rerank of a `(query_id, neighbor_id)` shortlist on full
+    * vectors → `(query_id, neighbor_id, d2, rank)`, rank ≤ k.
+    */
+  private def rerankExact(shortlist: DataFrame, vecs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val qVecs = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val reranked = shortlist
       .join(vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")), "neighbor_id")
       .join(broadcast(qVecs), "query_id")
       .withColumn("d2", fullDist2(col("qe"), col("ce")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("neighbor_id"))
-    val out = reranked
+    reranked
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("d2"), 6).as("d2"), col("rank"))
       .localCheckpoint()
+  }
+
+  /** IVF-PQ — the composition the 100 TB path actually runs (Jégou et
+    * al. 2011; the Faiss `IVFx,PQy` index): the coarse quantizer
+    * ([[ivfAnn]]'s deterministic k-means cells) prunes the corpus to
+    * each query's `nProbe` nearest cells, and WITHIN those cells
+    * candidates are ranked by the PQ ADC lookup-table scan, then the
+    * shortlist is re-ranked exactly. Scan cost per query drops from
+    * O(N·m) to O(N·m·nProbe/nCells); memory per candidate stays m
+    * bytes. Codebooks are trained on raw vectors shared across cells
+    * (residual encoding is the Faiss refinement; the plan shape is
+    * identical). Determinism: both quantizers are the deterministic
+    * Lloyd trainers, ADC ties break on vec_id, rerank ties on
+    * neighbor_id.
+    */
+  def ivfPqAnn(
+      df: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 4,
+      codebookSize: Int = 16,
+      rerankFactor: Int = 10,
+      lloydIterations: Int = 5,
+      trainLimit: Int = 100000,
+  ): DataFrame = {
+    require(nCells >= 2 && nProbe >= 1 && nProbe <= nCells, "nProbe must be in [1, nCells], nCells >= 2")
+    val spark = df.sparkSession
+    val dim = df.select(size(col("embedding"))).first().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val vecs = df
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"))
+      .cache()
+
+    val centroids = trainKmeans(vecs, nCells, lloydIterations, trainLimit)
+    val books = trainPqBooks(vecs, m, dsub, codebookSize, lloydIterations, trainLimit)
+
+    // inverted file: cell + m byte codes per corpus vector
+    val coded = assignCell(vecs, centroids)
+      .withColumn("codes", pqCodesExpr(books, m, dsub))
+      .select(col("cell"), col("vec_id"), col("codes"))
+
+    // each query: nProbe nearest cells × its ADC lookup table
+    val probeStructs = centroids.zipWithIndex.map { case (cen, i) =>
+      struct(dist2(col("embedding"), cen).as("d"), lit(i).as("cell"))
+    }
+    val q = queries
+      .withColumn("probe", explode(slice(array_sort(array(probeStructs: _*)), 1, nProbe)))
+      .select(col("vec_id").as("query_id"), col("probe.cell").as("cell"), pqLutExpr(books, m, dsub, codebookSize).as("lut"))
+
+    // ADC scan restricted to probed cells: the join key IS the cell
+    val scored = coded
+      .join(broadcast(q), Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("approx_d2", adcExpr(m, codebookSize))
+    val wApprox = Window.partitionBy(col("query_id")).orderBy(col("approx_d2").asc, col("vec_id"))
+    val shortlist = scored
+      .withColumn("arank", row_number().over(wApprox))
+      .where(col("arank") <= k * rerankFactor)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+    val out = rerankExact(shortlist, vecs, queries, k)
     vecs.unpersist(blocking = false)
     out
   }

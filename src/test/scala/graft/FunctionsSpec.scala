@@ -276,6 +276,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"PQ recall $recall too low")
   }
 
+  test("ivfPqAnn composes cell pruning with ADC and stays deterministic with useful recall") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.orderBy("vec_id").limit(20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = pairs(VectorFunctions.ivfPqAnn(emb, queries, k = 5).select("query_id", "neighbor_id"))
+    val b = pairs(VectorFunctions.ivfPqAnn(emb, queries, k = 5).select("query_id", "neighbor_id"))
+    assert(a == b) // deterministic coarse cells, codebooks, ranking
+    // flat PQ (no cell pruning) is the ceiling; IVF-PQ at nProbe 4/16
+    // must stay within reach of it and overlap it heavily
+    val flat = pairs(VectorFunctions.pqAnn(emb, queries, k = 5).select("query_id", "neighbor_id"))
+    val agreement = a.intersect(flat).size.toDouble / flat.size
+    assert(agreement >= 0.4, s"IVF-PQ/flat-PQ agreement $agreement too low (probing prunes too much)")
+    assert(a.size == flat.size) // full k results per query either way
+  }
+
   test("decontaminate flags corpus docs overlapping the benchmark set") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta"), // contains bench 5-gram
