@@ -524,6 +524,47 @@ object SparkEntry {
         col("interpolation_type"), col("data_type"),
       )
     },
+    // A15e: derived accuracy (fields.py _calculate_accuracy): explicit
+    // wins; else (high−low)·pct/100, pct valid in [0,100], limits fall
+    // back physical → functional
+    "ts_metadata_accuracy" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = fixture(dir, "metaacc") { p =>
+        Seq(
+          ("a", "0.5", "2.0", "0", "100", "", ""), // explicit accuracy wins
+          ("b", "", "2.5", "0", "100", "", ""), // physical limits: 2.5
+          ("c", "", "10", "", "120", "20", ""), // low falls back functional: 10.0
+          ("d", "", "150", "0", "100", "", ""), // pct out of range -> null
+          ("e", "", "5", "", "", "", ""), // no limits -> null
+        ).toDF("name", "acc", "acc_pct", "lowp", "highp", "lowf", "highf")
+          .coalesce(1).write.mode("overwrite").option("header", "true").csv(p)
+      }
+      val md = new MetadataSource(
+        MetadataConfig(
+          path = tmp,
+          fieldMapping = Map(
+            "series_name" -> "name", "accuracy" -> "acc", "accuracy_percentage" -> "acc_pct",
+            "limit_low_physical" -> "lowp", "limit_high_physical" -> "highp",
+            "limit_low_functional" -> "lowf", "limit_high_functional" -> "highf",
+          ),
+        )
+      ).read(s)
+      md.select(
+        col("series_name"),
+        col("accuracy"),
+        col("accuracy_percentage"),
+        MetadataSource
+          .calculatedAccuracy(
+            col("accuracy"),
+            col("accuracy_percentage"),
+            col("limit_low_physical"),
+            col("limit_low_functional"),
+            col("limit_high_physical"),
+            col("limit_high_functional"),
+          )
+          .as("accuracy_calculated"),
+      )
+    },
     // A17: interval chunking (range-repartition; content unchanged)
     "ts_interval_chunks" -> { (s, dir) =>
       ntz(
@@ -1029,6 +1070,17 @@ object SparkEntry {
            ('state', 'Machine state', NULL, NULL, NULL, 'STEPPED', 'DICTIONARY'),
            ('flow', 'Flow rate', 'm3/h', NULL, 50.0, 'LINEAR', 'FLOAT64'))
          AS t(series_name, description, unit, limit_low_physical, limit_high_physical, interpolation_type, data_type)""",
+    "ts_metadata_accuracy" ->
+      """SELECT series_name, CAST(accuracy AS DOUBLE) AS accuracy,
+                CAST(accuracy_percentage AS DOUBLE) AS accuracy_percentage,
+                CAST(accuracy_calculated AS DOUBLE) AS accuracy_calculated
+         FROM (VALUES
+           ('a', 0.5, 2.0, 0.5),
+           ('b', NULL, 2.5, 2.5),
+           ('c', NULL, 10.0, 10.0),
+           ('d', NULL, 150.0, NULL),
+           ('e', NULL, 5.0, NULL))
+         AS t(series_name, accuracy, accuracy_percentage, accuracy_calculated)""",
     "ts_interval_chunks" ->
       """SELECT event_type AS series_name, user_id, ts, value FROM events
          WHERE event_type IN ('click', 'error')

@@ -136,4 +136,24 @@ object MetadataSource {
         .drop(fields.map(f => s"__lo_$f"): _*)
     }
   }
+
+  /** Derived accuracy (kukur/metadata/fields.py:125-146
+    * `_calculate_accuracy`): an explicit accuracy wins; otherwise
+    * `(high − low) · pct / 100` with `pct` valid only in [0, 100] and
+    * each limit falling back physical → functional; null whenever any
+    * needed part is missing. Pure per-row column arithmetic.
+    */
+  def calculatedAccuracy(
+      accuracy: Column,
+      accuracyPercentage: Column,
+      limitLowPhysical: Column,
+      limitLowFunctional: Column,
+      limitHighPhysical: Column,
+      limitHighFunctional: Column,
+  ): Column = {
+    val pct = when(accuracyPercentage >= 0.0 && accuracyPercentage <= 100.0, accuracyPercentage)
+    val low = coalesce(limitLowPhysical, limitLowFunctional)
+    val high = coalesce(limitHighPhysical, limitHighFunctional)
+    coalesce(accuracy, (high - low) * pct / lit(100.0))
+  }
 }

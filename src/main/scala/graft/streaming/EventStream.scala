@@ -51,6 +51,38 @@ object EventStream {
         col("max_value"),
       )
 
+  /** Streaming plot-data downsampling — the streaming dual of
+    * ts_plot_data (A5): per (series, time bucket), the min/max values
+    * and the first/last points by event time, maintained incrementally
+    * as struct-extrema aggregates under a watermark. Append mode emits
+    * each bucket exactly once when it closes, so a live dashboard
+    * receives the SAME rows the batch `plotData` computes over the
+    * closed range — the Kappa property, with constant state (one row
+    * per open (series, bucket)).
+    */
+  def plotStream(canonicalStream: DataFrame, bucket: String = "5 minutes", watermark: String = "1 hour"): DataFrame = {
+    val tsUs = unix_micros(col("ts"))
+    canonicalStream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), bucket), col("series_name"))
+      .agg(
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        min(struct(tsUs.as("us"), col("value"))).getField("value").as("first_value"),
+        max(struct(tsUs.as("us"), col("value"))).getField("value").as("last_value"),
+        count(lit(1)).as("n"),
+      )
+      .select(
+        col("window.start").as("bucket_start"),
+        col("series_name"),
+        col("min_value"),
+        col("max_value"),
+        col("first_value"),
+        col("last_value"),
+        col("n"),
+      )
+  }
+
   /** Stateful latest-point-per-series via mapGroupsWithState — the
     * streaming dual of ts_latest. State is one row per series key;
     * update semantics match the batch struct-max (ties by value).

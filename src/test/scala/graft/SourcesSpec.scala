@@ -236,4 +236,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(math.abs(out.max - 60.0) < 0.5)
     assert(math.abs(out.min - 40.0) < 0.5)
   }
+
+  test("calculatedAccuracy: explicit wins, pct validated, limits fall back physical->functional") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", Some(0.5), Some(2.0), Some(0.0), None: Option[Double], Some(100.0), None: Option[Double]),
+      ("b", None: Option[Double], Some(2.5), Some(0.0), None, Some(100.0), None),
+      ("c", None: Option[Double], Some(10.0), None, Some(20.0), Some(120.0), None),
+      ("d", None: Option[Double], Some(150.0), Some(0.0), None, Some(100.0), None),
+      ("e", None: Option[Double], Some(5.0), None, None, None, None),
+    ).toDF("name", "acc", "pct", "lowp", "lowf", "highp", "highf")
+    val out = d
+      .withColumn(
+        "calc",
+        graft.sources.MetadataSource.calculatedAccuracy(col("acc"), col("pct"), col("lowp"), col("lowf"), col("highp"), col("highf")),
+      )
+      .collect()
+      .map(r => r.getString(0) -> Option(r.get(7)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(out == Map("a" -> Some(0.5), "b" -> Some(2.5), "c" -> Some(10.0), "d" -> None, "e" -> None))
+  }
 }

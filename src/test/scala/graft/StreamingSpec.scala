@@ -65,6 +65,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(1).getAs[Long]("n") == 1L)
   }
 
+  test("plotStream emits per-bucket min/max/first/last matching the batch extrema") {
+    val (_, df) = mkStream(
+      Seq(
+        ("click", 1L, t("2024-01-01T00:01:00Z"), 5.0),
+        ("click", 1L, t("2024-01-01T00:02:00Z"), 1.0), // bucket min
+        ("click", 1L, t("2024-01-01T00:03:00Z"), 9.0), // bucket max
+        ("click", 1L, t("2024-01-01T00:04:00Z"), 4.0), // bucket last
+        ("click", 1L, t("2024-01-01T00:07:00Z"), 2.0), // next bucket
+      )
+    )
+    val q = EventStream
+      .plotStream(df, bucket = "5 minutes")
+      .writeStream.format("memory").queryName("plot_stream").outputMode(OutputMode.Complete())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("plot_stream").orderBy("bucket_start").collect()
+    assert(rows.length == 2)
+    val b0 = rows(0)
+    assert(b0.getAs[Double]("min_value") == 1.0)
+    assert(b0.getAs[Double]("max_value") == 9.0)
+    assert(b0.getAs[Double]("first_value") == 5.0)
+    assert(b0.getAs[Double]("last_value") == 4.0)
+    assert(b0.getAs[Long]("n") == 4L)
+    assert(rows(1).getAs[Long]("n") == 1L)
+  }
+
   test("dedupStream drops repeated documents within the watermark horizon") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
