@@ -169,6 +169,42 @@ final class Graft(spark: SparkSession) {
     val cfg = fileOnly(sourceName, "getSourceStructure").dataConfig
     TimeSeriesOps.sourceStructure(readAll(sourceName), cfg.tagColumns, cfg.fieldColumns)
   }
+
+  /** Source connectivity diagnostic — the reference's `test` CLI
+    * subcommand (kukur/subcommands/test_source.py + source/test.py):
+    * exercise search, then metadata / data / plot for the first series
+    * the search returns, WITHOUT persisting anything. One summary row
+    * per action: `(action, ok, rows, error)` — rows = -1 on failure,
+    * error carries the exception message, and actions a source kind
+    * doesn't support (simulator metadata) report ok = false with the
+    * reason rather than aborting the probe.
+    */
+  def testSource(sourceName: String, start: Timestamp, end: Timestamp, intervalCount: Int = 100): DataFrame = {
+    import spark.implicits._
+    def probe(action: String)(f: => DataFrame): (String, Boolean, Long, String) =
+      try { val n = f.count(); (action, true, n, null) }
+      catch { case e: Exception => (action, false, -1L, e.getMessage) }
+
+    val searchRow = probe("search")(search(sourceName))
+    // first series of the search result drives the per-series actions,
+    // like test_source.py's --name argument
+    val selector: Option[SeriesSelector] =
+      try {
+        val first = search(sourceName).select(col("series_name").cast("string")).orderBy("series_name").limit(1).collect()
+        first.headOption.map(r => SeriesSelector(sourceName, Map("series_name" -> r.getString(0))))
+      } catch { case _: Exception => None }
+
+    val perSeries = selector match {
+      case None => Seq(("data", false, -1L, "search returned no series to probe"))
+      case Some(sel) =>
+        Seq(
+          probe("metadata")(getMetadata(sourceName, sel)),
+          probe("data")(getData(sourceName, sel, start, end)),
+          probe("plot")(getPlotData(sourceName, sel, start, end, intervalCount)),
+        )
+    }
+    (searchRow +: perSeries).toDF("action", "ok", "rows", "error")
+  }
 }
 
 object Graft {

@@ -286,6 +286,10 @@ object SparkEntry {
     "ts_autocorr" -> { (s, dir) =>
       TimeSeriesOps.autocorr(ev(s, dir), Seq("series_name"), "event_id", lagK = 1)
     },
+    // A30: trapezoidal time integral per series (value·seconds)
+    "ts_integral" -> { (s, dir) =>
+      TimeSeriesOps.integral(ev(s, dir), Seq("series_name"), "event_id")
+    },
     // A28: fixed-range value histogram (20 × 25-wide buckets over [0, 500))
     "ts_histogram" -> { (s, dir) =>
       TimeSeriesOps.valueHistogram(ev(s, dir), Seq("series_name"), lo = 0.0, hi = 500.0, bins = 20)
@@ -662,6 +666,38 @@ object SparkEntry {
           )
       )
     },
+    // B8: conversion funnel view → click → purchase per user: first
+    // view, first click strictly after it, first purchase strictly
+    // after that — three aggregate-then-join stages on user_id (no
+    // window over raw events, no skew beyond the user key)
+    "q_events_funnel" -> { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      val users = e.select(col("user_id")).distinct()
+      val v = e.where(col("event_type") === "view").groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+      val c = e
+        .join(v, "user_id")
+        .where(col("event_type") === "click" && col("ts") > col("view_ts"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("click_ts"))
+      val p = e
+        .join(c, "user_id")
+        .where(col("event_type") === "purchase" && col("ts") > col("click_ts"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("purchase_ts"))
+      ntz(
+        users
+          .join(v, Seq("user_id"), "left")
+          .join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .withColumn(
+            "stage",
+            when(col("purchase_ts").isNotNull, 3)
+              .when(col("click_ts").isNotNull, 2)
+              .when(col("view_ts").isNotNull, 1)
+              .otherwise(0),
+          )
+      )
+    },
     // C1: exact dedup groups
     "dedup_exact" -> { (s, dir) =>
       DedupFunctions.exactGroups(Tables.documents(s, dir), "doc_id", "text")
@@ -839,6 +875,17 @@ object SparkEntry {
     // signal (avg corpus word frequency + rare-word ratio)
     "text_word_rarity" -> { (s, dir) =>
       CorpusFunctions.wordRarity(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
+    // C30: language-ID confusion matrix — predicted vs labeled lang,
+    // the quality audit of the C8 heuristic over the whole corpus
+    "corpus_lang_confusion" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      TextFunctions
+        .langId(docs, col("text"))
+        .select(col("doc_id"), col("pred_lang"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
     },
     // C29: per-source (domain) composition + exact-duplication rate
     "corpus_domain_stats" -> { (s, dir) =>
@@ -1210,6 +1257,29 @@ object SparkEntry {
                     FROM events)
          SELECT series_name, bin, 0.0 + CAST(bin AS DOUBLE) * 25.0 AS bin_lo, COUNT(*) AS n
          FROM b GROUP BY 1, 2""",
+    "ts_integral" ->
+      """WITH pts AS (SELECT event_type AS series_name, value, ts, event_id,
+                             lag(value) OVER w AS prev_v, lag(epoch_us(ts)) OVER w AS prev_us
+                      FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+         terms AS (SELECT series_name,
+                          (value + prev_v) / 2.0 * ((epoch_us(ts) - prev_us) / 1000000.0) AS term
+                   FROM pts WHERE prev_v IS NOT NULL)
+         SELECT series_name, COUNT(*) AS n_intervals,
+                SUM(CAST(FLOOR(term * 1000000) AS BIGINT)) / 1000000.0 AS integral
+         FROM terms GROUP BY 1""",
+    "q_events_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e JOIN v USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > v.view_ts GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e JOIN c USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY 1)
+         SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+                CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+                     WHEN c.click_ts IS NOT NULL THEN 2
+                     WHEN v.view_ts IS NOT NULL THEN 1
+                     ELSE 0 END AS stage
+         FROM (SELECT DISTINCT user_id FROM events) u
+         LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
     "ts_asof_tolerance" ->
       """WITH clicks AS (SELECT user_id, ts, MAX(value) AS value FROM events WHERE event_type = 'click' GROUP BY 1, 2),
          purchases AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
@@ -1423,6 +1493,25 @@ object SparkEntry {
                      ELSE 'zh' END AS pred_lang,
                 FLOOR(CAST(GREATEST(s_en, s_de, s_es, s_fr, s_zh) AS DOUBLE) * 1000000.0 / GREATEST(nw, 1)) / 1000000.0 AS confidence
          FROM sc""",
+    "corpus_lang_confusion" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+         sc AS (SELECT doc_id,
+                  len(list_filter(w, t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS s_en,
+                  len(list_filter(w, t -> t IN ('der', 'die', 'und', 'das', 'ist'))) AS s_de,
+                  len(list_filter(w, t -> t IN ('el', 'la', 'los', 'es', 'y'))) AS s_es,
+                  len(list_filter(w, t -> t IN ('le', 'les', 'est', 'et', 'une'))) AS s_fr,
+                  len(list_filter(w, t -> t IN ('de', 'shi', 'bu', 'le', 'wo'))) AS s_zh
+                FROM w),
+         pred AS (SELECT doc_id,
+                CASE WHEN s_en >= GREATEST(s_de, s_es, s_fr, s_zh) THEN 'en'
+                     WHEN s_de >= GREATEST(s_es, s_fr, s_zh) THEN 'de'
+                     WHEN s_es >= GREATEST(s_fr, s_zh) THEN 'es'
+                     WHEN s_fr >= s_zh THEN 'fr'
+                     ELSE 'zh' END AS pred_lang
+                FROM sc)
+         SELECT d.lang, pred.pred_lang, COUNT(*) AS n
+         FROM pred JOIN documents d USING (doc_id)
+         GROUP BY 1, 2""",
     "text_quality" ->
       """WITH base AS (
            SELECT doc_id, text,

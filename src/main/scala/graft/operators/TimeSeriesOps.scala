@@ -570,6 +570,27 @@ object TimeSeriesOps {
       .select(tagCols.map(col) :+ col("n") :+ col("r"): _*)
   }
 
+  /** Trapezoidal time integral per series (the kW→kWh shape: area
+    * under the sampled curve, units value·seconds). Each interval's
+    * term `(v + v_prev)/2 · Δt` is a fixed-order per-row double
+    * expression (deterministic); the cross-row SUM runs over µ-scaled
+    * integers in decimal(38,0), so the total is partitioning-exact at
+    * any scale. One window lag + one hash aggregate.
+    */
+  def integral(df: DataFrame, tagCols: Seq[String], idCol: String): DataFrame = {
+    val w = Window.partitionBy(tagCols.map(col): _*).orderBy(col("ts"), col(idCol))
+    val term = (col("value") + col("prev_v")) / lit(2.0) *
+      ((unix_micros(col("ts")) - col("prev_us")).cast("double") / lit(1000000.0))
+    df.withColumn("prev_v", lag(col("value"), 1).over(w))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .where(col("prev_v").isNotNull)
+      .groupBy(tagCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        (sum(floor(term * lit(1000000.0)).cast("decimal(38,0)")).cast("double") / lit(1000000.0)).as("integral"),
+      )
+  }
+
   /** Fixed-range value histogram per series: `bins` equal-width buckets
     * over [lo, hi), under/overflow clamped into the edge buckets. The
     * explicit range keeps it one pass (no min/max pre-scan) and makes

@@ -69,6 +69,28 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(plot.collect().length == 4) // min/max/first/last of one bucket
   }
 
+  test("testSource probes search/metadata/data/plot and reports per-action status") {
+    val dir = writeData()
+    val g = facade(dir)
+    val out = g
+      .testSource("demo", t("2024-01-01T00:00:00Z"), t("2024-01-01T03:00:00Z"), intervalCount = 10)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getLong(2))))
+      .toMap
+    assert(out.keySet == Set("search", "metadata", "data", "plot"))
+    assert(out("search") == ((true, 2L)))
+    assert(out("metadata") == ((true, 1L))) // filtered to the probed series
+    // first series alphabetically is "pressure": one point in range
+    assert(out("data") == ((true, 1L)))
+    assert(out("plot")._1 && out("plot")._2 > 0L)
+    // an unregistered source fails the search probe but still returns rows
+    val bad = new Graft(spark)
+      .registerSource("other", graft.sources.SourceConfig(path = s"$dir/data", dataFormat = "row", tagColumns = Seq("series_name")))
+    val probe = bad.testSource("missing", t("2024-01-01T00:00:00Z"), t("2024-01-01T03:00:00Z"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+    assert(probe("search") == false && probe("data") == false)
+  }
+
   test("metadata merge: earlier sources win, empty values fall through") {
     val hi = Seq(("s1", "High desc", null.asInstanceOf[String])).toDF("series_name", "description", "unit")
     val lo = Seq(("s1", "Low desc", "degC"), ("s2", "Only low", "bar")).toDF("series_name", "description", "unit")
