@@ -581,6 +581,20 @@ object SparkEntry {
           .select(col("series_name"), col("user_id"), col("ts"), col("value"))
       )
     },
+    // B9: cohort retention matrix — users bucketed by first-seen day,
+    // counted per day offset they return on. Two hash aggregates and
+    // one join on user_id; the matrix itself is tiny at any scale
+    "q_events_retention" -> { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      val cohorts = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val activity = e.select(col("user_id"), col("day")).distinct()
+      ntz(
+        activity
+          .join(cohorts, "user_id")
+          .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      )
+    },
     // B1: pricing summary (decimal-exact aggregation)
     "q1_agg" -> { (s, dir) =>
       Tables
@@ -1280,6 +1294,14 @@ object SparkEntry {
                      ELSE 0 END AS stage
          FROM (SELECT DISTINCT user_id FROM events) u
          LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
+    "q_events_retention" ->
+      """WITH e AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+         cohorts AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+         activity AS (SELECT DISTINCT user_id, day FROM e)
+         SELECT c.cohort_day, CAST(date_diff('day', c.cohort_day, a.day) AS INTEGER) AS day_offset,
+                COUNT(DISTINCT a.user_id) AS n_users
+         FROM activity a JOIN cohorts c USING (user_id)
+         GROUP BY 1, 2""",
     "ts_asof_tolerance" ->
       """WITH clicks AS (SELECT user_id, ts, MAX(value) AS value FROM events WHERE event_type = 'click' GROUP BY 1, 2),
          purchases AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
