@@ -131,6 +131,16 @@ object SparkEntry {
     "ts_plot_data" -> { (s, dir) =>
       ntz(TimeSeriesOps.plotData(evRange(s, dir, MonthStart, MonthEnd), Seq("series_name"), MonthStart, MonthEnd, PlotBuckets))
     },
+    // A6b: per-series quality ratio — the health summary a provider
+    // surfaces per series (fraction of GOOD points)
+    "ts_quality_ratio" -> { (s, dir) =>
+      val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int")
+      ev(s, dir)
+        .withColumn("quality", TimeSeriesOps.qualityMap(k, 0 until 50))
+        .groupBy(col("series_name"))
+        .agg(count(lit(1)).as("n"), sum(col("quality").cast("long")).as("n_good"))
+        .withColumn("good_ratio", col("n_good").cast("double") / col("n").cast("double"))
+    },
     // A6: quality mapping from a raw source code to GOOD/BAD
     "ts_quality_map" -> { (s, dir) =>
       val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int")
@@ -213,6 +223,18 @@ object SparkEntry {
         TimeSeriesOps.resampleLinear(
           ev(s, dir).select(col("series_name"), col("ts"), col("value")),
           Seq("series_name"), Start, End, stepSeconds = 3600L)
+      )
+    },
+    // A11c: metadata-driven resample — each series interpolates per its
+    // declared InterpolationType; undeclared series default to STEPPED
+    "ts_resample_metadata" -> { (s, dir) =>
+      import s.implicits._
+      val meta = Seq(("click", "LINEAR"), ("view", "LINEAR"), ("purchase", "LINEAR"))
+        .toDF("series_name", "interpolation_type")
+      ntz(
+        TimeSeriesOps.resampleByMetadata(
+          ev(s, dir).select(col("series_name"), col("ts"), col("value")),
+          meta, Seq("series_name"), Start, End, stepSeconds = 3600L)
       )
     },
     // A10b/A11b: same resamples through the custom physical operator
@@ -1051,6 +1073,48 @@ object SparkEntry {
       """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k,
                 CASE WHEN CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) BETWEEN 0 AND 49 THEN 1 ELSE 0 END AS quality
          FROM events""",
+    "ts_quality_ratio" ->
+      """WITH q AS (SELECT event_type AS series_name,
+                           CASE WHEN CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) BETWEEN 0 AND 49 THEN 1 ELSE 0 END AS quality
+                    FROM events)
+         SELECT series_name, COUNT(*) AS n, CAST(SUM(quality) AS BIGINT) AS n_good,
+                CAST(SUM(quality) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS good_ratio
+         FROM q GROUP BY 1""",
+    "ts_resample_metadata" ->
+      """WITH meta AS (SELECT * FROM (VALUES ('click'), ('view'), ('purchase')) m(series_name)),
+         lin_data AS (
+           SELECT event_type AS series_name, ts, epoch_us(ts) AS us, MAX(value) AS value FROM events
+           WHERE event_type IN (SELECT series_name FROM meta) GROUP BY 1, 2, 3),
+         lin_grid AS (
+           SELECT s.series_name, g.ts, epoch_us(g.ts) AS us
+           FROM (SELECT DISTINCT event_type AS series_name FROM events
+                 WHERE event_type IN (SELECT series_name FROM meta)) s
+           CROSS JOIN generate_series(TIMESTAMP '2024-01-08 00:00:00', TIMESTAMP '2024-01-14 23:00:00', INTERVAL 1 HOUR) g(ts)),
+         prev AS (
+           SELECT g.series_name, g.ts, g.us, d.us AS p_us, d.value AS p_v
+           FROM lin_grid g ASOF LEFT JOIN lin_data d ON g.series_name = d.series_name AND g.ts >= d.ts),
+         nxt AS (
+           SELECT g.series_name, g.ts, d.us AS n_us, d.value AS n_v
+           FROM lin_grid g ASOF LEFT JOIN lin_data d ON g.series_name = d.series_name AND g.ts <= d.ts),
+         lin AS (
+           SELECT p.series_name, p.ts,
+                  CASE WHEN p.p_us IS NULL OR n.n_us IS NULL THEN NULL
+                       WHEN n.n_us = p.p_us THEN p.p_v
+                       ELSE p.p_v + (n.n_v - p.p_v) * CAST(p.us - p.p_us AS DOUBLE) / CAST(n.n_us - p.p_us AS DOUBLE)
+                  END AS value
+           FROM prev p JOIN nxt n ON p.series_name = n.series_name AND p.ts = n.ts),
+         stp_data AS (
+           SELECT event_type AS series_name, ts, MAX(value) AS value FROM events
+           WHERE event_type NOT IN (SELECT series_name FROM meta) GROUP BY 1, 2),
+         stp_grid AS (
+           SELECT s.series_name, g.ts
+           FROM (SELECT DISTINCT event_type AS series_name FROM events
+                 WHERE event_type NOT IN (SELECT series_name FROM meta)) s
+           CROSS JOIN generate_series(TIMESTAMP '2024-01-08 00:00:00', TIMESTAMP '2024-01-14 23:00:00', INTERVAL 1 HOUR) g(ts)),
+         stp AS (
+           SELECT g.series_name, g.ts, d.value
+           FROM stp_grid g ASOF LEFT JOIN stp_data d ON g.series_name = d.series_name AND g.ts >= d.ts)
+         SELECT * FROM lin UNION ALL SELECT * FROM stp""",
     "ts_dictionary_decode" ->
       """SELECT event_id,
                 CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) % 4 AS code,

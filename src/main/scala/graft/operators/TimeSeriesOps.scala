@@ -245,6 +245,33 @@ object TimeSeriesOps {
   /** Collapse duplicate timestamps per series deterministically (max
     * value wins) so resampling and as-of alignment are well-defined.
     */
+  /** Metadata-driven resample: the reference's InterpolationType is a
+    * PER-SERIES metadata field (base.py:145, fields.py), so a client
+    * resampling a mixed batch interpolates each series per ITS declared
+    * type. `meta` is the small per-series metadata frame (tag cols +
+    * `interpolation_type`); series declared LINEAR ride the linear
+    * plan, everything else (STEPPED or undeclared) defaults to stepped
+    * — kukur's default for non-continuous data. Both branches filter by
+    * a broadcast semi/anti join (no shuffle of the data side beyond
+    * each resample's own single sort) and union.
+    */
+  def resampleByMetadata(
+      df: DataFrame,
+      meta: DataFrame,
+      tagCols: Seq[String],
+      start: Timestamp,
+      end: Timestamp,
+      stepSeconds: Long,
+  ): DataFrame = {
+    val linKeys = meta
+      .where(upper(col("interpolation_type")) === "LINEAR")
+      .select(tagCols.map(col): _*)
+    val lin = df.join(broadcast(linKeys), tagCols, "left_semi")
+    val stp = df.join(broadcast(linKeys), tagCols, "left_anti")
+    resampleLinear(lin, tagCols, start, end, stepSeconds)
+      .unionByName(resampleStepped(stp, tagCols, start, end, stepSeconds))
+  }
+
   private def dedupTs(df: DataFrame, tagCols: Seq[String]): DataFrame =
     df.groupBy((tagCols.map(col) :+ col("ts")): _*)
       .agg(max(col("value")).as("value"))

@@ -137,6 +137,23 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(out.map(r => Option(r.getString(2))).toSeq == Seq(Some("OFF"), Some("FAULT"), None))
   }
 
+  test("resampleByMetadata interpolates declared-LINEAR series and defaults the rest to STEPPED") {
+    val pts = Seq(
+      ("a", t("2024-01-01T00:00:00Z"), 0.0),
+      ("a", t("2024-01-01T02:00:00Z"), 4.0),
+      ("b", t("2024-01-01T00:00:00Z"), 10.0),
+      ("b", t("2024-01-01T02:00:00Z"), 20.0),
+    ).toDF("series_name", "ts", "value")
+    val meta = Seq(("a", "LINEAR")).toDF("series_name", "interpolation_type") // b undeclared -> stepped
+    val out = TimeSeriesOps
+      .resampleByMetadata(pts, meta, Seq("series_name"), t("2024-01-01T00:00:00Z"), t("2024-01-01T03:00:00Z"), 3600L)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toInstant.toString, Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toSet
+    assert(out(("a", "2024-01-01T01:00:00Z", Some(2.0)))) // midpoint interpolated
+    assert(out(("b", "2024-01-01T01:00:00Z", Some(10.0)))) // carried forward
+  }
+
   test("counterReset rebuilds the monotone total across wraps") {
     val pts = Seq(
       ("c", t("2024-01-01T00:00:00Z"), 0.0, 1L),
