@@ -312,6 +312,32 @@ object SparkEntry {
     "ts_integral" -> { (s, dir) =>
       TimeSeriesOps.integral(ev(s, dir), Seq("series_name"), "event_id")
     },
+    // A31: cross-correlation of two series' hourly activity (Pearson r
+    // over hour-aligned counts; integer moment sums, exact at scale)
+    "ts_cross_corr" -> { (s, dir) =>
+      val hourly = ev(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("series_name"))
+        .agg(count(lit(1)).as("c"))
+      val a = hourly.where(col("series_name") === "click").select(col("hour"), col("c").as("x"))
+      val b = hourly.where(col("series_name") === "view").select(col("hour"), col("c").as("y"))
+      val dec = (c: Column) => sum(c.cast("decimal(38,0)")).cast("double")
+      a.join(b, "hour")
+        .agg(
+          count(lit(1)).as("n"),
+          dec(col("x")).as("sx"),
+          dec(col("y")).as("sy"),
+          dec(col("x") * col("y")).as("sxy"),
+          dec(col("x") * col("x")).as("sxx"),
+          dec(col("y") * col("y")).as("syy"),
+        )
+        .withColumn("nd", col("n").cast("double"))
+        .select(
+          col("n"),
+          ((col("nd") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("nd") * col("sxx") - col("sx") * col("sx")) * (col("nd") * col("syy") - col("sy") * col("sy"))))
+            .as("r"),
+        )
+    },
     // A28: fixed-range value histogram (20 × 25-wide buckets over [0, 500))
     "ts_histogram" -> { (s, dir) =>
       TimeSeriesOps.valueHistogram(ev(s, dir), Seq("series_name"), lo = 0.0, hi = 500.0, bins = 20)
@@ -830,6 +856,18 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       VectorFunctions.pqAnn(emb, emb.orderBy("vec_id").limit(20), k = 5)
     },
+    // C6b: per-label embedding centroids — cluster-space profiling on
+    // the labeled embeddings (scaled-integer means, order-exact)
+    "emb_label_centroids" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("pos", "x")))
+        .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(floor(col("x") * lit(1000000000.0)).cast("decimal(38,0)")).cast("double") / lit(1000000000.0) /
+            count(lit(1)).cast("double")).as("centroid"),
+        )
+    },
     // C7d: IVF-PQ — coarse cells prune the scan, ADC ranks within
     // probed cells, exact rerank of the shortlist (rows-only: learned
     // quantizers; recall-spec'd vs exact L2)
@@ -1335,6 +1373,23 @@ object SparkEntry {
                     FROM events)
          SELECT series_name, bin, 0.0 + CAST(bin AS DOUBLE) * 25.0 AS bin_lo, COUNT(*) AS n
          FROM b GROUP BY 1, 2""",
+    "ts_cross_corr" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS hour, event_type AS series_name, COUNT(*) AS c FROM events GROUP BY 1, 2),
+         j AS (SELECT a.c AS x, b.c AS y FROM hourly a JOIN hourly b ON a.hour = b.hour
+               WHERE a.series_name = 'click' AND b.series_name = 'view'),
+         s AS (SELECT COUNT(*) AS n,
+                      CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                      CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                      CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(y * y) AS DOUBLE) AS syy
+               FROM j)
+         SELECT n, (CAST(n AS DOUBLE) * sxy - sx * sy) /
+                   sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r
+         FROM s""",
+    "emb_label_centroids" ->
+      """WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x FROM embeddings)
+         SELECT label, CAST(pos AS BIGINT) AS pos, COUNT(*) AS n,
+                SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000000) AS BIGINT)) / 1000000000.0 / CAST(COUNT(*) AS DOUBLE) AS centroid
+         FROM ex GROUP BY 1, 2""",
     "ts_integral" ->
       """WITH pts AS (SELECT event_type AS series_name, value, ts, event_id,
                              lag(value) OVER w AS prev_v, lag(epoch_us(ts)) OVER w AS prev_us
