@@ -60,7 +60,7 @@ object Bench {
       try SparkEntry.queries(name)(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] warmup failed for $name: ${e.getMessage}") }
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
     // Median of three timed runs: single-run timings on this box wobble
     // 2–4× on identical plans (q_events_window_agg r3↔r4), and min-of-2
@@ -91,7 +91,7 @@ object Bench {
         // final-round labels until ContextCleaner GCs them, which made
         // the next query (q5_multijoin) 4× slower in r04.
         spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         if (ok) elapsed else -1.0
       }
       val best = if (times.forall(_ >= 0)) times.sorted.apply(runsPerQuery / 2) else -1.0

@@ -859,12 +859,17 @@ object SparkEntry {
     // C6b: per-label embedding centroids — cluster-space profiling on
     // the labeled embeddings (scaled-integer means, order-exact)
     "emb_label_centroids" -> { (s, dir) =>
+      // spread: the parquet arrives in a handful of partitions and the
+      // explode×dim fan-out is compute-heavy — same rationale as
+      // DedupFunctions.spread; explode the raw floats (no per-row
+      // intermediate double array), cast per element after
       Tables.embeddings(s, dir)
-        .select(col("label"), posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("pos", "x")))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
         .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
         .agg(
           count(lit(1)).as("n"),
-          (sum(floor(col("x") * lit(1000000000.0)).cast("decimal(38,0)")).cast("double") / lit(1000000000.0) /
+          (sum(floor(col("xf").cast("double") * lit(1000000000.0)).cast("decimal(38,0)")).cast("double") / lit(1000000000.0) /
             count(lit(1)).cast("double")).as("centroid"),
         )
     },

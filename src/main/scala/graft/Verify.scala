@@ -26,7 +26,7 @@ object Verify {
       // release caches AND localCheckpoint RDDs (clearCache misses the
       // latter) so one query's pinned storage can't slow the rest
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

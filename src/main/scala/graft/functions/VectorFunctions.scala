@@ -163,20 +163,39 @@ object VectorFunctions {
     * the driver; training runs on the `trainLimit` lowest ids (train
     * small, index everything — the standard coarse-quantizer recipe).
     */
+  /** The cached training sample both quantizer trainers run on: the
+    * `trainLimit` lowest vec_ids, respread (limit() collapses to one
+    * partition — every Lloyd pass would run single-core otherwise).
+    * Callers MUST unpersist it with `blocking = true`: a non-blocking
+    * release followed by re-caching the identical plan (exactly what
+    * back-to-back trainers and bench harness queries do) races the
+    * async block removal and degenerates into lost-block recompute
+    * storms — observed as 10×+ wall-clock variance on identical runs.
+    */
+  private def trainSample(vecs: DataFrame, trainLimit: Int): DataFrame =
+    vecs
+      .orderBy("vec_id")
+      .limit(trainLimit)
+      .repartition(vecs.sparkSession.sparkContext.defaultParallelism)
+      .cache()
+
   private def trainKmeans(
       vecs: DataFrame,
       nCells: Int,
       lloydIterations: Int,
       trainLimit: Int,
   ): Array[Array[Double]] = {
-    val spark = vecs.sparkSession
-    // limit() collapses to one partition — respread or every Lloyd
-    // assignment pass runs single-core
-    val train = vecs
-      .orderBy("vec_id")
-      .limit(trainLimit)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .cache()
+    val train = trainSample(vecs, trainLimit)
+    val out = trainKmeansOn(train, nCells, lloydIterations)
+    train.unpersist(blocking = true)
+    out
+  }
+
+  private def trainKmeansOn(
+      train: DataFrame,
+      nCells: Int,
+      lloydIterations: Int,
+  ): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = train
       .orderBy("vec_id")
       .limit(nCells)
@@ -202,7 +221,6 @@ object VectorFunctions {
         }.toArray
       }
     }
-    train.unpersist(blocking = false)
     centroids
   }
 
@@ -225,8 +243,11 @@ object VectorFunctions {
       nCells: Int = 16,
       lloydIterations: Int = 5,
       trainLimit: Int = 100000,
+      planesPerBand: Int = 4,
+      bands: Int = 16,
   ): DataFrame = {
     require(nCells >= 2, "semanticDedup needs at least 2 cells")
+    require(planesPerBand * bands <= 64, "banded signature must fit in 64 bits")
     withFns(df)
     val spark = df.sparkSession
     val vecs = df
@@ -235,10 +256,37 @@ object VectorFunctions {
       .cache()
     val centroids = trainKmeans(vecs, nCells, lloydIterations, trainLimit)
     val indexed = assignCell(vecs, centroids).select(col("cell"), col("vec_id"), col("embedding")).cache()
-    val dupped = indexed
-      .select(col("cell"), col("vec_id").as("vec_b"), col("embedding").as("ce"))
-      .join(indexed.select(col("cell"), col("vec_id").as("vec_a"), col("embedding").as("qe")), Seq("cell"))
+    // candidate pairs WITHIN a cell via banded hyperplane LSH: joining
+    // all pairs per cell is Σ cell² — quadratic once the corpus
+    // outgrows nCells (and the expression-literal argmin bounds how far
+    // nCells can stretch). Keying the self-join on (cell, band, bits)
+    // bounds candidates by genuine band collisions instead, with the
+    // same ≥0.9 recall the C5c path measures in this τ regime.
+    val mask = (1L << planesPerBand) - 1L
+    val banded = indexed
+      .select(
+        col("cell"),
+        col("vec_id"),
+        col("embedding"),
+        expr(s"graft_hplane_sig(embedding, ${planesPerBand * bands})").as("sig"),
+      )
+      .select(
+        col("cell"),
+        col("vec_id"),
+        col("embedding"),
+        posexplode(
+          expr(s"transform(sequence(0, ${bands - 1}), b -> shiftright(sig, b * $planesPerBand) & ${mask}L)")
+        ).as(Seq("band", "band_bits")),
+      )
+    val dupped = banded
+      .select(col("cell"), col("band"), col("band_bits"), col("vec_id").as("vec_b"), col("embedding").as("ce"))
+      .join(
+        banded.select(col("cell"), col("band"), col("band_bits"), col("vec_id").as("vec_a"), col("embedding").as("qe")),
+        Seq("cell", "band", "band_bits"),
+      )
       .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("qe"), col("ce"))
+      .distinct()
       .withColumn("dot", dotInt("qe", "ce"))
       .withColumn(
         "cosine",
@@ -252,8 +300,8 @@ object VectorFunctions {
       .select(col("vec_id"), col("cell"))
       // small survivor list; release the cached inputs immediately
       .localCheckpoint()
-    vecs.unpersist(blocking = false)
-    indexed.unpersist(blocking = false)
+    vecs.unpersist(blocking = true)
+    indexed.unpersist(blocking = true)
     out
   }
 
@@ -315,8 +363,8 @@ object VectorFunctions {
       // cached inputs release NOW — without this every call pins two
       // cached copies of the table until the caller drops the frame
       .localCheckpoint()
-    vecs.unpersist(blocking = false)
-    indexed.unpersist(blocking = false)
+    vecs.unpersist(blocking = true)
+    indexed.unpersist(blocking = true)
     out
   }
 
@@ -388,7 +436,7 @@ object VectorFunctions {
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
 
     val out = rerankExact(shortlist, vecs, queries, k)
-    vecs.unpersist(blocking = false)
+    vecs.unpersist(blocking = true)
     out
   }
 
@@ -442,12 +490,19 @@ object VectorFunctions {
       lloydIterations: Int,
       trainLimit: Int,
   ): Array[Array[Array[Double]]] = {
-    val spark = vecs.sparkSession
-    val train = vecs
-      .orderBy("vec_id")
-      .limit(trainLimit)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .cache()
+    val train = trainSample(vecs, trainLimit)
+    val out = trainPqBooksOn(train, m, dsub, codebookSize, lloydIterations)
+    train.unpersist(blocking = true)
+    out
+  }
+
+  private def trainPqBooksOn(
+      train: DataFrame,
+      m: Int,
+      dsub: Int,
+      codebookSize: Int,
+      lloydIterations: Int,
+  ): Array[Array[Array[Double]]] = {
     var books: Array[Array[Array[Double]]] = {
       val seed = train
         .orderBy("vec_id")
@@ -485,7 +540,6 @@ object VectorFunctions {
         }
       }
     }
-    train.unpersist(blocking = false)
     books
   }
 
@@ -551,8 +605,13 @@ object VectorFunctions {
       .select(col("vec_id"), col("embedding"))
       .cache()
 
-    val centroids = trainKmeans(vecs, nCells, lloydIterations, trainLimit)
-    val books = trainPqBooks(vecs, m, dsub, codebookSize, lloydIterations, trainLimit)
+    // ONE shared training sample for both quantizers: train twice from
+    // the same cached frame, release it once (blocking — see
+    // trainSample's race note)
+    val train = trainSample(vecs, trainLimit)
+    val centroids = trainKmeansOn(train, nCells, lloydIterations)
+    val books = trainPqBooksOn(train, m, dsub, codebookSize, lloydIterations)
+    train.unpersist(blocking = true)
 
     // inverted file: cell + m byte codes per corpus vector
     val coded = assignCell(vecs, centroids)
@@ -579,7 +638,7 @@ object VectorFunctions {
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
 
     val out = rerankExact(shortlist, vecs, queries, k)
-    vecs.unpersist(blocking = false)
+    vecs.unpersist(blocking = true)
     out
   }
 
