@@ -28,9 +28,24 @@ object Bench {
     "ts_search",
   )
 
+  /** 1-minute load average from /proc/loadavg, or -1 when unreadable
+    * (non-Linux). Stamped into the JSON so a measurement taken on a
+    * busy box is identifiable as such — BENCH_r05 recorded 5–100×
+    * true query cost and nothing in the artifact could show why.
+    */
+  private def loadAvg1(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
+    catch { case _: Exception => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val loadStart = loadAvg1()
+    val hostCpus = Runtime.getRuntime.availableProcessors()
+    if (loadStart > hostCpus / 4.0)
+      System.err.println(
+        f"[bench] WARNING: box is busy at start (1-min load $loadStart%.2f > $hostCpus cpus / 4) — timings will overstate query cost"
+      )
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -103,9 +118,10 @@ object Bench {
     val failed = results.count(_._2 < 0)
     if (failed > 0) System.err.println(s"[bench] $failed queries FAILED (reported as -1)")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val loadEnd = loadAvg1()
     def jsonLine(rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"load_start":$loadStart,"load_end":$loadEnd,"host_cpus":$hostCpus,"queries":$qs,"sf":"$sfDir"}"""
     }
     val full = jsonLine(results)
     println(full)

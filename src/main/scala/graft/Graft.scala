@@ -195,7 +195,11 @@ final class Graft(spark: SparkSession) {
       } catch { case _: Exception => None }
 
     val perSeries = selector match {
-      case None => Seq(("data", false, -1L, "search returned no series to probe"))
+      // keep the action set stable (test_source.py reports every probed
+      // action): all three per-series rows appear with the reason, not
+      // just a lone 'data' row
+      case None =>
+        Seq("metadata", "data", "plot").map(a => (a, false, -1L, "search returned no series to probe"))
       case Some(sel) =>
         Seq(
           probe("metadata")(getMetadata(sourceName, sel)),

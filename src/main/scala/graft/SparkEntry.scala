@@ -468,6 +468,56 @@ object SparkEntry {
           .data(s, Seq("click", "view"), Start, End)
       )
     },
+    // A15d (plot action): a plot-capable plugin (`features.plot` in its
+    // config) answers the dedicated `plot` action with pre-reduced
+    // buckets — here the staged per-series min/max/first/last frames a
+    // plot server would compute — so the result hash-matches the
+    // ts_plot_data oracle restricted to these series. Exercises the
+    // plot/fallback selector end-to-end, not just in specs.
+    "ts_plugin_plot" -> { (s, dir) =>
+      val p = fixture(dir, "pluginplot") { path =>
+        new java.io.File(path).mkdirs()
+        for (sn <- Seq("click", "view"))
+          graft.sources.ArrowIpcSource.write(
+            TimeSeriesOps
+              .plotData(
+                evRange(s, dir, MonthStart, MonthEnd).where(col("series_name") === sn),
+                Seq("series_name"),
+                MonthStart,
+                MonthEnd,
+                PlotBuckets,
+              )
+              .select(col("bucket"), col("role"), col("ts"), col("value"))
+              .repartition(1),
+            s"$path/plot_$sn",
+          )
+        val script =
+          s"""#!/bin/sh
+             |action="$$1"
+             |req=$$(cat)
+             |case "$$action" in
+             |  search) printf '%s' '{"series":[{"source":"plugin","tags":{"series name":"click"},"field":"value"},{"source":"plugin","tags":{"series name":"view"},"field":"value"}]}' ;;
+             |  plot)
+             |    sn=$$(printf '%s' "$$req" | sed -n 's/.*"series name":"\\([^"]*\\)".*/\\1/p')
+             |    cat "$path/plot_$$sn"/*.arrows ;;
+             |  *) echo "unknown action $$action" >&2; exit 2 ;;
+             |esac
+             |""".stripMargin
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/plugin.sh"), script)
+        new java.io.File(s"$path/plugin.sh").setExecutable(true)
+      }
+      ntz(
+        graft.sources
+          .PluginSource(Seq(s"$p/plugin.sh"), configJson = """{"features":{"plot":true}}""")
+          .plotData(
+            s,
+            Seq(graft.sources.SeriesKey("click"), graft.sources.SeriesKey("view")),
+            MonthStart,
+            MonthEnd,
+            PlotBuckets,
+          )
+      )
+    },
     // A16: dir-layout source — series key in the path, partition pruning
     "ts_dir_source" -> { (s, dir) =>
       val tmp = fixture(dir, "dirsrc") { p =>
@@ -760,6 +810,22 @@ object SparkEntry {
           )
       )
     },
+    // B10: salted join on a deliberately skewed key — a quarter of all
+    // events fold onto user 0, the hot key a plain shuffle join would
+    // send to ONE reducer; SkewJoin.saltedJoin spreads it over 8 salt
+    // slices (SkewJoinSpec asserts the salt in the executed plan and
+    // the hot key's spread). Output is identical to the plain join, so
+    // the oracle is the unsalted SQL.
+    "q_events_skew_join" -> { (s, dir) =>
+      val fact = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("skew_uid", when(pmod(col("user_id"), lit(4)) === 0, lit(0L)).otherwise(col("user_id")))
+      val dim = fact.select(col("skew_uid")).distinct().withColumn("tier", pmod(col("skew_uid"), lit(5L)).cast("long"))
+      graft.operators.SkewJoin
+        .saltedJoin(fact, dim, "skew_uid", col("event_id"), nSalts = 8)
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_events"), exactSum(col("value")).as("sum_value"))
+    },
     // C1: exact dedup groups
     "dedup_exact" -> { (s, dir) =>
       DedupFunctions.exactGroups(Tables.documents(s, dir), "doc_id", "text")
@@ -805,14 +871,14 @@ object SparkEntry {
     // C14: dedup groups — connected components over exact-Jaccard pairs
     "dedup_groups" -> { (s, dir) =>
       DedupFunctions.dedupGroups(
-        DedupFunctions.jaccardPairs(Tables.documents(s, dir), "doc_id", "text")
+        DedupFunctions.jaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text")
       )
     },
     // C14b: same components via alternating large/small-star contraction
     // — the long-diameter scale path; same recursive-CTE oracle as C14
     "dedup_groups_star" -> { (s, dir) =>
       DedupFunctions.dedupGroupsStar(
-        DedupFunctions.jaccardPairs(Tables.documents(s, dir), "doc_id", "text")
+        DedupFunctions.jaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text")
       )
     },
     // C26: incremental exact dedup — the daily-delta shape: batch =
@@ -1019,6 +1085,25 @@ object SparkEntry {
         .decodeImages(Multimodal.toPngAssets(assets))
         .select(col("asset_id"), col("format"), col("width"), col("height"), col("n_bytes"))
     },
+    // C12 (audio): real WAV codec round trip via javax.sound.sampled —
+    // PCM-16 encode → container write → header parse → frame read. The
+    // decoded header fields are a pure function of payload byte length,
+    // so they hash-verify against SQL; RMS/amp-hist from the actual PCM
+    // frames are spec-checked (MultimodalSpec).
+    "mm_audio" -> { (s, dir) =>
+      val assets = Multimodal.asAssets(Tables.documents(s, dir), "doc_id", "text", "source")
+      Multimodal
+        .decodeAudio(Multimodal.toWavAssets(assets))
+        .select(
+          col("asset_id"),
+          col("encoding"),
+          col("sample_rate"),
+          col("channels"),
+          col("sample_bits"),
+          col("n_frames"),
+          col("duration_s"),
+        )
+    },
     // C15: the composed training-data pipeline — quality gate → langid
     // → near-dup removal (keep group representative) → chunking. Every
     // stage is an operator proven above; this query proves they chain.
@@ -1027,12 +1112,12 @@ object SparkEntry {
       val scored = TextFunctions
         .qualityScore(TextFunctions.langId(docs, col("text")), col("text"))
         .select(col("doc_id"), col("text"), col("pred_lang"), col("quality_score"))
-      // kept feeds both the shingle index (via jaccardPairs) and the
-      // final anti-join + chunking — cache the filtered frame so the
+      // kept feeds both the shingle index (via jaccardPairsPrefix) and
+      // the final anti-join + chunking — cache the filtered frame so the
       // regex-heavy quality/langid scoring runs once
       val kept = scored.where(col("quality_score") > 0.45 && col("pred_lang") === "en").cache()
       val dupes = DedupFunctions
-        .dedupGroups(DedupFunctions.jaccardPairs(kept, "doc_id", "text"))
+        .dedupGroups(DedupFunctions.jaccardPairsPrefix(kept, "doc_id", "text"))
         .where(col("doc_id") =!= col("group_id"))
       val reps = kept.join(dupes, Seq("doc_id"), "left_anti")
       TextFunctions
@@ -1204,6 +1289,26 @@ object SparkEntry {
     "ts_plugin_source" ->
       """SELECT event_type AS series_name, ts, value
          FROM events WHERE event_type IN ('click', 'view')""",
+    // the plot action serves exactly what ts_plot_data computes,
+    // restricted to the two plugin series
+    "ts_plugin_plot" ->
+      """WITH ranged AS (
+           SELECT event_type AS series_name, ts, value,
+                  CAST(FLOOR((epoch_us(ts) - 1704067200000000) * 100.0 / 2678400000000.0) AS BIGINT) AS bucket
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-02-01 00:00:00'
+             AND event_type IN ('click', 'view'))
+         SELECT series_name, bucket, 'min' AS role, ts, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY series_name, bucket ORDER BY value ASC, ts ASC) AS rn FROM ranged) WHERE rn = 1
+         UNION ALL
+         SELECT series_name, bucket, 'max' AS role, ts, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY series_name, bucket ORDER BY value DESC, ts ASC) AS rn FROM ranged) WHERE rn = 1
+         UNION ALL
+         SELECT series_name, bucket, 'first' AS role, ts, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY series_name, bucket ORDER BY ts ASC, value ASC) AS rn FROM ranged) WHERE rn = 1
+         UNION ALL
+         SELECT series_name, bucket, 'last' AS role, ts, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY series_name, bucket ORDER BY ts DESC, value DESC) AS rn FROM ranged) WHERE rn = 1""",
     "ts_config_source" ->
       """SELECT event_type AS series_name, 'value' AS field, ts, value
          FROM events WHERE event_type IN ('view', 'purchase')""",
@@ -1518,6 +1623,22 @@ object SparkEntry {
          SELECT doc_id, CAST(UNNEST(ids) AS BIGINT) AS chunk_id, UNNEST(chunks) AS chunk_text,
                 CAST(len(string_split(UNNEST(chunks), ' ')) AS BIGINT) AS n_words
          FROM c""",
+    // the salted join result is exactly the plain join; the dim row per
+    // key is unique by construction, so the join adds no rows and the
+    // oracle aggregates directly
+    "q_events_skew_join" ->
+      s"""WITH f AS (SELECT CASE WHEN user_id % 4 = 0 THEN CAST(0 AS BIGINT) ELSE user_id END AS skew_uid, value
+                     FROM events)
+         SELECT CAST(skew_uid % 5 AS BIGINT) AS tier, COUNT(*) AS n_events, ${exactSumSql("value")} AS sum_value
+         FROM f GROUP BY 1""",
+    // the WAV round trip preserves exactly the header fields a decoder
+    // recovers: frames = capped UTF-8 byte count of the payload
+    "mm_audio" ->
+      """SELECT doc_id AS asset_id, 'PCM_SIGNED' AS encoding, 8000 AS sample_rate,
+                1 AS channels, 16 AS sample_bits,
+                CAST(LEAST(GREATEST(octet_length(encode(text)), 1), 16384) AS BIGINT) AS n_frames,
+                round(CAST(LEAST(GREATEST(octet_length(encode(text)), 1), 16384) AS DOUBLE) / 8000.0, 6) AS duration_s
+         FROM documents""",
     "dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
                 MIN(doc_id) AS rep_id, COUNT(*) AS n_copies

@@ -120,7 +120,7 @@ object CorpusFunctions {
       // materialize the small per-doc result so the cached token frame
       // (used by the freq aggregate and both join arms) releases NOW
       .localCheckpoint()
-    toks.unpersist(blocking = false)
+    toks.unpersist(blocking = true)
     out
   }
 

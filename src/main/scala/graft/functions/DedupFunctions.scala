@@ -197,9 +197,14 @@ object DedupFunctions {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String, n: Int = 3, perms: Int = 128, bands: Int = 32): DataFrame = {
     // The bucket frame is tiny (docs × bands rows of hashes) but its
-    // lineage carries the full signature computation; cache it so the
-    // self-join doesn't hash every shingle twice.
-    val buckets = lshBuckets(minhashSignatures(df, idCol, textCol, n, perms), perms, bands).cache()
+    // lineage carries the full signature computation. localCheckpoint
+    // (eager, MEMORY_AND_DISK) rather than cache: the frame feeds both
+    // sides of the self-join, and a lazily-built cache under memory
+    // pressure evicts and silently re-runs the perms×shingles hashing
+    // per consumer (the ~30× bench collapse under load in r5); a
+    // checkpointed partition spills to disk instead of recomputing.
+    // Bench/Verify release it via getPersistentRDDs after each query.
+    val buckets = lshBuckets(minhashSignatures(df, idCol, textCol, n, perms), perms, bands).localCheckpoint()
     buckets
       .select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
       .join(buckets.select(col("band"), col("band_sig"), col("doc_id").as("doc_b")), Seq("band", "band_sig"))
@@ -221,17 +226,22 @@ object DedupFunctions {
       denThreshold: Int = 5,
   ): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, n)
-    val sh = shingleIndex(df, idCol, textCol, n).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b")), "doc_b")
-      .where(col("shingle") === col("shingle_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("intersection"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+    // Exact verification via per-doc sorted shingle sets +
+    // array_intersect (the jaccardPairsPrefix scheme) instead of a
+    // second inverted-index join: the shingle index then has exactly ONE
+    // consumer (this aggregate), so nothing here needs a cache that
+    // eviction could silently turn into a per-consumer re-run of the
+    // shingling — the r5 load-fragility. docSets is localCheckpoint'd
+    // (eager, disk-backed) because the candidate join reads it twice.
+    val docSets = shingleIndex(df, idCol, textCol, n)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("shingles"), count(lit(1)).as("n_sh"))
+      .localCheckpoint()
+    cands
+      .join(docSets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("intersection", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .where(col("intersection") > 0)
       .withColumn("union_size", col("n_a") + col("n_b") - col("intersection"))
       .where(col("intersection") * denThreshold >= col("union_size") * numThreshold)
       .withColumn("jaccard", round(col("intersection").cast("double") / col("union_size"), 6))
@@ -260,9 +270,11 @@ object DedupFunctions {
     // Dataset.unpersist is a NO-OP on localCheckpoint'd frames (it only
     // clears CacheManager entries; the checkpoint persists at the RDD
     // level), so stale rounds are released through the checkpointed RDD
-    // handle (GraftSqlBridge.checkpointedRdd) once superseded.
+    // handle (GraftSqlBridge.checkpointedRdd) once superseded. Blocking:
+    // an async release racing the next round's structurally-identical
+    // checkpoint registration is the 10× variance class 97f5972 fixed.
     def release(df: DataFrame): Unit =
-      org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(df).foreach(_.unpersist(blocking = false))
+      org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(df).foreach(_.unpersist(blocking = true))
 
     // both directions from ONE scan of the pairs plan — a union of two
     // selects would evaluate the (expensive) candidate-pair join twice
@@ -363,8 +375,9 @@ object DedupFunctions {
     * Output matches [[dedupGroups]] exactly: (doc_id, group_id).
     */
   def dedupGroupsStar(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    // blocking, same rationale as dedupGroups.release
     def release(df: DataFrame): Unit =
-      org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(df).foreach(_.unpersist(blocking = false))
+      org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(df).foreach(_.unpersist(blocking = true))
 
     // canonical orientation: one row per undirected edge, src > dst.
     var edges = pairs

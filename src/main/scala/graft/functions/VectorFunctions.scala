@@ -455,18 +455,29 @@ object VectorFunctions {
     )
 
   /** Per-subspace argmin code over the codebooks (ties → lowest code). */
-  private def pqCodesExpr(books: Array[Array[Array[Double]]], m: Int, dsub: Int): Column =
+  private def pqCodesExpr(
+      books: Array[Array[Array[Double]]],
+      m: Int,
+      dsub: Int,
+      vec: Column = col("embedding"),
+  ): Column =
     array((0 until m).map { s =>
       least(books(s).zipWithIndex.map { case (cw, c) =>
-        struct(subDist2(col("embedding"), s, dsub, cw).as("d"), lit(c).as("c"))
+        struct(subDist2(vec, s, dsub, cw).as("d"), lit(c).as("c"))
       }: _*).getField("c")
     }: _*)
 
   /** Query-side ADC lookup table: exact subspace distance to every
     * codeword, laid out `[s * codebookSize + c]`.
     */
-  private def pqLutExpr(books: Array[Array[Array[Double]]], m: Int, dsub: Int, codebookSize: Int): Column =
-    array((for { s <- 0 until m; c <- 0 until codebookSize } yield subDist2(col("embedding"), s, dsub, books(s)(c))): _*)
+  private def pqLutExpr(
+      books: Array[Array[Array[Double]]],
+      m: Int,
+      dsub: Int,
+      codebookSize: Int,
+      vec: Column = col("embedding"),
+  ): Column =
+    array((for { s <- 0 until m; c <- 0 until codebookSize } yield subDist2(vec, s, dsub, books(s)(c))): _*)
 
   /** ADC distance: m LUT lookups folded over the `codes` column. */
   private def adcExpr(m: Int, codebookSize: Int): Column =
@@ -504,11 +515,17 @@ object VectorFunctions {
       lloydIterations: Int,
   ): Array[Array[Array[Double]]] = {
     var books: Array[Array[Array[Double]]] = {
+      // embedding may be float (raw vectors) or double (residuals)
       val seed = train
         .orderBy("vec_id")
         .limit(codebookSize)
         .collect()
-        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+        .map(r =>
+          r.getSeq[Any](r.fieldIndex("embedding")).map {
+            case f: Float  => f.toDouble
+            case d: Double => d
+          }.toArray
+        )
       Array.tabulate(m)(s => seed.map(v => v.slice(s * dsub, (s + 1) * dsub)))
     }
     for (_ <- 1 to lloydIterations) {
@@ -577,10 +594,15 @@ object VectorFunctions {
     * candidates are ranked by the PQ ADC lookup-table scan, then the
     * shortlist is re-ranked exactly. Scan cost per query drops from
     * O(N·m) to O(N·m·nProbe/nCells); memory per candidate stays m
-    * bytes. Codebooks are trained on raw vectors shared across cells
-    * (residual encoding is the Faiss refinement; the plan shape is
-    * identical). Determinism: both quantizers are the deterministic
-    * Lloyd trainers, ADC ties break on vec_id, rerank ties on
+    * bytes. With `residual = true` (default) PQ codes are trained on
+    * and encode RESIDUALS (vector − its cell centroid) — the full
+    * Faiss refinement: residual magnitudes are much smaller than raw
+    * coordinates, so the same codebook budget quantizes finer. Both
+    * query LUT and candidate codes use the SAME probed cell's
+    * centroid (the join key is the cell), so ADC stays asymmetric-
+    * exact on the query side. Determinism: both quantizers are the
+    * deterministic Lloyd trainers (residuals are IEEE doubles from
+    * fixed literals), ADC ties break on vec_id, rerank ties on
     * neighbor_id.
     */
   def ivfPqAnn(
@@ -594,6 +616,7 @@ object VectorFunctions {
       rerankFactor: Int = 10,
       lloydIterations: Int = 5,
       trainLimit: Int = 100000,
+      residual: Boolean = true,
   ): DataFrame = {
     require(nCells >= 2 && nProbe >= 1 && nProbe <= nCells, "nProbe must be in [1, nCells], nCells >= 2")
     val spark = df.sparkSession
@@ -610,21 +633,55 @@ object VectorFunctions {
     // trainSample's race note)
     val train = trainSample(vecs, trainLimit)
     val centroids = trainKmeansOn(train, nCells, lloydIterations)
-    val books = trainPqBooksOn(train, m, dsub, codebookSize, lloydIterations)
+
+    // centroid table as a nested literal (nCells × dim doubles —
+    // dictionary-sized); residual = vector − centroid[cell]
+    val centLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    def resid(vec: Column, cellCol: Column): Column =
+      zip_with(vec, element_at(centLit, cellCol + 1), (x, c) => x.cast("double") - c)
+
+    val books =
+      if (residual) {
+        // codebooks learn the residual distribution; localCheckpoint
+        // materializes the (small) residual training frame once so the
+        // Lloyd iterations don't re-derive cell + residual per pass
+        val trainRes = assignCell(train, centroids)
+          .select(col("vec_id"), resid(col("embedding"), col("cell")).as("embedding"))
+          .localCheckpoint()
+        val b = trainPqBooksOn(trainRes, m, dsub, codebookSize, lloydIterations)
+        org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(trainRes).foreach(_.unpersist(blocking = true))
+        b
+      } else trainPqBooksOn(train, m, dsub, codebookSize, lloydIterations)
     train.unpersist(blocking = true)
 
-    // inverted file: cell + m byte codes per corpus vector
-    val coded = assignCell(vecs, centroids)
-      .withColumn("codes", pqCodesExpr(books, m, dsub))
+    // inverted file: cell + m byte codes per corpus vector. The
+    // repartition is a projection barrier: it materializes the residual
+    // ONCE per row before pqCodesExpr's m×codebookSize subspace
+    // distances reference it (projection collapse would otherwise
+    // inline the zip_with into every distance term).
+    val assigned = assignCell(vecs, centroids)
+    val codedInput =
+      if (residual)
+        assigned
+          .select(col("cell"), col("vec_id"), resid(col("embedding"), col("cell")).as("__cv"))
+          .repartition(spark.sparkContext.defaultParallelism)
+      else assigned.select(col("cell"), col("vec_id"), col("embedding").as("__cv"))
+    val coded = codedInput
+      .withColumn("codes", pqCodesExpr(books, m, dsub, col("__cv")))
       .select(col("cell"), col("vec_id"), col("codes"))
 
-    // each query: nProbe nearest cells × its ADC lookup table
+    // each query: nProbe nearest cells × its ADC lookup table — with
+    // residual encoding the LUT is per (query, probed cell), against
+    // the SAME centroid the cell's candidates were encoded against
     val probeStructs = centroids.zipWithIndex.map { case (cen, i) =>
       struct(dist2(col("embedding"), cen).as("d"), lit(i).as("cell"))
     }
-    val q = queries
+    val qprobed = queries
       .withColumn("probe", explode(slice(array_sort(array(probeStructs: _*)), 1, nProbe)))
-      .select(col("vec_id").as("query_id"), col("probe.cell").as("cell"), pqLutExpr(books, m, dsub, codebookSize).as("lut"))
+      .select(col("vec_id").as("query_id"), col("probe.cell").as("cell"), col("embedding"))
+    val qVec = if (residual) resid(col("embedding"), col("cell")) else col("embedding")
+    val q = qprobed
+      .select(col("query_id"), col("cell"), pqLutExpr(books, m, dsub, codebookSize, qVec).as("lut"))
 
     // ADC scan restricted to probed cells: the join key IS the cell
     val scored = coded

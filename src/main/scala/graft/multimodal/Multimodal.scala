@@ -11,12 +11,16 @@ import org.apache.spark.sql.types._
   * Image decode is REAL: [[decodeImages]] reads the binary column with
   * `javax.imageio` (JDK built-in — PNG/JPEG/GIF/BMP) and emits actual
   * format/width/height plus a pixel-luminance histogram feature.
-  * Audio/video codecs are not in the JDK, so [[stubDecode]] remains as
-  * the documented stand-in for those: it derives deterministic fake
-  * features from the bytes while keeping the production contract —
-  * schema, batched per-partition execution, partition sizing —
-  * identical, so swapping in a real codec (JNI or an Arrow-IPC sidecar
-  * process) changes nothing around it.
+  * Audio decode is REAL too: [[decodeAudio]] parses WAV containers with
+  * `javax.sound.sampled` (JDK built-in) — true encoding/sample-rate/
+  * channels/bit-depth/frame-count plus RMS and amplitude histogram
+  * from the actual PCM frames. Compressed audio and video codecs are
+  * not in the JDK, so [[stubDecode]] remains as the documented
+  * stand-in for VIDEO only: it derives deterministic fake features
+  * from the bytes while keeping the production contract — schema,
+  * batched per-partition execution, partition sizing — identical, so
+  * swapping in a real codec (JNI or an Arrow-IPC sidecar process)
+  * changes nothing around it.
   */
 object Multimodal {
 
@@ -167,6 +171,139 @@ object Multimodal {
           } finally reader.dispose()
         }
       } finally if (iis != null) iis.close()
+    } catch { case _: Exception => None }
+
+  val audioFeatureSchema: StructType = StructType(
+    Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("encoding", StringType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("sample_bits", IntegerType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("duration_s", DoubleType, nullable = true),
+      StructField("rms", DoubleType, nullable = true),
+      StructField("amp_hist", ArrayType(DoubleType), nullable = true),
+    )
+  )
+
+  /** Deterministically render each asset's bytes as a REAL RIFF/WAV
+    * blob (PCM signed 16-bit mono little-endian): payload byte i
+    * becomes sample `(b − 128) << 8`, truncated at `maxSamples`. Like
+    * [[toPngAssets]] this is the ingest-side normalization step, and it
+    * makes [[decodeAudio]] a genuine `javax.sound.sampled` round trip
+    * (WAV write → header parse → PCM frame read), not a fixture path.
+    */
+  def toWavAssets(assets: DataFrame, sampleRate: Int = 8000, maxSamples: Int = 16384): DataFrame = {
+    val spark = assets.sparkSession
+    val rate = sampleRate
+    val cap = maxSamples
+    val rdd = assets.select(col("asset_id"), col("content"), col("meta.source")).rdd.mapPartitions { rows =>
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        rate.toFloat,
+        16,
+        1,
+        2,
+        rate.toFloat,
+        false,
+      )
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val n = math.min(math.max(bytes.length, 1), cap)
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val sample = ((if (i < bytes.length) bytes(i) & 0xff else 128) - 128) << 8
+          pcm(2 * i) = (sample & 0xff).toByte
+          pcm(2 * i + 1) = ((sample >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        Row(id, out.toByteArray, Row("audio/wav", out.size(), r.getString(2)))
+      }
+    }
+    spark.createDataFrame(rdd, assetSchema)
+  }
+
+  /** REAL audio decode — JDK-only `javax.sound.sampled` over the binary
+    * column, batched per partition like [[decodeImages]]: container
+    * header gives encoding/rate/channels/bits/frames, then the PCM
+    * frames are actually read for an amplitude RMS + 4-bin |amplitude|
+    * histogram (16-bit signed little-endian path; other PCM layouts
+    * report header metadata with null amplitude features). Bytes no
+    * installed provider recognizes produce a null-metadata row rather
+    * than failing the task. Float outputs follow the determinism
+    * policy: round(…,6).
+    */
+  def decodeAudio(assets: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    val rdd = assets
+      .select(col("asset_id"), col("content"))
+      .rdd
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val id = r.getLong(0)
+            val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+            decodeWav(bytes) match {
+              case Some((enc, rate, ch, bits, frames, dur, rms, hist)) =>
+                Row(id, enc, rate, ch, bits, frames, dur, rms, hist.map(_.toSeq).orNull)
+              case None => Row(id, null, null, null, null, null, null, null, null)
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, audioFeatureSchema)
+  }
+
+  private def round6(x: Double): Double = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def decodeWav(
+      bytes: Array[Byte]
+  ): Option[(String, Int, Int, Int, Long, Double, java.lang.Double, Option[Array[Double]])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        val dur = round6(frames.toDouble / fmt.getSampleRate.toDouble)
+        val pcm16Mono = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian
+        val (rms, hist) =
+          if (!pcm16Mono) (null: java.lang.Double, None)
+          else {
+            val data = ais.readAllBytes()
+            val n = data.length / 2
+            var sumSq = 0.0
+            val h = new Array[Double](4)
+            var i = 0
+            while (i < n) {
+              val s = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort.toInt
+              val a = s.toDouble / 32768.0
+              sumSq += a * a
+              h(math.min((math.abs(s) * 4) / 32768, 3)) += 1.0
+              i += 1
+            }
+            val total = math.max(n, 1).toDouble
+            (round6(math.sqrt(sumSq / total)): java.lang.Double, Some(h.map(_ / total)))
+          }
+        Some(
+          (
+            fmt.getEncoding.toString,
+            math.round(fmt.getSampleRate).toInt,
+            fmt.getChannels,
+            fmt.getSampleSizeInBits,
+            frames,
+            dur,
+            rms,
+            hist,
+          )
+        )
+      } finally ais.close()
     } catch { case _: Exception => None }
 
   /** STUB decode for codecs the JDK lacks (audio/video): per-partition

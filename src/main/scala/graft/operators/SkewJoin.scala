@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-resistant equi-joins for hot keys.
+  *
+  * A shuffle join on a key where one value carries a large share of the
+  * rows puts that whole share into ONE reducer task — the straggler
+  * that defines wall-clock at 100 TB. Two standard answers:
+  *
+  *   - AQE skew-join (`spark.sql.adaptive.skewJoin.enabled`, on by
+  *     default): the runtime splits oversized partitions AFTER seeing
+  *     shuffle sizes. Works for sort-merge joins of two large sides,
+  *     needs no code change — but only kicks in past size thresholds
+  *     and cannot split a single hot KEY's build side.
+  *   - Salting (this operator): split the hot key BEFORE the shuffle by
+  *     appending a deterministic salt ∈ [0, nSalts) to the fact side
+  *     and replicating the dimension side nSalts×. The hot key's rows
+  *     spread over nSalts reducers unconditionally, at the cost of a
+  *     nSalts× blow-up of the (small) dimension — the right trade when
+  *     the dim is modest but too large or too dynamic to broadcast.
+  *
+  * Output is EXACTLY the plain inner join on `key` (salt is internal
+  * and dropped), so the same SQL oracles the unsalted query.
+  */
+object SkewJoin {
+
+  /** Inner-join `fact` with `dim` on `key`, salted: the fact side gets
+    * `__salt = pmod(xxhash64(saltBasis), nSalts)` (deterministic — any
+    * roughly-uniform fact column works as the basis, e.g. the event
+    * id), the dim side is exploded once per salt value, and the join
+    * runs on (key, __salt). Each of a hot key's nSalts slices lands on
+    * a different reducer.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      saltBasis: Column,
+      nSalts: Int = 8,
+  ): DataFrame = {
+    require(nSalts >= 1, "nSalts must be positive")
+    val f = fact.withColumn("__salt", pmod(xxhash64(saltBasis), lit(nSalts.toLong)))
+    val d = dim.withColumn("__salt", explode(sequence(lit(0L), lit(nSalts.toLong - 1L))))
+    f.join(d, Seq(key, "__salt")).drop("__salt")
+  }
+}

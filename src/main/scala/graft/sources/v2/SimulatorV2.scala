@@ -95,6 +95,19 @@ object SimulatorV2Config {
     def us(k: String): Long = java.time.Instant.parse(req(k)).toEpochMilli * 1000L
     val t = req("type")
     require(t == "sine" || t == "counter", s"graft-simulator: unknown type '$t' (sine, counter)")
+    if (t == "counter") {
+      // fail fast on the driver: a zero steps-per-period would otherwise
+      // surface as an opaque per-row ArithmeticException (floorMod by 0)
+      // inside executors at scan time
+      val mn = o.getOrElse("minValue", "0").toDouble
+      val mx = o.getOrElse("maxValue", "100").toDouble
+      val inc = o.getOrElse("increase", "1").toDouble
+      require(inc > 0, s"graft-simulator: counter increase must be > 0 (got $inc)")
+      require(
+        (mx - mn) / inc >= 1.0,
+        s"graft-simulator: counter range ($mn..$mx) must cover at least one increase step ($inc)",
+      )
+    }
     SimulatorV2Config(
       signalType = t,
       series = o.getOrElse("series", t),
@@ -140,8 +153,12 @@ class SimulatorScanBuilder(cfg: SimulatorV2Config)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SimulatorSource.schema
 
+  // Full-µs conversion: getTime is ms only — sub-ms lives in getNanos,
+  // and since claimed filters are REMOVED from Spark's post-scan
+  // residual, truncating here would silently move the boundary for a
+  // sub-millisecond literal. floorDiv keeps pre-epoch instants exact.
   private def toUs(v: Any): Option[Long] = v match {
-    case t: java.sql.Timestamp => Some(t.getTime * 1000L)
+    case t: java.sql.Timestamp => Some(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
     case i: java.time.Instant  => Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
     case _                     => None
   }

@@ -68,7 +68,7 @@ object Profile {
               noop(q(spark, "/root/testdata/sf0.001")) // warm the IO + codegen path
               for (i <- 1 to 2) time(s"$name run$i")(noop(q(spark, sfDir)))
               spark.catalog.clearCache()
-              spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+              spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
             }
         }
         spark.stop()
@@ -126,7 +126,7 @@ object Profile {
         for (round <- 1 to 2) {
           println(s"--- round $round")
           spark.catalog.clearCache()
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
           time("pipeline_clean_corpus")(noop(graft.SparkEntry.queries("pipeline_clean_corpus")(spark, sfDir)))
           time("pipeline_curate")(noop(graft.SparkEntry.queries("pipeline_curate")(spark, sfDir)))
         }

@@ -292,6 +292,58 @@ class FunctionsSpec extends AnyFunSuite {
     assert(a.size == flat.size) // full k results per query either way
   }
 
+  test("ivfPqAnn residual encoding beats flat codebooks at equal m (ADC-only ranking)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.orderBy("vec_id").limit(50)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rerankFactor = 1 exposes raw ADC quality: the output IS the ADC
+    // top-k (exact rerank of a k-sized shortlist is order-preserving),
+    // so recall differences come entirely from code fidelity. m=8,
+    // codebookSize=8 is the sensitive operating point: coarse enough
+    // that code fidelity dominates (measured grid: residual 0.252 vs
+    // flat 0.160 recall@5; at cb=16 both saturate toward the probe
+    // ceiling and the gap closes to noise).
+    val res = pairs(
+      VectorFunctions
+        .ivfPqAnn(emb, queries, k = 5, m = 8, codebookSize = 8, rerankFactor = 1, residual = true)
+        .select("query_id", "neighbor_id")
+    )
+    val flat = pairs(
+      VectorFunctions
+        .ivfPqAnn(emb, queries, k = 5, m = 8, codebookSize = 8, rerankFactor = 1, residual = false)
+        .select("query_id", "neighbor_id")
+    )
+    // exact L2 top-5 baseline
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    val qids = queries.collect().map(_.getLong(0))
+    val exact = qids.flatMap { qid =>
+      val qv = vecs(qid)
+      vecs.toSeq
+        .filter(_._1 != qid)
+        .map { case (id, v) =>
+          var d = 0.0
+          var i = 0
+          while (i < qv.length) { val x = qv(i).toDouble - v(i); d += x * x; i += 1 }
+          (id, d)
+        }
+        .sortBy { case (id, d) => (d, id) }
+        .take(5)
+        .map { case (id, _) => (qid, id) }
+    }.toSet
+    val rRes = res.intersect(exact).size.toDouble / exact.size
+    val rFlat = flat.intersect(exact).size.toDouble / exact.size
+    info(s"ADC-only recall@5: residual $rRes vs flat $rFlat")
+    assert(rRes > rFlat, s"residual recall $rRes not above flat $rFlat")
+    // determinism of the residual path
+    val res2 = pairs(
+      VectorFunctions
+        .ivfPqAnn(emb, queries, k = 5, m = 8, codebookSize = 8, rerankFactor = 1, residual = true)
+        .select("query_id", "neighbor_id")
+    )
+    assert(res == res2)
+  }
+
   test("decontaminate flags corpus docs overlapping the benchmark set") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta"), // contains bench 5-gram

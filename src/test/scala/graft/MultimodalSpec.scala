@@ -68,6 +68,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(2).getAs[Int]("n_bytes") == 12)
   }
 
+  test("decodeAudio recovers real WAV header metadata and PCM amplitude features") {
+    val docs = Seq((1L, "hello audio world", "srcA"), (2L, "y" * 100, "srcB"))
+      .toDF("doc_id", "text", "source")
+    val wavs = Multimodal.toWavAssets(Multimodal.asAssets(docs, "doc_id", "text", "source"), sampleRate = 8000)
+    val rows = Multimodal.decodeAudio(wavs).orderBy("asset_id").collect()
+    // header fields come from the real container parse
+    assert(rows(0).getAs[String]("encoding") == "PCM_SIGNED")
+    assert(rows(0).getAs[Int]("sample_rate") == 8000)
+    assert(rows(0).getAs[Int]("channels") == 1)
+    assert(rows(0).getAs[Int]("sample_bits") == 16)
+    assert(rows(0).getAs[Long]("n_frames") == 17L) // "hello audio world".length
+    assert(rows(1).getAs[Long]("n_frames") == 100L)
+    assert(math.abs(rows(1).getAs[Double]("duration_s") - 0.0125) < 1e-9)
+    // amplitude features come from the actual decoded PCM frames:
+    // sample = (byte − 128) << 8, so 'y' (0x79 = 121) → −7·256 = −1792,
+    // |amp| = 1792/32768 = 0.0546875 exactly
+    assert(math.abs(rows(1).getAs[Double]("rms") - 0.054688) < 1e-6)
+    val hist = rows(1).getSeq[Double](8)
+    assert(hist == Seq(1.0, 0.0, 0.0, 0.0)) // all samples in the lowest |amp| quartile
+    // garbage bytes → null-metadata row, not a task failure
+    val junk = Seq((9L, "not a wav", "srcX")).toDF("doc_id", "text", "source")
+    val junkRows = Multimodal.decodeAudio(Multimodal.asAssets(junk, "doc_id", "text", "source")).collect()
+    assert(junkRows.head.isNullAt(1) && junkRows.head.isNullAt(5))
+  }
+
+  test("toWavAssets is deterministic: same payload → byte-identical WAV") {
+    val docs = Seq((1L, "repeatable", "srcA")).toDF("doc_id", "text", "source")
+    def bytes() = Multimodal
+      .toWavAssets(Multimodal.asAssets(docs, "doc_id", "text", "source"))
+      .collect()
+      .head
+      .getAs[Array[Byte]]("content")
+    assert(java.util.Arrays.equals(bytes(), bytes()))
+  }
+
   test("toPngAssets round-trips payload bytes through a real codec") {
     val docs = Seq((1L, "hello multimodal world", "srcA"), (2L, "x" * 100, "srcB"))
       .toDF("doc_id", "text", "source")

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SkewJoin
+
+class SkewJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def hotFact = {
+    // key 0 carries 80% of the rows — the hot-key shape
+    val rows = (1L to 100L).map(i => (if (i <= 80) 0L else i, i, i * 0.5))
+    rows.toDF("k", "row_id", "v")
+  }
+  private def dim = Seq((0L, "hot"), (81L, "t81"), (90L, "t90"), (100L, "t100")).toDF("k", "label")
+
+  test("saltedJoin output is exactly the plain inner join") {
+    val salted = SkewJoin.saltedJoin(hotFact, dim, "k", col("row_id"), nSalts = 8)
+    val plain = hotFact.join(dim, Seq("k"))
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("k", "row_id", "v", "label").collect().map(_.toSeq).toSet
+    assert(key(salted) == key(plain))
+    assert(salted.columns.toSeq.sorted == plain.columns.toSeq.sorted) // __salt dropped
+  }
+
+  test("salt appears in the executed join keys and the hot key spreads over salt slices") {
+    val salted = SkewJoin.saltedJoin(hotFact, dim, "k", col("row_id"), nSalts = 8)
+    salted.collect()
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"executed plan does not join on the salt:\n$plan")
+    // the hot key's 80 rows actually land in multiple salt slices —
+    // i.e. multiple reducers at scale, the whole point of the salt
+    val slices = hotFact
+      .where(col("k") === 0L)
+      .select(pmod(xxhash64(col("row_id")), lit(8L)).as("salt"))
+      .distinct()
+      .count()
+    assert(slices >= 4, s"hot key occupies only $slices of 8 salt slices")
+  }
+
+  test("saltedJoin is deterministic across runs") {
+    def run() = SkewJoin
+      .saltedJoin(hotFact, dim, "k", col("row_id"), nSalts = 4)
+      .select("k", "row_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(run() == run())
+  }
+}
