@@ -66,7 +66,9 @@ object DedupFunctions {
       numThreshold: Int = 4,
       denThreshold: Int = 5,
   ): DataFrame = {
-    val sh = shingleIndex(df, idCol, textCol, n).cache()
+    // eager localCheckpoint, not cache: three consumers (sizes + both
+    // join sides) — see jaccardPairsPrefix for the rationale
+    val sh = shingleIndex(df, idCol, textCol, n).localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh
       .select(col("doc_id").as("doc_a"), col("shingle"))
@@ -104,7 +106,14 @@ object DedupFunctions {
       numThreshold: Int = 4,
       denThreshold: Int = 5,
   ): DataFrame = {
-    val sh = shingleIndex(df, idCol, textCol, n).cache()
+    // The shingle index feeds FOUR consumers (docSets, the df count,
+    // the df join, the prefix projection). localCheckpoint (eager,
+    // MEMORY_AND_DISK) instead of cache: a lazy cache entry under the
+    // repeated checkpoint/release cycles of the CC consumers degrades
+    // into per-consumer recomputation of the whole shingling (measured
+    // 8 s → 193 s on the second dedup_groups run in one JVM); a
+    // checkpointed partition spills to disk instead of recomputing.
+    val sh = shingleIndex(df, idCol, textCol, n).localCheckpoint()
     // one row per doc: sorted shingle set + size, for exact verification
     val docSets = sh
       .groupBy(col("doc_id"))

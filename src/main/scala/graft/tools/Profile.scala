@@ -120,6 +120,35 @@ object Profile {
         time("dedupGroupsStar")(noop(graft.functions.DedupFunctions.dedupGroupsStar(pairs)))
         spark.stop()
 
+      case "ccprefix" =>
+        // r6 regression probe: prefix-fed CC queries. Separates the
+        // prefix-plan evaluation from the CC loop, lazy vs checkpointed.
+        val spark = session(32)
+        val docs = graft.Tables.documents(spark, sfDir)
+        docs.count()
+        for (round <- 1 to 2) {
+          println(s"--- round $round")
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+          val prefixPairs = graft.functions.DedupFunctions.jaccardPairsPrefix(docs, "doc_id", "text")
+          time("prefix pairs eval")(noop(prefixPairs))
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+          val ckpt = graft.functions.DedupFunctions
+            .jaccardPairsPrefix(docs, "doc_id", "text")
+            .localCheckpoint()
+          time("prefix pairs ckpt")(ckpt.count())
+          time("dedupGroups on ckpt")(noop(graft.functions.DedupFunctions.dedupGroups(ckpt)))
+          time("star on ckpt")(noop(graft.functions.DedupFunctions.dedupGroupsStar(ckpt)))
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+          time("dedupGroups lazy (query shape)")(noop(graft.SparkEntry.queries("dedup_groups")(spark, sfDir)))
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+          time("star lazy (query shape)")(noop(graft.SparkEntry.queries("dedup_groups_star")(spark, sfDir)))
+        }
+        spark.stop()
+
       case "curate" =>
         val spark = session(32)
         graft.Tables.documents(spark, sfDir).count() // warm the IO path

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The OTHER half of the skew answer next to [[graft.operators.SkewJoin]]:
+  * AQE's runtime skew-join split. Salting spreads a single hot KEY
+  * before the shuffle; AQE splits oversized shuffle PARTITIONS after
+  * seeing their actual sizes — no code change, but only effective when
+  * the skewed rows span splittable map outputs. A 100 TB deployment
+  * runs with both: AQE on by default for incidental skew, salting for
+  * the known-hot keys AQE cannot split further.
+  */
+class AqeSkewSpec extends AnyFunSuite {
+
+  test("AQE splits the skewed partition of a sort-merge join at runtime") {
+    // fresh session: skew thresholds shrunk to toy scale so the 2 MB
+    // hot partition counts as skewed; broadcast off to force SMJ
+    val spark = TestSpark.spark.newSession()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    import spark.implicits._
+
+    // 90% of the fact rows land on key 0 — one shuffle partition far
+    // past threshold × factor; dim has one row per key
+    val fact = spark
+      .range(0, 60000)
+      .select(
+        when(pmod(col("id"), lit(10)) =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        concat(lit("x" * 48), col("id")).as("payload"),
+      )
+    val dim = spark.range(0, 60000, 10).select(col("id").as("k"), (col("id") * 2).as("attr"))
+    // collect() drives joined's OWN QueryExecution (a .count() would
+    // spawn a separate one and leave this plan unfinalized)
+    val joined = fact.join(dim, "k")
+    assert(joined.collect().length == 60000) // every fact row has one dim row
+
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("AdaptiveSparkPlan isFinalPlan=true"), "AQE did not finalize the plan")
+    // the skew-handled shuffle read is visible in the final plan
+    // (AQEShuffleRead ... skewed=N in Spark 3.2+/4.x explain)
+    assert(plan.toLowerCase.contains("skew"), s"no skew-split shuffle read in the executed plan:\n$plan")
+  }
+}
