@@ -33,4 +33,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] at sf0.1 needs headroom for 32 concurrent tasks' shuffle
   // and cache blocks; 8g thrashes GC under the full bench suite.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  // GC log per forked JVM (%p = pid): bench runs on this box have hit
+  // silent 10-100x per-run collapses with nothing in Spark's logs;
+  // Bench stamps per-query GC deltas into its JSON and this log is
+  // the corroborating trail when a run is flagged dirty.
+  "-Xlog:gc*=info:file=target/gc-%p.log:time,uptime:filecount=2,filesize=10m",
 )

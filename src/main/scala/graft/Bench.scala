@@ -37,6 +37,29 @@ object Bench {
     try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
     catch { case _: Exception => -1.0 }
 
+  /** Cumulative hypervisor steal time in jiffies (field 8 of the
+    * aggregate cpu line in /proc/stat), or -1 when unreadable. A
+    * noisy-neighbor host slows every task without showing up in
+    * loadavg or Spark logs; the per-query delta makes a stolen
+    * measurement window identifiable.
+    */
+  private def stealJiffies(): Long =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+      .linesIterator.next().trim.split("\\s+")(8).toLong
+    catch { case _: Exception => -1L }
+
+  /** Cumulative JVM GC pause milliseconds across all collectors. A
+    * G1 full-GC storm (humongous-fragmentation class) multiplies a
+    * query's wall time 10–100× with nothing in Spark's own logs; the
+    * per-query delta attributes that time to the collector instead of
+    * letting it masquerade as plan cost.
+    */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -84,10 +107,21 @@ object Bench {
     // is reported as -1, never as its elapsed time — a broken query
     // must not masquerade as a fast pass.
     val runsPerQuery = 3
+    // A run is "dirty" when its window was dominated by something
+    // other than the plan: a JVM GC storm (G1 humongous-fragmentation
+    // class — 10–100× multipliers with nothing in Spark logs) or
+    // hypervisor steal. Prefer the median of clean runs; when every
+    // run is dirty, report the median anyway and name the query in
+    // the `dirty` JSON field so the artifact indicts itself instead
+    // of reading as a plan regression.
+    case class Run(elapsed: Double, gcSec: Double, stealPct: Double) {
+      def dirty: Boolean = (elapsed > 1.0 && gcSec > 0.3 * elapsed) || stealPct > 3.0
+    }
+    var dirtyQueries = List.empty[String]
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to runsPerQuery).map { _ =>
-        val t0 = System.nanoTime()
+      def oneRun(): Run = {
+        val t0 = System.nanoTime(); val gc0 = gcMillis(); val st0 = stealJiffies()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch {
@@ -98,6 +132,10 @@ object Bench {
         // capture the elapsed time BEFORE cache teardown — clearCache
         // of a query's cached frames is bookkeeping, not query latency
         val elapsed = (System.nanoTime() - t0) / 1e9
+        val gcSec = (gcMillis() - gc0) / 1e3
+        val stealPct =
+          if (st0 < 0) 0.0
+          else 100.0 * ((stealJiffies() - st0) / 100.0) / math.max(elapsed * hostCpus, 1e-9)
         // Release per-query cached frames (dedup shingle indexes etc.).
         // Leaving them resident starves later queries of execution
         // memory — r02 showed 10–30× slowdowns. clearCache misses
@@ -107,10 +145,28 @@ object Bench {
         // the next query (q5_multijoin) 4× slower in r04.
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-        if (ok) elapsed else -1.0
+        if (ok) Run(elapsed, gcSec, stealPct) else Run(-1.0, gcSec, stealPct)
       }
-      val best = if (times.forall(_ >= 0)) times.sorted.apply(runsPerQuery / 2) else -1.0
-      System.err.println(f"[bench] $name%-28s $best%8.3f s  (runs: ${times.map(t => f"$t%.3f").mkString(", ")})")
+      // Host-contention bursts on this box last ~1–2 min and can cover
+      // all three runs of one query; two bounded retries rescue the
+      // measurement when the burst ends mid-query instead of flagging
+      // a perfectly healthy plan. First clean retry ends the rescue.
+      var runs = (1 to runsPerQuery).map(_ => oneRun())
+      var retries = 2
+      while (retries > 0 && runs.forall(_.dirty) && !runs.exists(_.elapsed < 0)) {
+        runs :+= oneRun()
+        retries -= 1
+      }
+      def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+      val clean = runs.filter(r => r.elapsed >= 0 && !r.dirty)
+      val best =
+        if (runs.exists(_.elapsed < 0)) -1.0
+        else if (clean.nonEmpty) median(clean.map(_.elapsed))
+        else { dirtyQueries ::= name; median(runs.map(_.elapsed)) }
+      val detail = runs
+        .map(r => f"${r.elapsed}%.3f" + (if (r.dirty) f" (gc ${r.gcSec}%.1f s, steal ${r.stealPct}%.0f%%)" else ""))
+        .mkString(", ")
+      System.err.println(f"[bench] $name%-28s $best%8.3f s  (runs: $detail)")
       name -> best
     }
     // failed count goes INTO the JSON: a query regressing to -1 must
@@ -119,9 +175,10 @@ object Bench {
     if (failed > 0) System.err.println(s"[bench] $failed queries FAILED (reported as -1)")
     val total = results.map(_._2).filter(_ >= 0).sum
     val loadEnd = loadAvg1()
+    val dirtyJson = dirtyQueries.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     def jsonLine(rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"load_start":$loadStart,"load_end":$loadEnd,"host_cpus":$hostCpus,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"load_start":$loadStart,"load_end":$loadEnd,"host_cpus":$hostCpus,"dirty":$dirtyJson,"queries":$qs,"sf":"$sfDir"}"""
     }
     val full = jsonLine(results)
     println(full)

@@ -1021,6 +1021,17 @@ object SparkEntry {
     "text_word_rarity" -> { (s, dir) =>
       CorpusFunctions.wordRarity(Tables.documents(s, dir), col("doc_id"), col("text"))
     },
+    // C31: bigram-LM predictability score — the CCNet perplexity-filter
+    // analog, self-trained Laplace-smoothed conditionals in exact
+    // integer/IEEE-division arithmetic (no cross-engine float log)
+    "text_bigram_lm" -> { (s, dir) =>
+      CorpusFunctions.bigramLm(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
+    // C32: BM25 lexical retrieval — every doc scored against a fixed
+    // query; one scan + one broadcast stats row, zero shuffles
+    "text_bm25" -> { (s, dir) =>
+      CorpusFunctions.bm25Search(Tables.documents(s, dir), col("doc_id"), col("text"), "spark join scan")
+    },
     // C30: language-ID confusion matrix — predicted vs labeled lang,
     // the quality audit of the C8 heuristic over the whole corpus
     "corpus_lang_confusion" -> { (s, dir) =>
@@ -1940,6 +1951,37 @@ object SparkEntry {
                 CAST(SUM(CASE WHEN cf <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rare_ratio
          FROM toks JOIN freq USING (w)
          GROUP BY 1""",
+    "text_bigram_lm" ->
+      """WITH norm AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+         bgl AS (SELECT doc_id, unnest(generate_series(1, len(w) - 1)) AS i, w FROM norm WHERE len(w) >= 2),
+         bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM bgl),
+         cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+         c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+         v AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT w1 AS w FROM bg UNION ALL SELECT w2 AS w FROM bg)),
+         sc AS (SELECT bg.doc_id,
+                       CAST(FLOOR(1e12 * (CAST(cb.cb + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))) AS BIGINT) AS p
+                FROM bg JOIN cb USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+                FLOOR(CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1e6 AS lm_prob_ppm
+         FROM sc GROUP BY 1""",
+    "text_bm25" ->
+      """WITH base AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+         tf AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+                       CAST(len(list_filter(w, x -> x = 'spark')) AS BIGINT) AS tf_0,
+                       CAST(len(list_filter(w, x -> x = 'join')) AS BIGINT) AS tf_1,
+                       CAST(len(list_filter(w, x -> x = 'scan')) AS BIGINT) AS tf_2
+                FROM base),
+         stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+                          CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+                          CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+                          CAST(SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2
+                   FROM tf),
+         sc AS (SELECT doc_id,
+                 (CASE WHEN tf_0 > 0 THEN CAST(FLOOR(1e6 * ROUND(LN((CAST(n_docs AS DOUBLE) - df_0 + 0.5) / (df_0 + 0.5) + 1.0), 6) * (CAST(tf_0 AS DOUBLE) * 2.2) / (CAST(tf_0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))) AS BIGINT) ELSE 0 END
+                + CASE WHEN tf_1 > 0 THEN CAST(FLOOR(1e6 * ROUND(LN((CAST(n_docs AS DOUBLE) - df_1 + 0.5) / (df_1 + 0.5) + 1.0), 6) * (CAST(tf_1 AS DOUBLE) * 2.2) / (CAST(tf_1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))) AS BIGINT) ELSE 0 END
+                + CASE WHEN tf_2 > 0 THEN CAST(FLOOR(1e6 * ROUND(LN((CAST(n_docs AS DOUBLE) - df_2 + 0.5) / (df_2 + 0.5) + 1.0), 6) * (CAST(tf_2 AS DOUBLE) * 2.2) / (CAST(tf_2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))) AS BIGINT) ELSE 0 END) AS s
+                FROM tf CROSS JOIN stats)
+         SELECT doc_id, CAST(s AS DOUBLE) / 1e6 AS bm25 FROM sc WHERE s > 0""",
     "corpus_domain_stats" ->
       """WITH d AS (SELECT source, lang, CAST(length(text) AS BIGINT) AS nc,
                            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

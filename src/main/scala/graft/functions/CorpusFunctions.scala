@@ -101,13 +101,7 @@ object CorpusFunctions {
       .where(col("w") =!= "")
       .cache()
     val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("cf"))
-    val probed = toks.join(broadcast(freq.where(col("cf") >= hotMin)), Seq("w"), "left")
-    val scored = probed
-      .where(col("cf").isNotNull)
-      .unionByName(
-        probed.where(col("cf").isNull).drop("cf").join(freq.where(col("cf") < hotMin), Seq("w"))
-      )
-    val out = scored
+    val out = zipfSplitJoin(toks, freq, Seq("w"), "cf", hotMin)
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_words"),
@@ -122,6 +116,142 @@ object CorpusFunctions {
       .localCheckpoint()
     toks.unpersist(blocking = true)
     out
+  }
+
+  /** Zipf-skew-resistant equi-join of a token/bigram stream against
+    * its own frequency table. Word and bigram frequencies are Zipfian,
+    * so the join key's head IS the skew: keys at or above `hotMin`
+    * occurrences — a BOUNDED set, at most totalRows/hotMin keys at any
+    * corpus size — broadcast-join, and the long tail shuffles with a
+    * guaranteed per-key fanout below `hotMin`. Output is identical to
+    * the naive join; no key is ever hot on the shuffle path.
+    */
+  private def zipfSplitJoin(
+      probe: DataFrame,
+      freq: DataFrame,
+      keys: Seq[String],
+      cntCol: String,
+      hotMin: Long,
+  ): DataFrame = {
+    val probed = probe.join(broadcast(freq.where(col(cntCol) >= hotMin)), keys, "left")
+    probed
+      .where(col(cntCol).isNotNull)
+      .unionByName(
+        probed.where(col(cntCol).isNull).drop(cntCol).join(freq.where(col(cntCol) < hotMin), keys)
+      )
+  }
+
+  /** Per-document bigram language-model score — the perplexity-filter
+    * quality signal (Wenzek et al. 2020, "CCNet: Extracting high
+    * quality monolingual datasets from web crawl data" — there scored
+    * by a pretrained LM; here the LM is the corpus itself): train
+    * Laplace-smoothed bigram conditional probabilities
+    * p(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V) from the whole corpus, then
+    * score each document by its mean conditional probability.
+    * Predictable running text scores high; gibberish, boilerplate
+    * soup and wrong-language fragments score low — the same ranking
+    * perplexity gives, without the cross-engine float log: every
+    * probability is a single correctly-rounded IEEE division of exact
+    * integer counts, floor-scaled to 1e12, summed exactly as longs —
+    * bit-reproducible on any engine and partitioning.
+    *
+    * Plan: one explode to the bigram stream (checkpointed — it feeds
+    * the bigram-count aggregate, the first-word aggregate, the
+    * vocabulary count and the probe side), then two [[zipfSplitJoin]]s
+    * back onto it, then one per-doc aggregate. The LM table is
+    * corpus-sized, never driver-sized: nothing here assumes it fits in
+    * one broadcast, so the plan survives a vocabulary that only a
+    * 100 TB crawl produces.
+    */
+  def bigramLm(df: DataFrame, idCol: Column, text: Column, hotMin: Long = 1000L): DataFrame = {
+    val bgs = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(idCol.as("doc_id"), TextFunctions.words(text).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          expr("transform(sequence(0, size(w) - 2), i -> named_struct('w1', w[i], 'w2', w[i + 1]))")
+        ).as("bg"),
+      )
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .localCheckpoint()
+    val cb = bgs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val c1 = bgs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = bgs
+      .select(col("w1").as("w"))
+      .unionAll(bgs.select(col("w2").as("w")))
+      .agg(countDistinct(col("w")).as("v"))
+    val out = zipfSplitJoin(zipfSplitJoin(bgs, cb, Seq("w1", "w2"), "cb", hotMin), c1, Seq("w1"), "c1", hotMin)
+      .crossJoin(broadcast(v))
+      .withColumn(
+        "p_scaled",
+        floor(lit(1e12) * ((col("cb") + 1).cast("double") / (col("c1") + col("v")).cast("double"))),
+      )
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_scaled")).as("__sum_p"))
+      .withColumn("lm_prob_ppm", floor(col("__sum_p").cast("double") / col("n_bigrams").cast("double")) / 1e6)
+      .select(col("doc_id"), col("n_bigrams"), col("lm_prob_ppm"))
+      // materialize the small per-doc result so the checkpointed bigram
+      // stream (four consumers) releases NOW, not at ContextCleaner time
+      .localCheckpoint()
+    bgs.unpersist(blocking = true)
+    out
+  }
+
+  /** BM25 relevance of every document to a fixed query string
+    * (Robertson & Zaragoza 2009, "The probabilistic relevance
+    * framework: BM25 and beyond") — the lexical-retrieval complement
+    * of the embedding similarity stack: score(d) = Σ_t idf(t) ·
+    * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * Plan shape is the 100 TB one: per-term tf and doc length are
+    * per-row array expressions (no explode, no shuffle), corpus stats
+    * (N, Σdl, per-term df) are ONE map-side-combined aggregate row
+    * broadcast back, so the whole query is a single scan plus a
+    * broadcast — embarrassingly parallel at any corpus size.
+    *
+    * Determinism: tf, dl, N, Σdl are exact integers and every
+    * division/multiplication is one correctly-rounded IEEE op on
+    * identical inputs, so the only libm call is ln in idf — snapped to
+    * the 6-decimal grid (`round(…, 6)`, the SURVEY determinism policy
+    * for libm), then each term's contribution floor-scaled to 1e6 and
+    * summed exactly as longs.
+    */
+  def bm25Search(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      query: String,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+  ): DataFrame = {
+    val terms = query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "query must contain at least one term")
+    def tfCol(t: String): Column = size(filter(TextFunctions.words(text), w => w === t)).cast("long")
+    val base = df.select(
+      idCol.as("doc_id") +: size(TextFunctions.words(text)).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) => tfCol(t).as(s"tf_$i") }: _*
+    )
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl") +:
+        terms.indices.map(i => sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")): _*
+    )
+    val contrib = terms.indices.map { i =>
+      val idf = round(
+        log((col("n_docs").cast("double") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5) + 1.0),
+        6,
+      )
+      val tf = col(s"tf_$i").cast("double")
+      val norm = tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") * col("n_docs").cast("double") / col("sum_dl").cast("double"))
+      when(col(s"tf_$i") > 0, floor(lit(1e6) * idf * (tf * lit(k1 + 1)) / norm)).otherwise(lit(0L))
+    }
+    base
+      .crossJoin(broadcast(stats))
+      .withColumn("__s", contrib.reduce(_ + _))
+      .where(col("__s") > 0)
+      .select(col("doc_id"), (col("__s").cast("double") / 1e6).as("bm25"))
   }
 
   /** Per-source (domain) corpus composition + exact-duplication rate:

@@ -171,6 +171,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(hybrid == out)
   }
 
+  test("bigramLm scores docs by mean Laplace-smoothed conditional probability") {
+    val d = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val out = CorpusFunctions.bigramLm(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // bigram counts: (a,b)=3, (b,a)=1; first-word counts: a=3, b=1; V=2
+    // p(a,b) = 4/5 -> 800000000000; p(b,a) = 2/3 -> 666666666666
+    // doc 1: floor(2266666666666 / 3) / 1e6 = 755555.555555
+    assert(out(1L) == ((3L, 755555.555555)))
+    assert(out(2L) == ((1L, 800000.0)))
+    assert(!out.contains(3L)) // single-word doc has no bigrams
+    // hot/cold split point moved so (a,b) rides the broadcast arm: identical output
+    val hybrid = CorpusFunctions.bigramLm(d, col("doc_id"), col("text"), hotMin = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(hybrid == out)
+  }
+
+  test("bm25Search scores matching docs and drops non-matching ones") {
+    val d = Seq((1L, "spark join spark"), (2L, "scan scan scan scan"), (3L, "the cat")).toDF("doc_id", "text")
+    val out = CorpusFunctions.bm25Search(d, col("doc_id"), col("text"), "spark join scan")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference arithmetic mirrored exactly: N=3, sum_dl=9, df=1 per term
+    def idf(df: Long) = BigDecimal(math.log((3.0 - df + 0.5) / (df + 0.5) + 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def contrib(tf: Long, dl: Long, df: Long): Long =
+      if (tf == 0) 0L
+      else math.floor(1e6 * idf(df) * (tf.toDouble * 2.2) / (tf.toDouble + 1.2 * (0.25 + 0.75 * dl.toDouble * 3.0 / 9.0))).toLong
+    val exp1 = (contrib(2, 3, 1) + contrib(1, 3, 1)).toDouble / 1e6 // spark tf=2, join tf=1
+    val exp2 = contrib(4, 4, 1).toDouble / 1e6
+    assert(out == Map(1L -> exp1, 2L -> exp2)) // doc 3 matches nothing
+    assert(out(1L) > out(2L)) // two distinct rare terms beat one repeated term
+  }
+
   test("domainStats counts docs, chars, languages and exact dups per source") {
     val d = Seq(
       (1L, "same text", "en", "s1"),
