@@ -203,6 +203,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out(1L) > out(2L)) // two distinct rare terms beat one repeated term
   }
 
+  test("bm25Search plans as one scan pass + one broadcast stats row — no probe-side shuffle") {
+    val d = Seq((1L, "spark join spark"), (2L, "scan scan")).toDF("doc_id", "text")
+    val plan = CorpusFunctions.bm25Search(d, col("doc_id"), col("text"), "spark join scan")
+      .queryExecution.executedPlan.toString
+    // the stats row reaches the probe side by broadcast, never by shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    // the only Exchange is the global stats aggregate's SinglePartition
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("domainStats counts docs, chars, languages and exact dups per source") {
     val d = Seq(
       (1L, "same text", "en", "s1"),
