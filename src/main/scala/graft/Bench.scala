@@ -48,6 +48,30 @@ object Bench {
       .linesIterator.next().trim.split("\\s+")(8).toLong
     catch { case _: Exception => -1L }
 
+  /** One timed execution of a query, with the shares of its window
+    * eaten by GC pauses and by hypervisor steal. A run is "dirty" when
+    * the window was dominated by something other than the plan: a JVM
+    * GC storm (G1 humongous-fragmentation class — 10–100× multipliers
+    * with nothing in Spark logs) or a noisy-neighbor steal burst.
+    */
+  private[graft] case class Run(elapsed: Double, gcSec: Double, stealPct: Double) {
+    def dirty: Boolean = (elapsed > 1.0 && gcSec > 0.3 * elapsed) || stealPct > 3.0
+  }
+
+  /** Point estimate for a query: median of the clean runs when any
+    * exist; otherwise the median of all runs, flagged `allDirty = true`
+    * so the artifact indicts the measurement instead of letting it
+    * read as a plan regression. Any failed run (-1) poisons the query
+    * to -1 — a broken query must never masquerade as a fast pass.
+    */
+  private[graft] def pick(runs: Seq[Run]): (Double, Boolean) = {
+    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+    val clean = runs.filter(r => r.elapsed >= 0 && !r.dirty)
+    if (runs.exists(_.elapsed < 0)) (-1.0, false)
+    else if (clean.nonEmpty) (median(clean.map(_.elapsed)), false)
+    else (median(runs.map(_.elapsed)), true)
+  }
+
   /** Cumulative JVM GC pause milliseconds across all collectors. A
     * G1 full-GC storm (humongous-fragmentation class) multiplies a
     * query's wall time 10–100× with nothing in Spark's own logs; the
@@ -107,16 +131,6 @@ object Bench {
     // is reported as -1, never as its elapsed time — a broken query
     // must not masquerade as a fast pass.
     val runsPerQuery = 3
-    // A run is "dirty" when its window was dominated by something
-    // other than the plan: a JVM GC storm (G1 humongous-fragmentation
-    // class — 10–100× multipliers with nothing in Spark logs) or
-    // hypervisor steal. Prefer the median of clean runs; when every
-    // run is dirty, report the median anyway and name the query in
-    // the `dirty` JSON field so the artifact indicts itself instead
-    // of reading as a plan regression.
-    case class Run(elapsed: Double, gcSec: Double, stealPct: Double) {
-      def dirty: Boolean = (elapsed > 1.0 && gcSec > 0.3 * elapsed) || stealPct > 3.0
-    }
     var dirtyQueries = List.empty[String]
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
@@ -157,12 +171,8 @@ object Bench {
         runs :+= oneRun()
         retries -= 1
       }
-      def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
-      val clean = runs.filter(r => r.elapsed >= 0 && !r.dirty)
-      val best =
-        if (runs.exists(_.elapsed < 0)) -1.0
-        else if (clean.nonEmpty) median(clean.map(_.elapsed))
-        else { dirtyQueries ::= name; median(runs.map(_.elapsed)) }
+      val (best, allDirty) = pick(runs)
+      if (allDirty) dirtyQueries ::= name
       val detail = runs
         .map(r => f"${r.elapsed}%.3f" + (if (r.dirty) f" (gc ${r.gcSec}%.1f s, steal ${r.stealPct}%.0f%%)" else ""))
         .mkString(", ")

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The measurement-integrity logic of the bench harness: which runs
+  * count as contaminated (GC-storm / steal-burst) and how the point
+  * estimate is chosen. Pure logic — no Spark session.
+  */
+class BenchSpec extends AnyFunSuite {
+  import Bench.{pick, Run}
+
+  test("a run dominated by GC or steal is dirty; fast or quiet runs are not") {
+    assert(Run(2.0, gcSec = 1.0, stealPct = 0.0).dirty) // GC ate half the window
+    assert(Run(10.0, gcSec = 0.0, stealPct = 5.0).dirty) // steal burst
+    assert(!Run(0.5, gcSec = 0.4, stealPct = 0.0).dirty) // sub-second: GC share meaningless
+    assert(!Run(10.0, gcSec = 1.0, stealPct = 1.0).dirty) // healthy
+  }
+
+  test("pick takes the median of clean runs, excluding contaminated outliers") {
+    val (t, allDirty) = pick(Seq(Run(1.0, 0, 0), Run(1.2, 0, 0), Run(50.0, 40.0, 0)))
+    assert(t == 1.2 && !allDirty) // median of the two clean runs
+    val (t3, _) = pick(Seq(Run(1.0, 0, 0), Run(3.0, 0, 0), Run(2.0, 0, 0)))
+    assert(t3 == 2.0)
+  }
+
+  test("pick flags the query when every run is contaminated") {
+    val (t, allDirty) = pick(Seq(Run(40.0, 30.0, 0), Run(60.0, 50.0, 0), Run(50.0, 45.0, 0)))
+    assert(t == 50.0 && allDirty)
+  }
+
+  test("a failed run poisons the query to -1 regardless of other runs") {
+    val (t, allDirty) = pick(Seq(Run(1.0, 0, 0), Run(-1.0, 0, 0), Run(1.1, 0, 0)))
+    assert(t == -1.0 && !allDirty)
+  }
+}
