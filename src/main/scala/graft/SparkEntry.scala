@@ -1032,6 +1032,16 @@ object SparkEntry {
     "text_bm25" -> { (s, dir) =>
       CorpusFunctions.bm25Search(Tables.documents(s, dir), col("doc_id"), col("text"), "spark join scan")
     },
+    // C33: mixture planning — per-language keep-rates that achieve a
+    // target training mixture with maximum data; feeds C23's sampler
+    "corpus_mixture_plan" -> { (s, dir) =>
+      CorpusFunctions.mixturePlan(
+        Tables.documents(s, dir),
+        col("lang"),
+        col("text"),
+        Map("en" -> 0.5, "zh" -> 0.25, "de" -> 0.25),
+      )
+    },
     // C30: language-ID confusion matrix — predicted vs labeled lang,
     // the quality audit of the C8 heuristic over the whole corpus
     "corpus_lang_confusion" -> { (s, dir) =>
@@ -1982,6 +1992,16 @@ object SparkEntry {
                 + CASE WHEN tf_2 > 0 THEN CAST(FLOOR(1e6 * ROUND(LN((CAST(n_docs AS DOUBLE) - df_2 + 0.5) / (df_2 + 0.5) + 1.0), 6) * (CAST(tf_2 AS DOUBLE) * 2.2) / (CAST(tf_2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))) AS BIGINT) ELSE 0 END) AS s
                 FROM tf CROSS JOIN stats)
          SELECT doc_id, CAST(s AS DOUBLE) / 1e6 AS bm25 FROM sc WHERE s > 0""",
+    "corpus_mixture_plan" ->
+      """WITH norm AS (SELECT lang, len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS nw FROM documents),
+         counts AS (SELECT lang AS stratum, COUNT(*) AS n_docs, CAST(SUM(nw) AS BIGINT) AS tokens FROM norm GROUP BY 1),
+         tgt AS (SELECT * FROM (VALUES ('de', 0.25), ('en', 0.5), ('zh', 0.25)) AS t(stratum, target_share)),
+         j AS (SELECT c.stratum, n_docs, tokens, target_share FROM counts c LEFT JOIN tgt USING (stratum)),
+         ts AS (SELECT MIN(CAST(tokens AS DOUBLE) / target_share) AS t_star FROM j WHERE target_share IS NOT NULL)
+         SELECT stratum, n_docs, tokens,
+                CASE WHEN target_share IS NOT NULL THEN LEAST(1000000, CAST(FLOOR(1e6 * target_share * t_star / CAST(tokens AS DOUBLE)) AS BIGINT)) ELSE 0 END AS keep_rate_ppm,
+                CASE WHEN target_share IS NOT NULL THEN CAST(FLOOR(target_share * t_star) AS BIGINT) ELSE 0 END AS planned_tokens
+         FROM j CROSS JOIN ts""",
     "corpus_domain_stats" ->
       """WITH d AS (SELECT source, lang, CAST(length(text) AS BIGINT) AS nc,
                            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

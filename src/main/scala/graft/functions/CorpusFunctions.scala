@@ -254,6 +254,52 @@ object CorpusFunctions {
       .select(col("doc_id"), (col("__s").cast("double") / 1e6).as("bm25"))
   }
 
+  /** Mixture planning: per-stratum keep-rates that achieve a target
+    * training mixture while keeping the maximum possible data — the
+    * planning step whose output feeds [[stratifiedSample]]. With
+    * exact token counts tok_s and target shares w_s, the achievable
+    * post-sampling total is T* = min_s(tok_s / w_s): the stratum that
+    * attains the minimum is the binding one (kept at rate 1), every
+    * other stratum downsamples to rate_s = w_s · T* / tok_s so
+    * realized shares equal the targets. Strata not in `targets` plan
+    * to rate 0 (excluded from the mixture).
+    *
+    * One aggregate over the corpus, one broadcast of the per-stratum
+    * summary (stratum cardinality is tiny at any corpus size), all
+    * arithmetic exact-integer counts and correctly-rounded IEEE
+    * divisions floor-scaled to ppm — deterministic on any engine.
+    */
+  def mixturePlan(df: DataFrame, stratum: Column, text: Column, targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "targets must not be empty")
+    require(math.abs(targets.values.sum - 1.0) < 1e-9, "target shares must sum to 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = targets.toSeq.sortBy(_._1).toDF("stratum", "target_share")
+    val counts = df
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(stratum.as("stratum"), size(TextFunctions.words(text)).cast("long").as("__nw"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nw")).as("tokens"))
+      .join(broadcast(tgt), Seq("stratum"), "left")
+    val tStar = counts
+      .where(col("target_share").isNotNull)
+      .agg(min(col("tokens").cast("double") / col("target_share")).as("t_star"))
+    counts
+      .crossJoin(broadcast(tStar))
+      .withColumn(
+        "keep_rate_ppm",
+        when(
+          col("target_share").isNotNull,
+          least(lit(1000000L), floor(lit(1e6) * col("target_share") * col("t_star") / col("tokens").cast("double"))),
+        ).otherwise(lit(0L)),
+      )
+      .withColumn(
+        "planned_tokens",
+        when(col("target_share").isNotNull, floor(col("target_share") * col("t_star"))).otherwise(lit(0L)),
+      )
+      .select(col("stratum"), col("n_docs"), col("tokens"), col("keep_rate_ppm"), col("planned_tokens"))
+  }
+
   /** Per-source (domain) corpus composition + exact-duplication rate:
     * how many docs, how much text, how many languages, and how many
     * docs are exact copies of an earlier doc in the same source — the

@@ -121,6 +121,28 @@ object EventStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("fp"))
 
+  /** Streaming quality gate — the streaming dual of the batch curation
+    * front half (C8 language-ID + C9 quality scoring feeding C21):
+    * every arriving document is scored with the SAME deterministic
+    * per-row expressions as the batch `TextFunctions.qualityScore` /
+    * `langId`, and only documents at or above `minScore` pass.
+    * Entirely stateless — no watermark, no state store, no shuffle:
+    * per-row projections stream through every trigger unchanged, so
+    * throughput is scan-bound and the batch functions are reused
+    * verbatim (the payoff of keeping the text stack UDF-free and
+    * deterministic).
+    */
+  def qualityGateStream(docStream: DataFrame, minScore: Double = 0.3): DataFrame =
+    graft.functions.TextFunctions
+      .langId(
+        graft.functions.TextFunctions
+          .qualityScore(docStream, col("text"))
+          .select(docStream.columns.map(col) :+ col("quality_score"): _*),
+        col("text"),
+      )
+      .select(docStream.columns.map(col) :+ col("quality_score") :+ col("pred_lang"): _*)
+      .where(col("quality_score") >= lit(minScore))
+
   /** Streaming NEAR-duplicate detection — the streaming dual of the
     * batch MinHash+LSH path (C2). Per document: the same banded minhash
     * signature as DedupFunctions.minhashSignatures (native

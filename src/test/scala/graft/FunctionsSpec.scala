@@ -213,6 +213,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("mixturePlan keeps the binding stratum whole and downsamples the rest to target shares") {
+    val d = Seq(
+      (1L, "w1 w2 w3 w4", "en"), (2L, "w5 w6 w7 w8", "en"), // 8 en tokens
+      (3L, "z1 z2", "zh"), // 2 zh tokens — binding stratum at 50/50
+      (4L, "f1", "fr"), // not in the target mixture
+    ).toDF("doc_id", "text", "lang")
+    val out = CorpusFunctions.mixturePlan(d, col("lang"), col("text"), Map("en" -> 0.5, "zh" -> 0.5))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // T* = min(8/0.5, 2/0.5) = 4 achievable tokens
+    assert(out("en") == ((2L, 8L, 250000L, 2L))) // keep 1/4 of en
+    assert(out("zh") == ((1L, 2L, 1000000L, 2L))) // binding: keep all
+    assert(out("fr") == ((1L, 1L, 0L, 0L))) // excluded from the mixture
+  }
+
   test("domainStats counts docs, chars, languages and exact dups per source") {
     val d = Seq(
       (1L, "same text", "en", "s1"),

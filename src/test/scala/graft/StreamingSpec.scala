@@ -114,6 +114,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 3L)) // 2 and 4 are dropped as duplicates
   }
 
+  test("qualityGateStream passes good docs with batch-identical scores and drops junk") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val good = "the quick brown fox jumps over the lazy dog and runs far away to the hills again"
+    val junk = "!!! ??? ###"
+    mem.addData((1L, good), (2L, junk))
+    val df = mem.toDF().toDF("doc_id", "text")
+    val q = EventStream
+      .qualityGateStream(df)
+      .writeStream.format("memory").queryName("quality_gate").outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("quality_gate").collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L)) // junk filtered
+    // score and language identical to the batch functions on the same text
+    val batch = graft.functions.TextFunctions
+      .langId(
+        graft.functions.TextFunctions.qualityScore(Seq((1L, good)).toDF("doc_id", "text"), col("text")),
+        col("text"),
+      )
+      .select("quality_score", "pred_lang")
+      .collect()
+      .head
+    assert(rows.head.getAs[Double]("quality_score") == batch.getDouble(0))
+    assert(rows.head.getAs[String]("pred_lang") == batch.getString(1))
+  }
+
   test("statefulLatest keeps the newest point per series across batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(String, Long, Timestamp, Double)]
