@@ -1042,6 +1042,19 @@ object SparkEntry {
         Map("en" -> 0.5, "zh" -> 0.25, "de" -> 0.25),
       )
     },
+    // C33b: the plan APPLIED — mixturePlan rates (bounded per-stratum
+    // driver summary) feeding the deterministic md5-threshold sampler
+    "corpus_mixture_apply" -> { (s, dir) =>
+      CorpusFunctions
+        .mixtureSample(
+          Tables.documents(s, dir),
+          col("doc_id"),
+          col("lang"),
+          col("text"),
+          Map("en" -> 0.5, "zh" -> 0.25, "de" -> 0.25),
+        )
+        .select(col("doc_id"), col("lang"))
+    },
     // C30: language-ID confusion matrix — predicted vs labeled lang,
     // the quality audit of the C8 heuristic over the whole corpus
     "corpus_lang_confusion" -> { (s, dir) =>
@@ -2002,6 +2015,18 @@ object SparkEntry {
                 CASE WHEN target_share IS NOT NULL THEN LEAST(1000000, CAST(FLOOR(1e6 * target_share * t_star / CAST(tokens AS DOUBLE)) AS BIGINT)) ELSE 0 END AS keep_rate_ppm,
                 CASE WHEN target_share IS NOT NULL THEN CAST(FLOOR(target_share * t_star) AS BIGINT) ELSE 0 END AS planned_tokens
          FROM j CROSS JOIN ts""",
+    "corpus_mixture_apply" ->
+      """WITH norm AS (SELECT lang, len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS nw FROM documents),
+         counts AS (SELECT lang AS stratum, COUNT(*) AS n_docs, CAST(SUM(nw) AS BIGINT) AS tokens FROM norm GROUP BY 1),
+         tgt AS (SELECT * FROM (VALUES ('de', 0.25), ('en', 0.5), ('zh', 0.25)) AS t(stratum, target_share)),
+         j AS (SELECT c.stratum, tokens, target_share FROM counts c LEFT JOIN tgt USING (stratum)),
+         ts AS (SELECT MIN(CAST(tokens AS DOUBLE) / target_share) AS t_star FROM j WHERE target_share IS NOT NULL),
+         plan AS (SELECT stratum,
+                         CASE WHEN target_share IS NOT NULL THEN LEAST(1000000, CAST(FLOOR(1e6 * target_share * t_star / CAST(tokens AS DOUBLE)) AS BIGINT)) ELSE 0 END AS ppm
+                  FROM j CROSS JOIN ts)
+         SELECT d.doc_id, d.lang FROM documents d JOIN plan p ON d.lang = p.stratum
+         WHERE p.ppm >= 1000000
+            OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < printf('%08x', CAST(FLOOR(CAST(p.ppm AS DOUBLE) / 1e6 * 4294967296) AS BIGINT))""",
     "corpus_domain_stats" ->
       """WITH d AS (SELECT source, lang, CAST(length(text) AS BIGINT) AS nc,
                            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

@@ -300,6 +300,32 @@ object CorpusFunctions {
       .select(col("stratum"), col("n_docs"), col("tokens"), col("keep_rate_ppm"), col("planned_tokens"))
   }
 
+  /** The data-driven composition of [[mixturePlan]] → [[stratifiedSample]]:
+    * plan keep-rates from the corpus itself, then apply them with the
+    * deterministic md5-threshold sampler. The only driver-side data is
+    * the per-stratum plan summary — one row per stratum (languages/
+    * sources), bounded at any corpus size. Rates come back as exact
+    * ppm longs, so the sampler's `floor(rate · 2³²)` threshold is
+    * reproducible on any engine: ppm/1e6 is one correctly-rounded
+    * division and the 2³² scaling is exact in floating point.
+    * Strata outside the target mixture plan to rate 0 and are
+    * dropped entirely.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      idCol: Column,
+      stratum: Column,
+      text: Column,
+      targets: Map[String, Double],
+  ): DataFrame = {
+    val rates = mixturePlan(df, stratum, text, targets)
+      .select(col("stratum"), col("keep_rate_ppm"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1) / 1e6)
+      .toMap
+    stratifiedSample(df, idCol, stratum, rates)
+  }
+
   /** Per-source (domain) corpus composition + exact-duplication rate:
     * how many docs, how much text, how many languages, and how many
     * docs are exact copies of an earlier doc in the same source — the

@@ -227,6 +227,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out("fr") == ((1L, 1L, 0L, 0L))) // excluded from the mixture
   }
 
+  test("mixtureSample keeps the binding stratum fully and drops excluded strata") {
+    val d = Seq(
+      (1L, "w1 w2 w3 w4", "en"), (2L, "w5 w6 w7 w8", "en"),
+      (3L, "z1 z2", "zh"),
+      (4L, "f1", "fr"),
+    ).toDF("doc_id", "text", "lang")
+    val kept = CorpusFunctions
+      .mixtureSample(d, col("doc_id"), col("lang"), col("text"), Map("en" -> 0.5, "zh" -> 0.5))
+      .collect().map(_.getLong(0)).toSet
+    // zh is binding (rate 1) -> doc 3 kept; fr excluded (rate 0) -> dropped;
+    // en at rate 0.25 -> md5('1'), md5('2') both start >= '40000000' -> dropped
+    assert(kept == Set(3L))
+  }
+
   test("domainStats counts docs, chars, languages and exact dups per source") {
     val d = Seq(
       (1L, "same text", "en", "s1"),
