@@ -830,6 +830,17 @@ object SparkEntry {
     "dedup_exact" -> { (s, dir) =>
       DedupFunctions.exactGroups(Tables.documents(s, dir), "doc_id", "text")
     },
+    // C1b: priority-aware cross-source exact dedup — keep the copy
+    // from the most-preferred source ("curated beats crawl")
+    "dedup_priority" -> { (s, dir) =>
+      DedupFunctions.priorityDedup(
+        Tables.documents(s, dir),
+        "doc_id",
+        "text",
+        "source",
+        Map("src1" -> 0, "src2" -> 1),
+      )
+    },
     // C2: MinHash+LSH candidate pairs (hash-dependent → rows-only check)
     "dedup_minhash" -> { (s, dir) =>
       DedupFunctions.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
@@ -2035,6 +2046,14 @@ object SparkEntry {
                 COUNT(DISTINCT lang) AS n_langs,
                 COUNT(*) - COUNT(DISTINCT fp) AS n_dup_docs
          FROM d GROUP BY 1""",
+    "dedup_priority" ->
+      """WITH f AS (SELECT doc_id, source, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM documents),
+         r AS (SELECT doc_id, source, fp,
+                      CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies,
+                      row_number() OVER (PARTITION BY fp
+                        ORDER BY CASE WHEN source = 'src1' THEN 0 WHEN source = 'src2' THEN 1 ELSE 2147483647 END, doc_id) AS rn
+               FROM f)
+         SELECT doc_id, source, fp, n_copies FROM r WHERE rn = 1""",
     "dedup_incremental" ->
       """WITH fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM documents),
          batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 10 = 0),

@@ -26,6 +26,44 @@ object DedupFunctions {
   /** Exact dedup groups on normalized text. Returns one row per group:
     * md5 fingerprint, representative (min) id, copy count.
     */
+  /** Priority-aware exact dedup across sources: when the same
+    * normalized text appears in several corpus sources, keep ONE copy
+    * — from the most-preferred source (the "curated dump beats web
+    * crawl" rule every multi-source training mixture needs). `ranks`
+    * maps source → priority (lower wins); unlisted sources rank last,
+    * ties break on the lowest doc id, so the survivor is fully
+    * deterministic. Emits the kept row with its fingerprint and how
+    * many copies it absorbed.
+    *
+    * One fingerprint-hash shuffle + per-group window. A massively
+    * duplicated document is one window partition — group size, not
+    * corpus size, bounds the skew, same as [[exactGroups]].
+    */
+  def priorityDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      ranks: Map[String, Int],
+  ): DataFrame = {
+    val rank = ranks.toSeq.sortBy(_._1).foldRight(lit(Int.MaxValue)) { case ((s, r), rest) =>
+      when(col(sourceCol) === s, lit(r)).otherwise(rest)
+    }
+    val w = Window
+      .partitionBy(col("fp"))
+      .orderBy(col("__rank"), col(idCol))
+    df.select(
+      col(idCol),
+      col(sourceCol),
+      md5(graft.functions.TextFunctions.normText(col(textCol))).as("fp"),
+      rank.as("__rank"),
+    )
+      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy(col("fp"))).cast("long"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col(sourceCol), col("fp"), col("n_copies"))
+  }
+
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.withColumn("fp", md5(TextFunctions.normText(col(textCol))))
       .groupBy(col("fp"))

@@ -227,6 +227,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out("fr") == ((1L, 1L, 0L, 0L))) // excluded from the mixture
   }
 
+  test("priorityDedup keeps the preferred source's copy and counts absorbed duplicates") {
+    val d = Seq(
+      (1L, "same doc text", "crawl"),
+      (2L, "same  DOC text", "wiki"), // normalized dup of 1, preferred source
+      (3L, "same doc text", "crawl"), // third copy
+      (4L, "unique text", "crawl"),
+    ).toDF("doc_id", "text", "source")
+    val out = DedupFunctions.priorityDedup(d, "doc_id", "text", "source", Map("wiki" -> 0, "crawl" -> 1))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(out == Map(2L -> (("wiki", 3L)), 4L -> (("crawl", 1L)))) // wiki copy wins over lower ids
+  }
+
   test("mixtureSample keeps the binding stratum fully and drops excluded strata") {
     val d = Seq(
       (1L, "w1 w2 w3 w4", "en"), (2L, "w5 w6 w7 w8", "en"),
