@@ -1066,6 +1066,11 @@ object SparkEntry {
         )
         .select(col("doc_id"), col("lang"))
     },
+    // C35: per-language lexical diversity — exact type/token stats
+    // (vocab, hapax legomena, TTR), the corpus-quality screen
+    "corpus_lexical_diversity" -> { (s, dir) =>
+      CorpusFunctions.lexicalDiversity(Tables.documents(s, dir), col("lang"), col("text"))
+    },
     // C30: language-ID confusion matrix — predicted vs labeled lang,
     // the quality audit of the C8 heuristic over the whole corpus
     "corpus_lang_confusion" -> { (s, dir) =>
@@ -2038,6 +2043,16 @@ object SparkEntry {
          SELECT d.doc_id, d.lang FROM documents d JOIN plan p ON d.lang = p.stratum
          WHERE p.ppm >= 1000000
             OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < printf('%08x', CAST(FLOOR(CAST(p.ppm AS DOUBLE) / 1e6 * 4294967296) AS BIGINT))""",
+    "corpus_lexical_diversity" ->
+      """WITH toks AS (SELECT lang AS stratum, w
+                       FROM (SELECT lang, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w FROM documents)
+                       WHERE w <> ''),
+         wc AS (SELECT stratum, w, COUNT(*) AS cnt FROM toks GROUP BY 1, 2)
+         SELECT stratum, COUNT(*) AS vocab, CAST(SUM(cnt) AS BIGINT) AS tokens,
+                CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+                CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS type_token_ratio,
+                CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
+         FROM wc GROUP BY 1""",
     "corpus_domain_stats" ->
       """WITH d AS (SELECT source, lang, CAST(length(text) AS BIGINT) AS nc,
                            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

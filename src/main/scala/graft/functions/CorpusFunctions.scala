@@ -326,6 +326,38 @@ object CorpusFunctions {
     stratifiedSample(df, idCol, stratum, rates)
   }
 
+  /** Per-stratum lexical diversity — exact type/token statistics: how
+    * many distinct words, how many hapax legomena (words seen once),
+    * type-token ratio and hapax share. Low TTR flags templated or
+    * repetitive strata; a high hapax share flags noise/OCR garbage —
+    * both standard corpus-quality screens before mixing. Two hash
+    * aggregates: per-(stratum, word) counts, then per-stratum rollup;
+    * the word stage carries the Zipf head but a count aggregate (not
+    * a join) — map-side partial combine flattens hot words before the
+    * shuffle, so no key is hot on the wire at any corpus size. All
+    * ratios are single IEEE divisions of exact counts.
+    */
+  def lexicalDiversity(df: DataFrame, stratum: Column, text: Column): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(stratum.as("stratum"), explode(TextFunctions.words(text)).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("stratum"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("stratum"))
+      .agg(
+        count(lit(1)).as("vocab"),
+        sum(col("cnt")).as("tokens"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"),
+      )
+      .select(
+        col("stratum"),
+        col("vocab"),
+        col("tokens"),
+        col("hapax"),
+        (col("vocab").cast("double") / col("tokens").cast("double")).as("type_token_ratio"),
+        (col("hapax").cast("double") / col("vocab").cast("double")).as("hapax_ratio"),
+      )
+
   /** Per-source (domain) corpus composition + exact-duplication rate:
     * how many docs, how much text, how many languages, and how many
     * docs are exact copies of an earlier doc in the same source — the

@@ -227,6 +227,15 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out("fr") == ((1L, 1L, 0L, 0L))) // excluded from the mixture
   }
 
+  test("lexicalDiversity computes exact vocab, hapax and ratios per stratum") {
+    val d = Seq((1L, "a a b c", "en"), (2L, "a d", "en"), (3L, "x x", "zh")).toDF("doc_id", "text", "lang")
+    val out = CorpusFunctions.lexicalDiversity(d, col("lang"), col("text"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // en: tokens a,a,b,c,a,d -> vocab {a,b,c,d}, a=3 so hapax {b,c,d}
+    assert(out("en") == ((4L, 6L, 3L, 4.0 / 6.0, 3.0 / 4.0)))
+    assert(out("zh") == ((1L, 2L, 0L, 0.5, 0.0)))
+  }
+
   test("priorityDedup keeps the preferred source's copy and counts absorbed duplicates") {
     val d = Seq(
       (1L, "same doc text", "crawl"),
