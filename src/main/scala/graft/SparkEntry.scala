@@ -1103,6 +1103,12 @@ object SparkEntry {
     "dedup_substring" -> { (s, dir) =>
       DedupFunctions.repeatedSpans(Tables.documents(s, dir), "doc_id", "text", k = 10)
     },
+    // C24b: char-grain repeated spans — Lee et al.'s suffix-array
+    // granularity via a k-char-gram inverted index; Zipf-split gram
+    // join (hot boilerplate grams broadcast, tail shuffles bounded)
+    "dedup_substring_char" -> { (s, dir) =>
+      DedupFunctions.repeatedSpansChar(Tables.documents(s, dir), "doc_id", "text", k = 20)
+    },
     // C25: per-dimension int8 embedding quantization, exploded to
     // (vec_id, dim, q) scalar rows for the oracle compare
     "embedding_quantize" -> { (s, dir) =>
@@ -2028,8 +2034,10 @@ object SparkEntry {
          j AS (SELECT c.stratum, n_docs, tokens, target_share FROM counts c LEFT JOIN tgt USING (stratum)),
          ts AS (SELECT MIN(CAST(tokens AS DOUBLE) / target_share) AS t_star FROM j WHERE target_share IS NOT NULL)
          SELECT stratum, n_docs, tokens,
-                CASE WHEN target_share IS NOT NULL THEN LEAST(1000000, CAST(FLOOR(1e6 * target_share * t_star / CAST(tokens AS DOUBLE)) AS BIGINT)) ELSE 0 END AS keep_rate_ppm,
-                CASE WHEN target_share IS NOT NULL THEN CAST(FLOOR(target_share * t_star) AS BIGINT) ELSE 0 END AS planned_tokens
+                CASE WHEN target_share IS NOT NULL AND CAST(tokens AS DOUBLE) / target_share <= t_star THEN 1000000
+                     WHEN target_share IS NOT NULL THEN LEAST(1000000, CAST(FLOOR(1e6 * target_share * t_star / CAST(tokens AS DOUBLE)) AS BIGINT)) ELSE 0 END AS keep_rate_ppm,
+                CASE WHEN target_share IS NOT NULL AND CAST(tokens AS DOUBLE) / target_share <= t_star THEN tokens
+                     WHEN target_share IS NOT NULL THEN CAST(FLOOR(target_share * t_star) AS BIGINT) ELSE 0 END AS planned_tokens
          FROM j CROSS JOIN ts""",
     "corpus_mixture_apply" ->
       """WITH norm AS (SELECT lang, len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS nw FROM documents),
@@ -2038,7 +2046,8 @@ object SparkEntry {
          j AS (SELECT c.stratum, tokens, target_share FROM counts c LEFT JOIN tgt USING (stratum)),
          ts AS (SELECT MIN(CAST(tokens AS DOUBLE) / target_share) AS t_star FROM j WHERE target_share IS NOT NULL),
          plan AS (SELECT stratum,
-                         CASE WHEN target_share IS NOT NULL THEN LEAST(1000000, CAST(FLOOR(1e6 * target_share * t_star / CAST(tokens AS DOUBLE)) AS BIGINT)) ELSE 0 END AS ppm
+                         CASE WHEN target_share IS NOT NULL AND CAST(tokens AS DOUBLE) / target_share <= t_star THEN 1000000
+                              WHEN target_share IS NOT NULL THEN LEAST(1000000, CAST(FLOOR(1e6 * target_share * t_star / CAST(tokens AS DOUBLE)) AS BIGINT)) ELSE 0 END AS ppm
                   FROM j CROSS JOIN ts)
          SELECT d.doc_id, d.lang FROM documents d JOIN plan p ON d.lang = p.stratum
          WHERE p.ppm >= 1000000
@@ -2094,6 +2103,24 @@ object SparkEntry {
                  FROM mm)
          SELECT doc_id, MIN(strt) AS span_start, MAX(en) AS span_end,
                 MAX(en) - MIN(strt) + 1 AS span_words
+         FROM isl GROUP BY doc_id, island""",
+    "dedup_substring_char" ->
+      """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+         g AS (SELECT doc_id,
+                      CAST(UNNEST(generate_series(1, len(t) - 19)) AS BIGINT) AS strt,
+                      UNNEST(list_transform(generate_series(1, len(t) - 19), i -> substr(t, i, 20))) AS gram
+               FROM n WHERE len(t) >= 20),
+         dup AS (SELECT gram FROM g GROUP BY 1 HAVING COUNT(*) > 1),
+         m AS (SELECT doc_id, strt, strt + 19 AS en FROM g JOIN dup USING (gram)),
+         mm AS (SELECT doc_id, strt, en,
+                       MAX(en) OVER (PARTITION BY doc_id ORDER BY strt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                FROM m),
+         isl AS (SELECT doc_id, strt, en,
+                        SUM(CASE WHEN pmax IS NULL OR strt > pmax + 1 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY strt) AS island
+                 FROM mm)
+         SELECT doc_id, MIN(strt) AS span_start, MAX(en) AS span_end,
+                MAX(en) - MIN(strt) + 1 AS span_chars
          FROM isl GROUP BY doc_id, island""",
     "embedding_quantize" ->
       """WITH d AS (SELECT UNNEST(embedding) AS x, UNNEST(generate_series(1, len(embedding))) AS i FROM embeddings),

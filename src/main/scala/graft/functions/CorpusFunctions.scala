@@ -15,15 +15,21 @@ import org.apache.spark.sql.functions._
 object CorpusFunctions {
 
   /** Per-stratum corpus composition: document counts, token/char
-    * volume and exact char-length quantiles. One hash aggregate with
+    * volume and char-length quantiles. One hash aggregate with
     * map-side partial combine; stratum cardinality (languages,
     * sources) is tiny, so the reduce side is trivial at any corpus
-    * size. `percentile` keeps a per-group sort of the length values —
-    * at 100 TB swap in `approx_percentile` exactly as `ts_approx_stats`
-    * does for series stats; counts and sums are exact either way.
+    * size. Counts and sums are exact either way; the quantiles are a
+    * parameter: `exactPercentiles = true` (default, oracle-verified)
+    * collects each group's length values for an exact `percentile` —
+    * fine while per-stratum doc counts fit a sort; at 100 TB pass
+    * `false` for `approx_percentile` (KLL sketch, mergeable, bounded
+    * memory per group — CorpusStatsSpec bounds its error vs exact).
     */
-  def corpusStats(df: DataFrame, stratum: Column, text: Column): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  def corpusStats(df: DataFrame, stratum: Column, text: Column, exactPercentiles: Boolean = true): DataFrame = {
+    val pct =
+      if (exactPercentiles) expr("percentile(__nc, array(0.5, 0.95))")
+      else expr("transform(approx_percentile(__nc, array(0.5, 0.95), 10000), x -> cast(x as double))")
+    DedupFunctions.spread(df)
       .select(
         stratum.as("stratum"),
         size(TextFunctions.words(text)).cast("long").as("__nw"),
@@ -34,7 +40,7 @@ object CorpusFunctions {
         count(lit(1)).as("n_docs"),
         sum(col("__nw")).as("total_words"),
         sum(col("__nc")).as("total_chars"),
-        expr("percentile(__nc, array(0.5, 0.95))").as("__p"),
+        pct.as("__p"),
       )
       .select(
         col("stratum"),
@@ -44,6 +50,7 @@ object CorpusFunctions {
         col("__p")(0).as("p50_chars"),
         col("__p")(1).as("p95_chars"),
       )
+  }
 
   /** Deterministic stratified sampling: a row survives iff the first
     * 8 hex digits of `md5(id)` fall below its stratum's rate
@@ -95,8 +102,8 @@ object CorpusFunctions {
     * mirroring the oracle's unnest semantics.
     */
   def wordRarity(df: DataFrame, idCol: Column, text: Column, rareMax: Long = 2L, hotMin: Long = 1000L): DataFrame = {
-    val toks = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val toks = DedupFunctions
+      .spread(df)
       .select(idCol.as("doc_id"), explode(TextFunctions.words(text)).as("w"))
       .where(col("w") =!= "")
       .cache()
@@ -125,8 +132,16 @@ object CorpusFunctions {
     * corpus size — broadcast-join, and the long tail shuffles with a
     * guaranteed per-key fanout below `hotMin`. Output is identical to
     * the naive join; no key is ever hot on the shuffle path.
+    *
+    * `probed` appears in both union arms, so its plan is instantiated
+    * twice — but every shuffle/broadcast below it dedups via Spark's
+    * ReuseExchange (verified: in both the flat and the nested bigramLm
+    * composition, every duplicated Exchange in the final adaptive plan
+    * is a ReusedExchange — ZipfJoinPlanSpec asserts this), so the only
+    * re-executed work is the narrow probe pass (broadcast hash lookups
+    * + filters) over an input the callers cache or checkpoint.
     */
-  private def zipfSplitJoin(
+  private[graft] def zipfSplitJoin(
       probe: DataFrame,
       freq: DataFrame,
       keys: Seq[String],
@@ -164,8 +179,8 @@ object CorpusFunctions {
     * 100 TB crawl produces.
     */
   def bigramLm(df: DataFrame, idCol: Column, text: Column, hotMin: Long = 1000L): DataFrame = {
-    val bgs = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val bgs = DedupFunctions
+      .spread(df)
       .select(idCol.as("doc_id"), TextFunctions.words(text).as("w"))
       .where(size(col("w")) >= 2)
       .select(
@@ -195,7 +210,10 @@ object CorpusFunctions {
       // materialize the small per-doc result so the checkpointed bigram
       // stream (four consumers) releases NOW, not at ContextCleaner time
       .localCheckpoint()
-    bgs.unpersist(blocking = true)
+    // Dataset.unpersist is a NO-OP on a localCheckpoint'd frame (it only
+    // clears CacheManager entries) — release through the RDD handle,
+    // exactly like dedupGroups.release
+    org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(bgs).foreach(_.unpersist(blocking = true))
     out
   }
 
@@ -275,8 +293,8 @@ object CorpusFunctions {
     val spark = df.sparkSession
     import spark.implicits._
     val tgt = targets.toSeq.sortBy(_._1).toDF("stratum", "target_share")
-    val counts = df
-      .repartition(spark.sparkContext.defaultParallelism)
+    val counts = DedupFunctions
+      .spread(df)
       .select(stratum.as("stratum"), size(TextFunctions.words(text)).cast("long").as("__nw"))
       .groupBy(col("stratum"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__nw")).as("tokens"))
@@ -286,16 +304,26 @@ object CorpusFunctions {
       .agg(min(col("tokens").cast("double") / col("target_share")).as("t_star"))
     counts
       .crossJoin(broadcast(tStar))
+      // the binding stratum (the one attaining T*) is kept at EXACTLY
+      // rate 1 and contributes all its tokens: deciding it by the same
+      // integer/double comparison that defined T* (tokens/share ≤ t_star)
+      // guarantees the documented invariant even when
+      // share · (tokens/share) lands a ulp below tokens
+      .withColumn("__binding", col("target_share").isNotNull && col("tokens").cast("double") / col("target_share") <= col("t_star"))
       .withColumn(
         "keep_rate_ppm",
-        when(
-          col("target_share").isNotNull,
-          least(lit(1000000L), floor(lit(1e6) * col("target_share") * col("t_star") / col("tokens").cast("double"))),
-        ).otherwise(lit(0L)),
+        when(col("__binding"), lit(1000000L))
+          .when(
+            col("target_share").isNotNull,
+            least(lit(1000000L), floor(lit(1e6) * col("target_share") * col("t_star") / col("tokens").cast("double"))),
+          )
+          .otherwise(lit(0L)),
       )
       .withColumn(
         "planned_tokens",
-        when(col("target_share").isNotNull, floor(col("target_share") * col("t_star"))).otherwise(lit(0L)),
+        when(col("__binding"), col("tokens"))
+          .when(col("target_share").isNotNull, floor(col("target_share") * col("t_star")))
+          .otherwise(lit(0L)),
       )
       .select(col("stratum"), col("n_docs"), col("tokens"), col("keep_rate_ppm"), col("planned_tokens"))
   }
@@ -338,7 +366,7 @@ object CorpusFunctions {
     * ratios are single IEEE divisions of exact counts.
     */
   def lexicalDiversity(df: DataFrame, stratum: Column, text: Column): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    DedupFunctions.spread(df)
       .select(stratum.as("stratum"), explode(TextFunctions.words(text)).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("stratum"), col("w"))
@@ -366,7 +394,7 @@ object CorpusFunctions {
     * partial-distinct plan, still one shuffle on the tiny source key.
     */
   def domainStats(df: DataFrame, source: Column, lang: Column, idCol: Column, text: Column): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    DedupFunctions.spread(df)
       .select(
         source.as("source"),
         lang.as("lang"),

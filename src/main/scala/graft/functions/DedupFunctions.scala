@@ -19,13 +19,19 @@ object DedupFunctions {
     * hash arithmetic. Explicit numPartitions so AQE doesn't coalesce
     * the tiny rows back into one partition — the *compute* is heavy,
     * not the bytes.
+    *
+    * CONDITIONAL: an input that already has at least defaultParallelism
+    * partitions (any real multi-split table — a 100 TB corpus arrives
+    * in tens of thousands of splits) passes through untouched. The
+    * repartition exists to rescue the one-file-one-partition small-table
+    * case, not to shuffle raw corpus bytes before any reduction.
+    * Partition count comes from the physical plan (no job is run).
     */
-  private[functions] def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+  }
 
-  /** Exact dedup groups on normalized text. Returns one row per group:
-    * md5 fingerprint, representative (min) id, copy count.
-    */
   /** Priority-aware exact dedup across sources: when the same
     * normalized text appears in several corpus sources, keep ONE copy
     * — from the most-preferred source (the "curated dump beats web
@@ -64,6 +70,9 @@ object DedupFunctions {
       .select(col(idCol), col(sourceCol), col("fp"), col("n_copies"))
   }
 
+  /** Exact dedup groups on normalized text. Returns one row per group:
+    * md5 fingerprint, representative (min) id, copy count.
+    */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.withColumn("fp", md5(TextFunctions.normText(col(textCol))))
       .groupBy(col("fp"))
@@ -535,8 +544,15 @@ object DedupFunctions {
     val marked = grams
       .join(dupGrams, Seq("gram"))
       .select(col("doc_id"), col("start"), (col("start") + (k - 1)).as("end"))
-    // interval merge: a span starts a new island iff it begins past the
-    // running max end of everything before it (+1: adjacent spans merge)
+    mergeSpans(marked, "span_words")
+  }
+
+  /** Interval merge shared by the word- and char-grain span detectors:
+    * a span starts a new island iff it begins past the running max end
+    * of everything before it (+1: adjacent spans merge); prefix-sum
+    * numbers the islands. One sort per doc partition.
+    */
+  private def mergeSpans(marked: DataFrame, lenCol: String): DataFrame = {
     val before = Window.partitionBy(col("doc_id")).orderBy(col("start")).rowsBetween(Window.unboundedPreceding, -1)
     val upToHere = Window.partitionBy(col("doc_id")).orderBy(col("start")).rowsBetween(Window.unboundedPreceding, 0)
     marked
@@ -549,8 +565,52 @@ object DedupFunctions {
         col("doc_id"),
         col("span_start"),
         col("span_end"),
-        (col("span_end") - col("span_start") + 1).as("span_words"),
+        (col("span_end") - col("span_start") + 1).as(lenCol),
       )
+  }
+
+  /** Char-grain exact repeated-span detection — the actual recipe of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better", §3: suffix-array exact substring matching at
+    * character granularity; reference analog `kukur` has no dedup —
+    * this is the LLM-pipeline extension layer): every k-char gram of
+    * the normalized text occurring more than once in the corpus marks
+    * its span, overlapping/adjacent marks merge into maximal per-doc
+    * char intervals. The k-gram inverted index finds exactly the
+    * length-≥k repeated substrings a suffix array would (any repeat of
+    * length L ≥ k is covered by its L−k+1 repeated k-grams), as one
+    * distributed count aggregate instead of a monolithic suffix sort.
+    *
+    * The gram join is Zipf-split: boilerplate k-grams (license
+    * headers, navigation chrome) are the hot keys of a web corpus, so
+    * grams at or above `hotMin` corpus occurrences ride a broadcast
+    * and the tail shuffles with bounded per-key fanout — no hot-key
+    * join at any scale. Positions are 1-based chars in the NORMALIZED
+    * text (the dedup cut coordinates).
+    */
+  def repeatedSpansChar(df: DataFrame, idCol: String, textCol: String, k: Int = 20, hotMin: Long = 1000L): DataFrame = {
+    require(k >= 2, "span gram size must be at least 2 chars")
+    val grams = spread(
+      df.select(col(idCol).as("doc_id"), TextFunctions.normText(col(textCol)).as("__t"))
+    )
+      .where(length(col("__t")) >= k)
+      .select(
+        col("doc_id"),
+        posexplode(
+          expr(s"transform(sequence(1, length(__t) - ${k - 1}), i -> substring(__t, i, $k))")
+        ).as(Seq("off", "gram")),
+      )
+      .select(col("doc_id"), (col("off") + 1).cast("long").as("start"), col("gram"))
+      // two consumers (count aggregate + probe side): eager checkpoint,
+      // not cache — same rationale as jaccardPairsPrefix; Bench/Verify
+      // release it via getPersistentRDDs after the query
+      .localCheckpoint()
+    val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+    val marked = CorpusFunctions
+      .zipfSplitJoin(grams, freq, Seq("gram"), "cnt", hotMin)
+      .where(col("cnt") > 1)
+      .select(col("doc_id"), col("start"), (col("start") + (k - 1)).as("end"))
+    mergeSpans(marked, "span_chars")
   }
 
   /** Incremental exact dedup: which docs of a NEW batch survive against

@@ -143,6 +143,38 @@ object EventStream {
       .select(docStream.columns.map(col) :+ col("quality_score") :+ col("pred_lang"): _*)
       .where(col("quality_score") >= lit(minScore))
 
+  /** Streaming mixture gate — the streaming dual of the batch
+    * mixture-application chain (C33 `mixturePlan` → C33b
+    * `mixtureSample`): documents pass the [[qualityGateStream]] score
+    * cut, then the deterministic md5-threshold stratified sampler
+    * applies per-stratum keep-rates planned OFFLINE by the batch
+    * `CorpusFunctions.mixturePlan` (ppm / 1e6, the exact rates the
+    * batch sampler uses). Both stages are stateless per-row
+    * projections + filters — no watermark, no state store, no shuffle
+    * — so the operator streams at scan speed and, because the md5 cut
+    * is a pure function of the doc id, a document survives the stream
+    * gate iff it survives the batch `mixtureSample` under the same
+    * plan: batch/stream parity is exact, row for row (asserted by
+    * StreamingSpec), not statistical.
+    */
+  def mixtureGateStream(
+      docStream: DataFrame,
+      rates: Map[String, Double],
+      stratumCol: String = "lang",
+      idCol: String = "doc_id",
+      minScore: Double = 0.3,
+  ): DataFrame =
+    graft.functions.CorpusFunctions.stratifiedSample(
+      qualityGateStream(docStream, minScore),
+      col(idCol),
+      col(stratumCol),
+      // strata with no planned rate are OUTSIDE the mixture: drop them,
+      // matching mixturePlan's rate-0 semantics (stratifiedSample alone
+      // keeps unlisted strata — correct for ad-hoc downsampling, wrong
+      // for a planned mixture)
+      rates,
+    ).where(col(stratumCol).isin(rates.keySet.toSeq: _*))
+
   /** Streaming NEAR-duplicate detection — the streaming dual of the
     * batch MinHash+LSH path (C2). Per document: the same banded minhash
     * signature as DedupFunctions.minhashSignatures (native

@@ -556,6 +556,33 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("repeatedSpansChar marks corpus-repeated char grams, merges spans, survives hot-arm rerouting") {
+    // docs 0 and 1 share a 30-char normalized prefix; doc 2 is disjoint.
+    // A 30-char repeat yields 11 overlapping 20-grams (starts 1..11)
+    // that merge to one [1, 30] island per doc.
+    val shared = "abcdefghij klmnopqrst uvwxyz012" // 31 chars, normalizes to itself
+    val d = Seq(
+      (0L, s"$shared UNIQUE zero tail padding text"),
+      (1L, s"$shared other one ending entirely different"),
+      (2L, "totally different characters with no repeated twenty char gram"),
+    ).toDF("doc_id", "text")
+    val spans = DedupFunctions.repeatedSpansChar(d, "doc_id", "text", k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.length == 2)
+    spans.foreach { case (id, s, e, len) =>
+      assert(Set(0L, 1L).contains(id))
+      // shared prefix is 31 chars + the following space before the
+      // differing word: both docs normalize to "...012 " then diverge,
+      // so the last repeated 20-gram starts at 13 (covers chars 13..32)
+      assert(s == 1L && e == 32L && len == 32L, (id, s, e, len))
+    }
+    // hot/cold split point moved so every gram rides the broadcast arm:
+    // identical output (the zipfSplitJoin invariant at char grain)
+    val viaHot = DedupFunctions.repeatedSpansChar(d, "doc_id", "text", k = 20, hotMin = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(viaHot.sorted.toSeq == spans.sorted.toSeq)
+  }
+
   test("quantizeInt8: codes bounded by 127, hit the extremes, reconstruct within a half step") {
     val d = Seq(
       (0L, Array(1.0f, -2.0f, 0.0f)),

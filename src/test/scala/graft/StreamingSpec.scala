@@ -142,6 +142,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.head.getAs[String]("pred_lang") == batch.getString(1))
   }
 
+  test("mixtureGateStream matches the batch gate→sample chain row for row") {
+    implicit val sq = spark.sqlContext
+    val good = "the quick brown fox jumps over the lazy dog and runs far away to the hills again"
+    val junkById = "!!! ??? ###"
+    val docs = (1 to 60).map { i =>
+      val lang = if (i % 3 == 0) "zh" else if (i % 3 == 1) "en" else "fr"
+      val text = if (i % 7 == 0) junkById else s"$good doc $i"
+      (i.toLong, text, lang)
+    }
+    // rates as a batch mixturePlan would emit them (exact ppm / 1e6);
+    // fr is outside the mixture (no planned rate -> dropped)
+    val rates = Map("en" -> 0.5, "zh" -> 1.0)
+    val batch = {
+      val d = docs.toDF("doc_id", "text", "lang")
+      graft.functions.CorpusFunctions
+        .stratifiedSample(EventStream.qualityGateStream(d), col("doc_id"), col("lang"), rates)
+        .where(col("lang").isin(rates.keySet.toSeq: _*))
+        .select("doc_id").as[Long].collect().toSet
+    }
+    val mem = MemoryStream[(Long, String, String)]
+    val (first, second) = docs.splitAt(30)
+    mem.addData(first: _*)
+    val q = EventStream
+      .mixtureGateStream(mem.toDF().toDF("doc_id", "text", "lang"), rates)
+      .writeStream.format("memory").queryName("mixture_gate").outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    mem.addData(second: _*) // arrival order must not matter: stateless gate
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("mixture_gate").select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch) // exact row parity, not statistical
+    assert(streamed.nonEmpty && streamed.size < docs.size) // gate + sampler both bit
+    // fr and junk never pass
+    val byId = docs.map(d => d._1 -> d).toMap
+    streamed.foreach { id => assert(byId(id)._3 != "fr" && byId(id)._2 != junkById) }
+  }
+
   test("statefulLatest keeps the newest point per series across batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(String, Long, Timestamp, Double)]

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{CorpusFunctions, DedupFunctions}
+
+/** Plan-shape guards for the Zipf-split join that word_rarity and
+  * bigram_lm ride on, and for the conditional spread() repartition —
+  * the two 100 TB plan-hygiene invariants of the corpus operators.
+  * Auto-broadcast is disabled inside each test so the only broadcast
+  * that can appear is the explicit hint on the hot arm.
+  */
+class ZipfJoinPlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Final adaptive plan only — the Initial Plan section repeats every
+    * exchange without reuse markers and must not be matched against.
+    */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // AQE reuse is only visible in the executed final plan
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  private def countMatches(plan: String, pattern: String): Int =
+    pattern.r.findAllMatchIn(plan).length
+
+  private def withoutAutoBroadcast[A](body: => A): A = {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  private def toksFreq(): (DataFrame, DataFrame) = {
+    // 'the' is hot (200 occurrences >= hotMin 100), w$i are tail
+    val toks = (1 to 200).flatMap(i => Seq((i.toLong, "the"), (i.toLong, s"w$i"))).toDF("doc_id", "w")
+    (toks, toks.groupBy(col("w")).agg(count(lit(1)).as("cf")))
+  }
+
+  test("zipfSplitJoin (word_rarity shape): hot arm broadcasts, tail arm shuffles without broadcast") {
+    withoutAutoBroadcast {
+      val (toks, freq) = toksFreq()
+      val plan = finalPlan(CorpusFunctions.zipfSplitJoin(toks, freq, Seq("w"), "cf", 100L))
+      // hot keys reach the probe by broadcast: the inner join of arm 1
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      // exactly ONE materialized broadcast (the >= hotMin hint); the
+      // tail arm's null-probe reuses it rather than rebuilding
+      assert(countMatches(plan, """\+\- BroadcastExchange""") == 1, plan)
+      // the tail arm is a genuine shuffle join on the cold keys
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(plan.contains("Exchange hashpartitioning"), plan)
+      // the freq aggregate's shuffle dedups across the two arms
+      assert(plan.contains("ReusedExchange"), plan)
+    }
+  }
+
+  test("nested zipfSplitJoin (bigram_lm shape): every duplicated exchange is reused, one broadcast total per freq table") {
+    withoutAutoBroadcast {
+      val (toks, freq) = toksFreq()
+      val freq2 = toks.groupBy(col("w")).agg(count(lit(1)).as("c2"))
+      val nested = CorpusFunctions.zipfSplitJoin(
+        CorpusFunctions.zipfSplitJoin(toks, freq, Seq("w"), "cf", 100L),
+        freq2,
+        Seq("w"),
+        "c2",
+        100L,
+      )
+      val plan = finalPlan(nested)
+      // the inner union is instantiated in both outer arms, but NO
+      // shuffle or broadcast runs twice: re-evaluation is narrow only
+      assert(countMatches(plan, """\+\- BroadcastExchange""") == 1, plan)
+      assert(countMatches(plan, "ReusedExchange") >= 4, plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    }
+  }
+
+  test("spread() is conditional: already-parallel inputs pass through with no repartition Exchange") {
+    val par = spark.sparkContext.defaultParallelism
+    val wide = spark.range(0, 1000, 1, par + 2).selectExpr("id AS doc_id", "concat('w', id % 7, ' x y') AS text", "'en' AS lang")
+    // pass-through: spread returns the very same frame, no new plan node
+    assert(DedupFunctions.spread(wide) eq wide)
+    // and a corpus operator over it plans no round-robin repartition
+    val plan = CorpusFunctions.corpusStats(wide, col("lang"), col("text")).queryExecution.executedPlan.toString
+    assert(!plan.contains("RoundRobinPartitioning"), plan)
+    // the one-file-one-partition rescue still fires for narrow inputs
+    val narrow = wide.coalesce(1)
+    val planNarrow = CorpusFunctions.corpusStats(narrow, col("lang"), col("text")).queryExecution.executedPlan.toString
+    assert(planNarrow.contains("RoundRobinPartitioning"), planNarrow)
+  }
+
+  test("corpusStats approx percentiles stay within 10% of exact at identical schema") {
+    val docs = (1 to 500).map(i => (i.toLong, ("w " * (i % 97 + 3)).trim, if (i % 3 == 0) "de" else "en")).toDF("doc_id", "text", "lang")
+    def byLang(exact: Boolean): Map[String, (Long, Long, Long, Double, Double)] =
+      CorpusFunctions
+        .corpusStats(docs, col("lang"), col("text"), exactPercentiles = exact)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+        .toMap
+    val exact = byLang(true)
+    val approx = byLang(false)
+    assert(exact.keySet == approx.keySet)
+    for (k <- exact.keySet) {
+      val (nd, tw, tc, p50e, p95e) = exact(k)
+      val (nda, twa, tca, p50a, p95a) = approx(k)
+      // counts and sums are exact on both paths
+      assert((nd, tw, tc) == ((nda, twa, tca)))
+      assert(math.abs(p50a - p50e) <= 0.10 * p50e, s"$k p50 approx $p50a vs exact $p50e")
+      assert(math.abs(p95a - p95e) <= 0.10 * p95e, s"$k p95 approx $p95a vs exact $p95e")
+    }
+  }
+}
