@@ -72,6 +72,68 @@ object Bench {
     else (median(runs.map(_.elapsed)), true)
   }
 
+  /** Scale-probe queries: the dedup/corpus headliners whose 100 TB
+    * story rests on plan-shape arguments — measured at 1×/3×/10× the
+    * bench corpus so the claims get empirical backing. The naive
+    * Σdf² Jaccard join is IN deliberately, as the negative control:
+    * its per-row cost should grow with the factor (hot stopword/
+    * boilerplate shingles have df ∝ corpus size) while the
+    * prefix-filtered plan and everything downstream of it stays
+    * near-linear.
+    */
+  private val scaleQueries = Seq(
+    "dedup_ngram_jaccard", // naive Σdf² — the negative control
+    "dedup_jaccard_prefix",
+    "dedup_groups",
+    "dedup_substring_char",
+    "text_bigram_lm",
+    "pipeline_clean_corpus",
+    "corpus_mixture_apply",
+  )
+  private val scaleFactors = Seq(1, 3, 10)
+
+  /** Runs the scale probe and returns its JSON fragment (or "null" on
+    * any setup failure — the probe must never take the main bench
+    * down). One timed run per cell: the probe's signal is the GROWTH
+    * of per-row cost across factors within a single session, which
+    * box-speed noise mostly cancels; the main suite keeps the
+    * median-of-clean machinery for point estimates.
+    */
+  private[graft] def runScaleProbe(spark: SparkSession, baseDir: String): String =
+    try {
+      val cells = scaleFactors.map { f =>
+        val dir = graft.tools.ScaleGen.ensure(spark, baseDir, f, "target/scale")
+        val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+        val qs = scaleQueries.map { name =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save(); true }
+            catch {
+              case e: Throwable =>
+                System.err.println(s"[bench/scale] FAILED $name@x$f: ${e.getClass.getSimpleName}: ${e.getMessage}")
+                false
+            }
+          val el = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+          val v = if (ok) math.round(el * 1000) / 1000.0 else -1.0
+          System.err.println(f"[bench/scale] x$f%-3d $name%-24s $v%8.3f s")
+          name -> v
+        }
+        (f, docs, qs)
+      }
+      cells
+        .map { case (f, docs, qs) =>
+          val qj = qs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+          s"""{"factor":$f,"docs":$docs,"queries":$qj}"""
+        }
+        .mkString("[", ",", "]")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench/scale] scale probe skipped: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        "null"
+    }
+
   /** Cumulative JVM GC pause milliseconds across all collectors. A
     * G1 full-GC storm (humongous-fragmentation class) multiplies a
     * query's wall time 10–100× with nothing in Spark's own logs; the
@@ -184,11 +246,17 @@ object Bench {
     val failed = results.count(_._2 < 0)
     if (failed > 0) System.err.println(s"[bench] $failed queries FAILED (reported as -1)")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Empirical scale probe (1×/3×/10× corpus) — skipped in subset/
+    // profiling mode and via SPARK_GRAFT_SCALE=0; inside the loadavg
+    // bracket so a contaminated window stays identifiable.
+    val scaleJson =
+      if (args.nonEmpty || sys.env.get("SPARK_GRAFT_SCALE").contains("0")) "null"
+      else runScaleProbe(spark, sfDir)
     val loadEnd = loadAvg1()
     val dirtyJson = dirtyQueries.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     def jsonLine(rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"load_start":$loadStart,"load_end":$loadEnd,"host_cpus":$hostCpus,"dirty":$dirtyJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"load_start":$loadStart,"load_end":$loadEnd,"host_cpus":$hostCpus,"dirty":$dirtyJson,"scale":$scaleJson,"queries":$qs,"sf":"$sfDir"}"""
     }
     val full = jsonLine(results)
     println(full)

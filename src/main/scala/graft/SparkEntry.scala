@@ -933,6 +933,13 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       VectorFunctions.pqAnn(emb, emb.orderBy("vec_id").limit(20), k = 5)
     },
+    // C7e: PQ with the OPQ-lite balanced-variance permutation — the
+    // orthogonal pre-rotation (restricted to a permutation) that
+    // rebalances subspace signal before codebook training
+    "sim_pq_opq_ann" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      VectorFunctions.pqAnn(emb, emb.orderBy("vec_id").limit(20), k = 5, opq = true)
+    },
     // C6b: per-label embedding centroids — cluster-space profiling on
     // the labeled embeddings (scaled-integer means, order-exact)
     "emb_label_centroids" -> { (s, dir) =>
@@ -1103,6 +1110,12 @@ object SparkEntry {
     "dedup_substring" -> { (s, dir) =>
       DedupFunctions.repeatedSpans(Tables.documents(s, dir), "doc_id", "text", k = 10)
     },
+    // C24c: winnowing-fingerprint near-dup pairs (MOSS scheme) — the
+    // guaranteed-substring-match complement of shingle Jaccard, on the
+    // winnowed (≈2/(w+1)-density) fingerprint index
+    "dedup_winnow" -> { (s, dir) =>
+      DedupFunctions.winnowPairs(Tables.documents(s, dir), "doc_id", "text")
+    },
     // C24b: char-grain repeated spans — Lee et al.'s suffix-array
     // granularity via a k-char-gram inverted index; Zipf-split gram
     // join (hot boilerplate grams broadcast, tail shuffles bounded)
@@ -1140,6 +1153,28 @@ object SparkEntry {
       Multimodal
         .decodeImages(Multimodal.toPngAssets(assets))
         .select(col("asset_id"), col("format"), col("width"), col("height"), col("n_bytes"))
+    },
+    // C12c (resize): decode → deterministic integer box-filter resize →
+    // PNG re-encode → decode again — a double real-codec round trip.
+    // Output dims are a pure function of payload length, so they
+    // hash-verify; pixel content is spec-checked (MultimodalSpec).
+    "mm_resize" -> { (s, dir) =>
+      val assets = Multimodal.asAssets(Tables.documents(s, dir), "doc_id", "text", "source")
+      Multimodal
+        .decodeImages(Multimodal.resizeImages(Multimodal.toPngAssets(assets)))
+        .select(col("asset_id"), col("format"), col("width"), col("height"))
+    },
+    // C12d (frame-sample): payload → REAL multi-page TIFF → every-2nd
+    // frame decoded (ImageReader.getNumImages walks the directory) —
+    // the video frame-sampling verb on the one multi-frame container
+    // the JDK can truly decode. Sampled frame indices/dims are a pure
+    // function of payload length → hash-verified; per-frame mean luma
+    // is spec-checked.
+    "mm_frames" -> { (s, dir) =>
+      val assets = Multimodal.asAssets(Tables.documents(s, dir), "doc_id", "text", "source")
+      Multimodal
+        .sampleFrames(Multimodal.toTiffAssets(assets))
+        .select(col("asset_id"), col("frame_idx"), col("width"), col("height"))
     },
     // C12 (audio): real WAV codec round trip via javax.sound.sampled —
     // PCM-16 encode → container write → header parse → frame read. The
@@ -1689,6 +1724,20 @@ object SparkEntry {
          FROM f GROUP BY 1""",
     // the WAV round trip preserves exactly the header fields a decoder
     // recovers: frames = capped UTF-8 byte count of the payload
+    "mm_resize" ->
+      """WITH n AS (SELECT doc_id, LEAST(GREATEST(octet_length(encode(text)), 1), 4096) AS nb FROM documents),
+         d AS (SELECT doc_id, CAST(CEIL(nb / 32.0) AS INT) AS h0 FROM n),
+         f AS (SELECT doc_id, h0, GREATEST(2, CAST(CEIL(h0 / 16.0) AS INT)) AS fac FROM d)
+         SELECT doc_id AS asset_id, 'png' AS format,
+                CAST(CEIL(32.0 / fac) AS INT) AS width,
+                CAST(CEIL(CAST(h0 AS DOUBLE) / fac) AS INT) AS height
+         FROM f""",
+    "mm_frames" ->
+      """WITH n AS (SELECT doc_id, LEAST(GREATEST(octet_length(encode(text)), 1), 4096) AS nb FROM documents),
+         fr AS (SELECT doc_id, CAST(CEIL(nb / 256.0) AS INT) AS nf FROM n)
+         SELECT doc_id AS asset_id, CAST(UNNEST(range(0, nf, 2)) AS INT) AS frame_idx,
+                16 AS width, 16 AS height
+         FROM fr""",
     "mm_audio" ->
       """SELECT doc_id AS asset_id, 'PCM_SIGNED' AS encoding, 8000 AS sample_rate,
                 1 AS channels, 16 AS sample_bits,
@@ -2104,6 +2153,21 @@ object SparkEntry {
          SELECT doc_id, MIN(strt) AS span_start, MAX(en) AS span_end,
                 MAX(en) - MIN(strt) + 1 AS span_words
          FROM isl GROUP BY doc_id, island""",
+    "dedup_winnow" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+         hashes AS (SELECT doc_id,
+                     list_transform(generate_series(1, GREATEST(length(t) - 7, 1)), i -> substr(md5(substr(t, i, 8)), 1, 8)) AS hs
+                    FROM norm),
+         f AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(generate_series(1, GREATEST(len(hs) - 3, 1)), j -> list_aggregate(list_slice(hs, j, j + 3), 'min')))) AS fp
+               FROM hashes),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fp
+                   FROM f a JOIN f b USING (fp) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         sz AS (SELECT doc_id, COUNT(*) AS n FROM f GROUP BY 1)
+         SELECT doc_a, doc_b, shared_fp, sa.n + sb.n - shared_fp AS union_fp,
+                round(CAST(shared_fp AS DOUBLE) / (sa.n + sb.n - shared_fp), 6) AS winnow_sim
+         FROM pairs JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         WHERE shared_fp * 2 >= sa.n + sb.n - shared_fp""",
     "dedup_substring_char" ->
       """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
          g AS (SELECT doc_id,

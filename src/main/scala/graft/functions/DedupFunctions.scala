@@ -613,6 +613,54 @@ object DedupFunctions {
     mergeSpans(marked, "span_chars")
   }
 
+  /** Winnowing-fingerprint near-duplicate pairs (Schleimer et al. 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    * MOSS scheme): docs sharing winnowed fingerprints join through the
+    * fingerprint inverted index, then pairs are scored by exact Jaccard
+    * over the two docs' distinct fingerprint SETS and thresholded as a
+    * scaled-integer fraction (num/den), like [[jaccardPairs]]. The
+    * complement of the shingle paths: winnowing guarantees any shared
+    * substring of length ≥ k + w − 1 leaves a shared fingerprint, at
+    * ~2/(w+1) the index density of full k-gram sets.
+    *
+    * `maxDf` > 0 drops fingerprints appearing in more than `maxDf`
+    * docs BEFORE sizes/joins — the paper's own answer to ubiquitous
+    * boilerplate (MOSS ignores matches "in many documents"), and the
+    * hot-key guard at corpus scale: the join then has bounded per-key
+    * fanout, and |F_A| counts only retained fingerprints.
+    */
+  def winnowPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      numThreshold: Int = 1,
+      denThreshold: Int = 2,
+      maxDf: Long = 0L,
+  ): DataFrame = {
+    val all = TextFunctions.fingerprints(df, col(idCol), col(textCol), k, w)
+    val kept =
+      if (maxDf <= 0) all
+      else all.join(all.groupBy(col("fp")).agg(count(lit(1)).as("__df")).where(col("__df") <= maxDf), "fp").drop("__df")
+    // two consumers (sizes + both join sides): eager checkpoint, same
+    // rationale as jaccardPairs; Bench/Verify release via getPersistentRDDs
+    val fps = kept.localCheckpoint()
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    fps
+      .select(col("doc_id").as("doc_a"), col("fp"))
+      .join(fps.select(col("doc_id").as("doc_b"), col("fp")), "fp")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")), "doc_b")
+      .withColumn("union_fp", col("n_a") + col("n_b") - col("shared_fp"))
+      .where(col("shared_fp") * denThreshold >= col("union_fp") * numThreshold)
+      .withColumn("winnow_sim", round(col("shared_fp").cast("double") / col("union_fp"), 6))
+      .select(col("doc_a"), col("doc_b"), col("shared_fp"), col("union_fp"), col("winnow_sim"))
+  }
+
   /** Incremental exact dedup: which docs of a NEW batch survive against
     * an already-ingested corpus — the shape every continuously-fed
     * training pipeline runs daily (dedup the delta, never re-scan the

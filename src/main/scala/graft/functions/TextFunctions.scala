@@ -51,6 +51,12 @@ object TextFunctions {
     "zh" -> Seq("de", "shi", "bu", "le", "wo"),
   )
 
+  /** Every stopword of every profiled language — the salt-exempt set
+    * [[graft.tools.ScaleGen]] leaves untouched so scaled-up shards keep
+    * bit-identical langId and quality features.
+    */
+  private[graft] def allStopwords: Set[String] = Stop.values.flatten.toSet
+
   private def stopHits(wordsCol: Column, lang: String): Column = {
     val set = Stop(lang).map(w => s"'$w'").mkString(", ")
     size(expr(s"filter(__w, t -> t IN ($set))"))
@@ -321,7 +327,7 @@ object TextFunctions {
     */
   def fingerprints(df: DataFrame, idCol: Column, text: Column, k: Int = 8, w: Int = 4): DataFrame = {
     val norm = normText(text)
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    DedupFunctions.spread(df)
       .withColumn("__t", norm)
       .withColumn(
         "__hashes",

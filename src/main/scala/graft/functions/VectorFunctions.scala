@@ -404,6 +404,7 @@ object VectorFunctions {
       rerankFactor: Int = 10,
       lloydIterations: Int = 5,
       trainLimit: Int = 100000,
+      opq: Boolean = false,
   ): DataFrame = {
     val spark = df.sparkSession
     val dim = df.select(size(col("embedding"))).first().getInt(0)
@@ -415,14 +416,30 @@ object VectorFunctions {
       .select(col("vec_id"), col("embedding"))
       .cache()
 
-    val books = trainPqBooks(vecs, m, dsub, codebookSize, lloydIterations, trainLimit)
+    // OPQ-lite: permute dimensions into balanced-variance subspaces
+    // before training. A permutation is orthogonal, so true L2
+    // distances (and the exact rerank) are untouched — only the
+    // subspace decomposition the codebooks quantize changes.
+    val perm: Array[Int] =
+      if (!opq) Array.range(0, dim)
+      else {
+        val train = trainSample(vecs, trainLimit)
+        val p = balancedVariancePerm(train, dim, m)
+        train.unpersist(blocking = true)
+        p
+      }
+    def permuted(c: Column): Column =
+      if (!opq) c else array(perm.map(i => element_at(c, i + 1)): _*)
+    val pvecs = vecs.withColumn("embedding", permuted(col("embedding")))
+
+    val books = trainPqBooks(pvecs, m, dsub, codebookSize, lloydIterations, trainLimit)
 
     // encode the whole corpus; codes are the only per-candidate state
     // the scan reads
-    val coded = vecs.withColumn("codes", pqCodesExpr(books, m, dsub)).select(col("vec_id"), col("codes"))
+    val coded = pvecs.withColumn("codes", pqCodesExpr(books, m, dsub)).select(col("vec_id"), col("codes"))
 
     val q = queries
-      .select(col("vec_id").as("query_id"), pqLutExpr(books, m, dsub, codebookSize).as("lut"))
+      .select(col("vec_id").as("query_id"), pqLutExpr(books, m, dsub, codebookSize, permuted(col("embedding"))).as("lut"))
 
     // ADC scan: m lookups + a sum per (query, candidate); keep a
     // rerankFactor·k shortlist per query
@@ -438,6 +455,44 @@ object VectorFunctions {
     val out = rerankExact(shortlist, vecs, queries, k)
     vecs.unpersist(blocking = true)
     out
+  }
+
+  /** OPQ-lite rotation: the balanced-variance dimension permutation —
+    * the standard initialization of Optimized Product Quantization
+    * (Ge et al. 2014, "Optimized Product Quantization"; Faiss's OPQ
+    * pre-rotation seed, restricted here to a permutation matrix so it
+    * stays exactly orthogonal and collect-bounded). Dimensions are
+    * assigned in decreasing-variance order to the open subspace with
+    * the least variance mass, so no subspace is starved of signal and
+    * none hoards it — the imbalance plain index-order slicing suffers
+    * when energy concentrates in a few dimensions. One bounded
+    * aggregate (2·dim + 1 scalars) reaches the driver; ties break on
+    * dimension/subspace index, so the permutation is deterministic.
+    */
+  private def balancedVariancePerm(train: DataFrame, dim: Int, m: Int): Array[Int] = {
+    val aggs = (0 until dim).flatMap { i =>
+      val x = element_at(col("embedding"), i + 1).cast("double")
+      Seq(sum(x).as(s"s$i"), sum(x * x).as(s"q$i"))
+    } :+ count(lit(1)).cast("double").as("n")
+    val row = train.agg(aggs.head, aggs.tail: _*).first()
+    val n = math.max(row.getDouble(2 * dim), 1.0)
+    val vars = Array.tabulate(dim) { i =>
+      val s = row.getDouble(2 * i)
+      val q = row.getDouble(2 * i + 1)
+      q / n - (s / n) * (s / n)
+    }
+    val dsub = dim / m
+    val order = (0 until dim).sortBy(i => (-vars(i), i))
+    val load = Array.fill(m)(0.0)
+    val slots = Array.fill(m)(0)
+    val groups = Array.fill(m)(List.newBuilder[Int])
+    order.foreach { i =>
+      val s = (0 until m).filter(slots(_) < dsub).minBy(j => (load(j), j))
+      load(s) += vars(i)
+      slots(s) += 1
+      groups(s) += i
+    }
+    groups.flatMap(_.result())
   }
 
   /** Exact squared L2 between one subspace slice and a codeword

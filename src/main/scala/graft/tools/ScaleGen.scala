@@ -1,0 +1,133 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus scale-up generator for the empirical scale
+  * probe: replicates a base `documents` table `factor`× into id-offset
+  * shards under `target/scale/` (never touching the read-only base
+  * test data), constructed so that per-row work is comparable across
+  * factors and the known scale hazards are actually present:
+  *
+  *  - **Shards are textually independent where it matters.** Every
+  *    non-stopword word gets a letters-only shard suffix, so content
+  *    shingles never collide across shards: each shard carries exactly
+  *    the base corpus's internal near-dup structure, and true output
+  *    (dup pairs, groups, spans) grows LINEARLY with the factor — the
+  *    property that makes per-row cost across factors a fair measure
+  *    of plan scalability rather than of a growing answer.
+  *  - **langId / quality features survive scaling.** The salt skips
+  *    every profiled stopword (graft.functions.TextFunctions.Stop) and
+  *    adds no digits or punctuation, so stopword hits, digit/punct
+  *    ratios and the language decision are identical in every shard —
+  *    the composed pipelines keep the same per-shard selectivity at
+  *    every factor.
+  *  - **Hot keys grow with the corpus, as in a real crawl.** Pure
+  *    stopword shingles are shared by ALL shards (their document
+  *    frequency scales with the factor), and 20% of docs additionally
+  *    carry a stopword-only boilerplate sentence — the license-header/
+  *    navigation-chrome analog. Σdf² candidate generation therefore
+  *    grows quadratically with the factor while prefix-filtered
+  *    candidates stay linear: exactly the divergence the scale probe
+  *    exists to measure.
+  *
+  * Everything is a pure column expression of the base rows — no
+  * randomness, no timestamps — so any two runs produce byte-identical
+  * corpora and the probe is reproducible.
+  */
+object ScaleGen {
+
+  /** Doc-id offset between shards; divisible by every modulus used for
+    * doc selection (% 10, % 20, % 50 in the queries, % 5 for the
+    * boilerplate), so each shard selects the SAME base docs for
+    * batch/benchmark/boilerplate roles — shard parity depends on it.
+    */
+  val IdStride = 3000000L
+
+  /** Construction version — bumped whenever the corpus recipe changes
+    * so a stale `target/scale` from an earlier round regenerates
+    * instead of silently measuring the old construction.
+    */
+  private val Version = "v4"
+
+  /** Stopword-only boilerplate: 24 words over the five `en` stopwords
+    * (only `en` — other languages' stopwords would shift langId hits),
+    * sequenced so all 22 word-trigrams are DISTINCT (shingles() keeps
+    * distinct grams per doc, so repeats would collapse and shed df²
+    * pressure).
+    */
+  private val Boilerplate =
+    "the a and of to the and to a of the of a to and the to of and a the a of and"
+
+  /** One doc in `BoilerplateMod` carries the boilerplate: at 10× the
+    * bench corpus (50 k docs) that is 10 k sharers per hot shingle ×
+    * 22 shingles, so the naive Σdf² join must generate ~1.1 G candidate
+    * rows while the prefix-filtered plan (which never selects hot
+    * shingles into a prefix) stays linear — the divergence the probe
+    * measures, sized so the crossover (naive cheaper at 1×, decisively
+    * slower by 10×) stays visible through the box's ±50% load noise.
+    */
+  private val BoilerplateMod = 5
+
+  /** Letters-only shard tag (no digits: digit_ratio must not move). */
+  private[tools] def shardTag(s: Int): String = {
+    require(s >= 0 && s < 26 * 26, s"shard $s out of range")
+    if (s < 26) s"q${('a' + s).toChar}" else s"q${('a' + s / 26).toChar}${('a' + s % 26).toChar}"
+  }
+
+  /** Shard-salted `text` column: every word except profiled stopwords
+    * gets the shard tag appended; whitespace collapses to single
+    * spaces (the normalization every consumer applies anyway).
+    */
+  private def saltedText(shard: Int): Column = {
+    val stopList = graft.functions.TextFunctions.allStopwords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+    val tag = shardTag(shard)
+    expr(
+      s"""array_join(
+         |  transform(
+         |    filter(split(text, '\\\\s+'), w -> w != ''),
+         |    w -> CASE WHEN lower(w) IN ($stopList) THEN w ELSE concat(w, '$tag') END),
+         |  ' ')""".stripMargin
+    )
+  }
+
+  /** Build (or reuse) the `factor`× corpus under `outRoot/x<factor>`;
+    * returns the directory usable as a SparkEntry `sfDir` (it contains
+    * `documents.parquet`). A marker file makes the build idempotent
+    * across bench runs in one round.
+    */
+  def ensure(spark: SparkSession, baseDir: String, factor: Int, outRoot: String): String = {
+    require(factor >= 1, "factor must be >= 1")
+    val outDir = s"$outRoot/$Version/x$factor"
+    val marker = Paths.get(outDir, "_GRAFT_SCALE_OK")
+    if (Files.exists(marker)) return outDir
+    val base = spark.read.parquet(s"$baseDir/documents.parquet")
+    val shards: Seq[DataFrame] = (0 until factor).map { s =>
+      base.select(
+        (col("doc_id") + lit(s * IdStride)).as("doc_id"),
+        saltedText(s).as("text"),
+        col("lang"),
+        col("source"),
+      )
+    }
+    val all = shards
+      .reduce(_ unionAll _)
+      .withColumn(
+        "text",
+        when(col("doc_id") % BoilerplateMod === 0, concat(col("text"), lit(" " + Boilerplate))).otherwise(col("text")),
+      )
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    // multi-split output: the scaled corpus must arrive already
+    // parallel, like any real table — the conditional spread() then
+    // correctly leaves it alone
+    all
+      .repartition(math.max(8, 2 * factor))
+      .write
+      .mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+    Files.createFile(marker)
+    outDir
+  }
+}

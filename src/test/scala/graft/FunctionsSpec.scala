@@ -435,6 +435,90 @@ class FunctionsSpec extends AnyFunSuite {
     assert(res == res2)
   }
 
+  test("ivfPqAnn recall@5 rises with nProbe — the documented cost/recall knob") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.orderBy("vec_id").limit(50)
+    // exact L2 top-5 baseline (self excluded), shared by all points
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    val qids = queries.collect().map(_.getLong(0))
+    val exact = qids.flatMap { qid =>
+      val qv = vecs(qid)
+      vecs.toSeq
+        .filter(_._1 != qid)
+        .map { case (id, v) =>
+          var d = 0.0
+          var i = 0
+          while (i < qv.length) { val x = qv(i).toDouble - v(i); d += x * x; i += 1 }
+          (id, d)
+        }
+        .sortBy { case (id, d) => (d, id) }
+        .take(5)
+        .map { case (id, _) => (qid, id) }
+    }.toSet
+    val curve = Seq(1, 2, 4, 8).map { nProbe =>
+      val got = VectorFunctions
+        .ivfPqAnn(emb, queries, k = 5, nProbe = nProbe)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      nProbe -> got.intersect(exact).size.toDouble / exact.size
+    }
+    info(s"recall@5 by nProbe: ${curve.map { case (p, r) => s"$p→${"%.3f".format(r)}" }.mkString(", ")}")
+    // probed cell sets are nested as nProbe grows, so recall rises; the
+    // bounded-shortlist rerank allows at most a whisker of non-monotone
+    // noise between adjacent points
+    curve.sliding(2).foreach { case Seq((pa, ra), (pb, rb)) =>
+      assert(rb >= ra - 0.02, s"recall fell from nProbe $pa ($ra) to $pb ($rb)")
+    }
+    // and the knob must genuinely buy recall end to end
+    assert(curve.last._2 > curve.head._2, s"nProbe 8 (${curve.last._2}) no better than 1 (${curve.head._2})")
+  }
+
+  test("pqAnn OPQ-lite balanced-variance permutation is deterministic and keeps ADC recall at or above plain PQ") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.orderBy("vec_id").limit(50)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rerankFactor = 1 exposes raw code fidelity (same operating point
+    // as the residual-encoding spec: m=8, cb=8)
+    def run(useOpq: Boolean) = pairs(
+      VectorFunctions
+        .pqAnn(emb, queries, k = 5, m = 8, codebookSize = 8, rerankFactor = 1, opq = useOpq)
+        .select("query_id", "neighbor_id")
+    )
+    val plain = run(false)
+    val opq = run(true)
+    assert(opq == run(true)) // permutation + codebooks fully deterministic
+    assert(opq.size == plain.size) // full k per query either way
+    // exact L2 top-5 baseline (self excluded)
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    val qids = queries.collect().map(_.getLong(0))
+    val exact = qids.flatMap { qid =>
+      val qv = vecs(qid)
+      vecs.toSeq
+        .filter(_._1 != qid)
+        .map { case (id, v) =>
+          var d = 0.0
+          var i = 0
+          while (i < qv.length) { val x = qv(i).toDouble - v(i); d += x * x; i += 1 }
+          (id, d)
+        }
+        .sortBy { case (id, d) => (d, id) }
+        .take(5)
+        .map { case (id, _) => (qid, id) }
+    }.toSet
+    val rPlain = plain.intersect(exact).size.toDouble / exact.size
+    val rOpq = opq.intersect(exact).size.toDouble / exact.size
+    info(s"ADC-only recall@5: opq $rOpq vs plain $rPlain, result overlap ${opq.intersect(plain).size}/${plain.size}")
+    // the permutation must actually change the decomposition (a silent
+    // identity fallback would trivially pass the recall bound)
+    assert(opq != plain, "OPQ produced the identical result set — permutation had no effect")
+    // a permutation can only rebalance, never destroy, subspace signal:
+    // it must not lose recall (on these isotropic synthetic embeddings
+    // per-dimension variances are near-equal, so recall parity — not a
+    // gain — is the expected outcome)
+    assert(rOpq >= rPlain, s"OPQ recall $rOpq below plain $rPlain")
+  }
+
   test("decontaminate flags corpus docs overlapping the benchmark set") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta"), // contains bench 5-gram
@@ -554,6 +638,36 @@ class FunctionsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("span_start") == 1L && r.getAs[Long]("span_end") == 12L)
       assert(r.getAs[Long]("span_words") == 12L)
     }
+  }
+
+  test("winnowPairs finds near-dups via shared fingerprints; maxDf drops ubiquitous boilerplate") {
+    val boiler = "copyright acme corp all rights reserved worldwide"
+    val body = "a quick brown fox jumped over the extremely lazy dog near the river bank today"
+    val d = Seq(
+      (1L, s"$body $boiler"),
+      (2L, s"$body and then it ran away $boiler"), // near-dup of 1
+      (3L, s"completely unrelated content about database query planning and shuffles $boiler"),
+      (4L, s"another fully distinct document concerning audio codecs and containers $boiler"),
+    ).toDF("doc_id", "text")
+    val pairs = DedupFunctions.winnowPairs(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // the planted near-dup survives the τ=1/2 cut
+    assert(!pairs.contains((3L, 4L))) // distinct docs share only boilerplate — below τ
+    // similarity is exact over the fingerprint sets: recompute doc 1/2 by hand
+    val fp = graft.functions.TextFunctions.fingerprints(d, col("doc_id"), col("text"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val i = fp(1L).intersect(fp(2L)).size
+    val u = fp(1L).size + fp(2L).size - i
+    val row = DedupFunctions.winnowPairs(d, "doc_id", "text")
+      .where(col("doc_a") === 1 && col("doc_b") === 2).collect().head
+    assert(row.getLong(2) == i && row.getLong(3) == u)
+    assert(row.getDouble(4) == BigDecimal(i.toDouble / u).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // maxDf = 3 drops fingerprints in all four docs (the boilerplate):
+    // the near-dup pair survives on body fingerprints alone
+    val guarded = DedupFunctions.winnowPairs(d, "doc_id", "text", maxDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded.contains((1L, 2L)))
+    assert(!guarded.exists { case (a, b) => Set(a, b).subsetOf(Set(3L, 4L)) })
   }
 
   test("repeatedSpansChar marks corpus-repeated char grams, merges spans, survives hot-arm rerouting") {

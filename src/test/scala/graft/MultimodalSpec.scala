@@ -30,6 +30,73 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.length == 4 && math.abs(f.sum - 1.0) < 1e-9)
   }
 
+  test("resizeImages box-filters to the expected dims and preserves solid-color pixels exactly") {
+    // 40×40 solid gray 100 → f = ceil(40/16) = 3 → 14×14, every output
+    // pixel is the mean of a uniform block = 100
+    val assets = Seq((1L, png(40, 40, 100 << 16 | 100 << 8 | 100), "solid"), (2L, "junk".getBytes("UTF-8"), "junk"))
+      .toDF("asset_id", "content", "label")
+      .select(
+        $"asset_id",
+        $"content",
+        org.apache.spark.sql.functions
+          .struct(
+            org.apache.spark.sql.functions.lit("image/png").as("mime"),
+            org.apache.spark.sql.functions.length($"content").as("n_bytes"),
+            $"label".as("source"),
+          )
+          .as("meta"),
+      )
+    val resized = Multimodal.resizeImages(assets, maxDim = 16)
+    val decoded = Multimodal.decodeImages(resized).orderBy("asset_id").collect()
+    val ok = decoded(0)
+    assert(ok.getAs[String]("format") == "png")
+    assert(ok.getAs[Int]("width") == 14 && ok.getAs[Int]("height") == 14)
+    // the box filter of a uniform luma-100 image is exactly 100 in every
+    // RAW sample (asserted on the real re-encoded PNG bytes — getRGB
+    // would route through the ICC gray→sRGB conversion and lie)
+    val png100 = resized.orderBy("asset_id").collect().head.getAs[Array[Byte]]("content")
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png100))
+    for (y <- 0 until back.getHeight; x <- 0 until back.getWidth)
+      assert(back.getRaster.getSample(x, y, 0) == 100)
+    // undecodable blob passes through with null content, decodes to null
+    assert(decoded(1).isNullAt(decoded(1).fieldIndex("format")))
+    // determinism: byte-identical output on a second run
+    val b1 = resized.orderBy("asset_id").collect().head.getAs[Array[Byte]]("content")
+    val b2 = Multimodal.resizeImages(assets, maxDim = 16).orderBy("asset_id").collect().head.getAs[Array[Byte]]("content")
+    assert(java.util.Arrays.equals(b1, b2))
+  }
+
+  test("toTiffAssets + sampleFrames: real multi-page round trip, every-Nth selection, exact frame luma") {
+    // 600 payload bytes of value 7 → 3 frames of 16×16 (last zero-padded:
+    // 600 - 512 = 88 sevens + 168 zeros)
+    val payload = Array.fill[Byte](600)(7)
+    val docs = Seq((1L, payload, "clip")).toDF("asset_id", "content", "label")
+      .select(
+        $"asset_id",
+        $"content",
+        org.apache.spark.sql.functions
+          .struct(
+            org.apache.spark.sql.functions.lit("application/octet-stream").as("mime"),
+            org.apache.spark.sql.functions.length($"content").as("n_bytes"),
+            $"label".as("source"),
+          )
+          .as("meta"),
+      )
+    val tiff = Multimodal.toTiffAssets(docs)
+    val all = Multimodal.sampleFrames(tiff, everyN = 1).orderBy("frame_idx").collect()
+    assert(all.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 2))
+    assert(all.forall(r => r.getAs[Int]("width") == 16 && r.getAs[Int]("height") == 16))
+    // frames 0/1 are solid 7s; frame 2 has 88 sevens then zeros
+    assert(all(0).getAs[Double]("mean_luma") == 7.0)
+    assert(all(1).getAs[Double]("mean_luma") == 7.0)
+    assert(all(2).getAs[Double]("mean_luma") == math.floor(88.0 * 7 * 1e6 / 256) / 1e6)
+    // every-2nd sampling keeps frames 0 and 2; offset shifts the comb
+    val sampled = Multimodal.sampleFrames(tiff, everyN = 2).orderBy("frame_idx").collect()
+    assert(sampled.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2))
+    val offset = Multimodal.sampleFrames(tiff, everyN = 2, offset = 1).collect()
+    assert(offset.map(_.getAs[Int]("frame_idx")).toSeq == Seq(1))
+  }
+
   /** Hand-built PNG fixtures: known dimensions and solid colors, so the
     * decoded width/height/luma histogram have exact expected values.
     */

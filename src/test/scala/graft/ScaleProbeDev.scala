@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Standalone driver for the empirical scale probe: runs ONLY the
+  * 1×/3×/10× scale section (no main suite) so the crossover can be
+  * re-measured in ~2 min instead of a full bench run.
+  */
+object ScaleProbeDev {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftOptimizations.install(spark)
+    println("SCALE=" + Bench.runScaleProbe(spark, "/root/testdata/sf0.1"))
+    spark.stop()
+  }
+}
