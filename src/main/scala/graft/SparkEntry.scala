@@ -979,6 +979,20 @@ object SparkEntry {
           col("digit_ratio"), col("punct_ratio"), col("stopword_ratio"), col("quality_score"),
         )
     },
+    // C9b: Gopher quality rules (Rae et al. 2021 Appendix A) — the
+    // canonical rule-based gate; minWords lowered to 20 so the rule
+    // actually splits this corpus (docs run 20-60 words)
+    "text_gopher" -> { (s, dir) =>
+      TextFunctions
+        .gopherRules(Tables.documents(s, dir), col("doc_id"), col("text"), minWords = 20)
+        .select(
+          col("doc_id"), col("n_words").cast("long").as("n_words"), col("mean_word_len"),
+          col("symbol_ratio"), col("bullet_line_ratio"), col("ellipsis_line_ratio"),
+          col("alpha_word_ratio"), col("n_indicator_stops").cast("long").as("n_indicator_stops"),
+          col("rule_word_count"), col("rule_word_len"), col("rule_alpha"), col("rule_stops"),
+          col("gopher_pass"),
+        )
+    },
     // C10: token counting (whitespace + BPE-ish regex)
     "text_tokens" -> { (s, dir) =>
       TextFunctions
@@ -1122,6 +1136,12 @@ object SparkEntry {
     "dedup_substring_char" -> { (s, dir) =>
       DedupFunctions.repeatedSpansChar(Tables.documents(s, dir), "doc_id", "text", k = 20)
     },
+    // C24d: CCNet paragraph-grain dedup (Wenzek et al. 2020) on
+    // 10-word blocks — first corpus-wide occurrence survives,
+    // documents re-assembled from surviving blocks
+    "dedup_paragraph" -> { (s, dir) =>
+      DedupFunctions.paragraphDedup(Tables.documents(s, dir), "doc_id", "text")
+    },
     // C25: per-dimension int8 embedding quantization, exploded to
     // (vec_id, dim, q) scalar rows for the oracle compare
     "embedding_quantize" -> { (s, dir) =>
@@ -1129,6 +1149,13 @@ object SparkEntry {
         .quantizeInt8(Tables.embeddings(s, dir))
         .select(col("vec_id"), posexplode(col("qvec")).as(Seq("dim", "q")))
         .select(col("vec_id"), col("dim").cast("long").as("dim"), col("q"))
+    },
+    // C25b: PCA projection of the embedding space — distributed
+    // covariance (one partial-agg pass), driver Jacobi eigensolve,
+    // literal-expression projection (rows-only; basis properties and
+    // determinism spec-verified)
+    "emb_pca" -> { (s, dir) =>
+      VectorFunctions.pcaProject(Tables.embeddings(s, dir), k = 8)
     },
     // C13: approximate per-series stats — the 100 TB scale path
     // (sketches, not exact aggregation; rows-only by nature)
@@ -1884,6 +1911,48 @@ object SparkEntry {
          SELECT d.lang, pred.pred_lang, COUNT(*) AS n
          FROM pred JOIN documents d USING (doc_id)
          GROUP BY 1, 2""",
+    "text_gopher" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w,
+                  string_split(text, chr(10)) AS ls
+           FROM documents),
+         feat AS (
+           SELECT doc_id,
+                  CAST(len(w) AS BIGINT) AS n_words,
+                  FLOOR(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) * 1000000.0 / GREATEST(len(w), 1)) / 1000000.0 AS mean_word_len,
+                  FLOOR(CAST((length(text) - length(replace(text, '#', '')))
+                        + (length(text) - length(replace(text, '…', '')))
+                        + FLOOR((length(text) - length(replace(text, '...', ''))) / 3) AS DOUBLE)
+                        * 1000000.0 / GREATEST(len(w), 1)) / 1000000.0 AS symbol_ratio,
+                  FLOOR(CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) * 1000000.0 / GREATEST(len(ls), 1)) / 1000000.0 AS bullet_line_ratio,
+                  FLOOR(CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE) * 1000000.0 / GREATEST(len(ls), 1)) / 1000000.0 AS ellipsis_line_ratio,
+                  FLOOR(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) * 1000000.0 / GREATEST(len(w), 1)) / 1000000.0 AS alpha_word_ratio,
+                  CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'], s -> list_contains(w, s))) AS BIGINT) AS n_indicator_stops
+           FROM base)
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_ratio,
+                ellipsis_line_ratio, alpha_word_ratio, n_indicator_stops,
+                n_words >= 20 AND n_words <= 100000 AS rule_word_count,
+                mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS rule_word_len,
+                alpha_word_ratio >= 0.8 AS rule_alpha,
+                n_indicator_stops >= 2 AS rule_stops,
+                (n_words >= 20 AND n_words <= 100000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                  AND symbol_ratio <= 0.1 AND bullet_line_ratio < 0.9 AND ellipsis_line_ratio < 0.3
+                  AND alpha_word_ratio >= 0.8 AND n_indicator_stops >= 2 AS gopher_pass
+         FROM feat""",
+    "dedup_paragraph" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+         b AS (SELECT doc_id, CAST(i AS INT) AS blk,
+                      array_to_string(ws[(i*10+1):((i+1)*10)], ' ') AS unit
+               FROM w, UNNEST(range(0, CAST(CEIL(len(ws)/10.0) AS INT))) AS t(i)),
+         k AS (SELECT doc_id, blk, unit,
+                      row_number() OVER (PARTITION BY md5(unit) ORDER BY doc_id, blk) = 1 AS kept
+               FROM b)
+         SELECT doc_id, COUNT(*) AS n_blocks,
+                COUNT(*) FILTER (WHERE kept) AS n_kept,
+                CASE WHEN COUNT(*) FILTER (WHERE kept) > 0
+                     THEN string_agg(unit, ' ' ORDER BY blk) FILTER (WHERE kept) END AS clean_text
+         FROM k GROUP BY doc_id""",
     "text_quality" ->
       """WITH base AS (
            SELECT doc_id, text,

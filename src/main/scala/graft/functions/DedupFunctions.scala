@@ -661,6 +661,65 @@ object DedupFunctions {
       .select(col("doc_a"), col("doc_b"), col("shared_fp"), col("union_fp"), col("winnow_sim"))
   }
 
+  /** Paragraph-grain corpus-wide dedup (Wenzek et al. 2020, "CCNet" —
+    * there on newline paragraphs of Common Crawl; the unit here is a
+    * fixed `blockWords`-word block so the operator also bites on
+    * single-line corpora): every block instance is kept iff it is the
+    * FIRST occurrence of its normalized content corpus-wide (lowest
+    * (doc_id, block index)), and each document is re-assembled from
+    * its surviving blocks. Returns one row per doc:
+    * `(doc_id, n_blocks, n_kept, clean_text)` — `clean_text` is null
+    * when every block of the doc was seen earlier elsewhere.
+    *
+    * Scale shape: first-occurrence selection is a `min(struct)` hash
+    * aggregate over the block index — partial aggregation combines
+    * map-side, so a boilerplate block repeated 10⁸ times costs one
+    * row per map partition on the shuffle, NOT a hot-key window sort
+    * (the row_number formulation would sort every copy of the hottest
+    * block on one reducer). The join back on the block hash has
+    * per-key output = instance count (no pair explosion), and
+    * reassembly is a per-doc sort_array over ≤ doc-length structs.
+    */
+  def paragraphDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockWords: Int = 10,
+  ): DataFrame = {
+    val inst = spread(df)
+      .withColumn("__ws", split(TextFunctions.normText(col(textCol)), " "))
+      .select(
+        col(idCol).as("doc_id"),
+        posexplode(
+          expr(
+            s"transform(sequence(0, CAST(CEIL(size(__ws) / ${blockWords}.0) AS INT) - 1)," +
+              s" i -> array_join(slice(__ws, i * $blockWords + 1, $blockWords), ' '))"
+          )
+        ).as(Seq("blk", "unit")),
+      )
+      .withColumn("__h", md5(col("unit")))
+      // two consumers (first-occurrence agg + join probe): eager
+      // checkpoint; Bench/Verify release via getPersistentRDDs
+      .localCheckpoint()
+    val first = inst
+      .groupBy(col("__h"))
+      .agg(min(struct(col("doc_id"), col("blk"))).as("__first"))
+    inst
+      .join(first, "__h")
+      .withColumn("__kept", col("doc_id") === col("__first.doc_id") && col("blk") === col("__first.blk"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        count(when(col("__kept"), lit(1))).as("n_kept"),
+        array_join(
+          expr("transform(array_sort(collect_list(CASE WHEN __kept THEN struct(blk, unit) END)), s -> s.unit)"),
+          " ",
+        ).as("__joined"),
+      )
+      .withColumn("clean_text", when(col("n_kept") > 0, col("__joined")))
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"), col("clean_text"))
+  }
+
   /** Incremental exact dedup: which docs of a NEW batch survive against
     * an already-ingested corpus — the shape every continuously-fed
     * training pipeline runs daily (dedup the delta, never re-scan the

@@ -124,6 +124,86 @@ object TextFunctions {
       .drop("__w")
   }
 
+  /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", Appendix A —
+    * the rule set MassiveWeb was filtered with, reused by MassiveText
+    * descendants ever since): per-document metrics plus one boolean
+    * per rule and the conjunctive `gopher_pass` gate.
+    *
+    *  - word count within [minWords, maxWords]
+    *  - mean word length within [3, 10]
+    *  - symbol-to-word ratio (`#` characters + `…`/`...` sequences,
+    *    leftmost non-overlapping) ≤ 0.1
+    *  - < 90% of lines starting with a bullet (`-`, `*`, `•`)
+    *  - < 30% of lines ending with an ellipsis
+    *  - ≥ 80% of words containing at least one alphabetic character
+    *  - ≥ 2 of the 8 Gopher indicator stopwords present
+    *
+    * Word metrics run on normalized words ([[words]]); the two line
+    * rules run on the RAW text (normalization collapses newlines, and
+    * a single-line doc is trivially one non-bullet, non-ellipsis
+    * line). Everything is a per-row column expression — stateless,
+    * shuffle-free, and the exact ratios use [[ratio6]] floor-scaled
+    * division so every engine agrees bit-for-bit.
+    */
+  def gopherRules(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+  ): DataFrame = {
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopList = gopherStops.map(s => s"'$s'").mkString(", ")
+    val ellipsisSeqs =
+      (length(text) - length(regexp_replace(text, "…", ""))) +
+        floor((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3)).cast("int")
+    df.withColumn("__w", words(text))
+      .withColumn("__ls", split(text, "\n"))
+      .withColumn("doc_id", idCol)
+      .withColumn("n_words", size(col("__w")))
+      .withColumn(
+        "mean_word_len",
+        ratio6(aggregate(col("__w"), lit(0L), (acc, w) => acc + length(w)), greatest(col("n_words"), lit(1))),
+      )
+      .withColumn(
+        "symbol_ratio",
+        ratio6(
+          (length(text) - length(regexp_replace(text, "#", ""))) + ellipsisSeqs,
+          greatest(col("n_words"), lit(1)),
+        ),
+      )
+      .withColumn(
+        "bullet_line_ratio",
+        ratio6(size(expr("filter(__ls, l -> trim(l) RLIKE '^[-*•]')")), greatest(size(col("__ls")), lit(1))),
+      )
+      .withColumn(
+        "ellipsis_line_ratio",
+        ratio6(
+          size(expr("filter(__ls, l -> trim(l) RLIKE '(\\\\.\\\\.\\\\.|…)$')")),
+          greatest(size(col("__ls")), lit(1)),
+        ),
+      )
+      .withColumn(
+        "alpha_word_ratio",
+        ratio6(size(expr("filter(__w, w -> w RLIKE '[a-z]')")), greatest(col("n_words"), lit(1))),
+      )
+      .withColumn("n_indicator_stops", size(expr(s"filter(array($stopList), s -> array_contains(__w, s))")))
+      .withColumn("rule_word_count", col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("rule_word_len", col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("rule_symbol", col("symbol_ratio") <= 0.1)
+      .withColumn("rule_bullet", col("bullet_line_ratio") < 0.9)
+      .withColumn("rule_ellipsis", col("ellipsis_line_ratio") < 0.3)
+      .withColumn("rule_alpha", col("alpha_word_ratio") >= 0.8)
+      .withColumn("rule_stops", col("n_indicator_stops") >= 2)
+      .withColumn(
+        "gopher_pass",
+        col("rule_word_count") && col("rule_word_len") && col("rule_symbol") &&
+          col("rule_bullet") && col("rule_ellipsis") && col("rule_alpha") && col("rule_stops"),
+      )
+      .drop("__w", "__ls")
+  }
+
   /** Chunk documents into overlapping word windows — the standard
     * training-data prep step before tokenization. `size` words per
     * chunk, stepping `size - overlap`; short docs yield one chunk.

@@ -792,6 +792,155 @@ object VectorFunctions {
       )
   }
 
+  /** PCA projection of the embedding column — the dimensionality
+    * reduction / whitening front end of embedding pipelines (and the
+    * full-rotation big sibling of [[balancedVariancePerm]]'s OPQ-lite
+    * permutation). Three stages, each scale-safe:
+    *
+    *  1. mean + second-moment matrix in ONE aggregation pass over
+    *     quantized components (`floor(x·1e6)` longs, products summed
+    *     as decimal(38,0) — order-independent, overflow-proof): the
+    *     d(d+1)/2 upper-triangle pair rows explode map-side but
+    *     partial aggregation combines them before the shuffle, so
+    *     shuffle volume is #partitions × d² summary rows, never n·d².
+    *  2. eigendecomposition of the d×d covariance at the driver —
+    *     cyclic Jacobi sweeps in fixed (p,q) order, deterministic for
+    *     a deterministic input matrix; d = embedding dim, O(d³) work
+    *     on ~d² doubles (bounded like the Lloyd summaries).
+    *  3. per-row projection onto the top-`k` components as literal
+    *     column expressions (fixed left-fold order — deterministic),
+    *     no shuffle, no driver data loop.
+    *
+    * Components are sorted by descending eigenvalue (ties on index)
+    * and sign-normalized (largest-|coordinate| entry positive, ties on
+    * the lowest index), so the basis — and every projection — is fully
+    * reproducible across runs and partitionings. Training runs on the
+    * `trainLimit` lowest vec_ids (train small, project everything).
+    * Emits (vec_id, pc0 … pc{k−1}).
+    */
+  def pcaProject(df: DataFrame, k: Int = 8, trainLimit: Int = 100000): DataFrame = {
+    val dim = df.select(size(col("embedding"))).first().getInt(0)
+    require(k >= 1 && k <= dim, s"k=$k out of range for dim=$dim")
+    val vecs = spreadVecs(df).cache()
+    val train = trainSample(vecs, trainLimit)
+    val (mean, cov) = pcaMeanCov(train, dim)
+    train.unpersist(blocking = true)
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    val order = (0 until dim).sortBy(i => (-eigVals(i), i)).take(k)
+    val comps = order.map { i =>
+      val v = eigVecs(i)
+      val pivot = v.indices.minBy(j => (-math.abs(v(j)), j))
+      if (v(pivot) < 0) v.map(x => -x) else v
+    }
+    val mArr = array(mean.map(lit): _*)
+    val centered = zip_with(col("embedding"), mArr, (a, b) => a.cast("double") - b)
+    val out = comps.zipWithIndex.foldLeft(vecs.withColumn("__c", centered)) { case (d, (v, j)) =>
+      val wArr = array(v.map(lit): _*)
+      d.withColumn(s"pc$j", aggregate(zip_with(col("__c"), wArr, (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+    }
+    val res = out.select(col("vec_id") +: comps.indices.map(j => round(col(s"pc$j"), 6).as(s"pc$j")): _*)
+    val materialized = res.localCheckpoint()
+    vecs.unpersist(blocking = true)
+    materialized
+  }
+
+  /** Respread helper shared by trainers: single-file inputs collapse
+    * to one partition and would train single-core.
+    */
+  private def spreadVecs(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Mean vector and covariance matrix of the embedding column in one
+    * distributed pass each: components quantized to `floor(x·1e6)`
+    * longs, pairwise products (≤ 1e12 each) summed as decimal(38,0).
+    * Only 2·d + d(d+1)/2 summary rows reach the driver.
+    */
+  private def pcaMeanCov(train: DataFrame, dim: Int): (Array[Double], Array[Array[Double]]) = {
+    val q = train.withColumn("__q", expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"))
+    val n = q.count().toDouble
+    val moments = q
+      .select(posexplode(col("__q")).as(Seq("__i", "__qi")))
+      .groupBy(col("__i"))
+      .agg(sum(col("__qi").cast("decimal(38,0)")).as("__s"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue())
+      .toMap
+    val mean = Array.tabulate(dim)(i => moments(i) / 1e6 / n)
+    val pairSums = q
+      .select(
+        explode(
+          expr(
+            s"""flatten(transform(sequence(0, ${dim - 1}),
+               |  i -> transform(sequence(i, ${dim - 1}),
+               |    j -> struct(i AS i, j AS j, __q[i] * __q[j] AS p))))""".stripMargin
+          )
+        ).as("__e")
+      )
+      .groupBy(col("__e.i"), col("__e.j"))
+      .agg(sum(col("__e.p").cast("decimal(38,0)")).as("__sp"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).doubleValue())
+      .toMap
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      pairSums((a, b)) / 1e12 / n - mean(i) * mean(j)
+    }
+    (mean, cov)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: fixed
+    * (p,q) sweep order, rotations applied until the off-diagonal mass
+    * is negligible (or a fixed sweep cap — 64-dim covariances converge
+    * in < 10 sweeps). Returns (eigenvalues, eigenvectors as rows),
+    * deterministic for a deterministic input.
+    */
+  private def jacobiEigen(m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = m.length
+    val a = Array.tabulate(n, n)((i, j) => m(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def offDiag: Double = {
+      var s = 0.0
+      for (i <- 0 until n; j <- i + 1 until n) s += a(i)(j) * a(i)(j)
+      s
+    }
+    var sweep = 0
+    while (sweep < 30 && offDiag > 1e-22) {
+      for (p <- 0 until n - 1; q <- p + 1 until n) {
+        val apq = a(p)(q)
+        if (math.abs(apq) > 1e-300) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+          val t =
+            if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+            else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (i <- 0 until n) {
+            val aip = a(i)(p)
+            val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq
+            a(i)(q) = s * aip + c * aiq
+          }
+          for (j <- 0 until n) {
+            val apj = a(p)(j)
+            val aqj = a(q)(j)
+            a(p)(j) = c * apj - s * aqj
+            a(q)(j) = s * apj + c * aqj
+          }
+          for (i <- 0 until n) {
+            val vip = v(i)(p)
+            val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+          }
+        }
+      }
+      sweep += 1
+    }
+    // v holds eigenvectors as COLUMNS; return them as rows
+    (Array.tabulate(n)(i => a(i)(i)), Array.tabulate(n, n)((c, r) => v(r)(c)))
+  }
+
   /** Random-hyperplane LSH bucket id: `planes` sign bits of dot products
     * against pseudo-random hyperplanes derived from `xxhash64(p, j)`
     * (deterministic, no stored model). Components lie in [-1, 1].

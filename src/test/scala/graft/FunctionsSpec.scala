@@ -714,4 +714,89 @@ class FunctionsSpec extends AnyFunSuite {
     val err0 = math.abs(q(1L)(0) * 1.0 / 127.0 - 0.5)
     assert(err0 <= 1.0 / 254.0 + 1e-6)
   }
+
+  test("gopherRules: every rule fires on its designed violator, clean prose passes") {
+    val clean = "the quick brown fox and the lazy dog have agreed to race along the river " +
+      "with plenty of sunshine and that fine breeze behind them all day long today"
+    val d = Seq(
+      (0L, clean),                                                  // passes everything
+      (1L, "short words only here"),                                // word count < 20
+      (2L, Array.fill(25)("a").mkString(" ")),                      // mean word length 1 < 3
+      (3L, clean.split(" ").map(_ + "###").mkString(" ")),          // symbol ratio 3 > 0.1
+      (4L, (1 to 25).map(i => s"- bullet $i").mkString("\n")),      // all lines bullets
+      (5L, (1 to 25).map(i => s"line number $i goes on...").mkString("\n")), // all lines ellipsis
+      (6L, (1 to 25).map(_ => "123 456").mkString(" ")),            // no alphabetic words
+      (7L, clean.replaceAll("\\b(the|and|to|of|that|have|with)\\b", "x")), // < 2 indicator stops
+    ).toDF("doc_id", "text")
+    val r = TextFunctions.gopherRules(d, col("doc_id"), col("text"), minWords = 20)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Boolean]("gopher_pass"))
+    assert(!r(1L).getAs[Boolean]("rule_word_count"))
+    assert(!r(2L).getAs[Boolean]("rule_word_len"))
+    assert(!r(3L).getAs[Boolean]("rule_symbol"))
+    assert(!r(4L).getAs[Boolean]("rule_bullet"))
+    assert(!r(5L).getAs[Boolean]("rule_ellipsis"))
+    assert(!r(6L).getAs[Boolean]("rule_alpha"))
+    assert(!r(7L).getAs[Boolean]("rule_stops"))
+    assert((1L to 7L).forall(i => !r(i).getAs[Boolean]("gopher_pass")))
+    // exact metric spot checks: 25 single-char words → mean length 1.0;
+    // the bullet doc is 25/25 bullet lines
+    assert(r(2L).getAs[Double]("mean_word_len") == 1.0)
+    assert(r(4L).getAs[Double]("bullet_line_ratio") == 1.0)
+    assert(r(5L).getAs[Double]("ellipsis_line_ratio") == 1.0)
+  }
+
+  test("paragraphDedup keeps first corpus-wide block occurrence and reassembles docs") {
+    def block(tag: String) = (1 to 10).map(i => s"$tag$i").mkString(" ")
+    val shared = block("s")
+    val d = Seq(
+      (1L, s"$shared ${block("a")}"),           // owns the shared block (lowest doc)
+      (2L, s"${block("b")} $shared"),           // loses its copy of the shared block
+      (3L, s"$shared ${block("s")}"),           // duplicate of its own block too: 2 blocks, 0 kept... no: blk0 loses to doc1, blk1 == shared again → also loses
+      (4L, block("c")),                         // untouched
+    ).toDF("doc_id", "text")
+    val r = DedupFunctions.paragraphDedup(d, "doc_id", "text")
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((2L, 2L, s"$shared ${block("a")}")))   // first occurrence: fully kept
+    assert(r(2L) == ((2L, 1L, block("b"))))                 // shared block stripped
+    assert(r(3L)._1 == 2L && r(3L)._2 == 0L && r(3L)._3 == null) // nothing survives → null text
+    assert(r(4L) == ((1L, 1L, block("c"))))
+    // deterministic under a different partitioning
+    val r2 = DedupFunctions.paragraphDedup(d.repartition(7), "doc_id", "text")
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r2 == r)
+  }
+
+  test("pcaProject: deterministic basis, top component captures the dominant direction") {
+    // embeddings concentrated along dimension 2 (variance 4x any other):
+    // pc0 must align with it, so |pc0| correlates with |x_2 - mean_2|
+    val rows = (0 until 40).map { i =>
+      val v = Array.fill(8)(0.0f)
+      v(2) = (i % 5 - 2) * 2.0f               // dominant spread: -4..4
+      // block-constant minor axis: each 5-block of i spans a full
+      // period of the dominant pattern, so the cross-covariance is
+      // exactly zero and the eigenbasis is exactly (e2, e5)
+      v(5) = ((i / 5 % 2) * 2 - 1) * 0.5f
+      (i.toLong, v)
+    }
+    val d = rows.toDF("vec_id", "embedding")
+    val p = VectorFunctions.pcaProject(d, k = 2)
+    val got = p.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length == 40)
+    // determinism across runs and partitionings
+    val got2 = VectorFunctions.pcaProject(d.repartition(5), k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got2.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+    // pc0 recovers the dominant axis: projection equals the centered
+    // dim-2 coordinate (up to quantization), pc1 the minor axis
+    val byId = got.map(g => g._1 -> g).toMap
+    val mean2 = rows.map(_._2(2).toDouble).sum / rows.length
+    rows.foreach { case (id, v) =>
+      assert(math.abs(math.abs(byId(id)._2) - math.abs(v(2) - mean2)) < 1e-3,
+        s"pc0 of $id = ${byId(id)._2}, want ±${v(2) - mean2}")
+    }
+    // variance along pc0 exceeds variance along pc1
+    def variance(xs: Seq[Double]) = { val m = xs.sum / xs.size; xs.map(x => (x - m) * (x - m)).sum / xs.size }
+    assert(variance(got.map(_._2).toSeq) > variance(got.map(_._3).toSeq))
+  }
 }
