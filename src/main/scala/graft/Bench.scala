@@ -90,7 +90,14 @@ object Bench {
     "pipeline_clean_corpus",
     "corpus_mixture_apply",
   )
-  private val scaleFactors = Seq(1, 3, 10)
+  /** Default 1×/3×/10×; SPARK_GRAFT_SCALE_FACTORS="10,30" and
+    * SPARK_GRAFT_SCALE_QUERIES="dedup_groups,..." override for one-off
+    * deeper probes (e.g. 30× without the quadratic negative control).
+    */
+  private def scaleFactors: Seq[Int] =
+    sys.env.get("SPARK_GRAFT_SCALE_FACTORS").map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 3, 10))
+  private def scaleQueriesEff: Seq[String] =
+    sys.env.get("SPARK_GRAFT_SCALE_QUERIES").map(_.split(",").map(_.trim).toSeq).getOrElse(scaleQueries)
 
   /** Runs the scale probe and returns its JSON fragment (or "null" on
     * any setup failure — the probe must never take the main bench
@@ -104,7 +111,7 @@ object Bench {
       val cells = scaleFactors.map { f =>
         val dir = graft.tools.ScaleGen.ensure(spark, baseDir, f, "target/scale")
         val docs = spark.read.parquet(s"$dir/documents.parquet").count()
-        val qs = scaleQueries.map { name =>
+        val qs = scaleQueriesEff.map { name =>
           val t0 = System.nanoTime()
           val ok =
             try { SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save(); true }

@@ -6,7 +6,7 @@ import java.time.Instant
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CorpusFunctions, DedupFunctions, TextFunctions, VectorFunctions}
+import graft.functions.{BpeFunctions, CorpusFunctions, DedupFunctions, TextFunctions, VectorFunctions}
 import graft.model.SeriesDictionary
 import graft.multimodal.Multimodal
 import graft.operators.{Downsample, TimeSeriesOps}
@@ -551,6 +551,27 @@ object SparkEntry {
       )
       ntz(src.read(s).withColumn("user_id", col("user_id").cast("long")))
     },
+    // A15f: ORC row-format source — the third columnar container the
+    // open fileFormat string reaches (after parquet and Arrow IPC);
+    // native timestamp round trip, no datetimeFormat parse needed
+    "ts_row_source_orc" -> { (s, dir) =>
+      val tmp = fixture(dir, "orcrow") { p =>
+        Tables
+          .canonicalEvents(s, dir)
+          .where(col("series_name").isin("view", "error"))
+          .select(col("series_name"), col("user_id"), col("ts"), col("value"))
+          .write.mode("overwrite").orc(p)
+      }
+      val src = new ConfiguredSource(
+        SourceConfig(
+          path = tmp,
+          fileFormat = "orc",
+          dataFormat = "row",
+          tagColumns = Seq("series_name", "user_id"),
+        )
+      )
+      ntz(src.read(s))
+    },
     // A15d: string-valued series end-to-end (kukur DataType.STRING,
     // kukur/base.py:152) — state labels stay text through the source
     "ts_string_series" -> { (s, dir) =>
@@ -999,6 +1020,23 @@ object SparkEntry {
         .tokenCounts(Tables.documents(s, dir), col("text"))
         .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"), col("regex_tokens").cast("long").as("regex_tokens"))
     },
+    // C10c: REAL BPE tokenization — merges trained at the driver from
+    // the bounded word-frequency dictionary (Sennrich et al. 2016),
+    // applied distributed via the native graft_bpe expression (merge
+    // table rides the plan; iterative per-word merging has no SQL
+    // form → rows-only, spec-verified against hand-computed merges)
+    "text_bpe" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val merges = BpeFunctions.trainMerges(docs, col("text"), numMerges = 100, vocabCap = 2000)
+      BpeFunctions
+        .encode(docs, col("text"), merges)
+        .withColumn("n_words", size(TextFunctions.words(col("text"))))
+        .select(
+          col("doc_id"), col("n_words").cast("long").as("n_words"),
+          col("n_bpe_tokens").cast("long").as("n_bpe_tokens"),
+          floor(col("n_bpe_tokens").cast("double") * lit(1000000.0) / greatest(col("n_words"), lit(1))).cast("long").as("tokens_per_word_ppm"),
+        )
+    },
     // C10b: overlapping word-window chunking (64-word chunks, 16 overlap)
     "text_chunk" -> { (s, dir) =>
       TextFunctions.chunk(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -1437,6 +1475,9 @@ object SparkEntry {
     "ts_row_source_json" ->
       """SELECT event_type AS series_name, user_id, 'value' AS field, ts, value
          FROM events WHERE event_type = 'purchase'""",
+    "ts_row_source_orc" ->
+      """SELECT event_type AS series_name, user_id, 'value' AS field, ts, value
+         FROM events WHERE event_type IN ('view', 'error')""",
     "ts_string_series" ->
       """SELECT 'machine_state' AS series_name, 'value' AS field, ts, upper(event_type) AS value
          FROM events""",

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenization (Sennrich et al. 2016) — the real
+  * subword tokenizer behind `text_tokens`' regex approximation
+  * (reference analog: kukur has no tokenizer; this is part of the
+  * LLM-pipeline surface graft adds on top of the provider semantics).
+  *
+  * Train-small/apply-everywhere, like the vector quantizers: merges
+  * are learned at the driver from a BOUNDED word-frequency dictionary
+  * (top `vocabCap` words by count — one partial-agg word count plus a
+  * TakeOrdered, never the corpus itself), then applied distributed as
+  * a native expression ([[graft.plans.BpeEncode]]) whose merge table
+  * travels inside the plan. Both halves are deterministic: ties in
+  * pair frequency break lexicographically, so the learned merge
+  * sequence — and every token — is independent of partitioning.
+  */
+object BpeFunctions {
+
+  /** Learn `numMerges` BPE merges from the corpus. Returns the merge
+    * list in rank order; each element is (left symbol, right symbol).
+    */
+  def trainMerges(
+      df: DataFrame,
+      text: Column,
+      numMerges: Int = 100,
+      vocabCap: Int = 5000,
+  ): Seq[(String, String)] = {
+    val dict: Array[(Array[String], Long)] = df
+      .select(explode(TextFunctions.words(text)).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(vocabCap)
+      .collect()
+      .map { r =>
+        val cps = r.getString(0).codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+        (cps, r.getLong(1))
+      }
+
+    val words = dict.map { case (syms, n) => (scala.collection.mutable.ArrayBuffer.from(syms), n) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var m = 0
+    var exhausted = false
+    while (m < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + n)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // most frequent pair; ties break on the lexicographically
+        // smallest pair, so training is fully deterministic
+        val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        val joined = best._1 + best._2
+        words.foreach { case (syms, _) =>
+          var j = 0
+          while (j < syms.length - 1) {
+            if (syms(j) == best._1 && syms(j + 1) == best._2) {
+              syms(j) = joined
+              syms.remove(j + 1)
+            } else j += 1
+          }
+        }
+      }
+      m += 1
+    }
+    merges.toSeq
+  }
+
+  /** Wire encoding of a merge list for [[graft.plans.BpeEncode]]:
+    * tab-separated ranks, space-separated pair halves (words never
+    * contain whitespace — [[TextFunctions.words]] splits on it).
+    */
+  def spec(merges: Seq[(String, String)]): String =
+    merges.map { case (a, b) => s"$a $b" }.mkString("\t")
+
+  /** Apply learned merges: adds `bpe_tokens` (array<string>) and
+    * `n_bpe_tokens`. Pure per-row projection — no shuffle; the merge
+    * table rides the plan as a literal.
+    */
+  def encode(df: DataFrame, text: Column, merges: Seq[(String, String)]): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.withColumn("bpe_tokens", call_function("graft_bpe", TextFunctions.words(text), lit(spec(merges))))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")))
+  }
+}

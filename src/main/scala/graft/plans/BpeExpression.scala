@@ -1,0 +1,131 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native byte-pair-encoding apply (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units" — the
+  * tokenizer apply step of every modern LLM data pipeline): each word
+  * of the input array is split into Unicode code points and adjacent
+  * symbol pairs are merged greedily in learned-rank order (the classic
+  * BPE apply loop), yielding the subword token stream.
+  *
+  * `merges` is a tab-separated literal of space-separated pairs in
+  * rank order ([[graft.functions.BpeFunctions.spec]]) — part of the
+  * plan, so the whole tokenizer ships to executors as an expression
+  * tree with no side-channel state. Iterative pair merging has no
+  * SQL/higher-order-function formulation (the merge order is
+  * data-dependent per word), which is exactly the custom-Expression
+  * criterion; the inner loop is one compiled JVM routine per row
+  * (CodegenFallback costs a single virtual call). A bounded
+  * per-instance memo (words repeat Zipf-style, so the hit rate is
+  * high) makes the common case a hash lookup.
+  */
+case class BpeEncode(left: Expression, right: Expression)
+    extends BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_bpe needs (array<string>, string merges literal), got $other"
+        )
+    }
+
+  override def foldable: Boolean = false
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    val spec = right.eval(null)
+    if (spec != null) {
+      spec.asInstanceOf[UTF8String].toString.split("\t").zipWithIndex.foreach { case (pair, i) =>
+        if (pair.nonEmpty && !m.containsKey(pair)) m.put(pair, i)
+      }
+    }
+    m
+  }
+
+  /** Bounded per-task memo of word → tokens; cleared when full rather
+    * than evicted (words beyond the cap are re-encoded, never wrong).
+    */
+  @transient private lazy val memo = new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
+  private val MemoCap = 1 << 16
+
+  private def encodeWord(word: String): Array[UTF8String] = {
+    val cached = memo.get(word)
+    if (cached != null) return cached
+    var syms = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b
+    }
+    var done = syms.length < 2
+    while (!done) {
+      // best-ranked adjacent pair in the current symbol sequence
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.get(syms(i) + " " + syms(i + 1))
+        if (r != null && r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        // merge all non-overlapping occurrences left-to-right
+        val target = bestRank
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && {
+                val r = ranks.get(syms(j) + " " + syms(j + 1)); r != null && r.intValue() == target
+              }) {
+            out += syms(j) + syms(j + 1)
+            j += 2
+          } else {
+            out += syms(j)
+            j += 1
+          }
+        }
+        syms = out
+        if (syms.length < 2) done = true
+      }
+    }
+    val res = syms.map(UTF8String.fromString).toArray
+    if (memo.size() >= MemoCap) memo.clear()
+    memo.put(word, res)
+    res
+  }
+
+  override def nullSafeEval(wordsAny: Any, specAny: Any): Any = {
+    val words = wordsAny.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val w = words.getUTF8String(i).toString
+        if (w.nonEmpty) out ++= encodeWord(w)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BpeEncode =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_bpe"
+}

@@ -279,9 +279,15 @@ object GraftFunctions {
     (children: Seq[Expression]) => SimHash64(children.head),
   )
 
+  val bpeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bpe"),
+    new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe"),
+    (children: Seq[Expression]) => BpeEncode(children(0), children(1)),
+  )
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(minhashSigDescriptor, dotDescriptor, hyperplaneSigDescriptor, simhashDescriptor).foreach { d =>
+    Seq(minhashSigDescriptor, dotDescriptor, hyperplaneSigDescriptor, simhashDescriptor, bpeDescriptor).foreach { d =>
       if (!registry.functionExists(d._1)) registry.registerFunction(d._1, d._2, d._3)
     }
   }
@@ -297,6 +303,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.dotDescriptor)
     ext.injectFunction(GraftFunctions.hyperplaneSigDescriptor)
     ext.injectFunction(GraftFunctions.simhashDescriptor)
+    ext.injectFunction(GraftFunctions.bpeDescriptor)
     ext.injectOptimizerRule(_ => PushRangeThroughNanos)
   }
 }

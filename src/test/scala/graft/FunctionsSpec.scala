@@ -715,6 +715,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(err0 <= 1.0 / 254.0 + 1e-6)
   }
 
+  test("BPE: trained merges match the hand-derived sequence; encoding applies them greedily") {
+    // word freqs: ab ×3, abc ×2 → pair counts (a,b)=5, (b,c)=2:
+    // merge 1 = (a,b); then (ab,c)=2 is the only pair: merge 2 = (ab,c)
+    val d = Seq((1L, "ab ab ab"), (2L, "abc abc")).toDF("doc_id", "text")
+    val merges = graft.functions.BpeFunctions.trainMerges(d, col("text"), numMerges = 5)
+    assert(merges.take(2) == Seq(("a", "b"), ("ab", "c")))
+    // apply to unseen words: abab → [ab, ab]; abcabc → [abc, abc];
+    // xbc → x,b,c (no (b,c) merge was ever learned at rank < (ab,c))
+    val probe = Seq((1L, "abab abcabc xbc")).toDF("doc_id", "text")
+    val toks = graft.functions.BpeFunctions.encode(probe, col("text"), merges)
+      .select(col("bpe_tokens")).collect().head.getSeq[String](0)
+    assert(toks == Seq("ab", "ab", "abc", "abc", "x", "b", "c"))
+    // more merges never increase the token count; encoding is
+    // partitioning-invariant (training reads a deterministic dict)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val m20 = graft.functions.BpeFunctions.trainMerges(docs, col("text"), numMerges = 20, vocabCap = 500)
+    val m60 = graft.functions.BpeFunctions.trainMerges(docs, col("text"), numMerges = 60, vocabCap = 500)
+    assert(m60.take(20) == m20) // merge sequence is prefix-stable
+    def total(ms: Seq[(String, String)]) =
+      graft.functions.BpeFunctions.encode(docs, col("text"), ms)
+        .agg(sum(col("n_bpe_tokens"))).collect().head.getLong(0)
+    val t20 = total(m20)
+    val t60 = total(m60)
+    assert(t60 <= t20, s"more merges grew the token count: $t60 > $t20")
+    val m20b = graft.functions.BpeFunctions.trainMerges(docs.repartition(7), col("text"), numMerges = 20, vocabCap = 500)
+    assert(m20b == m20)
+  }
+
   test("gopherRules: every rule fires on its designed violator, clean prose passes") {
     val clean = "the quick brown fox and the lazy dog have agreed to race along the river " +
       "with plenty of sunshine and that fine breeze behind them all day long today"
