@@ -86,7 +86,9 @@ object Bench {
     "dedup_jaccard_prefix",
     "dedup_groups",
     "dedup_substring_char",
+    "dedup_paragraph",
     "text_bigram_lm",
+    "text_bpe",
     "pipeline_clean_corpus",
     "corpus_mixture_apply",
   )

@@ -175,6 +175,29 @@ object EventStream {
       rates,
     ).where(col(stratumCol).isin(rates.keySet.toSeq: _*))
 
+  /** Streaming token-budget gate — the streaming dual of the batch
+    * BPE path (C10c): documents are tokenized IN the stream with the
+    * native `graft_bpe` expression using merges trained OFFLINE by the
+    * batch `BpeFunctions.trainMerges` (the train-small/apply-everywhere
+    * split every production tokenizer uses — the stream never trains),
+    * and docs whose subword count falls outside [minTokens, maxTokens]
+    * are dropped (too short to train on / context-length blowouts).
+    * The merge table rides the plan as a literal; tokenization is a
+    * stateless per-row projection — no watermark, no state store, no
+    * shuffle — so batch/stream parity is exact row for row (asserted
+    * by StreamingSpec).
+    */
+  def tokenGateStream(
+      docStream: DataFrame,
+      merges: Seq[(String, String)],
+      minTokens: Int = 1,
+      maxTokens: Int = 100000,
+  ): DataFrame =
+    graft.functions.BpeFunctions
+      .encode(docStream, col("text"), merges)
+      .where(col("n_bpe_tokens") >= minTokens && col("n_bpe_tokens") <= maxTokens)
+      .select(docStream.columns.map(col) :+ col("n_bpe_tokens"): _*)
+
   /** Streaming NEAR-duplicate detection — the streaming dual of the
     * batch MinHash+LSH path (C2). Per document: the same banded minhash
     * signature as DedupFunctions.minhashSignatures (native

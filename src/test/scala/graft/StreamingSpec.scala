@@ -180,6 +180,44 @@ class StreamingSpec extends AnyFunSuite {
     streamed.foreach { id => assert(byId(id)._3 != "fr" && byId(id)._2 != junkById) }
   }
 
+  test("tokenGateStream tokenizes in-stream with offline merges and matches the batch gate row for row") {
+    implicit val sq = spark.sqlContext
+    val docs = (1 to 40).map { i =>
+      // short docs (i % 5 == 0) fall under minTokens; long tails over max
+      val text =
+        if (i % 5 == 0) "ab"
+        else if (i % 7 == 0) Array.fill(30)("abc").mkString(" ")
+        else s"ab abc ab doc $i"
+      (i.toLong, text)
+    }
+    val train = Seq((1L, "ab ab ab"), (2L, "abc abc")).toDF("doc_id", "text")
+    val merges = graft.functions.BpeFunctions.trainMerges(train, col("text"), numMerges = 5)
+    val batch = graft.functions.BpeFunctions
+      .encode(docs.toDF("doc_id", "text"), col("text"), merges)
+      .where(col("n_bpe_tokens") >= 2 && col("n_bpe_tokens") <= 20)
+      .select("doc_id").as[Long].collect().toSet
+    val mem = MemoryStream[(Long, String)]
+    val (first, second) = docs.splitAt(20)
+    mem.addData(first: _*)
+    val q = EventStream
+      .tokenGateStream(mem.toDF().toDF("doc_id", "text"), merges, minTokens = 2, maxTokens = 20)
+      .writeStream.format("memory").queryName("token_gate").outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    mem.addData(second: _*) // stateless: arrival order irrelevant
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("token_gate").select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.size < docs.size) // both cut directions bit
+    // the in-stream tokenization really used the merges: 'ab'/'abc'
+    // collapse to single tokens, so the kept docs' counts reflect it
+    val counts = spark.table("token_gate").select("doc_id", "n_bpe_tokens").as[(Long, Int)].collect().toMap
+    val sample = counts.keys.min
+    // "ab abc ab doc N" -> [ab, abc, ab, d,o,c, N...] with merges 1-2
+    assert(counts(sample) < ("ab abc ab doc 1".count(_ != ' ') ), s"merge-less char count not reduced: $counts")
+  }
+
   test("statefulLatest keeps the newest point per series across batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(String, Long, Timestamp, Double)]

@@ -112,4 +112,32 @@ class ZipfJoinPlanSpec extends AnyFunSuite {
       assert(math.abs(p95a - p95e) <= 0.10 * p95e, s"$k p95 approx $p95a vs exact $p95e")
     }
   }
+
+  test("paragraphDedup picks first occurrences with an aggregate, never a hot-key window sort") {
+    val docs = (1 to 300).map(i => (i.toLong, "the same boilerplate block repeated in every single doc here now"))
+      .toDF("doc_id", "text")
+    val plan = finalPlan(DedupFunctions.paragraphDedup(docs, "doc_id", "text"))
+    // the skew-safe invariant: no Window operator anywhere — a
+    // row_number() formulation would sort all 300 copies of the hot
+    // block on one reducer (10⁸ at crawl scale)
+    assert(!plan.contains("Window"), plan)
+    // first-occurrence selection and reassembly are hash aggregates
+    // with map-side partials
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("gopherRules and BPE apply are pure projections: zero exchanges over a parallel input") {
+    // materialized multi-partition input: the operators' own plans
+    // must add nothing beyond projections on top of the scan
+    val docs = (1 to 200).map(i => (i.toLong, s"some words to score number $i of the corpus"))
+      .toDF("doc_id", "text").repartition(spark.sparkContext.defaultParallelism).localCheckpoint()
+    val gopher = graft.functions.TextFunctions.gopherRules(docs, col("doc_id"), col("text"))
+    gopher.collect()
+    val gplan = gopher.queryExecution.executedPlan.toString
+    assert(!gplan.contains("Exchange"), gplan)
+    val bpe = graft.functions.BpeFunctions.encode(docs, col("text"), Seq(("s", "o"), ("th", "e")))
+    bpe.collect()
+    val bplan = bpe.queryExecution.executedPlan.toString
+    assert(!bplan.contains("Exchange"), bplan)
+  }
 }
