@@ -1112,6 +1112,20 @@ object SparkEntry {
         Map("en" -> 0.5, "zh" -> 0.25, "de" -> 0.25),
       )
     },
+    // C33c: temperature (α = 0.5) mixture planning — target shares
+    // derived from the corpus as q_s ∝ √tok_s (Conneau & Lample 2019),
+    // sqrt is IEEE-exact so the whole plan oracles
+    "corpus_mixture_temperature" -> { (s, dir) =>
+      CorpusFunctions.temperatureMixturePlan(Tables.documents(s, dir), col("lang"), col("text"))
+    },
+    // C9c: learned quality gate — logistic distillation of the
+    // rule-based composite score (fastText-classifier shape of
+    // CCNet/DCLM/FineWeb-Edu); full-batch scaled-int gradient passes,
+    // weights bit-identical on any partitioning (rows-only: iterative
+    // libm training has no SQL form; spec-verified)
+    "text_quality_lr" -> { (s, dir) =>
+      graft.functions.QualityModel.distillQualityGate(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
     // C33b: the plan APPLIED — mixturePlan rates (bounded per-stratum
     // driver summary) feeding the deterministic md5-threshold sampler
     "corpus_mixture_apply" -> { (s, dir) =>
@@ -2198,6 +2212,21 @@ object SparkEntry {
                 CASE WHEN target_share IS NOT NULL AND CAST(tokens AS DOUBLE) / target_share <= t_star THEN tokens
                      WHEN target_share IS NOT NULL THEN CAST(FLOOR(target_share * t_star) AS BIGINT) ELSE 0 END AS planned_tokens
          FROM j CROSS JOIN ts""",
+    "corpus_mixture_temperature" ->
+      """WITH norm AS (SELECT lang, len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS nw FROM documents),
+         counts AS (SELECT lang AS stratum, COUNT(*) AS n_docs, CAST(SUM(nw) AS BIGINT) AS tokens FROM norm GROUP BY 1),
+         r AS (SELECT *, CAST(FLOOR(sqrt(CAST(tokens AS DOUBLE)) * 1e6) AS BIGINT) AS rt_ppm FROM counts),
+         tot AS (SELECT SUM(rt_ppm) AS total FROM r),
+         sh AS (SELECT stratum, n_docs, tokens,
+                       CAST(rt_ppm AS DOUBLE) / CAST(total AS DOUBLE) AS target_share
+                FROM r CROSS JOIN tot),
+         ts AS (SELECT MIN(CAST(tokens AS DOUBLE) / target_share) AS t_star FROM sh)
+         SELECT stratum, n_docs, tokens, target_share,
+                CASE WHEN CAST(tokens AS DOUBLE) / target_share <= t_star THEN 1000000
+                     ELSE LEAST(1000000, CAST(FLOOR(1e6 * target_share * t_star / CAST(tokens AS DOUBLE)) AS BIGINT)) END AS keep_rate_ppm,
+                CASE WHEN CAST(tokens AS DOUBLE) / target_share <= t_star THEN tokens
+                     ELSE CAST(FLOOR(target_share * t_star) AS BIGINT) END AS planned_tokens
+         FROM sh CROSS JOIN ts""",
     "corpus_mixture_apply" ->
       """WITH norm AS (SELECT lang, len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS nw FROM documents),
          counts AS (SELECT lang AS stratum, COUNT(*) AS n_docs, CAST(SUM(nw) AS BIGINT) AS tokens FROM norm GROUP BY 1),

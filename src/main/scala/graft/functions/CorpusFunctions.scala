@@ -328,6 +328,56 @@ object CorpusFunctions {
       .select(col("stratum"), col("n_docs"), col("tokens"), col("keep_rate_ppm"), col("planned_tokens"))
   }
 
+  /** Temperature (α) mixture planning (Conneau & Lample 2019 / XLM-R's
+    * multilingual sampling): target shares are DERIVED from the corpus
+    * itself as q_s ∝ tok_s^α — α < 1 upweights low-resource strata
+    * relative to their natural share — then keep-rates follow the same
+    * T* = min(tok_s / q_s) closed form as [[mixturePlan]]. At α = 0.5
+    * (the default and the common choice) the power is IEEE `sqrt`,
+    * bit-exact on every engine, and the share normalizer sums
+    * floor-scaled ppm longs — exact integers — so the whole plan is
+    * engine-reproducible (other α use libm `pow`: deterministic per
+    * JVM and partitioning-independent, but last-ulp engine-dependent).
+    *
+    * Fully in-plan: one corpus aggregate, two one-row broadcast
+    * summaries (Σ rt_ppm, T*), zero driver collects.
+    */
+  def temperatureMixturePlan(
+      df: DataFrame,
+      stratum: Column,
+      text: Column,
+      alpha: Double = 0.5,
+  ): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = DedupFunctions
+      .spread(df)
+      .select(stratum.as("stratum"), size(TextFunctions.words(text)).cast("long").as("__nw"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nw")).as("tokens"))
+    val rt =
+      if (alpha == 0.5) sqrt(col("tokens").cast("double"))
+      else pow(col("tokens").cast("double"), lit(alpha))
+    val ppm = counts.withColumn("__rt_ppm", floor(rt * lit(1e6)).cast("long"))
+    val total = ppm.agg(sum(col("__rt_ppm")).as("__total"))
+    val shared = ppm
+      .crossJoin(broadcast(total))
+      .withColumn("target_share", col("__rt_ppm").cast("double") / col("__total").cast("double"))
+    val tStar = shared.agg(min(col("tokens").cast("double") / col("target_share")).as("t_star"))
+    shared
+      .crossJoin(broadcast(tStar))
+      .withColumn("__binding", col("tokens").cast("double") / col("target_share") <= col("t_star"))
+      .withColumn(
+        "keep_rate_ppm",
+        when(col("__binding"), lit(1000000L))
+          .otherwise(least(lit(1000000L), floor(lit(1e6) * col("target_share") * col("t_star") / col("tokens").cast("double")))),
+      )
+      .withColumn(
+        "planned_tokens",
+        when(col("__binding"), col("tokens")).otherwise(floor(col("target_share") * col("t_star"))),
+      )
+      .select(col("stratum"), col("n_docs"), col("tokens"), col("target_share"), col("keep_rate_ppm"), col("planned_tokens"))
+  }
+
   /** The data-driven composition of [[mixturePlan]] → [[stratifiedSample]]:
     * plan keep-rates from the corpus itself, then apply them with the
     * deterministic md5-threshold sampler. The only driver-side data is

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Learned quality classifier — the model-based filter of modern
+  * curation pipelines (fastText-style classifiers in CCNet/DCLM;
+  * FineWeb-Edu distills LLM judgments the same way): train a logistic
+  * model over the deterministic [[TextFunctions.qualityScore]]
+  * features from weak labels, then score every document with a smooth
+  * probability a threshold gate can cut.
+  *
+  * Training is FULL-BATCH gradient descent, which on Spark is the
+  * scale-correct choice: each iteration is ONE partial-aggregatable
+  * pass (per-feature gradient sums as `floor(term · 1e9)` longs —
+  * order-independent, so the learned weights are bit-identical on any
+  * partitioning), and only 2·(d+1) scalars ever reach the driver per
+  * iteration. Mini-batch SGD would be neither deterministic nor
+  * cheaper here: the corpus scan dominates, not the update count.
+  * d = 5 features + bias; iterations and learning rate are fixed
+  * knobs, so the whole model is a pure function of the corpus.
+  */
+object QualityModel {
+
+  /** The fixed feature vector (all already-deterministic ratios from
+    * [[TextFunctions.qualityScore]], bounded to O(1) ranges so one
+    * learning rate fits): stopword_ratio, punct_ratio, digit_ratio,
+    * capped words/100, avg_word_len/10.
+    */
+  private def features: Seq[Column] = Seq(
+    col("stopword_ratio"),
+    col("punct_ratio"),
+    col("digit_ratio"),
+    least(col("n_words").cast("double") / lit(100.0), lit(1.0)),
+    col("avg_word_len") / lit(10.0),
+  )
+
+  private def margin(w: Array[Double]): Column =
+    features.zip(w.init).map { case (f, wi) => f * lit(wi) }.reduce(_ + _) + lit(w.last)
+
+  /** Train logistic weights (d features + bias, bias last) from a
+    * 0/1 `label` column on a frame that already carries the
+    * [[TextFunctions.qualityScore]] columns.
+    */
+  def trainLogistic(
+      scored: DataFrame,
+      label: Column,
+      iterations: Int = 30,
+      learningRate: Double = 2.0,
+  ): Array[Double] = {
+    val d = features.size
+    var w = Array.fill(d + 1)(0.0)
+    val frame = scored.select(features :+ label.cast("double").as("__y"): _*).toDF(
+      (0 until d).map(i => s"__x$i") :+ "__y": _*
+    )
+    val cached = frame.cache()
+    try {
+      for (_ <- 1 to iterations) {
+        val z = (0 until d).map(i => col(s"__x$i") * lit(w(i))).reduce(_ + _) + lit(w(d))
+        val err = lit(1.0) / (lit(1.0) + exp(-z)) - col("__y")
+        val aggs = (0 until d).map(i => sum(floor(err * col(s"__x$i") * lit(1e9)).cast("long")).as(s"g$i")) ++
+          Seq(sum(floor(err * lit(1e9)).cast("long")).as("gb"), count(lit(1)).as("n"))
+        val row = cached.agg(aggs.head, aggs.tail: _*).first()
+        val n = math.max(row.getLong(d + 1), 1L).toDouble
+        w = Array.tabulate(d + 1) { j =>
+          val g = row.getLong(j) / 1e9 / n
+          w(j) - learningRate * g
+        }
+      }
+      w
+    } finally cached.unpersist(blocking = true)
+  }
+
+  /** Score with trained weights: adds `p_good` (round 6) and the
+    * 0.5-threshold `pred` — a stateless per-row projection.
+    */
+  def scoreLogistic(scored: DataFrame, w: Array[Double]): DataFrame =
+    scored
+      .withColumn("p_good", round(lit(1.0) / (lit(1.0) + exp(-margin(w))), 6))
+      .withColumn("pred", col("p_good") >= 0.5)
+
+  /** End-to-end distillation: compute quality features, derive the
+    * weak label from the rule-based composite (`quality_score` ≥
+    * `labelCut` — the cheap teacher), train, score. Returns one row
+    * per doc: (doc_id, label, p_good, pred).
+    */
+  def distillQualityGate(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      labelCut: Double = 0.5,
+      iterations: Int = 30,
+  ): DataFrame = {
+    val scored = TextFunctions.qualityScore(DedupFunctions.spread(df), text)
+    val labeled = scored.withColumn("__label", (col("quality_score") >= labelCut).cast("int"))
+    val w = trainLogistic(labeled, col("__label"), iterations)
+    scoreLogistic(labeled, w)
+      .select(idCol.as("doc_id"), col("__label").as("label"), col("p_good"), col("pred"))
+  }
+}

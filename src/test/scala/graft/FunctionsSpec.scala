@@ -715,6 +715,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(err0 <= 1.0 / 254.0 + 1e-6)
   }
 
+  test("logistic quality model separates planted classes and distills the rule gate faithfully") {
+    // planted separable corpus: good docs are long prose with en
+    // stopwords; junk is short punctuation soup — the composite score
+    // splits them, and the distilled model must reproduce that split
+    val good = "the quick brown fox and a lazy dog ran to the river " * 3
+    val junk = "!!! ## ??? 123 456 %%% @@@"
+    val docs = (1 to 80).map(i => (i.toLong, if (i % 2 == 0) good else junk)).toDF("doc_id", "text")
+    val out = graft.functions.QualityModel.distillQualityGate(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // teacher labels are the planted split...
+    assert((1 to 80).forall(i => out(i.toLong)._1 == (if (i % 2 == 0) 1 else 0)))
+    // ...and the student reproduces them exactly on separable data
+    assert((1 to 80).forall(i => out(i.toLong)._3 == (i % 2 == 0)), out.view.take(5).toMap.toString)
+    // probabilities actually separate (not all hovering at 0.5)
+    val pGood = out.collect { case (id, (1, p, _)) => p }
+    val pJunk = out.collect { case (id, (0, p, _)) => p }
+    assert(pGood.min > 0.5 && pJunk.max < 0.5, s"good ${pGood.min}, junk ${pJunk.max}")
+    // weights — and every probability — identical under repartitioning
+    val out2 = graft.functions.QualityModel.distillQualityGate(docs.repartition(7), col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out2 == out)
+  }
+
   test("BPE: trained merges match the hand-derived sequence; encoding applies them greedily") {
     // word freqs: ab ×3, abc ×2 → pair counts (a,b)=5, (b,c)=2:
     // merge 1 = (a,b); then (ab,c)=2 is the only pair: merge 2 = (ab,c)
