@@ -419,20 +419,19 @@ object VectorFunctions {
     // OPQ-lite: permute dimensions into balanced-variance subspaces
     // before training. A permutation is orthogonal, so true L2
     // distances (and the exact rerank) are untouched — only the
-    // subspace decomposition the codebooks quantize changes.
+    // subspace decomposition the codebooks quantize changes. ONE
+    // training sample serves both the permutation and the codebooks —
+    // the sample sort is the expensive half of training at scale.
+    val train = trainSample(vecs, trainLimit)
     val perm: Array[Int] =
       if (!opq) Array.range(0, dim)
-      else {
-        val train = trainSample(vecs, trainLimit)
-        val p = balancedVariancePerm(train, dim, m)
-        train.unpersist(blocking = true)
-        p
-      }
+      else balancedVariancePerm(train, dim, m)
     def permuted(c: Column): Column =
       if (!opq) c else array(perm.map(i => element_at(c, i + 1)): _*)
     val pvecs = vecs.withColumn("embedding", permuted(col("embedding")))
 
-    val books = trainPqBooks(pvecs, m, dsub, codebookSize, lloydIterations, trainLimit)
+    val books = trainPqBooksOn(train.withColumn("embedding", permuted(col("embedding"))), m, dsub, codebookSize, lloydIterations)
+    train.unpersist(blocking = true)
 
     // encode the whole corpus; codes are the only per-candidate state
     // the scan reads
@@ -470,15 +469,24 @@ object VectorFunctions {
     * dimension/subspace index, so the permutation is deterministic.
     */
   private def balancedVariancePerm(train: DataFrame, dim: Int, m: Int): Array[Int] = {
+    // scaled-integer moment sums, like every trainer in this file:
+    // raw double sums would make the variance order — and therefore
+    // the permutation — depend on partition layout through last-ulp
+    // addition-order noise (near-equal variances DO flip)
     val aggs = (0 until dim).flatMap { i =>
-      val x = element_at(col("embedding"), i + 1).cast("double")
-      Seq(sum(x).as(s"s$i"), sum(x * x).as(s"q$i"))
-    } :+ count(lit(1)).cast("double").as("n")
+      val q = floor(element_at(col("embedding"), i + 1).cast("double") * lit(1e6)).cast("long")
+      // factors cast to decimal BEFORE multiplying: a long×long square
+      // overflows silently for components beyond ~3e3 at 1e6 scaling
+      Seq(
+        sum(q.cast("decimal(38,0)")).as(s"s$i"),
+        sum(q.cast("decimal(19,0)") * q.cast("decimal(19,0)")).as(s"q$i"),
+      )
+    } :+ count(lit(1)).as("n")
     val row = train.agg(aggs.head, aggs.tail: _*).first()
-    val n = math.max(row.getDouble(2 * dim), 1.0)
+    val n = math.max(row.getLong(2 * dim), 1L).toDouble
     val vars = Array.tabulate(dim) { i =>
-      val s = row.getDouble(2 * i)
-      val q = row.getDouble(2 * i + 1)
+      val s = row.getDecimal(2 * i).doubleValue() / 1e6
+      val q = row.getDecimal(2 * i + 1).doubleValue() / 1e12
       q / n - (s / n) * (s / n)
     }
     val dsub = dim / m
@@ -548,20 +556,6 @@ object VectorFunctions {
     * codebooks, only m × codebookSize × dsub summary rows reach the
     * driver; empty clusters keep their codeword).
     */
-  private def trainPqBooks(
-      vecs: DataFrame,
-      m: Int,
-      dsub: Int,
-      codebookSize: Int,
-      lloydIterations: Int,
-      trainLimit: Int,
-  ): Array[Array[Array[Double]]] = {
-    val train = trainSample(vecs, trainLimit)
-    val out = trainPqBooksOn(train, m, dsub, codebookSize, lloydIterations)
-    train.unpersist(blocking = true)
-    out
-  }
-
   private def trainPqBooksOn(
       train: DataFrame,
       m: Int,
@@ -851,40 +845,38 @@ object VectorFunctions {
     df.select(col("vec_id"), col("embedding"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-  /** Mean vector and covariance matrix of the embedding column in one
-    * distributed pass each: components quantized to `floor(x·1e6)`
-    * longs, pairwise products (≤ 1e12 each) summed as decimal(38,0).
-    * Only 2·d + d(d+1)/2 summary rows reach the driver.
+  /** Mean vector and covariance matrix of the embedding column in ONE
+    * distributed aggregation pass: components quantized to
+    * `floor(x·1e6)` longs, first moments carried as `(i, −1)` sentinel
+    * entries next to the `(i, j)` upper-triangle pair products (factors
+    * cast to decimal BEFORE multiplying — a long×long product wraps
+    * silently for components beyond ~3e3), all summed as
+    * decimal(38,0). The row count rides the `(0, −1)` group. Only
+    * d + d(d+1)/2 summary rows reach the driver.
     */
   private def pcaMeanCov(train: DataFrame, dim: Int): (Array[Double], Array[Array[Double]]) = {
-    val q = train.withColumn("__q", expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"))
-    val n = q.count().toDouble
-    val moments = q
-      .select(posexplode(col("__q")).as(Seq("__i", "__qi")))
-      .groupBy(col("__i"))
-      .agg(sum(col("__qi").cast("decimal(38,0)")).as("__s"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue())
-      .toMap
-    val mean = Array.tabulate(dim)(i => moments(i) / 1e6 / n)
-    val pairSums = q
+    val sums = train
+      .withColumn("__q", expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"))
       .select(
         explode(
           expr(
-            s"""flatten(transform(sequence(0, ${dim - 1}),
-               |  i -> transform(sequence(i, ${dim - 1}),
-               |    j -> struct(i AS i, j AS j, __q[i] * __q[j] AS p))))""".stripMargin
+            s"""flatten(transform(sequence(0, ${dim - 1}), i -> concat(
+               |  array(struct(i AS i, -1 AS j, CAST(__q[i] AS DECIMAL(38,0)) AS p)),
+               |  transform(sequence(i, ${dim - 1}),
+               |    j -> struct(i AS i, j AS j, CAST(CAST(__q[i] AS DECIMAL(19,0)) * CAST(__q[j] AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS p)))))""".stripMargin
           )
         ).as("__e")
       )
       .groupBy(col("__e.i"), col("__e.j"))
-      .agg(sum(col("__e.p").cast("decimal(38,0)")).as("__sp"))
+      .agg(sum(col("__e.p")).as("__s"), count(lit(1)).as("__n"))
       .collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).doubleValue())
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getDecimal(2).doubleValue(), r.getLong(3))))
       .toMap
+    val n = math.max(sums((0, -1))._2, 1L).toDouble
+    val mean = Array.tabulate(dim)(i => sums((i, -1))._1 / 1e6 / n)
     val cov = Array.tabulate(dim, dim) { (i, j) =>
       val (a, b) = if (i <= j) (i, j) else (j, i)
-      pairSums((a, b)) / 1e12 / n - mean(i) * mean(j)
+      sums((a, b))._1 / 1e12 / n - mean(i) * mean(j)
     }
     (mean, cov)
   }

@@ -32,8 +32,15 @@ case class BpeEncode(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(StringType, _), StringType) =>
+      case (ArrayType(StringType, _), StringType) if right.foldable =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(StringType, _), StringType) =>
+        // a non-foldable merges argument would be evaluated against a
+        // null row (opaque executor NPE) or silently frozen — reject
+        // at analysis time instead
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "graft_bpe merges must be a foldable string literal"
+        )
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"graft_bpe needs (array<string>, string merges literal), got $other"

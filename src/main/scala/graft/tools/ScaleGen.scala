@@ -50,7 +50,7 @@ object ScaleGen {
     * so a stale `target/scale` from an earlier round regenerates
     * instead of silently measuring the old construction.
     */
-  private val Version = "v4"
+  private val Version = "v5"
 
   /** Stopword-only boilerplate: 24 words over the five `en` stopwords
     * (only `en` — other languages' stopwords would shift langId hits),
@@ -71,10 +71,15 @@ object ScaleGen {
     */
   private val BoilerplateMod = 5
 
-  /** Letters-only shard tag (no digits: digit_ratio must not move). */
+  /** Letters-only shard tag (no digits: digit_ratio must not move).
+    * ALWAYS three chars: a length that varied with the shard number
+    * would shift the char-denominator ratios (avg_word_len,
+    * digit/punct_ratio) between early and late shards and break the
+    * cross-shard feature-parity invariant above.
+    */
   private[tools] def shardTag(s: Int): String = {
     require(s >= 0 && s < 26 * 26, s"shard $s out of range")
-    if (s < 26) s"q${('a' + s).toChar}" else s"q${('a' + s / 26).toChar}${('a' + s % 26).toChar}"
+    s"q${('a' + s / 26).toChar}${('a' + s % 26).toChar}"
   }
 
   /** Shard-salted `text` column: every word except profiled stopwords
@@ -104,6 +109,14 @@ object ScaleGen {
     val marker = Paths.get(outDir, "_GRAFT_SCALE_OK")
     if (Files.exists(marker)) return outDir
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
+    // id-offset sharding silently collides (duplicate doc_ids, bogus
+    // cross-shard "duplicates", wrong % selections) if base ids reach
+    // the stride — fail loudly instead
+    val maxId = base.agg(max(col("doc_id"))).first().getLong(0)
+    require(
+      maxId < IdStride,
+      s"base doc_id $maxId >= IdStride $IdStride: shards would collide",
+    )
     val shards: Seq[DataFrame] = (0 until factor).map { s =>
       base.select(
         (col("doc_id") + lit(s * IdStride)).as("doc_id"),

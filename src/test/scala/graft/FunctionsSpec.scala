@@ -488,6 +488,15 @@ class FunctionsSpec extends AnyFunSuite {
     val plain = run(false)
     val opq = run(true)
     assert(opq == run(true)) // permutation + codebooks fully deterministic
+    // ...including under a different partition layout: the variance
+    // moments are scaled-int sums, so near-equal variances cannot flip
+    // the permutation through addition-order ulps
+    val opqRepart = pairs(
+      VectorFunctions
+        .pqAnn(emb.repartition(7), queries, k = 5, m = 8, codebookSize = 8, rerankFactor = 1, opq = true)
+        .select("query_id", "neighbor_id")
+    )
+    assert(opqRepart == opq)
     assert(opq.size == plain.size) // full k per query either way
     // exact L2 top-5 baseline (self excluded)
     val vecs = emb.collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap

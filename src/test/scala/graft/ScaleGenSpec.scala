@@ -57,6 +57,31 @@ class ScaleGenSpec extends AnyFunSuite {
     assert(byShard(0) == byShard(1))
   }
 
+  test("feature parity holds past shard 25 (uniform 3-char tags at every shard index)") {
+    // shards 26+ would break the char-ratio invariants if tag length
+    // varied with the shard number; factor 27 crosses the boundary
+    val dir = ScaleGen.ensure(spark, baseDir, 27, outRoot)
+    val scaled = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") / ScaleGen.IdStride === 0 || col("doc_id") / ScaleGen.IdStride === 26)
+    val feats = graft.functions.TextFunctions
+      .qualityScore(scaled, col("text"))
+      .select(
+        (col("doc_id") % ScaleGen.IdStride).as("base_id"),
+        (col("doc_id") / ScaleGen.IdStride).cast("int").as("shard"),
+        col("avg_word_len"),
+        col("digit_ratio"),
+        col("punct_ratio"),
+        col("stopword_ratio"),
+      )
+      .collect()
+      .groupBy(_.getInt(1))
+      .view
+      .mapValues(_.map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet)
+      .toMap
+    assert(feats.keySet == Set(0, 26))
+    assert(feats(0) == feats(26))
+  }
+
   test("content shingles never collide across shards; stopword/boilerplate shingles do (the hot keys)") {
     val dir = ScaleGen.ensure(spark, baseDir, 2, outRoot)
     val scaled = spark.read.parquet(s"$dir/documents.parquet")
