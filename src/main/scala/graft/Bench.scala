@@ -91,6 +91,15 @@ object Bench {
     "text_bpe",
     "pipeline_clean_corpus",
     "corpus_mixture_apply",
+    // time-series headliners over the series-space-scaled events table
+    // (per-series point counts constant across factors — see
+    // ScaleGen.ensureEvents): all unfiltered across series/users, so
+    // total work scales with the factor and per-row cost should not
+    "ts_resample_linear",
+    "ts_plot_data",
+    "ts_ohlc",
+    "ts_moving_avg",
+    "q_events_sessionize",
   )
   /** Default 1×/3×/10×; SPARK_GRAFT_SCALE_FACTORS="10,30" and
     * SPARK_GRAFT_SCALE_QUERIES="dedup_groups,..." override for one-off
@@ -112,6 +121,7 @@ object Bench {
     try {
       val cells = scaleFactors.map { f =>
         val dir = graft.tools.ScaleGen.ensure(spark, baseDir, f, "target/scale")
+        graft.tools.ScaleGen.ensureEvents(spark, baseDir, f, "target/scale")
         val docs = spark.read.parquet(s"$dir/documents.parquet").count()
         val qs = scaleQueriesEff.map { name =>
           val t0 = System.nanoTime()

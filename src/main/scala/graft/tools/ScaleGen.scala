@@ -143,4 +143,46 @@ object ScaleGen {
     Files.createFile(marker)
     outDir
   }
+
+  /** Events-table scale-up for the time-series half of the probe:
+    * SERIES-space replication — shard `s` suffixes `event_type` with
+    * the shard tag (shard 0 keeps the original names) and offsets
+    * `user_id`/`event_id` by [[IdStride]], with timestamps untouched.
+    * Per-series point counts are therefore IDENTICAL at every factor
+    * (the per-series sort/window/grid work of resample, plot-data,
+    * OHLC and moving averages is constant; only series cardinality
+    * grows — exactly how a larger plant or fleet scales a historian),
+    * and user-keyed operators (sessionization) scale in the user
+    * dimension the same way. `ts` is written as a plain INT64 nanos
+    * column, which `Tables.events` reads identically to the base
+    * file's TIMESTAMP(NANOS).
+    */
+  def ensureEvents(spark: SparkSession, baseDir: String, factor: Int, outRoot: String): String = {
+    require(factor >= 1, "factor must be >= 1")
+    val outDir = s"$outRoot/$Version/x$factor"
+    val marker = Paths.get(outDir, "_GRAFT_SCALE_EVENTS_OK")
+    if (Files.exists(marker)) return outDir
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = spark.read.parquet(s"$baseDir/events.parquet")
+    val maxId = base.agg(greatest(max(col("event_id")), max(col("user_id")))).first().getLong(0)
+    require(maxId < IdStride, s"base event/user id $maxId >= IdStride $IdStride: shards would collide")
+    val shards: Seq[DataFrame] = (0 until factor).map { s =>
+      base.select(
+        (col("event_id") + lit(s * IdStride)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(s * IdStride)).as("user_id"),
+        (if (s == 0) col("event_type") else concat(col("event_type"), lit(shardTag(s)))).as("event_type"),
+        col("value"),
+        col("props"),
+      )
+    }
+    shards
+      .reduce(_ unionAll _)
+      .repartition(math.max(8, 2 * factor))
+      .write
+      .mode("overwrite")
+      .parquet(s"$outDir/events.parquet")
+    Files.createFile(marker)
+    outDir
+  }
 }

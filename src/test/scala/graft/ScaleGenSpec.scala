@@ -82,6 +82,33 @@ class ScaleGenSpec extends AnyFunSuite {
     assert(feats(0) == feats(26))
   }
 
+  test("ensureEvents scales series-space: per-series points constant, shard 0 names intact, ts untouched") {
+    val dir = ScaleGen.ensureEvents(spark, baseDir, 2, outRoot)
+    val base = Tables.events(spark, baseDir)
+    val scaled = Tables.events(spark, dir)
+    assert(scaled.count() == 2 * base.count())
+    // shard 0 keeps original series names; shard 1 suffixes them — the
+    // base name set survives so literal-name queries still bind
+    val baseTypes = base.select("event_type").distinct().as[String].collect().toSet
+    val scaledTypes = scaled.select("event_type").distinct().as[String].collect().toSet
+    assert(baseTypes.subsetOf(scaledTypes))
+    assert(scaledTypes.size == 2 * baseTypes.size)
+    // per-series point counts are IDENTICAL across shards (constant
+    // per-series work at every factor — the probe's fairness basis)
+    val counts = scaled.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    baseTypes.foreach { t =>
+      val suffixed = counts.keys.find(k => k != t && k.startsWith(t) && scaledTypes.contains(k))
+      assert(suffixed.isDefined, s"no shard-1 twin for $t")
+      assert(counts(t) == counts(suffixed.get), s"$t: ${counts(t)} vs ${counts(suffixed.get)}")
+    }
+    // timestamps are bit-identical per shard (same ts multiset)
+    val tsBase = base.groupBy("ts").count()
+    val tsScaled = scaled.groupBy("ts").count()
+    val joined = tsBase.as("b").join(tsScaled.as("s"), "ts")
+      .where(col("s.count") =!= col("b.count") * 2).count()
+    assert(joined == 0)
+  }
+
   test("content shingles never collide across shards; stopword/boilerplate shingles do (the hot keys)") {
     val dir = ScaleGen.ensure(spark, baseDir, 2, outRoot)
     val scaled = spark.read.parquet(s"$dir/documents.parquet")
