@@ -1255,6 +1255,15 @@ object SparkEntry {
         .sampleFrames(Multimodal.toTiffAssets(assets))
         .select(col("asset_id"), col("frame_idx"), col("width"), col("height"))
     },
+    // C12e: perceptual image hash (pHash/DCT) + exact banded near-dup
+    // pairs — LAION-style image dedup on the real PNG assets (hash is
+    // a DCT of decoded pixels: no SQL form → rows-only, spec-verified)
+    "mm_phash" -> { (s, dir) =>
+      val assets = Multimodal.asAssets(Tables.documents(s, dir), "doc_id", "text", "source")
+      Multimodal
+        .phashPairs(Multimodal.perceptualHash(Multimodal.toPngAssets(assets)))
+        .orderBy(col("asset_a"), col("asset_b"))
+    },
     // C12 (audio): real WAV codec round trip via javax.sound.sampled —
     // PCM-16 encode → container write → header parse → frame read. The
     // decoded header fields are a pure function of payload byte length,

@@ -97,6 +97,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(offset.map(_.getAs[Int]("frame_idx")).toSeq == Seq(1))
   }
 
+  test("perceptualHash: identical images collide, perturbed images stay close, distinct stay far") {
+    // gradient image + a copy + a 2-pixel perturbation + an unrelated
+    // checkerboard — pHash must order these by visual similarity
+    def gray(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, f(x, y) & 0xff)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // broadband block texture on the 32×32 pHash grid: a smooth
+    // gradient is spectrally degenerate (61 of 63 AC signs are numeric
+    // noise), while real images have broadband energy — this fixture
+    // renders the same deterministic texture at ANY resolution, so the
+    // scale and brightness variants are true perceptual near-dups
+    def mix(seed: Int)(cx: Int, cy: Int): Int = (((cx * 73856093) ^ (cy * 19349663) ^ seed) >>> 8) & 0x7f
+    def tex(w: Int, h: Int, seed: Int, shift: Int) =
+      gray(w, h)((x, y) => mix(seed)(x * 32 / w, y * 32 / h) + shift)
+    val t64 = tex(64, 64, 0, 0)
+    val tCopy = tex(64, 64, 0, 0)
+    val tBright = tex(64, 64, 0, 3) // +3 brightness: DC-only shift
+    val tScaled = tex(128, 128, 0, 0) // same texture at 2x resolution
+    val other = tex(64, 64, 0x5eed, 0) // different texture entirely
+    val assets = Seq((1L, t64), (2L, tCopy), (3L, tBright), (4L, tScaled), (5L, other), (6L, "junk".getBytes("UTF-8")))
+      .toDF("asset_id", "content")
+      .select(
+        $"asset_id",
+        $"content",
+        org.apache.spark.sql.functions
+          .struct(
+            org.apache.spark.sql.functions.lit("image/png").as("mime"),
+            org.apache.spark.sql.functions.length($"content").as("n_bytes"),
+            org.apache.spark.sql.functions.lit("t").as("source"),
+          )
+          .as("meta"),
+      )
+    val hashes = Multimodal.perceptualHash(assets)
+    val byId = hashes.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(byId(1L).get == byId(2L).get) // identical pixels → identical hash
+    // +brightness shifts only the DC coefficient — AC signs and the
+    // AC median are untouched, so the hash is bit-identical
+    assert(ham(byId(1L).get, byId(3L).get) == 0, s"brightness moved ${ham(byId(1L).get, byId(3L).get)} bits")
+    assert(ham(byId(1L).get, byId(4L).get) <= 7, s"2x scale moved ${ham(byId(1L).get, byId(4L).get)} bits")
+    assert(ham(byId(1L).get, byId(5L).get) > 7, s"unrelated only ${ham(byId(1L).get, byId(5L).get)} bits apart")
+    assert(byId(6L).isEmpty) // undecodable → null hash
+    // banded pair index finds the near-dups (exact for τ ≤ 7), and
+    // never pairs the unrelated checkerboard with a gradient
+    val pairs = Multimodal.phashPairs(hashes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ids = pairs.map(p => (p._1, p._2))
+    assert(Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).subsetOf(ids), ids.toString)
+    assert(!ids.exists { case (a, b) => a == 5L || b == 5L })
+    assert(pairs.forall(_._3 <= 7))
+    // determinism across partitionings (double DCT in fixed loop order)
+    val again = Multimodal.perceptualHash(assets.repartition(4))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(again == byId)
+  }
+
   /** Hand-built PNG fixtures: known dimensions and solid colors, so the
     * decoded width/height/luma histogram have exact expected values.
     */
