@@ -1264,6 +1264,15 @@ object SparkEntry {
         .phashPairs(Multimodal.perceptualHash(Multimodal.toPngAssets(assets)))
         .orderBy(col("asset_a"), col("asset_b"))
     },
+    // C12f: audio fingerprinting (Haitsma-Kalker band-energy scheme)
+    // over the real WAV assets — 256-sample frames so the short doc
+    // payloads yield frames (rows-only: FFT has no SQL form)
+    "mm_audio_fp" -> { (s, dir) =>
+      val assets = Multimodal.asAssets(Tables.documents(s, dir), "doc_id", "text", "source")
+      Multimodal
+        .audioFingerprints(Multimodal.toWavAssets(assets), frameSize = 256)
+        .orderBy(col("asset_id"), col("frame_idx"))
+    },
     // C12 (audio): real WAV codec round trip via javax.sound.sampled —
     // PCM-16 encode → container write → header parse → frame read. The
     // decoded header fields are a pure function of payload byte length,

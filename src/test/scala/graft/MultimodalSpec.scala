@@ -157,6 +157,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(again == byId)
   }
 
+  test("audioFingerprints: gain-invariant spectral bits, distinct content stays apart, pairs index works") {
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // two-tone CHIRP (frequencies sweep upward, so consecutive frames
+    // genuinely differ and the differential bits carry signal — a
+    // steady tone would fingerprint every later frame as 0); samples
+    // kept EVEN so the half-gain variant is an exact power-of-two
+    // scale (band-energy difference signs must then be bit-identical —
+    // the Haitsma-Kalker invariance)
+    def chirp(f1: Double, f2: Double): Array[Short] =
+      Array.tabulate(4096) { i =>
+        val sweep = 1.0 + i / 8192.0
+        val v = 8000 * math.sin(2 * math.Pi * f1 * sweep * i / 8000.0) +
+          4000 * math.sin(2 * math.Pi * f2 * sweep * i / 8000.0)
+        (2 * (v / 2).toInt).toShort
+      }
+    val a = chirp(440, 1320)
+    val half = a.map(s => (s / 2).toShort)
+    val other = chirp(700, 2100)
+    val docs = Seq((1L, wav(a)), (2L, wav(a)), (3L, wav(half)), (4L, wav(other)), (5L, "junk".getBytes("UTF-8")))
+      .toDF("asset_id", "content")
+    val fps = Multimodal.audioFingerprints(docs)
+    val byId = fps.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => r.getInt(1) -> r.getLong(2)).sortBy(_._1).map(_._2).toSeq).toMap
+    assert(byId(1L).nonEmpty && byId(1L) == byId(2L)) // identical audio → identical stream
+    assert(byId(1L) == byId(3L), "half gain changed fingerprint bits") // exact gain invariance
+    // distinct spectral content differs in many frame bits
+    val diffBits = byId(1L).zip(byId(4L)).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    assert(diffBits > 8 * byId(1L).size, s"only $diffBits differing bits across ${byId(1L).size} frames")
+    assert(!byId.contains(5L)) // undecodable → no rows
+    // the inverted-index pairs find the gain-invariant trio only
+    val pairs = Multimodal.audioFpPairs(fps)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs.toString)
+    // determinism across partitionings
+    val again = Multimodal.audioFingerprints(docs.repartition(4))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => r.getInt(1) -> r.getLong(2)).sortBy(_._1).map(_._2).toSeq).toMap
+    assert(again == byId)
+  }
+
   /** Hand-built PNG fixtures: known dimensions and solid colors, so the
     * decoded width/height/luma histogram have exact expected values.
     */
