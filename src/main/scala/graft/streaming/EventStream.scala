@@ -175,6 +175,30 @@ object EventStream {
       rates,
     ).where(col(stratumCol).isin(rates.keySet.toSeq: _*))
 
+  /** Kappa-loop sink: land the canonical stream in the SAME Hive dir
+    * layout the batch dir source reads
+    * ([[graft.sources.ConfiguredSource]] `dataFormat = "dir"` — one
+    * partition directory per series, kukur's dir format), closing the
+    * live-ingest → historical-reprocess loop over a single storage
+    * layout. Parquet append sink with checkpointed exactly-once file
+    * commits; no state store, no shuffle beyond the partition write.
+    * Returns the started query; parity with the batch source is
+    * asserted in StreamingSpec.
+    */
+  def dirSink(
+      canonicalStream: DataFrame,
+      path: String,
+      checkpoint: String,
+      tagCols: Seq[String] = Seq("series_name"),
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    canonicalStream.writeStream
+      .format("parquet")
+      .partitionBy(tagCols: _*)
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Streaming token-budget gate — the streaming dual of the batch
     * BPE path (C10c): documents are tokenized IN the stream with the
     * native `graft_bpe` expression using merges trained OFFLINE by the

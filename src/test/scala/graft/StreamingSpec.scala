@@ -218,6 +218,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(counts(sample) < ("ab abc ab doc 1".count(_ != ' ') ), s"merge-less char count not reduced: $counts")
   }
 
+  test("dirSink closes the Kappa loop: streamed points read back identically through the batch dir source") {
+    implicit val sq = spark.sqlContext
+    val root = s"/tmp/graft-kappa-${ProcessHandle.current().pid()}"
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val pts = (1 to 40).map { i =>
+      (if (i % 2 == 0) "temp" else "pressure", new Timestamp(1704067200000L + i * 60000L), i / 10.0)
+    }
+    val (first, second) = pts.splitAt(20)
+    mem.addData(first: _*)
+    val q = EventStream.dirSink(
+      mem.toDF().toDF("series_name", "ts", "value"),
+      s"$root/data",
+      s"$root/ckpt",
+    )
+    q.processAllAvailable()
+    mem.addData(second: _*) // second microbatch appends more files
+    q.processAllAvailable()
+    q.stop()
+    // the batch dir source reads the sink's layout directly — the
+    // Kappa promise: live ingest and reprocessing share one layout
+    val src = new graft.sources.ConfiguredSource(
+      graft.sources.SourceConfig(
+        path = s"$root/data",
+        fileFormat = "parquet",
+        dataFormat = "dir",
+        tagColumns = Seq("series_name"),
+      )
+    )
+    val back = src.read(spark)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .toSet
+    assert(back == pts.toSet)
+  }
+
   test("statefulLatest keeps the newest point per series across batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(String, Long, Timestamp, Double)]
