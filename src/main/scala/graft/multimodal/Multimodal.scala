@@ -217,6 +217,9 @@ object Multimodal {
     */
   def phashPairs(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7, "8x8-bit bands are exact only for maxHamming <= 7")
+    // both join sides read the band index: eager checkpoint, same
+    // rationale as DedupFunctions.winnowPairs (Bench/Verify release
+    // via getPersistentRDDs)
     val bands = hashes
       .where(col("phash").isNotNull)
       .select(
@@ -224,6 +227,7 @@ object Multimodal {
         col("phash"),
         posexplode(expr("transform(sequence(0, 7), b -> (phash >> (b * 8)) & 255)")).as(Seq("band", "band_val")),
       )
+      .localCheckpoint()
     bands
       .select(col("asset_id").as("asset_a"), col("phash").as("ha"), col("band"), col("band_val"))
       .join(
@@ -786,7 +790,11 @@ object Multimodal {
     * join fanout at scale.
     */
   def audioFpPairs(fps: DataFrame, minShared: Long = 4L, maxDf: Long = 0L): DataFrame = {
-    val distinctFps = fps.select(col("asset_id"), col("fp")).distinct()
+    // consumed by the df cap and both join sides: eager checkpoint,
+    // same rationale as DedupFunctions.winnowPairs (the thin maxDf
+    // filter on top re-evaluates cheaply; its shuffle dedups via
+    // ReuseExchange)
+    val distinctFps = fps.select(col("asset_id"), col("fp")).distinct().localCheckpoint()
     val kept =
       if (maxDf <= 0) distinctFps
       else
