@@ -93,12 +93,14 @@ object Bench {
     "corpus_mixture_apply",
     // time-series headliners over the series-space-scaled events table
     // (per-series point counts constant across factors — see
-    // ScaleGen.ensureEvents): all unfiltered across series/users, so
-    // total work scales with the factor and per-row cost should not
+    // ScaleGen.ensureEvents): all UNFILTERED across series/users, so
+    // total work scales with the factor and per-row cost should not.
+    // (ts_moving_avg/ts_derivative filter to one literal series and
+    // would measure only scan+filter growth — excluded.)
     "ts_resample_linear",
     "ts_plot_data",
     "ts_ohlc",
-    "ts_moving_avg",
+    "ts_latest",
     "q_events_sessionize",
   )
   /** Default 1×/3×/10×; SPARK_GRAFT_SCALE_FACTORS="10,30" and

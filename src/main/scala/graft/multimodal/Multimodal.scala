@@ -211,11 +211,20 @@ object Multimodal {
   /** Near-duplicate image pairs from perceptual hashes: 8 bands of 8
     * bits bucket-join the candidates — by pigeonhole any pair within
     * `maxHamming` ≤ 7 bits shares at least one intact band, so the
-    * banded index is EXACT (no recall loss), never all-pairs; the
+    * banded index is EXACT (no recall loss) at `maxDf = 0`; the
     * survivor filter recomputes the true distance with `bit_count`.
-    * The text-side twin of the SimHash path, at image grain.
+    * The image twin of the SimHash path.
+    *
+    * `maxDf` > 0 drops band buckets shared by more than `maxDf`
+    * assets BEFORE the join — flat/near-blank images (AC block at or
+    * under the median everywhere) all land in bucket 0 of every
+    * band, and that one bucket alone makes the join quadratic on a
+    * crawl-scale corpus. The cap bounds per-key join fanout at a
+    * bounded recall cost (a pair is missed only if EVERY band it
+    * shares is hot) — the same trade [[audioFpPairs]] and
+    * DedupFunctions.winnowPairs make.
     */
-  def phashPairs(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 7, maxDf: Long = 0L): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7, "8x8-bit bands are exact only for maxHamming <= 7")
     // both join sides read the band index: eager checkpoint, same
     // rationale as DedupFunctions.winnowPairs (Bench/Verify release
@@ -228,10 +237,22 @@ object Multimodal {
         posexplode(expr("transform(sequence(0, 7), b -> (phash >> (b * 8)) & 255)")).as(Seq("band", "band_val")),
       )
       .localCheckpoint()
-    bands
+    val kept =
+      if (maxDf <= 0) bands
+      else
+        bands
+          .join(
+            bands
+              .groupBy(col("band"), col("band_val"))
+              .agg(count(lit(1)).as("__df"))
+              .where(col("__df") <= maxDf),
+            Seq("band", "band_val"),
+          )
+          .drop("__df")
+    kept
       .select(col("asset_id").as("asset_a"), col("phash").as("ha"), col("band"), col("band_val"))
       .join(
-        bands.select(col("asset_id").as("asset_b"), col("phash").as("hb"), col("band"), col("band_val")),
+        kept.select(col("asset_id").as("asset_b"), col("phash").as("hb"), col("band"), col("band_val")),
         Seq("band", "band_val"),
       )
       .where(col("asset_a") < col("asset_b"))

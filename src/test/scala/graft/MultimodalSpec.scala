@@ -151,6 +151,9 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).subsetOf(ids), ids.toString)
     assert(!ids.exists { case (a, b) => a == 5L || b == 5L })
     assert(pairs.forall(_._3 <= 7))
+    // the hot-bucket cap visibly trades recall for bounded fanout:
+    // maxDf = 1 drops every bucket two assets share → no pairs at all
+    assert(Multimodal.phashPairs(hashes, maxDf = 1L).collect().isEmpty)
     // determinism across partitionings (double DCT in fixed loop order)
     val again = Multimodal.perceptualHash(assets.repartition(4))
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap

@@ -61,8 +61,10 @@ class ScaleGenSpec extends AnyFunSuite {
     // shards 26+ would break the char-ratio invariants if tag length
     // varied with the shard number; factor 27 crosses the boundary
     val dir = ScaleGen.ensure(spark, baseDir, 27, outRoot)
+    // integer shard decode: bare `/` is double division and would
+    // match only doc_id 0 and 26·stride, silently gutting the test
     val scaled = spark.read.parquet(s"$dir/documents.parquet")
-      .where(col("doc_id") / ScaleGen.IdStride === 0 || col("doc_id") / ScaleGen.IdStride === 26)
+      .where((col("doc_id") / ScaleGen.IdStride).cast("long").isin(0L, 26L))
     val feats = graft.functions.TextFunctions
       .qualityScore(scaled, col("text"))
       .select(

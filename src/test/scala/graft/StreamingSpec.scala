@@ -220,7 +220,9 @@ class StreamingSpec extends AnyFunSuite {
 
   test("dirSink closes the Kappa loop: streamed points read back identically through the batch dir source") {
     implicit val sq = spark.sqlContext
-    val root = s"/tmp/graft-kappa-${ProcessHandle.current().pid()}"
+    // fresh dir every run: a recycled-pid path could carry a stale
+    // checkpoint that silently skips this run's batches
+    val root = java.nio.file.Files.createTempDirectory("graft-kappa-").toString
     val mem = MemoryStream[(String, Timestamp, Double)]
     val pts = (1 to 40).map { i =>
       (if (i % 2 == 0) "temp" else "pressure", new Timestamp(1704067200000L + i * 60000L), i / 10.0)
