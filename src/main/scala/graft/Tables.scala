@@ -2,36 +2,50 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables.
   *
   * All reads stay declarative (`spark.read.parquet`) so Catalyst keeps
   * predicate pushdown, column pruning and partition pruning. The only
-  * normalization done eagerly is the ns→µs timestamp conversion for
-  * `events`, because Spark's TimestampType is µs-precision and the
-  * generated parquet stores TIMESTAMP(NANOS).
+  * normalization done eagerly is the `events.ts` timestamp conversion,
+  * which adapts to how the file stores time (see [[events]]).
   */
 object Tables {
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot map to
-    * its µs TimestampType. We read it as raw nanos (long) and truncate
-    * to µs — identical to what DuckDB's ns→µs cast does, keeping the
-    * oracle comparable.
+  /** `events.ts` has been generated in different physical types across
+    * data drops; normalize all of them to the session-µs TimestampType
+    * every downstream operator (and the `ntz` output boundary) expects:
+    *   - parquet TIMESTAMP(NANOS): unmappable to Spark's µs timestamps,
+    *     read as a raw nanos long (`nanosAsLong`) and truncated to µs —
+    *     identical to DuckDB's ns→µs cast, keeping the oracle comparable;
+    *   - parquet timestamp[us] without UTC adjustment (TIMESTAMP_NTZ):
+    *     cast to TimestampType — with the session timezone pinned to
+    *     UTC this is exact and epoch-preserving, so `unix_micros` on our
+    *     side equals DuckDB's `epoch_us` on the naive value;
+    *   - TimestampType: pass through.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
+  private def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+
   /** Range-pushdown events read: the half-open [start, end) filter is
-    * applied to the *raw nanosecond long* before the µs conversion —
-    * `ns div 1000 >= s_us ⇔ ns >= s_us·1000` for positive epochs, so the
-    * predicate is exact and reaches the parquet scan (row-group pruning
-    * on ts column stats). Catalyst cannot infer this through the
-    * non-linear `div` expression, and at 100 TB the difference is
-    * scanning one day instead of the full history.
+    * applied to the *stored* representation before any conversion, so
+    * the predicate is exact and reaches the parquet scan (row-group
+    * pruning on ts column stats). For nanos longs that means the bound
+    * `ns div 1000 >= s_us ⇔ ns >= s_us·1000` (positive epochs), which
+    * Catalyst cannot infer through the non-linear `div`; for NTZ it
+    * means comparing against an NTZ literal rather than filtering above
+    * the NTZ→LTZ cast, which the source API would not push. At 100 TB
+    * the difference is scanning one day instead of the full history.
     */
   def eventsInRange(
       spark: SparkSession,
@@ -40,10 +54,18 @@ object Tables {
       end: java.sql.Timestamp,
   ): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .where(col("ts") >= lit(start.getTime * 1000000L) && col("ts") < lit(end.getTime * 1000000L))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val filtered = raw.schema("ts").dataType match {
+      case LongType =>
+        raw.where(col("ts") >= lit(start.getTime * 1000000L) && col("ts") < lit(end.getTime * 1000000L))
+      case TimestampNTZType =>
+        def asNtz(t: java.sql.Timestamp) =
+          java.time.LocalDateTime.ofInstant(t.toInstant, java.time.ZoneOffset.UTC)
+        raw.where(col("ts") >= lit(asNtz(start)) && col("ts") < lit(asNtz(end)))
+      case _ =>
+        raw.where(col("ts") >= lit(start) && col("ts") < lit(end))
+    }
+    normalizeTs(filtered)
   }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =

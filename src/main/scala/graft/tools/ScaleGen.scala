@@ -50,7 +50,7 @@ object ScaleGen {
     * so a stale `target/scale` from an earlier round regenerates
     * instead of silently measuring the old construction.
     */
-  private val Version = "v5"
+  private val Version = "v6"
 
   /** Stopword-only boilerplate: 24 words over the five `en` stopwords
     * (only `en` — other languages' stopwords would shift langId hits),
@@ -153,9 +153,10 @@ object ScaleGen {
     * OHLC and moving averages is constant; only series cardinality
     * grows — exactly how a larger plant or fleet scales a historian),
     * and user-keyed operators (sessionization) scale in the user
-    * dimension the same way. `ts` is written as a plain INT64 nanos
-    * column, which `Tables.events` reads identically to the base
-    * file's TIMESTAMP(NANOS).
+    * dimension the same way. `ts` is copied through in whatever
+    * physical type the base file uses (INT64 nanos or timestamp[us]);
+    * `Tables.events` normalizes both identically, so shards and base
+    * always read the same.
     */
   def ensureEvents(spark: SparkSession, baseDir: String, factor: Int, outRoot: String): String = {
     require(factor >= 1, "factor must be >= 1")

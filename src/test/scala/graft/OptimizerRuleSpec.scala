@@ -14,10 +14,25 @@ class OptimizerRuleSpec extends AnyFunSuite {
 
   private def t(s: String): Timestamp = Timestamp.from(Instant.parse(s))
 
+  /** The driver's current events.parquet stores `ts` as timestamp[us],
+    * but any ns-precision historian export still lands as INT64 nanos
+    * (`nanosAsLong`), so the rule stays load-bearing. This spec builds
+    * its own ns-long events file — the shape the rule exists for — and
+    * asserts the derived ns bound reaches the parquet scan.
+    */
   test("range filter on derived us timestamp reaches the parquet scan as a ns predicate") {
     GraftOptimizations.install(spark)
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ns-events-${getClass.getSimpleName}"
+    val baseNs = Instant.parse("2024-01-01T00:00:00Z").getEpochSecond * 1000000000L
+    (0 until 1000)
+      .map(i => (i.toLong, baseNs + i * 3600L * 1000000000L, i % 7L, s"type_${i % 3}", i.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
     val df = TimeSeriesOps.filterRange(
-      Tables.events(spark, "/root/testdata/sf0.001"),
+      Tables.events(spark, dir),
       t("2024-01-08T00:00:00Z"),
       t("2024-01-15T00:00:00Z"),
     )
@@ -28,8 +43,36 @@ class OptimizerRuleSpec extends AnyFunSuite {
       || physical.contains("GreaterThanOrEqual(ts,1704672000000000000)"), s"no pushed filter:\n$physical")
     // results identical to the hand-pushed variant
     val auto = df.count()
-    val manual = Tables.eventsInRange(spark, "/root/testdata/sf0.001", t("2024-01-08T00:00:00Z"), t("2024-01-15T00:00:00Z")).count()
+    val manual = Tables.eventsInRange(spark, dir, t("2024-01-08T00:00:00Z"), t("2024-01-15T00:00:00Z")).count()
     assert(auto == manual)
+    assert(auto == 168L) // 7 days x 24 hourly points
+  }
+
+  /** The dual for the driver's actual physical type: a range filter on
+    * the NTZ-stored column must be pushed to the scan too (eventsInRange
+    * filters on the raw NTZ value *before* the LTZ cast precisely so the
+    * source API can push it).
+    */
+  test("eventsInRange pushes the bound on timestamp[us] (NTZ) storage") {
+    val df = Tables.eventsInRange(
+      spark,
+      "/root/testdata/sf0.001",
+      t("2024-01-08T00:00:00Z"),
+      t("2024-01-15T00:00:00Z"),
+    )
+    val physical = df.queryExecution.executedPlan.toString
+    assert(
+      physical.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,")
+        || physical.contains("GreaterThanOrEqual(ts,2024-01-08"),
+      s"no pushed NTZ filter:\n$physical",
+    )
+    // and the filtered read agrees with post-hoc filtering of the full read
+    val full = TimeSeriesOps.filterRange(
+      Tables.events(spark, "/root/testdata/sf0.001"),
+      t("2024-01-08T00:00:00Z"),
+      t("2024-01-15T00:00:00Z"),
+    )
+    assert(df.count() == full.count())
   }
 
   test("derived ns bounds are exact for pre-1970 (negative-epoch) timestamps") {
