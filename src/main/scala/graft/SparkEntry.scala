@@ -1159,6 +1159,11 @@ object SparkEntry {
     "corpus_domain_stats" -> { (s, dir) =>
       CorpusFunctions.domainStats(Tables.documents(s, dir), col("source"), col("lang"), col("doc_id"), col("text"))
     },
+    // C36: corpus datacard — per-source composition + token share +
+    // dup rate + mean quality, the publishable curation report
+    "corpus_datacard" -> { (s, dir) =>
+      CorpusFunctions.datacard(Tables.documents(s, dir), col("source"), col("lang"), col("doc_id"), col("text"))
+    },
     // C23: deterministic stratified sampling — down-weight dominant
     // strata by content-stable hash (en keeps 1/4, zh 1/2, rest all)
     "corpus_sample_stratified" -> { (s, dir) =>
@@ -1187,6 +1192,12 @@ object SparkEntry {
     // join (hot boilerplate grams broadcast, tail shuffles bounded)
     "dedup_substring_char" -> { (s, dir) =>
       DedupFunctions.repeatedSpansChar(Tables.documents(s, dir), "doc_id", "text", k = 20)
+    },
+    // C24e: content-defined chunking dedup (LBFS/FastCDC family) —
+    // insertion-robust chunk boundaries from local context hashes,
+    // duplicated chunks found through the fingerprint count
+    "dedup_cdc_chunks" -> { (s, dir) =>
+      DedupFunctions.cdcChunks(Tables.documents(s, dir), "doc_id", "text")
     },
     // C24d: CCNet paragraph-grain dedup (Wenzek et al. 2020) on
     // 10-word blocks — first corpus-wide occurrence survives,
@@ -2276,6 +2287,34 @@ object SparkEntry {
                 COUNT(DISTINCT lang) AS n_langs,
                 COUNT(*) - COUNT(DISTINCT fp) AS n_dup_docs
          FROM d GROUP BY 1""",
+    "corpus_datacard" ->
+      """WITH base AS (
+           SELECT source, lang, text,
+                  length(text) AS n_chars,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w,
+                  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents),
+         feat AS (
+           SELECT source, lang, fp,
+                  CAST(n_chars AS BIGINT) AS n_chars,
+                  CAST(len(w) AS BIGINT) AS n_words,
+                  0.3 * (FLOOR(CAST(len(list_filter(w, t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE) * 1000000.0 / GREATEST(len(w), 1)) / 1000000.0)
+                  + 0.3 * (1.0 - FLOOR(CAST(n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) * 1000000.0 / n_chars) / 1000000.0)
+                  + 0.4 * LEAST(CAST(len(w) AS DOUBLE) / 100.0, 1.0) AS q
+           FROM base),
+         src AS (
+           SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+                  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                  CAST(SUM(n_words) AS BIGINT) AS total_words,
+                  COUNT(*) - COUNT(DISTINCT fp) AS n_dup_docs,
+                  CAST(SUM(CAST(FLOOR(q * 1000000.0) AS BIGINT)) AS BIGINT) AS qsum
+           FROM feat GROUP BY 1),
+         tot AS (SELECT CAST(SUM(total_words) AS BIGINT) AS corpus_words FROM src)
+         SELECT source, n_docs, n_langs, total_chars, total_words, n_dup_docs,
+                (1000000 * n_dup_docs) // n_docs AS dup_ppm,
+                (1000000 * total_words) // corpus_words AS token_share_ppm,
+                qsum // n_docs AS mean_quality_micro
+         FROM src, tot""",
     "dedup_priority" ->
       """WITH f AS (SELECT doc_id, source, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM documents),
          r AS (SELECT doc_id, source, fp,
@@ -2343,6 +2382,24 @@ object SparkEntry {
          SELECT doc_id, MIN(strt) AS span_start, MAX(en) AS span_end,
                 MAX(en) - MIN(strt) + 1 AS span_chars
          FROM isl GROUP BY doc_id, island""",
+    "dedup_cdc_chunks" ->
+      """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+         b AS (SELECT doc_id, t, len(t) AS nl,
+                      list_filter(generate_series(16, len(t)),
+                                  i -> substr(md5(substr(t, i - 15, 16)), 1, 1) = '0') AS bounds
+               FROM n WHERE len(t) >= 16),
+         z AS (SELECT doc_id, t,
+                      list_prepend(1, list_transform(bounds, x -> x + 1)) AS starts,
+                      list_append(bounds, nl) AS ends
+               FROM b),
+         u AS (SELECT doc_id, t,
+                      CAST(UNNEST(starts) AS BIGINT) AS s,
+                      CAST(UNNEST(ends) AS BIGINT) AS e
+               FROM z),
+         c AS (SELECT doc_id, s, e, md5(substr(t, s, e - s + 1)) AS fp FROM u WHERE s <= e),
+         f AS (SELECT fp, COUNT(*) AS n_copies FROM c GROUP BY 1)
+         SELECT doc_id, s AS span_start, e AS span_end, e - s + 1 AS span_chars, n_copies
+         FROM c JOIN f USING (fp) WHERE n_copies > 1""",
     "embedding_quantize" ->
       """WITH d AS (SELECT UNNEST(embedding) AS x, UNNEST(generate_series(1, len(embedding))) AS i FROM embeddings),
          s AS (SELECT i, MAX(ABS(x)) AS mx FROM d GROUP BY 1),

@@ -458,4 +458,56 @@ object CorpusFunctions {
         countDistinct(col("lang")).as("n_langs"),
         (count(lit(1)) - countDistinct(col("__fp"))).as("n_dup_docs"),
       )
+
+  /** Corpus datacard — the per-source report a curation run publishes
+    * (the "datasheet" habit of Gebru et al. 2021 at corpus grain):
+    * composition ([[domainStats]] fields), token mass and each
+    * source's share of the corpus, exact-duplication rate, and the
+    * mean [[TextFunctions.qualityScore]] — everything a consumer
+    * needs to judge a source before training on it.
+    *
+    * One scan of the corpus → one hash aggregate on the tiny source
+    * key → broadcast of the 1-row corpus total back onto the
+    * per-source frame. Determinism policy: the quality mean is
+    * accumulated as a per-doc `floor(score·1e6)` BIGINT sum (the
+    * per-doc score is bit-identical across engines, the integer sum
+    * is order-independent — double sums would hash-diverge), and all
+    * rates are integer ppm via `div`, never double division of longs.
+    */
+  def datacard(df: DataFrame, source: Column, lang: Column, idCol: Column, text: Column): DataFrame = {
+    val scored = TextFunctions
+      .qualityScore(DedupFunctions.spread(df), text)
+      .select(
+        source.as("source"),
+        lang.as("lang"),
+        col("n_chars").cast("long").as("__nc"),
+        col("n_words").cast("long").as("__nw"),
+        floor(col("quality_score") * lit(1000000.0)).cast("long").as("__qmicro"),
+        md5(TextFunctions.normText(text)).as("__fp"),
+      )
+    val perSource = scored
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("__nc")).as("total_chars"),
+        sum(col("__nw")).as("total_words"),
+        (count(lit(1)) - countDistinct(col("__fp"))).as("n_dup_docs"),
+        sum(col("__qmicro")).as("__qsum"),
+      )
+    val total = perSource.agg(sum(col("total_words")).as("__corpus_words"))
+    perSource
+      .crossJoin(broadcast(total))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_langs"),
+        col("total_chars"),
+        col("total_words"),
+        col("n_dup_docs"),
+        expr("1000000 * n_dup_docs div n_docs").as("dup_ppm"),
+        expr("1000000 * total_words div __corpus_words").as("token_share_ppm"),
+        expr("__qsum div n_docs").as("mean_quality_micro"),
+      )
+  }
 }

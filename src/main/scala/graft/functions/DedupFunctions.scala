@@ -389,27 +389,16 @@ object DedupFunctions {
       .select(col("doc_id"), expr("graft_simhash64(transform(__w, t -> xxhash64(t)))").as("simhash"))
   }
 
-  /** SimHash near-dup candidates: 4 bands of 16 bits each (any shared
-    * band ⇒ candidate), verified by full hamming distance ≤ maxHamming.
+  /** SimHash near-dup candidates: [[HammingJoin.pairs]] at the text
+    * trade — 4 bands of 16 bits (exact-distance budget 3), verified by
+    * full hamming distance ≤ maxHamming. `maxDf` caps per-bucket join
+    * fanout for degenerate corpora (e.g. many empty docs all at
+    * simhash 0); 0 disables the cap (exact).
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhash(df, idCol, textCol)
-    val banded = sigs.select(
-      col("doc_id"),
-      col("simhash"),
-      posexplode(expr("transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)")).as(Seq("band", "band_bits")),
-    )
-    banded
-      .select(col("band"), col("band_bits"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
-      .join(
-        banded.select(col("band"), col("band_bits"), col("doc_id").as("doc_b"), col("simhash").as("sig_b")),
-        Seq("band", "band_bits"),
-      )
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
-  }
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3, maxDf: Long = 0L): DataFrame =
+    HammingJoin
+      .pairs(simhash(df, idCol, textCol), "doc_id", "simhash", bands = 4, maxHamming = maxHamming, maxDf = maxDf)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
 
   /** Connected components via alternating large-star/small-star
     * (Kiveris et al. 2014, "Connected Components in MapReduce and
@@ -759,5 +748,87 @@ object DedupFunctions {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .select(col("doc_id"), col("fp"))
+  }
+
+  /** Content-defined-chunking dedup (the FastCDC/LBFS family, Muthitacharoen
+    * et al. 2001 "A Low-Bandwidth Network File System" §3.1, at text
+    * grain): chunk boundaries fall where the hash of the trailing
+    * `window`-char context has `maskHexDigits` leading zero hex digits
+    * (expected chunk length 16^maskHexDigits chars), so a boundary
+    * depends ONLY on local content — an insertion shifts every
+    * downstream offset but re-synchronizes at the first unmodified
+    * boundary, and the suffix chunks fingerprint identically. The
+    * insertion-robust dual of [[repeatedSpansChar]]'s fixed k-grams and
+    * of paragraphDedup's fixed word blocks, and the standard shape of
+    * storage-level dedup brought to corpus text.
+    *
+    * Shape: one pass computes per-doc boundaries (a filter over char
+    * positions — the md5-per-position window scan is the CDC analog of
+    * the k-gram explode, same O(len·window) work), chunks explode to
+    * one row each, a corpus-wide fingerprint count finds repeats, and
+    * the probe joins back Zipf-split — tiny boilerplate chunks are the
+    * hot keys, so heads ride a broadcast and the tail shuffles with
+    * bounded fanout. Emits duplicated chunks only:
+    * `(doc_id, span_start, span_end, span_chars, n_copies)`, positions
+    * 1-based chars in the NORMALIZED text, like [[repeatedSpansChar]].
+    */
+  def cdcChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 16,
+      maskHexDigits: Int = 1,
+      hotMin: Long = 1000L,
+  ): DataFrame = {
+    require(window >= 2, "rolling window must be at least 2 chars")
+    require(maskHexDigits >= 1 && maskHexDigits <= 8, "mask must be 1..8 hex digits")
+    val zeros = "0" * maskHexDigits
+    val chunks = spread(
+      df.select(col(idCol).as("doc_id"), TextFunctions.normText(col(textCol)).as("__t"))
+    )
+      .where(length(col("__t")) >= window)
+      .select(
+        col("doc_id"),
+        col("__t"),
+        expr(
+          s"filter(sequence($window, length(__t)), i -> substring(md5(substring(__t, i - ${window - 1}, $window)), 1, $maskHexDigits) = '$zeros')"
+        ).as("__b"),
+      )
+      .select(
+        col("doc_id"),
+        col("__t"),
+        expr("concat(array(1), transform(__b, b -> b + 1))").as("__starts"),
+        expr("concat(__b, array(length(__t)))").as("__ends"),
+      )
+      .select(
+        col("doc_id"),
+        col("__t"),
+        posexplode(
+          expr(
+            "filter(transform(sequence(1, size(__starts)), j -> struct(element_at(__starts, j) AS s, element_at(__ends, j) AS e)), c -> c.s <= c.e)"
+          )
+        ).as(Seq("__idx", "__c")),
+      )
+      .select(
+        col("doc_id"),
+        col("__c.s").cast("long").as("span_start"),
+        col("__c.e").cast("long").as("span_end"),
+        md5(expr("substring(__t, __c.s, __c.e - __c.s + 1)")).as("__fp"),
+      )
+      // two consumers (fp count + probe side): eager checkpoint, same
+      // rationale as repeatedSpansChar; Bench/Verify release it via
+      // getPersistentRDDs after the query
+      .localCheckpoint()
+    val freq = chunks.groupBy(col("__fp")).agg(count(lit(1)).as("n_copies"))
+    CorpusFunctions
+      .zipfSplitJoin(chunks, freq, Seq("__fp"), "n_copies", hotMin)
+      .where(col("n_copies") > 1)
+      .select(
+        col("doc_id"),
+        col("span_start"),
+        col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_chars"),
+        col("n_copies"),
+      )
   }
 }

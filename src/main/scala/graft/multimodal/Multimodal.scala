@@ -208,58 +208,22 @@ object Multimodal {
     spark.createDataFrame(rdd, phashSchema)
   }
 
-  /** Near-duplicate image pairs from perceptual hashes: 8 bands of 8
-    * bits bucket-join the candidates — by pigeonhole any pair within
-    * `maxHamming` ≤ 7 bits shares at least one intact band, so the
-    * banded index is EXACT (no recall loss) at `maxDf = 0`; the
-    * survivor filter recomputes the true distance with `bit_count`.
-    * The image twin of the SimHash path.
+  /** Near-duplicate image pairs from perceptual hashes:
+    * [[graft.functions.HammingJoin.pairs]] at the image trade — 8
+    * bands of 8 bits (exact-distance budget 7), true distance
+    * recomputed by the survivor filter. The image twin of the SimHash
+    * path.
     *
     * `maxDf` > 0 drops band buckets shared by more than `maxDf`
     * assets BEFORE the join — flat/near-blank images (AC block at or
     * under the median everywhere) all land in bucket 0 of every
     * band, and that one bucket alone makes the join quadratic on a
-    * crawl-scale corpus. The cap bounds per-key join fanout at a
-    * bounded recall cost (a pair is missed only if EVERY band it
-    * shares is hot) — the same trade [[audioFpPairs]] and
-    * DedupFunctions.winnowPairs make.
+    * crawl-scale corpus; 0 disables the cap (exact).
     */
-  def phashPairs(hashes: DataFrame, maxHamming: Int = 7, maxDf: Long = 0L): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 7, "8x8-bit bands are exact only for maxHamming <= 7")
-    // both join sides read the band index: eager checkpoint, same
-    // rationale as DedupFunctions.winnowPairs (Bench/Verify release
-    // via getPersistentRDDs)
-    val bands = hashes
-      .where(col("phash").isNotNull)
-      .select(
-        col("asset_id"),
-        col("phash"),
-        posexplode(expr("transform(sequence(0, 7), b -> (phash >> (b * 8)) & 255)")).as(Seq("band", "band_val")),
-      )
-      .localCheckpoint()
-    val kept =
-      if (maxDf <= 0) bands
-      else
-        bands
-          .join(
-            bands
-              .groupBy(col("band"), col("band_val"))
-              .agg(count(lit(1)).as("__df"))
-              .where(col("__df") <= maxDf),
-            Seq("band", "band_val"),
-          )
-          .drop("__df")
-    kept
-      .select(col("asset_id").as("asset_a"), col("phash").as("ha"), col("band"), col("band_val"))
-      .join(
-        kept.select(col("asset_id").as("asset_b"), col("phash").as("hb"), col("band"), col("band_val")),
-        Seq("band", "band_val"),
-      )
-      .where(col("asset_a") < col("asset_b"))
-      .select(col("asset_a"), col("asset_b"), expr("bit_count(ha ^ hb)").cast("int").as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
-  }
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 7, maxDf: Long = 0L): DataFrame =
+    graft.functions.HammingJoin
+      .pairs(hashes, "asset_id", "phash", bands = 8, maxHamming = maxHamming, maxDf = maxDf)
+      .select(col("id_a").as("asset_a"), col("id_b").as("asset_b"), col("hamming"))
 
   /** REAL image decode: `javax.imageio` over the binary column, batched
     * per partition (the Scala analog of `mapInPandas`). Emits the

@@ -282,6 +282,52 @@ object EventStream {
       )
   }
 
+  /** Streaming perceptual image dedup — the image twin of
+    * [[nearDupStream]], composing the pHash banding of
+    * `Multimodal.phashPairs` with `dropDuplicatesWithinWatermark`:
+    * near-dup detection at ingest, before a duplicate frame ever
+    * lands in the lake. The input stream carries a precomputed
+    * 64-bit `phash` (the decode/hash step runs in the ingest
+    * decoder — perceptualHash is per-row and deterministic, so the
+    * hash travels with the asset; recomputing inside the streaming
+    * plan would force a non-streamable RDD decode). Banding is
+    * [[graft.functions.HammingJoin.bandArrayExpr]] — bit-identical to
+    * the batch join, so a bucket seen by the stream is the bucket the
+    * batch pass would join on.
+    *
+    * Same two-stage stateful pipeline and output contract as
+    * [[nearDupStream]]: state is one row per distinct (band, value)
+    * bucket inside the watermark horizon; an asset whose 8 bands all
+    * survived collided with nobody (`novel = true`, hamming > 7 from
+    * every earlier in-horizon asset — the batch pigeonhole run in
+    * reverse); an asset that owns no first-seen bucket emits nothing.
+    * Beyond-horizon repeats are the batch pass's job.
+    */
+  def perceptualDedupStream(
+      assetStream: DataFrame,
+      tsCol: String = "ingest_ts",
+      watermark: String = "1 hour",
+      window_ : String = "1 hour",
+      bands: Int = 8,
+  ): DataFrame =
+    assetStream
+      .where(col("phash").isNotNull)
+      .select(
+        col("asset_id"),
+        col(tsCol).as("__ts"),
+        posexplode(expr(graft.functions.HammingJoin.bandArrayExpr("phash", bands))).as(Seq("band", "band_val")),
+      )
+      .withWatermark("__ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("band", "band_val"))
+      .groupBy(window(col("__ts"), window_), col("asset_id"))
+      .agg(count(lit(1)).as("n_first_buckets"))
+      .select(
+        col("window.start").as("window_start"),
+        col("asset_id"),
+        col("n_first_buckets"),
+        (col("n_first_buckets") === bands).as("novel"),
+      )
+
   final case class UserEvent(user_id: Long, ts: Timestamp)
   final case class SessionAcc(startMs: Long, endMs: Long, n: Long)
   final case class SessionList(sessions: Seq[SessionAcc])

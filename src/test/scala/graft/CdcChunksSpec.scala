@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.DedupFunctions
+
+class CdcChunksSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // ~900 chars of deterministic distinct-ish words, already normalized
+  // (lowercase, single spaces) so span offsets in the output address
+  // this exact string
+  private val baseText = (0 until 150).map(i => s"w${i * 7 % 97}x${i % 13}").mkString(" ")
+  private val insertion = "entirely novel inserted prefix material "
+  private val shifted = insertion + baseText
+
+  test("prefix insertion re-syncs at the first content-defined boundary: suffix chunks still dedup") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, baseText),
+      (2L, shifted),
+      (3L, (0 until 150).map(i => s"z${i * 11 % 89}q${i % 7}").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val out = DedupFunctions
+      .cdcChunks(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"), r.getAs[Long]("span_end"), r.getAs[Long]("n_copies")))
+    val aSpans = out.filter(_._1 == 1L).map(r => (r._2, r._3)).toSet
+    val bSpans = out.filter(_._1 == 2L).map(r => (r._2, r._3)).toSet
+    assert(aSpans.nonEmpty, "base doc must have duplicated chunks against its shifted copy")
+    assert(bSpans.nonEmpty)
+    assert(!out.exists(_._1 == 3L), "unrelated doc shares no chunks")
+
+    // every duplicated chunk of A except at most the one spanning the
+    // insertion point must reappear in B at the insertion offset —
+    // fixed-offset blocks would lose ALL of them
+    val shift = insertion.length.toLong
+    val aligned = bSpans.map { case (s, e) => (s - shift, e - shift) }.intersect(aSpans)
+    assert(aligned.size >= aSpans.size - 1, s"aligned ${aligned.size} of ${aSpans.size}")
+    assert(aligned.nonEmpty)
+
+    // aligned spans carry identical content in the two normalized texts
+    aligned.foreach { case (s, e) =>
+      val fromA = baseText.substring(s.toInt - 1, e.toInt)
+      val fromB = shifted.substring((s + shift).toInt - 1, (e + shift).toInt)
+      assert(fromA == fromB)
+    }
+
+    // chunks tile each document: spans are disjoint per doc
+    Seq(aSpans, bSpans).foreach { spans =>
+      val sorted = spans.toSeq.sorted
+      sorted.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(e1 < s2, "duplicated chunks must not overlap")
+        case _ =>
+      }
+    }
+  }
+
+  test("an exact duplicate doc dedups over its full length") {
+    import spark.implicits._
+    val docs = Seq((1L, baseText), (2L, baseText)).toDF("doc_id", "text")
+    val out = DedupFunctions
+      .cdcChunks(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"), r.getAs[Long]("span_end"), r.getAs[Long]("n_copies")))
+    // both docs report identical chunkings, each chunk with 2 copies
+    val a = out.filter(_._1 == 1L).map(r => (r._2, r._3, r._4)).sortBy(_._1)
+    val b = out.filter(_._1 == 2L).map(r => (r._2, r._3, r._4)).sortBy(_._1)
+    assert(a.nonEmpty && a.sameElements(b))
+    // every chunk exists in both docs; tiny chunks may also repeat
+    // within one doc, so copies are even and at least 2
+    assert(a.forall(c => c._3 >= 2L && c._3 % 2 == 0))
+    // and the chunks cover the whole normalized text end to end
+    assert(a.head._1 == 1L && a.last._2 == baseText.length.toLong)
+    a.toSeq.sliding(2).foreach {
+      case Seq((_, e1, _), (s2, _, _)) => assert(s2 == e1 + 1, "tiling must be gapless")
+      case _ =>
+    }
+  }
+}

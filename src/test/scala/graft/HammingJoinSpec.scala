@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.HammingJoin
+
+class HammingJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Deterministic pseudo-random 64-bit signatures (splitmix64). */
+  private def sig(i: Long): Long = {
+    var z = i + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 150 base signatures plus planted near-dups: for every 5th base
+    * id, a copy with `(id % budget)` low-weight bit flips, so the set
+    * contains pairs at every distance 0..budget and random far pairs.
+    */
+  private def frame(budget: Int) = {
+    import spark.implicits._
+    val base = (0L until 150L).map(i => (i, sig(i)))
+    val dups = (0L until 150L by 5L).map { i =>
+      val flips = (i % (budget + 1)).toInt
+      val flipped = (0 until flips).foldLeft(sig(i))((s, b) => s ^ (1L << ((i + 13 * b) % 64).toInt))
+      (1000L + i, flipped)
+    }
+    (base ++ dups).toDF("id", "sig")
+  }
+
+  private def bruteForce(budget: Int, maxHamming: Int): Set[(Long, Long, Int)] = {
+    val rows = frame(budget).collect().map(r => (r.getLong(0), r.getLong(1)))
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= maxHamming
+    } yield (ia, ib, d)).toSet
+  }
+
+  test("banded join is exact vs brute force at the 8x8 (budget 7) trade") {
+    val got = HammingJoin
+      .pairs(frame(7), "id", "sig", bands = 8, maxHamming = 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(got == bruteForce(7, 7))
+    assert(got.nonEmpty, "planted near-dups must be found")
+  }
+
+  test("banded join is exact vs brute force at the 4x16 (budget 3) trade") {
+    val got = HammingJoin
+      .pairs(frame(3), "id", "sig", bands = 4, maxHamming = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(got == bruteForce(3, 3))
+    assert(got.nonEmpty)
+  }
+
+  test("maxDf caps hot buckets: identical signatures vanish, distinct near-pairs survive") {
+    import spark.implicits._
+    // 10 assets all with signature 0 (one hot bucket per band) plus an
+    // isolated near-pair two bit flips apart
+    val rows = (0L until 10L).map(i => (i, 0L)) ++ Seq((100L, 0x0f0f0f0f0f0f0f0fL), (101L, 0x0f0f0f0f0f0f0f0cL))
+    val df = rows.toDF("id", "sig")
+    val capped = HammingJoin
+      .pairs(df, "id", "sig", bands = 8, maxHamming = 7, maxDf = 5L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(capped == Set((100L, 101L)), s"got $capped")
+    // uncapped finds all 45 zero-pairs too
+    val full = HammingJoin.pairs(df, "id", "sig", bands = 8, maxHamming = 7).count()
+    assert(full == 45L + 1L)
+  }
+
+  test("distance budget beyond the pigeonhole guarantee is rejected") {
+    intercept[IllegalArgumentException] {
+      HammingJoin.pairs(frame(3), "id", "sig", bands = 4, maxHamming = 4)
+    }
+    intercept[IllegalArgumentException] {
+      HammingJoin.pairs(frame(3), "id", "sig", bands = 7, maxHamming = 1)
+    }
+  }
+
+  test("delegating callers keep their public column names") {
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"), (3L, "zzz yyy xxx www vvv"))
+      .toDF("doc_id", "text")
+    val sp = graft.functions.DedupFunctions.simhashPairs(docs, "doc_id", "text")
+    assert(sp.columns.toSeq == Seq("doc_a", "doc_b", "hamming"))
+    assert(sp.collect().exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
+  }
+}

@@ -303,6 +303,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.contains(2L) && !out(2L)) // near-dup: lost at least one band to doc 1
   }
 
+  test("perceptualDedupStream flags pHash band collisions and agrees with the batch join") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val h1 = 0x1111111111111111L
+    val h2 = h1 ^ 0x7L // 3 bit flips inside band 0: bands 1..7 intact
+    val h3 = 0xfedcba9876543210L // every band differs from h1 and h2
+    val mem = MemoryStream[(Long, Long, Timestamp)]
+    mem.addData((1L, h1, t("2024-01-01T00:10:00Z")), (3L, h3, t("2024-01-01T00:12:00Z")))
+    val df = mem.toDF().toDF("asset_id", "phash", "ingest_ts")
+    val q = EventStream
+      .perceptualDedupStream(df, watermark = "30 minutes", window_ = "1 hour")
+      .writeStream.format("memory").queryName("phash_stream").outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    mem.addData((2L, h2, t("2024-01-01T00:20:00Z")))
+    q.processAllAvailable()
+    mem.addData((9L, 0x0123456789abcdefL, t("2024-01-01T05:00:00Z")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("phash_stream").collect().map(r => r.getAs[Long]("asset_id") -> r.getAs[Boolean]("novel")).toMap
+    assert(out(1L)) // first copy: every bucket first-seen
+    assert(out(3L)) // unrelated image: every bucket first-seen
+    assert(out.contains(2L) && !out(2L)) // near-dup: lost 7 bands to asset 1
+
+    // batch parity: the batch banded join on the same hashes finds
+    // exactly the pair the stream flagged, at the true distance
+    val batch = graft.multimodal.Multimodal
+      .phashPairs(Seq((1L, h1), (2L, h2), (3L, h3)).toDF("asset_id", "phash"))
+      .collect()
+      .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"), r.getAs[Int]("hamming")))
+    assert(batch.toSeq == Seq((1L, 2L, 3)))
+  }
+
   test("sessionizeStream closes sessions on gap and on watermark timeout") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
