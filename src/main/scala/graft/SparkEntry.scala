@@ -961,6 +961,15 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       VectorFunctions.pqAnn(emb, emb.orderBy("vec_id").limit(20), k = 5, opq = true)
     },
+    // C7f: PQ under the full Ge et al. OPQ rotation (alternating
+    // Procrustes/Lloyd, seeded from the balanced-variance permutation).
+    // One alternation and a bounded train sample: each extra iteration
+    // costs a full codebook training, and the first one captures most
+    // of the distortion drop (OpqRotationSpec records the curve)
+    "sim_pq_opqr_ann" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      VectorFunctions.pqAnn(emb, emb.orderBy("vec_id").limit(20), k = 5, trainLimit = 1000, opqRotate = 1)
+    },
     // C6b: per-label embedding centroids — cluster-space profiling on
     // the labeled embeddings (scaled-integer means, order-exact)
     "emb_label_centroids" -> { (s, dir) =>

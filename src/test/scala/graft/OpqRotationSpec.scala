@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+
+class OpqRotationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("jacobi eigensolver and procrustes are exact on synthetic full-rank and deficient matrices") {
+    val d = 64
+    def mval(i: Int, j: Int): Double = math.sin(i * 131 + j * 17) * 2 + math.cos(i - j)
+    val m = Array.tabulate(d, d)(mval)
+    val b = Array.tabulate(d, d)((i, k) => (0 until d).map(r => m(r)(i) * m(r)(k)).sum)
+    val (eig, v) = VectorFunctions.jacobiEigSym(b)
+    for (k <- 0 until d; r <- 0 until d) {
+      val av = (0 until d).map(c => b(r)(c) * v(c)(k)).sum
+      assert(math.abs(av - eig(k) * v(r)(k)) < 1e-6 * (1 + math.abs(eig(k))), s"eig residual at ($r,$k)")
+    }
+    def assertOrthogonal(rot: Array[Array[Double]]): Unit =
+      for (i <- 0 until d; j <- 0 until d) {
+        val dot = (0 until d).map(r => rot(r)(i) * rot(r)(j)).sum
+        assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"RtR($i,$j) = $dot")
+      }
+    assertOrthogonal(VectorFunctions.procrustes(m))
+    // rank-deficient input exercises the identity-seed completion
+    assertOrthogonal(VectorFunctions.procrustes(Array.tabulate(d, d)((i, j) => if (j < 3) 0.0 else mval(i, j))))
+  }
+
+  test("opq rotation is orthogonal, deterministic, and lowers train distortion vs its permutation seed") {
+    val train = emb
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id")
+      .limit(200)
+      .cache()
+    val dim = 64
+    val (rot, _, mses) = VectorFunctions.opqTrainRotation(train, dim, m = 8, codebookSize = 8, lloydIterations = 5, iterations = 3)
+
+    // R is orthogonal: RᵀR = I within numerical noise — so true L2
+    // distances (and the exact rerank) are untouched by the transform
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val dot = (0 until dim).map(r => rot(r)(i) * rot(r)(j)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"RtR($i,$j) = $dot")
+    }
+
+    // iteration 0 is distortion under the pure permutation seed; the
+    // alternation must beat it (alternating minimization of the shared
+    // objective — small tolerance absorbs the finite Lloyd budget)
+    assert(mses.length == 3)
+    assert(mses.last <= mses.head * 1.001, s"distortion history: ${mses.toSeq}")
+    info(s"train distortion per iteration: ${mses.toSeq.map(v => f"$v%.3f")}")
+
+    // fully deterministic, including under a different partition
+    // layout: moment sums are scaled-integer, Jacobi order is fixed
+    val (rot2, _, mses2) =
+      VectorFunctions.opqTrainRotation(train.repartition(7), dim, m = 8, codebookSize = 8, lloydIterations = 5, iterations = 3)
+    assert(mses.toSeq == mses2.toSeq)
+    for (i <- 0 until dim; j <- 0 until dim)
+      assert(rot(i)(j) == rot2(i)(j), s"rot($i,$j) differs across layouts")
+    train.unpersist(blocking = true)
+  }
+
+  test("pqAnn with opqRotate returns full deterministic top-k and logs recall vs plain") {
+    val queries = emb.orderBy("vec_id").limit(10)
+    def pairs(useRot: Boolean) = VectorFunctions
+      .pqAnn(emb, queries, k = 5, m = 8, codebookSize = 8, rerankFactor = 1, opqRotate = if (useRot) 2 else 0)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val rotated = pairs(true)
+    assert(rotated == pairs(true)) // deterministic end to end
+    val plain = pairs(false)
+    assert(rotated.size == plain.size) // full k per query either way
+
+    // exact L2 top-5 baseline (self excluded) for a recall read-out
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    val exact = queries.collect().map(_.getLong(0)).flatMap { qid =>
+      val qv = vecs(qid)
+      vecs.toSeq
+        .filter(_._1 != qid)
+        .map { case (id, v) =>
+          var d = 0.0; var i = 0
+          while (i < qv.length) { val x = qv(i).toDouble - v(i); d += x * x; i += 1 }
+          (id, d)
+        }
+        .sortBy { case (id, d) => (d, id) }
+        .take(5)
+        .map { case (id, _) => (qid, id) }
+    }.toSet
+    val rRot = rotated.intersect(exact).size.toDouble / exact.size
+    val rPlain = plain.intersect(exact).size.toDouble / exact.size
+    info(s"ADC-only recall@5: opq-rotation $rRot vs plain $rPlain")
+  }
+}
