@@ -86,6 +86,7 @@ object Bench {
     "dedup_jaccard_prefix",
     "dedup_groups",
     "dedup_substring_char",
+    "dedup_cdc_chunks",
     "dedup_paragraph",
     "text_bigram_lm",
     "text_bpe",

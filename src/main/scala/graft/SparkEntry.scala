@@ -1173,6 +1173,11 @@ object SparkEntry {
     "corpus_datacard" -> { (s, dir) =>
       CorpusFunctions.datacard(Tables.documents(s, dir), col("source"), col("lang"), col("doc_id"), col("text"))
     },
+    // C37: cross-source near-dup overlap matrix — prefix-Jaccard pairs
+    // mapped to ordered source pairs, count + integer-micro mean J
+    "corpus_source_overlap" -> { (s, dir) =>
+      CorpusFunctions.sourceOverlap(Tables.documents(s, dir), "doc_id", "source", "text")
+    },
     // C23: deterministic stratified sampling — down-weight dominant
     // strata by content-stable hash (en keeps 1/4, zh 1/2, rest all)
     "corpus_sample_stratified" -> { (s, dir) =>
@@ -1892,6 +1897,25 @@ object SparkEntry {
          SELECT doc_a, doc_b, i AS intersection, na.n + nb.n - i AS union_size
          FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
          WHERE i * 5 >= (na.n + nb.n - i) * 4""",
+    "corpus_source_overlap" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+         w AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+                FROM w WHERE len(w) >= 3),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b, i, na.n + nb.n - i AS u
+                   FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+                   WHERE i * 5 >= (na.n + nb.n - i) * 4),
+         lab AS (SELECT LEAST(da.source, db.source) AS source_a,
+                        GREATEST(da.source, db.source) AS source_b, i, u
+                 FROM pairs
+                 JOIN documents da ON doc_a = da.doc_id
+                 JOIN documents db ON doc_b = db.doc_id)
+         SELECT source_a, source_b, COUNT(*) AS n_pairs,
+                CAST(SUM((1000000 * i) // u) // COUNT(*) AS BIGINT) AS mean_jaccard_micro
+         FROM lab GROUP BY 1, 2""",
     "dedup_minhash_verified" ->
       """WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
          w AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),

@@ -459,6 +459,53 @@ object CorpusFunctions {
         (count(lit(1)) - countDistinct(col("__fp"))).as("n_dup_docs"),
       )
 
+  /** Cross-source near-duplicate overlap matrix — "how much of crawl B
+    * is already in dump A", the report that decides whether ingesting
+    * another source adds data or just duplicates (the cross-corpus
+    * dual of [[domainStats]]' within-source dup rate). Near-dup pairs
+    * come from the prefix-filtered exact-Jaccard join
+    * ([[DedupFunctions.jaccardPairsPrefix]] — the skew-proof AllPairs
+    * plan, identical output to the naive join), then each pair maps to
+    * its lexicographically-ordered source pair and aggregates: pair
+    * count and the mean Jaccard as an integer-micro mean (per-pair
+    * `(1e6·i) div u` is exact long arithmetic; the sum is
+    * order-independent; doubles would hash-diverge). The diagonal
+    * (source_a = source_b) is within-source near-duplication.
+    *
+    * Scale shape: the pair frame is tiny next to the corpus, so the
+    * two doc→source lookups join a small probe against the (id,
+    * source) projection — AQE broadcasts the pair side; the final
+    * aggregate is on the bounded source-pair key.
+    */
+  def sourceOverlap(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      n: Int = 3,
+      numThreshold: Int = 4,
+      denThreshold: Int = 5,
+  ): DataFrame = {
+    val pairs = DedupFunctions.jaccardPairsPrefix(df, idCol, textCol, n, numThreshold, denThreshold)
+    val src = df.select(col(idCol).as("doc_id"), col(sourceCol).as("__src"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("__src").as("__sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("__src").as("__sb")), "doc_b")
+      .select(
+        least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"),
+        col("intersection"),
+        col("union_size"),
+      )
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(expr("1000000 * intersection div union_size")).as("__jsum"),
+      )
+      .withColumn("mean_jaccard_micro", expr("__jsum div n_pairs"))
+      .drop("__jsum")
+  }
+
   /** Corpus datacard — the per-source report a curation run publishes
     * (the "datasheet" habit of Gebru et al. 2021 at corpus grain):
     * composition ([[domainStats]] fields), token mass and each

@@ -772,6 +772,39 @@ object DedupFunctions {
     * `(doc_id, span_start, span_end, span_chars, n_copies)`, positions
     * 1-based chars in the NORMALIZED text, like [[repeatedSpansChar]].
     */
+  /** SQL expression producing the CDC chunk spans
+    * `array<struct<s, e>>` (1-based inclusive char positions in
+    * `tCol`) — the one definition of the boundary rule, shared by the
+    * batch join below and the streaming contamination gate
+    * (`EventStream.cdcGateStream`), so batch and stream chunk
+    * identically. Texts shorter than `window` yield no chunks, like
+    * the batch path's length guard.
+    */
+  private[graft] def cdcChunkStructsExpr(tCol: String, window: Int, maskHexDigits: Int): String = {
+    require(window >= 2, "rolling window must be at least 2 chars")
+    require(maskHexDigits >= 1 && maskHexDigits <= 8, "mask must be 1..8 hex digits")
+    val zeros = "0" * maskHexDigits
+    val b =
+      s"filter(sequence($window, length($tCol)), i -> substring(md5(substring($tCol, i - ${window - 1}, $window)), 1, $maskHexDigits) = '$zeros')"
+    s"""IF(length($tCol) < $window, CAST(array() AS array<struct<s: int, e: int>>),
+       |   filter(
+       |     transform(sequence(0, size($b)),
+       |               j -> named_struct(
+       |                      's', IF(j = 0, 1, element_at($b, j) + 1),
+       |                      'e', IF(j = size($b), length($tCol), element_at($b, j + 1)))),
+       |     c -> c.s <= c.e))""".stripMargin
+  }
+
+  /** Per-chunk md5 fingerprints as an array column, from the same
+    * shared boundary rule. `minChunk` drops chunks shorter than that
+    * many chars — consecutive boundaries produce 1-2 char fragments
+    * (" a", "7 ") that collide between ANY two documents and carry no
+    * contamination evidence; real CDC systems bound minimum chunk
+    * size for the same reason.
+    */
+  private[graft] def cdcFpArrayExpr(tCol: String, window: Int, maskHexDigits: Int, minChunk: Int = 1): String =
+    s"transform(filter(${cdcChunkStructsExpr(tCol, window, maskHexDigits)}, c -> c.e - c.s + 1 >= $minChunk), c -> md5(substring($tCol, c.s, c.e - c.s + 1)))"
+
   def cdcChunks(
       df: DataFrame,
       idCol: String,
@@ -780,9 +813,6 @@ object DedupFunctions {
       maskHexDigits: Int = 1,
       hotMin: Long = 1000L,
   ): DataFrame = {
-    require(window >= 2, "rolling window must be at least 2 chars")
-    require(maskHexDigits >= 1 && maskHexDigits <= 8, "mask must be 1..8 hex digits")
-    val zeros = "0" * maskHexDigits
     val chunks = spread(
       df.select(col(idCol).as("doc_id"), TextFunctions.normText(col(textCol)).as("__t"))
     )
@@ -790,24 +820,7 @@ object DedupFunctions {
       .select(
         col("doc_id"),
         col("__t"),
-        expr(
-          s"filter(sequence($window, length(__t)), i -> substring(md5(substring(__t, i - ${window - 1}, $window)), 1, $maskHexDigits) = '$zeros')"
-        ).as("__b"),
-      )
-      .select(
-        col("doc_id"),
-        col("__t"),
-        expr("concat(array(1), transform(__b, b -> b + 1))").as("__starts"),
-        expr("concat(__b, array(length(__t)))").as("__ends"),
-      )
-      .select(
-        col("doc_id"),
-        col("__t"),
-        posexplode(
-          expr(
-            "filter(transform(sequence(1, size(__starts)), j -> struct(element_at(__starts, j) AS s, element_at(__ends, j) AS e)), c -> c.s <= c.e)"
-          )
-        ).as(Seq("__idx", "__c")),
+        posexplode(expr(cdcChunkStructsExpr("__t", window, maskHexDigits))).as(Seq("__idx", "__c")),
       )
       .select(
         col("doc_id"),

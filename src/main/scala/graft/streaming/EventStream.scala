@@ -282,6 +282,47 @@ object EventStream {
       )
   }
 
+  /** Streaming CDC contamination gate — decontamination at ingest:
+    * each document's content-defined chunk fingerprints
+    * ([[graft.functions.DedupFunctions.cdcFpArrayExpr]] — the SAME
+    * boundary rule as the batch C24e join, so a chunk the stream
+    * fingerprints is the chunk the batch pass would) are intersected
+    * with a known-chunk set (benchmark/eval material, a previous
+    * crawl — the output of a batch `cdcChunks` run), and documents
+    * sharing more than `maxShared` chunks are dropped. Because
+    * boundaries are content-defined, a contaminated passage is caught
+    * even when upstream edits shift every offset — the property fixed
+    * k-gram gates lose.
+    *
+    * Stateless (per-row projection + filter against a broadcast
+    * literal set, like the batch decontaminate's broadcast bench
+    * set — for corpus-scale known sets, swap the literal for a
+    * stream-static semi-join on an exploded fp column), so
+    * batch/stream parity is exact row-for-row, not statistical.
+    * Emits surviving docs with their `n_shared_chunks` count.
+    */
+  def cdcGateStream(
+      docStream: DataFrame,
+      knownFps: Seq[String],
+      window: Int = 16,
+      maskHexDigits: Int = 1,
+      maxShared: Int = 0,
+      minChunk: Int = 16,
+  ): DataFrame =
+    docStream
+      .withColumn("__t", graft.functions.TextFunctions.normText(col("text")))
+      .withColumn(
+        "n_shared_chunks",
+        size(
+          array_intersect(
+            expr(graft.functions.DedupFunctions.cdcFpArrayExpr("__t", window, maskHexDigits, minChunk)),
+            typedlit(knownFps),
+          )
+        ).cast("long"),
+      )
+      .where(col("n_shared_chunks") <= maxShared)
+      .drop("__t")
+
   /** Streaming perceptual image dedup — the image twin of
     * [[nearDupStream]], composing the pHash banding of
     * `Multimodal.phashPairs` with `dropDuplicatesWithinWatermark`:

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{CorpusFunctions, DedupFunctions}
+
+class SourceOverlapSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("overlap matrix conserves the pair count and orders source pairs canonically") {
+    import spark.implicits._
+    val base = (0 until 60).map(i => s"t${i * 7 % 53}u${i % 11}").mkString(" ")
+    val docs = Seq(
+      (1L, "crawl", base),
+      (2L, "dump", base), // cross-source exact dup
+      (3L, "crawl", base + " extra trailing words here"), // near-dup of 1 and 2
+      (4L, "dump", (0 until 60).map(i => s"z${i * 13 % 47}q${i % 5}").mkString(" ")), // unrelated
+    ).toDF("doc_id", "source", "text")
+
+    val pairs = DedupFunctions
+      .jaccardPairsPrefix(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val matrix = CorpusFunctions
+      .sourceOverlap(docs, "doc_id", "source", "text")
+      .collect()
+      .map(r =>
+        (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+          (r.getAs[Long]("n_pairs"), r.getAs[Long]("mean_jaccard_micro"))
+      )
+      .toMap
+
+    // every near-dup pair lands in exactly one matrix cell
+    assert(matrix.values.map(_._1).sum == pairs.length.toLong)
+    assert(pairs.nonEmpty)
+    // source pairs are lexicographically ordered, so "dump"/"crawl"
+    // and "crawl"/"dump" collapse into one cell
+    assert(matrix.keys.forall { case (a, b) => a <= b })
+    // the planted cross-source dup shows up in the (crawl, dump) cell
+    val (nCross, meanJ) = matrix(("crawl", "dump"))
+    assert(nCross >= 1L)
+    assert(meanJ > 0L && meanJ <= 1000000L)
+    // exact duplicate pair (1, 2) has Jaccard 1 → if it is the only
+    // cross pair the mean is exactly 1e6; with near-dups it is below
+    assert(matrix.values.forall { case (_, j) => j >= 800000L }) // τ = 0.8 floor
+  }
+}

@@ -303,6 +303,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.contains(2L) && !out(2L)) // near-dup: lost at least one band to doc 1
   }
 
+  test("cdcGateStream drops offset-shifted contamination and matches the batch gate row for row") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val known = (0 until 150).map(i => s"k${i * 7 % 97}v${i % 13}").mkString(" ")
+    val contaminated = "a freshly inserted preamble " + known // every offset shifted
+    val clean = (0 until 150).map(i => s"c${i * 11 % 89}w${i % 7}").mkString(" ")
+    val knownFps = Seq(known)
+      .toDF("text")
+      .select(explode(expr(graft.functions.DedupFunctions.cdcFpArrayExpr("text", 16, 1, minChunk = 16))).as("fp"))
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+    assert(knownFps.nonEmpty)
+
+    val batch = Seq((1L, contaminated), (2L, clean)).toDF("doc_id", "text")
+    val expected = batch
+      .withColumn("__t", graft.functions.TextFunctions.normText(col("text")))
+      .withColumn(
+        "n_shared_chunks",
+        size(array_intersect(expr(graft.functions.DedupFunctions.cdcFpArrayExpr("__t", 16, 1, minChunk = 16)), typedlit(knownFps))).cast("long"),
+      )
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_chunks"))
+      .toMap
+    // the CDC property: the shifted copy still shares re-synced chunks
+    assert(expected(1L) > 0L, "shifted contamination must share chunk fingerprints")
+    assert(expected(2L) == 0L)
+
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, contaminated), (2L, clean))
+    val q = EventStream
+      .cdcGateStream(mem.toDF().toDF("doc_id", "text"), knownFps)
+      .writeStream.format("memory").queryName("cdc_gate").outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("cdc_gate").collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_chunks")).toMap
+    assert(out == Map(2L -> 0L), s"got $out") // contaminated doc dropped, clean passes
+  }
+
   test("perceptualDedupStream flags pHash band collisions and agrees with the batch join") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
