@@ -1178,6 +1178,16 @@ object SparkEntry {
     "corpus_source_overlap" -> { (s, dir) =>
       CorpusFunctions.sourceOverlap(Tables.documents(s, dir), "doc_id", "source", "text")
     },
+    // C38: soft dedup — every copy kept at weight 1/n_copies ppm
+    // (frequency down-weighting, the hard-dedup alternative)
+    "dedup_soft_weights" -> { (s, dir) =>
+      DedupFunctions.softDedupWeights(Tables.documents(s, dir), "doc_id", "text")
+    },
+    // C39: per-language doc-length histogram — the packing/mixture
+    // planning input (50-word bins, open top bin)
+    "corpus_length_histogram" -> { (s, dir) =>
+      CorpusFunctions.lengthHistogram(Tables.documents(s, dir), col("lang"), col("text"))
+    },
     // C23: deterministic stratified sampling — down-weight dominant
     // strata by content-stable hash (en keeps 1/4, zh 1/2, rest all)
     "corpus_sample_stratified" -> { (s, dir) =>
@@ -1897,6 +1907,19 @@ object SparkEntry {
          SELECT doc_a, doc_b, i AS intersection, na.n + nb.n - i AS union_size
          FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
          WHERE i * 5 >= (na.n + nb.n - i) * 4""",
+    "dedup_soft_weights" ->
+      """WITH f AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM documents),
+         c AS (SELECT fp, COUNT(*) AS n_copies FROM f GROUP BY 1)
+         SELECT doc_id, fp, n_copies, 1000000 // n_copies AS weight_ppm
+         FROM f JOIN c USING (fp)""",
+    "corpus_length_histogram" ->
+      """WITH w AS (SELECT lang AS stratum,
+                           CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS nw
+                    FROM documents),
+         b AS (SELECT stratum, LEAST(CAST(FLOOR(CAST(nw AS DOUBLE) / 50) AS BIGINT), 19) AS bin, nw FROM w)
+         SELECT stratum, bin, COUNT(*) AS n_docs, CAST(SUM(nw) AS BIGINT) AS total_words,
+                bin * 50 AS bin_start_words
+         FROM b GROUP BY 1, 2""",
     "corpus_source_overlap" ->
       """WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
          w AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),

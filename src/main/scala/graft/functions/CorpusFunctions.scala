@@ -459,6 +459,32 @@ object CorpusFunctions {
         (count(lit(1)) - countDistinct(col("__fp"))).as("n_dup_docs"),
       )
 
+  /** Per-stratum document-length histogram: fixed `binWords`-wide
+    * bins of the word count, top bin open-ended — the shape that
+    * sizes sequence packing (how much of the corpus fits a context
+    * window without truncation) and sanity-checks a mixture plan's
+    * token arithmetic. One hash aggregate on the tiny
+    * (stratum, bin) key, map-side combined.
+    */
+  def lengthHistogram(
+      df: DataFrame,
+      stratum: Column,
+      text: Column,
+      binWords: Int = 50,
+      maxBins: Int = 20,
+  ): DataFrame = {
+    require(binWords >= 1 && maxBins >= 2, "need positive bins")
+    DedupFunctions.spread(df)
+      .select(
+        stratum.as("stratum"),
+        least(floor(size(TextFunctions.words(text)).cast("double") / binWords), lit(maxBins - 1)).cast("long").as("bin"),
+        size(TextFunctions.words(text)).cast("long").as("__nw"),
+      )
+      .groupBy(col("stratum"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nw")).as("total_words"))
+      .withColumn("bin_start_words", col("bin") * binWords)
+  }
+
   /** Cross-source near-duplicate overlap matrix — "how much of crawl B
     * is already in dump A", the report that decides whether ingesting
     * another source adds data or just duplicates (the cross-corpus

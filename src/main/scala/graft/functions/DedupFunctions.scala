@@ -772,6 +772,23 @@ object DedupFunctions {
     * `(doc_id, span_start, span_end, span_chars, n_copies)`, positions
     * 1-based chars in the NORMALIZED text, like [[repeatedSpansChar]].
     */
+  /** Soft dedup — frequency down-weighting instead of removal: every
+    * copy of a duplicated document survives with sampling weight
+    * 1/n_copies ppm, so the group's total expected mass equals one
+    * document (the alternative to hard dedup when duplication
+    * frequency itself is signal, discussed in Lee et al. 2022 §6).
+    * One count aggregate on the fingerprint plus the Zipf-split probe
+    * join — a boilerplate doc with 10⁸ copies is a HOT key, so its
+    * count rides the broadcast arm, never a shuffled hot join.
+    */
+  def softDedupWeights(df: DataFrame, idCol: String, textCol: String, hotMin: Long = 1000L): DataFrame = {
+    val fps = spread(df).select(col(idCol).as("doc_id"), md5(TextFunctions.normText(col(textCol))).as("fp"))
+    val counts = fps.groupBy(col("fp")).agg(count(lit(1)).as("n_copies"))
+    CorpusFunctions
+      .zipfSplitJoin(fps, counts, Seq("fp"), "n_copies", hotMin)
+      .select(col("doc_id"), col("fp"), col("n_copies"), expr("1000000 div n_copies").as("weight_ppm"))
+  }
+
   /** SQL expression producing the CDC chunk spans
     * `array<struct<s, e>>` (1-based inclusive char positions in
     * `tCol`) — the one definition of the boundary rule, shared by the
