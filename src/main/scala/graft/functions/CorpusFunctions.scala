@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level dataset operators: composition statistics and
@@ -299,11 +300,19 @@ object CorpusFunctions {
       .groupBy(col("stratum"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__nw")).as("tokens"))
       .join(broadcast(tgt), Seq("stratum"), "left")
-    val tStar = counts
-      .where(col("target_share").isNotNull)
-      .agg(min(col("tokens").cast("double") / col("target_share")).as("t_star"))
     counts
-      .crossJoin(broadcast(tStar))
+      // T* = min over planned strata, as a single-partition window
+      // over the tiny per-stratum frame (one exchange of
+      // stratum-cardinality ROWS) — deriving it as counts.agg(...)
+      // and broadcasting back would re-instantiate the corpus
+      // scan+aggregate subtree (measured 2 FileScans in the final
+      // adaptive plan; ReuseExchange only caught part of it). min
+      // skips nulls, so unplanned strata don't participate.
+      .withColumn(
+        "t_star",
+        min(when(col("target_share").isNotNull, col("tokens").cast("double") / col("target_share")))
+          .over(Window.partitionBy(lit(0))),
+      )
       // the binding stratum (the one attaining T*) is kept at EXACTLY
       // rate 1 and contributes all its tokens: deciding it by the same
       // integer/double comparison that defined T* (tokens/share ≤ t_star)
@@ -540,11 +549,16 @@ object CorpusFunctions {
     * needs to judge a source before training on it.
     *
     * One scan of the corpus → one hash aggregate on the tiny source
-    * key → broadcast of the 1-row corpus total back onto the
-    * per-source frame. Determinism policy: the quality mean is
-    * accumulated as a per-doc `floor(score·1e6)` BIGINT sum (the
-    * per-doc score is bit-identical across engines, the integer sum
-    * is order-independent — double sums would hash-diverge), and all
+    * key → a single-partition window over the per-source frame for
+    * the corpus total. The window costs one exchange of a
+    * source-cardinality frame (rows, not data) — deriving the total
+    * as `perSource.agg(...)` and broadcasting it back would
+    * re-instantiate the whole scan+aggregate subtree (measured: 4
+    * FileScans, zero ReusedExchange), doubling the corpus pass at
+    * 100 TB. Determinism policy: the quality mean is accumulated as a
+    * per-doc `floor(score·1e6)` BIGINT sum (the per-doc score is
+    * bit-identical across engines, the integer sum is
+    * order-independent — double sums would hash-diverge), and all
     * rates are integer ppm via `div`, never double division of longs.
     */
   def datacard(df: DataFrame, source: Column, lang: Column, idCol: Column, text: Column): DataFrame = {
@@ -568,9 +582,8 @@ object CorpusFunctions {
         (count(lit(1)) - countDistinct(col("__fp"))).as("n_dup_docs"),
         sum(col("__qmicro")).as("__qsum"),
       )
-    val total = perSource.agg(sum(col("total_words")).as("__corpus_words"))
     perSource
-      .crossJoin(broadcast(total))
+      .withColumn("__corpus_words", sum(col("total_words")).over(Window.partitionBy(lit(0))))
       .select(
         col("source"),
         col("n_docs"),

@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One-corpus-pass guards: report/planner operators whose "total" or
+  * "T*" row is derived from their own aggregate must NOT re-instantiate
+  * the scan+aggregate subtree for it (the broadcast-self-join spelling
+  * measured 2-4 FileScans with no ReuseExchange — a doubled corpus
+  * pass at 100 TB). The single-partition window over the tiny
+  * per-stratum frame keeps the final adaptive plan at exactly one
+  * FileScan; these asserts pin that against regression.
+  */
+class SingleScanPlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def finalPlanScans(name: String): Int = {
+    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+    df.collect() // resolve AQE to the final plan
+    val finalPlan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    finalPlan.linesIterator.count(_.contains("FileScan parquet"))
+  }
+
+  test("datacard, mixture planners and length histogram scan the corpus exactly once") {
+    assert(finalPlanScans("corpus_datacard") == 1)
+    assert(finalPlanScans("corpus_mixture_plan") == 1)
+    assert(finalPlanScans("corpus_mixture_temperature") == 1)
+    assert(finalPlanScans("corpus_length_histogram") == 1)
+  }
+}
