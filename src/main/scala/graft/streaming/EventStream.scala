@@ -282,6 +282,51 @@ object EventStream {
       )
   }
 
+  /** Streaming corpus datacard — the live dual of the batch C36
+    * report: per (time window, source), document and token mass plus
+    * the mean quality score in the same order-independent
+    * `floor(score·1e6)` BIGINT accumulation the batch datacard uses,
+    * so a window's row converges to exactly what the batch datacard
+    * computes over the same docs. The dashboard an ingest pipeline
+    * watches: which crawl is flowing, how much, at what quality —
+    * drift (a source's mean quality falling off) shows up within one
+    * watermark horizon instead of at the next batch audit. One state
+    * row per open (window, source); append emits each once. (The
+    * corpus-share and dup-rate columns stay batch-only: shares need
+    * the corpus total and exact dup needs unbounded state.)
+    */
+  def datacardStream(
+      docStream: DataFrame,
+      tsCol: String = "ingest_ts",
+      window_ : String = "1 hour",
+      watermark: String = "2 hours",
+  ): DataFrame =
+    graft.functions.TextFunctions
+      .qualityScore(docStream, col("text"))
+      .select(
+        col(tsCol).as("__ts"),
+        col("source"),
+        col("n_chars").cast("long").as("__nc"),
+        col("n_words").cast("long").as("__nw"),
+        floor(col("quality_score") * lit(1000000.0)).cast("long").as("__qmicro"),
+      )
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), window_), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nc")).as("total_chars"),
+        sum(col("__nw")).as("total_words"),
+        sum(col("__qmicro")).as("__qsum"),
+      )
+      .select(
+        col("window.start").as("window_start"),
+        col("source"),
+        col("n_docs"),
+        col("total_chars"),
+        col("total_words"),
+        expr("__qsum div n_docs").as("mean_quality_micro"),
+      )
+
   /** Streaming CDC contamination gate — decontamination at ingest:
     * each document's content-defined chunk fingerprints
     * ([[graft.functions.DedupFunctions.cdcFpArrayExpr]] — the SAME

@@ -303,6 +303,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.contains(2L) && !out(2L)) // near-dup: lost at least one band to doc 1
   }
 
+  test("datacardStream window rows equal the batch datacard on the same docs") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "crawl", "en", "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "crawl", "en", "an entirely different document with many plain words and a few more of them"),
+      (3L, "dump", "fr", "le renard brun rapide saute par dessus le chien paresseux pres de la rive"),
+    )
+    val mem = MemoryStream[(Long, String, String, String, Timestamp)]
+    mem.addData(docs.map(d => (d._1, d._2, d._3, d._4, t("2024-01-01T00:10:00Z"))): _*)
+    val df = mem.toDF().toDF("doc_id", "source", "lang", "text", "ingest_ts")
+    val q = EventStream
+      .datacardStream(df)
+      .writeStream.format("memory").queryName("datacard_stream").outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    mem.addData((9L, "flush", "en", "watermark advancer far in the future", t("2024-01-01T09:00:00Z")))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("datacard_stream")
+      .where(col("source").isin("crawl", "dump"))
+      .collect()
+      .map(r =>
+        r.getAs[String]("source") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("total_chars"), r.getAs[Long]("total_words"), r.getAs[Long]("mean_quality_micro"))
+      )
+      .toMap
+    val batch = graft.functions.CorpusFunctions
+      .datacard(docs.toDF("doc_id", "source", "lang", "text"), col("source"), col("lang"), col("doc_id"), col("text"))
+      .collect()
+      .map(r =>
+        r.getAs[String]("source") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("total_chars"), r.getAs[Long]("total_words"), r.getAs[Long]("mean_quality_micro"))
+      )
+      .toMap
+    assert(streamed == batch) // window converges to the batch report
+    assert(streamed("crawl")._1 == 2L && streamed("dump")._1 == 1L)
+  }
+
   test("cdcGateStream drops offset-shifted contamination and matches the batch gate row for row") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
