@@ -452,7 +452,16 @@ object CorpusFunctions {
     * hash aggregate; `count(distinct)` pairs rewrite to a two-phase
     * partial-distinct plan, still one shuffle on the tiny source key.
     */
-  def domainStats(df: DataFrame, source: Column, lang: Column, idCol: Column, text: Column): DataFrame =
+  def domainStats(
+      df: DataFrame,
+      source: Column,
+      lang: Column,
+      idCol: Column,
+      text: Column,
+      exactDistinct: Boolean = true,
+  ): DataFrame = {
+    // same exact/HLL switch as [[datacard]]
+    def nd(c: Column): Column = if (exactDistinct) countDistinct(c) else approx_count_distinct(c)
     DedupFunctions.spread(df)
       .select(
         source.as("source"),
@@ -464,9 +473,10 @@ object CorpusFunctions {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("__nc")).as("total_chars"),
-        countDistinct(col("lang")).as("n_langs"),
-        (count(lit(1)) - countDistinct(col("__fp"))).as("n_dup_docs"),
+        nd(col("lang")).as("n_langs"),
+        (count(lit(1)) - nd(col("__fp"))).as("n_dup_docs"),
       )
+  }
 
   /** Per-stratum document-length histogram: fixed `binWords`-wide
     * bins of the word count, top bin open-ended — the shape that
@@ -561,7 +571,14 @@ object CorpusFunctions {
     * order-independent — double sums would hash-diverge), and all
     * rates are integer ppm via `div`, never double division of longs.
     */
-  def datacard(df: DataFrame, source: Column, lang: Column, idCol: Column, text: Column): DataFrame = {
+  def datacard(
+      df: DataFrame,
+      source: Column,
+      lang: Column,
+      idCol: Column,
+      text: Column,
+      exactDistinct: Boolean = true,
+  ): DataFrame = {
     val scored = TextFunctions
       .qualityScore(DedupFunctions.spread(df), text)
       .select(
@@ -572,14 +589,21 @@ object CorpusFunctions {
         floor(col("quality_score") * lit(1000000.0)).cast("long").as("__qmicro"),
         md5(TextFunctions.normText(text)).as("__fp"),
       )
+    // exact distinct (default, oracled) rewrites to the Expand-based
+    // two-phase plan — per-doc rows on the shuffle keyed by (source,
+    // fp, lang, gid). At 100 TB switch to the HLL sketches: partial
+    // sketches merge map-side, so the shuffle carries one
+    // sketch per (source, partition) instead of every fingerprint
+    // (DatacardApproxSpec bounds the error)
+    def nd(c: Column): Column = if (exactDistinct) countDistinct(c) else approx_count_distinct(c)
     val perSource = scored
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        countDistinct(col("lang")).as("n_langs"),
+        nd(col("lang")).as("n_langs"),
         sum(col("__nc")).as("total_chars"),
         sum(col("__nw")).as("total_words"),
-        (count(lit(1)) - countDistinct(col("__fp"))).as("n_dup_docs"),
+        (count(lit(1)) - nd(col("__fp"))).as("n_dup_docs"),
         sum(col("__qmicro")).as("__qsum"),
       )
     perSource

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.CorpusFunctions
+
+/** The HLL scale path of the datacard/domain-stats distinct counts:
+  * the exact default rewrites to the Expand-based two-phase distinct
+  * (per-doc rows on the shuffle), the approx path merges sketches
+  * map-side — this spec bounds the approximation the switch buys into.
+  */
+class DatacardApproxSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  private def bySource(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+    df.collect().map(r => r.getAs[String]("source") -> (r.getAs[Long]("n_langs"), r.getAs[Long]("n_dup_docs"))).toMap
+
+  test("approx datacard distincts stay within HLL tolerance of exact, other columns identical") {
+    val exact = CorpusFunctions
+      .datacard(docs, col("source"), col("lang"), col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getAs[String]("source") -> r)
+      .toMap
+    val approx = CorpusFunctions
+      .datacard(docs, col("source"), col("lang"), col("doc_id"), col("text"), exactDistinct = false)
+      .collect()
+      .map(r => r.getAs[String]("source") -> r)
+      .toMap
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+    exact.foreach { case (src, e) =>
+      val a = approx(src)
+      // non-distinct columns are untouched by the switch
+      for (c <- Seq("n_docs", "total_chars", "total_words", "token_share_ppm", "mean_quality_micro"))
+        assert(e.getAs[Long](c) == a.getAs[Long](c), s"$src.$c")
+      // HLL relative error is 5% default rsd; counts here are small so
+      // allow ±10% or ±2 absolute, whichever is larger
+      for (c <- Seq("n_langs", "n_dup_docs")) {
+        val (ev, av) = (e.getAs[Long](c), a.getAs[Long](c))
+        assert(math.abs(ev - av) <= math.max(2L, math.ceil(0.1 * ev).toLong), s"$src.$c exact $ev approx $av")
+      }
+    }
+  }
+
+  test("approx domainStats agrees with exact within tolerance") {
+    val e = bySource(CorpusFunctions.domainStats(docs, col("source"), col("lang"), col("doc_id"), col("text")))
+    val a = bySource(
+      CorpusFunctions.domainStats(docs, col("source"), col("lang"), col("doc_id"), col("text"), exactDistinct = false)
+    )
+    assert(e.keySet == a.keySet && e.nonEmpty)
+    e.foreach { case (src, (el, ed)) =>
+      val (al, ad) = a(src)
+      assert(math.abs(el - al) <= math.max(2L, math.ceil(0.1 * el).toLong), s"$src langs")
+      assert(math.abs(ed - ad) <= math.max(2L, math.ceil(0.1 * ed).toLong), s"$src dups")
+    }
+  }
+}
