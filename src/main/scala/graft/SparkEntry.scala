@@ -924,6 +924,18 @@ object SparkEntry {
         "text",
       )
     },
+    // C26b: same semantics through the Bloom-prefiltered plan — the
+    // corpus folds into one sketch row, definite-new batch docs skip
+    // the anti-join; output bit-identical (same oracle as C26)
+    "dedup_incremental_bloom" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      DedupFunctions.incrementalDedupBloom(
+        docs.where(pmod(col("doc_id"), lit(10)) === 0),
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id",
+        "text",
+      )
+    },
     // C27: SemDeDup semantic dedup — k-means cells + within-cell cosine
     // τ = 0.35, keep lowest id (learned cells → rows-only; VectorDedupSpec
     // checks planted near-dup removal and survivor count)
@@ -2380,6 +2392,14 @@ object SparkEntry {
                FROM f)
          SELECT doc_id, source, fp, n_copies FROM r WHERE rn = 1""",
     "dedup_incremental" ->
+      """WITH fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM documents),
+         batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 10 = 0),
+         corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 <> 0)
+         SELECT doc_id, fp FROM (
+           SELECT b.doc_id, b.fp, row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+           FROM batch b ANTI JOIN corpus c USING (fp))
+         WHERE rn = 1""",
+    "dedup_incremental_bloom" ->
       """WITH fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM documents),
          batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 10 = 0),
          corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 <> 0)

@@ -750,6 +750,75 @@ object DedupFunctions {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** Bloom-prefiltered incremental dedup: the OUTPUT of
+    * [[incrementalDedup]] (bit-identical — same oracle) with the 100 TB
+    * anti-join cost cut to the duplicate rate. The ingested corpus's
+    * fingerprints first fold into ONE Bloom sketch row via Catalyst's
+    * own `BloomFilterAggregate` (the aggregate runtime filters build:
+    * partial sketches merge map-side, so the shuffle carries bit
+    * arrays — `numBits/8` bytes per partition — never fingerprint
+    * rows), which broadcasts into the batch scan. Batch docs whose
+    * fingerprint the sketch has definitely never seen (~(1-fpp) of a
+    * mostly-novel daily delta) short-circuit past the anti-join
+    * entirely; only MAYBE-seen fingerprints — the true duplicates plus
+    * an `fpp` sliver of false positives — shuffle against the corpus
+    * fingerprint table for the exact verdict. A false positive can
+    * never drop a document (it merely routes it through the exact
+    * join), so correctness is independent of sketch sizing; sizing
+    * only tunes how much of the batch takes the cheap path. The
+    * in-batch survivor window runs across BOTH arms (copies of one
+    * fingerprint always land in the same arm, so the union preserves
+    * per-fp completeness).
+    *
+    * At 8 bits/item (`numBits = 8 * expectedItems`) fpp ≈ 2%: a 1 B-doc
+    * corpus costs a 1 GB sketch — executor-memory-sized, and far
+    * smaller than shuffling a 0.98-novel batch into the lake's
+    * fingerprint buckets. Scale `expectedItems` to the corpus's
+    * distinct-fp count (C29/C36's HLL path measures it for free).
+    */
+  def incrementalDedupBloom(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      expectedItems: Long = 1000000L,
+      numBitsPerItem: Int = 8,
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(batch.sparkSession)
+    val corpusFp = corpus.select(md5(TextFunctions.normText(col(textCol))).as("fp")).distinct()
+    val numBits = expectedItems * numBitsPerItem
+    val bloomRow = corpusFp.agg(
+      expr(s"graft_bloom_agg(xxhash64(fp), ${expectedItems}L, ${numBits}L)").as("__bloom")
+    )
+    // might_contain demands a constant or scalar subquery for the
+    // sketch; the subquery executes once and rides the plan. An EMPTY
+    // corpus aggregates to a null sketch -> might_contain is null ->
+    // coalesce(false): everything is definitely new.
+    val maybeCol = coalesce(
+      call_function(
+        "graft_bloom_might_contain",
+        org.apache.spark.sql.GraftSqlBridge.scalarSubquery(bloomRow),
+        xxhash64(col("fp")),
+      ),
+      lit(false),
+    )
+    val bFp = batch
+      .select(col(idCol).as("doc_id"), md5(TextFunctions.normText(col(textCol))).as("fp"))
+      .withColumn("__maybe", maybeCol)
+      .select(col("doc_id"), col("fp"), col("__maybe"))
+    val definiteNew = bFp.where(!col("__maybe")).select(col("doc_id"), col("fp"))
+    val maybeSeen = bFp
+      .where(col("__maybe"))
+      .select(col("doc_id"), col("fp"))
+      .join(corpusFp, Seq("fp"), "left_anti")
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    definiteNew
+      .unionByName(maybeSeen)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("doc_id"), col("fp"))
+  }
+
   /** Content-defined-chunking dedup (the FastCDC/LBFS family, Muthitacharoen
     * et al. 2001 "A Low-Bandwidth Network File System" §3.1, at text
     * grain): chunk boundaries fall where the hash of the trailing

@@ -100,19 +100,27 @@ object TextFunctions {
     * exact integers — deterministic across engines.
     */
   def qualityScore(df: DataFrame, text: Column): DataFrame = {
-    val nChars = length(text)
-    val w = words(text)
-    val nWords = size(w)
     val stopSet = Stop("en").map(s => s"'$s'").mkString(", ")
-    df.withColumn("__w", w)
-      .withColumn("n_chars", nChars)
-      .withColumn("n_words", nWords)
-      .withColumn("avg_word_len", ratio6(nChars - (nWords - lit(1)), nWords))
-      .withColumn("digit_ratio", ratio6(nChars - length(regexp_replace(text, "[0-9]", "")), nChars))
-      .withColumn("punct_ratio", ratio6(nChars - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")), nChars))
+    // Let-binding discipline: every non-cheap subtree (`words`, the
+    // char count, the word count) is bound ONCE as a named column and
+    // referenced by attribute afterwards. Interpolating the raw
+    // expression instead (the pre-r7 shape) re-instantiates the
+    // split(normText(..)) tree at every use site, and CollapseProject
+    // happily merges the copies into one wide Project where each copy
+    // evaluates per row; multi-referenced non-cheap ALIASES, by
+    // contrast, block the collapse, so each binding evaluates once.
+    df.withColumn("__w", words(text))
+      .withColumn("n_chars", length(text))
+      .withColumn("n_words", size(col("__w")))
+      .withColumn("avg_word_len", ratio6(col("n_chars") - (col("n_words") - lit(1)), col("n_words")))
+      .withColumn("digit_ratio", ratio6(col("n_chars") - length(regexp_replace(text, "[0-9]", "")), col("n_chars")))
+      .withColumn(
+        "punct_ratio",
+        ratio6(col("n_chars") - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")), col("n_chars")),
+      )
       .withColumn(
         "stopword_ratio",
-        ratio6(size(expr(s"filter(__w, t -> t IN ($stopSet))")), greatest(nWords, lit(1))),
+        ratio6(size(expr(s"filter(__w, t -> t IN ($stopSet))")), greatest(col("n_words"), lit(1))),
       )
       // raw IEEE arithmetic over the floored ratios — deterministic
       // without a final round (which would sit on half-way boundaries)

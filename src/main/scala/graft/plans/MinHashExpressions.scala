@@ -285,9 +285,42 @@ object GraftFunctions {
     (children: Seq[Expression]) => BpeEncode(children(0), children(1)),
   )
 
+  /** Catalyst's own Bloom sketch aggregate (the one runtime filters
+    * build), surfaced to the query layer: partials merge map-side, the
+    * shuffled state is the bit array — never the rows. The analyzer
+    * wraps the returned AggregateFunction in an AggregateExpression.
+    */
+  val bloomAggDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bloom_agg"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      "graft_bloom_agg",
+    ),
+    (children: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(children(0), children(1), children(2)),
+  )
+
+  val bloomMightContainDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bloom_might_contain"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "graft_bloom_might_contain",
+    ),
+    (children: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(children(0), children(1)),
+  )
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(minhashSigDescriptor, dotDescriptor, hyperplaneSigDescriptor, simhashDescriptor, bpeDescriptor).foreach { d =>
+    Seq(
+      minhashSigDescriptor,
+      dotDescriptor,
+      hyperplaneSigDescriptor,
+      simhashDescriptor,
+      bpeDescriptor,
+      bloomAggDescriptor,
+      bloomMightContainDescriptor,
+    ).foreach { d =>
       if (!registry.functionExists(d._1)) registry.registerFunction(d._1, d._2, d._3)
     }
   }
@@ -304,6 +337,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.hyperplaneSigDescriptor)
     ext.injectFunction(GraftFunctions.simhashDescriptor)
     ext.injectFunction(GraftFunctions.bpeDescriptor)
+    ext.injectFunction(GraftFunctions.bloomAggDescriptor)
+    ext.injectFunction(GraftFunctions.bloomMightContainDescriptor)
     ext.injectOptimizerRule(_ => PushRangeThroughNanos)
   }
 }

@@ -368,6 +368,59 @@ object EventStream {
       .where(col("n_shared_chunks") <= maxShared)
       .drop("__t")
 
+  /** Corpus-scale variant of [[cdcGateStream]]: the known-chunk set is
+    * a STATIC TABLE (a fingerprint lake — the distinct `fp` output of a
+    * batch `cdcChunks` run over benchmark/eval material or a previous
+    * crawl), not a broadcast literal, so the gate scales to known sets
+    * that fit no driver and no single broadcast.
+    *
+    * Plan: each document's payload rides exactly one zero-weight row;
+    * its per-doc DISTINCT chunk fingerprints (array_distinct before the
+    * explode — matching the literal gate's array_intersect set
+    * semantics) ride narrow (fp, doc_id, ts) rows through a
+    * stream-static LEFT SEMI equi-join against the known table — Spark
+    * plans it broadcast when the table is small and shuffled-hash when
+    * it is not, and either way only fingerprints travel on the join,
+    * never the text. One windowed aggregation recombines the arms:
+    * `n_shared_chunks` counts the semi-join survivors, the payload
+    * comes from the zero-weight arm (`max` over one non-null value).
+    * State is one row per in-horizon document; emission is on
+    * watermark close (append mode), and on the same documents the
+    * emitted (doc_id, n_shared_chunks) pairs equal [[cdcGateStream]]'s
+    * exactly — the spec asserts it.
+    */
+  def cdcGateStreamStatic(
+      docStream: DataFrame,
+      knownFps: DataFrame,
+      tsCol: String = "ingest_ts",
+      watermark: String = "1 hour",
+      window_ : String = "10 minutes",
+      maxShared: Int = 0,
+      cdcWindow: Int = 16,
+      maskHexDigits: Int = 1,
+      minChunk: Int = 16,
+  ): DataFrame = {
+    val wm = docStream.withWatermark(tsCol, watermark)
+    val payload = wm.select(col("doc_id"), col(tsCol), col("text"), lit(0L).as("__shared"))
+    val hits = wm
+      .withColumn("__t", graft.functions.TextFunctions.normText(col("text")))
+      .select(
+        col("doc_id"),
+        col(tsCol),
+        explode(
+          array_distinct(expr(graft.functions.DedupFunctions.cdcFpArrayExpr("__t", cdcWindow, maskHexDigits, minChunk)))
+        ).as("fp"),
+      )
+      .join(knownFps.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+      .select(col("doc_id"), col(tsCol), lit(null).cast("string").as("text"), lit(1L).as("__shared"))
+    payload
+      .unionByName(hits)
+      .groupBy(window(col(tsCol), window_), col("doc_id"))
+      .agg(max(col("text")).as("text"), sum(col("__shared")).as("n_shared_chunks"))
+      .where(col("n_shared_chunks") <= maxShared)
+      .select(col("window.start").as("window_start"), col("doc_id"), col("text"), col("n_shared_chunks"))
+  }
+
   /** Streaming perceptual image dedup — the image twin of
     * [[nearDupStream]], composing the pHash banding of
     * `Multimodal.phashPairs` with `dropDuplicatesWithinWatermark`:

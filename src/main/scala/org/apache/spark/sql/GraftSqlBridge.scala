@@ -24,4 +24,15 @@ object GraftSqlBridge {
     df.queryExecution.analyzed.collectFirst {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }
+
+  /** A 1-row/1-column frame as an uncorrelated scalar-subquery Column —
+    * the form expressions like `might_contain` demand for their
+    * constant-ish inputs (an attribute from a cross join is rejected at
+    * analysis). The subquery executes once and its value ships with the
+    * plan, like a broadcast of exactly one cell.
+    */
+  def scalarSubquery(df: DataFrame): Column =
+    classic.ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(logicalPlan(df))
+    )
 }

@@ -158,6 +158,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out == Set(2L, 4L))
   }
 
+  test("incrementalDedupBloom matches the exact path at any sketch sizing") {
+    val corpus = Seq(
+      (100L, "an old document already ingested"),
+      (101L, "another archived document"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "An  old document already   ingested"), // corpus dup -> dropped
+      (2L, "a genuinely new document"),
+      (3L, "a genuinely NEW document"), // batch-internal dup of 2 -> dropped
+      (4L, "fresh and unique content"),
+    ).toDF("doc_id", "text")
+    val exact = DedupFunctions.incrementalDedup(batch, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val bloom = DedupFunctions.incrementalDedupBloom(batch, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(bloom == exact)
+    // a deliberately saturated sketch (2 items' worth of bits for the
+    // corpus, high fpp) routes MORE docs through the exact join but can
+    // never change the answer — correctness independent of sizing
+    val saturated = DedupFunctions
+      .incrementalDedupBloom(batch, corpus, "doc_id", "text", expectedItems = 2L, numBitsPerItem = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(saturated == exact)
+    // plan shape: the sketch probe is IN the plan (a might_contain
+    // filter), and the corpus side reaches the anti-join only behind it
+    val plan = DedupFunctions.incrementalDedupBloom(batch, corpus, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+  }
+
   test("wordRarity computes exact average corpus frequency and rare ratio") {
     val d = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
     val out = CorpusFunctions.wordRarity(d, col("doc_id"), col("text"), rareMax = 2L)

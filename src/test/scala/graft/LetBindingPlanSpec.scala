@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Let-binding guards: multi-use non-cheap subtrees must be bound once
+  * as a named column and referenced by attribute, never re-interpolated
+  * as fresh expression copies. CollapseProject merges stacked Projects
+  * whose producers are single-referenced or cheap — so interpolated
+  * copies of `split(normText(..))` collapse into ONE wide Project where
+  * every copy evaluates per row (the pre-r7 qualityScore carried 4),
+  * while a multi-referenced non-cheap ALIAS blocks the collapse and
+  * evaluates once. The interpreted-HOF variant of the same bug (CDC's
+  * boundary scan inlined 4x into its consumers) cost 8x wall clock at
+  * 10x scale before the r7 `transform(array(..))` let fix. These
+  * asserts count surviving `split(` instantiations in the optimized
+  * plan so a future refactor can't quietly reintroduce the copies.
+  */
+class LetBindingPlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def splitCount(df: org.apache.spark.sql.DataFrame): Int =
+    "split\\(".r.findAllIn(df.queryExecution.optimizedPlan.toString).size
+
+  // parquet-backed (a local Seq would constant-fold into a
+  // LocalRelation and erase the projection under test)
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("qualityScore binds words() once — a single split() in the optimized plan") {
+    val df = graft.functions.TextFunctions.qualityScore(docs, col("text"))
+    assert(splitCount(df) == 1, df.queryExecution.optimizedPlan.toString)
+  }
+
+  test("langId binds words() once across the five language scores") {
+    val df = graft.functions.TextFunctions.langId(docs, col("text"))
+    assert(splitCount(df) == 1, df.queryExecution.optimizedPlan.toString)
+  }
+
+  test("gopherRules binds its two tokenizations once each") {
+    // exactly two splits by design: __w = words(text) for the word
+    // rules, __ls = split(text, '\n') for the line rules — each bound
+    // once, never re-interpolated per consumer
+    val df = graft.functions.TextFunctions.gopherRules(docs, col("doc_id"), col("text"))
+    assert(splitCount(df) == 2, df.queryExecution.optimizedPlan.toString)
+  }
+}

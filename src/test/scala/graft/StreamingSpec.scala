@@ -382,6 +382,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Map(2L -> 0L), s"got $out") // contaminated doc dropped, clean passes
   }
 
+  test("cdcGateStreamStatic matches the literal gate against a known-chunk TABLE") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val known = (0 until 150).map(i => s"k${i * 7 % 97}v${i % 13}").mkString(" ")
+    val contaminated = "a freshly inserted preamble " + known // every offset shifted
+    val clean = (0 until 150).map(i => s"c${i * 11 % 89}w${i % 7}").mkString(" ")
+    val tiny = "short doc" // below minChunk: zero fingerprints, must still survive
+    // the corpus-scale path: known chunks as a TABLE (batch cdcChunks
+    // output), not a driver literal
+    val knownTable = Seq(known)
+      .toDF("text")
+      .select(explode(expr(graft.functions.DedupFunctions.cdcFpArrayExpr("text", 16, 1, minChunk = 16))).as("fp"))
+    val knownFps = knownTable.collect().map(_.getString(0)).toSeq
+    assert(knownFps.nonEmpty)
+
+    val docs = Seq((1L, contaminated), (2L, clean), (3L, tiny))
+    // literal-gate survivors on the same docs = the parity target
+    val literal = EventStream // batch semantics: cdcGateStream is stateless, so run it on a batch frame
+      .cdcGateStream(docs.toDF("doc_id", "text"), knownFps)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_chunks"))
+      .toMap
+    assert(literal == Map(2L -> 0L, 3L -> 0L))
+
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    mem.addData(docs.map(d => (d._1, d._2, t("2024-01-01T00:05:00Z"))): _*)
+    val q = EventStream
+      .cdcGateStreamStatic(mem.toDF().toDF("doc_id", "text", "ingest_ts"), knownTable)
+      .writeStream.format("memory").queryName("cdc_gate_static").outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    mem.addData((9L, "watermark advancer far in the future", t("2024-01-01T09:00:00Z")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("cdc_gate_static")
+      .where(col("doc_id") < 9L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("text"), r.getAs[Long]("n_shared_chunks")))
+      .toMap
+    // exact parity with the literal gate: same survivors, same counts,
+    // and the payload text was reassembled from the zero-weight arm
+    assert(out.view.mapValues(_._2).toMap == literal, s"got $out")
+    assert(out(2L)._1 == clean && out(3L)._1 == tiny)
+  }
+
   test("perceptualDedupStream flags pHash band collisions and agrees with the batch join") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
