@@ -113,6 +113,27 @@ object Bench {
   private def scaleQueriesEff: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_QUERIES").map(_.split(",").map(_.trim).toSeq).getOrElse(scaleQueries)
 
+  /** Deep probe tier: another decade of scale (30×/100× = 150 k/500 k
+    * docs on the bench corpus) for the strictly-linear dedup family
+    * ONLY — no quadratic negative control (naive Jaccard at 100×
+    * would dominate the whole bench), no iterative CC (dedup_groups'
+    * round count is its own variable). These four are one-to-two-pass
+    * plans whose per-doc cost must keep FALLING for the 100 TB
+    * claims to hold; a flat or rising tail here is a real finding.
+    * SPARK_GRAFT_SCALE_DEEP_FACTORS="" disables the tier.
+    */
+  private val scaleDeepQueries = Seq(
+    "dedup_jaccard_prefix",
+    "dedup_paragraph",
+    "dedup_cdc_chunks",
+    "corpus_mixture_apply",
+  )
+  private def scaleDeepFactors: Seq[Int] =
+    sys.env
+      .get("SPARK_GRAFT_SCALE_DEEP_FACTORS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
+      .getOrElse(Seq(30, 100))
+
   /** Runs the scale probe and returns its JSON fragment (or "null" on
     * any setup failure — the probe must never take the main bench
     * down). One timed run per cell: the probe's signal is the GROWTH
@@ -122,32 +143,49 @@ object Bench {
     */
   private[graft] def runScaleProbe(spark: SparkSession, baseDir: String): String =
     try {
-      val cells = scaleFactors.map { f =>
-        val dir = graft.tools.ScaleGen.ensure(spark, baseDir, f, "target/scale")
-        graft.tools.ScaleGen.ensureEvents(spark, baseDir, f, "target/scale")
-        val docs = spark.read.parquet(s"$dir/documents.parquet").count()
-        val qs = scaleQueriesEff.map { name =>
-          val t0 = System.nanoTime()
-          val ok =
-            try { SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save(); true }
-            catch {
-              case e: Throwable =>
-                System.err.println(s"[bench/scale] FAILED $name@x$f: ${e.getClass.getSimpleName}: ${e.getMessage}")
-                false
+      // MIN of two timed runs per cell: the probe's signal is a growth
+      // curve, and host contamination (steal/memory-bandwidth bursts
+      // that GC/steal metrics cannot always see) is strictly ADDITIVE —
+      // the min is the best available estimate of true plan cost, and
+      // one burst can no longer fake a super-linear tail. Each cell
+      // stamps the 1-min loadavg at its start so a cell measured under
+      // load indicts itself in the artifact.
+      def probeCells(factors: Seq[Int], queries: Seq[String], withEvents: Boolean): Seq[(Int, Long, Double, Seq[(String, Double)])] =
+        factors.map { f =>
+          val dir = graft.tools.ScaleGen.ensure(spark, baseDir, f, "target/scale")
+          if (withEvents) graft.tools.ScaleGen.ensureEvents(spark, baseDir, f, "target/scale")
+          val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+          val cellLoad = loadAvg1()
+          val qs = queries.map { name =>
+            def oneRun(): Double = {
+              val t0 = System.nanoTime()
+              val ok =
+                try { SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save(); true }
+                catch {
+                  case e: Throwable =>
+                    System.err.println(s"[bench/scale] FAILED $name@x$f: ${e.getClass.getSimpleName}: ${e.getMessage}")
+                    false
+                }
+              val el = (System.nanoTime() - t0) / 1e9
+              spark.catalog.clearCache()
+              spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+              if (ok) el else -1.0
             }
-          val el = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache()
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-          val v = if (ok) math.round(el * 1000) / 1000.0 else -1.0
-          System.err.println(f"[bench/scale] x$f%-3d $name%-24s $v%8.3f s")
-          name -> v
+            val runs = Seq(oneRun(), oneRun())
+            val v = if (runs.exists(_ < 0)) -1.0 else math.round(runs.min * 1000) / 1000.0
+            System.err.println(f"[bench/scale] x$f%-3d $name%-24s $v%8.3f s  (runs: ${runs.map(r => f"$r%.2f").mkString(", ")})")
+            name -> v
+          }
+          (f, docs, cellLoad, qs)
         }
-        (f, docs, qs)
-      }
+      // standard tier (with the quadratic negative control + ts family),
+      // then the deep linear-only tier another decade out
+      val cells = probeCells(scaleFactors, scaleQueriesEff, withEvents = true) ++
+        probeCells(scaleDeepFactors, scaleDeepQueries, withEvents = false)
       cells
-        .map { case (f, docs, qs) =>
+        .map { case (f, docs, cellLoad, qs) =>
           val qj = qs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-          s"""{"factor":$f,"docs":$docs,"queries":$qj}"""
+          s"""{"factor":$f,"docs":$docs,"load":$cellLoad,"queries":$qj}"""
         }
         .mkString("[", ",", "]")
     } catch {

@@ -1165,6 +1165,12 @@ object SparkEntry {
     "corpus_lexical_diversity" -> { (s, dir) =>
       CorpusFunctions.lexicalDiversity(Tables.documents(s, dir), col("lang"), col("text"))
     },
+    // C40: per-language tokenizer fertility (tokens/word, chars/token
+    // over the deterministic regex-token proxy) — where the sequence
+    // budget goes, the companion table to mixture planning
+    "corpus_token_fertility" -> { (s, dir) =>
+      CorpusFunctions.tokenFertility(Tables.documents(s, dir), col("lang"), col("text"))
+    },
     // C30: language-ID confusion matrix — predicted vs labeled lang,
     // the quality audit of the C8 heuristic over the whole corpus
     "corpus_lang_confusion" -> { (s, dir) =>
@@ -2347,6 +2353,19 @@ object SparkEntry {
                 CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS type_token_ratio,
                 CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
          FROM wc GROUP BY 1""",
+    "corpus_token_fertility" ->
+      """WITH t AS (SELECT lang,
+                CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS w,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS tk,
+                CAST(length(text) AS BIGINT) AS c
+           FROM documents)
+         SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(w) AS BIGINT) AS n_words,
+                CAST(SUM(tk) AS BIGINT) AS n_tokens,
+                CAST(SUM(c) AS BIGINT) AS n_chars,
+                (1000000 * CAST(SUM(tk) AS BIGINT)) // CAST(SUM(w) AS BIGINT) AS tokens_per_word_ppm,
+                (1000000 * CAST(SUM(c) AS BIGINT)) // CAST(SUM(tk) AS BIGINT) AS chars_per_token_ppm
+         FROM t GROUP BY 1""",
     "corpus_domain_stats" ->
       """WITH d AS (SELECT source, lang, CAST(length(text) AS BIGINT) AS nc,
                            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

@@ -247,11 +247,17 @@ object CorpusFunctions {
   ): DataFrame = {
     val terms = query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "query must contain at least one term")
-    def tfCol(t: String): Column = size(filter(TextFunctions.words(text), w => w === t)).cast("long")
-    val base = df.select(
-      idCol.as("doc_id") +: size(TextFunctions.words(text)).cast("long").as("dl") +:
-        terms.zipWithIndex.map { case (t, i) => tfCol(t).as(s"tf_$i") }: _*
-    )
+    // let-binding: the token array is bound ONCE and every per-term tf
+    // references the attribute — interpolating words(text) per term
+    // would instantiate the split q+1 times per row (LetBindingPlanSpec
+    // guards the count)
+    def tfCol(t: String): Column = size(filter(col("__w"), w => w === t)).cast("long")
+    val base = df
+      .select(idCol.as("doc_id"), TextFunctions.words(text).as("__w"))
+      .select(
+        col("doc_id") +: size(col("__w")).cast("long").as("dl") +:
+          terms.zipWithIndex.map { case (t, i) => tfCol(t).as(s"tf_$i") }: _*
+      )
     val stats = base.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl") +:
@@ -494,15 +500,51 @@ object CorpusFunctions {
   ): DataFrame = {
     require(binWords >= 1 && maxBins >= 2, "need positive bins")
     DedupFunctions.spread(df)
-      .select(
-        stratum.as("stratum"),
-        least(floor(size(TextFunctions.words(text)).cast("double") / binWords), lit(maxBins - 1)).cast("long").as("bin"),
-        size(TextFunctions.words(text)).cast("long").as("__nw"),
-      )
+      .select(stratum.as("stratum"), size(TextFunctions.words(text)).cast("long").as("__nw"))
+      .withColumn("bin", least(floor(col("__nw").cast("double") / binWords), lit(maxBins - 1)).cast("long"))
       .groupBy(col("stratum"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__nw")).as("total_words"))
       .withColumn("bin_start_words", col("bin") * binWords)
   }
+
+  /** Per-language tokenizer-fertility report (the metric of Ács 2019 /
+    * Rust et al. 2021 "How Good is Your Tokenizer?": tokens emitted per
+    * word, and chars per token, by language): languages a tokenizer
+    * fragments heavily consume disproportionate sequence budget, so
+    * mixture planning over raw token masses ([[mixturePlan]]) needs
+    * this table to see WHERE the token mass goes. Tokens here are the
+    * engine's deterministic BPE-ish regex tokens (letter runs / single
+    * digits / single marks — [[TextFunctions.tokenCounts]]'s
+    * SQL-expressible proxy; per-doc fertility under the REAL trained
+    * BPE is text_bpe's rows-only output). Ratios are integer-ppm
+    * `div`s of exact long sums — order-independent, engine-exact.
+    * One scan → one hash aggregate on the tiny language key, partials
+    * combine map-side; nothing else moves.
+    */
+  def tokenFertility(df: DataFrame, lang: Column, text: Column): DataFrame =
+    DedupFunctions.spread(df)
+      .select(
+        lang.as("lang"),
+        size(TextFunctions.words(text)).cast("long").as("__w"),
+        size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("__t"),
+        length(text).cast("long").as("__c"),
+      )
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("n_words"),
+        sum(col("__t")).as("n_tokens"),
+        sum(col("__c")).as("n_chars"),
+      )
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("n_words"),
+        col("n_tokens"),
+        col("n_chars"),
+        expr("1000000 * n_tokens div n_words").as("tokens_per_word_ppm"),
+        expr("1000000 * n_chars div n_tokens").as("chars_per_token_ppm"),
+      )
 
   /** Cross-source near-duplicate overlap matrix — "how much of crawl B
     * is already in dump A", the report that decides whether ingesting

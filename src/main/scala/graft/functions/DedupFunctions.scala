@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -784,33 +784,62 @@ object DedupFunctions {
       expectedItems: Long = 1000000L,
       numBitsPerItem: Int = 8,
   ): DataFrame = {
-    graft.plans.GraftFunctions.register(batch.sparkSession)
     val corpusFp = corpus.select(md5(TextFunctions.normText(col(textCol))).as("fp")).distinct()
+    incrementalDedupBloomFp(batch, corpusFp, bloomSketch(corpusFp, expectedItems, numBitsPerItem), idCol, textCol)
+  }
+
+  /** One-row Bloom sketch frame over a fingerprint table's `fp` column
+    * (schema: `sketch binary`). Persistable like any frame — write it
+    * parquet NEXT TO the corpus fingerprint table so the daily
+    * incremental job loads the sketch instead of re-folding the lake,
+    * and rebuild only when the corpus's distinct-fp count approaches
+    * `expectedItems` (C29/C36's HLL path measures that for free).
+    */
+  def bloomSketch(corpusFp: DataFrame, expectedItems: Long = 1000000L, numBitsPerItem: Int = 8): DataFrame = {
+    graft.plans.GraftFunctions.register(corpusFp.sparkSession)
     val numBits = expectedItems * numBitsPerItem
-    val bloomRow = corpusFp.agg(
-      expr(s"graft_bloom_agg(xxhash64(fp), ${expectedItems}L, ${numBits}L)").as("__bloom")
-    )
-    // might_contain demands a constant or scalar subquery for the
-    // sketch; the subquery executes once and rides the plan. An EMPTY
-    // corpus aggregates to a null sketch -> might_contain is null ->
-    // coalesce(false): everything is definitely new.
-    val maybeCol = coalesce(
+    corpusFp.agg(expr(s"graft_bloom_agg(xxhash64(fp), ${expectedItems}L, ${numBits}L)").as("sketch"))
+  }
+
+  /** `might_contain(sketch, xxhash64(fp))` with the one-row sketch
+    * frame bound as an uncorrelated scalar subquery (the only
+    * non-literal form the expression accepts) — null-safe: an empty
+    * corpus aggregates to a null sketch, so nothing is maybe-seen.
+    */
+  private[graft] def bloomMaybe(sketchRow: DataFrame, fp: Column): Column = {
+    graft.plans.GraftFunctions.register(sketchRow.sparkSession)
+    coalesce(
       call_function(
         "graft_bloom_might_contain",
-        org.apache.spark.sql.GraftSqlBridge.scalarSubquery(bloomRow),
-        xxhash64(col("fp")),
+        org.apache.spark.sql.GraftSqlBridge.scalarSubquery(sketchRow.select(col("sketch"))),
+        xxhash64(fp),
       ),
       lit(false),
     )
+  }
+
+  /** [[incrementalDedupBloom]] against a pre-materialized corpus
+    * fingerprint table and a pre-built (typically parquet-persisted)
+    * [[bloomSketch]] row — the production daily-job surface: the lake
+    * is touched only by the maybe-seen anti-join, the sketch is one
+    * read of `numBits/8` bytes.
+    */
+  def incrementalDedupBloomFp(
+      batch: DataFrame,
+      corpusFp: DataFrame,
+      sketchRow: DataFrame,
+      idCol: String,
+      textCol: String,
+  ): DataFrame = {
     val bFp = batch
       .select(col(idCol).as("doc_id"), md5(TextFunctions.normText(col(textCol))).as("fp"))
-      .withColumn("__maybe", maybeCol)
+      .withColumn("__maybe", bloomMaybe(sketchRow, col("fp")))
       .select(col("doc_id"), col("fp"), col("__maybe"))
     val definiteNew = bFp.where(!col("__maybe")).select(col("doc_id"), col("fp"))
     val maybeSeen = bFp
       .where(col("__maybe"))
       .select(col("doc_id"), col("fp"))
-      .join(corpusFp, Seq("fp"), "left_anti")
+      .join(corpusFp.select(col("fp")), Seq("fp"), "left_anti")
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
     definiteNew
       .unionByName(maybeSeen)

@@ -421,6 +421,35 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("doc_id"), col("text"), col("n_shared_chunks"))
   }
 
+  /** Streaming Bloom dedup gate — the stream-side dual of the batch
+    * Bloom-prefiltered incremental dedup
+    * ([[graft.functions.DedupFunctions.incrementalDedupBloom]]): drop
+    * documents the ingested corpus already holds, AT INGEST, with the
+    * same cost model. Each doc's normalized-text fingerprint probes the
+    * corpus [[graft.functions.DedupFunctions.bloomSketch]] (a one-row
+    * static frame bound as a scalar subquery — numBits/8 bytes read
+    * once per microbatch); definitely-new docs (~98% of a mostly-novel
+    * feed at 8 bits/item) pass with ZERO joins, and only maybe-seen
+    * fingerprints — true dups plus the fpp sliver — verify through a
+    * stream-static LEFT ANTI equi-join against the corpus fingerprint
+    * table. Both arms are stateless projections/joins: no watermark,
+    * no state store, and a false positive can only cost the verify
+    * join, never a novel document.
+    *
+    * Emits surviving docs with their `fp`. Repeats WITHIN the stream
+    * are deliberately untouched (both copies novel vs the corpus) —
+    * compose [[dedupStream]] downstream for watermark-bounded
+    * in-stream dedup, exactly as the batch pipeline runs the in-batch
+    * survivor window after the corpus anti-join.
+    */
+  def bloomGateStream(docStream: DataFrame, corpusFp: DataFrame, sketchRow: DataFrame): DataFrame = {
+    val fps = docStream.withColumn("fp", md5(graft.functions.TextFunctions.normText(col("text"))))
+    val maybe = graft.functions.DedupFunctions.bloomMaybe(sketchRow, col("fp"))
+    val definiteNew = fps.where(!maybe)
+    val verifiedNew = fps.where(maybe).join(corpusFp.select(col("fp")), Seq("fp"), "left_anti")
+    definiteNew.unionByName(verifiedNew.select(definiteNew.columns.map(col).toSeq: _*))
+  }
+
   /** Streaming perceptual image dedup — the image twin of
     * [[nearDupStream]], composing the pHash banding of
     * `Multimodal.phashPairs` with `dropDuplicatesWithinWatermark`:

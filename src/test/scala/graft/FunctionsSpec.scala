@@ -186,6 +186,30 @@ class FunctionsSpec extends AnyFunSuite {
     val plan = DedupFunctions.incrementalDedupBloom(batch, corpus, "doc_id", "text")
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("might_contain"), plan)
+    // persistence round trip: the sketch is a frame — write it parquet
+    // next to the fingerprint lake, load it tomorrow, same answer
+    val corpusFp = corpus
+      .select(md5(graft.functions.TextFunctions.normText(col("text"))).as("fp")).distinct()
+    val dir = java.nio.file.Files.createTempDirectory("bloom_lake").toString
+    DedupFunctions.bloomSketch(corpusFp).write.mode("overwrite").parquet(s"$dir/sketch.parquet")
+    val loaded = spark.read.parquet(s"$dir/sketch.parquet")
+    val fromLake = DedupFunctions.incrementalDedupBloomFp(batch, corpusFp, loaded, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(fromLake == exact)
+  }
+
+  test("tokenFertility aggregates exact per-language token/char masses and ppm ratios") {
+    val d = Seq(
+      (1L, "en", "ab cd"), // 2 words, 2 regex tokens, 5 chars
+      (2L, "en", "a1-b"), // 1 word, 4 regex tokens (a,1,-,b), 4 chars
+      (3L, "fr", "oui"), // 1 word, 1 token, 3 chars
+    ).toDF("doc_id", "lang", "text")
+    val out = CorpusFunctions.tokenFertility(d, col("lang"), col("text"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(out("en") == ((2L, 3L, 6L, 9L, 2000000L, 1500000L)))
+    assert(out("fr") == ((1L, 1L, 1L, 3L, 1000000L, 3000000L)))
   }
 
   test("wordRarity computes exact average corpus frequency and rare ratio") {

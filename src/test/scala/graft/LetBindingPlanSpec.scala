@@ -36,6 +36,21 @@ class LetBindingPlanSpec extends AnyFunSuite {
     assert(splitCount(df) == 1, df.queryExecution.optimizedPlan.toString)
   }
 
+  test("bm25Search binds the token array once per scan across per-term tfs") {
+    // bm25 deliberately scans twice (corpus-global stats row + probe —
+    // SURVEY perf notes), so exactly TWO split instantiations: one per
+    // scan, never one per query term (pre-fix: q+1 per scan)
+    val df = graft.functions.CorpusFunctions
+      .bm25Search(docs, col("doc_id"), col("text"), "quick brown fox jumps")
+    assert(splitCount(df) == 2, df.queryExecution.optimizedPlan.toString)
+  }
+
+  test("lengthHistogram binds the word count once") {
+    val df = graft.functions.CorpusFunctions
+      .lengthHistogram(docs, col("lang"), col("text"))
+    assert(splitCount(df) == 1, df.queryExecution.optimizedPlan.toString)
+  }
+
   test("gopherRules binds its two tokenizations once each") {
     // exactly two splits by design: __w = words(text) for the word
     // rules, __ls = split(text, '\n') for the line rules — each bound

@@ -427,6 +427,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(2L)._1 == clean && out(3L)._1 == tiny)
   }
 
+  test("bloomGateStream drops corpus dups at ingest, passes novel docs, survives a saturated sketch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "an old document already ingested"),
+      (101L, "another archived document"),
+    ).toDF("doc_id", "text")
+    val corpusFp = corpus
+      .select(md5(graft.functions.TextFunctions.normText(col("text"))).as("fp")).distinct()
+    val streamDocs = Seq(
+      (1L, "An  old document already   ingested"), // corpus dup -> dropped
+      (2L, "a genuinely new document"),
+      (3L, "fresh and unique content"),
+    )
+    def run(sketch: org.apache.spark.sql.DataFrame, name: String): Set[Long] = {
+      val mem = MemoryStream[(Long, String)]
+      mem.addData(streamDocs: _*)
+      val q = EventStream
+        .bloomGateStream(mem.toDF().toDF("doc_id", "text"), corpusFp, sketch)
+        .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).collect().map(_.getAs[Long]("doc_id")).toSet
+    }
+    val wellSized = run(graft.functions.DedupFunctions.bloomSketch(corpusFp), "bloom_gate")
+    assert(wellSized == Set(2L, 3L))
+    // saturated sketch: every probe reads maybe-seen, everything takes
+    // the verify join — identical survivors, correctness never depends
+    // on sizing
+    val saturated = run(graft.functions.DedupFunctions.bloomSketch(corpusFp, 2L, 1), "bloom_gate_sat")
+    assert(saturated == Set(2L, 3L))
+  }
+
   test("perceptualDedupStream flags pHash band collisions and agrees with the batch join") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
