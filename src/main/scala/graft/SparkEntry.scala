@@ -1196,6 +1196,18 @@ object SparkEntry {
     "corpus_source_overlap" -> { (s, dir) =>
       CorpusFunctions.sourceOverlap(Tables.documents(s, dir), "doc_id", "source", "text")
     },
+    // C40: DSIR importance resampling (Xie et al. 2023) — hashed-bucket
+    // log-likelihood-ratio score of each non-target doc against the
+    // `en` target distribution, kept by a deterministic Gumbel draw
+    "corpus_dsir_select" -> { (s, dir) =>
+      CorpusFunctions.dsirSelect(
+        Tables.documents(s, dir),
+        col("doc_id"),
+        col("text"),
+        col("lang") === "en",
+        tauPpm = 1000000L,
+      )
+    },
     // C38: soft dedup — every copy kept at weight 1/n_copies ppm
     // (frequency down-weighting, the hard-dedup alternative)
     "dedup_soft_weights" -> { (s, dir) =>
@@ -1261,6 +1273,19 @@ object SparkEntry {
     // determinism spec-verified)
     "emb_pca" -> { (s, dir) =>
       VectorFunctions.pcaProject(Tables.embeddings(s, dir), k = 8)
+    },
+    // C42: per-dimension embedding calibration stats — exact
+    // scaled-integer sums/sumsq + min/max per position (quantization
+    // scale choice, normalization, model-version drift)
+    "emb_dim_stats" -> { (s, dir) =>
+      VectorFunctions.embDimStats(Tables.embeddings(s, dir))
+    },
+    // C41: prototype-difficulty pruning (Sorscher et al. 2022) — drop
+    // the easiest 30% of each k-means cluster, keep the hard examples
+    // (rows-only: k-means prototypes are not SQL-expressible;
+    // PrototypePruneSpec plants clusters and checks both rank modes)
+    "emb_prototype_prune" -> { (s, dir) =>
+      VectorFunctions.prototypePrune(Tables.embeddings(s, dir), pruneFrac = 0.3)
     },
     // C13: approximate per-series stats — the 100 TB scale path
     // (sketches, not exact aggregation; rows-only by nature)
@@ -2366,6 +2391,25 @@ object SparkEntry {
                 (1000000 * CAST(SUM(tk) AS BIGINT)) // CAST(SUM(w) AS BIGINT) AS tokens_per_word_ppm,
                 (1000000 * CAST(SUM(c) AS BIGINT)) // CAST(SUM(tk) AS BIGINT) AS chars_per_token_ppm
          FROM t GROUP BY 1""",
+    "corpus_dsir_select" ->
+      """WITH w AS (
+           SELECT doc_id, (lang = 'en') AS t,
+                  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+           FROM documents),
+         pb AS (SELECT doc_id, t, substr(md5(w), 1, 2) AS b, COUNT(*) AS c FROM w GROUP BY 1, 2, 3),
+         st AS (SELECT b,
+                       SUM(CASE WHEN t THEN c ELSE 0 END) AS ct,
+                       SUM(CASE WHEN NOT t THEN c ELSE 0 END) AS cr
+                FROM pb GROUP BY 1),
+         rt AS (SELECT b,
+                       CAST(FLOOR(ROUND(LN( (CAST(ct + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE)) /
+                                            (CAST(cr + 1 AS DOUBLE) / CAST(tr + 256 AS DOUBLE)) ), 6) * 1e6) AS BIGINT) AS lr_ppm
+                FROM (SELECT b, ct, cr, SUM(ct) OVER () AS tt, SUM(cr) OVER () AS tr FROM st)),
+         sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, CAST(SUM(c * lr_ppm) AS BIGINT) AS dsir_ppm
+                FROM pb JOIN rt USING (b) WHERE NOT t GROUP BY 1)
+         SELECT doc_id, n_words, dsir_ppm,
+                dsir_ppm + CAST(FLOOR(ROUND(-LN(-LN((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)), 6) * 1e6) AS BIGINT) >= 1000000 AS keep
+         FROM sc""",
     "corpus_domain_stats" ->
       """WITH d AS (SELECT source, lang, CAST(length(text) AS BIGINT) AS nc,
                            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
@@ -2495,6 +2539,18 @@ object SparkEntry {
          f AS (SELECT fp, COUNT(*) AS n_copies FROM c GROUP BY 1)
          SELECT doc_id, s AS span_start, e AS span_end, e - s + 1 AS span_chars, n_copies
          FROM c JOIN f USING (fp) WHERE n_copies > 1""",
+    "emb_dim_stats" ->
+      """WITH d AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings),
+         a AS (SELECT CAST(i - 1 AS INT) AS pos, COUNT(*) AS n,
+                      CAST(SUM(CAST(FLOOR(x * 1e9) AS BIGINT)) AS BIGINT) AS sum_nano,
+                      CAST(SUM(CAST(FLOOR(x * x * 1e9) AS BIGINT)) AS BIGINT) AS sumsq_nano,
+                      MIN(x) AS min_val, MAX(x) AS max_val
+               FROM d GROUP BY 1)
+         SELECT pos, CAST(n AS BIGINT) AS n, sum_nano, sumsq_nano, min_val, max_val,
+                CAST(FLOOR(CAST(sum_nano AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS mean_nano
+         FROM a""",
     "embedding_quantize" ->
       """WITH d AS (SELECT UNNEST(embedding) AS x, UNNEST(generate_series(1, len(embedding))) AS i FROM embeddings),
          s AS (SELECT i, MAX(ABS(x)) AS mx FROM d GROUP BY 1),

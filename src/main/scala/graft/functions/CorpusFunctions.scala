@@ -662,4 +662,151 @@ object CorpusFunctions {
         expr("__qsum div n_docs").as("mean_quality_micro"),
       )
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * "Data selection for language models via importance resampling"):
+    * select raw-pool documents whose hashed n-gram distribution looks
+    * like the target corpus. Features are hashed unigram buckets (here
+    * the first two md5 hex chars of each word → 256 buckets — engine-
+    * portable, no integer hash needed); both distributions get Laplace
+    * smoothing, and each raw document's log importance weight is
+    * `Σ_w c_w · ln(p_target(b(w)) / p_raw(b(w)))` over its bucket
+    * counts. Selection is the Poisson relaxation of the paper's
+    * Gumbel-top-k: keep a doc iff `score + g(doc_id) ≥ tau`, where
+    * `g = −ln(−ln u)` is a standard Gumbel draw from the md5 of the
+    * doc id — per-row, stateless, deterministic, and exactly
+    * probability-proportional-to-importance-weight sampling.
+    *
+    * Plan shape at 100 TB: one explode to the word stream, one hash
+    * aggregate to per-(doc, bucket) counts (map-side combined; at most
+    * 256 distinct buckets per doc survive the combine), a 256-row
+    * bucket-ratio frame derived from it with a single-partition window
+    * (tiny by construction) and broadcast back, then one per-doc
+    * aggregate and a stateless filter — no global sort, no driver
+    * data, no hot join key (every bucket is 1/256 of all tokens).
+    *
+    * Determinism: bucket counts and totals are exact integers; each
+    * probability is one IEEE division, their ratio one more; the only
+    * libm call (`ln`, and `−ln(−ln u)` for the Gumbel) is snapped to
+    * the 6-decimal grid then floor-scaled to 1e6 and summed as longs —
+    * the SURVEY float policy, same as bm25.
+    */
+  def dsirSelect(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      isTarget: Column,
+      tauPpm: Long,
+  ): DataFrame = {
+    val (out, perDoc) = dsirPlan(df, idCol, text, isTarget, tauPpm)
+    val result = out.localCheckpoint()
+    org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(perDoc).foreach(_.unpersist(blocking = true))
+    result
+  }
+
+  /** Un-checkpointed DSIR plan + the checkpointed per-(doc, bucket)
+    * frame it rides on (two consumers: bucket ratios and the score
+    * join). [[dsirSelect]] materializes the result and releases it;
+    * the plan-shape spec inspects the live plan directly.
+    */
+  /** Laplace-smoothed log-likelihood ratio of the target vs raw bucket
+    * distributions, floor-scaled to 1e6 (the SURVEY libm policy):
+    * `floor(round(ln((ct+1)/(tt+256) / ((cr+1)/(tr+256))), 6)·1e6)`.
+    */
+  private def dsirLrPpm(ct: Column, cr: Column, tt: Column, tr: Column): Column =
+    floor(
+      round(
+        log(
+          ((ct + 1).cast("double") / (tt + DsirBuckets).cast("double")) /
+            ((cr + 1).cast("double") / (tr + DsirBuckets).cast("double"))
+        ),
+        6,
+      ) * lit(1e6)
+    ).cast("long")
+
+  /** The deterministic per-doc Gumbel draw `−ln(−ln u)` (u from the
+    * md5 of the id), floor-scaled to 1e6 — keep iff score + g ≥ tau.
+    */
+  private[graft] def dsirGumbelPpm(id: Column): Column = {
+    val u = (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long")
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    floor(round(-log(-log(u)), 6) * lit(1e6)).cast("long")
+  }
+
+  private val DsirBuckets = 256
+
+  /** Offline half of the streaming DSIR gate: the full 256-row
+    * bucket → log-likelihood-ratio table (every md5 hex pair is
+    * present — unseen buckets get the pure-smoothing ratio), trained
+    * once in batch and shipped to [[graft.streaming.EventStream
+    * .dsirGateStream]] as a tiny static artifact.
+    */
+  def dsirRatios(df: DataFrame, text: Column, isTarget: Column): DataFrame = {
+    val spark = df.sparkSession
+    val observed = DedupFunctions
+      .spread(df)
+      .select(isTarget.as("__t"), explode(TextFunctions.words(text)).as("__w"))
+      .groupBy(substring(md5(col("__w")), 1, 2).as("bucket"))
+      .agg(
+        sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("__ct"),
+        sum(when(!col("__t"), lit(1L)).otherwise(lit(0L))).as("__cr"),
+      )
+    val universe = spark
+      .range(DsirBuckets)
+      .select(lpad(lower(hex(col("id"))), 2, "0").as("bucket"))
+    universe
+      .join(observed, Seq("bucket"), "left")
+      .select(
+        col("bucket"),
+        coalesce(col("__ct"), lit(0L)).as("__ct"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"),
+      )
+      .withColumn("__tt", sum(col("__ct")).over(Window.partitionBy(lit(0))))
+      .withColumn("__tr", sum(col("__cr")).over(Window.partitionBy(lit(0))))
+      .select(col("bucket"), dsirLrPpm(col("__ct"), col("__cr"), col("__tt"), col("__tr")).as("lr_ppm"))
+  }
+
+  private[graft] def dsirPlan(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      isTarget: Column,
+      tauPpm: Long,
+  ): (DataFrame, DataFrame) = {
+    val perDoc = DedupFunctions
+      .spread(df)
+      .select(idCol.as("doc_id"), isTarget.as("__t"), explode(TextFunctions.words(text)).as("__w"))
+      .groupBy(col("doc_id"), col("__t"), substring(md5(col("__w")), 1, 2).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val ratios = perDoc
+      .groupBy(col("__b"))
+      .agg(
+        sum(when(col("__t"), col("__c")).otherwise(lit(0L))).as("__ct"),
+        sum(when(!col("__t"), col("__c")).otherwise(lit(0L))).as("__cr"),
+      )
+      .withColumn("__tt", sum(col("__ct")).over(Window.partitionBy(lit(0))))
+      .withColumn("__tr", sum(col("__cr")).over(Window.partitionBy(lit(0))))
+      .select(
+        col("__b"),
+        dsirLrPpm(col("__ct"), col("__cr"), col("__tt"), col("__tr")).as("__lr_ppm"),
+      )
+    val out = perDoc
+      .where(!col("__t"))
+      .join(broadcast(ratios), Seq("__b"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("__c")).as("n_words"),
+        sum(col("__c") * col("__lr_ppm")).as("dsir_ppm"),
+      )
+      .withColumn("__g_ppm", dsirGumbelPpm(col("doc_id")))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("dsir_ppm"),
+        (col("dsir_ppm") + col("__g_ppm") >= tauPpm).as("keep"),
+      )
+    (out, perDoc)
+  }
 }

@@ -305,6 +305,77 @@ object VectorFunctions {
     out
   }
 
+  /** Self-supervised prototype pruning (Sorscher, Geirhos, Shekhar,
+    * Ganguli & Morcos 2022, "Beyond neural scaling laws: beating
+    * power-law scaling via data pruning"): learn k-means prototypes
+    * over the embeddings, score each example by its squared distance
+    * to its assigned prototype, and PRUNE the easiest `pruneFrac` of
+    * each cluster — in the abundant-data regime the paper's metric
+    * keeps hard (far-from-prototype) examples and beats random
+    * pruning. Emits survivors as (vec_id, cell, proto_d2_nano).
+    *
+    * Two ranking modes. `exactRank = true` (default): per-cluster
+    * `row_number` over (distance, vec_id) — exact and fully
+    * deterministic, but each cluster is one window partition, so a
+    * 100 TB corpus sorts each cell. `exactRank = false` is the scale
+    * path: per-cell `approx_percentile` thresholds (one bounded
+    * aggregate of nCells rows, broadcast back, stateless filter — no
+    * per-cell sort anywhere); PrototypePruneSpec bounds its deviation
+    * from the exact rank.
+    *
+    * Determinism: k-means is the file's scaled-integer Lloyd (same
+    * cells on any partitioning), the distance is a fixed-order per-row
+    * fold, and ties break on vec_id.
+    */
+  def prototypePrune(
+      df: DataFrame,
+      pruneFrac: Double,
+      nCells: Int = 16,
+      lloydIterations: Int = 5,
+      trainLimit: Int = 100000,
+      exactRank: Boolean = true,
+  ): DataFrame = {
+    require(pruneFrac >= 0.0 && pruneFrac < 1.0, "pruneFrac must be in [0, 1)")
+    require(nCells >= 2, "prototypePrune needs at least 2 cells (least() argmin is binary-plus)")
+    val spark = df.sparkSession
+    val vecs = df
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"))
+      .cache()
+    val centroids = trainKmeans(vecs, nCells, lloydIterations, trainLimit)
+    val scored = centroids.zipWithIndex.map { case (cen, i) =>
+      struct(dist2(col("embedding"), cen).as("d"), lit(i).as("cell"))
+    }
+    val assigned = vecs
+      .withColumn("__a", least(scored: _*))
+      .select(
+        col("vec_id"),
+        col("__a").getField("cell").as("cell"),
+        floor(col("__a").getField("d") * lit(1e9)).cast("long").as("proto_d2_nano"),
+      )
+    val out =
+      if (exactRank) {
+        val byCell = Window.partitionBy(col("cell"))
+        val w = byCell.orderBy(col("proto_d2_nano").asc, col("vec_id"))
+        assigned
+          .withColumn("__rk", row_number().over(w))
+          .withColumn("__n", count(lit(1)).over(byCell))
+          .where(col("__rk") > floor(lit(pruneFrac) * col("__n")))
+          .select(col("vec_id"), col("cell"), col("proto_d2_nano"))
+      } else {
+        val cuts = assigned
+          .groupBy(col("cell"))
+          .agg(expr(s"approx_percentile(proto_d2_nano, $pruneFrac)").as("__cut"))
+        assigned
+          .join(broadcast(cuts), Seq("cell"))
+          .where(col("proto_d2_nano") >= col("__cut"))
+          .select(col("vec_id"), col("cell"), col("proto_d2_nano"))
+      }
+    val result = out.localCheckpoint()
+    vecs.unpersist(blocking = true)
+    result
+  }
+
   /** IVF (inverted-file) ANN — the coarse-quantizer alternative to
     * [[lshAnn]]: k-means cells learned with a few Lloyd iterations,
     * then exact cosine ranking within each query's `nProbe` nearest
@@ -999,6 +1070,38 @@ object VectorFunctions {
         ).as("qvec"),
       )
   }
+
+  /** Per-dimension embedding statistics — the calibration pass feeding
+    * normalization, [[quantizeInt8]] scale choice and drift monitoring
+    * between embedding-model versions: for every vector position,
+    * count, scaled-integer sum and sum-of-squares (mean/variance
+    * derive exactly), and min/max.
+    *
+    * One posexplode + a dim-cardinality hash aggregate with map-side
+    * partial combine — shuffle volume is #partitions × d summary rows
+    * at any corpus size. Exactness: a float widens to double losslessly
+    * and `floor(x·1e9)` / `floor(x·x·1e9)` are single correctly-rounded
+    * IEEE ops, so the long sums are order-independent and the output
+    * hash-matches any engine (the SURVEY determinism policy, no libm
+    * involved). The mean is one integer division of exact longs.
+    */
+  def embDimStats(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
+    emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(posexplode(col(vecCol)).as(Seq("pos", "__x")))
+      .withColumn("__xd", col("__x").cast("double"))
+      .groupBy(col("pos"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("__xd") * lit(1e9)).cast("long")).as("sum_nano"),
+        sum(floor(col("__xd") * col("__xd") * lit(1e9)).cast("long")).as("sumsq_nano"),
+        min(col("__xd")).as("min_val"),
+        max(col("__xd")).as("max_val"),
+      )
+      // floor of one exact-input IEEE division (NOT integer `div`:
+      // Spark truncates toward zero, DuckDB `//` floors — they differ
+      // on the negative sums embeddings produce)
+      .withColumn("mean_nano", floor(col("sum_nano").cast("double") / col("n").cast("double")).cast("long"))
 
   /** PCA projection of the embedding column — the dimensionality
     * reduction / whitening front end of embedding pipelines (and the

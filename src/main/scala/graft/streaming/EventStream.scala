@@ -450,6 +450,47 @@ object EventStream {
     definiteNew.unionByName(verifiedNew.select(definiteNew.columns.map(col).toSeq: _*))
   }
 
+  /** Streaming DSIR gate (D17) — the streaming dual of the batch
+    * `corpus_dsir_select` (C41): admit an incoming document iff DSIR
+    * importance resampling would select it. The bucket →
+    * log-likelihood-ratio table is trained OFFLINE by
+    * [[graft.functions.CorpusFunctions.dsirRatios]] (all 256 md5-hex
+    * buckets, so no stream-time miss is possible) and collapses to a
+    * constant-folded 256-entry map literal — bounded driver state,
+    * like every codebook in the vector stack. The per-doc score is a
+    * per-row `aggregate(transform(words, …))` over that map and the
+    * keep rule adds the same deterministic md5-Gumbel draw the batch
+    * path uses, so a document passes the stream gate iff the batch
+    * selector keeps it: parity is exact, row for row (DsirSpec), not
+    * statistical. No watermark, no state store, no shuffle — the gate
+    * streams at scan speed.
+    */
+  def dsirGateStream(
+      docStream: DataFrame,
+      ratios: DataFrame,
+      tauPpm: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    val lr = ratios
+      .select(col("bucket"), col("lr_ppm"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    require(lr.length <= 256, s"dsir ratio table must be the bounded bucket universe, got ${lr.length} rows")
+    val lrMap = map(lr.toSeq.sortBy(_._1).flatMap { case (b, v) => Seq(lit(b), lit(v)) }: _*)
+    val score = aggregate(
+      transform(
+        graft.functions.TextFunctions.words(col(textCol)),
+        w => coalesce(element_at(lrMap, substring(md5(w), 1, 2)), lit(0L)),
+      ),
+      lit(0L),
+      (acc, x) => acc + x,
+    )
+    docStream
+      .withColumn("dsir_ppm", score)
+      .where(col("dsir_ppm") + graft.functions.CorpusFunctions.dsirGumbelPpm(col(idCol)) >= tauPpm)
+  }
+
   /** Streaming perceptual image dedup — the image twin of
     * [[nearDupStream]], composing the pHash banding of
     * `Multimodal.phashPairs` with `dropDuplicatesWithinWatermark`:

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.CorpusFunctions
+
+/** DSIR importance resampling (Xie et al. 2023): target-looking raw
+  * docs must outscore off-distribution ones, and the Gumbel keep rule
+  * must be monotone in tau with scores dominating the noise floor.
+  */
+class DsirSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // target vocab vs off-distribution vocab, disjoint by construction
+  private def targetText(seed: Int): String =
+    (0 until 40).map(i => s"alpha${(seed * 7 + i * 3) % 13}").mkString(" ")
+  private def noiseText(seed: Int): String =
+    (0 until 40).map(i => s"zulu${(seed * 11 + i * 5) % 17}").mkString(" ")
+
+  private lazy val docs = {
+    import spark.implicits._
+    val target = (0 until 20).map(i => (i.toLong, targetText(i), true))
+    // raw pool: half drawn from the target vocabulary, half from noise
+    val rawGood = (0 until 10).map(i => (100L + i, targetText(i + 50), false))
+    val rawBad = (0 until 10).map(i => (200L + i, noiseText(i), false))
+    (target ++ rawGood ++ rawBad).toDF("doc_id", "text", "is_target")
+  }
+
+  test("raw docs matching the target distribution outscore off-distribution docs") {
+    val scored = CorpusFunctions
+      .dsirSelect(docs, col("doc_id"), col("text"), col("is_target"), tauPpm = 0L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dsir_ppm"))
+      .toMap
+    // only the 20 raw docs are scored; target docs are the reference
+    assert(scored.size == 20)
+    assert(scored.keys.forall(_ >= 100L))
+    val good = scored.filter(_._1 < 200L).values
+    val bad = scored.filter(_._1 >= 200L).values
+    // every target-vocabulary doc beats every noise doc
+    assert(good.min > bad.max)
+    // and the separation dwarfs the Gumbel noise floor (|g| ≲ 3e6 ppm
+    // in all but e^-20 tails), so selection is driven by the score
+    assert(good.min - bad.max > 6000000L)
+  }
+
+  test("keep set is monotone in tau and selects the target-like docs") {
+    def kept(tau: Long): Set[Long] =
+      CorpusFunctions
+        .dsirSelect(docs, col("doc_id"), col("text"), col("is_target"), tauPpm = tau)
+        .where(col("keep"))
+        .collect()
+        .map(_.getAs[Long]("doc_id"))
+        .toSet
+    val loose = kept(-1000000000L)
+    val mid = kept(0L)
+    val tight = kept(50000000L)
+    assert(tight.subsetOf(mid) && mid.subsetOf(loose))
+    assert(loose.size == 20) // tau below every score+gumbel keeps all
+
+    // with the threshold between the two score clusters, exactly the
+    // target-vocabulary half survives
+    val scored = CorpusFunctions
+      .dsirSelect(docs, col("doc_id"), col("text"), col("is_target"), tauPpm = 0L)
+      .collect()
+    val good = scored.filter(_.getAs[Long]("doc_id") < 200L).map(_.getAs[Long]("dsir_ppm"))
+    val bad = scored.filter(_.getAs[Long]("doc_id") >= 200L).map(_.getAs[Long]("dsir_ppm"))
+    val split = (good.min + bad.max) / 2
+    assert(kept(split) == scored.filter(_.getAs[Long]("doc_id") < 200L).map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  test("bucket-ratio frame broadcasts: no shuffle on the probe side of the score join") {
+    val (out, perDoc) = CorpusFunctions
+      .dsirPlan(docs, col("doc_id"), col("text"), col("is_target"), tauPpm = 0L)
+    val plan = out.queryExecution.executedPlan.toString
+    // the ≤256-row ratio frame must come in as a broadcast, never a
+    // sort-merge/shuffled-hash join over the per-doc bucket counts
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+    org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(perDoc).foreach(_.unpersist(blocking = true))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+
+/** Prototype pruning (Sorscher et al. 2022): the easiest (closest-to-
+  * prototype) fraction of each cluster is dropped, survivors are the
+  * hard examples, and the approx-percentile scale path agrees with the
+  * exact per-cell rank.
+  */
+class PrototypePruneSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // two well-separated clusters; within each, distance from the center
+  // grows with the point index, so "difficulty" is the index itself
+  private lazy val emb = {
+    import spark.implicits._
+    val a = (0 until 20).map { i =>
+      (i.toLong * 2, Array(10.0f + i * 0.1f, 0.0f, 0.0f, 0.0f))
+    }
+    val b = (0 until 20).map { i =>
+      (i.toLong * 2 + 1, Array(0.0f, 10.0f + i * 0.1f, 0.0f, 0.0f))
+    }
+    (a ++ b).toDF("vec_id", "embedding")
+  }
+
+  test("exact rank drops the easiest fraction of each cluster, keeps the hard tail") {
+    val kept = VectorFunctions
+      .prototypePrune(emb, pruneFrac = 0.5, nCells = 2, lloydIterations = 3, trainLimit = 1000)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"), r.getAs[Long]("proto_d2_nano")))
+    // half of each 20-point cluster survives
+    assert(kept.length == 20)
+    assert(kept.groupBy(_._2).values.forall(_.length == 10))
+    // the centroid is each cluster's mean (~index 9.5), so difficulty
+    // is distance from the middle: the extreme-index tails survive,
+    // the middle points are the easy ones and get pruned
+    val keptIds = kept.map(_._1).toSet
+    assert(keptIds.contains(38L) && keptIds.contains(39L)) // far tail, both clusters
+    assert(keptIds.contains(0L) && keptIds.contains(1L)) // near tail, both clusters
+    assert(!keptIds.contains(18L) && !keptIds.contains(19L)) // middle (easiest) pruned
+    // deterministic across runs
+    val again = VectorFunctions
+      .prototypePrune(emb, pruneFrac = 0.5, nCells = 2, lloydIterations = 3, trainLimit = 1000)
+      .collect()
+      .map(_.getAs[Long]("vec_id"))
+      .toSet
+    assert(again == keptIds)
+  }
+
+  test("approx-percentile scale path tracks the exact rank") {
+    val exact = VectorFunctions
+      .prototypePrune(emb, pruneFrac = 0.5, nCells = 2, lloydIterations = 3, trainLimit = 1000)
+      .collect()
+      .map(_.getAs[Long]("vec_id"))
+      .toSet
+    val approx = VectorFunctions
+      .prototypePrune(emb, pruneFrac = 0.5, nCells = 2, lloydIterations = 3, trainLimit = 1000, exactRank = false)
+      .collect()
+      .map(_.getAs[Long]("vec_id"))
+      .toSet
+    // both keep the hardest points; set overlap is high (the only
+    // disagreement can sit at the percentile boundary)
+    assert(approx.contains(38L) && approx.contains(39L))
+    val inter = (exact & approx).size.toDouble
+    assert(inter / math.max(exact.size, approx.size) >= 0.8)
+  }
+}

@@ -582,4 +582,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(df.columns.toSeq == batchCols)
     assert(df.isStreaming)
   }
+
+  test("dsirGateStream admits exactly the docs the batch DSIR selector keeps") {
+    implicit val sq = spark.sqlContext
+    // target vocab vs off-distribution vocab, like DsirSpec
+    def targetText(seed: Int): String =
+      (0 until 40).map(i => s"alpha${(seed * 7 + i * 3) % 13}").mkString(" ")
+    def noiseText(seed: Int): String =
+      (0 until 40).map(i => s"zulu${(seed * 11 + i * 5) % 17}").mkString(" ")
+    val docs = (0 until 20).map(i => (i.toLong, targetText(i), true)) ++
+      (0 until 10).map(i => (100L + i, targetText(i + 50), false)) ++
+      (0 until 10).map(i => (200L + i, noiseText(i), false))
+    val df = docs.toDF("doc_id", "text", "is_target")
+    val tau = 0L
+    val batchKept = graft.functions.CorpusFunctions
+      .dsirSelect(df, col("doc_id"), col("text"), col("is_target"), tauPpm = tau)
+      .where(col("keep"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKept.nonEmpty && batchKept.forall(id => id >= 100L && id < 200L))
+
+    // offline-trained ratio table → stream the raw pool through the gate
+    val ratios = graft.functions.CorpusFunctions.dsirRatios(df, col("text"), col("is_target"))
+    val mem = MemoryStream[(Long, String)]
+    docs.filter(!_._3).foreach { case (id, text, _) => mem.addData((id, text)) }
+    val q = EventStream
+      .dsirGateStream(mem.toDF().toDF("doc_id", "text"), ratios, tauPpm = tau)
+      .writeStream.format("memory").queryName("dsir_gate").outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamKept = spark.table("dsir_gate").select("doc_id").as[Long].collect().toSet
+    assert(streamKept == batchKept) // exact row-for-row parity
+  }
 }
