@@ -1196,7 +1196,7 @@ object SparkEntry {
     "corpus_source_overlap" -> { (s, dir) =>
       CorpusFunctions.sourceOverlap(Tables.documents(s, dir), "doc_id", "source", "text")
     },
-    // C40: DSIR importance resampling (Xie et al. 2023) — hashed-bucket
+    // C43: DSIR importance resampling (Xie et al. 2023) — hashed-bucket
     // log-likelihood-ratio score of each non-target doc against the
     // `en` target distribution, kept by a deterministic Gumbel draw
     "corpus_dsir_select" -> { (s, dir) =>
@@ -1274,13 +1274,13 @@ object SparkEntry {
     "emb_pca" -> { (s, dir) =>
       VectorFunctions.pcaProject(Tables.embeddings(s, dir), k = 8)
     },
-    // C42: per-dimension embedding calibration stats — exact
+    // C45: per-dimension embedding calibration stats — exact
     // scaled-integer sums/sumsq + min/max per position (quantization
     // scale choice, normalization, model-version drift)
     "emb_dim_stats" -> { (s, dir) =>
       VectorFunctions.embDimStats(Tables.embeddings(s, dir))
     },
-    // C41: prototype-difficulty pruning (Sorscher et al. 2022) — drop
+    // C44: prototype-difficulty pruning (Sorscher et al. 2022) — drop
     // the easiest 30% of each k-means cluster, keep the hard examples
     // (rows-only: k-means prototypes are not SQL-expressible;
     // PrototypePruneSpec plants clusters and checks both rank modes)

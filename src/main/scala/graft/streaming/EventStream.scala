@@ -451,7 +451,7 @@ object EventStream {
   }
 
   /** Streaming DSIR gate (D17) — the streaming dual of the batch
-    * `corpus_dsir_select` (C41): admit an incoming document iff DSIR
+    * `corpus_dsir_select` (C43): admit an incoming document iff DSIR
     * importance resampling would select it. The bucket →
     * log-likelihood-ratio table is trained OFFLINE by
     * [[graft.functions.CorpusFunctions.dsirRatios]] (all 256 md5-hex
