@@ -949,6 +949,19 @@ object SparkEntry {
         .cosineTopK(emb.where(col("vec_id") < 5), emb, k = 10)
         .withColumn("rk", col("rank").cast("long")).drop("rank")
     },
+    // C46: hard-negative mining (DPR/ANCE) — top-k nearest
+    // different-label candidates per query vector
+    "emb_hard_negatives" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      VectorFunctions
+        .hardNegatives(emb.where(col("vec_id") < 5), emb, k = 10)
+        .withColumn("rk", col("rk").cast("long"))
+    },
+    // C47: kNN label-agreement noise detection — embedding-space
+    // label-error audit (suspect = neighborhood votes against label)
+    "emb_knn_label_noise" -> { (s, dir) =>
+      VectorFunctions.knnLabelNoise(Tables.embeddings(s, dir), k = 10)
+    },
     // C7: hyperplane-LSH bucketed ANN (hash-dependent → rows-only check)
     "sim_lsh_ann" -> { (s, dir) =>
       VectorFunctions.lshAnn(Tables.embeddings(s, dir), k = 5)
@@ -2043,6 +2056,41 @@ object SparkEntry {
              FROM (SELECT event_type AS series_name, ts, value, event_id FROM events WHERE event_type = 'view')
              WINDOW w AS (PARTITION BY series_name ORDER BY ts, event_id ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)))
          WHERE abs(z) > 3.0""",
+    "emb_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS query_label FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label AS neg_label FROM embeddings),
+         norms AS (SELECT vec_id, list_sum(list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS n2 FROM embeddings),
+         scored AS (
+           SELECT q.query_id, q.query_label, c.neighbor_id, c.neg_label,
+                  CAST(list_sum(list_transform(generate_series(1, 64), i -> CAST(FLOOR(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE)
+                    / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cosine
+           FROM q JOIN c ON q.query_id <> c.neighbor_id AND q.query_label <> c.neg_label
+           JOIN norms nq ON nq.vec_id = q.query_id
+           JOIN norms nc ON nc.vec_id = c.neighbor_id)
+         SELECT query_id, query_label, neighbor_id, neg_label, cosine, rk FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM scored)
+         WHERE rk <= 10""",
+    "emb_knn_label_noise" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label FROM embeddings),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label AS n_label FROM embeddings),
+         norms AS (SELECT vec_id, list_sum(list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS n2 FROM embeddings),
+         scored AS (
+           SELECT q.query_id, q.label, c.neighbor_id, c.n_label,
+                  CAST(list_sum(list_transform(generate_series(1, 64), i -> CAST(FLOOR(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) * 1e12) AS BIGINT))) AS DOUBLE)
+                    / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cosine
+           FROM q JOIN c ON q.query_id <> c.neighbor_id
+           JOIN norms nq ON nq.vec_id = q.query_id
+           JOIN norms nc ON nc.vec_id = c.neighbor_id),
+         topk AS (SELECT query_id, label, n_label FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM scored)
+           WHERE rk <= 10),
+         agg AS (SELECT query_id, label,
+                        CAST(SUM(CASE WHEN n_label = label THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+                 FROM topk GROUP BY 1, 2)
+         SELECT query_id, label, n_same,
+                (1000000 * n_same) // 10 AS agree_ppm,
+                (1000000 * n_same) // 10 < 500000 AS suspect
+         FROM agg""",
     "sim_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),

@@ -53,6 +53,78 @@ object VectorFunctions {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive/retrieval training
+    * (Karpukhin et al. 2020 "Dense Passage Retrieval", Xiong et al.
+    * 2021 ANCE): for each query vector, the top-k most similar
+    * candidates with a DIFFERENT label — the near-misses a bi-encoder
+    * learns the most from. Identical plan shape to [[cosineTopK]]
+    * (broadcast query side, scaled-integer dots, per-query window
+    * rank), with the label mismatch pushed into the join condition so
+    * same-label pairs never materialize. At 100 TB the candidate scan
+    * stays embarrassingly parallel; swap the exhaustive scan for
+    * [[ivfAnn]] cells when the query side outgrows a broadcast.
+    */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    withFns(queries)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label").as("query_label"))
+    val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("label").as("neg_label"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id") && col("query_label") =!= col("neg_label"))
+      .withColumn(
+        "cosine",
+        dotInt("qe", "ce").cast("double") /
+          (sqrt(norm2Int("qe").cast("double")) * sqrt(norm2Int("ce").cast("double"))),
+      )
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"), col("neg_label"), col("cosine"), col("rk"))
+  }
+
+  /** kNN label-agreement noise detection (the model-free cousin of
+    * confident learning, Northcutt et al. 2021; "neighborhood
+    * cleaning" in the instance-selection literature): for every
+    * labeled embedding, the fraction of its k nearest neighbors
+    * sharing its label. A vector whose neighborhood votes against it
+    * (`agree_ppm < minAgreePpm`) is a labeling-error / outlier
+    * suspect — the embedding-space audit a labeled training set gets
+    * before the label ever reaches a loss function.
+    *
+    * This is the exact all-pairs baseline, quadratic by definition
+    * (like [[cosineDedupPairs]]); the scale path scopes the
+    * neighborhood scan to k-means cells ([[semanticDedup]]'s shape)
+    * or LSH buckets with identical scoring. Integer-exact agreement
+    * counts, ties on neighbor_id, ppm by integer division of
+    * non-negative longs — deterministic across engines.
+    */
+  def knnLabelNoise(df: DataFrame, k: Int, minAgreePpm: Long = 500000L): DataFrame = {
+    withFns(df)
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val q = spread.select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label").as("label"))
+    val c = spread.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("label").as("n_label"))
+    val scored = q
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn(
+        "cosine",
+        dotInt("qe", "ce").cast("double") /
+          (sqrt(norm2Int("qe").cast("double")) * sqrt(norm2Int("ce").cast("double"))),
+      )
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .groupBy(col("query_id"), col("label"))
+      .agg(sum(when(col("n_label") === col("label"), lit(1L)).otherwise(lit(0L))).as("n_same"))
+      .select(
+        col("query_id"),
+        col("label"),
+        col("n_same"),
+        expr(s"1000000 * n_same div $k").as("agree_ppm"),
+        (expr(s"1000000 * n_same div $k") < minAgreePpm).as("suspect"),
+      )
+  }
+
   /** Embedding-cosine near-duplicate pairs — the exact baseline: all
     * (a < b) pairs with cosine ≥ τ. Quadratic in candidates by
     * definition; the scale path swaps the cross product for
