@@ -1048,6 +1048,12 @@ object SparkEntry {
           col("gopher_pass"),
         )
     },
+    // C9d: zlib compressibility signal (MassiveText/Gopher;
+    // RedPajama-V2/Dolma signal sets) — native deflate expression,
+    // rows-only (DuckDB has no deflate; ZlibSignalSpec verifies)
+    "text_zlib_ratio" -> { (s, dir) =>
+      TextFunctions.zlibSignal(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
     // C10: token counting (whitespace + BPE-ish regex)
     "text_tokens" -> { (s, dir) =>
       TextFunctions

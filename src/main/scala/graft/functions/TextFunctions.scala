@@ -330,6 +330,31 @@ object TextFunctions {
       .limit(k)
   }
 
+  /** Compressibility quality signal (the zlib-ratio filter of the
+    * MassiveText/Gopher stack, Rae et al. 2021, carried by the
+    * RedPajama-V2/Dolma signal sets): DEFLATE the UTF-8 bytes of each
+    * document (native `graft_deflate_len` expression — one compiled
+    * zlib call per row, no SQL form exists) and report the
+    * compressed/raw ratio in ppm. Near-duplicate boilerplate and
+    * repetition compress far below running prose; random noise sits
+    * near (or above) 1e6. Pure per-row projection — no shuffle, no
+    * state, embarrassingly parallel at any corpus size. Deterministic:
+    * fixed-level DEFLATE over fixed bytes is a specified greedy
+    * algorithm, stable across runs and partitionings (rows-only for
+    * the oracle: DuckDB has no deflate).
+    */
+  def zlibSignal(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.select(
+      idCol.as("doc_id"),
+      octet_length(text).cast("long").as("n_bytes"),
+      call_function("graft_deflate_len", text).as("deflate_bytes"),
+    ).withColumn(
+      "zlib_ratio_ppm",
+      when(col("n_bytes") === 0L, lit(0L)).otherwise(expr("1000000 * deflate_bytes div n_bytes")),
+    )
+  }
+
   /** Deterministic train/val/test assignment by content-stable hash:
     * the first hex digit of md5(id) picks one of 16 buckets, and
     * `weights` (name → bucket count, summing to 16) maps buckets to

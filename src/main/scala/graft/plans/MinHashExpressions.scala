@@ -285,6 +285,12 @@ object GraftFunctions {
     (children: Seq[Expression]) => BpeEncode(children(0), children(1)),
   )
 
+  val deflateLenDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_deflate_len"),
+    new ExpressionInfo(classOf[DeflateLength].getName, "graft_deflate_len"),
+    (children: Seq[Expression]) => DeflateLength(children(0)),
+  )
+
   /** Catalyst's own Bloom sketch aggregate (the one runtime filters
     * build), surfaced to the query layer: partials merge map-side, the
     * shuffled state is the bit array — never the rows. The analyzer
@@ -318,6 +324,7 @@ object GraftFunctions {
       hyperplaneSigDescriptor,
       simhashDescriptor,
       bpeDescriptor,
+      deflateLenDescriptor,
       bloomAggDescriptor,
       bloomMightContainDescriptor,
     ).foreach { d =>
@@ -337,6 +344,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.hyperplaneSigDescriptor)
     ext.injectFunction(GraftFunctions.simhashDescriptor)
     ext.injectFunction(GraftFunctions.bpeDescriptor)
+    ext.injectFunction(GraftFunctions.deflateLenDescriptor)
     ext.injectFunction(GraftFunctions.bloomAggDescriptor)
     ext.injectFunction(GraftFunctions.bloomMightContainDescriptor)
     ext.injectOptimizerRule(_ => PushRangeThroughNanos)

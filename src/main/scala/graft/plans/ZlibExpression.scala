@@ -1,0 +1,55 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deflate-compressed byte length of a string — the compressibility
+  * quality signal of the MassiveText/Gopher filtering stack (Rae et
+  * al. 2021) and the RedPajama-V2/Dolma signal sets: highly
+  * compressible text is boilerplate/repetition, incompressible text
+  * is noise/binary soup; running prose sits in a mid band. The RATIO
+  * is left to SQL (`1e6·deflate_len div n_bytes`) so this expression
+  * stays a pure scalar.
+  *
+  * DEFLATE with a fixed level over fixed bytes is deterministic (the
+  * algorithm is specified greedy LZ77 + fixed Huffman construction;
+  * same JVM zlib everywhere in a cluster), so the signal is stable
+  * across runs and partitionings. No SQL/HOF formulation exists —
+  * the custom-Expression criterion — and the per-row cost is one
+  * compiled native zlib call (CodegenFallback adds a single virtual
+  * call). A fresh Deflater per evaluation would churn native memory;
+  * one per expression instance (= per task) is reset between rows.
+  */
+case class DeflateLength(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_deflate_len needs a string input, got $other"
+        )
+    }
+
+  @transient private lazy val deflater = new java.util.zip.Deflater(6, false)
+  @transient private lazy val buf = new Array[Byte](8192)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    deflater.reset()
+    deflater.setInput(bytes)
+    deflater.finish()
+    var total = 0L
+    while (!deflater.finished()) total += deflater.deflate(buf)
+    total
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateLength =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_deflate_len"
+}
