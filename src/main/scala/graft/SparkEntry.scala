@@ -851,6 +851,15 @@ object SparkEntry {
     "dedup_exact" -> { (s, dir) =>
       DedupFunctions.exactGroups(Tables.documents(s, dir), "doc_id", "text")
     },
+    // C1b: dup-cluster size distribution (the Lee et al. 2022 Fig. 1
+    // analysis): how many groups exist at each copy count — two tiny
+    // hash aggregates after the fingerprint groupBy
+    "dedup_group_size_hist" -> { (s, dir) =>
+      DedupFunctions
+        .exactGroups(Tables.documents(s, dir), "doc_id", "text")
+        .groupBy(col("n_copies"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("n_copies")).as("n_docs"))
+    },
     // C1b: priority-aware cross-source exact dedup — keep the copy
     // from the most-preferred source ("curated beats crawl")
     "dedup_priority" -> { (s, dir) =>
@@ -1114,6 +1123,12 @@ object SparkEntry {
     // C19: corpus-level top-k trigram frequencies
     "text_topk_ngrams" -> { (s, dir) =>
       TextFunctions.topkNgrams(Tables.documents(s, dir), col("text"))
+    },
+    // C19b: heavy-hitter n-grams through the count-min-sketch
+    // pre-filter — output identical to the exact threshold query (CMS
+    // never underestimates), sketch bounds the shuffle at 100 TB
+    "text_heavy_ngrams" -> { (s, dir) =>
+      TextFunctions.heavyNgrams(Tables.documents(s, dir), col("text"))
     },
     // C20: deterministic hash-based train/val/test split
     "text_hash_split" -> { (s, dir) =>
@@ -1945,6 +1960,12 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
                 MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY 1""",
+    "dedup_group_size_hist" ->
+      """WITH g AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                           COUNT(*) AS n_copies
+                    FROM documents GROUP BY 1)
+         SELECT n_copies, COUNT(*) AS n_groups, CAST(SUM(n_copies) AS BIGINT) AS n_docs
+         FROM g GROUP BY 1""",
     "dedup_ngram_jaccard" ->
       """WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
          w AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
@@ -2318,6 +2339,14 @@ object SparkEntry {
                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ngram
                FROM w WHERE len(w) >= 3)
          SELECT ngram, COUNT(*) AS cnt FROM g GROUP BY 1
+         ORDER BY cnt DESC, ngram LIMIT 20""",
+    "text_heavy_ngrams" ->
+      """WITH norm AS (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+         w AS (SELECT string_split(t, ' ') AS w FROM norm),
+         g AS (SELECT unnest(list_transform(generate_series(1, len(w) - 2),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ngram
+               FROM w WHERE len(w) >= 3)
+         SELECT ngram, COUNT(*) AS cnt FROM g GROUP BY 1 HAVING COUNT(*) >= 5
          ORDER BY cnt DESC, ngram LIMIT 20""",
     "text_hash_split" ->
       """SELECT doc_id,

@@ -330,6 +330,51 @@ object TextFunctions {
       .limit(k)
   }
 
+  /** Heavy-hitter n-grams via a count-min-sketch pre-filter — the
+    * 100 TB dual of [[topkNgrams]]: an exact top-k needs the full
+    * (ngram, count) aggregate, whose reduce side is vocabulary-sized;
+    * here pass 1 folds the gram stream into ONE mergeable CMS row
+    * (Cormode & Muthukrishnan 2005; map-side partial merges, sketch
+    * size = f(eps, confidence), independent of corpus size), and
+    * pass 2 re-scans, drops every row whose sketch estimate is below
+    * `minCount` MAP-SIDE (CMS never underestimates, so no truly-heavy
+    * gram is lost — only the heavy tail reaches the shuffle), then
+    * exact-counts the survivors and applies the threshold exactly.
+    * Output is therefore IDENTICAL to the exact query — grams with
+    * true count ≥ minCount, top-k by (count, gram) — the sketch only
+    * bounds the shuffle, which is why this operator hash-verifies
+    * against a sketch-free SQL oracle. Overestimated light grams cost
+    * shuffle rows, never wrong output.
+    */
+  def heavyNgrams(
+      df: DataFrame,
+      text: Column,
+      n: Int = 3,
+      minCount: Long = 5L,
+      k: Int = 20,
+      eps: Double = 1e-4,
+      confidence: Double = 0.99,
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val grams = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(words(text).as("__w"))
+      .select(explode(ngramArray("__w", n, distinct = false)).as("ngram"))
+      .localCheckpoint()
+    val sk = grams.agg(expr(s"count_min_sketch(ngram, ${eps}d, ${confidence}d, 42)").as("__sk"))
+    val out = grams
+      .crossJoin(broadcast(sk))
+      .where(call_function("graft_cms_estimate", col("__sk"), col("ngram")) >= minCount)
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(k)
+      .localCheckpoint()
+    org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(grams).foreach(_.unpersist(blocking = true))
+    out
+  }
+
   /** Compressibility quality signal (the zlib-ratio filter of the
     * MassiveText/Gopher stack, Rae et al. 2021, carried by the
     * RedPajama-V2/Dolma signal sets): DEFLATE the UTF-8 bytes of each

@@ -1,0 +1,55 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Probe side of Catalyst's `count_min_sketch` aggregate (Cormode &
+  * Muthukrishnan 2005): estimated occurrence count of a string in a
+  * serialized CMS. Spark ships the mergeable sketch aggregate but no
+  * SQL-level probe — this is the `graft_bloom_might_contain`
+  * pattern applied to frequency instead of membership. The sketch
+  * arrives as a broadcast/scalar-subquery byte array; deserialization
+  * is cached per expression instance on reference identity, so each
+  * task pays it once, and the probe hashes the value's UTF-8 bytes —
+  * the exact representation `CountMinSketchAgg` adds for StringType,
+  * so estimates are for the same keys the aggregate counted.
+  *
+  * CMS never underestimates, which makes it a sound pre-filter: rows
+  * whose estimate is below a threshold can be dropped map-side without
+  * losing any truly-heavy key (see `TextFunctions.heavyNgrams`).
+  */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_cms_estimate needs (binary sketch, string value), got $other"
+        )
+    }
+
+  @transient private var lastBytes: Array[Byte] = _
+  @transient private var sketch: org.apache.spark.util.sketch.CountMinSketch = _
+
+  override protected def nullSafeEval(sk: Any, v: Any): Any = {
+    val bytes = sk.asInstanceOf[Array[Byte]]
+    if (sketch == null || !(bytes eq lastBytes)) {
+      sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+      lastBytes = bytes
+    }
+    sketch.estimateCount(v.asInstanceOf[UTF8String].getBytes)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CmsEstimate =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_cms_estimate"
+}

@@ -291,6 +291,12 @@ object GraftFunctions {
     (children: Seq[Expression]) => DeflateLength(children(0)),
   )
 
+  val cmsEstimateDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cms_estimate"),
+    new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
+    (children: Seq[Expression]) => CmsEstimate(children(0), children(1)),
+  )
+
   /** Catalyst's own Bloom sketch aggregate (the one runtime filters
     * build), surfaced to the query layer: partials merge map-side, the
     * shuffled state is the bit array — never the rows. The analyzer
@@ -325,6 +331,7 @@ object GraftFunctions {
       simhashDescriptor,
       bpeDescriptor,
       deflateLenDescriptor,
+      cmsEstimateDescriptor,
       bloomAggDescriptor,
       bloomMightContainDescriptor,
     ).foreach { d =>
@@ -345,6 +352,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.simhashDescriptor)
     ext.injectFunction(GraftFunctions.bpeDescriptor)
     ext.injectFunction(GraftFunctions.deflateLenDescriptor)
+    ext.injectFunction(GraftFunctions.cmsEstimateDescriptor)
     ext.injectFunction(GraftFunctions.bloomAggDescriptor)
     ext.injectFunction(GraftFunctions.bloomMightContainDescriptor)
     ext.injectOptimizerRule(_ => PushRangeThroughNanos)

@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Count-min-sketch heavy hitters: the sketch is a pre-filter, never a
+  * truth source — output must equal the exact threshold query even
+  * when the sketch is deliberately collision-heavy.
+  */
+class HeavyNgramsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val docs = {
+    import spark.implicits._
+    // "alpha beta gamma" appears 12x, "delta epsilon zeta" 7x, the
+    // rest are one-off trigrams
+    val heavy1 = (0 until 12).map(i => (i.toLong, "alpha beta gamma"))
+    val heavy2 = (100 until 107).map(i => (i.toLong, "delta epsilon zeta"))
+    val tail = (200 until 240).map(i => (i.toLong, s"unique${i} words${i * 3} here${i * 7}"))
+    (heavy1 ++ heavy2 ++ tail).toDF("doc_id", "text")
+  }
+
+  test("sketch-prefiltered output equals the exact threshold query, even with a collision-heavy sketch") {
+    def result(eps: Double): Seq[(String, Long)] =
+      TextFunctions
+        .heavyNgrams(docs, col("text"), minCount = 5L, eps = eps)
+        .collect()
+        .map(r => (r.getAs[String]("ngram"), r.getAs[Long]("cnt")))
+        .toSeq
+    val precise = result(1e-4)
+    assert(precise == Seq(("alpha beta gamma", 12L), ("delta epsilon zeta", 7L)))
+    // eps = 0.9 → sketch width 3: massive overestimation, but CMS never
+    // underestimates, so the exact re-count still prunes the impostors
+    assert(result(0.9) == precise)
+  }
+}
