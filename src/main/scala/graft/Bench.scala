@@ -104,6 +104,16 @@ object Bench {
     "ts_ohlc",
     "ts_latest",
     "q_events_sessionize",
+    // embeddings family over the cyclic-shift-sharded vector lake
+    // (ScaleGen.ensureEmbeddings) — the strictly-linear members only:
+    // fixed Lloyd passes (prune), one agg (dim stats), two passes
+    // (quantize). The quadratic members (cosine pairs, knn label
+    // noise) are definitionally O(n2) exact baselines with documented
+    // bucketed/cell-scoped scale duals — probing them would measure
+    // the definition, not the plan.
+    "emb_prototype_prune",
+    "emb_dim_stats",
+    "embedding_quantize",
   )
   /** Default 1×/3×/10×; SPARK_GRAFT_SCALE_FACTORS="10,30" and
     * SPARK_GRAFT_SCALE_QUERIES="dedup_groups,..." override for one-off
@@ -155,6 +165,7 @@ object Bench {
         factors.map { f =>
           val dir = graft.tools.ScaleGen.ensure(spark, baseDir, f, "target/scale")
           if (withEvents) graft.tools.ScaleGen.ensureEvents(spark, baseDir, f, "target/scale")
+          if (withEvents) graft.tools.ScaleGen.ensureEmbeddings(spark, baseDir, f, "target/scale")
           val docs = spark.read.parquet(s"$dir/documents.parquet").count()
           val cellLoad = loadAvg1()
           val qs = queries.map { name =>

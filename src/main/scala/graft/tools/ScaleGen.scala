@@ -158,6 +158,46 @@ object ScaleGen {
     * `Tables.events` normalizes both identically, so shards and base
     * always read the same.
     */
+  /** Embeddings-table scale-up for the vector half of the probe:
+    * shard `s` offsets `vec_id` by [[IdStride]] and cyclically shifts
+    * the embedding by `s` positions — an orthogonal transform, so
+    * norms, the per-dimension value POOL and the pairwise-distance
+    * distribution within a shard are preserved (the corpus grows the
+    * way a real embedding lake does: same geometry, new points), while
+    * shards are genuinely distinct point sets (plain replication would
+    * hand every vector an exact clone and turn any nearest-neighbor
+    * probe into a fake cosine-1.0 march). Labels copy through.
+    */
+  def ensureEmbeddings(spark: SparkSession, baseDir: String, factor: Int, outRoot: String): String = {
+    require(factor >= 1, "factor must be >= 1")
+    val outDir = s"$outRoot/$Version/x$factor"
+    val marker = Paths.get(outDir, "_GRAFT_SCALE_EMB_OK")
+    if (Files.exists(marker)) return outDir
+    val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val maxId = base.agg(max(col("vec_id"))).first().getLong(0)
+    require(maxId < IdStride, s"base vec_id $maxId >= IdStride $IdStride: shards would collide")
+    val dim = base.select(size(col("embedding"))).first().getInt(0)
+    val shards: Seq[DataFrame] = (0 until factor).map { s =>
+      val shift = s % dim
+      val shifted =
+        if (shift == 0) col("embedding")
+        else concat(slice(col("embedding"), shift + 1, dim - shift), slice(col("embedding"), 1, shift))
+      base.select(
+        (col("vec_id") + lit(s * IdStride)).as("vec_id"),
+        shifted.as("embedding"),
+        col("label"),
+      )
+    }
+    shards
+      .reduce(_ unionAll _)
+      .repartition(math.max(8, 2 * factor))
+      .write
+      .mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+    Files.createFile(marker)
+    outDir
+  }
+
   def ensureEvents(spark: SparkSession, baseDir: String, factor: Int, outRoot: String): String = {
     require(factor >= 1, "factor must be >= 1")
     val outDir = s"$outRoot/$Version/x$factor"
