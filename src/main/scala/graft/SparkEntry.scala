@@ -1314,6 +1314,13 @@ object SparkEntry {
     "emb_dim_stats" -> { (s, dir) =>
       VectorFunctions.embDimStats(Tables.embeddings(s, dir))
     },
+    // C48: cluster-balanced diversity sampling (SemDeDup/DataComp
+    // balancing step) — flatten cluster mass to ≤ target per k-means
+    // cell via the content-stable md5 sampler (rows-only: k-means;
+    // ClusterBalanceSpec plants an imbalanced lake)
+    "emb_cluster_balance" -> { (s, dir) =>
+      VectorFunctions.clusterBalance(Tables.embeddings(s, dir), targetPerCell = 50L)
+    },
     // C44: prototype-difficulty pruning (Sorscher et al. 2022) — drop
     // the easiest 30% of each k-means cluster, keep the hard examples
     // (rows-only: k-means prototypes are not SQL-expressible;

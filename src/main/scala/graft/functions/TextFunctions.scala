@@ -362,9 +362,14 @@ object TextFunctions {
       .select(explode(ngramArray("__w", n, distinct = false)).as("ngram"))
       .localCheckpoint()
     val sk = grams.agg(expr(s"count_min_sketch(ngram, ${eps}d, ${confidence}d, 42)").as("__sk"))
+    // the sketch binds as an uncorrelated scalar subquery, which the
+    // executed plan turns into ONE literal — CmsEstimate's identity
+    // cache then deserializes once per task. (A broadcast-join column
+    // would hand the expression a FRESH byte-array copy per row: 1 MB
+    // of sketch deserialization per gram, measured 60 s vs 2 s here.)
+    val skCol = org.apache.spark.sql.GraftSqlBridge.scalarSubquery(sk.select(col("__sk")))
     val out = grams
-      .crossJoin(broadcast(sk))
-      .where(call_function("graft_cms_estimate", col("__sk"), col("ngram")) >= minCount)
+      .where(call_function("graft_cms_estimate", skCol, col("ngram")) >= minCount)
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)

@@ -448,6 +448,59 @@ object VectorFunctions {
     result
   }
 
+  /** Cluster-balanced diversity sampling — flatten the cluster-mass
+    * distribution of an embedding lake (the balancing step of
+    * SemDeDup-style pipelines, Abbas et al. 2023, and the DataComp
+    * curation recipes): assign every vector to a deterministic k-means
+    * cell, then keep each cell at rate `min(1, targetPerCell / n_c)`
+    * via the md5-threshold sampler, so over-represented modes are
+    * down-weighted and rare modes survive whole. Expected kept mass
+    * per cell ≤ targetPerCell; the sample is content-stable (a vector
+    * keeps/drops identically on every run, engine and partitioning —
+    * the property `sample()` lacks).
+    *
+    * Plan: Lloyd on the bounded train sample, one per-row assignment
+    * pass, a nCells-row count aggregate broadcast back, one stateless
+    * filter — no per-cell sort, no global shuffle beyond the bounded
+    * count. Scale-safe at any corpus size.
+    */
+  def clusterBalance(
+      df: DataFrame,
+      targetPerCell: Long,
+      nCells: Int = 16,
+      lloydIterations: Int = 5,
+      trainLimit: Int = 100000,
+  ): DataFrame = {
+    require(targetPerCell >= 1L, "targetPerCell must be positive")
+    require(nCells >= 2, "clusterBalance needs at least 2 cells (least() argmin is binary-plus)")
+    val spark = df.sparkSession
+    val vecs = df
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"))
+      .cache()
+    val centroids = trainKmeans(vecs, nCells, lloydIterations, trainLimit)
+    val assigned = assignCell(vecs, centroids).select(col("vec_id"), col("cell"))
+    val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+    // keep iff the first 8 md5 hex digits of the id fall below
+    // rate·16^8 — the stratifiedSample cut, with the rate computed
+    // per cell from the broadcast counts instead of a literal map
+    val digits = substring(md5(col("vec_id").cast("string")), 1, 8)
+    // floor(rate·16^8) as 8 hex digits; only evaluated on the
+    // `__n > targetPerCell` arm, where rate < 1 so the hex fits 8 chars
+    val cut = lpad(
+      lower(hex(((lit(4294967296L) * targetPerCell).cast("double") / col("__n").cast("double")).cast("long"))),
+      8,
+      "0",
+    )
+    val out = assigned
+      .join(broadcast(counts), Seq("cell"))
+      .where(col("__n") <= targetPerCell || digits < cut)
+      .select(col("vec_id"), col("cell"))
+      .localCheckpoint()
+    vecs.unpersist(blocking = true)
+    out
+  }
+
   /** IVF (inverted-file) ANN — the coarse-quantizer alternative to
     * [[lshAnn]]: k-means cells learned with a few Lloyd iterations,
     * then exact cosine ranking within each query's `nProbe` nearest

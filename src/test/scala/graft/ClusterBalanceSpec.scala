@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+
+/** Cluster-balanced sampling: over-represented cells get downsampled
+  * toward the target, rare cells survive whole, and the keep decision
+  * is content-stable.
+  */
+class ClusterBalanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // cluster a: 200 points, cluster b: 10 points — a 20:1 imbalance
+  private lazy val emb = {
+    import spark.implicits._
+    val a = (0 until 200).map(i => (i.toLong, Array(10.0f + (i % 7) * 0.01f, 0.0f, 0.0f, 0.0f)))
+    val b = (0 until 10).map(i => (1000L + i, Array(0.0f, 10.0f + i * 0.01f, 0.0f, 0.0f)))
+    // the two lowest vec_ids seed Lloyd: put one in each cluster
+    (Seq((0L, Array(10.0f, 0.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 10.0f, 0.0f, 0.0f))) ++
+      a.drop(2).map { case (id, v) => (id, v) } ++ b).toDF("vec_id", "embedding")
+  }
+
+  test("dominant cluster downsamples toward the target, rare cluster survives whole") {
+    val kept = VectorFunctions
+      .clusterBalance(emb, targetPerCell = 50L, nCells = 2, lloydIterations = 3, trainLimit = 1000)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell")))
+    val byCell = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byCell.size == 2)
+    val Seq(small, big) = byCell.values.toSeq.sorted
+    // rare cluster (11 points with the Lloyd seed ≤ 50) kept whole
+    assert(small == 11)
+    // dominant cluster (199 points): expected ~50 kept; md5
+    // thresholding has binomial noise, allow a wide band but require
+    // real downsampling
+    assert(big >= 25 && big <= 80, s"kept $big of 199")
+    // content-stable: identical output on a second run
+    val again = VectorFunctions
+      .clusterBalance(emb, targetPerCell = 50L, nCells = 2, lloydIterations = 3, trainLimit = 1000)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell")))
+    assert(again.sortBy(_._1).toSeq == kept.sortBy(_._1).toSeq)
+  }
+
+  test("target above every cell size keeps everything") {
+    val kept = VectorFunctions
+      .clusterBalance(emb, targetPerCell = 1000L, nCells = 2, lloydIterations = 3, trainLimit = 1000)
+      .collect()
+    assert(kept.length == 210)
+  }
+}

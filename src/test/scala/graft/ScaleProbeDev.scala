@@ -8,9 +8,12 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleProbeDev {
   def main(args: Array[String]): Unit = {
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS overrides the reducer count — the
+    // knob the x100 cells' spill hypothesis turns on
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
