@@ -197,7 +197,8 @@ object Bench {
       cells
         .map { case (f, docs, cellLoad, qs) =>
           val qj = qs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-          s"""{"factor":$f,"docs":$docs,"load":$cellLoad,"queries":$qj}"""
+          val parts = spark.conf.get("spark.sql.shuffle.partitions")
+          s"""{"factor":$f,"docs":$docs,"load":$cellLoad,"shuffle_partitions":$parts,"queries":$qj}"""
         }
         .mkString("[", ",", "]")
     } catch {

@@ -450,6 +450,31 @@ object EventStream {
     definiteNew.unionByName(verifiedNew.select(definiteNew.columns.map(col).toSeq: _*))
   }
 
+  /** Streaming compressibility gate (D18) — the streaming dual of the
+    * C9d zlib signal: drop documents whose DEFLATE ratio falls outside
+    * [minRatioPpm, maxRatioPpm] — below = boilerplate/repetition soup,
+    * above = noise/binary garbage; prose passes. One native
+    * `graft_deflate_len` call per row, stateless, no shuffle — the
+    * gate streams at scan speed, and because the expression is a pure
+    * function of the text a document passes the stream gate iff the
+    * batch signal lands in band (exact parity, StreamingSpec).
+    */
+  def zlibGateStream(
+      docStream: DataFrame,
+      minRatioPpm: Long = 200000L,
+      maxRatioPpm: Long = 900000L,
+      textCol: String = "text",
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(docStream.sparkSession)
+    val ratio = when(octet_length(col(textCol)) === 0, lit(0L))
+      .otherwise(
+        expr(s"1000000 * graft_deflate_len($textCol) div octet_length($textCol)")
+      )
+    docStream
+      .withColumn("zlib_ratio_ppm", ratio)
+      .where(col("zlib_ratio_ppm").between(minRatioPpm, maxRatioPpm))
+  }
+
   /** Streaming DSIR gate (D17) — the streaming dual of the batch
     * `corpus_dsir_select` (C43): admit an incoming document iff DSIR
     * importance resampling would select it. The bucket →

@@ -583,6 +583,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(df.isStreaming)
   }
 
+  test("zlibGateStream passes prose, drops boilerplate and noise, matches the batch signal") {
+    implicit val sq = spark.sqlContext
+    val boiler = ("lorem ipsum dolor sit amet " * 40).trim
+    val prose = (0 until 40)
+      .map(i => s"sentence${i} differs each${i * 7} time with varied${i * 13} words")
+      .mkString(" ")
+    val rnd = new java.util.Random(7)
+    val noise = (0 until 1000).map(_ => (rnd.nextInt(93) + 33).toChar).mkString
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, boiler), (2L, prose), (3L, noise))
+    // band chosen around the planted texts: boiler ≈ 4%, prose ≈ 17%,
+    // noise ≈ 80%+
+    val q = EventStream
+      .zlibGateStream(mem.toDF().toDF("doc_id", "text"), minRatioPpm = 100000L, maxRatioPpm = 700000L)
+      .writeStream.format("memory").queryName("zlib_gate").outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("zlib_gate").collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L)) // only prose in band
+    // stream ratio equals the batch zlibSignal on the same text
+    val batch = graft.functions.TextFunctions
+      .zlibSignal(Seq((2L, prose)).toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .select("zlib_ratio_ppm").as[Long].collect().head
+    assert(rows.head.getAs[Long]("zlib_ratio_ppm") == batch)
+  }
+
   test("dsirGateStream admits exactly the docs the batch DSIR selector keeps") {
     implicit val sq = spark.sqlContext
     // target vocab vs off-distribution vocab, like DsirSpec
