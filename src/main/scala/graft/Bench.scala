@@ -161,13 +161,23 @@ object Bench {
       // one burst can no longer fake a super-linear tail. Each cell
       // stamps the 1-min loadavg at its start so a cell measured under
       // load indicts itself in the artifact.
-      def probeCells(factors: Seq[Int], queries: Seq[String], withEvents: Boolean): Seq[(Int, Long, Double, Seq[(String, Double)])] =
+      val baseParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      def probeCells(factors: Seq[Int], queries: Seq[String], withEvents: Boolean): Seq[(Int, Long, Double, Int, Seq[(String, Double)])] =
         factors.map { f =>
           val dir = graft.tools.ScaleGen.ensure(spark, baseDir, f, "target/scale")
           if (withEvents) graft.tools.ScaleGen.ensureEvents(spark, baseDir, f, "target/scale")
           if (withEvents) graft.tools.ScaleGen.ensureEmbeddings(spark, baseDir, f, "target/scale")
           val docs = spark.read.parquet(s"$dir/documents.parquet").count()
           val cellLoad = loadAvg1()
+          // reducers scale with the data beyond the base decade, the
+          // way a real cluster's do — measured 2.2-4.6x on the x100
+          // shuffle cells (32 reducers spill 50 M-row shuffles; 32*f/10
+          // fit). SPARK_GRAFT_SCALE_FIXED_PARTS=1 pins 32 for
+          // config-isolated curves.
+          val parts =
+            if (sys.env.contains("SPARK_GRAFT_SCALE_FIXED_PARTS") || f <= 10) baseParts
+            else baseParts * f / 10
+          spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
           val qs = queries.map { name =>
             def oneRun(): Double = {
               val t0 = System.nanoTime()
@@ -188,16 +198,16 @@ object Bench {
             System.err.println(f"[bench/scale] x$f%-3d $name%-24s $v%8.3f s  (runs: ${runs.map(r => f"$r%.2f").mkString(", ")})")
             name -> v
           }
-          (f, docs, cellLoad, qs)
+          spark.conf.set("spark.sql.shuffle.partitions", baseParts.toString)
+          (f, docs, cellLoad, parts, qs)
         }
       // standard tier (with the quadratic negative control + ts family),
       // then the deep linear-only tier another decade out
       val cells = probeCells(scaleFactors, scaleQueriesEff, withEvents = true) ++
         probeCells(scaleDeepFactors, scaleDeepQueries, withEvents = false)
       cells
-        .map { case (f, docs, cellLoad, qs) =>
+        .map { case (f, docs, cellLoad, parts, qs) =>
           val qj = qs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-          val parts = spark.conf.get("spark.sql.shuffle.partitions")
           s"""{"factor":$f,"docs":$docs,"load":$cellLoad,"shuffle_partitions":$parts,"queries":$qj}"""
         }
         .mkString("[", ",", "]")
