@@ -1057,6 +1057,11 @@ object SparkEntry {
           col("gopher_pass"),
         )
     },
+    // C9e: encoding-quality signal — U+FFFD replacement chars +
+    // control chars (mojibake / binary-garbage screen)
+    "text_encoding_quality" -> { (s, dir) =>
+      TextFunctions.encodingQuality(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
     // C9d: zlib compressibility signal (MassiveText/Gopher;
     // RedPajama-V2/Dolma signal sets) — native deflate expression,
     // rows-only (DuckDB has no deflate; ZlibSignalSpec verifies)
@@ -2347,6 +2352,16 @@ object SparkEntry {
                FROM w WHERE len(w) >= 3)
          SELECT ngram, COUNT(*) AS cnt FROM g GROUP BY 1
          ORDER BY cnt DESC, ngram LIMIT 20""",
+    "text_encoding_quality" ->
+      """SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(len(regexp_extract_all(text, '�')) AS BIGINT) AS n_replacement,
+                CAST(len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS BIGINT) AS n_control,
+                CASE WHEN length(text) = 0 THEN 0
+                     ELSE (1000000 * (CAST(len(regexp_extract_all(text, '�')) AS BIGINT)
+                           + CAST(len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS BIGINT)))
+                          // CAST(length(text) AS BIGINT) END AS junk_ppm
+         FROM documents""",
     "text_heavy_ngrams" ->
       """WITH norm AS (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
          w AS (SELECT string_split(t, ' ') AS w FROM norm),

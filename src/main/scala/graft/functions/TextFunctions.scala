@@ -405,6 +405,30 @@ object TextFunctions {
     )
   }
 
+  /** Encoding-quality signal — mojibake and binary-garbage detection
+    * (the charset-sanity screen of web-crawl pipelines; the "fraction
+    * of non-character junk" family of RedPajama-V2/Dolma signals):
+    * per doc, the count of U+FFFD replacement characters (the residue
+    * of a wrong-charset decode) and of C0/C1-style control characters
+    * (tab/newline/CR excluded), plus their combined share in ppm.
+    * Pure per-row regex projections — codegen'd, shuffle-free,
+    * embarrassingly parallel; integer-exact, so the output
+    * hash-matches any engine.
+    */
+  def encodingQuality(df: DataFrame, idCol: Column, text: Column): DataFrame =
+    df.select(
+      idCol.as("doc_id"),
+      length(text).cast("long").as("n_chars"),
+      size(regexp_extract_all(text, lit("�"), lit(0))).cast("long").as("n_replacement"),
+      size(regexp_extract_all(text, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"), lit(0)))
+        .cast("long")
+        .as("n_control"),
+    ).withColumn(
+      "junk_ppm",
+      when(col("n_chars") === 0L, lit(0L))
+        .otherwise(expr("1000000 * (n_replacement + n_control) div n_chars")),
+    )
+
   /** Deterministic train/val/test assignment by content-stable hash:
     * the first hex digit of md5(id) picks one of 16 buckets, and
     * `weights` (name → bucket count, summing to 16) maps buckets to

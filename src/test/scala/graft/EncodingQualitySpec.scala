@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Encoding-quality signal: planted mojibake and control bytes are
+  * counted; clean prose scores zero junk; tab/newline/CR stay exempt.
+  */
+class EncodingQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("replacement and control characters are counted, clean text scores zero") {
+    import spark.implicits._
+    val clean = "a perfectly ordinary sentence with words"
+    val mojibake = "caf� men� r�sum�"
+    val binary = "head" + 1.toChar + 2.toChar + "tail" + 7.toChar + "\t\n ok"
+    val docs = Seq((1L, clean), (2L, mojibake), (3L, binary)).toDF("doc_id", "text")
+    val out = graft.functions.TextFunctions
+      .encodingQuality(docs, col("doc_id"), col("text"))
+      .collect()
+      .map(r =>
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_replacement"), r.getAs[Long]("n_control"), r.getAs[Long]("junk_ppm")))
+      )
+      .toMap
+    assert(out(1L) == ((0L, 0L, 0L)))
+    assert(out(2L)._1 == 4L && out(2L)._2 == 0L && out(2L)._3 > 0L)
+    //    count; tab and newline are exempt
+    assert(out(3L)._1 == 0L && out(3L)._2 == 3L && out(3L)._3 > 0L)
+  }
+}
