@@ -355,6 +355,26 @@ object TextFunctions {
       eps: Double = 1e-4,
       confidence: Double = 0.99,
   ): DataFrame = {
+    val (outPlan, grams) = heavyNgramsPlan(df, text, n, minCount, k, eps, confidence)
+    val out = outPlan.localCheckpoint()
+    org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(grams).foreach(_.unpersist(blocking = true))
+    out
+  }
+
+  /** Un-checkpointed [[heavyNgrams]] plan + the checkpointed gram
+    * stream it rides on (two consumers: sketch build and probe scan).
+    * The plan-shape spec inspects the live plan; the public method
+    * materializes and releases.
+    */
+  private[graft] def heavyNgramsPlan(
+      df: DataFrame,
+      text: Column,
+      n: Int,
+      minCount: Long,
+      k: Int,
+      eps: Double,
+      confidence: Double,
+  ): (DataFrame, DataFrame) = {
     graft.plans.GraftFunctions.register(df.sparkSession)
     val grams = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
@@ -375,9 +395,7 @@ object TextFunctions {
       .where(col("cnt") >= minCount)
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(k)
-      .localCheckpoint()
-    org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(grams).foreach(_.unpersist(blocking = true))
-    out
+    (out, grams)
   }
 
   /** Compressibility quality signal (the zlib-ratio filter of the

@@ -35,4 +35,21 @@ class HeavyNgramsSpec extends AnyFunSuite {
     // underestimates, so the exact re-count still prunes the impostors
     assert(result(0.9) == precise)
   }
+
+  test("CMS filter runs map-side: below the aggregate's exchange, probe as a subquery literal") {
+    val (out, grams) = TextFunctions.heavyNgramsPlan(
+      docs, col("text"), n = 3, minCount = 5L, k = 20, eps = 1e-4, confidence = 0.99)
+    val plan = out.queryExecution.executedPlan.toString
+    // the probe filter must sit BELOW the hash-aggregate exchange in
+    // the tree (later in top-down print order): sub-threshold grams
+    // die before any shuffle
+    val filterAt = plan.indexOf("graft_cms_estimate")
+    val exchangeAt = plan.indexOf("Exchange hashpartitioning")
+    assert(filterAt >= 0 && exchangeAt >= 0)
+    assert(filterAt > exchangeAt, plan)
+    // and the sketch arrives as a scalar subquery, not a join column
+    assert(plan.contains("Subquery") || plan.contains("subquery"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(grams).foreach(_.unpersist(blocking = true))
+  }
 }
