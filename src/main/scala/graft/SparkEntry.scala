@@ -1247,6 +1247,28 @@ object SparkEntry {
         tauPpm = 1000000L,
       )
     },
+    // C43b: per-source DSIR report — the decision-level view of C43:
+    // which raw sources look most like the target distribution, and
+    // what fraction each would contribute after resampling
+    "corpus_dsir_by_source" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      CorpusFunctions
+        .dsirSelect(docs, col("doc_id"), col("text"), col("lang") === "en", tauPpm = 1000000L)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("dsir_ppm")).as("sum_dsir_ppm"),
+          sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        )
+        // floored exact-input IEEE division (sums go negative — integer
+        // div/`//` disagree between engines on negative operands)
+        .withColumn(
+          "mean_dsir_ppm",
+          floor(col("sum_dsir_ppm").cast("double") / col("n_docs").cast("double")).cast("long"),
+        )
+    },
     // C38: soft dedup — every copy kept at weight 1/n_copies ppm
     // (frequency down-weighting, the hard-dedup alternative)
     "dedup_soft_weights" -> { (s, dir) =>
@@ -2515,6 +2537,33 @@ object SparkEntry {
          SELECT doc_id, n_words, dsir_ppm,
                 dsir_ppm + CAST(FLOOR(ROUND(-LN(-LN((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)), 6) * 1e6) AS BIGINT) >= 1000000 AS keep
          FROM sc""",
+    "corpus_dsir_by_source" ->
+      """WITH w AS (
+           SELECT doc_id, (lang = 'en') AS t,
+                  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+           FROM documents),
+         pb AS (SELECT doc_id, t, substr(md5(w), 1, 2) AS b, COUNT(*) AS c FROM w GROUP BY 1, 2, 3),
+         st AS (SELECT b,
+                       SUM(CASE WHEN t THEN c ELSE 0 END) AS ct,
+                       SUM(CASE WHEN NOT t THEN c ELSE 0 END) AS cr
+                FROM pb GROUP BY 1),
+         rt AS (SELECT b,
+                       CAST(FLOOR(ROUND(LN( (CAST(ct + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE)) /
+                                            (CAST(cr + 1 AS DOUBLE) / CAST(tr + 256 AS DOUBLE)) ), 6) * 1e6) AS BIGINT) AS lr_ppm
+                FROM (SELECT b, ct, cr, SUM(ct) OVER () AS tt, SUM(cr) OVER () AS tr FROM st)),
+         sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, CAST(SUM(c * lr_ppm) AS BIGINT) AS dsir_ppm
+                FROM pb JOIN rt USING (b) WHERE NOT t GROUP BY 1),
+         sel AS (SELECT doc_id, n_words, dsir_ppm,
+                        dsir_ppm + CAST(FLOOR(ROUND(-LN(-LN((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)), 6) * 1e6) AS BIGINT) >= 1000000 AS keep
+                 FROM sc)
+         SELECT d.source,
+                COUNT(*) AS n_docs,
+                CAST(SUM(sel.n_words) AS BIGINT) AS n_words,
+                CAST(SUM(sel.dsir_ppm) AS BIGINT) AS sum_dsir_ppm,
+                CAST(SUM(CASE WHEN sel.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(FLOOR(CAST(SUM(sel.dsir_ppm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mean_dsir_ppm
+         FROM sel JOIN documents d USING (doc_id)
+         GROUP BY 1""",
     "corpus_domain_stats" ->
       """WITH d AS (SELECT source, lang, CAST(length(text) AS BIGINT) AS nc,
                            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
