@@ -1057,6 +1057,17 @@ object SparkEntry {
           col("gopher_pass"),
         )
     },
+    // C9f: blocklist gate — wordlist screen (distinct + total hits,
+    // blocked at >= 3 hits); list rides the plan as an array literal
+    "text_blocklist" -> { (s, dir) =>
+      TextFunctions.blocklistGate(
+        Tables.documents(s, dir),
+        col("doc_id"),
+        col("text"),
+        blocklist = Seq("slow", "broken", "spill"),
+        maxHits = 3L,
+      )
+    },
     // C9e: encoding-quality signal — U+FFFD replacement chars +
     // control chars (mojibake / binary-garbage screen)
     "text_encoding_quality" -> { (s, dir) =>
@@ -2374,6 +2385,15 @@ object SparkEntry {
                FROM w WHERE len(w) >= 3)
          SELECT ngram, COUNT(*) AS cnt FROM g GROUP BY 1
          ORDER BY cnt DESC, ngram LIMIT 20""",
+    "text_blocklist" ->
+      """WITH w AS (SELECT doc_id,
+                           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+                    FROM documents)
+         SELECT doc_id,
+                CAST(len(list_intersect(list_distinct(w), ['slow', 'broken', 'spill'])) AS BIGINT) AS n_distinct_hits,
+                CAST(len(list_filter(w, x -> list_contains(['slow', 'broken', 'spill'], x))) AS BIGINT) AS n_hits,
+                CAST(len(list_filter(w, x -> list_contains(['slow', 'broken', 'spill'], x))) AS BIGINT) >= 3 AS blocked
+         FROM w""",
     "text_encoding_quality" ->
       """SELECT doc_id,
                 CAST(length(text) AS BIGINT) AS n_chars,

@@ -423,6 +423,34 @@ object TextFunctions {
     )
   }
 
+  /** Blocklist gate — the wordlist screen every crawl pipeline runs
+    * (the "bad words" filter of C4/CommonCrawl derivatives; also the
+    * shape of domain- and boilerplate-phrase blocklists): count
+    * distinct and total hits of a word list in each document's
+    * normalized tokens and flag docs at or above `maxHits`. The list
+    * rides the plan as an array literal (blocklists are KB-sized;
+    * a corpus-sized list would broadcast-join instead) and the
+    * membership test is one codegen'd `array_intersect`/`filter`
+    * pass per row — stateless, shuffle-free at any corpus size.
+    */
+  def blocklistGate(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      blocklist: Seq[String],
+      maxHits: Long = 1L,
+  ): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must not be empty")
+    val listCol = array(blocklist.distinct.sorted.map(lit): _*)
+    df.withColumn("__w", words(text))
+      .select(
+        idCol.as("doc_id"),
+        size(array_intersect(array_distinct(col("__w")), listCol)).cast("long").as("n_distinct_hits"),
+        size(filter(col("__w"), w => array_contains(listCol, w))).cast("long").as("n_hits"),
+      )
+      .withColumn("blocked", col("n_hits") >= maxHits)
+  }
+
   /** Encoding-quality signal — mojibake and binary-garbage detection
     * (the charset-sanity screen of web-crawl pipelines; the "fraction
     * of non-character junk" family of RedPajama-V2/Dolma signals):
