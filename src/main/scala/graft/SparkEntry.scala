@@ -1246,6 +1246,11 @@ object SparkEntry {
     "corpus_source_overlap" -> { (s, dir) =>
       CorpusFunctions.sourceOverlap(Tables.documents(s, dir), "doc_id", "source", "text")
     },
+    // C37b: pairwise language-vocabulary overlap — exact intersection/
+    // union/Jaccard per lang pair (the lexical relatedness screen)
+    "corpus_vocab_overlap" -> { (s, dir) =>
+      CorpusFunctions.vocabOverlap(Tables.documents(s, dir), col("lang"), col("text"))
+    },
     // C43: DSIR importance resampling (Xie et al. 2023) — hashed-bucket
     // log-likelihood-ratio score of each non-target doc against the
     // `en` target distribution, kept by a deterministic Gumbel draw
@@ -2557,6 +2562,22 @@ object SparkEntry {
          SELECT doc_id, n_words, dsir_ppm,
                 dsir_ppm + CAST(FLOOR(ROUND(-LN(-LN((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)), 6) * 1e6) AS BIGINT) >= 1000000 AS keep
          FROM sc""",
+    "corpus_vocab_overlap" ->
+      """WITH vw AS (SELECT DISTINCT lang AS stratum,
+                            unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+                     FROM documents),
+         sizes AS (SELECT stratum, COUNT(*) AS vocab FROM vw GROUP BY 1),
+         inter AS (SELECT a.stratum AS stratum_a, b.stratum AS stratum_b, COUNT(*) AS n_common
+                   FROM vw a JOIN vw b USING (w)
+                   WHERE a.stratum < b.stratum
+                   GROUP BY 1, 2)
+         SELECT stratum_a, stratum_b,
+                CAST(n_common AS BIGINT) AS n_common,
+                CAST(sa.vocab + sb.vocab - n_common AS BIGINT) AS n_union,
+                (1000000 * CAST(n_common AS BIGINT)) // CAST(sa.vocab + sb.vocab - n_common AS BIGINT) AS jaccard_ppm
+         FROM inter
+         JOIN sizes sa ON sa.stratum = inter.stratum_a
+         JOIN sizes sb ON sb.stratum = inter.stratum_b""",
     "corpus_dsir_by_source" ->
       """WITH w AS (
            SELECT doc_id, (lang = 'en') AS t,

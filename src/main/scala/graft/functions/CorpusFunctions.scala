@@ -663,6 +663,41 @@ object CorpusFunctions {
       )
   }
 
+  /** Pairwise vocabulary overlap between strata (languages, sources):
+    * per ordered stratum pair, exact |V_a ∩ V_b|, |V_a ∪ V_b| and
+    * Jaccard in ppm — the lexical contamination/relatedness screen
+    * (script-sharing languages overlap; a "clean" source whose
+    * vocabulary is inside the crawl's is redundant). Plan: one
+    * distinct (stratum, word) aggregate, a self-join on the word
+    * (per-word fanout bounded by the stratum count — single digits —
+    * so no key is ever hot), per-pair intersection counts, and stratum
+    * vocabulary sizes broadcast back for the union arithmetic. All
+    * counts exact integers; ppm by nonneg integer division.
+    */
+  def vocabOverlap(df: DataFrame, stratum: Column, text: Column): DataFrame = {
+    val vw = DedupFunctions
+      .spread(df)
+      .select(stratum.as("stratum"), explode(TextFunctions.words(text)).as("w"))
+      .distinct()
+    val sizes = vw.groupBy(col("stratum")).agg(count(lit(1)).as("vocab"))
+    val inter = vw
+      .select(col("stratum").as("stratum_a"), col("w"))
+      .join(vw.select(col("stratum").as("stratum_b"), col("w")), Seq("w"))
+      .where(col("stratum_a") < col("stratum_b"))
+      .groupBy(col("stratum_a"), col("stratum_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("stratum").as("stratum_a"), col("vocab").as("__va"))), Seq("stratum_a"))
+      .join(broadcast(sizes.select(col("stratum").as("stratum_b"), col("vocab").as("__vb"))), Seq("stratum_b"))
+      .select(
+        col("stratum_a"),
+        col("stratum_b"),
+        col("n_common"),
+        (col("__va") + col("__vb") - col("n_common")).as("n_union"),
+        expr("1000000 * n_common div (__va + __vb - n_common)").as("jaccard_ppm"),
+      )
+  }
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
     * "Data selection for language models via importance resampling"):
     * select raw-pool documents whose hashed n-gram distribution looks
