@@ -1246,6 +1246,11 @@ object SparkEntry {
     "corpus_source_overlap" -> { (s, dir) =>
       CorpusFunctions.sourceOverlap(Tables.documents(s, dir), "doc_id", "source", "text")
     },
+    // C35b: per-doc unigram Shannon entropy — repetition/diversity
+    // signal (low = boilerplate, high = diverse prose)
+    "text_word_entropy" -> { (s, dir) =>
+      CorpusFunctions.wordEntropy(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
     // C37b: pairwise language-vocabulary overlap — exact intersection/
     // union/Jaccard per lang pair (the lexical relatedness screen)
     "corpus_vocab_overlap" -> { (s, dir) =>
@@ -2562,6 +2567,20 @@ object SparkEntry {
          SELECT doc_id, n_words, dsir_ppm,
                 dsir_ppm + CAST(FLOOR(ROUND(-LN(-LN((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)), 6) * 1e6) AS BIGINT) >= 1000000 AS keep
          FROM sc""",
+    "text_word_entropy" ->
+      """WITH w AS (SELECT doc_id,
+                           unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+                    FROM documents),
+         cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+         agg AS (SELECT doc_id,
+                        CAST(SUM(c) AS BIGINT) AS n_words,
+                        COUNT(*) AS vocab,
+                        CAST(SUM(c * CAST(FLOOR(ROUND(LN(CAST(c AS DOUBLE)), 6) * 1e6) AS BIGINT)) AS BIGINT) AS s
+                 FROM cnt GROUP BY 1)
+         SELECT doc_id, n_words, CAST(vocab AS BIGINT) AS vocab,
+                CAST(FLOOR(ROUND(LN(CAST(n_words AS DOUBLE)), 6) * 1e6) AS BIGINT)
+                  - CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n_words AS DOUBLE)) AS BIGINT) AS entropy_ppm
+         FROM agg""",
     "corpus_vocab_overlap" ->
       """WITH vw AS (SELECT DISTINCT lang AS stratum,
                             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w

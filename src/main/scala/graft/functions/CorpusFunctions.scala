@@ -663,6 +663,38 @@ object CorpusFunctions {
       )
   }
 
+  /** Per-document unigram Shannon entropy — the information-theoretic
+    * diversity signal beside [[lexicalDiversity]]'s type/token ratios:
+    * `H = ln(n) − (1/n)·Σ c_w·ln(c_w)` over the doc's word counts.
+    * Low entropy = repetitive boilerplate (few words dominate), high
+    * entropy = diverse prose; the per-doc cousin of the corpus-level
+    * perplexity filters. One explode → per-(doc, word) count → per-doc
+    * aggregate; `ln` over the (small-integer) counts snapped to the
+    * 6-decimal grid and floor-scaled to ppm (the SURVEY libm policy),
+    * final division a floored exact-input IEEE op — engine-exact.
+    */
+  def wordEntropy(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    def lnPpm(c: Column): Column = floor(round(log(c.cast("double")), 6) * lit(1e6)).cast("long")
+    DedupFunctions
+      .spread(df)
+      .select(idCol.as("doc_id"), explode(TextFunctions.words(text)).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_words"),
+        count(lit(1)).as("vocab"),
+        sum(col("c") * lnPpm(col("c"))).as("__s"),
+      )
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("vocab"),
+        (lnPpm(col("n_words")) -
+          floor(col("__s").cast("double") / col("n_words").cast("double")).cast("long")).as("entropy_ppm"),
+      )
+  }
+
   /** Pairwise vocabulary overlap between strata (languages, sources):
     * per ordered stratum pair, exact |V_a ∩ V_b|, |V_a ∪ V_b| and
     * Jaccard in ppm — the lexical contamination/relatedness screen
