@@ -166,7 +166,8 @@ object Bench {
         factors.map { f =>
           val dir = graft.tools.ScaleGen.ensure(spark, baseDir, f, "target/scale")
           if (withEvents) graft.tools.ScaleGen.ensureEvents(spark, baseDir, f, "target/scale")
-          if (withEvents) graft.tools.ScaleGen.ensureEmbeddings(spark, baseDir, f, "target/scale")
+          if (withEvents && queries.exists(q => q.startsWith("emb_") || q.startsWith("embedding")))
+            graft.tools.ScaleGen.ensureEmbeddings(spark, baseDir, f, "target/scale")
           val docs = spark.read.parquet(s"$dir/documents.parquet").count()
           val cellLoad = loadAvg1()
           // reducers scale with the data beyond the base decade, the
@@ -174,8 +175,10 @@ object Bench {
           // shuffle cells (32 reducers spill 50 M-row shuffles; 32*f/10
           // fit). SPARK_GRAFT_SCALE_FIXED_PARTS=1 pins 32 for
           // config-isolated curves.
+          val fixedParts =
+            sys.env.get("SPARK_GRAFT_SCALE_FIXED_PARTS").exists(v => v.nonEmpty && v != "0")
           val parts =
-            if (sys.env.contains("SPARK_GRAFT_SCALE_FIXED_PARTS") || f <= 10) baseParts
+            if (fixedParts || f <= 10) baseParts
             else baseParts * f / 10
           spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
           val qs = queries.map { name =>

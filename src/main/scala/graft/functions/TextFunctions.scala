@@ -354,17 +354,17 @@ object TextFunctions {
       k: Int = 20,
       eps: Double = 1e-4,
       confidence: Double = 0.99,
-  ): DataFrame = {
-    val (outPlan, grams) = heavyNgramsPlan(df, text, n, minCount, k, eps, confidence)
-    val out = outPlan.localCheckpoint()
-    org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(grams).foreach(_.unpersist(blocking = true))
-    out
-  }
+  ): DataFrame =
+    heavyNgramsPlan(df, text, n, minCount, k, eps, confidence)
 
-  /** Un-checkpointed [[heavyNgrams]] plan + the checkpointed gram
-    * stream it rides on (two consumers: sketch build and probe scan).
-    * The plan-shape spec inspects the live plan; the public method
-    * materializes and releases.
+  /** [[heavyNgrams]] plan builder (the plan-shape spec inspects the
+    * live plan). The gram stream has two consumers — sketch build and
+    * probe scan — and is deliberately NOT materialized: each consumer
+    * reduces it to a bounded result (one sketch row / the heavy tail),
+    * so two pruned columnar scans of the source beat persisting a
+    * corpus-sized exploded stream (the bm25/datacard two-scan
+    * precedent; a localCheckpoint here would also pin corpus-scale
+    * storage and make executor loss unrecoverable mid-query).
     */
   private[graft] def heavyNgramsPlan(
       df: DataFrame,
@@ -374,13 +374,12 @@ object TextFunctions {
       k: Int,
       eps: Double,
       confidence: Double,
-  ): (DataFrame, DataFrame) = {
+  ): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
     val grams = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(words(text).as("__w"))
       .select(explode(ngramArray("__w", n, distinct = false)).as("ngram"))
-      .localCheckpoint()
     val sk = grams.agg(expr(s"count_min_sketch(ngram, ${eps}d, ${confidence}d, 42)").as("__sk"))
     // the sketch binds as an uncorrelated scalar subquery, which the
     // executed plan turns into ONE literal — CmsEstimate's identity
@@ -388,14 +387,13 @@ object TextFunctions {
     // would hand the expression a FRESH byte-array copy per row: 1 MB
     // of sketch deserialization per gram, measured 60 s vs 2 s here.)
     val skCol = org.apache.spark.sql.GraftSqlBridge.scalarSubquery(sk.select(col("__sk")))
-    val out = grams
+    grams
       .where(call_function("graft_cms_estimate", skCol, col("ngram")) >= minCount)
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(k)
-    (out, grams)
   }
 
   /** Compressibility quality signal (the zlib-ratio filter of the

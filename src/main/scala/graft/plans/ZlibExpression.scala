@@ -13,14 +13,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * is left to SQL (`1e6·deflate_len div n_bytes`) so this expression
   * stays a pure scalar.
   *
-  * DEFLATE with a fixed level over fixed bytes is deterministic (the
-  * algorithm is specified greedy LZ77 + fixed Huffman construction;
-  * same JVM zlib everywhere in a cluster), so the signal is stable
-  * across runs and partitionings. No SQL/HOF formulation exists —
-  * the custom-Expression criterion — and the per-row cost is one
-  * compiled native zlib call (CodegenFallback adds a single virtual
-  * call). A fresh Deflater per evaluation would churn native memory;
-  * one per expression instance (= per task) is reset between rows.
+  * DEFLATE with a fixed level over fixed bytes is deterministic FOR A
+  * GIVEN zlib BUILD: the output length is implementation-defined (not
+  * specified by RFC 1951), so the signal is stable across runs and
+  * partitionings on a homogeneous cluster — the normal case — but a
+  * heterogeneous fleet or a zlib/zlib-ng swap can shift lengths by a
+  * few bytes. That is why this signal is rows-only (never oracle- or
+  * hash-compared) and consumed through WIDE band thresholds, which a
+  * few-byte shift cannot cross for any non-trivial document. No
+  * SQL/HOF formulation exists — the custom-Expression criterion — and
+  * the per-row cost is one compiled native zlib call (CodegenFallback
+  * adds a single virtual call). Native streams are pooled per THREAD
+  * (not per expression instance): executor task threads are a small
+  * fixed set, so native state is bounded and reused for the process
+  * lifetime instead of leaking one Deflater per task until GC.
   */
 case class DeflateLength(child: Expression) extends UnaryExpression with CodegenFallback {
 
@@ -35,11 +41,10 @@ case class DeflateLength(child: Expression) extends UnaryExpression with Codegen
         )
     }
 
-  @transient private lazy val deflater = new java.util.zip.Deflater(6, false)
-  @transient private lazy val buf = new Array[Byte](8192)
-
   override protected def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
+    val deflater = DeflateLength.localDeflater.get()
+    val buf = DeflateLength.localBuf.get()
     deflater.reset()
     deflater.setInput(bytes)
     deflater.finish()
@@ -52,4 +57,11 @@ case class DeflateLength(child: Expression) extends UnaryExpression with Codegen
     copy(child = newChild)
 
   override def prettyName: String = "graft_deflate_len"
+}
+
+object DeflateLength {
+  private[plans] val localDeflater: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() => new java.util.zip.Deflater(6, false))
+  private[plans] val localBuf: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](8192))
 }

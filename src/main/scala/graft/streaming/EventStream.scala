@@ -501,7 +501,11 @@ object EventStream {
       .select(col("bucket"), col("lr_ppm"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
-    require(lr.length <= 256, s"dsir ratio table must be the bounded bucket universe, got ${lr.length} rows")
+    // exact batch parity REQUIRES the complete bucket universe — a
+    // partial table (e.g. the observed-bucket frame from dsirPlan)
+    // would silently score missing buckets as 0 instead of the
+    // pure-smoothing ratio
+    require(lr.length == 256, s"dsir ratio table must be the full 256-bucket universe (dsirRatios), got ${lr.length} rows")
     val lrMap = map(lr.toSeq.sortBy(_._1).flatMap { case (b, v) => Seq(lit(b), lit(v)) }: _*)
     val score = aggregate(
       transform(

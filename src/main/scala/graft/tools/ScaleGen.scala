@@ -177,14 +177,24 @@ object ScaleGen {
     val maxId = base.agg(max(col("vec_id"))).first().getLong(0)
     require(maxId < IdStride, s"base vec_id $maxId >= IdStride $IdStride: shards would collide")
     val dim = base.select(size(col("embedding"))).first().getInt(0)
+    // the transform family must stay injective in the shard index or
+    // late shards silently clone early ones (exactly the artifact this
+    // construction exists to avoid): cyclic shift gives `dim` distinct
+    // members, a global negation doubles that — fail loudly beyond
+    require(
+      factor <= 2 * dim,
+      s"factor $factor exceeds the $dim-dim orthogonal-transform family (2*dim distinct shards)",
+    )
     val shards: Seq[DataFrame] = (0 until factor).map { s =>
       val shift = s % dim
       val shifted =
         if (shift == 0) col("embedding")
         else concat(slice(col("embedding"), shift + 1, dim - shift), slice(col("embedding"), 1, shift))
+      val transformed =
+        if ((s / dim) % 2 == 1) transform(shifted, x => -x) else shifted
       base.select(
         (col("vec_id") + lit(s * IdStride)).as("vec_id"),
-        shifted.as("embedding"),
+        transformed.as("embedding"),
         col("label"),
       )
     }

@@ -37,7 +37,7 @@ class HeavyNgramsSpec extends AnyFunSuite {
   }
 
   test("CMS filter runs map-side: below the aggregate's exchange, probe as a subquery literal") {
-    val (out, grams) = TextFunctions.heavyNgramsPlan(
+    val out = TextFunctions.heavyNgramsPlan(
       docs, col("text"), n = 3, minCount = 5L, k = 20, eps = 1e-4, confidence = 0.99)
     val plan = out.queryExecution.executedPlan.toString
     // the probe filter must sit BELOW the hash-aggregate exchange in
@@ -50,6 +50,5 @@ class HeavyNgramsSpec extends AnyFunSuite {
     // and the sketch arrives as a scalar subquery, not a join column
     assert(plan.contains("Subquery") || plan.contains("subquery"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-    org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(grams).foreach(_.unpersist(blocking = true))
   }
 }
