@@ -28,6 +28,17 @@ object VectorFunctions {
     df
   }
 
+  /** The one cosine-scoring expression every exact-kNN operator in
+    * this file shares (cosineTopK, hardNegatives, knnLabelNoise):
+    * scaled-integer dot over IEEE sqrt norms of the `qe`/`ce` pair
+    * columns. Kept in one place so a change to the formula or its
+    * determinism contract cannot silently diverge the operators (and
+    * their common DuckDB oracle shape).
+    */
+  private def qcCosine: Column =
+    dotInt("qe", "ce").cast("double") /
+      (sqrt(norm2Int("qe").cast("double")) * sqrt(norm2Int("ce").cast("double")))
+
   /** Brute-force cosine top-k: broadcast the (small) query set against
     * all candidates — the exact baseline. One broadcast join, no
     * shuffle of the candidate side until the final per-query top-k
@@ -39,13 +50,7 @@ object VectorFunctions {
     val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot", dotInt("qe", "ce"))
-      .withColumn("n_q", norm2Int("qe"))
-      .withColumn("n_c", norm2Int("ce"))
-      .withColumn(
-        "cosine",
-        col("dot").cast("double") / (sqrt(col("n_q").cast("double")) * sqrt(col("n_c").cast("double"))),
-      )
+      .withColumn("cosine", qcCosine)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -70,11 +75,7 @@ object VectorFunctions {
     val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("label").as("neg_label"))
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id") && col("query_label") =!= col("neg_label"))
-      .withColumn(
-        "cosine",
-        dotInt("qe", "ce").cast("double") /
-          (sqrt(norm2Int("qe").cast("double")) * sqrt(norm2Int("ce").cast("double"))),
-      )
+      .withColumn("cosine", qcCosine)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rk", row_number().over(w))
@@ -105,11 +106,7 @@ object VectorFunctions {
     val c = spread.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("label").as("n_label"))
     val scored = q
       .join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn(
-        "cosine",
-        dotInt("qe", "ce").cast("double") /
-          (sqrt(norm2Int("qe").cast("double")) * sqrt(norm2Int("ce").cast("double"))),
-      )
+      .withColumn("cosine", qcCosine)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rk", row_number().over(w))
