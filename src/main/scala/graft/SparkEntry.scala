@@ -881,6 +881,11 @@ object SparkEntry {
         .minhashVerified(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_a"), col("doc_b"), col("intersection"), col("union_size"))
     },
+    // C2b: LSH band-plan table — the (bands, rows) S-curve design
+    // query (threshold fit + catch probabilities, divisors of 128)
+    "dedup_minhash_bandplan" -> { (s, _) =>
+      DedupFunctions.minhashBandPlan(s)
+    },
     // C4: SimHash near-dup pairs (hash-dependent → rows-only check)
     "dedup_simhash" -> { (s, dir) =>
       DedupFunctions.simhashPairs(Tables.documents(s, dir), "doc_id", "text")
@@ -1073,6 +1078,17 @@ object SparkEntry {
     "text_encoding_quality" -> { (s, dir) =>
       TextFunctions.encodingQuality(Tables.documents(s, dir), col("doc_id"), col("text"))
     },
+    // C9g: Unicode canonicalization (NFC + accent folding) — native
+    // codegen'd UAX #15 expressions, hash-verified vs DuckDB utf8proc
+    "text_unicode_norm" -> { (s, dir) =>
+      TextFunctions.normalizeUnicode(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
+    // C49: per-doc n-gram novelty — share of a doc's distinct
+    // trigrams appearing in no other doc (boilerplate/originality
+    // signal; Zipf-split join back, integer-exact ppm)
+    "text_ngram_novelty" -> { (s, dir) =>
+      CorpusFunctions.ngramNovelty(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
     // C9d: zlib compressibility signal (MassiveText/Gopher;
     // RedPajama-V2/Dolma signal sets) — native deflate expression,
     // rows-only (DuckDB has no deflate; ZlibSignalSpec verifies)
@@ -1220,6 +1236,20 @@ object SparkEntry {
     // budget goes, the companion table to mixture planning
     "corpus_token_fertility" -> { (s, dir) =>
       CorpusFunctions.tokenFertility(Tables.documents(s, dir), col("lang"), col("text"))
+    },
+    // C50: mixture-weighted curriculum interleave — deterministic
+    // easy→hard training order with weighted-fair-queueing virtual
+    // time; emits the sort key, rank via bounded histogram (no
+    // per-stratum window)
+    "corpus_curriculum" -> { (s, dir) =>
+      CorpusFunctions.curriculumInterleave(
+        Tables.documents(s, dir),
+        col("doc_id"),
+        col("lang"),
+        col("text"),
+        weightsPpm = Map("en" -> 500000L, "zh" -> 200000L, "es" -> 150000L),
+        defaultPpm = 100000L,
+      )
     },
     // C30: language-ID confusion matrix — predicted vs labeled lang,
     // the quality audit of the C8 heuristic over the whole corpus
@@ -2414,6 +2444,23 @@ object SparkEntry {
                            + CAST(len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS BIGINT)))
                           // CAST(length(text) AS BIGINT) END AS junk_ppm
          FROM documents""",
+    "text_unicode_norm" ->
+      """SELECT doc_id,
+                nfc_normalize(text) AS text_nfc,
+                strip_accents(nfc_normalize(text)) AS text_folded,
+                strip_accents(nfc_normalize(text)) <> text AS changed
+         FROM documents""",
+    "text_ngram_novelty" ->
+      """WITH norm AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+               FROM norm WHERE len(w) >= 3),
+         dfq AS (SELECT g, COUNT(*) AS gdf FROM g GROUP BY 1)
+         SELECT doc_id, COUNT(*) AS n_ngrams,
+                CAST(SUM(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                CAST((1000000 * SUM(CASE WHEN gdf = 1 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS novelty_ppm
+         FROM g JOIN dfq USING (g)
+         GROUP BY 1""",
     "text_heavy_ngrams" ->
       """WITH norm AS (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
          w AS (SELECT string_split(t, ' ') AS w FROM norm),
@@ -2548,6 +2595,31 @@ object SparkEntry {
                 (1000000 * CAST(SUM(tk) AS BIGINT)) // CAST(SUM(w) AS BIGINT) AS tokens_per_word_ppm,
                 (1000000 * CAST(SUM(c) AS BIGINT)) // CAST(SUM(tk) AS BIGINT) AS chars_per_token_ppm
          FROM t GROUP BY 1""",
+    "corpus_curriculum" ->
+      """WITH d AS (SELECT doc_id, lang AS stratum,
+                CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS difficulty
+           FROM documents),
+         r AS (SELECT doc_id, stratum, difficulty,
+                      CAST(row_number() OVER (PARTITION BY stratum ORDER BY difficulty, doc_id) AS BIGINT) AS rank_in_stratum
+               FROM d)
+         SELECT doc_id, stratum, difficulty, rank_in_stratum,
+                CAST(CASE stratum WHEN 'en' THEN 500000 WHEN 'zh' THEN 200000 WHEN 'es' THEN 150000 ELSE 100000 END AS BIGINT) AS weight_ppm,
+                CAST(1000000000000 * rank_in_stratum
+                     // CAST(CASE stratum WHEN 'en' THEN 500000 WHEN 'zh' THEN 200000 WHEN 'es' THEN 150000 ELSE 100000 END AS BIGINT)
+                     AS BIGINT) AS vt
+         FROM r""",
+    "dedup_minhash_bandplan" ->
+      """WITH cfg AS (SELECT CAST(b AS BIGINT) AS bands, CAST(128 // b AS BIGINT) AS rows_per_band
+                      FROM range(1, 129) t(b) WHERE 128 % b = 0),
+         sc AS (SELECT bands, rows_per_band,
+                       CAST(round(1000000 * pow(1.0 / bands, 1.0 / rows_per_band), 0) AS BIGINT) AS t_hat_ppm,
+                       CAST(round(1000000 * (1 - pow(1 - pow(0.5, rows_per_band), bands)), 0) AS BIGINT) AS p_catch_50_ppm,
+                       CAST(round(1000000 * (1 - pow(1 - pow(0.7, rows_per_band), bands)), 0) AS BIGINT) AS p_catch_70_ppm,
+                       CAST(round(1000000 * (1 - pow(1 - pow(0.9, rows_per_band), bands)), 0) AS BIGINT) AS p_catch_90_ppm
+                FROM cfg)
+         SELECT bands, rows_per_band, t_hat_ppm, p_catch_50_ppm, p_catch_70_ppm, p_catch_90_ppm,
+                row_number() OVER (ORDER BY abs(t_hat_ppm - 500000), bands) = 1 AS chosen
+         FROM sc""",
     "corpus_dsir_select" ->
       """WITH w AS (
            SELECT doc_id, (lang = 'en') AS t,

@@ -876,4 +876,103 @@ object CorpusFunctions {
       )
     (out, perDoc)
   }
+
+  /** Per-document n-gram novelty — the boilerplate/originality signal
+    * of crawl curation: the share of a doc's DISTINCT word n-grams
+    * that appear in no other document (document frequency 1). Template
+    * pages, mirrored articles and licence blocks score low; original
+    * prose scores high. The dual of [[wordRarity]] at the n-gram
+    * grain, and the per-doc aggregate of what dedup pipelines throw
+    * away as candidate evidence.
+    *
+    * Plan: explode distinct per-doc n-grams → df aggregate (map-side
+    * combined) → join back via [[zipfSplitJoin]] (gram frequency is
+    * Zipfian; boilerplate grams ARE the hot keys, broadcast-joined;
+    * the novel tail has df 1 by definition, fanout 1 on the shuffle
+    * path) → one per-doc aggregate. Novelty is an exact integer ppm —
+    * no float, bit-stable across engines and partitionings.
+    */
+  def ngramNovelty(df: DataFrame, idCol: Column, text: Column, n: Int = 3, hotMin: Long = 1000L): DataFrame = {
+    val grams = DedupFunctions
+      .spread(df)
+      .select(idCol.as("doc_id"), TextFunctions.words(text).as("__w"))
+      .select(col("doc_id"), explode(TextFunctions.shingles("__w", n)).as("g"))
+      .cache()
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    val out = zipfSplitJoin(grams, dfreq, Seq("g"), "gdf", hotMin)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(when(col("gdf") === 1L, 1L).otherwise(0L)).as("n_novel"),
+      )
+      .withColumn("novelty_ppm", expr("1000000 * n_novel div n_ngrams"))
+      // materialize the small per-doc result so the cached gram frame
+      // (consumed by the df aggregate and both join arms) releases NOW
+      .localCheckpoint()
+    grams.unpersist(blocking = true)
+    out
+  }
+
+  /** Mixture-weighted curriculum interleave — the deterministic data
+    * ORDER a training run consumes the corpus in: within each stratum
+    * docs run easy → hard (difficulty = word count, the standard
+    * length curriculum), and strata interleave by target weight using
+    * weighted-fair-queueing virtual time, so every training prefix
+    * holds the mixture shares (a stratum with weight w sends its r-th
+    * doc at virtual time r/w). Emits the per-stratum rank and the
+    * integer virtual-time SORT KEY `(vt, stratum, doc_id)` — the
+    * global order IS a distributed range sort on that key, which Spark
+    * scales; materializing a global dense rank would serialize into
+    * one partition for no consumer benefit.
+    *
+    * The per-stratum rank is NOT a per-stratum window (that would put
+    * a whole stratum — tens of TB — in one sort partition). Difficulty
+    * is small-integer-valued, so the (stratum, difficulty) histogram
+    * is a BOUNDED frame: rank = running count of strictly-easier docs
+    * (a window over the tiny histogram, broadcast back) + tiebreak
+    * rank within the (stratum, difficulty) cell — window keyed on
+    * BOTH columns, so parallelism is strata × distinct difficulties
+    * and skew is the largest tie cell, not the largest stratum.
+    *
+    * `weightsPpm` maps stratum → parts-per-million target weight
+    * (e.g. from [[mixturePlan]]); unlisted strata get the `defaultPpm`
+    * floor so nothing silently drops out of the schedule.
+    */
+  def curriculumInterleave(
+      df: DataFrame,
+      idCol: Column,
+      stratum: Column,
+      text: Column,
+      weightsPpm: Map[String, Long],
+      defaultPpm: Long = 1000L,
+  ): DataFrame = {
+    val wexpr = weightsPpm.toSeq.sortBy(_._1).foldRight(lit(defaultPpm)) { case ((s, w), rest) =>
+      when(col("stratum") === s, lit(w)).otherwise(rest)
+    }
+    val docs = DedupFunctions
+      .spread(df)
+      .select(idCol.as("doc_id"), stratum.as("stratum"), size(TextFunctions.words(text)).cast("long").as("difficulty"))
+    // bounded histogram: one row per (stratum, difficulty) value
+    val hist = docs
+      .groupBy(col("stratum"), col("difficulty"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn(
+        "__below",
+        coalesce(
+          sum(col("__n")).over(
+            Window.partitionBy(col("stratum")).orderBy(col("difficulty")).rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L),
+        ),
+      )
+      .select(col("stratum"), col("difficulty"), col("__below"))
+    val tie = Window.partitionBy(col("stratum"), col("difficulty")).orderBy(col("doc_id"))
+    docs
+      .withColumn("__tie", row_number().over(tie).cast("long"))
+      .join(broadcast(hist), Seq("stratum", "difficulty"))
+      .withColumn("rank_in_stratum", col("__below") + col("__tie"))
+      .withColumn("weight_ppm", wexpr)
+      .withColumn("vt", expr("1000000000000 * rank_in_stratum div weight_ppm"))
+      .select(col("doc_id"), col("stratum"), col("difficulty"), col("rank_in_stratum"), col("weight_ppm"), col("vt"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -267,6 +267,54 @@ object DedupFunctions {
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+  }
+
+  /** LSH band-plan table — the S-curve design step every MinHash
+    * deployment does on paper (Leskovec/Rajaraman/Ullman ch. 3),
+    * materialized as a query: for each (bands b, rows r) factorization
+    * of the signature width, the estimated similarity threshold
+    * `(1/b)^(1/r)` and the catch probability `1−(1−s^r)^b` at
+    * reference similarity levels. `chosen` marks the factorization
+    * whose threshold lands closest to the target — the config
+    * [[minhashPlannedBands]] feeds into [[minhashCandidates]].
+    *
+    * The frame is the divisor set of `perms` (16 rows for 128) built
+    * from `spark.range` — no data scan; probabilities round to the
+    * 6-decimal grid before integer scaling (SURVEY float policy:
+    * `pow` agrees across engines well inside 1e-6, so the ppm values
+    * hash-match the SQL oracle).
+    */
+  def minhashBandPlan(spark: SparkSession, perms: Int = 128, thresholdPpm: Long = 500000L): DataFrame = {
+    val ppm = (c: Column) => round(c * lit(1e6), 0).cast("long")
+    val catchAt = (s: Double) => ppm(lit(1.0) - pow(lit(1.0) - pow(lit(s), col("rows_per_band")), col("bands")))
+    val w = Window.orderBy(abs(col("t_hat_ppm") - lit(thresholdPpm)), col("bands"))
+    spark
+      .range(1, perms + 1L)
+      .select(col("id").as("bands"))
+      .where(pmod(lit(perms.toLong), col("bands")) === 0L)
+      .withColumn("rows_per_band", expr(s"$perms div bands"))
+      .withColumn("t_hat_ppm", ppm(pow(lit(1.0) / col("bands"), lit(1.0) / col("rows_per_band"))))
+      .withColumn("p_catch_50_ppm", catchAt(0.5))
+      .withColumn("p_catch_70_ppm", catchAt(0.7))
+      .withColumn("p_catch_90_ppm", catchAt(0.9))
+      // the frame is a divisor set (|rows| = d(perms) ≤ a few dozen at
+      // any signature width) — the single-partition rank is bounded
+      .withColumn("chosen", row_number().over(w) === 1)
+  }
+
+  /** Driver-side twin of [[minhashBandPlan]]'s `chosen` row: the band
+    * count whose S-curve threshold is closest to the target, for
+    * configuring [[minhashCandidates]] without running a job. Pure
+    * scalar math over the divisors of `perms`; agreement with the
+    * DataFrame plan is spec-enforced.
+    */
+  def minhashPlannedBands(perms: Int = 128, thresholdPpm: Long = 500000L): Int = {
+    val configs = (1 to perms).filter(perms % _ == 0).map { b =>
+      val r = perms / b
+      val tHatPpm = math.round(math.pow(1.0 / b, 1.0 / r) * 1e6)
+      (math.abs(tHatPpm - thresholdPpm), b)
+    }
+    configs.min._2
   }
 
   /** LSH candidates verified by exact shingle Jaccard — the production

@@ -574,4 +574,29 @@ object TextFunctions {
       )
       .select(idCol.as("doc_id"), col("fp"))
   }
+
+  /** Unicode canonicalization report — the ingest-time cleanup every
+    * crawl pipeline runs before any tokenization, hashing or dedup:
+    * NFC normalization (composed canonical form; NFC≠NFD spellings of
+    * the same word would otherwise fingerprint as distinct docs) and
+    * accent folding (NFD → drop combining marks → NFC, utf8proc
+    * `strip_accents` semantics) for language-agnostic matching.
+    * Both are native codegen'd expressions with an allocation-free
+    * already-normalized fast path — a stateless per-row projection,
+    * shuffle-free and embarrassingly parallel at any corpus size.
+    * Hash-verified against DuckDB `nfc_normalize`/`strip_accents`
+    * (both engines implement UAX #15, so outputs are bit-identical).
+    */
+  def normalizeUnicode(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.select(idCol.as("doc_id"), text.as("__t"))
+      .withColumn("text_nfc", call_function("graft_unorm", col("__t"), lit("NFC")))
+      .withColumn("text_folded", call_function("graft_strip_marks", col("__t")))
+      .select(
+        col("doc_id"),
+        col("text_nfc"),
+        col("text_folded"),
+        (col("text_folded") =!= col("__t")).as("changed"),
+      )
+  }
 }

@@ -291,6 +291,18 @@ object GraftFunctions {
     (children: Seq[Expression]) => DeflateLength(children(0)),
   )
 
+  val unormDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_unorm"),
+    new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_unorm"),
+    (children: Seq[Expression]) => UnicodeNormalize(children(0), children(1)),
+  )
+
+  val stripMarksDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_strip_marks"),
+    new ExpressionInfo(classOf[StripMarks].getName, "graft_strip_marks"),
+    (children: Seq[Expression]) => StripMarks(children(0)),
+  )
+
   val cmsEstimateDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_cms_estimate"),
     new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
@@ -331,6 +343,8 @@ object GraftFunctions {
       simhashDescriptor,
       bpeDescriptor,
       deflateLenDescriptor,
+      unormDescriptor,
+      stripMarksDescriptor,
       cmsEstimateDescriptor,
       bloomAggDescriptor,
       bloomMightContainDescriptor,
@@ -352,6 +366,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.simhashDescriptor)
     ext.injectFunction(GraftFunctions.bpeDescriptor)
     ext.injectFunction(GraftFunctions.deflateLenDescriptor)
+    ext.injectFunction(GraftFunctions.unormDescriptor)
+    ext.injectFunction(GraftFunctions.stripMarksDescriptor)
     ext.injectFunction(GraftFunctions.cmsEstimateDescriptor)
     ext.injectFunction(GraftFunctions.bloomAggDescriptor)
     ext.injectFunction(GraftFunctions.bloomMightContainDescriptor)

@@ -1,0 +1,162 @@
+package graft.plans
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static Unicode helpers shared by eval and generated code. The JDK's
+  * `java.text.Normalizer` implements the canonical UAX #15 algorithm,
+  * so NFC/NFD/NFKC/NFKD here agree with any conformant engine —
+  * DuckDB's `nfc_normalize` (utf8proc) hash-matches it, which is what
+  * lets these expressions run under the SQL oracle instead of
+  * rows-only.
+  */
+object GraftUnicode {
+  val FormNfc = 0
+  val FormNfd = 1
+  val FormNfkc = 2
+  val FormNfkd = 3
+
+  private def form(ordinal: Int): Normalizer.Form = ordinal match {
+    case FormNfc => Normalizer.Form.NFC
+    case FormNfd => Normalizer.Form.NFD
+    case FormNfkc => Normalizer.Form.NFKC
+    case FormNfkd => Normalizer.Form.NFKD
+    case other => throw new IllegalArgumentException(s"unknown unicode form ordinal $other")
+  }
+
+  def formOrdinal(name: String): Int = name.toUpperCase match {
+    case "NFC" => FormNfc
+    case "NFD" => FormNfd
+    case "NFKC" => FormNfkc
+    case "NFKD" => FormNfkd
+    case other => throw new IllegalArgumentException(s"unknown unicode form '$other' (want NFC|NFD|NFKC|NFKD)")
+  }
+
+  /** Normalize to the given form; ASCII fast path — `isNormalized` is
+    * O(n) with no allocation and true for the overwhelming share of
+    * crawl text, so the common row costs one scan, not a rebuild.
+    */
+  def norm(s: UTF8String, formOrdinal: Int): UTF8String = {
+    val str = s.toString
+    val f = form(formOrdinal)
+    if (Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(Normalizer.normalize(str, f))
+  }
+
+  /** Accent folding: NFD-decompose, drop combining marks (categories
+    * Mn/Mc/Me), recompose to NFC — `strip_accents(nfc_normalize(x))`
+    * in utf8proc terms. Base letters without a canonical decomposition
+    * (ø, ß, ligatures) pass through untouched, same as utf8proc.
+    */
+  def stripMarks(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val d = if (Normalizer.isNormalized(str, Normalizer.Form.NFD)) str else Normalizer.normalize(str, Normalizer.Form.NFD)
+    var i = 0
+    var hasMark = false
+    while (i < d.length && !hasMark) {
+      val cp = d.codePointAt(i)
+      val t = Character.getType(cp)
+      if (t == Character.NON_SPACING_MARK || t == Character.COMBINING_SPACING_MARK || t == Character.ENCLOSING_MARK)
+        hasMark = true
+      i += Character.charCount(cp)
+    }
+    if (!hasMark) return norm(s, FormNfc)
+    val sb = new java.lang.StringBuilder(d.length)
+    i = 0
+    while (i < d.length) {
+      val cp = d.codePointAt(i)
+      val t = Character.getType(cp)
+      if (t != Character.NON_SPACING_MARK && t != Character.COMBINING_SPACING_MARK && t != Character.ENCLOSING_MARK)
+        sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(Normalizer.normalize(sb.toString, Normalizer.Form.NFC))
+  }
+}
+
+/** `graft_unorm(text, 'NFC')` — Unicode normalization to a
+  * plan-constant form. The form argument must be a foldable string so
+  * the ordinal bakes into the generated code (no per-row dispatch);
+  * codegen is a single static call, keeping the expression inside
+  * whole-stage spans. Reference behavior: the text-cleanup step every
+  * crawl-ingest pipeline runs before tokenization/fingerprinting —
+  * without it, NFC and NFD spellings of the same word dedup and count
+  * as distinct.
+  */
+case class UnicodeNormalize(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) =>
+        if (!right.foldable)
+          TypeCheckResult.TypeCheckFailure("graft_unorm form argument must be a literal")
+        else
+          right.eval(null) match {
+            case null => TypeCheckResult.TypeCheckFailure("graft_unorm form argument must not be NULL")
+            case v =>
+              try {
+                GraftUnicode.formOrdinal(v.asInstanceOf[UTF8String].toString)
+                TypeCheckResult.TypeCheckSuccess
+              } catch {
+                case e: IllegalArgumentException => TypeCheckResult.TypeCheckFailure(e.getMessage)
+              }
+          }
+      case other => TypeCheckResult.TypeCheckFailure(s"graft_unorm needs (string, string literal), got $other")
+    }
+
+  private lazy val formOrdinal: Int =
+    GraftUnicode.formOrdinal(right.eval(null).asInstanceOf[UTF8String].toString)
+
+  override protected def nullSafeEval(input: Any, formArg: Any): Any =
+    GraftUnicode.norm(input.asInstanceOf[UTF8String], formOrdinal)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ord = formOrdinal
+    nullSafeCodeGen(ctx, ev, (c, _) => s"${ev.value} = graft.plans.GraftUnicode.norm($c, $ord);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): UnicodeNormalize =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_unorm"
+}
+
+object UnicodeNormalize {
+  def apply(child: Expression, formName: String): UnicodeNormalize =
+    UnicodeNormalize(child, Literal(UTF8String.fromString(formName), StringType))
+}
+
+/** `graft_strip_marks(text)` — accent/diacritic folding (NFD, drop
+  * combining marks, NFC): the search-normalization the reference's
+  * text stack applies before language-agnostic matching, equal to
+  * utf8proc/DuckDB `strip_accents(nfc_normalize(x))`. Codegen'd static
+  * call with an allocation-free pass for the (dominant) unmarked case.
+  */
+case class StripMarks(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"graft_strip_marks needs a string input, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftUnicode.stripMarks(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.plans.GraftUnicode.stripMarks($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): StripMarks =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_strip_marks"
+}

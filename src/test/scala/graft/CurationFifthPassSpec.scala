@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{CorpusFunctions, DedupFunctions, TextFunctions}
+
+/** Fifth-pass curation operators: Unicode canonicalization, n-gram
+  * novelty, curriculum interleave, MinHash band planning. The SQL
+  * oracle covers each on the (ASCII) documents table; these specs
+  * carry the behavior the synthetic corpus cannot exercise — real
+  * combining marks, planted duplicate structure, weighted-order
+  * invariants, S-curve math.
+  */
+class CurationFifthPassSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // -- Unicode canonicalization ------------------------------------
+
+  private lazy val uniDocs = Seq(
+    (0L, "résumé"), // NFD: e + combining acute
+    (1L, "résumé"), // NFC spelling of the same word
+    (2L, "Ångström naïve école"),
+    (3L, "ø ß ﬁle"), // no canonical decomposition: must pass through
+    (4L, "plain ascii text"),
+    (5L, "中文 text"),
+  ).toDF("doc_id", "text")
+
+  test("normalizeUnicode folds NFD and NFC spellings to one form") {
+    val out = TextFunctions
+      .normalizeUnicode(uniDocs, col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    // NFD and NFC inputs converge on the same NFC bytes
+    assert(out(0L).getString(1) == out(1L).getString(1))
+    assert(out(0L).getString(1) == "résumé")
+    // accent folding strips marks, recomposes, keeps base letters
+    assert(out(2L).getString(2) == "Angstrom naive ecole")
+    // ø, ß, ligature ﬁ have no canonical decomposition — untouched
+    assert(out(3L).getString(2) == "ø ß ﬁle")
+    // changed flag: NFD input changed, plain ascii did not
+    assert(out(0L).getBoolean(3))
+    assert(!out(4L).getBoolean(3))
+    assert(!out(5L).getBoolean(3))
+  }
+
+  test("graft_unorm supports all four UAX #15 forms") {
+    graft.plans.GraftFunctions.register(spark)
+    val r = spark
+      .sql("""SELECT graft_unorm('résumé', 'NFC') AS nfc,
+                     graft_unorm('résumé', 'NFD') AS nfd,
+                     graft_unorm('ﬁle', 'NFKC') AS nfkc,
+                     graft_unorm('résumé', 'NFKD') AS nfkd""")
+      .head()
+    assert(r.getString(0) == "résumé")
+    assert(r.getString(1) == "résumé")
+    assert(r.getString(2) == "file") // compatibility form splits the ligature
+    assert(r.getString(3) == "résumé")
+  }
+
+  // -- n-gram novelty ----------------------------------------------
+
+  private lazy val novDocs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup: zero novelty
+    (2L, "entirely original prose covering distributed shuffle planning"), // all grams unique
+    (3L, "the quick brown fox discusses catalyst optimizer internals"), // head shared with 0/1, tail unique
+  ).toDF("doc_id", "text")
+
+  test("ngramNovelty: dup docs score 0, unique docs score 1e6, mixed in between") {
+    val out = CorpusFunctions
+      .ngramNovelty(novDocs, col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(3))
+      .toMap
+    assert(out(0L) == 0L && out(1L) == 0L)
+    assert(out(2L) == 1000000L)
+    assert(out(3L) > 0L && out(3L) < 1000000L)
+  }
+
+  test("ngramNovelty counts distinct grams once per doc") {
+    // 'a b a b a b' has 4 trigram instances but only 2 distinct
+    val out = CorpusFunctions
+      .ngramNovelty(Seq((0L, "a b a b a b")).toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .head()
+    assert(out.getLong(1) == 2L) // n_ngrams = distinct count
+    assert(out.getLong(2) == 2L) // both unique corpus-wide
+  }
+
+  // -- curriculum interleave ---------------------------------------
+
+  private lazy val curDocs = Seq(
+    (0L, "en", "one two three"),
+    (1L, "en", "one"),
+    (2L, "en", "one two"),
+    (3L, "en", "one two three four"),
+    (4L, "zh", "w1 w2"),
+    (5L, "zh", "w1"),
+    (6L, "fr", "a b c"), // unlisted stratum → default weight
+  ).toDF("doc_id", "lang", "text")
+
+  private lazy val curriculum = CorpusFunctions
+    .curriculumInterleave(
+      curDocs,
+      col("doc_id"),
+      col("lang"),
+      col("text"),
+      weightsPpm = Map("en" -> 600000L, "zh" -> 300000L),
+      defaultPpm = 100000L,
+    )
+    .collect()
+
+  test("curriculumInterleave ranks easy to hard within each stratum") {
+    val en = curriculum.filter(_.getString(1) == "en").sortBy(_.getLong(3))
+    assert(en.map(_.getLong(0)).toSeq == Seq(1L, 2L, 0L, 3L)) // by word count then id
+    assert(en.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("curriculumInterleave virtual time interleaves strata by weight") {
+    val byVt = curriculum.sortBy(r => (r.getLong(5), r.getString(1), r.getLong(0)))
+    // weight 600k sends ~2 docs per 300k-weight doc; the unlisted
+    // 100k stratum starts at vt 1e13 — strictly after en's first 4
+    // (vt ≤ 6.7e12) and zh's first 2 (vt ≤ 6.7e12)
+    val order = byVt.map(r => (r.getString(1), r.getLong(0))).toSeq
+    assert(order.head._1 == "en") // highest weight goes first
+    assert(order.last == ("fr", 6L)) // default-weight straggler last
+    // en appears twice before zh's second doc
+    val enBeforeZh2 = order.takeWhile(_ != (("zh", 4L))).count(_._1 == "en")
+    assert(enBeforeZh2 >= 2)
+  }
+
+  test("curriculumInterleave matches the window-rank semantics") {
+    import org.apache.spark.sql.expressions.Window
+    val expect = curDocs
+      .select(col("doc_id"), col("lang"), size(TextFunctions.words(col("text"))).cast("long").as("d"))
+      .withColumn("r", row_number().over(Window.partitionBy(col("lang")).orderBy(col("d"), col("doc_id"))).cast("long"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(3))
+      .toMap
+    curriculum.foreach(r => assert(r.getLong(3) == expect(r.getLong(0)), s"doc ${r.getLong(0)}"))
+  }
+
+  // -- MinHash band planning ---------------------------------------
+
+  test("minhashBandPlan chooses the S-curve fit and agrees with the driver twin") {
+    val plan = DedupFunctions.minhashBandPlan(spark, perms = 128, thresholdPpm = 500000L).collect()
+    assert(plan.length == 8) // divisors of 128
+    val chosen = plan.filter(_.getBoolean(6))
+    assert(chosen.length == 1)
+    assert(chosen.head.getLong(0) == DedupFunctions.minhashPlannedBands(128, 500000L))
+    // catch probability is monotone in similarity for every config
+    plan.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(4) && r.getLong(4) <= r.getLong(5), s"bands ${r.getLong(0)}")
+    }
+  }
+
+  test("minhashPlannedBands moves with the target threshold") {
+    val loose = DedupFunctions.minhashPlannedBands(128, 300000L) // low threshold → more bands
+    val strict = DedupFunctions.minhashPlannedBands(128, 800000L) // high threshold → fewer bands
+    assert(loose > strict)
+    // and the planned threshold actually lands near the target
+    def tHat(b: Int): Double = math.pow(1.0 / b, b / 128.0)
+    assert(math.abs(tHat(loose) - 0.3) < 0.15)
+    assert(math.abs(tHat(strict) - 0.8) < 0.15)
+  }
+}
