@@ -421,6 +421,67 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("doc_id"), col("text"), col("n_shared_chunks"))
   }
 
+  /** Streaming n-gram novelty gate (D19) — the streaming dual of the
+    * batch C49 novelty signal, scored against a STATIC reference
+    * gram table (the distinct-gram output of a batch run over a
+    * previous crawl or boilerplate library): keep documents whose
+    * share of distinct trigrams UNSEEN in the reference is at least
+    * `minNoveltyPpm` — the "is this new content or yet another copy
+    * of the template" admission test at ingest. (A stream cannot know
+    * its own future document frequencies, so the streaming semantic
+    * is novelty-vs-reference, not C49's novelty-vs-self.)
+    *
+    * Plan: the payload rides one zero-weight row per doc; the doc's
+    * DISTINCT trigrams ride narrow (g, doc_id, ts) rows through a
+    * STATELESS stream-static left join against the reference (Spark
+    * picks broadcast vs shuffled-hash by table size; only grams
+    * travel, never text). One windowed aggregation recombines arms:
+    * `n_ngrams` counts gram rows, `n_known` the join hits, payload
+    * from the zero-weight arm. State is one row per in-horizon doc;
+    * emission on watermark close (append). Docs with fewer than `n`
+    * words carry no grams and drop out, mirroring C49. Novelty is
+    * integer-exact ppm; on the same docs the score equals the batch
+    * twin's exactly — spec-asserted.
+    */
+  def noveltyGateStream(
+      docStream: DataFrame,
+      refGrams: DataFrame,
+      tsCol: String = "ingest_ts",
+      watermark: String = "1 hour",
+      window_ : String = "10 minutes",
+      minNoveltyPpm: Long = 500000L,
+      n: Int = 3,
+  ): DataFrame = {
+    val wm = docStream.withWatermark(tsCol, watermark)
+    val payload = wm.select(col("doc_id"), col(tsCol), col("text"), lit(0L).as("__total"), lit(0L).as("__known"))
+    val grams = wm
+      .withColumn("__w", graft.functions.TextFunctions.words(col("text")))
+      .select(col("doc_id"), col(tsCol), explode(graft.functions.TextFunctions.shingles("__w", n)).as("g"))
+      .join(refGrams.select(col("g")).distinct().withColumn("__hit", lit(1L)), Seq("g"), "left")
+      .select(
+        col("doc_id"),
+        col(tsCol),
+        lit(null).cast("string").as("text"),
+        lit(1L).as("__total"),
+        coalesce(col("__hit"), lit(0L)).as("__known"),
+      )
+    payload
+      .unionByName(grams)
+      .groupBy(window(col(tsCol), window_), col("doc_id"))
+      .agg(max(col("text")).as("text"), sum(col("__total")).as("n_ngrams"), sum(col("__known")).as("n_known"))
+      .where(col("n_ngrams") > 0L)
+      .withColumn("novelty_ppm", expr("1000000 * (n_ngrams - n_known) div n_ngrams"))
+      .where(col("novelty_ppm") >= minNoveltyPpm)
+      .select(
+        col("window.start").as("window_start"),
+        col("doc_id"),
+        col("text"),
+        col("n_ngrams"),
+        col("n_known"),
+        col("novelty_ppm"),
+      )
+  }
+
   /** Streaming Bloom dedup gate — the stream-side dual of the batch
     * Bloom-prefiltered incremental dedup
     * ([[graft.functions.DedupFunctions.incrementalDedupBloom]]): drop

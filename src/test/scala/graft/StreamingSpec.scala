@@ -427,6 +427,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(2L)._1 == clean && out(3L)._1 == tiny)
   }
 
+  test("noveltyGateStream scores novelty vs a static gram table with exact batch parity") {
+    implicit val sq = spark.sqlContext
+    import graft.functions.TextFunctions
+    val refDocs = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val refGrams = refDocs
+      .select(TextFunctions.words(col("text")).as("__w"))
+      .select(explode(TextFunctions.shingles("__w", 3)).as("g"))
+
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // exact copy: novelty 0 → gated
+      (2L, "the quick brown fox explores catalyst optimizer territory"), // head known, tail novel
+      (3L, "entirely fresh prose about shuffle partition sizing"), // fully novel
+      (4L, "two words"), // below n: no grams → drops out
+    )
+
+    // batch twin on the same docs = the parity target
+    val batch = docs
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("__w"))
+      .select(col("doc_id"), explode(TextFunctions.shingles("__w", 3)).as("g"))
+      .join(refGrams.distinct().withColumn("__hit", lit(1L)), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("__hit"), lit(0L))).as("k"))
+      .withColumn("novelty_ppm", expr("1000000 * (n - k) div n"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("novelty_ppm"))
+      .toMap
+    assert(batch(1L) == 0L && batch(3L) == 1000000L)
+    assert(batch(2L) > 0L && batch(2L) < 1000000L)
+
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    mem.addData(docs.map(d => (d._1, d._2, t("2024-01-01T00:05:00Z"))): _*)
+    val q = EventStream
+      .noveltyGateStream(mem.toDF().toDF("doc_id", "text", "ingest_ts"), refGrams, minNoveltyPpm = 500000L)
+      .writeStream.format("memory").queryName("novelty_gate").outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    mem.addData((9L, "watermark advancer pushing the horizon far ahead", t("2024-01-01T09:00:00Z")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("novelty_gate")
+      .where(col("doc_id") < 9L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("text"), r.getAs[Long]("novelty_ppm")))
+      .toMap
+    // gate: dup (1) gated at 0 novelty, tiny (4) has no grams; the
+    // mixed doc (2, ≥ 50%) and the fully novel doc (3) pass with
+    // scores equal to the batch twin, payload reassembled
+    assert(out.keySet == Set(2L, 3L))
+    assert(out(2L)._2 == batch(2L) && out(3L)._2 == batch(3L))
+    assert(out(2L)._1 == docs(1)._2 && out(3L)._1 == docs(2)._2)
+  }
+
   test("bloomGateStream drops corpus dups at ingest, passes novel docs, survives a saturated sketch") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

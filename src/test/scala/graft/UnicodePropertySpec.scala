@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.GraftUnicode
+
+/** Property tests for the UAX #15 expressions over seeded random
+  * mixtures of ASCII, precomposed accents, combining marks, CJK,
+  * ligatures and symbols — the algebra a normalizer must satisfy
+  * regardless of input (idempotence, canonical-equivalence
+  * invariance, NFD/NFC commuting), plus codegen/eval parity through
+  * a real DataFrame projection.
+  */
+class UnicodePropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val alphabet: IndexedSeq[String] = IndexedSeq(
+    "a", "z", " ", "é", "ñ", "Å", "ø", "ß", "ﬁ", "①", "中", "文",
+    "é", // e + combining acute (NFD spelling of é)
+    "ö", // o + combining diaeresis
+    "à̖", // stacked marks, reorderable under canonical ordering
+    "Å", // precomposed Å
+    "Å", // ANGSTROM SIGN (NFC-normalizes to Å)
+  )
+
+  private def samples(n: Int): Seq[String] = {
+    val rnd = new scala.util.Random(42)
+    (0 until n).map { _ =>
+      val len = 1 + rnd.nextInt(12)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    } :+ "" :+ "plain"
+  }
+
+  private def norm(s: String, f: Int): String = GraftUnicode.norm(UTF8String.fromString(s), f).toString
+  private def strip(s: String): String = GraftUnicode.stripMarks(UTF8String.fromString(s)).toString
+
+  test("normalization is idempotent in every form") {
+    for (s <- samples(300); f <- Seq(GraftUnicode.FormNfc, GraftUnicode.FormNfd, GraftUnicode.FormNfkc, GraftUnicode.FormNfkd))
+      assert(norm(norm(s, f), f) == norm(s, f), s"form $f on ${s.codePoints().toArray.mkString(",")}")
+  }
+
+  test("stripMarks is idempotent and invariant under canonical form of the input") {
+    for (s <- samples(300)) {
+      val folded = strip(s)
+      assert(strip(folded) == folded)
+      // canonical-equivalent spellings fold identically
+      assert(strip(norm(s, GraftUnicode.FormNfc)) == folded)
+      assert(strip(norm(s, GraftUnicode.FormNfd)) == folded)
+      // the folded result is NFC by construction
+      assert(norm(folded, GraftUnicode.FormNfc) == folded)
+    }
+  }
+
+  test("NFD then NFC equals direct NFC") {
+    for (s <- samples(300))
+      assert(norm(norm(s, GraftUnicode.FormNfd), GraftUnicode.FormNfc) == norm(s, GraftUnicode.FormNfc))
+  }
+
+  test("DataFrame (codegen) path agrees with direct eval") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val in = samples(200)
+    val out = in
+      .toDF("s")
+      .select(
+        col("s"),
+        call_function("graft_unorm", col("s"), lit("NFC")).as("nfc"),
+        call_function("graft_strip_marks", col("s")).as("folded"),
+      )
+      .collect()
+    out.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getString(1) == norm(s, GraftUnicode.FormNfc), s"nfc mismatch on $s")
+      assert(r.getString(2) == strip(s), s"fold mismatch on $s")
+    }
+  }
+}
