@@ -893,6 +893,25 @@ object CorpusFunctions {
     * no float, bit-stable across engines and partitionings.
     */
   def ngramNovelty(df: DataFrame, idCol: Column, text: Column, n: Int = 3, hotMin: Long = 1000L): DataFrame = {
+    val (plan, grams) = ngramNoveltyPlan(df, idCol, text, n, hotMin)
+    // materialize the small per-doc result so the cached gram frame
+    // (consumed by the df aggregate and both join arms) releases NOW
+    val out = plan.localCheckpoint()
+    grams.unpersist(blocking = true)
+    out
+  }
+
+  /** Un-checkpointed [[ngramNovelty]] plan + the cached gram frame it
+    * rides on — [[ngramNovelty]] materializes and releases; the
+    * plan-shape spec inspects the live plan directly.
+    */
+  private[graft] def ngramNoveltyPlan(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      n: Int,
+      hotMin: Long,
+  ): (DataFrame, DataFrame) = {
     val grams = DedupFunctions
       .spread(df)
       .select(idCol.as("doc_id"), TextFunctions.words(text).as("__w"))
@@ -906,11 +925,7 @@ object CorpusFunctions {
         sum(when(col("gdf") === 1L, 1L).otherwise(0L)).as("n_novel"),
       )
       .withColumn("novelty_ppm", expr("1000000 * n_novel div n_ngrams"))
-      // materialize the small per-doc result so the cached gram frame
-      // (consumed by the df aggregate and both join arms) releases NOW
-      .localCheckpoint()
-    grams.unpersist(blocking = true)
-    out
+    (out, grams)
   }
 
   /** Mixture-weighted curriculum interleave — the deterministic data

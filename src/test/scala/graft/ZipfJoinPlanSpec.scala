@@ -113,6 +113,46 @@ class ZipfJoinPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramNovelty rides the Zipf split: one broadcast for hot grams, tail shuffles, exchanges reused") {
+    withoutAutoBroadcast {
+      // 200 copies of one boilerplate text → its grams are hot keys
+      val docs = ((1 to 200).map(i => (i.toLong, "the same boilerplate template body repeated across the crawl")) ++
+        (201 to 230).map(i => (i.toLong, s"original document number $i with its own fresh unshared words w$i")))
+        .toDF("doc_id", "text")
+      val (plan0, grams) = CorpusFunctions.ngramNoveltyPlan(docs, col("doc_id"), col("text"), 3, 100L)
+      try {
+        val plan = finalPlan(plan0)
+        // hot grams reach the probe by broadcast, and EVERY broadcast
+        // in the plan is the bounded >= hotMin frequency set — the
+        // gram stream itself never broadcasts. (Cache query stages
+        // block broadcast reuse across the two arms, so the hot set
+        // may materialize once per arm — both instances bounded.)
+        val nBroadcast = countMatches(plan, """BroadcastExchange""")
+        assert(nBroadcast >= 1, plan)
+        assert(nBroadcast == countMatches(plan, """Filter \(gdf#\d+L >= 100\)"""), plan)
+        assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+        // and never a window: per-doc aggregation is a hash aggregate
+        assert(!plan.contains("Window"), plan)
+      } finally grams.unpersist(blocking = true)
+    }
+  }
+
+  test("curriculumInterleave: tie window keys on (stratum, difficulty), histogram broadcasts") {
+    withoutAutoBroadcast {
+      val docs = (1 to 300).map(i => (i.toLong, if (i % 3 == 0) "de" else "en", ("w " * (i % 11 + 1)).trim))
+        .toDF("doc_id", "lang", "text")
+      val out = CorpusFunctions.curriculumInterleave(docs, col("doc_id"), col("lang"), col("text"), Map("en" -> 700000L))
+      val plan = finalPlan(out)
+      // the bounded histogram reaches the docs by explicit broadcast
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      // the ONLY per-row window partitions on BOTH stratum and
+      // difficulty — never on the stratum alone (a whole stratum in
+      // one sort partition is the 100 TB failure mode)
+      assert(countMatches(plan, """windowspecdefinition\(stratum#\d+, difficulty#\d+""") >= 1, plan)
+      assert(countMatches(plan, """windowspecdefinition\(stratum#\d+,\s*_w""") == 0, plan)
+    }
+  }
+
   test("paragraphDedup picks first occurrences with an aggregate, never a hot-key window sort") {
     val docs = (1 to 300).map(i => (i.toLong, "the same boilerplate block repeated in every single doc here now"))
       .toDF("doc_id", "text")
