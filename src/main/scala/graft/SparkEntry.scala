@@ -1251,6 +1251,20 @@ object SparkEntry {
         defaultPpm = 100000L,
       )
     },
+    // C50b: epoch-seeded curriculum — same structure, per-epoch
+    // deterministic reshuffle within equal-difficulty cells (md5 of
+    // doc_id#seed as the tiebreak)
+    "corpus_curriculum_epoch" -> { (s, dir) =>
+      CorpusFunctions.curriculumInterleave(
+        Tables.documents(s, dir),
+        col("doc_id"),
+        col("lang"),
+        col("text"),
+        weightsPpm = Map("en" -> 500000L, "zh" -> 200000L, "es" -> 150000L),
+        defaultPpm = 100000L,
+        epochSeed = Some(7L),
+      )
+    },
     // C30: language-ID confusion matrix — predicted vs labeled lang,
     // the quality audit of the C8 heuristic over the whole corpus
     "corpus_lang_confusion" -> { (s, dir) =>
@@ -2601,6 +2615,20 @@ object SparkEntry {
            FROM documents),
          r AS (SELECT doc_id, stratum, difficulty,
                       CAST(row_number() OVER (PARTITION BY stratum ORDER BY difficulty, doc_id) AS BIGINT) AS rank_in_stratum
+               FROM d)
+         SELECT doc_id, stratum, difficulty, rank_in_stratum,
+                CAST(CASE stratum WHEN 'en' THEN 500000 WHEN 'zh' THEN 200000 WHEN 'es' THEN 150000 ELSE 100000 END AS BIGINT) AS weight_ppm,
+                CAST(1000000000000 * rank_in_stratum
+                     // CAST(CASE stratum WHEN 'en' THEN 500000 WHEN 'zh' THEN 200000 WHEN 'es' THEN 150000 ELSE 100000 END AS BIGINT)
+                     AS BIGINT) AS vt
+         FROM r""",
+    "corpus_curriculum_epoch" ->
+      """WITH d AS (SELECT doc_id, lang AS stratum,
+                CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS difficulty
+           FROM documents),
+         r AS (SELECT doc_id, stratum, difficulty,
+                      CAST(row_number() OVER (PARTITION BY stratum
+                             ORDER BY difficulty, md5(concat_ws('#', CAST(doc_id AS VARCHAR), '7')), doc_id) AS BIGINT) AS rank_in_stratum
                FROM d)
          SELECT doc_id, stratum, difficulty, rank_in_stratum,
                 CAST(CASE stratum WHEN 'en' THEN 500000 WHEN 'zh' THEN 200000 WHEN 'es' THEN 150000 ELSE 100000 END AS BIGINT) AS weight_ppm,

@@ -952,6 +952,14 @@ object CorpusFunctions {
     * `weightsPpm` maps stratum → parts-per-million target weight
     * (e.g. from [[mixturePlan]]); unlisted strata get the `defaultPpm`
     * floor so nothing silently drops out of the schedule.
+    *
+    * `epochSeed` gives each training epoch a fresh deterministic
+    * order: the tiebreak within a (stratum, difficulty) cell becomes
+    * the md5 of `doc_id#seed` instead of the doc id, so equal-
+    * difficulty docs reshuffle per epoch while the curriculum
+    * (difficulty-ordered) and mixture (weight-interleaved) structure
+    * is untouched — the per-epoch reshuffle every data loader needs,
+    * with no state beyond the seed.
     */
   def curriculumInterleave(
       df: DataFrame,
@@ -960,6 +968,7 @@ object CorpusFunctions {
       text: Column,
       weightsPpm: Map[String, Long],
       defaultPpm: Long = 1000L,
+      epochSeed: Option[Long] = None,
   ): DataFrame = {
     val wexpr = weightsPpm.toSeq.sortBy(_._1).foldRight(lit(defaultPpm)) { case ((s, w), rest) =>
       when(col("stratum") === s, lit(w)).otherwise(rest)
@@ -981,7 +990,11 @@ object CorpusFunctions {
         ),
       )
       .select(col("stratum"), col("difficulty"), col("__below"))
-    val tie = Window.partitionBy(col("stratum"), col("difficulty")).orderBy(col("doc_id"))
+    val tieKey = epochSeed match {
+      case Some(seed) => Seq(md5(concat_ws("#", col("doc_id"), lit(seed))), col("doc_id"))
+      case None => Seq(col("doc_id"))
+    }
+    val tie = Window.partitionBy(col("stratum"), col("difficulty")).orderBy(tieKey: _*)
     docs
       .withColumn("__tie", row_number().over(tie).cast("long"))
       .join(broadcast(hist), Seq("stratum", "difficulty"))

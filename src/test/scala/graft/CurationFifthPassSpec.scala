@@ -142,6 +142,29 @@ class CurationFifthPassSpec extends AnyFunSuite {
     curriculum.foreach(r => assert(r.getLong(3) == expect(r.getLong(0)), s"doc ${r.getLong(0)}"))
   }
 
+  test("epoch seed reshuffles within equal-difficulty cells, preserving curriculum structure") {
+    // many docs sharing one difficulty so the tie cell is big enough
+    // for the reshuffle to show
+    val docs = (1 to 40).map(i => (i.toLong, "en", "w x y")).toDF("doc_id", "lang", "text")
+    def order(seed: Option[Long]): Seq[Long] =
+      CorpusFunctions
+        .curriculumInterleave(docs, col("doc_id"), col("lang"), col("text"), Map("en" -> 500000L), epochSeed = seed)
+        .collect()
+        .sortBy(_.getLong(3))
+        .map(_.getLong(0))
+        .toSeq
+    val base = order(None)
+    val e1 = order(Some(1L))
+    val e2 = order(Some(2L))
+    assert(base == (1L to 40L).toSeq) // seedless: doc-id order
+    // every epoch is a permutation of the same docs…
+    assert(e1.sorted == base && e2.sorted == base)
+    // …each epoch deterministic, epochs differ from each other and
+    // from the seedless order
+    assert(e1 == order(Some(1L)))
+    assert(e1 != base && e2 != base && e1 != e2)
+  }
+
   // -- MinHash band planning ---------------------------------------
 
   test("minhashBandPlan chooses the S-curve fit and agrees with the driver twin") {
@@ -154,6 +177,31 @@ class CurationFifthPassSpec extends AnyFunSuite {
     plan.foreach { r =>
       assert(r.getLong(3) <= r.getLong(4) && r.getLong(4) <= r.getLong(5), s"bands ${r.getLong(0)}")
     }
+  }
+
+  test("planned bands tighten the candidate set: strict config drops low-sim pairs, keeps the near-dup") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (0L, base),
+      (1L, base + " phi"), // true near-dup of 0 (J ≈ 0.9)
+      // shares the first 16 words with the base → shingle J ≈ 0.64:
+      // above the loose t̂ ≈ 0.42, far below the strict t̂ ≈ 0.8
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi other content words now"),
+      (3L, "unrelated text about shuffle partitions and broadcast joins in a distributed query engine runtime today"),
+    ).toDF("doc_id", "text")
+    def pairs(bands: Int): Set[(Long, Long)] =
+      DedupFunctions
+        .minhashCandidates(docs, "doc_id", "text", bands = bands)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+    val loose = pairs(32) // t̂ ≈ 0.42
+    val strict = pairs(DedupFunctions.minhashPlannedBands(128, 800000L)) // t̂ ≈ 0.8 → fewer bands
+    // the S-curve moves the right way: strict ⊆ loose, both catch the
+    // true near-dup, and on this corpus strict actually prunes
+    assert(strict.subsetOf(loose))
+    assert(strict.contains((0L, 1L)) && loose.contains((0L, 1L)))
+    assert(strict.size < loose.size, s"strict $strict vs loose $loose")
   }
 
   test("minhashPlannedBands moves with the target threshold") {
