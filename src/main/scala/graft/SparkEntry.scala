@@ -1523,6 +1523,27 @@ object SparkEntry {
         .chunk(reps, col("doc_id"), col("text"))
         .withColumn("chunk_id", col("chunk_id").cast("long"))
     },
+    // C51: the ordering pipeline — quality gate → exact dedup →
+    // mixture-weighted curriculum, one plan from raw corpus to the
+    // deterministic training order (the consumption-side closer of
+    // the curation chain: clean_corpus dedups, curate publishes,
+    // order_corpus schedules)
+    "pipeline_order_corpus" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val kept = TextFunctions
+        .qualityScore(docs, col("text"))
+        .where(col("quality_score") > 0.45)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val reps = DedupFunctions.exactGroups(kept, "doc_id", "text").select(col("rep_id").as("doc_id"))
+      CorpusFunctions.curriculumInterleave(
+        kept.join(reps, Seq("doc_id")),
+        col("doc_id"),
+        col("lang"),
+        col("text"),
+        weightsPpm = Map("en" -> 500000L, "zh" -> 200000L, "es" -> 150000L),
+        defaultPpm = 100000L,
+      )
+    },
     // C21: the curation pipeline — PII scrub → quality gate →
     // benchmark decontamination → deterministic split assignment,
     // chained in one plan (the publishing-side dual of
@@ -2392,6 +2413,34 @@ object SparkEntry {
                     list_distinct(list_transform(generate_series(1, GREATEST(len(hs) - 3, 1)), j -> list_aggregate(list_slice(hs, j, j + 3), 'min'))) AS fps
                   FROM hashes)
          SELECT doc_id, unnest(fps) AS fp FROM wins""",
+    "pipeline_order_corpus" ->
+      """WITH base AS (
+           SELECT doc_id, lang, text, length(text) AS n_chars,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         feat AS (
+           SELECT doc_id, lang, text, w, len(w) AS n_words,
+                  FLOOR(CAST(n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) * 1000000.0 / n_chars) / 1000000.0 AS punct_ratio,
+                  FLOOR(CAST(len(list_filter(w, t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE) * 1000000.0 / GREATEST(len(w), 1)) / 1000000.0 AS stopword_ratio
+           FROM base),
+         kept AS (
+           SELECT doc_id, lang, text, w FROM feat
+           WHERE 0.3 * stopword_ratio + 0.3 * (1.0 - punct_ratio) + 0.4 * LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) > 0.45),
+         reps AS (
+           SELECT MIN(doc_id) AS doc_id
+           FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM kept)
+           GROUP BY fp),
+         d AS (SELECT k.doc_id, k.lang AS stratum, CAST(len(k.w) AS BIGINT) AS difficulty
+               FROM kept k JOIN reps USING (doc_id)),
+         r AS (SELECT doc_id, stratum, difficulty,
+                      CAST(row_number() OVER (PARTITION BY stratum ORDER BY difficulty, doc_id) AS BIGINT) AS rank_in_stratum
+               FROM d)
+         SELECT doc_id, stratum, difficulty, rank_in_stratum,
+                CAST(CASE stratum WHEN 'en' THEN 500000 WHEN 'zh' THEN 200000 WHEN 'es' THEN 150000 ELSE 100000 END AS BIGINT) AS weight_ppm,
+                CAST(1000000000000 * rank_in_stratum
+                     // CAST(CASE stratum WHEN 'en' THEN 500000 WHEN 'zh' THEN 200000 WHEN 'es' THEN 150000 ELSE 100000 END AS BIGINT)
+                     AS BIGINT) AS vt
+         FROM r""",
     "pipeline_curate" ->
       """WITH scrub AS (
            SELECT doc_id,

@@ -334,21 +334,28 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(children(0), children(1)),
   )
 
+  /** Single source of truth for every graft function: session-level
+    * `register` and the cluster-level `GraftExtensions` installer both
+    * iterate THIS list, so a new descriptor cannot reach one path and
+    * silently miss the other.
+    */
+  val allDescriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    minhashSigDescriptor,
+    dotDescriptor,
+    hyperplaneSigDescriptor,
+    simhashDescriptor,
+    bpeDescriptor,
+    deflateLenDescriptor,
+    unormDescriptor,
+    stripMarksDescriptor,
+    cmsEstimateDescriptor,
+    bloomAggDescriptor,
+    bloomMightContainDescriptor,
+  )
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    Seq(
-      minhashSigDescriptor,
-      dotDescriptor,
-      hyperplaneSigDescriptor,
-      simhashDescriptor,
-      bpeDescriptor,
-      deflateLenDescriptor,
-      unormDescriptor,
-      stripMarksDescriptor,
-      cmsEstimateDescriptor,
-      bloomAggDescriptor,
-      bloomMightContainDescriptor,
-    ).foreach { d =>
+    allDescriptors.foreach { d =>
       if (!registry.functionExists(d._1)) registry.registerFunction(d._1, d._2, d._3)
     }
   }
@@ -360,17 +367,7 @@ object GraftFunctions {
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftFunctions.minhashSigDescriptor)
-    ext.injectFunction(GraftFunctions.dotDescriptor)
-    ext.injectFunction(GraftFunctions.hyperplaneSigDescriptor)
-    ext.injectFunction(GraftFunctions.simhashDescriptor)
-    ext.injectFunction(GraftFunctions.bpeDescriptor)
-    ext.injectFunction(GraftFunctions.deflateLenDescriptor)
-    ext.injectFunction(GraftFunctions.unormDescriptor)
-    ext.injectFunction(GraftFunctions.stripMarksDescriptor)
-    ext.injectFunction(GraftFunctions.cmsEstimateDescriptor)
-    ext.injectFunction(GraftFunctions.bloomAggDescriptor)
-    ext.injectFunction(GraftFunctions.bloomMightContainDescriptor)
+    GraftFunctions.allDescriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => PushRangeThroughNanos)
   }
 }

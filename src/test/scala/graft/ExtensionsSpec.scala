@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end check of the cluster installer path: a session carrying
+  * `graft.plans.GraftExtensions` (the production wiring on a real
+  * cluster — no library call to `GraftFunctions.register`) must expose
+  * every graft function and the range-pushdown optimizer rule. Guards
+  * the single-source descriptor list: a function reachable via
+  * `register` but missing from the installer would fail here.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val base = TestSpark.spark
+
+  test("the GraftExtensions installer exposes every graft function and the optimizer rule") {
+    // `spark.sql.extensions` is a STATIC conf (fixed at context
+    // start), so the installer is applied through the public
+    // `Builder.withExtensions` hook on the shared context — the same
+    // injection point `applyExtensions` feeds on a real cluster boot.
+    base // materialize the shared context first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder().withExtensions(new graft.plans.GraftExtensions()(_)).getOrCreate()
+    try {
+      assert(s ne base) // a genuinely new session, extensions applied at build
+      // every descriptor resolves through the injected registry
+      graft.plans.GraftFunctions.allDescriptors.foreach { d =>
+        assert(s.sessionState.functionRegistry.functionExists(d._1), d._1.toString)
+      }
+      // and the functions actually run via SQL with no register() call
+      val r = s
+        .sql("""SELECT graft_unorm('é', 'NFC') AS nfc,
+                       graft_strip_marks('résumé') AS folded,
+                       graft_simhash64(array(xxhash64('some'), xxhash64('text'))) AS sh""")
+        .head()
+      assert(r.getString(0) == "é")
+      assert(r.getString(1) == "resume")
+      // the optimizer rule is injected too
+      assert(s.sessionState.optimizer.extendedOperatorOptimizationRules.exists(_ eq graft.plans.PushRangeThroughNanos))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
