@@ -1237,6 +1237,12 @@ object SparkEntry {
     "corpus_token_fertility" -> { (s, dir) =>
       CorpusFunctions.tokenFertility(Tables.documents(s, dir), col("lang"), col("text"))
     },
+    // C52: dedup-saturation curve — per ingest batch, share of exact
+    // fingerprints making their first corpus appearance ("is the next
+    // crawl worth its cost")
+    "corpus_novelty_curve" -> { (s, dir) =>
+      CorpusFunctions.noveltyCurve(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
     // C50: mixture-weighted curriculum interleave — deterministic
     // easy→hard training order with weighted-fair-queueing virtual
     // time; emits the sort key, rank via bounded histogram (no
@@ -2658,6 +2664,16 @@ object SparkEntry {
                 (1000000 * CAST(SUM(tk) AS BIGINT)) // CAST(SUM(w) AS BIGINT) AS tokens_per_word_ppm,
                 (1000000 * CAST(SUM(c) AS BIGINT)) // CAST(SUM(tk) AS BIGINT) AS chars_per_token_ppm
          FROM t GROUP BY 1""",
+    "corpus_novelty_curve" ->
+      """WITH b AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                           doc_id // 100 AS batch
+                    FROM documents),
+         f AS (SELECT fp, MIN(batch) AS batch FROM b GROUP BY 1),
+         nf AS (SELECT batch, COUNT(*) AS n_new_fps FROM f GROUP BY 1),
+         sz AS (SELECT batch, COUNT(*) AS n_docs FROM b GROUP BY 1)
+         SELECT sz.batch, sz.n_docs, COALESCE(nf.n_new_fps, 0) AS n_new_fps,
+                CAST(1000000 * COALESCE(nf.n_new_fps, 0) // sz.n_docs AS BIGINT) AS novelty_ppm
+         FROM sz LEFT JOIN nf USING (batch)""",
     "corpus_curriculum" ->
       """WITH d AS (SELECT doc_id, lang AS stratum,
                 CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS difficulty

@@ -928,6 +928,35 @@ object CorpusFunctions {
     (out, grams)
   }
 
+  /** Dedup-saturation curve — "how much NEW data does each crawl
+    * add": per ingest batch (doc-id blocks as the batch proxy), the
+    * count of exact fingerprints making their FIRST corpus appearance
+    * in that batch, as a share of the batch. A flattening curve says
+    * further crawling mostly re-fetches what the lake already holds —
+    * the signal that decides whether the next crawl is worth its
+    * cost. Two hash aggregates (per-fp min batch, then per-batch
+    * count; both map-side combined, no hot keys — a fingerprint
+    * repeats at most corpus-dup-rate times) and a join on the tiny
+    * batch key. Integer-exact ppm.
+    */
+  def noveltyCurve(df: DataFrame, idCol: Column, text: Column, batchSize: Long = 100L): DataFrame = {
+    val base = DedupFunctions
+      .spread(df)
+      .select(idCol.as("doc_id"), md5(TextFunctions.normText(text)).as("fp"))
+      .withColumn("batch", expr(s"doc_id div $batchSize"))
+    val firsts = base
+      .groupBy(col("fp"))
+      .agg(min(col("batch")).as("batch"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_new_fps"))
+    base
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(firsts, Seq("batch"), "left")
+      .withColumn("n_new_fps", coalesce(col("n_new_fps"), lit(0L)))
+      .withColumn("novelty_ppm", expr("1000000 * n_new_fps div n_docs"))
+  }
+
   /** Mixture-weighted curriculum interleave — the deterministic data
     * ORDER a training run consumes the corpus in: within each stratum
     * docs run easy → hard (difficulty = word count, the standard

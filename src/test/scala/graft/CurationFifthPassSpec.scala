@@ -89,6 +89,24 @@ class CurationFifthPassSpec extends AnyFunSuite {
     assert(out.getLong(2) == 2L) // both unique corpus-wide
   }
 
+  test("noveltyCurve: fresh batches score 1e6, re-crawled batches 0, mixed in between") {
+    // batch 0 (ids 0-9): 10 unique docs; batch 1 (ids 10-19): all
+    // copies of batch 0; batch 2 (ids 20-29): half copies, half new
+    val docs = ((0 until 10).map(i => (i.toLong, s"unique document number $i")) ++
+      (10 until 20).map(i => (i.toLong, s"unique document number ${i - 10}")) ++
+      (20 until 25).map(i => (i.toLong, s"unique document number ${i - 20}")) ++
+      (25 until 30).map(i => (i.toLong, s"brand new content item $i")))
+      .toDF("doc_id", "text")
+    val out = CorpusFunctions
+      .noveltyCurve(docs, col("doc_id"), col("text"), batchSize = 10L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(0L) == ((10L, 10L, 1000000L)))
+    assert(out(1L) == ((10L, 0L, 0L))) // saturated: nothing new
+    assert(out(2L) == ((10L, 5L, 500000L)))
+  }
+
   // -- curriculum interleave ---------------------------------------
 
   private lazy val curDocs = Seq(
