@@ -94,6 +94,7 @@ object Bench {
     "corpus_mixture_apply",
     "corpus_dsir_select", // explode → bounded-key aggs + broadcast: must stay linear
     "text_ngram_novelty", // gram-df Zipf-split join: novel tail has fanout 1 — must stay linear
+    "corpus_curriculum", // bounded-histogram ranking + tie windows: n log n sort, never a stratum-sized partition
     // time-series headliners over the series-space-scaled events table
     // (per-series point counts constant across factors — see
     // ScaleGen.ensureEvents): all UNFILTERED across series/users, so

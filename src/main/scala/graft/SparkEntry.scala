@@ -2436,15 +2436,15 @@ object SparkEntry {
            SELECT MIN(doc_id) AS doc_id
            FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM kept)
            GROUP BY fp),
-         d AS (SELECT k.doc_id, k.lang AS stratum, CAST(len(k.w) AS BIGINT) AS difficulty
+         d AS (SELECT k.doc_id, k.lang AS stratum, CAST(COALESCE(len(k.w), 0) AS BIGINT) AS difficulty
                FROM kept k JOIN reps USING (doc_id)),
          r AS (SELECT doc_id, stratum, difficulty,
                       CAST(row_number() OVER (PARTITION BY stratum ORDER BY difficulty, doc_id) AS BIGINT) AS rank_in_stratum
                FROM d)
          SELECT doc_id, stratum, difficulty, rank_in_stratum,
                 CAST(CASE stratum WHEN 'en' THEN 500000 WHEN 'zh' THEN 200000 WHEN 'es' THEN 150000 ELSE 100000 END AS BIGINT) AS weight_ppm,
-                CAST(1000000000000 * rank_in_stratum
-                     // CAST(CASE stratum WHEN 'en' THEN 500000 WHEN 'zh' THEN 200000 WHEN 'es' THEN 150000 ELSE 100000 END AS BIGINT)
+                CAST(rank_in_stratum * (1000000000000
+                     // CAST(CASE stratum WHEN 'en' THEN 500000 WHEN 'zh' THEN 200000 WHEN 'es' THEN 150000 ELSE 100000 END AS BIGINT))
                      AS BIGINT) AS vt
          FROM r""",
     "pipeline_curate" ->
@@ -2676,20 +2676,20 @@ object SparkEntry {
          FROM sz LEFT JOIN nf USING (batch)""",
     "corpus_curriculum" ->
       """WITH d AS (SELECT doc_id, lang AS stratum,
-                CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS difficulty
+                CAST(COALESCE(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), 0) AS BIGINT) AS difficulty
            FROM documents),
          r AS (SELECT doc_id, stratum, difficulty,
                       CAST(row_number() OVER (PARTITION BY stratum ORDER BY difficulty, doc_id) AS BIGINT) AS rank_in_stratum
                FROM d)
          SELECT doc_id, stratum, difficulty, rank_in_stratum,
                 CAST(CASE stratum WHEN 'en' THEN 500000 WHEN 'zh' THEN 200000 WHEN 'es' THEN 150000 ELSE 100000 END AS BIGINT) AS weight_ppm,
-                CAST(1000000000000 * rank_in_stratum
-                     // CAST(CASE stratum WHEN 'en' THEN 500000 WHEN 'zh' THEN 200000 WHEN 'es' THEN 150000 ELSE 100000 END AS BIGINT)
+                CAST(rank_in_stratum * (1000000000000
+                     // CAST(CASE stratum WHEN 'en' THEN 500000 WHEN 'zh' THEN 200000 WHEN 'es' THEN 150000 ELSE 100000 END AS BIGINT))
                      AS BIGINT) AS vt
          FROM r""",
     "corpus_curriculum_epoch" ->
       """WITH d AS (SELECT doc_id, lang AS stratum,
-                CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS difficulty
+                CAST(COALESCE(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), 0) AS BIGINT) AS difficulty
            FROM documents),
          r AS (SELECT doc_id, stratum, difficulty,
                       CAST(row_number() OVER (PARTITION BY stratum
@@ -2697,8 +2697,8 @@ object SparkEntry {
                FROM d)
          SELECT doc_id, stratum, difficulty, rank_in_stratum,
                 CAST(CASE stratum WHEN 'en' THEN 500000 WHEN 'zh' THEN 200000 WHEN 'es' THEN 150000 ELSE 100000 END AS BIGINT) AS weight_ppm,
-                CAST(1000000000000 * rank_in_stratum
-                     // CAST(CASE stratum WHEN 'en' THEN 500000 WHEN 'zh' THEN 200000 WHEN 'es' THEN 150000 ELSE 100000 END AS BIGINT)
+                CAST(rank_in_stratum * (1000000000000
+                     // CAST(CASE stratum WHEN 'en' THEN 500000 WHEN 'zh' THEN 200000 WHEN 'es' THEN 150000 ELSE 100000 END AS BIGINT))
                      AS BIGINT) AS vt
          FROM r""",
     "dedup_minhash_bandplan" ->

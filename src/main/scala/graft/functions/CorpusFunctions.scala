@@ -895,10 +895,11 @@ object CorpusFunctions {
   def ngramNovelty(df: DataFrame, idCol: Column, text: Column, n: Int = 3, hotMin: Long = 1000L): DataFrame = {
     val (plan, grams) = ngramNoveltyPlan(df, idCol, text, n, hotMin)
     // materialize the small per-doc result so the cached gram frame
-    // (consumed by the df aggregate and both join arms) releases NOW
-    val out = plan.localCheckpoint()
-    grams.unpersist(blocking = true)
-    out
+    // (consumed by the df aggregate and both join arms) releases NOW —
+    // in the finally so a failed checkpoint job can't pin the exploded
+    // gram frame for the session's lifetime
+    try plan.localCheckpoint()
+    finally grams.unpersist(blocking = true)
   }
 
   /** Un-checkpointed [[ngramNovelty]] plan + the cached gram frame it
@@ -912,10 +913,12 @@ object CorpusFunctions {
       n: Int,
       hotMin: Long,
   ): (DataFrame, DataFrame) = {
+    // shingleIndex places the spread() barrier AFTER the word-split
+    // projection (its documented rationale: an inlined `__w` re-runs
+    // normalize+split per n-gram slot) — reuse it rather than drift
     val grams = DedupFunctions
-      .spread(df)
-      .select(idCol.as("doc_id"), TextFunctions.words(text).as("__w"))
-      .select(col("doc_id"), explode(TextFunctions.shingles("__w", n)).as("g"))
+      .shingleIndex(df.select(idCol.as("doc_id"), text.as("__text")), "doc_id", "__text", n)
+      .withColumnRenamed("shingle", "g")
       .cache()
     val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
     val out = zipfSplitJoin(grams, dfreq, Seq("g"), "gdf", hotMin)
@@ -969,6 +972,15 @@ object CorpusFunctions {
     * scales; materializing a global dense rank would serialize into
     * one partition for no consumer benefit.
     *
+    * vt is the textbook WFQ form — a constant per-doc step
+    * `1e12 div w_ppm` times the rank, NOT `1e12·r div w` (whose
+    * product overflows Long at ~9.2M docs per stratum). The step form
+    * holds to ~9.2e6·w_ppm docs per stratum (9 billion at w = 1000
+    * ppm, 9 trillion at full weight) with the same interleave order.
+    * NULL strata ride through on a null-safe join (their own schedule
+    * lane at `defaultPpm`); NULL/empty text ranks at difficulty 0 —
+    * nothing silently drops out of the schedule.
+    *
     * The per-stratum rank is NOT a per-stratum window (that would put
     * a whole stratum — tens of TB — in one sort partition). Difficulty
     * is small-integer-valued, so the (stratum, difficulty) histogram
@@ -1004,7 +1016,11 @@ object CorpusFunctions {
     }
     val docs = DedupFunctions
       .spread(df)
-      .select(idCol.as("doc_id"), stratum.as("stratum"), size(TextFunctions.words(text)).cast("long").as("difficulty"))
+      .select(
+        idCol.as("doc_id"),
+        stratum.as("stratum"),
+        coalesce(size(TextFunctions.words(text)).cast("long"), lit(0L)).as("difficulty"),
+      )
     // bounded histogram: one row per (stratum, difficulty) value
     val hist = docs
       .groupBy(col("stratum"), col("difficulty"))
@@ -1024,12 +1040,15 @@ object CorpusFunctions {
       case None => Seq(col("doc_id"))
     }
     val tie = Window.partitionBy(col("stratum"), col("difficulty")).orderBy(tieKey: _*)
+    val h = hist.withColumnRenamed("stratum", "__hs").withColumnRenamed("difficulty", "__hd")
     docs
       .withColumn("__tie", row_number().over(tie).cast("long"))
-      .join(broadcast(hist), Seq("stratum", "difficulty"))
+      // null-safe on the stratum so a NULL-lang doc keeps its schedule
+      // row (difficulty is coalesced, never null)
+      .join(broadcast(h), col("stratum") <=> col("__hs") && col("difficulty") === col("__hd"))
       .withColumn("rank_in_stratum", col("__below") + col("__tie"))
       .withColumn("weight_ppm", wexpr)
-      .withColumn("vt", expr("1000000000000 * rank_in_stratum div weight_ppm"))
+      .withColumn("vt", expr("rank_in_stratum * (1000000000000 div weight_ppm)"))
       .select(col("doc_id"), col("stratum"), col("difficulty"), col("rank_in_stratum"), col("weight_ppm"), col("vt"))
   }
 }

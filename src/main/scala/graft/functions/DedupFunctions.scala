@@ -278,7 +278,7 @@ object DedupFunctions {
     * whose threshold lands closest to the target — the config
     * [[minhashPlannedBands]] feeds into [[minhashCandidates]].
     *
-    * The frame is the divisor set of `perms` (16 rows for 128) built
+    * The frame is the divisor set of `perms` (8 rows for 128) built
     * from `spark.range` — no data scan; probabilities round to the
     * 6-decimal grid before integer scaling (SURVEY float policy:
     * `pow` agrees across engines well inside 1e-6, so the ppm values
