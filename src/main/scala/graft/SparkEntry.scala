@@ -1237,6 +1237,20 @@ object SparkEntry {
     "corpus_token_fertility" -> { (s, dir) =>
       CorpusFunctions.tokenFertility(Tables.documents(s, dir), col("lang"), col("text"))
     },
+    // C53: document Pareto frontier — skyline over (quality, length):
+    // the docs no other doc beats on both criteria, i.e. every
+    // weighted-score selection's optimum at once; two-phase
+    // distributed skyline (local frontiers → global pass)
+    "corpus_skyline" -> { (s, dir) =>
+      val scored = TextFunctions
+        .qualityScore(Tables.documents(s, dir), col("text"))
+        .select(
+          col("doc_id"),
+          floor(col("quality_score") * lit(1000000.0)).cast("long").as("quality_ppm"),
+          col("n_words").cast("long").as("n_words"),
+        )
+      graft.operators.Skyline.skyline(scored, maximize = Seq("quality_ppm", "n_words"))
+    },
     // C52: dedup-saturation curve — per ingest batch, share of exact
     // fingerprints making their first corpus appearance ("is the next
     // crawl worth its cost")
@@ -2664,6 +2678,21 @@ object SparkEntry {
                 (1000000 * CAST(SUM(tk) AS BIGINT)) // CAST(SUM(w) AS BIGINT) AS tokens_per_word_ppm,
                 (1000000 * CAST(SUM(c) AS BIGINT)) // CAST(SUM(tk) AS BIGINT) AS chars_per_token_ppm
          FROM t GROUP BY 1""",
+    "corpus_skyline" ->
+      """WITH base AS (SELECT doc_id, text, length(text) AS n_chars,
+                              string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+                       FROM documents),
+         s AS (SELECT doc_id,
+                      CAST(FLOOR(1000000.0 * (
+                        0.3 * (FLOOR(CAST(len(list_filter(w, t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE) * 1000000.0 / GREATEST(len(w), 1)) / 1000000.0)
+                        + 0.3 * (1.0 - FLOOR(CAST(n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) * 1000000.0 / n_chars) / 1000000.0)
+                        + 0.4 * LEAST(CAST(len(w) AS DOUBLE) / 100.0, 1.0))) AS BIGINT) AS quality_ppm,
+                      CAST(len(w) AS BIGINT) AS n_words
+               FROM base)
+         SELECT a.doc_id, a.quality_ppm, a.n_words FROM s a
+         WHERE NOT EXISTS (SELECT 1 FROM s b
+                           WHERE b.quality_ppm >= a.quality_ppm AND b.n_words >= a.n_words
+                             AND (b.quality_ppm > a.quality_ppm OR b.n_words > a.n_words))""",
     "corpus_novelty_curve" ->
       """WITH b AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
                            doc_id // 100 AS batch

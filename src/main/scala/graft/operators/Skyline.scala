@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed skyline (Pareto frontier): the rows no other row
+  * dominates, where a dominator is at least as good on EVERY criterion
+  * and strictly better on at least one. The multi-criteria selection
+  * operator relational engines lack (EDBT 2023, "Integration of
+  * Skyline Queries into Spark SQL") — in a training-data pipeline it
+  * answers "which documents are on the quality/length/novelty
+  * frontier" without collapsing the criteria into one weighted score
+  * first (every weighting picks a frontier point; the skyline is all
+  * of them).
+  *
+  * Algorithm — the standard two-phase distributed decomposition, which
+  * works because the skyline operator is DISTRIBUTIVE: the global
+  * skyline is a subset of the union of per-partition skylines, so
+  * pass 1 prunes each partition to its local frontier (usually a tiny
+  * fraction) and only those survivors travel. Pass 1: per-partition
+  * lexicographic sort on the criteria (Spark's spillable
+  * sortWithinPartitions — no collect) + one linear scan; under that
+  * order a later row can never dominate an earlier one (its first
+  * differing criterion is worse), so the scan only checks new rows
+  * against the kept frontier — O(n·s) per partition for frontier size
+  * s. Pass 2: the same scan over the gathered survivors in one
+  * partition. The one-partition gather is the documented assumption:
+  * union-of-local-frontiers is small for low-dimensional/correlated
+  * criteria (the corpus-signal case); anti-correlated high-d inputs
+  * whose frontier outgrows a partition would need grid partitioning
+  * (ibid.) — out of scope, asserted nowhere needed here.
+  *
+  * Determinism: the output SET is unique by definition (dominance
+  * does not depend on partitioning or scan order — the spec asserts
+  * partitioning-invariance), which is what lets it hash-verify
+  * against a quadratic NOT-EXISTS SQL oracle. Criteria must be
+  * LongType (the house integer policy — floor-scale doubles to ppm
+  * first); rows with a NULL criterion are dominance-undefined and
+  * excluded, mirroring the oracle's NOT NULL guard.
+  */
+object Skyline {
+
+  def skyline(df: DataFrame, maximize: Seq[String], minimize: Seq[String] = Nil): DataFrame = {
+    require(maximize.nonEmpty || minimize.nonEmpty, "skyline needs at least one criterion")
+    val dims = maximize ++ minimize
+    dims.foreach { d =>
+      val dt = df.schema(d).dataType
+      require(dt == LongType, s"skyline criterion '$d' must be LongType (floor-scale to ppm first), got $dt")
+    }
+    val clean = df.where(dims.map(col(_).isNotNull).reduce(_ && _))
+    val local = pass(clean, maximize, minimize)
+    // survivors of pass 1 are the union of local frontiers — small by
+    // the distributivity argument above; finish in one partition
+    pass(local.coalesce(1), maximize, minimize)
+  }
+
+  /** One sort-and-scan skyline pass over each partition independently. */
+  private def pass(df: DataFrame, maximize: Seq[String], minimize: Seq[String]): DataFrame = {
+    val schema = df.schema
+    val maxIdx = maximize.map(schema.fieldIndex).toArray
+    val minIdx = minimize.map(schema.fieldIndex).toArray
+    val sorted = df.sortWithinPartitions(maximize.map(col(_).desc) ++ minimize.map(col(_).asc): _*)
+    sorted.mapPartitions { it =>
+      val frontier = scala.collection.mutable.ArrayBuffer.empty[Row]
+      def dominates(a: Row, b: Row): Boolean = {
+        var strict = false
+        var i = 0
+        while (i < maxIdx.length) {
+          val av = a.getLong(maxIdx(i)); val bv = b.getLong(maxIdx(i))
+          if (av < bv) return false
+          if (av > bv) strict = true
+          i += 1
+        }
+        i = 0
+        while (i < minIdx.length) {
+          val av = a.getLong(minIdx(i)); val bv = b.getLong(minIdx(i))
+          if (av > bv) return false
+          if (av < bv) strict = true
+          i += 1
+        }
+        strict
+      }
+      it.flatMap { r =>
+        if (frontier.exists(dominates(_, r))) None
+        else {
+          frontier += r
+          Some(r)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+}

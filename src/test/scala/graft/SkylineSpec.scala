@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Skyline
+
+/** The distributed skyline: planted dominance cases, the minimize
+  * direction, tie semantics, NULL exclusion, partitioning invariance,
+  * and set-equivalence against the quadratic NOT-EXISTS formulation
+  * on seeded random data — the property that justifies the two-phase
+  * plan.
+  */
+class SkylineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("skyline keeps exactly the non-dominated rows, ties both survive") {
+    val rows = Seq(
+      (1L, 10L, 10L), // frontier
+      (2L, 10L, 10L), // exact tie of 1: neither dominates → both kept
+      (3L, 10L, 5L), // dominated by 1
+      (4L, 5L, 10L), // dominated by 1
+      (5L, 12L, 1L), // frontier (best a)
+      (6L, 1L, 12L), // frontier (best b)
+      (7L, 1L, 1L), // dominated by everything
+    ).toDF("id", "a", "b")
+    val out = Skyline.skyline(rows, maximize = Seq("a", "b")).select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 5L, 6L))
+  }
+
+  test("minimize criteria flip the dominance direction") {
+    val rows = Seq(
+      (1L, 10L, 100L), // frontier: best a
+      (2L, 5L, 10L), // frontier: best cost
+      (3L, 5L, 50L), // dominated by 2 (same a, worse cost)
+      (4L, 10L, 200L), // dominated by 1 (same a, worse cost)
+      (5L, 7L, 30L), // frontier: middle trade
+    ).toDF("id", "a", "cost")
+    val out = Skyline.skyline(rows, maximize = Seq("a"), minimize = Seq("cost")).select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 5L))
+  }
+
+  test("rows with a NULL criterion are excluded, mirroring the oracle's NOT NULL guard") {
+    val rows = Seq[(Long, java.lang.Long, java.lang.Long)](
+      (1L, 10L, 10L),
+      (2L, null, 99L),
+      (3L, 99L, null),
+    ).toDF("id", "a", "b")
+    val out = Skyline.skyline(rows, maximize = Seq("a", "b")).select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L))
+  }
+
+  test("skyline set is partitioning-invariant and equals the quadratic NOT-EXISTS formulation") {
+    val rnd = new scala.util.Random(7)
+    val data = (1 to 300).map(i => (i.toLong, rnd.nextInt(50).toLong, rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val df = data.toDF("id", "a", "b", "c")
+    def sky(parts: Int): Set[Long] =
+      Skyline
+        .skyline(df.repartition(parts), maximize = Seq("a", "b"), minimize = Seq("c"))
+        .select("id")
+        .collect()
+        .map(_.getLong(0))
+        .toSet
+    // the quadratic ground truth: a row survives iff no dominator exists
+    val truth = data.filter { case (_, a, b, c) =>
+      !data.exists { case (_, a2, b2, c2) =>
+        a2 >= a && b2 >= b && c2 <= c && (a2 > a || b2 > b || c2 < c)
+      }
+    }.map(_._1).toSet
+    assert(truth.nonEmpty && truth.size < data.size)
+    assert(sky(1) == truth)
+    assert(sky(7) == truth)
+    assert(sky(64) == truth) // more partitions than frontier rows
+  }
+
+  test("non-long criteria are rejected up front") {
+    val rows = Seq((1L, 1.5)).toDF("id", "x")
+    val e = intercept[IllegalArgumentException](Skyline.skyline(rows, maximize = Seq("x")))
+    assert(e.getMessage.contains("LongType"))
+  }
+}
