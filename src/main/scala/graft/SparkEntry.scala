@@ -296,6 +296,17 @@ object SparkEntry {
     "ts_moving_avg" -> { (s, dir) =>
       ntz(TimeSeriesOps.movingAvg(ev(s, dir).where(col("series_name") === "signup"), Seq("series_name"), "event_id", nPoints = 10))
     },
+    // A32: subsequence pattern search — top-k windows closest to a
+    // query motif by integer-exact SSD (EDBT 2019 similarity search)
+    "ts_pattern_search" -> { (s, dir) =>
+      ntz(
+        TimeSeriesOps.patternSearch(
+          ev(s, dir),
+          Seq("series_name", "user_id"),
+          pattern = Seq(0.0, 0.5, 1.0, 0.5, 0.0, -0.5, -1.0, -0.5),
+        )
+      )
+    },
     // A26: counter-wrap correction (monotone running total of a
     // resetting counter; every decrease treated as a reset)
     "ts_counter_reset" -> { (s, dir) =>
@@ -1894,6 +1905,21 @@ object SparkEntry {
                 SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) OVER w / 1000000.0 / COUNT(*) OVER w AS moving_avg
          FROM (SELECT event_type AS series_name, ts, value, event_id FROM events WHERE event_type = 'signup')
          WINDOW w AS (PARTITION BY series_name ORDER BY ts, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
+    "ts_pattern_search" ->
+      """WITH v AS (SELECT event_type AS series_name, user_id, ts, event_id,
+                           CAST(FLOOR(value * 1000000) AS BIGINT) AS vm
+                    FROM events WHERE value IS NOT NULL),
+         w AS (SELECT series_name, user_id, ts,
+                      list(vm) OVER (PARTITION BY series_name, user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS win
+               FROM v),
+         d AS (SELECT series_name, user_id, ts,
+                      CAST(list_sum(list_transform(generate_series(1, 8),
+                             i -> (win[i] - ([0, 500000, 1000000, 500000, 0, -500000, -1000000, -500000])[i])
+                                  * (win[i] - ([0, 500000, 1000000, 500000, 0, -500000, -1000000, -500000])[i]))) AS BIGINT) AS ssd_micro2
+               FROM w WHERE len(win) = 8)
+         SELECT series_name, user_id, ts, ssd_micro2 FROM d
+         ORDER BY ssd_micro2, series_name, user_id, ts LIMIT 10""",
     "ts_counter_reset" ->
       """WITH pts AS (SELECT event_type AS series_name, user_id, ts, value, event_id,
                              lag(value) OVER (PARTITION BY event_type, user_id ORDER BY ts, event_id) AS prev_v

@@ -626,6 +626,55 @@ object TimeSeriesOps {
     * scale. Pick `lo`/`hi`/`bins` so `(hi-lo)/bins` is binary-exact
     * (e.g. 0..500/20) and bucket edges are reproducible across engines.
     */
+  /** Subsequence pattern search — the distributed similarity-search
+    * primitive of streaming TS systems (EDBT 2019, "Time Series
+    * Similarity Search for Streaming Data in Distributed Systems"):
+    * slide a query motif over every series and return the k closest
+    * windows by squared euclidean distance. "Which series, where,
+    * looks like THIS shape" — the historian's pattern-matching query
+    * (kukur exposes the data; the search is what an operator runs on
+    * it).
+    *
+    * Plan: per-series ordered window collects the next |pattern|
+    * values (frame-local, O(n·w) transient work, no self-join), one
+    * zip_with/aggregate per row for the distance, TakeOrdered for the
+    * global top-k (k rows to the driver, never the windows).
+    * Parallelism is the series key — the plot-data/resample shape.
+    *
+    * Determinism: values floor-scale to micro-longs BEFORE the
+    * distance (the moving-avg oracle trick), so the SSD is an integer
+    * sum — order-independent, no cross-engine float risk; pattern
+    * values must sit on the same 1e-6 grid. Ties at the k boundary
+    * break on (distance, keys, ts). NULL values are excluded before
+    * windowing (a null inside collect_list would silently misalign
+    * every window crossing it).
+    */
+  def patternSearch(df: DataFrame, tagCols: Seq[String], pattern: Seq[Double], k: Int = 10): DataFrame = {
+    require(pattern.nonEmpty, "patternSearch needs a non-empty pattern")
+    val w = pattern.length
+    val patMicro = pattern.map(p => math.floor(p * 1e6).toLong)
+    val win = Window
+      .partitionBy(tagCols.map(col): _*)
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val pat = array(patMicro.map(lit(_)): _*)
+    df.where(col("value").isNotNull)
+      .withColumn("__vm", floor(col("value") * lit(1000000.0)).cast("long"))
+      .withColumn("__win", collect_list(col("__vm")).over(win))
+      .where(size(col("__win")) === w)
+      .withColumn(
+        "ssd_micro2",
+        aggregate(
+          zip_with(col("__win"), pat, (x, q) => (x - q) * (x - q)),
+          lit(0L),
+          (acc, v) => acc + v,
+        ),
+      )
+      .select(tagCols.map(col) ++ Seq(col("ts"), col("ssd_micro2")): _*)
+      .orderBy(col("ssd_micro2") +: tagCols.map(col) :+ col("ts"): _*)
+      .limit(k)
+  }
+
   def valueHistogram(df: DataFrame, tagCols: Seq[String], lo: Double, hi: Double, bins: Int): DataFrame = {
     require(bins >= 1 && hi > lo, "valueHistogram needs bins >= 1 and hi > lo")
     val width = (hi - lo) / bins

@@ -189,4 +189,28 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       .toMap
     assert(out == Map(0 -> ((0.0, 1L)), 1 -> ((25.0, 1L)), 19 -> ((475.0, 1L))))
   }
+
+  test("patternSearch finds the planted motif at distance 0, ranked first") {
+    val motif = Seq(1.0, 2.0, 3.0, 2.0)
+    // series 'hit' embeds the motif exactly at offset 2; 'miss' is flat
+    val hit = Seq(9.0, 9.0) ++ motif ++ Seq(9.0, 9.0)
+    val rows =
+      hit.zipWithIndex.map { case (v, i) => ("hit", t(f"2024-01-01T00:0$i:00Z"), i.toLong, v) } ++
+        (0 until 8).map(i => ("miss", t(f"2024-01-01T00:0$i:00Z"), (100 + i).toLong, 50.0))
+    val df = rows.toDF("series_name", "ts", "event_id", "value")
+    val out = TimeSeriesOps.patternSearch(df, Seq("series_name"), motif, k = 3).collect()
+    // best window: exact match, SSD 0, at the planted offset
+    assert(out.head.getString(0) == "hit")
+    assert(out.head.getTimestamp(1) == t("2024-01-01T00:02:00Z"))
+    assert(out.head.getLong(2) == 0L)
+    // ranking is ascending by distance
+    val dists = out.map(_.getLong(2)).toSeq
+    assert(dists == dists.sorted)
+    // null values are excluded before windowing, not silently misaligned
+    val withNull = (rows :+ (("hit", t("2024-01-01T00:08:00Z"), 8L, null.asInstanceOf[java.lang.Double]: Any)))
+      .map { case (s, ts, id, v) => (s, ts, id, Option(v).map(_.asInstanceOf[Double])) }
+      .toDF("series_name", "ts", "event_id", "value")
+    val out2 = TimeSeriesOps.patternSearch(withNull, Seq("series_name"), motif, k = 3).collect()
+    assert(out2.head.getLong(2) == 0L)
+  }
 }
