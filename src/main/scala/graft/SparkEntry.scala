@@ -296,6 +296,11 @@ object SparkEntry {
     "ts_moving_avg" -> { (s, dir) =>
       ntz(TimeSeriesOps.movingAvg(ev(s, dir).where(col("series_name") === "signup"), Seq("series_name"), "event_id", nPoints = 10))
     },
+    // A33: last-write-wins point dedup — out-of-order/corrected
+    // ingest cleanup: highest event_id wins per (series, ts)
+    "ts_dedup_points" -> { (s, dir) =>
+      ntz(TimeSeriesOps.dedupPoints(ev(s, dir), Seq("series_name", "user_id")))
+    },
     // A32: subsequence pattern search — top-k windows closest to a
     // query motif by integer-exact SSD (EDBT 2019 similarity search)
     "ts_pattern_search" -> { (s, dir) =>
@@ -1905,6 +1910,12 @@ object SparkEntry {
                 SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) OVER w / 1000000.0 / COUNT(*) OVER w AS moving_avg
          FROM (SELECT event_type AS series_name, ts, value, event_id FROM events WHERE event_type = 'signup')
          WINDOW w AS (PARTITION BY series_name ORDER BY ts, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
+    "ts_dedup_points" ->
+      """SELECT event_type AS series_name, user_id, ts,
+                arg_max(value, event_id) AS value,
+                MAX(event_id) AS last_event_id,
+                COUNT(*) AS n_writes
+         FROM events GROUP BY 1, 2, 3""",
     "ts_pattern_search" ->
       """WITH v AS (SELECT event_type AS series_name, user_id, ts, event_id,
                            CAST(FLOOR(value * 1000000) AS BIGINT) AS vm

@@ -626,6 +626,23 @@ object TimeSeriesOps {
     * scale. Pick `lo`/`hi`/`bins` so `(hi-lo)/bins` is binary-exact
     * (e.g. 0..500/20) and bucket edges are reproducible across engines.
     */
+  /** Last-write-wins point dedup — the out-of-order-ingest cleanup of
+    * historian stores (the IoTDB/ICDE 2023 problem setting): re-sent
+    * or corrected points share a (series, ts) key and the highest
+    * write sequence (`event_id`) wins; `n_writes` reports the rewrite
+    * pressure per point. One hash aggregate on the natural series+ts
+    * key (map-side combined, arg-max carries one value per group) —
+    * no window, no sort, no hot key beyond a single point's rewrite
+    * count.
+    */
+  def dedupPoints(df: DataFrame, tagCols: Seq[String]): DataFrame =
+    df.groupBy(tagCols.map(col) :+ col("ts"): _*)
+      .agg(
+        max_by(col("value"), col("event_id")).as("value"),
+        max(col("event_id")).as("last_event_id"),
+        count(lit(1)).as("n_writes"),
+      )
+
   /** Subsequence pattern search — the distributed similarity-search
     * primitive of streaming TS systems (EDBT 2019, "Time Series
     * Similarity Search for Streaming Data in Distributed Systems"):

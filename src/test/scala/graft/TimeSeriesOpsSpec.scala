@@ -190,6 +190,24 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(out == Map(0 -> ((0.0, 1L)), 1 -> ((25.0, 1L)), 19 -> ((475.0, 1L))))
   }
 
+  test("dedupPoints: the highest write sequence wins per (series, ts)") {
+    val rows = Seq(
+      ("a", t("2024-01-01T00:00:00Z"), 1L, 10.0), // overwritten twice
+      ("a", t("2024-01-01T00:00:00Z"), 5L, 11.0),
+      ("a", t("2024-01-01T00:00:00Z"), 3L, 12.0), // NOT the winner despite later arrival order
+      ("a", t("2024-01-01T01:00:00Z"), 2L, 20.0), // single write
+      ("b", t("2024-01-01T00:00:00Z"), 4L, 30.0), // other series, same ts
+    ).toDF("series_name", "ts", "event_id", "value")
+    val out = TimeSeriesOps
+      .dedupPoints(rows, Seq("series_name"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> ((r.getDouble(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(("a", t("2024-01-01T00:00:00Z"))) == ((11.0, 5L, 3L))) // value of max event_id, 3 writes
+    assert(out(("a", t("2024-01-01T01:00:00Z"))) == ((20.0, 2L, 1L)))
+    assert(out(("b", t("2024-01-01T00:00:00Z"))) == ((30.0, 4L, 1L)))
+  }
+
   test("patternSearch finds the planted motif at distance 0, ranked first") {
     val motif = Seq(1.0, 2.0, 3.0, 2.0)
     // series 'hit' embeds the motif exactly at offset 2; 'miss' is flat
