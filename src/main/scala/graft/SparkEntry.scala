@@ -1915,7 +1915,7 @@ object SparkEntry {
                 arg_max(value, event_id) AS value,
                 MAX(event_id) AS last_event_id,
                 COUNT(*) AS n_writes
-         FROM events GROUP BY 1, 2, 3""",
+         FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3""",
     "ts_pattern_search" ->
       """WITH v AS (SELECT event_type AS series_name, user_id, ts, event_id,
                            CAST(FLOOR(value * 1000000) AS BIGINT) AS vm
@@ -2727,7 +2727,8 @@ object SparkEntry {
                       CAST(len(w) AS BIGINT) AS n_words
                FROM base)
          SELECT a.doc_id, a.quality_ppm, a.n_words FROM s a
-         WHERE NOT EXISTS (SELECT 1 FROM s b
+         WHERE a.quality_ppm IS NOT NULL AND a.n_words IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM s b
                            WHERE b.quality_ppm >= a.quality_ppm AND b.n_words >= a.n_words
                              AND (b.quality_ppm > a.quality_ppm OR b.n_words > a.n_words))""",
     "corpus_novelty_curve" ->

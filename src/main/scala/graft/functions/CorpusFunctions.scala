@@ -976,7 +976,10 @@ object CorpusFunctions {
     * `1e12 div w_ppm` times the rank, NOT `1e12·r div w` (whose
     * product overflows Long at ~9.2M docs per stratum). The step form
     * holds to ~9.2e6·w_ppm docs per stratum (9 billion at w = 1000
-    * ppm, 9 trillion at full weight) with the same interleave order.
+    * ppm, 9 trillion at full weight) with the same weighted pacing;
+    * when w does not divide 1e12 the per-doc rounding differs by up
+    * to one step from the product form, so orders near exact vt ties
+    * can swap — the mixture-share-per-prefix guarantee is unchanged.
     * NULL strata ride through on a null-safe join (their own schedule
     * lane at `defaultPpm`); NULL/empty text ranks at difficulty 0 —
     * nothing silently drops out of the schedule.

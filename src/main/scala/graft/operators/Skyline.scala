@@ -51,8 +51,12 @@ object Skyline {
     val clean = df.where(dims.map(col(_).isNotNull).reduce(_ && _))
     val local = pass(clean, maximize, minimize)
     // survivors of pass 1 are the union of local frontiers — small by
-    // the distributivity argument above; finish in one partition
-    pass(local.coalesce(1), maximize, minimize)
+    // the distributivity argument above; finish in one partition.
+    // repartition(1), NOT coalesce(1): coalesce is a narrow dependency
+    // that would fuse both passes into a single task (pass 1 would run
+    // serially inside it, pruning nothing before travel); the shuffle
+    // barrier keeps pass 1 a parallel stage and ships only frontiers.
+    pass(local.repartition(1), maximize, minimize)
   }
 
   /** One sort-and-scan skyline pass over each partition independently. */

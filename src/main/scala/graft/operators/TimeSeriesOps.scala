@@ -634,9 +634,16 @@ object TimeSeriesOps {
     * key (map-side combined, arg-max carries one value per group) —
     * no window, no sort, no hot key beyond a single point's rewrite
     * count.
+    *
+    * Defined over non-NULL values only: Spark's `max_by` carries a
+    * NULL value sitting at the max sequence while DuckDB's `arg_max`
+    * skips NULL arguments, so the operator filters NULL writes up
+    * front and both engines agree (`n_writes` counts value-bearing
+    * writes).
     */
   def dedupPoints(df: DataFrame, tagCols: Seq[String]): DataFrame =
-    df.groupBy(tagCols.map(col) :+ col("ts"): _*)
+    df.where(col("value").isNotNull)
+      .groupBy(tagCols.map(col) :+ col("ts"): _*)
       .agg(
         max_by(col("value"), col("event_id")).as("value"),
         max(col("event_id")).as("last_event_id"),

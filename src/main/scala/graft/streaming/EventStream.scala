@@ -431,20 +431,22 @@ object EventStream {
     * its own future document frequencies, so the streaming semantic
     * is novelty-vs-reference, not C49's novelty-vs-self.)
     *
-    * Plan: three stateless arms recombined by one windowed
-    * aggregation — the payload on one zero-weight row per doc, the
-    * doc's DISTINCT trigrams on narrow (g, doc_id, ts) rows counting
-    * `n_ngrams`, and the same gram rows through a stream-static LEFT
-    * SEMI join against the reference counting `n_known` (Spark picks
+    * Plan: two stateless arms recombined by one windowed aggregation —
+    * the payload on one zero-weight row per doc, and the doc's
+    * DISTINCT trigrams on narrow (g, doc_id, ts) rows through a
+    * stream-static LEFT join against the reference (Spark picks
     * broadcast vs shuffled-hash by table size; only grams travel,
-    * never text). The semi join makes duplicate reference rows
-    * harmless and needs NO per-microbatch `distinct()` of the
-    * reference — a left join would re-deduplicate the whole static
-    * table every microbatch to keep counts honest. State is one row
-    * per in-horizon doc; emission on watermark close (append). Docs
-    * with fewer than `n` words carry no grams and drop out, mirroring
-    * C49. Novelty is integer-exact ppm; on the same docs the score
-    * equals the batch twin's exactly — spec-asserted.
+    * never text), counting `n_ngrams` from the rows and `n_known`
+    * from the hits in ONE pass — the doc stream tokenizes once per
+    * microbatch. The reference is deduplicated ONCE and cached at
+    * stream definition (the left join needs distinct rows to keep
+    * counts honest, and a per-microbatch distinct of the whole static
+    * table is the cost that would otherwise repeat); the cache lives
+    * for the stream's lifetime — unpersist it when the query stops.
+    * State is one row per in-horizon doc; emission on watermark close
+    * (append). Docs with fewer than `n` words carry no grams and drop
+    * out, mirroring C49. Novelty is integer-exact ppm; on the same
+    * docs the score equals the batch twin's exactly — spec-asserted.
     */
   def noveltyGateStream(
       docStream: DataFrame,
@@ -457,17 +459,20 @@ object EventStream {
   ): DataFrame = {
     val wm = docStream.withWatermark(tsCol, watermark)
     val payload = wm.select(col("doc_id"), col(tsCol), col("text"), lit(0L).as("__total"), lit(0L).as("__known"))
+    val ref = refGrams.select(col("g")).distinct().withColumn("__hit", lit(1L)).cache()
     val grams = wm
       .withColumn("__w", graft.functions.TextFunctions.words(col("text")))
       .select(col("doc_id"), col(tsCol), explode(graft.functions.TextFunctions.shingles("__w", n)).as("g"))
-    val totals = grams
-      .select(col("doc_id"), col(tsCol), lit(null).cast("string").as("text"), lit(1L).as("__total"), lit(0L).as("__known"))
-    val hits = grams
-      .join(refGrams.select(col("g")), Seq("g"), "left_semi")
-      .select(col("doc_id"), col(tsCol), lit(null).cast("string").as("text"), lit(0L).as("__total"), lit(1L).as("__known"))
+      .join(ref, Seq("g"), "left")
+      .select(
+        col("doc_id"),
+        col(tsCol),
+        lit(null).cast("string").as("text"),
+        lit(1L).as("__total"),
+        coalesce(col("__hit"), lit(0L)).as("__known"),
+      )
     payload
-      .unionByName(totals)
-      .unionByName(hits)
+      .unionByName(grams)
       .groupBy(window(col(tsCol), window_), col("doc_id"))
       .agg(max(col("text")).as("text"), sum(col("__total")).as("n_ngrams"), sum(col("__known")).as("n_known"))
       .where(col("n_ngrams") > 0L)
