@@ -341,20 +341,25 @@ object Bench {
       if (args.nonEmpty || sys.env.get("SPARK_GRAFT_SCALE").contains("0")) "null"
       else runScaleProbe(spark, sfDir)
     val loadEnd = loadAvg1()
-    val dirtyJson = dirtyQueries.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def jsonLine(rs: Seq[(String, Double)]): String = {
+    def dirtyList(names: Seq[String]) = names.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def jsonLine(rs: Seq[(String, Double)], scale: String, dirty: String): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"load_start":$loadStart,"load_end":$loadEnd,"host_cpus":$hostCpus,"dirty":$dirtyJson,"scale":$scaleJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"load_start":$loadStart,"load_end":$loadEnd,"host_cpus":$hostCpus,"dirty":$dirty,"scale":$scale,"queries":$qs,"sf":"$sfDir"}"""
     }
-    val full = jsonLine(results)
+    val full = jsonLine(results, scaleJson, dirtyList(dirtyQueries.sorted))
     println(full)
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), full + "\n")
     } catch { case e: Exception => System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}") }
+    // The LAST line must fit the harness's ~2 kB tail capture even with
+    // the scale probe on: top-10 queries only and "scale":null (round 7
+    // shipped the full scale section here, overflowed the window, and
+    // the driver recorded parsed:null). Full detail lives in line (a)
+    // and target/bench.json.
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => k -> (math.round(v * 1000) / 1000.0) }
-    println(jsonLine(slowest))
+    println(jsonLine(slowest, "null", dirtyList(dirtyQueries.sorted.take(10))))
     spark.stop()
   }
 }

@@ -1032,8 +1032,8 @@ object SparkEntry {
       // explode×dim fan-out is compute-heavy — same rationale as
       // DedupFunctions.spread; explode the raw floats (no per-row
       // intermediate double array), cast per element after
-      Tables.embeddings(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
+      graft.functions.DedupFunctions
+        .spread(Tables.embeddings(s, dir))
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
         .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
         .agg(
@@ -1302,13 +1302,12 @@ object SparkEntry {
       )
     },
     // C30: language-ID confusion matrix — predicted vs labeled lang,
-    // the quality audit of the C8 heuristic over the whole corpus
+    // the quality audit of the C8 heuristic over the whole corpus.
+    // langId preserves every input column (including `lang`), so the
+    // matrix is one scan + one tiny aggregate — no doc_id join-back
     "corpus_lang_confusion" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
       TextFunctions
-        .langId(docs, col("text"))
-        .select(col("doc_id"), col("pred_lang"))
-        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .langId(Tables.documents(s, dir), col("text"))
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n"))
     },
@@ -1352,10 +1351,17 @@ object SparkEntry {
     // which raw sources look most like the target distribution, and
     // what fraction each would contribute after resampling
     "corpus_dsir_by_source" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      // `source` rides dsirSelect's passthrough — one scan of
+      // documents, no corpus-wide doc_id join-back
       CorpusFunctions
-        .dsirSelect(docs, col("doc_id"), col("text"), col("lang") === "en", tauPpm = 1000000L)
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .dsirSelect(
+          Tables.documents(s, dir),
+          col("doc_id"),
+          col("text"),
+          col("lang") === "en",
+          tauPpm = 1000000L,
+          passthrough = Seq("source"),
+        )
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -1926,7 +1932,7 @@ object SparkEntry {
                FROM v),
          d AS (SELECT series_name, user_id, ts,
                       CAST(list_sum(list_transform(generate_series(1, 8),
-                             i -> (win[i] - ([0, 500000, 1000000, 500000, 0, -500000, -1000000, -500000])[i])
+                             i -> CAST(win[i] - ([0, 500000, 1000000, 500000, 0, -500000, -1000000, -500000])[i] AS HUGEINT)
                                   * (win[i] - ([0, 500000, 1000000, 500000, 0, -500000, -1000000, -500000])[i]))) AS BIGINT) AS ssd_micro2
                FROM w WHERE len(win) = 8)
          SELECT series_name, user_id, ts, ssd_micro2 FROM d

@@ -764,8 +764,15 @@ object CorpusFunctions {
       text: Column,
       isTarget: Column,
       tauPpm: Long,
+      /** extra per-doc columns (functionally dependent on the id, e.g.
+        * `source`) carried through the aggregates — they ride the
+        * existing ≤256-rows-per-doc map-side-combined shuffle, so a
+        * downstream per-source report never joins the corpus back on
+        * doc_id (a corpus-wide shuffle at 100 TB).
+        */
+      passthrough: Seq[String] = Nil,
   ): DataFrame = {
-    val (out, perDoc) = dsirPlan(df, idCol, text, isTarget, tauPpm)
+    val (out, perDoc) = dsirPlan(df, idCol, text, isTarget, tauPpm, passthrough)
     val result = out.localCheckpoint()
     org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(perDoc).foreach(_.unpersist(blocking = true))
     result
@@ -840,11 +847,15 @@ object CorpusFunctions {
       text: Column,
       isTarget: Column,
       tauPpm: Long,
+      passthrough: Seq[String] = Nil,
   ): (DataFrame, DataFrame) = {
+    val passCols = passthrough.map(col)
     val perDoc = DedupFunctions
       .spread(df)
-      .select(idCol.as("doc_id"), isTarget.as("__t"), explode(TextFunctions.words(text)).as("__w"))
-      .groupBy(col("doc_id"), col("__t"), substring(md5(col("__w")), 1, 2).as("__b"))
+      .select(
+        Seq(idCol.as("doc_id"), isTarget.as("__t"), explode(TextFunctions.words(text)).as("__w")) ++ passCols: _*
+      )
+      .groupBy(Seq(col("doc_id"), col("__t"), substring(md5(col("__w")), 1, 2).as("__b")) ++ passCols: _*)
       .agg(count(lit(1)).as("__c"))
       .localCheckpoint()
     val ratios = perDoc
@@ -862,17 +873,19 @@ object CorpusFunctions {
     val out = perDoc
       .where(!col("__t"))
       .join(broadcast(ratios), Seq("__b"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id") +: passCols: _*)
       .agg(
         sum(col("__c")).as("n_words"),
         sum(col("__c") * col("__lr_ppm")).as("dsir_ppm"),
       )
       .withColumn("__g_ppm", dsirGumbelPpm(col("doc_id")))
       .select(
-        col("doc_id"),
-        col("n_words"),
-        col("dsir_ppm"),
-        (col("dsir_ppm") + col("__g_ppm") >= tauPpm).as("keep"),
+        Seq(
+          col("doc_id"),
+          col("n_words"),
+          col("dsir_ppm"),
+          (col("dsir_ppm") + col("__g_ppm") >= tauPpm).as("keep"),
+        ) ++ passCols: _*
       )
     (out, perDoc)
   }
@@ -891,6 +904,15 @@ object CorpusFunctions {
     * the novel tail has df 1 by definition, fanout 1 on the shuffle
     * path) → one per-doc aggregate. Novelty is an exact integer ppm —
     * no float, bit-stable across engines and partitionings.
+    *
+    * EAGER: this call runs a full Spark job at call time (the
+    * localCheckpoint that lets the cached gram frame release
+    * immediately) and pins the result to executor-local storage — no
+    * lineage recompute on executor loss. Callers at cluster scale who
+    * need fault-tolerant laziness should use [[ngramNoveltyPlan]] and
+    * choose their own materialization (reliable `checkpoint`, a
+    * parquet round-trip, …), releasing the returned gram frame
+    * themselves once the plan is consumed.
     */
   def ngramNovelty(df: DataFrame, idCol: Column, text: Column, n: Int = 3, hotMin: Long = 1000L): DataFrame = {
     val (plan, grams) = ngramNoveltyPlan(df, idCol, text, n, hotMin)
@@ -903,15 +925,17 @@ object CorpusFunctions {
   }
 
   /** Un-checkpointed [[ngramNovelty]] plan + the cached gram frame it
-    * rides on — [[ngramNovelty]] materializes and releases; the
+    * rides on. [[ngramNovelty]] materializes and releases both; callers
+    * who want control over materialization (or reliable checkpointing)
+    * consume the plan and `unpersist` the gram frame themselves. The
     * plan-shape spec inspects the live plan directly.
     */
-  private[graft] def ngramNoveltyPlan(
+  def ngramNoveltyPlan(
       df: DataFrame,
       idCol: Column,
       text: Column,
-      n: Int,
-      hotMin: Long,
+      n: Int = 3,
+      hotMin: Long = 1000L,
   ): (DataFrame, DataFrame) = {
     // shingleIndex places the spread() barrier AFTER the word-split
     // projection (its documented rationale: an inlined `__w` re-runs
@@ -1014,6 +1038,14 @@ object CorpusFunctions {
       defaultPpm: Long = 1000L,
       epochSeed: Option[Long] = None,
   ): DataFrame = {
+    // `vt = rank · (1e12 div w)`: w = 0 divides to NULL (docs silently
+    // drop from vt-keyed consumers) and w < 0 schedules the stratum
+    // before everything else — both nonsense, both rejected up front
+    require(
+      weightsPpm.values.forall(_ > 0) && defaultPpm > 0,
+      s"curriculumInterleave weights must be positive ppm (got defaultPpm=$defaultPpm, " +
+        s"weights=${weightsPpm.toSeq.sortBy(_._1).mkString(", ")})",
+    )
     val wexpr = weightsPpm.toSeq.sortBy(_._1).foldRight(lit(defaultPpm)) { case ((s, w), rest) =>
       when(col("stratum") === s, lit(w)).otherwise(rest)
     }

@@ -222,7 +222,8 @@ object TextFunctions {
     val step = size - overlap
     // spread + materialized word array: single-file inputs would run
     // the whole chunking lambda on one core otherwise
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    DedupFunctions
+      .spread(df)
       .withColumn("__w", words(text))
       .withColumn(
         "__chunks",
@@ -246,7 +247,7 @@ object TextFunctions {
     * Ratios are floor-scaled at 1e-6 like every other ratio here.
     */
   def repetitionScores(df: DataFrame, idCol: Column, text: Column): DataFrame = {
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val spread = DedupFunctions.spread(df)
     val base = spread
       .select(idCol.as("doc_id"), words(text).as("__w"))
       // CASE guards like shingles(): sequence(1, 0) counts DOWNWARD
@@ -321,7 +322,8 @@ object TextFunctions {
     * deterministic.
     */
   def topkNgrams(df: DataFrame, text: Column, n: Int = 3, k: Int = 20): DataFrame = {
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    DedupFunctions
+      .spread(df)
       .select(words(text).as("__w"))
       .select(explode(ngramArray("__w", n, distinct = false)).as("ngram"))
       .groupBy(col("ngram"))
@@ -376,8 +378,8 @@ object TextFunctions {
       confidence: Double,
   ): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
-    val grams = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val grams = DedupFunctions
+      .spread(df)
       .select(words(text).as("__w"))
       .select(explode(ngramArray("__w", n, distinct = false)).as("ngram"))
     val sk = grams.agg(expr(s"count_min_sketch(ngram, ${eps}d, ${confidence}d, 42)").as("__sk"))
@@ -510,8 +512,8 @@ object TextFunctions {
       .select(explode(shingles("__w", n)).as("s"))
       .distinct()
       .withColumn("__hit", lit(1))
-    corpus
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    DedupFunctions
+      .spread(corpus)
       .select(idCol.as("doc_id"), words(text).as("__w"))
       .select(col("doc_id"), explode_outer(shingles("__w", n)).as("s"))
       .join(broadcast(benchSh), Seq("s"), "left")

@@ -101,7 +101,7 @@ object VectorFunctions {
     */
   def knnLabelNoise(df: DataFrame, k: Int, minAgreePpm: Long = 500000L): DataFrame = {
     withFns(df)
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val spread = DedupFunctions.spread(df)
     val q = spread.select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label").as("label"))
     val c = spread.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("label").as("n_label"))
     val scored = q
@@ -131,7 +131,7 @@ object VectorFunctions {
     */
   def cosineDedupPairs(df: DataFrame, threshold: Double): DataFrame = {
     withFns(df)
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val spread = DedupFunctions.spread(df)
     val a = spread.select(col("vec_id").as("vec_a"), col("embedding").as("qe"))
     val b = spread.select(col("vec_id").as("vec_b"), col("embedding").as("ce"))
     a.join(b, col("vec_a") < col("vec_b"))
@@ -169,8 +169,7 @@ object VectorFunctions {
     withFns(df)
     require(planesPerBand * bands <= 64, "banded signature must fit in 64 bits")
     val mask = (1L << planesPerBand) - 1L
-    val banded = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val banded = DedupFunctions.spread(df)
       .select(
         col("vec_id"),
         col("embedding"),
@@ -242,10 +241,8 @@ object VectorFunctions {
     * storms — observed as 10×+ wall-clock variance on identical runs.
     */
   private def trainSample(vecs: DataFrame, trainLimit: Int): DataFrame =
-    vecs
-      .orderBy("vec_id")
-      .limit(trainLimit)
-      .repartition(vecs.sparkSession.sparkContext.defaultParallelism)
+    DedupFunctions
+      .spread(vecs.orderBy("vec_id").limit(trainLimit))
       .cache()
 
   private def trainKmeans(
@@ -319,8 +316,7 @@ object VectorFunctions {
     require(planesPerBand * bands <= 64, "banded signature must fit in 64 bits")
     withFns(df)
     val spark = df.sparkSession
-    val vecs = df
-      .repartition(spark.sparkContext.defaultParallelism)
+    val vecs = DedupFunctions.spread(df)
       .select(col("vec_id"), col("embedding"))
       .cache()
     val centroids = trainKmeans(vecs, nCells, lloydIterations, trainLimit)
@@ -407,8 +403,7 @@ object VectorFunctions {
     require(pruneFrac >= 0.0 && pruneFrac < 1.0, "pruneFrac must be in [0, 1)")
     require(nCells >= 2, "prototypePrune needs at least 2 cells (least() argmin is binary-plus)")
     val spark = df.sparkSession
-    val vecs = df
-      .repartition(spark.sparkContext.defaultParallelism)
+    val vecs = DedupFunctions.spread(df)
       .select(col("vec_id"), col("embedding"))
       .cache()
     val centroids = trainKmeans(vecs, nCells, lloydIterations, trainLimit)
@@ -471,8 +466,7 @@ object VectorFunctions {
     require(targetPerCell >= 1L, "targetPerCell must be positive")
     require(nCells >= 2, "clusterBalance needs at least 2 cells (least() argmin is binary-plus)")
     val spark = df.sparkSession
-    val vecs = df
-      .repartition(spark.sparkContext.defaultParallelism)
+    val vecs = DedupFunctions.spread(df)
       .select(col("vec_id"), col("embedding"))
       .cache()
     val centroids = trainKmeans(vecs, nCells, lloydIterations, trainLimit)
@@ -524,8 +518,7 @@ object VectorFunctions {
     require(nProbe >= 1 && nProbe <= nCells, "nProbe must be in [1, nCells]")
     withFns(df)
     val spark = df.sparkSession
-    val vecs = df
-      .repartition(spark.sparkContext.defaultParallelism)
+    val vecs = DedupFunctions.spread(df)
       .select(col("vec_id"), col("embedding"))
       .cache()
 
@@ -605,8 +598,7 @@ object VectorFunctions {
     require(dim % m == 0, s"embedding dim $dim must divide into $m subspaces")
     require(codebookSize >= 2, "pqAnn needs at least 2 codewords per subspace")
     val dsub = dim / m
-    val vecs = df
-      .repartition(spark.sparkContext.defaultParallelism)
+    val vecs = DedupFunctions.spread(df)
       .select(col("vec_id"), col("embedding"))
       .cache()
 
@@ -1079,8 +1071,7 @@ object VectorFunctions {
     val dim = df.select(size(col("embedding"))).first().getInt(0)
     require(dim % m == 0, s"embedding dim $dim must divide into $m subspaces")
     val dsub = dim / m
-    val vecs = df
-      .repartition(spark.sparkContext.defaultParallelism)
+    val vecs = DedupFunctions.spread(df)
       .select(col("vec_id"), col("embedding"))
       .cache()
 
@@ -1118,9 +1109,10 @@ object VectorFunctions {
     val assigned = assignCell(vecs, centroids)
     val codedInput =
       if (residual)
-        assigned
-          .select(col("cell"), col("vec_id"), resid(col("embedding"), col("cell")).as("__cv"))
-          .repartition(spark.sparkContext.defaultParallelism)
+        DedupFunctions.spread(
+          assigned
+            .select(col("cell"), col("vec_id"), resid(col("embedding"), col("cell")).as("__cv"))
+        )
       else assigned.select(col("cell"), col("vec_id"), col("embedding").as("__cv"))
     val coded = codedInput
       .withColumn("codes", pqCodesExpr(books, m, dsub, col("__cv")))
@@ -1170,7 +1162,7 @@ object VectorFunctions {
     * dividing by zero. Emits (vec_id, qvec array<int>).
     */
   def quantizeInt8(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
-    val spread = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    val spread = DedupFunctions.spread(emb)
     val scales = spread
       .select(posexplode(col(vecCol)).as(Seq("__i", "__x")))
       .groupBy(col("__i"))
@@ -1208,8 +1200,8 @@ object VectorFunctions {
     * involved). The mean is one integer division of exact longs.
     */
   def embDimStats(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
-    emb
-      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    DedupFunctions
+      .spread(emb)
       .select(posexplode(col(vecCol)).as(Seq("pos", "__x")))
       .withColumn("__xd", col("__x").cast("double"))
       .groupBy(col("pos"))
@@ -1281,8 +1273,7 @@ object VectorFunctions {
     * to one partition and would train single-core.
     */
   private def spreadVecs(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), col("embedding"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    DedupFunctions.spread(df.select(col("vec_id"), col("embedding")))
 
   /** Mean vector and covariance matrix of the embedding column in ONE
     * distributed aggregation pass: components quantized to
@@ -1394,7 +1385,7 @@ object VectorFunctions {
     */
   def lshAnn(df: DataFrame, k: Int, planes: Int = 16): DataFrame = {
     withFns(df)
-    val withBucket = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+    val withBucket = DedupFunctions.spread(df).select(
       col("vec_id"),
       col("embedding"),
       lshBucket("embedding", planes).as("bucket"),

@@ -29,7 +29,9 @@ import org.apache.spark.sql.types.LongType
   * union-of-local-frontiers is small for low-dimensional/correlated
   * criteria (the corpus-signal case); anti-correlated high-d inputs
   * whose frontier outgrows a partition would need grid partitioning
-  * (ibid.) — out of scope, asserted nowhere needed here.
+  * (ibid.) — out of scope, but GUARDED: any scan whose frontier
+  * exceeds `maxFrontier` rows fails fast with the grid-partitioning
+  * escape hatch instead of OOM-ing the gather task.
   *
   * Determinism: the output SET is unique by definition (dominance
   * does not depend on partitioning or scan order — the spec asserts
@@ -41,26 +43,46 @@ import org.apache.spark.sql.types.LongType
   */
 object Skyline {
 
-  def skyline(df: DataFrame, maximize: Seq[String], minimize: Seq[String] = Nil): DataFrame = {
+  /** Frontier-size guard default: the distributivity argument assumes
+    * frontiers stay small; an anti-correlated input breaks that
+    * silently, funneling a huge union into pass 2's single partition.
+    * Above this many frontier rows in any one scan the operator fails
+    * fast with the grid-partitioning escape hatch instead of OOM-ing.
+    */
+  val DefaultMaxFrontier: Int = 1000000
+
+  def skyline(
+      df: DataFrame,
+      maximize: Seq[String],
+      minimize: Seq[String] = Nil,
+      maxFrontier: Int = DefaultMaxFrontier,
+  ): DataFrame = {
     require(maximize.nonEmpty || minimize.nonEmpty, "skyline needs at least one criterion")
+    require(maxFrontier > 0, "maxFrontier must be positive")
     val dims = maximize ++ minimize
     dims.foreach { d =>
       val dt = df.schema(d).dataType
       require(dt == LongType, s"skyline criterion '$d' must be LongType (floor-scale to ppm first), got $dt")
     }
     val clean = df.where(dims.map(col(_).isNotNull).reduce(_ && _))
-    val local = pass(clean, maximize, minimize)
+    val local = pass(clean, maximize, minimize, maxFrontier, "local")
     // survivors of pass 1 are the union of local frontiers — small by
     // the distributivity argument above; finish in one partition.
     // repartition(1), NOT coalesce(1): coalesce is a narrow dependency
     // that would fuse both passes into a single task (pass 1 would run
     // serially inside it, pruning nothing before travel); the shuffle
     // barrier keeps pass 1 a parallel stage and ships only frontiers.
-    pass(local.repartition(1), maximize, minimize)
+    pass(local.repartition(1), maximize, minimize, maxFrontier, "global")
   }
 
   /** One sort-and-scan skyline pass over each partition independently. */
-  private def pass(df: DataFrame, maximize: Seq[String], minimize: Seq[String]): DataFrame = {
+  private def pass(
+      df: DataFrame,
+      maximize: Seq[String],
+      minimize: Seq[String],
+      maxFrontier: Int,
+      phase: String,
+  ): DataFrame = {
     val schema = df.schema
     val maxIdx = maximize.map(schema.fieldIndex).toArray
     val minIdx = minimize.map(schema.fieldIndex).toArray
@@ -88,6 +110,13 @@ object Skyline {
       it.flatMap { r =>
         if (frontier.exists(dominates(_, r))) None
         else {
+          if (frontier.size >= maxFrontier)
+            throw new IllegalStateException(
+              s"skyline $phase frontier exceeded $maxFrontier rows in one partition — " +
+                "the criteria are anti-correlated enough that the distributive " +
+                "two-phase decomposition does not prune; grid-partition the " +
+                "criteria space (EDBT 2023 §4) or raise maxFrontier"
+            )
           frontier += r
           Some(r)
         }

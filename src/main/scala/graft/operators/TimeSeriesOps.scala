@@ -686,13 +686,24 @@ object TimeSeriesOps {
       .withColumn("__vm", floor(col("value") * lit(1000000.0)).cast("long"))
       .withColumn("__win", collect_list(col("__vm")).over(win))
       .where(size(col("__win")) === w)
+      // square and sum in Decimal(38,0): a long (vm − q)² wraps (ANSI
+      // off) or aborts (ANSI on) once |diff| exceeds ~3.04e9 — i.e.
+      // |value| ≈ 3000 after micro-scaling, well inside real data.
+      // Decimal keeps the SSD exact to 1e38; the final BIGINT cast
+      // matches the oracle's CAST(... AS BIGINT) (same ts_integral
+      // pattern). Only SSDs beyond Long range — |value| ~ 1e6 over the
+      // whole window — can still overflow, now loudly at the cast.
       .withColumn(
         "ssd_micro2",
         aggregate(
-          zip_with(col("__win"), pat, (x, q) => (x - q) * (x - q)),
-          lit(0L),
+          zip_with(
+            col("__win"),
+            pat,
+            (x, q) => (x - q).cast(org.apache.spark.sql.types.DecimalType(38, 0)) * (x - q),
+          ),
+          lit(0L).cast(org.apache.spark.sql.types.DecimalType(38, 0)),
           (acc, v) => acc + v,
-        ),
+        ).cast("long"),
       )
       .select(tagCols.map(col) ++ Seq(col("ts"), col("ssd_micro2")): _*)
       .orderBy(col("ssd_micro2") +: tagCols.map(col) :+ col("ts"): _*)

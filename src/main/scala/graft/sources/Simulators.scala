@@ -177,10 +177,8 @@ object Simulators {
                         THEN element_at(acc, -1) + CAST(pmod(xxhash64(${seed}L, day, -i), ${numberOfSteps / 2 + 1}) AS DOUBLE)
                         ELSE element_at(acc, -1) - CAST(pmod(xxhash64(${seed}L, day, -i), ${numberOfSteps / 2 + 1}) AS DOUBLE) END
             END))"""
-    spark
-      .range(firstDay, lastDay + 1)
-      .select(col("id").as("day"))
-      .repartition(spark.sparkContext.defaultParallelism)
+    graft.functions.DedupFunctions
+      .spread(spark.range(firstDay, lastDay + 1).select(col("id").as("day")))
       .select(col("day"), posexplode(expr(walk)).as(Seq("tick", "level")))
       .select(
         timestamp_micros(col("day") * lit(dayUs) + col("tick") * lit(intervalSeconds * 1000000L)).as("ts"),

@@ -438,16 +438,24 @@ object EventStream {
     * broadcast vs shuffled-hash by table size; only grams travel,
     * never text), counting `n_ngrams` from the rows and `n_known`
     * from the hits in ONE pass — the doc stream tokenizes once per
-    * microbatch. The reference is deduplicated ONCE and cached at
-    * stream definition (the left join needs distinct rows to keep
-    * counts honest, and a per-microbatch distinct of the whole static
-    * table is the cost that would otherwise repeat); the cache lives
-    * for the stream's lifetime — unpersist it when the query stops.
+    * microbatch. The left join needs DISTINCT reference rows to keep
+    * counts honest: prepare the reference ONCE with [[noveltyRef]]
+    * (distinct + cached, caller owns the handle and unpersists it when
+    * the query stops) and pass its result here. A raw gram frame is
+    * also accepted and deduplicated in-plan — no hidden cache, but the
+    * distinct then re-runs every microbatch; fine for small refs only.
     * State is one row per in-horizon doc; emission on watermark close
     * (append). Docs with fewer than `n` words carry no grams and drop
     * out, mirroring C49. Novelty is integer-exact ppm; on the same
     * docs the score equals the batch twin's exactly — spec-asserted.
     */
+  /** Prepare a reference gram frame for [[noveltyGateStream]]: distinct
+    * + cached, computed once instead of per-microbatch. The CALLER owns
+    * the returned handle — `unpersist()` it when the query stops.
+    */
+  def noveltyRef(refGrams: DataFrame): DataFrame =
+    refGrams.select(col("g")).distinct().withColumn("__hit", lit(1L)).cache()
+
   def noveltyGateStream(
       docStream: DataFrame,
       refGrams: DataFrame,
@@ -459,7 +467,12 @@ object EventStream {
   ): DataFrame = {
     val wm = docStream.withWatermark(tsCol, watermark)
     val payload = wm.select(col("doc_id"), col(tsCol), col("text"), lit(0L).as("__total"), lit(0L).as("__known"))
-    val ref = refGrams.select(col("g")).distinct().withColumn("__hit", lit(1L)).cache()
+    // already-prepared frames (noveltyRef output) pass through; raw
+    // gram frames get an in-plan distinct — never a hidden cache whose
+    // handle the caller can't release (r7 ADVICE)
+    val ref =
+      if (refGrams.columns.contains("__hit")) refGrams.select(col("g"), col("__hit"))
+      else refGrams.select(col("g")).distinct().withColumn("__hit", lit(1L))
     val grams = wm
       .withColumn("__w", graft.functions.TextFunctions.words(col("text")))
       .select(col("doc_id"), col(tsCol), explode(graft.functions.TextFunctions.shingles("__w", n)).as("g"))

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{concat_ws, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** One-corpus-pass guards: report/planner operators whose "total" or
@@ -25,5 +26,42 @@ class SingleScanPlanSpec extends AnyFunSuite {
     assert(finalPlanScans("corpus_mixture_plan") == 1)
     assert(finalPlanScans("corpus_mixture_temperature") == 1)
     assert(finalPlanScans("corpus_length_histogram") == 1)
+  }
+
+  test("lang confusion matrix is one scan and no pre-aggregate shuffle (langId carries lang)") {
+    val df = SparkEntry.queries("corpus_lang_confusion")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(finalPlan.linesIterator.count(_.contains("FileScan parquet")) == 1, finalPlan)
+    // exactly the aggregate's own exchange — the r7 join-back added a
+    // doc_id shuffle and a second scan before it
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length == 1, finalPlan)
+  }
+
+  test("conditional spread: multi-partition inputs pass through text and vector operators unshuffled") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val par = spark.sparkContext.defaultParallelism
+    // already-spread corpus: >= defaultParallelism partitions, like any
+    // real multi-split table — spread() must be the identity, so the
+    // only Exchange in the plan is the aggregate's own
+    val docs = spark.range(0, 4000L, 1L, par + 4)
+      .select(col("id").as("doc_id"), concat_ws(" ", lit("alpha beta gamma delta"), col("id")).as("text"))
+    val topk = graft.functions.TextFunctions.topkNgrams(docs, col("text"), n = 2, k = 5)
+    topk.collect()
+    val textPlan = topk.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val textExchanges = "Exchange (hash|round|range)partitioning".r.findAllIn(textPlan).length
+    assert(textExchanges == 1, s"expected only the n-gram aggregate Exchange, got $textExchanges:\n$textPlan")
+
+    val vecs = spark.range(0, 512L, 1L, par + 4)
+      .select(
+        col("id").as("vec_id"),
+        org.apache.spark.sql.functions.array((0 until 8).map(i => (col("id") * (i + 1)).cast("float")): _*).as("embedding"),
+      )
+    val stats = graft.functions.VectorFunctions.embDimStats(vecs)
+    stats.collect()
+    val vecPlan = stats.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val vecExchanges = "Exchange (hash|round|range)partitioning".r.findAllIn(vecPlan).length
+    assert(vecExchanges == 1, s"expected only the per-dim aggregate Exchange, got $vecExchanges:\n$vecPlan")
   }
 }

@@ -74,6 +74,25 @@ class SkylineSpec extends AnyFunSuite {
     assert(sky(64) == truth) // more partitions than frontier rows
   }
 
+  test("anti-correlated input trips the frontier guard with the grid-partitioning hint") {
+    // y = -x: every point is on the frontier — the adversarial case
+    // the distributivity argument does NOT cover. With a tiny bound
+    // the guard must fail fast instead of funneling the whole input
+    // through the single-partition gather.
+    val anti = spark.range(0, 1000L).select(
+      col("id"),
+      col("id").as("a"),
+      (lit(1000L) - col("id")).as("b"),
+    )
+    val e = intercept[org.apache.spark.SparkException] {
+      Skyline.skyline(anti, maximize = Seq("a", "b"), maxFrontier = 100).collect()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg != null && msg.contains("grid-partition"), s"unexpected error: $e")
+    // the same input passes untouched when the bound accommodates it
+    assert(Skyline.skyline(anti, maximize = Seq("a", "b"), maxFrontier = 2000).count() == 1000L)
+  }
+
   test("non-long criteria are rejected up front") {
     val rows = Seq((1L, 1.5)).toDF("id", "x")
     val e = intercept[IllegalArgumentException](Skyline.skyline(rows, maximize = Seq("x")))

@@ -459,8 +459,10 @@ class StreamingSpec extends AnyFunSuite {
 
     val mem = MemoryStream[(Long, String, Timestamp)]
     mem.addData(docs.map(d => (d._1, d._2, t("2024-01-01T00:05:00Z"))): _*)
+    // prepared (distinct + cached) ref — the caller-owned handle shape
+    val ref = EventStream.noveltyRef(refGrams)
     val q = EventStream
-      .noveltyGateStream(mem.toDF().toDF("doc_id", "text", "ingest_ts"), refGrams, minNoveltyPpm = 500000L)
+      .noveltyGateStream(mem.toDF().toDF("doc_id", "text", "ingest_ts"), ref, minNoveltyPpm = 500000L)
       .writeStream.format("memory").queryName("novelty_gate").outputMode(OutputMode.Append())
       .start()
     q.processAllAvailable()
@@ -478,6 +480,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.keySet == Set(2L, 3L))
     assert(out(2L)._2 == batch(2L) && out(3L)._2 == batch(3L))
     assert(out(2L)._1 == docs(1)._2 && out(3L)._1 == docs(2)._2)
+    ref.unpersist(blocking = true)
   }
 
   test("bloomGateStream drops corpus dups at ingest, passes novel docs, survives a saturated sketch") {
