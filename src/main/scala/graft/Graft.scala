@@ -43,6 +43,7 @@ final class Graft(spark: SparkSession) {
   ) extends Registered
   final case class PluginRegistered(plugin: PluginSource) extends Registered
   final case class SimulatorRegistered(signals: Seq[SimulatorSignal]) extends Registered
+  final case class UnavailableRegistered(sourceType: String) extends Registered
 
   private val sources = mutable.LinkedHashMap.empty[String, Registered]
 
@@ -69,7 +70,13 @@ final class Graft(spark: SparkSession) {
   def listSources: Seq[String] = sources.keys.toSeq
 
   private def registered(name: String): Registered =
-    sources.getOrElse(name, throw new IllegalArgumentException(s"unknown source: $name"))
+    sources.getOrElse(name, throw new IllegalArgumentException(s"unknown source: $name")) match {
+      // declared in the config, but no connector in this build — the
+      // reference's lazy SourceFactory.get_source failure, at use time
+      case u: UnavailableRegistered =>
+        throw new IllegalArgumentException(s"source $name has unsupported type ${u.sourceType}")
+      case r => r
+    }
 
   private def fileOnly(name: String, op: String): FileRegistered = registered(name) match {
     case f: FileRegistered => f
@@ -81,7 +88,15 @@ final class Graft(spark: SparkSession) {
     * simulators list their configured signals.
     */
   def search(sourceName: String): DataFrame = registered(sourceName) match {
-    case f: FileRegistered => f.data.search(spark)
+    case f: FileRegistered =>
+      // the reference's search answers FROM METADATA whenever the
+      // source has metadata configured (csv.py:130: one Metadata per
+      // metadata row, extras merged by the factory wrapper) and scans
+      // the data only as the fallback — so a search carries the fields
+      // a quality screen needs without touching the corpus
+      if (f.metadata.nonEmpty)
+        MetadataSource.merge(f.dataConfig.tagColumns, f.metadata.map(_.read(spark)))
+      else f.data.search(spark)
     case p: PluginRegistered => p.plugin.search(spark)
     case s: SimulatorRegistered =>
       import spark.implicits._
@@ -122,8 +137,20 @@ final class Graft(spark: SparkSession) {
     */
   def getData(sourceName: String, selector: SeriesSelector, start: Timestamp, end: Timestamp): DataFrame =
     registered(sourceName) match {
-      case _: FileRegistered =>
-        TimeSeriesOps.filterRange(filterTags(readAll(sourceName), selector), start, end)
+      case f: FileRegistered =>
+        // keyed dir layouts prune to ONE file when the selector pins
+        // every partition key — the dir layout's partition pruning
+        f.data.readSeries(spark, selector.tags) match {
+          case Some(one) => return TimeSeriesOps.filterRange(one, start, end)
+          case None      => ()
+        }
+        val all = readAll(sourceName)
+        // multi-field sources: a selector names ONE field of the series
+        // (kukur csv.py:313 picks row_data[selector.field])
+        val one =
+          if (all.columns.contains("field")) all.where(col("field") === lit(selector.field))
+          else all
+        TimeSeriesOps.filterRange(filterTags(one, selector), start, end)
       case p: PluginRegistered =>
         p.plugin.dataForKeys(spark, Seq(SeriesKey(selector.tags, selector.field)), start, end)
       case s: SimulatorRegistered => simulatorData(s, selector, start, end)
@@ -158,7 +185,11 @@ final class Graft(spark: SparkSession) {
       case f: FileRegistered =>
         require(f.metadata.nonEmpty, s"source $sourceName has no metadata sources")
         val merged = MetadataSource.merge(f.dataConfig.tagColumns, f.metadata.map(_.read(spark)))
-        filterTags(merged, selector)
+        val tagged = filterTags(merged, selector)
+        // field-keyed metadata (metadata_field_column): a selector
+        // names one (tags, field) row (csv.py:221-228)
+        if (merged.columns.contains("field")) tagged.where(col("field") === lit(selector.field))
+        else tagged
       case p: PluginRegistered => p.plugin.metadata(spark, SeriesKey(selector.tags, selector.field))
       case _: SimulatorRegistered =>
         throw new IllegalArgumentException(s"simulator source $sourceName has no metadata")
@@ -230,6 +261,7 @@ object Graft {
       case GraftConfig.DeclaredPlugin(name, cmd, configJson, source) =>
         g.registerPluginSource(name, PluginSource(cmd, configJson, source))
       case GraftConfig.DeclaredSimulator(name, signals) => g.registerSimulatorSource(name, signals)
+      case GraftConfig.DeclaredUnavailable(name, typ) => g.sources(name) = g.UnavailableRegistered(typ)
     }
     g
   }

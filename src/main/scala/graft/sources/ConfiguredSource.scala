@@ -43,20 +43,58 @@ final case class SourceConfig(
       */
     valueType: String = "double",
     /** dir layout only: how the series key is encoded in the path.
-      * None = Hive partition discovery (`series_name=<v>/`);
-      * Some("base64") = one flat file per series named
-      * `<base64(series)>.<ext>` (kukur/source/arrow.py:205).
+      * None = Hive partition discovery (`series_name=<v>/`) — the
+      * graft-native scale layout with partition pruning;
+      * Some("name") = one flat file per series named `<series>.<ext>`
+      * (the reference's plain dir layout, csv.py:393);
+      * Some("base64") = same but base64-encoded names
+      * (kukur/source/arrow.py:205).
       */
     pathEncoding: Option[String] = None,
+    /** charset for CSV files (kukur file_encoding, e.g. "cp1252") */
+    fileEncoding: Option[String] = None,
+    /** decimal separator in numeric CSV cells (kukur
+      * data_decimal_point): Some(",") parses `"5,6"` as 5.6. Fields
+      * are translated to '.' then cast — forced numeric, like arrow's
+      * ConvertOptions(decimal_point=...) (csv.py:501).
+      */
+    decimalPoint: Option[String] = None,
+    /** dir layout: nested per-tag path levels (kukur
+      * `[[source.X.partitions]]`, arrow.py:25 SourcePartition) — the
+      * series file lives at `<enc(tag1)>/<enc(tag2)>/…/<enc(tagN)>.ext`.
+      * Empty = one level keyed by `tagColumns.head` with the
+      * source-level `pathEncoding` (the reference's default,
+      * arrow.py:83).
+      */
+    partitions: Seq[DirPartition] = Nil,
 )
+
+/** One nested dir-layout path level: the tag it encodes and whether the
+  * path component is base64-encoded (kukur SourcePartition).
+  */
+final case class DirPartition(key: String, base64: Boolean = false)
 
 final class ConfiguredSource(cfg: SourceConfig) {
 
-  private def reader(spark: SparkSession) = {
+  private def reader(spark: SparkSession, header: Boolean = cfg.csvHeader, infer: Boolean = false) = {
     val r = spark.read.format(cfg.fileFormat)
-    if (cfg.fileFormat == "csv")
-      r.option("header", cfg.csvHeader.toString).option("sep", cfg.csvSeparator)
-    else r
+    if (cfg.fileFormat == "csv") {
+      val base = r.option("header", header.toString).option("sep", cfg.csvSeparator)
+      val enc = cfg.fileEncoding.fold(base) { e =>
+        MetadataSource.enableJavaCharsets(spark, e)
+        base.option("encoding", e)
+      }
+      if (infer) enc.option("inferSchema", "true") else enc
+    } else r
+  }
+
+  /** Strip a UTF-8 BOM remnant from the first column name — univocity
+    * leaves `\uFEFFseries name` when a header file starts with a BOM.
+    */
+  private def stripBom(df: DataFrame): DataFrame = {
+    val cols = df.columns
+    if (cols.nonEmpty && cols.head.startsWith("\uFEFF")) df.toDF((cols.head.stripPrefix("\uFEFF") +: cols.tail.toSeq): _*)
+    else df
   }
 
   private def mapped(name: String): String = cfg.columnMapping.getOrElse(name, name)
@@ -92,7 +130,14 @@ final class ConfiguredSource(cfg: SourceConfig) {
     }
 
   /** Canonical read: one distributed frame with all series. */
-  def read(spark: SparkSession): DataFrame = cfg.dataFormat match {
+  def read(spark: SparkSession): DataFrame = {
+    // metadata-only sources are searchable but carry no data
+    // (kukur csv.py:299 InvalidSourceException)
+    require(cfg.path.nonEmpty, "No data path configured.")
+    readData(spark)
+  }
+
+  private def readData(spark: SparkSession): DataFrame = cfg.dataFormat match {
     case "row"   => readRow(spark)
     case "pivot" => readPivot(spark)
     case "dir"   => readDir(spark)
@@ -104,7 +149,7 @@ final class ConfiguredSource(cfg: SourceConfig) {
     * sources land in the same canonical shape.
     */
   private def readRow(spark: SparkSession): DataFrame = {
-    val loaded = reader(spark).load(cfg.path)
+    val loaded = stripBom(reader(spark, infer = cfg.valueType == "auto").load(cfg.path))
     // Headerless CSV names columns positionally: tags, ts, fields
     // (+ quality) — kukur/source/arrow.py:164's column_names order for
     // sources with header_row = false (the reference default).
@@ -120,8 +165,9 @@ final class ConfiguredSource(cfg: SourceConfig) {
       } else loaded
     val tags = cfg.tagColumns.map(t => col(mapped(t)).as(t))
     val base = withQuality(raw).withColumn("ts", normalizeTs(col(mapped("ts"))))
+    val target = resolveValueType(raw, cfg.fieldColumns.map(mapped))
     val stackExpr = cfg.fieldColumns
-      .map(f => s"'$f', cast(`${mapped(f)}` as ${cfg.valueType})")
+      .map(f => s"'$f', ${fieldSql(mapped(f), target)}")
       .mkString(s"stack(${cfg.fieldColumns.size}, ", ", ", ") as (field, value)")
     val cols = tags ++ Seq(expr(stackExpr), col("ts")) ++
       (if (cfg.qualityGood.nonEmpty) Seq(col("quality")) else Nil)
@@ -131,21 +177,56 @@ final class ConfiguredSource(cfg: SourceConfig) {
     )
   }
 
+  /** The canonical value type for this read. Explicit "double"/"string"
+    * win; "auto" resolves from the loaded schema with the reference's
+    * concat promotion rule (kukur/source/arrow.py:235 + __init__.py:462
+    * concat_tables): any string field ⇒ string, else double. A
+    * decimal-point override forces numeric (arrow's ConvertOptions
+    * parses those cells as floats regardless of inference).
+    */
+  private def resolveValueType(raw: DataFrame, fieldCols: Seq[String]): String = cfg.valueType match {
+    case "auto" =>
+      import org.apache.spark.sql.types.StringType
+      if (cfg.decimalPoint.exists(_ != ".")) "double"
+      else if (fieldCols.exists(f => raw.schema(f).dataType == StringType)) "string"
+      else "double"
+    case other => other
+  }
+
+  /** SQL fragment casting one raw field cell to the canonical value
+    * type, translating a non-'.' decimal separator first.
+    */
+  private def fieldSql(fileCol: String, target: String): String = cfg.decimalPoint match {
+    case Some(dp) if dp != "." && target == "double" =>
+      s"cast(translate(cast(`$fileCol` as string), '$dp', '.') as double)"
+    case _ => s"cast(`$fileCol` as $target)"
+  }
+
   /** Pivot layout: first column is the timestamp, every other column is
     * one series (kukur arrow.py:285 filter_pivot_data) — unpivoted with
     * a single `stack`, so the conversion is a narrow map, no shuffle.
     */
   private def readPivot(spark: SparkSession): DataFrame = {
-    val raw = reader(spark).load(cfg.path)
+    // pivot ALWAYS reads the header: series names ARE the column names
+    // (csv.py:430 _open_pivot_data never passes explicit column names)
+    val raw = stripBom(reader(spark, header = true, infer = cfg.valueType == "auto").load(cfg.path))
     val tsCol = cfg.columnMapping.getOrElse("ts", raw.columns.head)
     val seriesCols = raw.columns.filterNot(_ == tsCol)
+    // the series column carries the CONFIGURED tag name (the reference
+    // default is "series name" with the space — csv.py:59)
+    val tag = cfg.tagColumns.head
+    // concat promotion across series columns: a string series beside
+    // numeric ones promotes the canonical value to string (the
+    // reference's per-series reads keep native types — filter_pivot_data
+    // + get_value_schema_type — which one shared column cannot)
+    val target = resolveValueType(raw, seriesCols.toSeq)
     val stackExpr = seriesCols
-      .map(c => s"'$c', cast(`$c` as double)")
-      .mkString(s"stack(${seriesCols.length}, ", ", ", ") as (series_name, value)")
+      .map(c => s"'$c', ${fieldSql(c, target)}")
+      .mkString(s"stack(${seriesCols.length}, ", ", ", s") as (`$tag`, value)")
     raw
       .withColumn("ts", normalizeTs(col(tsCol)))
       .select(expr(stackExpr), col("ts"))
-      .select(col("series_name"), col("ts"), col("value"))
+      .select(col(tag), col("ts"), col("value"))
       .where(col("value").isNotNull)
   }
 
@@ -155,39 +236,172 @@ final class ConfiguredSource(cfg: SourceConfig) {
     * directory (the 100 TB path: partition pruning, no full scan).
     */
   private def readDir(spark: SparkSession): DataFrame = cfg.pathEncoding match {
-    case Some("base64") => readDirBase64(spark)
+    case Some("base64") => readDirKeyed(spark, base64 = true)
+    case Some("name")   => readDirKeyed(spark, base64 = false)
     case Some(other)    => throw new IllegalArgumentException(s"unknown path encoding: $other")
     case None =>
       val raw = reader(spark).option("basePath", cfg.path).load(cfg.path)
       val base = withQuality(raw).withColumn("ts", normalizeTs(col(mapped("ts"))))
-      val cols = cfg.tagColumns.map(col) ++ Seq(col("ts"), col(mapped("value")).cast(cfg.valueType).as("value")) ++
+      val cols = cfg.tagColumns.map(col) ++ Seq(col("ts"), dirValue(raw)) ++
         (if (cfg.qualityGood.nonEmpty) Seq(col("quality")) else Nil)
       base.select(cols: _*)
   }
 
-  /** Base64 dir layout (kukur/source/arrow.py:205): one flat file per
-    * series, the file name is the base64-encoded series key. The key
-    * comes back by decoding `input_file_name()` — a narrow projection,
-    * no shuffle; Spark still reads all files in one distributed scan.
-    * Single tag column only (nested partitions use the Hive layout).
+  /** Positional naming for headerless dir CSVs — the reference's dir
+    * read contract (csv.py:378): columns are ts, value [, quality],
+    * the series key lives only in the path.
     */
-  private def readDirBase64(spark: SparkSession): DataFrame = {
-    require(cfg.tagColumns.size == 1, "base64 dir layout supports exactly one tag column")
-    val raw = reader(spark).load(cfg.path)
-    // NO url_decode: it is x-www-form-urlencoded and would turn a
-    // literal '+' — a standard base64 alphabet character that
-    // input_file_name() leaves unencoded — into a space, corrupting the
-    // key. Only %XX escapes need undoing; base64 names never contain
-    // '%', so a targeted %XX→byte rewrite is safe.
-    val fileName = regexp_extract(input_file_name(), "([^/]+)\\.[A-Za-z0-9]+$", 1)
-    val encoded = regexp_replace(fileName, "%2[Bb]", "+")
-    val series = decode(unbase64(encoded), "UTF-8")
-    val base = withQuality(raw)
-      .withColumn(cfg.tagColumns.head, series)
-      .withColumn("ts", normalizeTs(col(mapped("ts"))))
-    val cols = cfg.tagColumns.map(col) ++ Seq(col("ts"), col(mapped("value")).cast(cfg.valueType).as("value")) ++
-      (if (cfg.qualityGood.nonEmpty) Seq(col("quality")) else Nil)
-    base.select(cols: _*)
+  private def dirPositional(loaded: DataFrame): DataFrame =
+    if (cfg.fileFormat == "csv" && !cfg.csvHeader && cfg.columnMapping.isEmpty) {
+      val names = Seq("ts", "value") ++ (if (cfg.qualityGood.nonEmpty) Seq("quality") else Nil)
+      require(
+        loaded.columns.length == names.length,
+        s"headerless dir csv at ${cfg.path} has ${loaded.columns.length} columns; expected ${names.mkString(", ")}",
+      )
+      loaded.toDF(names: _*)
+    } else stripBom(loaded)
+
+  private def dirValue(raw: DataFrame): Column = {
+    val target = resolveValueType(raw, Seq(mapped("value")))
+    expr(fieldSql(mapped("value"), target)).as("value")
+  }
+
+  /** The dir layout's path levels: configured `partitions`, or one
+    * level keyed by the single tag with the source-level encoding
+    * (the reference's default, arrow.py:83).
+    */
+  private def dirLevels(base64: Boolean): Seq[DirPartition] =
+    if (cfg.partitions.nonEmpty) cfg.partitions
+    else Seq(DirPartition(cfg.tagColumns.head, base64))
+
+  /** Filename-keyed dir layouts: one flat file per series, the series
+    * key in the path — plain (`<series>.<ext>`, the reference's
+    * default dir layout, csv.py:393), base64-encoded
+    * (kukur/source/arrow.py:205), or nested per-tag levels
+    * (`partitions`). CSV dirs with one level read as ONE distributed
+    * scan (all strings, no schema conflict; key decoded from
+    * `input_file_name()` — narrow projection, no shuffle). Columnar
+    * containers and nested layouts read per file and promote-union:
+    * per-series schemas may genuinely disagree (a string series beside
+    * a double series — the reference reads one file per selector and
+    * never sees the conflict). The per-file plan is the
+    * REFERENCE-COMPAT path for modest series counts; the Hive layout
+    * (`pathEncoding = None`) is the scale path with real partition
+    * pruning.
+    */
+  private def readDirKeyed(spark: SparkSession, base64: Boolean): DataFrame = {
+    val levels = dirLevels(base64)
+    if (cfg.fileFormat == "csv" && levels.lengthCompare(1) == 0) {
+      val raw = dirPositional(reader(spark, infer = cfg.valueType == "auto").load(cfg.path))
+      val fileName = regexp_extract(input_file_name(), "([^/]+)\\.[A-Za-z0-9]+$", 1)
+      val series =
+        if (levels.head.base64) {
+          // NO url_decode: it is x-www-form-urlencoded and would turn a
+          // literal '+' — a standard base64 alphabet character that
+          // input_file_name() leaves unencoded — into a space,
+          // corrupting the key. Only %XX escapes need undoing; base64
+          // names never contain '%', so a targeted rewrite is safe.
+          decode(unbase64(regexp_replace(fileName, "%2[Bb]", "+")), "UTF-8")
+        } else {
+          // plain names: undo input_file_name()'s URI escapes (%20 for
+          // a space, …) after protecting any literal '+' from
+          // url_decode's form-encoding rule
+          url_decode(regexp_replace(fileName, "\\+", "%2B"))
+        }
+      val base = withQuality(raw)
+        .withColumn(levels.head.key, series)
+        .withColumn("ts", normalizeTs(col(mapped("ts"))))
+      val cols = Seq(col(levels.head.key), col("ts"), dirValue(raw)) ++
+        (if (cfg.qualityGood.nonEmpty) Seq(col("quality")) else Nil)
+      base.select(cols: _*)
+    } else {
+      val files = listSeriesFiles(spark, levels)
+      require(files.nonEmpty, s"dir source at ${cfg.path} has no series files")
+      ConfiguredSource.promoteUnion(files.map { case (tags, p) => seriesFileFrame(spark, tags, p) })
+    }
+  }
+
+  /** Enumerate `(tag values, file path)` for every series file under a
+    * keyed dir layout — a driver-side FILE LISTING (the same metadata
+    * walk Spark's own datasource does), one directory listing per
+    * partition node, never file contents.
+    */
+  private def listSeriesFiles(
+      spark: SparkSession,
+      levels: Seq[DirPartition],
+  ): Seq[(Map[String, String], String)] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(cfg.path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def dec(name: String, level: DirPartition): String =
+      if (level.base64) new String(java.util.Base64.getDecoder.decode(name), "UTF-8") else name
+    def walk(p: Path, rest: Seq[DirPartition], acc: Map[String, String]): Seq[(Map[String, String], String)] =
+      rest match {
+        case Seq(last) =>
+          fs.listStatus(p)
+            .filter(_.isFile)
+            .toSeq
+            .flatMap { st =>
+              val n = st.getPath.getName
+              val dot = n.lastIndexOf('.')
+              if (dot <= 0) None
+              else Some((acc + (last.key -> dec(n.substring(0, dot), last)), st.getPath.toString))
+            }
+        case head +: more =>
+          fs.listStatus(p)
+            .filter(_.isDirectory)
+            .toSeq
+            .flatMap(st => walk(st.getPath, more, acc + (head.key -> dec(st.getPath.getName, head))))
+      }
+    walk(root, levels, Map.empty).sortBy(_._2)
+  }
+
+  /** One series file as a canonical frame: positional ts/value
+    * [/quality] naming (the reference renames dir columns BY POSITION —
+    * arrow.py:216 `rename_columns` — so a file's own header never
+    * matters), value as double unless the file holds strings
+    * (get_value_schema_type, arrow.py:235), tag values as literals.
+    */
+  private def seriesFileFrame(spark: SparkSession, tags: Map[String, String], path: String): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val loaded = reader(spark, infer = cfg.valueType == "auto").load(path)
+    val names = Seq("ts", "value") ++ (if (cfg.qualityGood.nonEmpty) Seq("quality") else Nil)
+    require(
+      loaded.columns.length >= names.length,
+      s"series file $path has ${loaded.columns.length} columns; expected at least ${names.mkString(", ")}",
+    )
+    val raw = loaded.toDF(names ++ loaded.columns.drop(names.length).zipWithIndex.map { case (_, i) => s"__x$i" }: _*)
+    val valueC = cfg.valueType match {
+      case "string" => col("value").cast("string")
+      case "double" => expr(fieldSql("value", "double"))
+      case _ =>
+        if (raw.schema("value").dataType == StringType && !cfg.decimalPoint.exists(_ != ".")) col("value")
+        else expr(fieldSql("value", "double"))
+    }
+    val tagCols = tags.toSeq.map { case (k, v) => lit(v).as(k) }
+    withQuality(raw)
+      .select(
+        tagCols ++ Seq(normalizeTs(col("ts")).as("ts"), valueC.as("value")) ++
+          (if (cfg.qualityGood.nonEmpty) Seq(col("quality")) else Nil): _*
+      )
+  }
+
+  /** Pruned single-series read for keyed dir layouts: the selector's
+    * tag values NAME the file, so exactly one file is opened — the dir
+    * layout's partition pruning (what the reference's per-selector
+    * `open_child` does, and the behavior that matters at scale: one
+    * file, not a full-source scan). Returns None when this source is
+    * not a keyed dir or the selector misses a partition key.
+    */
+  def readSeries(spark: SparkSession, tags: Map[String, String]): Option[DataFrame] = {
+    if (cfg.dataFormat != "dir" || cfg.pathEncoding.isEmpty) return None
+    val levels = dirLevels(cfg.pathEncoding.contains("base64"))
+    if (!levels.forall(l => tags.contains(l.key))) return None
+    def enc(v: String, level: DirPartition): String =
+      if (level.base64) java.util.Base64.getEncoder.encodeToString(v.getBytes("UTF-8")) else v
+    val ext = cfg.fileFormat match { case "parquet" => "parquet"; case other => other }
+    val rel = levels.map(l => enc(tags(l.key), l)).mkString("/")
+    Some(seriesFileFrame(spark, levels.map(l => l.key -> tags(l.key)).toMap, s"${cfg.path.stripSuffix("/")}/$rel.$ext"))
   }
 
   /** Series discovery over this source (kukur search): distinct tags ×
@@ -197,9 +411,9 @@ final class ConfiguredSource(cfg: SourceConfig) {
     import spark.implicits._
     cfg.dataFormat match {
       case "pivot" =>
-        val raw = reader(spark).load(cfg.path)
+        val raw = stripBom(reader(spark, header = true).load(cfg.path))
         val tsCol = cfg.columnMapping.getOrElse("ts", raw.columns.head)
-        raw.columns.filterNot(_ == tsCol).toSeq.toDF("series_name").withColumn("field", lit("value"))
+        raw.columns.filterNot(_ == tsCol).toSeq.toDF(cfg.tagColumns.head).withColumn("field", lit("value"))
       case _ =>
         read(spark)
           .select(cfg.tagColumns.map(col): _*)

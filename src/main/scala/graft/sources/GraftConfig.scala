@@ -56,6 +56,14 @@ object GraftConfig {
   final case class DeclaredPlugin(name: String, cmd: Seq[String], configJson: String, source: String) extends Declared
   final case class DeclaredSimulator(name: String, signals: Seq[SimulatorSignal]) extends Declared
 
+  /** A source whose `type` this engine has no connector for. The
+    * reference resolves types LAZILY (SourceFactory.get_source raises
+    * only when the source is requested, kukur/source/__init__.py), so a
+    * shared config declaring e.g. ODBC sources still loads — only
+    * touching such a source fails.
+    */
+  final case class DeclaredUnavailable(name: String, sourceType: String) extends Declared
+
   private val fileTypes = Set("csv", "parquet", "json", "orc")
   private val supportedTypes = fileTypes ++ Set("plugin", "simulator")
 
@@ -70,9 +78,8 @@ object GraftConfig {
       .map { e =>
         val (name, node) = (e.getKey, e.getValue)
         val typ = str(node, "type").getOrElse(fail(s""""$name" has no type"""))
-        if (!supportedTypes.contains(typ))
-          fail(s"""source "$name" has unknown type "$typ" (supported: ${supportedTypes.toSeq.sorted.mkString(", ")})""")
-        if (typ == "plugin") declaredPlugin(name, node)
+        if (!supportedTypes.contains(typ)) DeclaredUnavailable(name, typ)
+        else if (typ == "plugin") declaredPlugin(name, node)
         else if (typ == "simulator") declaredSimulator(name, node)
         else declaredFile(root, dir, name, node, typ)
       }
@@ -127,15 +134,22 @@ object GraftConfig {
 
   private def declaredFile(root: ObjectNode, dir: Path, name: String, node: JsonNode, typ: String): DeclaredFile = {
     {
-        val tagColumns = strSeq(node, "tag_columns").getOrElse(Seq("series_name"))
+        // reference default tag is "series name" WITH the space
+        // (csv.py:59) - kukur's own metadata files carry that header
+        val tagColumns = strSeq(node, "tag_columns").getOrElse(Seq(graft.model.SeriesSelector.SeriesNameTag))
+        val dataFormat = str(node, "format").getOrElse("row")
+        val fileEncoding = str(node, "file_encoding")
         val data = SourceConfig(
-          path = resolve(dir, str(node, "path").getOrElse(fail(s""""$name" has no path"""))),
+          // metadata-only sources (kukur csv.py:46: `path` optional) are
+          // legal: search/metadata answer from the sidecar, data reads
+          // fail with the reference's "No data path configured"
+          path = str(node, "path").map(resolve(dir, _)).getOrElse(""),
           fileFormat = typ,
-          dataFormat = str(node, "format").getOrElse("row"),
+          dataFormat = dataFormat,
           tagColumns = tagColumns,
           fieldColumns = strSeq(node, "field_columns").getOrElse(Seq("value")),
           columnMapping = objMap(node.get("column_mapping")),
-          datetimeFormat = str(node, "data_datetime_format"),
+          datetimeFormat = str(node, "data_datetime_format").map(strftimeToJava),
           dataTimezone = str(node, "data_timezone"),
           qualityGood = str(node, "quality_mapping")
             .map(n => qualityGood(root.path("quality_mapping").path(n)))
@@ -144,21 +158,48 @@ object GraftConfig {
           // headerless files get positional tag/ts/field column names
           csvHeader = Option(node.get("header_row")).exists(_.asBoolean),
           csvSeparator = str(node, "data_column_separator").getOrElse(","),
-          valueType = str(node, "value_type").getOrElse("double"),
-          pathEncoding = str(node, "path_encoding"),
+          // "auto" = reference semantics: infer per-field, promote
+          // string-bearing sources to string (arrow read_csv inference)
+          valueType = str(node, "value_type").getOrElse("auto"),
+          // config-declared dir sources default to the reference's
+          // filename-keyed layout (csv.py:393 `<series>.csv`); "hive"
+          // opts into graft's partition-discovery layout for scale
+          pathEncoding = str(node, "path_encoding").orElse(if (dataFormat == "dir") Some("name") else None).filterNot(_ == "hive"),
+          fileEncoding = fileEncoding,
+          decimalPoint = str(node, "data_decimal_point"),
+          // kukur [[source.X.partitions]] (arrow.py:25 SourcePartition):
+          // nested per-tag path levels, each optionally base64-encoded
+          partitions = Option(node.get("partitions")).toSeq
+            .flatMap(_.elements().asScala)
+            .map { p =>
+              val key = str(p, "key").getOrElse(fail(s"partition in $name has no key"))
+              DirPartition(key, base64 = str(p, "path_encoding").contains("base64"))
+            },
         )
-        val sidecar = str(node, "metadata").map { mdPath =>
+        // a metadata section node (the source itself or a named
+        // [metadata.*] extra) -> MetadataConfig; `metadata` names the
+        // table file for the source sidecar, `path`/`metadata` for
+        // extras (the reference accepts both spellings)
+        def metadataConfig(mdNode: JsonNode, mdPath: String, mdFormat: String, dfltTags: Seq[String]): MetadataConfig =
           MetadataConfig(
             path = resolve(dir, mdPath),
-            fileFormat = typ,
-            tagColumns = tagColumns,
-            fieldMapping = namedSection(root, "metadata_mapping", node).map(objMap).getOrElse(Map.empty),
-            valueMapping = namedSection(root, "metadata_value_mapping", node).map(valueMapping).getOrElse(Map.empty),
-            dictionaryDir = str(node, "dictionary_dir").map(resolve(dir, _)),
-            csvSeparator = str(node, "data_column_separator").getOrElse(","),
-            fields = strSeq(node, "metadata_fields").orElse(strSeq(node, "fields")).getOrElse(Nil),
+            fileFormat = mdFormat,
+            tagColumns = strSeq(mdNode, "tag_columns").getOrElse(dfltTags),
+            fieldMapping = namedSection(root, "metadata_mapping", mdNode).map(normalizedObjMap).getOrElse(Map.empty),
+            valueMapping = namedSection(root, "metadata_value_mapping", mdNode).map(valueMapping).getOrElse(Map.empty),
+            dictionaryDir = str(mdNode, "dictionary_dir").map(resolve(dir, _)),
+            csvSeparator = str(mdNode, "data_column_separator").getOrElse(","),
+            fields = strSeq(mdNode, "metadata_fields").orElse(strSeq(mdNode, "fields")).getOrElse(Nil),
+            columnMapping = objMap(mdNode.get("column_mapping")),
+            // accepts a string or a single-element list (both appear in
+            // the reference's own fixtures)
+            fieldColumn = strOrHead(mdNode, "metadata_field_column"),
+            fileEncoding = str(mdNode, "file_encoding"),
           )
-        }
+        // `metadata_type` overrides the sidecar's file format (a parquet
+        // source with a CSV metadata table — parquet-examples.toml)
+        val sidecar = str(node, "metadata")
+          .map(metadataConfig(node, _, str(node, "metadata_type").filter(fileTypes.contains).getOrElse(typ), tagColumns))
         val extras = strSeq(node, "metadata_sources").getOrElse(Nil).map { mdName =>
           val mdNode = root.path("metadata").path(mdName)
           if (mdNode.isMissingNode)
@@ -166,20 +207,55 @@ object GraftConfig {
           val mdType = str(mdNode, "type").getOrElse(fail(s"""metadata source "$mdName" has no type"""))
           if (!fileTypes.contains(mdType))
             fail(s"""metadata source "$mdName" has unknown type "$mdType"""")
-          MetadataConfig(
-            path = resolve(dir, str(mdNode, "path").getOrElse(fail(s"""metadata source "$mdName" has no path"""))),
-            fileFormat = mdType,
-            tagColumns = strSeq(mdNode, "tag_columns").getOrElse(tagColumns),
-            fieldMapping = namedSection(root, "metadata_mapping", mdNode).map(objMap).getOrElse(Map.empty),
-            valueMapping = namedSection(root, "metadata_value_mapping", mdNode).map(valueMapping).getOrElse(Map.empty),
-            dictionaryDir = str(mdNode, "dictionary_dir").map(resolve(dir, _)),
-            csvSeparator = str(mdNode, "data_column_separator").getOrElse(","),
-            fields = strSeq(mdNode, "fields").getOrElse(Nil),
-          )
+          val mdPath = str(mdNode, "metadata")
+            .orElse(str(mdNode, "path"))
+            .getOrElse(fail(s"""metadata source "$mdName" has no path"""))
+          metadataConfig(mdNode, mdPath, mdType, tagColumns)
         }
         DeclaredFile(name, data, sidecar.toSeq ++ extras)
     }
   }
+
+  /** python strftime -> Spark DateTimeFormatter pattern (the reference
+    * configures `data_datetime_format` in strftime, csv.py:54). Strings
+    * without '%' pass through untouched, so Java patterns keep working.
+    */
+  private[sources] def strftimeToJava(fmt: String): String =
+    if (!fmt.contains('%')) fmt
+    else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < fmt.length) {
+        val c = fmt.charAt(i)
+        if (c == '%' && i + 1 < fmt.length) {
+          fmt.charAt(i + 1) match {
+            case 'Y' => sb.append("yyyy")
+            case 'y' => sb.append("yy")
+            case 'm' => sb.append("MM")
+            case 'd' => sb.append("dd")
+            case 'H' => sb.append("HH")
+            case 'I' => sb.append("hh")
+            case 'M' => sb.append("mm")
+            case 'S' => sb.append("ss")
+            case 'f' => sb.append("SSSSSS")
+            case 'z' => sb.append("xx")
+            case 'Z' => sb.append("zzz")
+            case 'j' => sb.append("DDD")
+            case 'p' => sb.append("a")
+            case '%' => sb.append('%')
+            case other => fail(s"unsupported strftime directive %$other in datetime format: $fmt")
+          }
+          i += 2
+        } else if (c.isLetter) {
+          // literal letters ('T' in "%dT%H") are RESERVED pattern chars
+          // in DateTimeFormatter — quote the whole run
+          val start = i
+          while (i < fmt.length && fmt.charAt(i).isLetter && !(fmt.charAt(i) == '%')) i += 1
+          sb.append('\'').append(fmt.substring(start, i)).append('\'')
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
 
   /** Parse a config file and fold in its `include` globs —
     * kukur/config.py from_toml: each matched file merges as a fragment,
@@ -294,7 +370,7 @@ object GraftConfig {
             else Seq(e.getValue.asText -> e.getKey)
           }
           .toMap
-        fieldEntry.getKey -> inverted
+        MetadataSource.canonicalName(fieldEntry.getKey) -> inverted
       }
       .toMap
 
@@ -312,6 +388,20 @@ object GraftConfig {
 
   private def strSeq(n: JsonNode, key: String): Option[Seq[String]] =
     Option(n.get(key)).filterNot(_.isNull).map(_.elements().asScala.map(_.asText).toSeq)
+
+  /** objMap with keys normalized through the kukur->graft field-name
+    * table, so `"functional lower limit" = "limitlow"` in a reference
+    * TOML lands on graft's limit_low_functional; custom-field keys
+    * (location, "process type", ...) pass through unchanged.
+    */
+  private def normalizedObjMap(n: JsonNode): Map[String, String] =
+    objMap(n).map { case (k, v) => MetadataSource.canonicalName(k) -> v }
+
+  private def strOrHead(n: JsonNode, key: String): Option[String] =
+    Option(n.get(key)).filterNot(_.isNull).map { v =>
+      if (v.isArray) v.elements().asScala.map(_.asText).toSeq.headOption.getOrElse(fail(s"empty $key"))
+      else v.asText
+    }
 
   private def objMap(n: JsonNode): Map[String, String] =
     Option(n).filterNot(_ == null).map(_.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty)

@@ -23,25 +23,58 @@ final case class MetadataConfig(
     path: String,
     fileFormat: String = "csv",
     tagColumns: Seq[String] = Seq("series_name"),
-    /** canonical field -> source column name */
+    /** canonical field -> source column name (kukur metadata_mapping —
+      * MetadataMapper.from_kukur, kukur/source/metadata.py:23)
+      */
     fieldMapping: Map[String, String] = Map.empty,
     /** canonical field -> (source value -> canonical value) */
     valueMapping: Map[String, Map[String, String]] = Map.empty,
     /** directory of `<dictionary_name>.csv` files with code,label rows */
     dictionaryDir: Option[String] = None,
     csvSeparator: String = ",",
-    /** when non-empty, the canonical fields this source contributes —
-      * others read as null so merge precedence skips them (kukur
-      * MetadataSource.fields, kukur/source/__init__.py:97-101)
+    /** when non-empty, the fields this source contributes — canonical
+      * ones not listed read as null so merge precedence skips them
+      * (kukur MetadataSource.fields, kukur/source/__init__.py:97-101),
+      * and NON-canonical names are emitted as extra string columns
+      * (kukur custom metadata fields, metadata/__init__.py coerce_field
+      * fallthrough).
       */
     fields: Seq[String] = Nil,
+    /** column_mapping applied AFTER fieldMapping — the reference's
+      * `column_mapping.get(from_kukur(name))` chain (csv.py:244).
+      */
+    columnMapping: Map[String, String] = Map.empty,
+    /** kukur metadata_field_column: the metadata table is keyed by
+      * (tags, field); this column names the field each row describes.
+      * Emitted as a `field` column.
+      */
+    fieldColumn: Option[String] = None,
+    /** charset for CSV reads (kukur file_encoding, e.g. "cp1252") —
+      * applies to the metadata table and the dictionary dir alike.
+      */
+    fileEncoding: Option[String] = None,
 )
 
 final class MetadataSource(cfg: MetadataConfig) {
 
   import MetadataSource._
 
-  private def mapped(name: String): String = cfg.fieldMapping.getOrElse(name, name)
+  /** Resolve a canonical/tag/custom name to the source column, by the
+    * reference's chain (csv.py:244 `_map_column_name`): metadata_mapping
+    * first, then column_mapping — falling back through the kukur spaced
+    * spelling and the graft snake spelling, so the same config reads
+    * kukur's own metadata files (`functional lower limit`, …) and
+    * graft-native snake-cased ones without per-file mapping noise.
+    */
+  private def candidates(name: String): Seq[String] = {
+    val snake = canonicalName(name)
+    val spellings = (Seq(name, snake) ++ spacedName(snake).toSeq).distinct
+    val viaField = spellings.flatMap(n => cfg.fieldMapping.get(n)) ++ spellings
+    viaField.flatMap(n => Seq(cfg.columnMapping.getOrElse(n, n), n)).distinct
+  }
+
+  private def resolve(raw: DataFrame, name: String): Option[String] =
+    candidates(name).find(raw.columns.contains)
 
   /** One CASE over the ORIGINAL column value — folding when/otherwise
     * onto the accumulated column would re-match already-mapped values,
@@ -68,12 +101,32 @@ final class MetadataSource(cfg: MetadataConfig) {
 
   def read(spark: SparkSession): DataFrame = {
     val reader = spark.read.format(cfg.fileFormat)
+    val raw0 =
+      if (cfg.fileFormat == "csv") {
+        val r = reader.option("header", "true").option("sep", cfg.csvSeparator)
+        cfg.fileEncoding
+          .fold(r) { e =>
+            enableJavaCharsets(spark, e)
+            r.option("encoding", e)
+          }
+          .load(cfg.path)
+      } else reader.load(cfg.path)
+    // a BOM'd header leaves `\uFEFF<first column>` — strip it so name
+    // resolution sees the real name (kukur's utf-8-sig open does this)
     val raw =
-      if (cfg.fileFormat == "csv") reader.option("header", "true").option("sep", cfg.csvSeparator).load(cfg.path)
-      else reader.load(cfg.path)
+      if (raw0.columns.nonEmpty && raw0.columns.head.startsWith("\uFEFF"))
+        raw0.toDF((raw0.columns.head.stripPrefix("\uFEFF") +: raw0.columns.tail.toSeq): _*)
+      else raw0
     def colOrNull(name: String): Column =
-      if (raw.columns.contains(mapped(name))) col(mapped(name)) else lit(null).cast("string")
-    val tags = cfg.tagColumns.map(t => col(mapped(t)).cast("string").as(t))
+      resolve(raw, name).map(col).getOrElse(lit(null).cast("string"))
+    val tags = cfg.tagColumns.map(t => colOrNull(t).cast("string").as(t))
+    val fieldKey = cfg.fieldColumn.toSeq.map(fc => colOrNull(fc).cast("string").as("field"))
+    // the canonical fields this source contributes (names normalized so
+    // `"functional lower limit"` in a kukur config restricts
+    // limit_low_functional), plus custom fields — any listed name
+    // outside the canonical vocabulary, emitted as a string column
+    val normalizedFields = cfg.fields.map(canonicalName)
+    val customFields = cfg.fields.filterNot(f => CanonicalFields.contains(canonicalName(f)))
     val fields = Seq(
       valueMapped("description", colOrNull("description")).cast("string").as("description"),
       valueMapped("unit", colOrNull("unit")).cast("string").as("unit"),
@@ -86,13 +139,14 @@ final class MetadataSource(cfg: MetadataConfig) {
       upper(valueMapped("interpolation_type", colOrNull("interpolation_type")).cast("string")).as("interpolation_type"),
       upper(valueMapped("data_type", colOrNull("data_type")).cast("string")).as("data_type"),
       valueMapped("dictionary_name", colOrNull("dictionary_name")).cast("string").as("dictionary_name"),
-    )
-    val selected = raw.select(tags ++ fields: _*)
+    ) ++ customFields.map(f => valueMapped(f, colOrNull(f)).cast("string").as(f))
+    val selected = raw.select(tags ++ fieldKey ++ fields: _*)
     if (cfg.fields.isEmpty) selected
     else
       selected.columns
         .filterNot(cfg.tagColumns.contains)
-        .filterNot(cfg.fields.contains)
+        .filterNot(_ == "field")
+        .filterNot(c => normalizedFields.contains(c) || customFields.contains(c))
         .foldLeft(selected)((d, f) => d.withColumn(f, lit(null).cast(d.schema(f).dataType)))
   }
 
@@ -104,9 +158,14 @@ final class MetadataSource(cfg: MetadataConfig) {
     val dir = cfg.dictionaryDir.getOrElse(
       throw new IllegalArgumentException("no dictionary_dir configured")
     )
-    spark.read
+    val rd = spark.read
       .option("header", "false")
       .schema("code INT, label STRING")
+    cfg.fileEncoding
+      .fold(rd) { e =>
+        enableJavaCharsets(spark, e)
+        rd.option("encoding", e)
+      }
       .csv(s"$dir/*.csv")
       .withColumn("dictionary_name", regexp_extract(input_file_name(), "([^/]+)\\.csv$", 1))
       .select(col("dictionary_name"), col("code"), col("label"))
@@ -114,6 +173,52 @@ final class MetadataSource(cfg: MetadataConfig) {
 }
 
 object MetadataSource {
+
+  /** Charsets Spark's CSV reader accepts WITHOUT the legacy flag
+    * (CharsetProvider.VALID_CHARSETS, SPARK-46411).
+    */
+  private val SparkNativeCharsets =
+    Set("us-ascii", "iso-8859-1", "utf-8", "utf-16", "utf-16be", "utf-16le", "utf-32")
+
+  /** A `file_encoding` outside Spark's shortlist (cp1252, …) needs
+    * `spark.sql.legacy.javaCharsets=true` — a public dynamic conf that
+    * re-opens the full JVM charset set. Flip it on demand so a kukur
+    * config with `file_encoding = "cp1252"` just works.
+    */
+  private[sources] def enableJavaCharsets(spark: SparkSession, encoding: String): Unit =
+    if (!SparkNativeCharsets.contains(encoding.toLowerCase(java.util.Locale.ROOT)))
+      spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+
+  /** kukur's spaced field names (kukur/metadata/fields.py) -> graft's
+    * snake-cased canonical columns; both spellings resolve everywhere.
+    */
+  val KukurNames: Map[String, String] = Map(
+    "series name" -> "series_name",
+    "physical lower limit" -> "limit_low_physical",
+    "physical upper limit" -> "limit_high_physical",
+    "functional lower limit" -> "limit_low_functional",
+    "functional upper limit" -> "limit_high_functional",
+    "accuracy percentage" -> "accuracy_percentage",
+    "interpolation type" -> "interpolation_type",
+    "data type" -> "data_type",
+    "dictionary name" -> "dictionary_name",
+  )
+
+  private val SpacedNames: Map[String, String] = KukurNames.map(_.swap)
+
+  val CanonicalFields: Set[String] = Set(
+    "description", "unit", "limit_low_physical", "limit_high_physical",
+    "limit_low_functional", "limit_high_functional", "accuracy",
+    "accuracy_percentage", "interpolation_type", "data_type", "dictionary_name",
+  )
+
+  /** Normalize a kukur spaced name to the graft canonical snake name
+    * (identity for names already canonical or custom).
+    */
+  def canonicalName(name: String): String = KukurNames.getOrElse(name, name)
+
+  /** The kukur spaced spelling of a canonical snake name, if any. */
+  def spacedName(snake: String): Option[String] = SpacedNames.get(snake)
 
   /** Merge metadata from several sources with precedence: earlier
     * frames win field-by-field; empty strings count as missing
@@ -123,10 +228,23 @@ object MetadataSource {
     */
   def merge(tagColumns: Seq[String], frames: Seq[DataFrame]): DataFrame = {
     require(frames.nonEmpty, "need at least one metadata frame")
-    val fields = frames.head.columns.filterNot(tagColumns.contains)
-    frames.reduce { (hi, lo) =>
+    // field-keyed metadata (metadata_field_column): when every frame
+    // carries the `field` key it joins as part of the series identity,
+    // matching the reference's (tags, field) row match (csv.py:211)
+    val keyCols =
+      if (frames.forall(_.columns.contains("field"))) tagColumns :+ "field" else tagColumns
+    // custom metadata fields make schemas heterogeneous (one source
+    // contributes `location`, another `process type`): align on the
+    // union, missing columns read as null strings so precedence falls
+    // through them exactly like an unlisted canonical field
+    val fieldsUnion = frames.flatMap(_.columns).distinct.filterNot(keyCols.contains)
+    val aligned = frames.map { f =>
+      fieldsUnion.foldLeft(f)((d, c) => if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("string")))
+    }
+    val fields = fieldsUnion
+    aligned.reduce { (hi, lo) =>
       val loRen = fields.foldLeft(lo)((d, f) => d.withColumnRenamed(f, s"__lo_$f"))
-      val joined = hi.join(loRen, tagColumns, "full_outer")
+      val joined = hi.join(loRen, keyCols, "full_outer")
       fields
         .foldLeft(joined) { (d, f) =>
           val hiC = col(f)

@@ -22,9 +22,10 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   * tag_columns = ["series name", "location"]
   * }}}
   *
-  * NOT supported (unused by kukur configs): datetimes, multiline
-  * strings, exotic escapes beyond \" \\ \n \r \t \uXXXX. A malformed
-  * document fails with line/position context rather than guessing.
+  * NOT supported (unused by kukur configs): datetimes, escape
+  * sequences beyond \" \\ \n \r \t \uXXXX, line-ending backslashes in
+  * multiline strings. A malformed document fails with line/position
+  * context rather than guessing.
   */
 object TomlLite {
 
@@ -153,6 +154,19 @@ object TomlLite {
     }
 
     private def basicString(): String = {
+      // multiline basic string: three quotes, runs to the closing
+      // triple (kukur's datafusion/tdengine configs hold SQL this way);
+      // a newline right after the opener is trimmed per the TOML spec
+      if (input.startsWith("\"\"\"", pos)) {
+        pos += 3
+        val end = input.indexOf("\"\"\"", pos)
+        if (end < 0) fail("unterminated multiline string")
+        var body = input.substring(pos, end)
+        if (body.startsWith("\r\n")) body = body.substring(2)
+        else if (body.startsWith("\n")) body = body.substring(1)
+        pos = end + 3
+        return body
+      }
       expect('"')
       val sb = new StringBuilder
       while (pos < input.length && peek != '"') {
@@ -180,6 +194,16 @@ object TomlLite {
     }
 
     private def literalString(): String = {
+      if (input.startsWith("'''", pos)) {
+        pos += 3
+        val end3 = input.indexOf("'''", pos)
+        if (end3 < 0) fail("unterminated multiline literal string")
+        var body = input.substring(pos, end3)
+        if (body.startsWith("\r\n")) body = body.substring(2)
+        else if (body.startsWith("\n")) body = body.substring(1)
+        pos = end3 + 3
+        return body
+      }
       expect('\'')
       val end = input.indexOf('\'', pos)
       if (end < 0) fail("unterminated literal string")

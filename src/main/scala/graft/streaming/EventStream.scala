@@ -700,6 +700,69 @@ object EventStream {
       }
   }
 
+  /** Streaming subsequence pattern search (D20) — the streaming dual of
+    * A32 ([[graft.operators.TimeSeriesOps.patternSearch]]): flag every
+    * fixed-interval window whose shape matches a query motif, AT
+    * INGEST. Each point lands in the `|pattern|` sliding time-windows
+    * that cover it (slide = one interval); when a window closes under
+    * the watermark its points are ordered and scored by the same
+    * integer-exact SSD as the batch operator (micro-scaled longs,
+    * squares and sum in Decimal(38,0)), and windows at or under
+    * `maxSsdMicro2` emit. The motif ships as a literal array — the
+    * broadcast-pattern analog, no join.
+    *
+    * State is one in-horizon row per (series, window) holding ≤
+    * `|pattern|` points — bounded, emission on watermark close
+    * (append). Windows with missing or extra ticks (≠ |pattern|
+    * points) are shape-undefined and drop, which also makes the
+    * contract explicit: the stream must be a fixed-interval grid, the
+    * same precondition A32's rowsBetween window assumes. On the same
+    * points, a window starting at t scores EXACTLY the batch
+    * operator's SSD at t — spec-asserted cross-implementation parity.
+    */
+  def patternGateStream(
+      pointStream: DataFrame,
+      pattern: Seq[Double],
+      intervalSeconds: Long,
+      maxSsdMicro2: Long,
+      watermark: String = "1 hour",
+  ): DataFrame = {
+    require(pattern.nonEmpty, "patternGateStream needs a non-empty pattern")
+    require(intervalSeconds > 0, "intervalSeconds must be positive")
+    val w = pattern.length
+    val patMicro = pattern.map(p => math.floor(p * 1e6).toLong)
+    val pat = array(patMicro.map(lit(_)): _*)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    pointStream
+      .withWatermark("ts", watermark)
+      .where(col("value").isNotNull)
+      .select(
+        col("series_name"),
+        col("ts"),
+        floor(col("value") * lit(1000000.0)).cast("long").as("__vm"),
+      )
+      .groupBy(
+        window(col("ts"), s"${w * intervalSeconds} seconds", s"$intervalSeconds seconds"),
+        col("series_name"),
+      )
+      .agg(sort_array(collect_list(struct(col("ts"), col("__vm")))).as("__pts"))
+      .where(size(col("__pts")) === w)
+      .withColumn(
+        "ssd_micro2",
+        aggregate(
+          zip_with(
+            transform(col("__pts"), p => p.getField("__vm")),
+            pat,
+            (x, q) => (x - q).cast(dec) * (x - q),
+          ),
+          lit(0L).cast(dec),
+          (acc, v) => acc + v,
+        ).cast("long"),
+      )
+      .where(col("ssd_micro2") <= maxSsdMicro2)
+      .select(col("window.start").as("window_start"), col("series_name"), col("ssd_micro2"))
+  }
+
   /** Convenience: run a streaming frame to completion against a memory
     * sink (test/demo harness; production would use a real sink).
     */

@@ -272,13 +272,18 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(e.getMessage.contains("file-backed"))
   }
 
-  test("unknown source type fails with a clear message") {
+  test("unknown source type loads but fails on access with a clear message") {
+    // the reference resolves source types LAZILY (SourceFactory
+    // .get_source raises at request time, kukur/source/__init__.py) —
+    // a shared config declaring connectors this build lacks must load
     val dir = Files.createTempDirectory("graft-config-bad").toString
     Files.writeString(
       Paths.get(s"$dir/bad.json"),
       """{"source": {"x": {"type": "influxdb", "path": "nope"}}}""",
     )
-    val e = intercept[IllegalArgumentException](Graft.fromConfig(spark, s"$dir/bad.json"))
-    assert(e.getMessage.contains("influxdb") && e.getMessage.contains("supported"))
+    val g = Graft.fromConfig(spark, s"$dir/bad.json")
+    assert(g.listSources == Seq("x"))
+    val e = intercept[IllegalArgumentException](g.readAll("x"))
+    assert(e.getMessage.contains("influxdb") && e.getMessage.contains("unsupported"))
   }
 }

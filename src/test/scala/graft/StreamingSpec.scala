@@ -26,6 +26,66 @@ class StreamingSpec extends AnyFunSuite {
     (mem, mem.toDF().toDF("series_name", "user_id", "ts", "value"))
   }
 
+  test("patternGateStream scores sliding windows with exact batch patternSearch parity") {
+    implicit val sq = spark.sqlContext
+    // two fixed-interval (60s) series; s1 carries the exact motif
+    // [0, 1, 0] starting at 00:04, s2 never matches exactly
+    val base = Instant.parse("2024-01-01T00:00:00Z")
+    def at(min: Int) = Timestamp.from(base.plusSeconds(min * 60L))
+    val s1 = Seq(0.5, 0.5, 0.25, 0.5, 0.0, 1.0, 0.0, 0.5, 0.75, 0.5, 0.25)
+    val s2 = Seq(1.0, 0.75, 0.5, 0.25, 0.0, 0.25, 0.5, 0.75, 1.0, 0.75, 0.5)
+    val rows =
+      s1.zipWithIndex.map { case (v, i) => ("s1", at(i), v) } ++
+        s2.zipWithIndex.map { case (v, i) => ("s2", at(i), v) }
+    val pattern = Seq(0.0, 1.0, 0.0)
+
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    mem.addData(rows: _*)
+    val q = EventStream
+      .patternGateStream(
+        mem.toDF().toDF("series_name", "ts", "value"),
+        pattern,
+        intervalSeconds = 60L,
+        maxSsdMicro2 = Long.MaxValue, // admit every complete window: full parity surface
+      )
+      .writeStream.format("memory").queryName("pattern_gate").outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    mem.addData(("s1", t("2024-01-01T09:00:00Z"), 0.0)) // watermark advancer
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("pattern_gate")
+      .where(col("window_start") < t("2024-01-01T01:00:00Z"))
+      .collect()
+      .map(r => (r.getAs[String]("series_name"), r.getAs[Timestamp]("window_start").toInstant) -> r.getAs[Long]("ssd_micro2"))
+      .toMap
+
+    // batch twin: A32's window-function SSD over the same points; k
+    // large enough to return EVERY start (2 series x 9 complete starts)
+    val batch = graft.operators.TimeSeriesOps
+      .patternSearch(
+        rows.toDF("series_name", "ts", "value").withColumn("event_id", lit(0L)),
+        Seq("series_name"),
+        pattern,
+        k = 100,
+      )
+      .collect()
+      .map(r => (r.getAs[String]("series_name"), r.getAs[Timestamp]("ts").toInstant) -> r.getAs[Long]("ssd_micro2"))
+      .toMap
+
+    // every complete window emitted, scored EXACTLY like the batch
+    // operator at the same start (incomplete edge windows drop on both
+    // sides: batch by size(win)=w, stream by size(__pts)=w)
+    assert(streamed.keySet == batch.keySet)
+    assert(streamed.count(_._1._1 == "s1") == 9)
+    streamed.foreach { case (k, ssd) => assert(ssd == batch(k), s"window $k") }
+    // the planted motif is the one exact (ssd 0) hit
+    assert(streamed(("s1", Instant.parse("2024-01-01T00:04:00Z"))) == 0L)
+    assert(streamed.count(_._2 == 0L) == 1)
+    // a tight gate admits only the motif window
+    assert(streamed.count(_._2 <= 10L) == 1)
+  }
+
   test("windowedAgg aggregates tumbling windows with watermark") {
     val (_, df) = mkStream(
       Seq(
