@@ -146,9 +146,14 @@ object ArrowIpcSource {
 
   private[sources] def withReader[T](bytes: Array[Byte], streaming: Boolean)(f: ArrowReader => T): T = {
     val allocator = new RootAllocator(Long.MaxValue)
+    // CommonsCompressionFactory decodes LZ4/ZSTD record batches —
+    // pyarrow's write_feather compresses with LZ4 by default, so
+    // Feather v2 files from the wild are usually compressed; the
+    // factory is a no-op passthrough for uncompressed batches
+    val codecs = org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE
     val reader =
-      if (streaming) new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), allocator)
-      else new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), allocator)
+      if (streaming) new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), allocator, codecs)
+      else new ArrowFileReader(new ByteArrayReadableSeekableByteChannel(bytes), allocator, codecs)
     try f(reader)
     finally {
       reader.close()
@@ -228,6 +233,8 @@ object ArrowIpcSource {
         case (x: TimeStampNanoTZVector, _) => microsToTimestamp(Math.floorDiv(x.get(i), 1000L))
         case (x: TimeStampMilliVector, _) => microsToTimestamp(x.get(i) * 1000L)
         case (x: TimeStampMilliTZVector, _) => microsToTimestamp(x.get(i) * 1000L)
+        case (x: TimeStampSecVector, _) => microsToTimestamp(x.get(i) * 1000000L)
+        case (x: TimeStampSecTZVector, _) => microsToTimestamp(x.get(i) * 1000000L)
         case _ => throw new UnsupportedOperationException(s"unsupported arrow vector ${v.getClass}")
       }
   }

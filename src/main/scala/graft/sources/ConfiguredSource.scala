@@ -88,6 +88,18 @@ final class ConfiguredSource(cfg: SourceConfig) {
     } else r
   }
 
+  /** Load one path in this source's file format. CSV/parquet/JSON/ORC
+    * go through `spark.read`; the Arrow IPC formats (`feather` = file
+    * format, `arrows` = streaming format — kukur/source/feather +
+    * kukur/source/arrows) decode distributed via [[ArrowIpcSource]].
+    */
+  private def loadPath(spark: SparkSession, path: String, header: Boolean = cfg.csvHeader, infer: Boolean = false): DataFrame =
+    cfg.fileFormat match {
+      case "feather" => ArrowIpcSource.read(spark, path)
+      case "arrows"  => ArrowIpcSource.read(spark, path, streaming = true)
+      case _         => reader(spark, header, infer).load(path)
+    }
+
   /** Strip a UTF-8 BOM remnant from the first column name — univocity
     * leaves `\uFEFFseries name` when a header file starts with a BOM.
     */
@@ -149,7 +161,7 @@ final class ConfiguredSource(cfg: SourceConfig) {
     * sources land in the same canonical shape.
     */
   private def readRow(spark: SparkSession): DataFrame = {
-    val loaded = stripBom(reader(spark, infer = cfg.valueType == "auto").load(cfg.path))
+    val loaded = stripBom(loadPath(spark, cfg.path, infer = cfg.valueType == "auto"))
     // Headerless CSV names columns positionally: tags, ts, fields
     // (+ quality) — kukur/source/arrow.py:164's column_names order for
     // sources with header_row = false (the reference default).
@@ -209,7 +221,7 @@ final class ConfiguredSource(cfg: SourceConfig) {
   private def readPivot(spark: SparkSession): DataFrame = {
     // pivot ALWAYS reads the header: series names ARE the column names
     // (csv.py:430 _open_pivot_data never passes explicit column names)
-    val raw = stripBom(reader(spark, header = true, infer = cfg.valueType == "auto").load(cfg.path))
+    val raw = stripBom(loadPath(spark, cfg.path, header = true, infer = cfg.valueType == "auto"))
     val tsCol = cfg.columnMapping.getOrElse("ts", raw.columns.head)
     val seriesCols = raw.columns.filterNot(_ == tsCol)
     // the series column carries the CONFIGURED tag name (the reference
@@ -364,7 +376,7 @@ final class ConfiguredSource(cfg: SourceConfig) {
     */
   private def seriesFileFrame(spark: SparkSession, tags: Map[String, String], path: String): DataFrame = {
     import org.apache.spark.sql.types.StringType
-    val loaded = reader(spark, infer = cfg.valueType == "auto").load(path)
+    val loaded = loadPath(spark, path, infer = cfg.valueType == "auto")
     val names = Seq("ts", "value") ++ (if (cfg.qualityGood.nonEmpty) Seq("quality") else Nil)
     require(
       loaded.columns.length >= names.length,
@@ -411,7 +423,7 @@ final class ConfiguredSource(cfg: SourceConfig) {
     import spark.implicits._
     cfg.dataFormat match {
       case "pivot" =>
-        val raw = stripBom(reader(spark, header = true).load(cfg.path))
+        val raw = stripBom(loadPath(spark, cfg.path, header = true))
         val tsCol = cfg.columnMapping.getOrElse("ts", raw.columns.head)
         raw.columns.filterNot(_ == tsCol).toSeq.toDF(cfg.tagColumns.head).withColumn("field", lit("value"))
       case _ =>

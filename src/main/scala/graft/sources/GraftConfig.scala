@@ -64,7 +64,7 @@ object GraftConfig {
     */
   final case class DeclaredUnavailable(name: String, sourceType: String) extends Declared
 
-  private val fileTypes = Set("csv", "parquet", "json", "orc")
+  private val fileTypes = Set("csv", "parquet", "json", "orc", "feather", "arrows")
   private val supportedTypes = fileTypes ++ Set("plugin", "simulator")
 
   def load(configPath: String): Seq[Declared] = {

@@ -102,7 +102,22 @@ final class MetadataSource(cfg: MetadataConfig) {
   def read(spark: SparkSession): DataFrame = {
     val reader = spark.read.format(cfg.fileFormat)
     val raw0 =
-      if (cfg.fileFormat == "csv") {
+      if (cfg.fileFormat == "json") {
+        // kukur's json metadata layout (kukur/source/json): a DIRECTORY
+        // of `<series>.json` files, each ONE object of spaced field
+        // names — multiLine gives one record per file, the series key
+        // decodes from the file name. A selector is a FILTER on the
+        // resulting frame, so a path-traversal "series name" is inert
+        // here (no per-selector file access to escape).
+        require(cfg.tagColumns.size == 1, "json metadata dirs key exactly one tag column")
+        val fileName = regexp_extract(input_file_name(), "([^/]+)\\.json$", 1)
+        spark.read
+          .option("multiLine", "true")
+          // only the per-series files: the dir may also hold configs
+          // (the reference fixtures keep json-examples.toml beside them)
+          .json(s"${cfg.path.stripSuffix("/")}/*.json")
+          .withColumn(cfg.tagColumns.head, url_decode(regexp_replace(fileName, "\\+", "%2B")))
+      } else if (cfg.fileFormat == "csv") {
         val r = reader.option("header", "true").option("sep", cfg.csvSeparator)
         cfg.fileEncoding
           .fold(r) { e =>

@@ -310,6 +310,25 @@ class ReferenceFixturesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byField == Map("value" -> "Meir", "product" -> "Scheldelaan"))
   }
 
+  // ---- json metadata dirs (test_json.py) ----------------------------------
+
+  test("test_json search/metadata: a directory of per-series json objects") {
+    val rows = g.search("json").collect()
+    assert(rows.length == 2)
+    val byName = rows.map(r => r.getAs[String](SeriesSelector.SeriesNameTag) -> r).toMap
+    assert(byName("test-tag-1").getAs[String]("description") == "hello")
+    assert(byName("test-tag-1").getAs[Double]("limit_low_functional") == 42.0)
+    assert(byName("test-tag-2").getAs[String]("description") == "world")
+    assert(byName("test-tag-2").getAs[String]("data_type") == "FLOAT64")
+    // unknown series: no metadata rows (the reference returns an empty
+    // Metadata); a traversal-shaped name is an inert filter value here
+    assert(g.getMetadata("json", tag1("test-tag-0")).collect().isEmpty)
+    assert(g.getMetadata("json", tag1("../../../test-tag-1")).collect().isEmpty)
+    // test_data_unsupported: metadata-only source has no data path
+    val e = intercept[IllegalArgumentException](g.getData("json", tag1("test-tag-1"), Start, End))
+    assert(e.getMessage.contains("No data path configured"))
+  }
+
   // ---- decimal commas and separators --------------------------------------
 
   test("test_row_comma / test_pivot_comma: data_decimal_point parses quoted decimals") {
