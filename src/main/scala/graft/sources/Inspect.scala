@@ -21,6 +21,7 @@ object Inspect {
     "parquet" -> "parquet",
     "csv" -> "csv",
     "json" -> "json",
+    "ndjson" -> "json",
     "orc" -> "orc",
     "arrow" -> "arrow",
     "feather" -> "arrow",
@@ -28,21 +29,44 @@ object Inspect {
     "txt" -> "csv",
   )
 
+  /** Options for data fetching (kukur inspect DataOptions,
+    * kukur/inspect/__init__.py:61): column projection, CSV dialect, and
+    * the resource type to assume for extension-less files.
+    */
+  final case class Options(
+      columnNames: Seq[String] = Nil,
+      csvDelimiter: String = ",",
+      csvHeaderRow: Boolean = true,
+      defaultResourceType: Option[String] = None,
+  )
+
   /** List a path: one row per child with kind directory|<format>|other
     * (kukur inspect's InspectedPath list).
     */
-  def listPath(spark: SparkSession, uri: String): DataFrame = {
+  def listPath(
+      spark: SparkSession,
+      uri: String,
+      recursive: Boolean = false,
+      defaultResourceType: Option[String] = None,
+  ): DataFrame = {
     import spark.implicits._
-    val path = new Path(uri)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val children = fs.listStatus(path).toSeq.map { st =>
-      val name = st.getPath.toString
-      val kind =
-        if (st.isDirectory) "directory"
-        else SupportedExtensions.getOrElse(name.split('.').last.toLowerCase, "other")
-      (name, kind, st.getLen)
+    val root = new Path(uri)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def kindOf(name: String): String = {
+      val dot = name.lastIndexOf('.')
+      if (dot < 0 || dot == name.length - 1) defaultResourceType.getOrElse("other")
+      else SupportedExtensions.getOrElse(name.substring(dot + 1).toLowerCase, defaultResourceType.getOrElse("other"))
     }
-    children.toDF("path", "resource_type", "size_bytes")
+    def list(p: Path): Seq[(String, String, Long)] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) {
+          // FileOptions.recursive (kukur/inspect/__init__.py:89): walk
+          // into subdirectories, reporting both the dir and its files
+          val self = (st.getPath.toString, "directory", st.getLen)
+          if (recursive) self +: list(st.getPath) else Seq(self)
+        } else Seq((st.getPath.toString, kindOf(st.getPath.getName), st.getLen))
+      }
+    list(root).toDF("path", "resource_type", "size_bytes")
   }
 
   /** Preview the first `limit` rows of a dataset (kukur inspect
@@ -52,14 +76,57 @@ object Inspect {
   def preview(spark: SparkSession, uri: String, limit: Int = 100): DataFrame =
     readDataset(spark, uri).limit(limit)
 
+  def preview(spark: SparkSession, uri: String, limit: Int, options: Options): DataFrame =
+    readDataset(spark, uri, options).limit(limit)
+
   /** Full dataset read with schema discovery (kukur inspect
     * read/read_batches — in Spark the "batches" are partitions).
+    * Arrow IPC resources decode through [[ArrowIpcSource]]; CSV honors
+    * the configured dialect; `columnNames` prunes the projection (and
+    * with it the scan, for columnar formats).
     */
-  def readDataset(spark: SparkSession, uri: String): DataFrame = {
-    val fmt = inferFormat(spark, uri)
-    val reader = spark.read.format(fmt)
-    (if (fmt == "csv") reader.option("header", "true").option("inferSchema", "true") else reader)
-      .load(uri)
+  def readDataset(spark: SparkSession, uri: String, options: Options = Options()): DataFrame = {
+    val fmt = inferFormat(spark, uri, options.defaultResourceType)
+    val df = fmt match {
+      case "arrow"  => ArrowIpcSource.read(spark, uri)
+      case "arrows" => ArrowIpcSource.read(spark, uri, streaming = true)
+      case "csv" =>
+        spark.read
+          .option("header", options.csvHeaderRow.toString)
+          .option("sep", options.csvDelimiter)
+          .option("inferSchema", "true")
+          .csv(uri)
+      case "orc" =>
+        // Spark's native ORC reader cannot open files with
+        // TIMESTAMP_INSTANT columns (pyarrow's tz-aware timestamps —
+        // OrcUtils round-trips the footer type string "timestamp with
+        // local time zone" through the SQL parser, which has no such
+        // production). Probe the footer; instant files decode through
+        // OrcInstantSource, everything else stays on the native path.
+        if (orcNeedsInstantReader(spark, uri)) OrcInstantSource.read(spark, uri)
+        else spark.read.orc(uri)
+      case other => spark.read.format(other).load(uri)
+    }
+    if (options.columnNames.isEmpty) df else df.select(options.columnNames.map(c => col(s"`$c`")): _*)
+  }
+
+  private def orcNeedsInstantReader(spark: SparkSession, uri: String): Boolean = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.orc.TypeDescription.Category
+    val path = new Path(uri)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file =
+      if (fs.getFileStatus(path).isDirectory)
+        fs.listStatus(path)
+          .toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".orc"))
+          .map(_.getPath)
+          .headOption
+          .getOrElse(throw new IllegalArgumentException(s"no .orc files under $uri"))
+      else path
+    val reader = org.apache.orc.OrcFile.createReader(file, org.apache.orc.OrcFile.readerOptions(spark.sparkContext.hadoopConfiguration))
+    try reader.getSchema.getChildren.asScala.exists(_.getCategory == Category.TIMESTAMP_INSTANT)
+    finally reader.close()
   }
 
   /** Database-backed inspect (kukur/inspect/postgres.py:1,
@@ -101,7 +168,7 @@ object Inspect {
     r
   }
 
-  private def inferFormat(spark: SparkSession, uri: String): String = {
+  private def inferFormat(spark: SparkSession, uri: String, dflt: Option[String] = None): String = {
     val direct = SupportedExtensions.get(uri.split('.').last.toLowerCase)
     direct.getOrElse {
       val path = new Path(uri)
@@ -110,8 +177,8 @@ object Inspect {
         val exts = fs.listStatus(path).toSeq.filter(_.isFile).flatMap { st =>
           SupportedExtensions.get(st.getPath.getName.split('.').last.toLowerCase)
         }
-        exts.headOption.getOrElse("parquet")
-      } else "parquet"
+        exts.headOption.orElse(dflt).getOrElse("parquet")
+      } else dflt.getOrElse("parquet")
     }
   }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Inspect
+
+/** Inspect conformance over the reference's shipped fixtures — the
+  * implementable cases of `/root/reference/tests/inspect/
+  * test_filesystem.py:20-174` (the delta-table cases are env-blocked:
+  * no delta jar). Listing kinds, recursive walks, extension-less
+  * defaults, previews with limits, format-dispatched reads (feather
+  * via ArrowIpcSource, ndjson, orc, csv dialects) and column
+  * projection.
+  */
+class ReferenceInspectFixturesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val Data = "/root/reference/tests/test_data"
+
+  test("test_inspect_filesystem: a feather dir lists two ARROW resources") {
+    val rows = Inspect.listPath(spark, s"$Data/feather/dir").orderBy("path").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("resource_type")).toSeq == Seq("arrow", "arrow"))
+    assert(rows.head.getAs[String]("path").endsWith("test-tag-1.feather"))
+    assert(rows(1).getAs[String]("path").endsWith("test-tag-5.feather"))
+  }
+
+  test("test_preview_filesystem(+limit): feather preview honors the row limit") {
+    assert(Inspect.preview(spark, s"$Data/feather/row.feather").count() == 47)
+    assert(Inspect.preview(spark, s"$Data/feather/row.feather", 10).count() == 10)
+  }
+
+  test("test_read_filesystem(+series_column): IPC read with column projection") {
+    val full = Inspect.readDataset(spark, s"$Data/feather/row.feather")
+    assert(full.columns.length == 3 && full.count() == 47)
+    val one = Inspect.readDataset(
+      spark,
+      s"$Data/feather/row.feather",
+      Inspect.Options(columnNames = Seq("series name")),
+    )
+    assert(one.columns.toSeq == Seq("series name") && one.count() == 47)
+  }
+
+  test("test_read_filesystem_csv_delimiter_semicolon / no_header_row") {
+    // the reference reads with csv_header_row=True by default, so the
+    // headerless 61-line file comes back as 60 rows — mirrored exactly
+    val semi = Inspect.readDataset(
+      spark,
+      s"$Data/csv/row-semicolon.csv",
+      Inspect.Options(csvDelimiter = ";"),
+    )
+    assert(semi.columns.length == 3 && semi.count() == 60)
+    val noHeader = Inspect.readDataset(
+      spark,
+      s"$Data/csv/dir/test-tag-1.csv",
+      Inspect.Options(csvHeaderRow = false),
+    )
+    assert(noHeader.columns.length == 2 && noHeader.count() == 5)
+  }
+
+  test("test_read_filesystem_parquet / ndjson / orc") {
+    assert(Inspect.readDataset(spark, s"$Data/parquet/row.parquet").count() == 47)
+    assert(Inspect.readDataset(spark, s"$Data/ndjson/inspect.ndjson").count() == 5)
+    assert(Inspect.readDataset(spark, s"$Data/orc/row.orc").count() == 47)
+  }
+
+  test("test_recursive: recursive listing reports nested dirs and their files") {
+    val rows = Inspect.listPath(spark, s"$Data/csv/recursive", recursive = true).collect()
+    assert(rows.length == 4)
+    val csvs = rows.filter(_.getAs[String]("resource_type") == "csv").map(_.getAs[String]("path"))
+    assert(csvs.length == 2)
+    assert(csvs.exists(_.endsWith("dt=2024-01-01/data.csv")))
+    assert(csvs.exists(_.endsWith("dt=2024-01-02/data.csv")))
+  }
+
+  test("test_default_resource_type: extension-less files take the configured default") {
+    val rows = Inspect
+      .listPath(spark, s"$Data/csv/no_extension", defaultResourceType = Some("csv"))
+      .collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("resource_type") == "csv")
+  }
+
+  test("preview of a csv dir through the facade listing path still works") {
+    // regression guard for the pre-Options surface used elsewhere
+    val listing = Inspect.listPath(spark, s"$Data/csv").where(col("resource_type") === "csv")
+    assert(listing.count() >= 10)
+  }
+}
