@@ -588,6 +588,32 @@ object SparkEntry {
       )
       ntz(src.read(s))
     },
+    // A15g: Arrow IPC STREAMING source (kukur/source/arrows) declared
+    // in the reference's native TOML and read through Graft.fromConfig
+    // — the ArrowIpcSource-as-ConfiguredSource path on the oracle
+    // surface, not just in fixture specs
+    "ts_row_source_arrows" -> { (s, dir) =>
+      val tmp = fixture(dir, "arrowsrow") { p =>
+        new java.io.File(p).mkdirs()
+        graft.sources.ArrowIpcSource.write(
+          Tables
+            .canonicalEvents(s, dir)
+            .where(col("series_name").isin("purchase", "click"))
+            .select(col("series_name"), col("user_id"), col("ts"), col("value"))
+            .repartition(4),
+          s"$p/data",
+        )
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$p/graft.toml"),
+          """[source.events_arrows]
+            |type = "arrows"
+            |path = "data"
+            |tag_columns = ["series_name", "user_id"]
+            |""".stripMargin,
+        )
+      }
+      ntz(Graft.fromConfig(s, s"$tmp/graft.toml").readAll("events_arrows"))
+    },
     // A15d: string-valued series end-to-end (kukur DataType.STRING,
     // kukur/base.py:152) — state labels stay text through the source
     "ts_string_series" -> { (s, dir) =>
@@ -1784,6 +1810,9 @@ object SparkEntry {
     "ts_row_source_orc" ->
       """SELECT event_type AS series_name, user_id, 'value' AS field, ts, value
          FROM events WHERE event_type IN ('view', 'error')""",
+    "ts_row_source_arrows" ->
+      """SELECT event_type AS series_name, user_id, 'value' AS field, ts, value
+         FROM events WHERE event_type IN ('purchase', 'click')""",
     "ts_string_series" ->
       """SELECT 'machine_state' AS series_name, 'value' AS field, ts, upper(event_type) AS value
          FROM events""",

@@ -35,7 +35,9 @@ object SeriesSelector {
   val SeriesNameTag = "series name"
 
   def fromName(source: String, encoded: String): SeriesSelector = {
-    val (body, field) = encoded.split("::", 2) match {
+    // kukur strips surrounding whitespace (base.py from_name,
+    // tests/test_selector.py test_from_name_strip_whitespace)
+    val (body, field) = encoded.trim.split("::", 2) match {
       case Array(b, f) => (b, f)
       case _           => (encoded, "value")
     }

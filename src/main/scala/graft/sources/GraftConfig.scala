@@ -287,7 +287,7 @@ object GraftConfig {
     * extend, top-level dicts update — with second-level dicts updating
     * key-wise rather than being replaced — scalars overwrite.
     */
-  private[sources] def mergeFragment(config: ObjectNode, fragment: ObjectNode): Unit =
+  private[graft] def mergeFragment(config: ObjectNode, fragment: ObjectNode): Unit =
     fragment.fields().asScala.foreach { e =>
       val (k, v) = (e.getKey, e.getValue)
       config.get(k) match {

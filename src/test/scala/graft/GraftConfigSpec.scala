@@ -130,6 +130,46 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows.head.getAs[String]("series_name") == "hist1")
   }
 
+  test("SeriesSelector name encoding round-trips the reference's test_selector.py cases") {
+    // tests/test_selector.py:9-51 - name/from_name round trips
+    val cases = Seq(
+      SeriesSelector("source", Map("series name" -> "a"), "field") -> "a::field",
+      SeriesSelector("source", Map("series name" -> "a"), "value") -> "a",
+      SeriesSelector("source", Map("tag-a" -> "a"), "field") -> "tag-a=a::field",
+      SeriesSelector("source", Map("tag-a" -> "a"), "value") -> "tag-a=a",
+      SeriesSelector("source", Map("tag-a" -> "a", "tag-b" -> "b"), "field") -> "tag-a=a,tag-b=b::field",
+      SeriesSelector("source", Map("tag-a" -> "a", "tag-b" -> "b", "series name" -> "c"), "field") -> "c,tag-a=a,tag-b=b::field",
+    )
+    cases.foreach { case (sel, encoded) =>
+      assert(sel.name == encoded)
+      assert(SeriesSelector.fromName("source", sel.name) == sel)
+    }
+    // whitespace strips (test_from_name_strip_whitespace)
+    assert(
+      SeriesSelector.fromName("source", " c,tag-a=a,tag-b=b::field ") ==
+        SeriesSelector("source", Map("tag-a" -> "a", "tag-b" -> "b", "series name" -> "c"), "field")
+    )
+  }
+
+  test("config fragment merge mirrors the reference's test_config.py semantics") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    val m = new ObjectMapper()
+    def merge(base: String, frag: String): String = {
+      val b = m.readTree(base).asInstanceOf[ObjectNode]
+      _root_.graft.sources.GraftConfig.mergeFragment(b, m.readTree(frag).asInstanceOf[ObjectNode])
+      b.toString
+    }
+    // scalar override (test_config_override_value)
+    assert(merge("""{"a": 1}""", """{"a": 2}""") == """{"a":2}""")
+    // lists extend (test_config_list_extend)
+    assert(merge("""{"a": [1]}""", """{"a": [2]}""") == """{"a":[1,2]}""")
+    // dicts update key-wise (test_config_dict_update)
+    assert(merge("""{"a": {"x": 1}}""", """{"a": {"y": 2}}""") == """{"a":{"x":1,"y":2}}""")
+    // second-level dicts update rather than replace (test_config_dict_of_dict_update)
+    assert(merge("""{"a": {"x": {"p": 1}}}""", """{"a": {"x": {"q": 2}}}""") == """{"a":{"x":{"p":1,"q":2}}}""")
+  }
+
   test("TomlLite parses the reference config shapes") {
     val root = TomlLite.parse(
       """# kukur-style config
