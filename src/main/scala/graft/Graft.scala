@@ -258,8 +258,8 @@ object Graft {
     val g = new Graft(spark)
     GraftConfig.load(configPath).foreach {
       case GraftConfig.DeclaredFile(name, data, metadata) => g.registerSource(name, data, metadata)
-      case GraftConfig.DeclaredPlugin(name, cmd, configJson, source) =>
-        g.registerPluginSource(name, PluginSource(cmd, configJson, source))
+      case GraftConfig.DeclaredPlugin(name, cmd, configJson, source, qualityGood) =>
+        g.registerPluginSource(name, PluginSource(cmd, configJson, source, qualityGood))
       case GraftConfig.DeclaredSimulator(name, signals) => g.registerSimulatorSource(name, signals)
       case GraftConfig.DeclaredUnavailable(name, typ) => g.sources(name) = g.UnavailableRegistered(typ)
     }

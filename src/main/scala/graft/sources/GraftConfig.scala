@@ -53,7 +53,7 @@ object GraftConfig {
     */
   sealed trait Declared { def name: String }
   final case class DeclaredFile(name: String, data: SourceConfig, metadata: Seq[MetadataConfig]) extends Declared
-  final case class DeclaredPlugin(name: String, cmd: Seq[String], configJson: String, source: String) extends Declared
+  final case class DeclaredPlugin(name: String, cmd: Seq[String], configJson: String, source: String, qualityGood: Seq[Any] = Nil) extends Declared
   final case class DeclaredSimulator(name: String, signals: Seq[SimulatorSignal]) extends Declared
 
   /** A source whose `type` this engine has no connector for. The
@@ -79,7 +79,7 @@ object GraftConfig {
         val (name, node) = (e.getKey, e.getValue)
         val typ = str(node, "type").getOrElse(fail(s""""$name" has no type"""))
         if (!supportedTypes.contains(typ)) DeclaredUnavailable(name, typ)
-        else if (typ == "plugin") declaredPlugin(name, node)
+        else if (typ == "plugin") declaredPlugin(root, name, node)
         else if (typ == "simulator") declaredSimulator(name, node)
         else declaredFile(root, dir, name, node, typ)
       }
@@ -96,8 +96,13 @@ object GraftConfig {
       case Some(c) => Seq(c.asText)
       case None => fail(s"""plugin source "$name" requires a "cmd" entry""")
     }
-    DeclaredPlugin(name, cmd, node.toString, name)
+    DeclaredPlugin(name, cmd, node.toString, name, Nil)
   }
+
+  private def declaredPlugin(root: ObjectNode, name: String, node: JsonNode): DeclaredPlugin =
+    declaredPlugin(name, node).copy(qualityGood =
+      str(node, "quality_mapping").map(n => qualityGood(root.path("quality_mapping").path(n))).getOrElse(Nil)
+    )
 
   /** `type = "simulator"`: inline `signals` list — the reference's YAML
     * signal fields (simulator.py:72-195) under the same snake_case

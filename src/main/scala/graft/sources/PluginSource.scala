@@ -17,6 +17,11 @@ final case class PluginSourceConfig(
     cmd: Seq[String],
     configJson: String = "{}",
     source: String = "plugin",
+    /** raw quality values considered GOOD — the resolved
+      * quality_mapping good-list (kukur/source/quality.py); a plugin
+      * `quality` column maps to 1/0 like every other source's.
+      */
+    qualityGood: Seq[Any] = Nil,
 )
 
 /** A series identified by an arbitrary tag map plus a field — the
@@ -89,15 +94,23 @@ class PluginSource(cfg: PluginSourceConfig) extends Serializable {
           )
         ),
       )
-    } else
-      parsed
-        .select(explode(col("series")).as("s"))
+    } else {
+      val exploded = parsed.select(explode(col("series")).as("s"))
+      // `field` is optional in SeriesSelector.to_data — entries without
+      // one (the common case) default to "value"; referencing a field
+      // the inferred struct lacks is an analysis error, so probe first
+      val fieldCol =
+        if (exploded.schema("s").dataType.asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.contains("field"))
+          coalesce(col("s.field"), lit("value"))
+        else lit("value")
+      exploded
         .select(
           col("s.source").as("source"),
           col("s.tags.`series name`").as("series_name"),
-          coalesce(col("s.field"), lit("value")).as("field"),
+          fieldCol.as("field"),
           to_json(col("s.tags")).as("tags_json"),
         )
+    }
   }
 
   /** Metadata items of the plugin's `search` response — the reference
@@ -241,14 +254,28 @@ class PluginSource(cfg: PluginSourceConfig) extends Serializable {
           .map(r => Row.fromSeq(key.name +: r.toSeq))
       }
     }
-    spark.createDataFrame(rows, outSchema)
+    val df = spark.createDataFrame(rows, outSchema)
+    // quality mapping (QualityMapper, kukur/source/quality.py): raw
+    // plugin quality codes become GOOD(1)/BAD(0), typed literal
+    // comparison like ConfiguredSource.withQuality
+    if (cfg.qualityGood.isEmpty || !df.columns.contains("quality")) df
+    else {
+      import org.apache.spark.sql.functions._
+      val isGood = cfg.qualityGood.map(v => col("quality") === lit(v)).reduce(_ || _)
+      df.withColumn("quality", when(isGood, lit(1)).otherwise(lit(0)).cast("int"))
+    }
   }
 }
 
 object PluginSource {
 
-  def apply(cmd: Seq[String], configJson: String = "{}", source: String = "plugin"): PluginSource =
-    new PluginSource(PluginSourceConfig(cmd, configJson, source))
+  def apply(
+      cmd: Seq[String],
+      configJson: String = "{}",
+      source: String = "plugin",
+      qualityGood: Seq[Any] = Nil,
+  ): PluginSource =
+    new PluginSource(PluginSourceConfig(cmd, configJson, source, qualityGood))
 
   /** Driver-side check of a boolean under the config's `features`
     * object — `config.get("features", {}).get(feature, False)` in the
