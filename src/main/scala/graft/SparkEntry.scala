@@ -588,6 +588,43 @@ object SparkEntry {
       )
       ntz(src.read(s))
     },
+    // A16b: the reference's DEFAULT dir layout — one flat headerless
+    // CSV per series, filename = series key (csv.py:393), declared in
+    // native TOML and read through Graft.fromConfig. Puts the
+    // name-keyed dir path (positional columns + filename decode +
+    // strftime-format timestamps) on the oracle surface beside A16's
+    // Hive-layout scale variant
+    "ts_dir_source_named" -> { (s, dir) =>
+      val tmp = fixture(dir, "dirnamed") { p =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$p/data"))
+        // fixture staging: one file PER SERIES named <series>.csv — a
+        // driver-side bounded write (5 series), the layout Spark's own
+        // dir-per-partition sink cannot produce
+        val rows = Tables
+          .canonicalEvents(s, dir)
+          .select(
+            col("series_name"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            col("value").cast("string"),
+          )
+          .collect()
+        rows.groupBy(_.getString(0)).foreach { case (series, rs) =>
+          val lines = rs.map(r => s"${r.getString(1)},${r.getString(2)}").mkString("", "\n", "\n")
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$p/data/$series.csv"), lines)
+        }
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$p/graft.toml"),
+          """[source.events_dir]
+            |type = "csv"
+            |format = "dir"
+            |path = "data"
+            |tag_columns = ["series_name"]
+            |data_datetime_format = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            |""".stripMargin,
+        )
+      }
+      ntz(Graft.fromConfig(s, s"$tmp/graft.toml").readAll("events_dir"))
+    },
     // A15g: Arrow IPC STREAMING source (kukur/source/arrows) declared
     // in the reference's native TOML and read through Graft.fromConfig
     // — the ArrowIpcSource-as-ConfiguredSource path on the oracle
@@ -1813,6 +1850,8 @@ object SparkEntry {
     "ts_row_source_arrows" ->
       """SELECT event_type AS series_name, user_id, 'value' AS field, ts, value
          FROM events WHERE event_type IN ('purchase', 'click')""",
+    "ts_dir_source_named" ->
+      """SELECT event_type AS series_name, ts, value FROM events""",
     "ts_string_series" ->
       """SELECT 'machine_state' AS series_name, 'value' AS field, ts, upper(event_type) AS value
          FROM events""",
