@@ -36,10 +36,14 @@ final case class SourceConfig(
     qualityGood: Seq[Any] = Nil,
     csvHeader: Boolean = true,
     csvSeparator: String = ",",
-    /** value column type: "double" (default) or "string" — kukur's
-      * STRING series (kukur/base.py:152 DataType) keep labels/states
-      * as text; mixed sources promote to string like concat_tables
-      * (kukur/source/__init__.py:462).
+    /** value column type: "double" (default), "string", or "auto" —
+      * kukur's STRING series (kukur/base.py:152 DataType) keep
+      * labels/states as text; mixed sources promote to string like
+      * concat_tables (kukur/source/__init__.py:462). "auto" (the
+      * config-file default) resolves from the loaded schema — free for
+      * self-describing formats, but CSV pays a schema-inference pass
+      * over the data first; at corpus scale declare `value_type`
+      * explicitly in the config and skip that read.
       */
     valueType: String = "double",
     /** dir layout only: how the series key is encoded in the path.

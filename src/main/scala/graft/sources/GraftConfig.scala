@@ -225,7 +225,7 @@ object GraftConfig {
     * configures `data_datetime_format` in strftime, csv.py:54). Strings
     * without '%' pass through untouched, so Java patterns keep working.
     */
-  private[sources] def strftimeToJava(fmt: String): String =
+  private[graft] def strftimeToJava(fmt: String): String =
     if (!fmt.contains('%')) fmt
     else {
       val sb = new StringBuilder

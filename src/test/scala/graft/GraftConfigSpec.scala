@@ -170,6 +170,19 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(merge("""{"a": {"x": {"p": 1}}}""", """{"a": {"x": {"q": 2}}}""") == """{"a":{"x":{"p":1,"q":2}}}""")
   }
 
+  test("strftime formats translate to Spark patterns; Java patterns pass through") {
+    import _root_.graft.sources.GraftConfig.strftimeToJava
+    assert(strftimeToJava("%Y-%m-%d %H:%M:%S.%f%z") == "yyyy-MM-dd HH:mm:ss.SSSSSSxx")
+    // literal letters quote (unquoted 'T' is a reserved pattern char)
+    assert(strftimeToJava("%Y/%m/%dT%H:%M%z") == "yyyy/MM/dd'T'HH:mmxx")
+    assert(strftimeToJava("%d.%m.%y %I:%M %p") == "dd.MM.yy hh:mm a")
+    assert(strftimeToJava("%Y%%%m") == "yyyy%MM") // %% is a literal percent
+    // a Java pattern (no '%') is untouched - the ts_config_source path
+    assert(strftimeToJava("yyyy-MM-dd HH:mm:ss.SSSSSS") == "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    val e = intercept[IllegalArgumentException](strftimeToJava("%Q"))
+    assert(e.getMessage.contains("%Q"))
+  }
+
   test("TomlLite parses the reference config shapes") {
     val root = TomlLite.parse(
       """# kukur-style config

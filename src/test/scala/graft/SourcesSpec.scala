@@ -16,6 +16,37 @@ class SourcesSpec extends AnyFunSuite {
   private def t(s: String): Timestamp = Timestamp.from(Instant.parse(s))
   private def tmp(): String = Files.createTempDirectory("graft-src").toString
 
+  test("readSeries prunes to ONE file: a corrupt neighbor never loads") {
+    // the dir layout's partition-pruning proof: a selector-pinned read
+    // must open only <series>.parquet — a deliberately corrupt file
+    // beside it stays untouched, while the whole-source read (which by
+    // design unions every file) trips over it
+    val dir = tmp()
+    // dir files carry (ts, value) positionally; the series key is the
+    // file name only
+    Seq((t("2024-01-01T00:00:00Z"), 1.0), (t("2024-01-01T01:00:00Z"), 2.0))
+      .toDF("ts", "value")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/stage")
+    val part = new java.io.File(s"$dir/stage").listFiles().filter(_.getName.endsWith(".parquet")).head
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/data"))
+    Files.copy(part.toPath, java.nio.file.Paths.get(s"$dir/data/good.parquet"))
+    Files.write(java.nio.file.Paths.get(s"$dir/data/broken.parquet"), "not a parquet file".getBytes)
+    val src = new ConfiguredSource(
+      SourceConfig(
+        path = s"$dir/data",
+        fileFormat = "parquet",
+        dataFormat = "dir",
+        tagColumns = Seq("series_name"),
+        pathEncoding = Some("name"),
+      )
+    )
+    val pruned = src.readSeries(spark, Map("series_name" -> "good")).get.orderBy("ts").collect()
+    assert(pruned.map(_.getAs[Double]("value")).toSeq == Seq(1.0, 2.0))
+    assert(pruned.forall(_.getAs[String]("series_name") == "good"))
+    intercept[Exception](src.read(spark).collect()) // whole-source read must hit the corrupt file
+  }
+
   test("row CSV source: column mapping, datetime format, quality mapping") {
     val dir = tmp()
     Seq(
