@@ -169,7 +169,11 @@ final class Graft(spark: SparkSession) {
       intervalCount: Int,
   ): DataFrame = registered(sourceName) match {
     case f: FileRegistered =>
-      TimeSeriesOps.plotData(filterTags(readAll(sourceName), selector), f.dataConfig.tagColumns, start, end, intervalCount)
+      // same single-file pruning as getData for keyed dir layouts
+      val slice = f.data
+        .readSeries(spark, selector.tags)
+        .getOrElse(filterTags(readAll(sourceName), selector))
+      TimeSeriesOps.plotData(slice, f.dataConfig.tagColumns, start, end, intervalCount)
     case p: PluginRegistered =>
       p.plugin.plotData(spark, Seq(SeriesKey(selector.tags, selector.field)), start, end, intervalCount)
     case s: SimulatorRegistered =>
