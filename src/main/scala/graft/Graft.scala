@@ -169,10 +169,11 @@ final class Graft(spark: SparkSession) {
       intervalCount: Int,
   ): DataFrame = registered(sourceName) match {
     case f: FileRegistered =>
-      // same single-file pruning as getData for keyed dir layouts
-      val slice = f.data
-        .readSeries(spark, selector.tags)
-        .getOrElse(filterTags(readAll(sourceName), selector))
+      // same single-file pruning AND selector-field slicing as getData
+      val slice = f.data.readSeries(spark, selector.tags).getOrElse {
+        val all = filterTags(readAll(sourceName), selector)
+        if (all.columns.contains("field")) all.where(col("field") === lit(selector.field)) else all
+      }
       TimeSeriesOps.plotData(slice, f.dataConfig.tagColumns, start, end, intervalCount)
     case p: PluginRegistered =>
       p.plugin.plotData(spark, Seq(SeriesKey(selector.tags, selector.field)), start, end, intervalCount)
@@ -191,8 +192,12 @@ final class Graft(spark: SparkSession) {
         val merged = MetadataSource.merge(f.dataConfig.tagColumns, f.metadata.map(_.read(spark)))
         val tagged = filterTags(merged, selector)
         // field-keyed metadata (metadata_field_column): a selector
-        // names one (tags, field) row (csv.py:221-228)
-        if (merged.columns.contains("field")) tagged.where(col("field") === lit(selector.field))
+        // names one (tags, field) row (csv.py:221-228). Filter ONLY
+        // when every source is field-keyed — in a mixed merge `field`
+        // is an ordinary data column (null from the plain frames) and
+        // an equality filter would silently drop their rows
+        if (f.metadata.forall(_.fieldKeyed) && merged.columns.contains("field"))
+          tagged.where(col("field") === lit(selector.field))
         else tagged
       case p: PluginRegistered => p.plugin.metadata(spark, SeriesKey(selector.tags, selector.field))
       case _: SimulatorRegistered =>

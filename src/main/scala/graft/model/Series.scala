@@ -37,9 +37,10 @@ object SeriesSelector {
   def fromName(source: String, encoded: String): SeriesSelector = {
     // kukur strips surrounding whitespace (base.py from_name,
     // tests/test_selector.py test_from_name_strip_whitespace)
-    val (body, field) = encoded.trim.split("::", 2) match {
+    val trimmed = encoded.trim
+    val (body, field) = trimmed.split("::", 2) match {
       case Array(b, f) => (b, f)
-      case _           => (encoded, "value")
+      case _           => (trimmed, "value")
     }
     val tags = body.split(",").toList.map { part =>
       part.split("=", 2) match {

@@ -104,14 +104,7 @@ final class ConfiguredSource(cfg: SourceConfig) {
       case _         => reader(spark, header, infer).load(path)
     }
 
-  /** Strip a UTF-8 BOM remnant from the first column name — univocity
-    * leaves `\uFEFFseries name` when a header file starts with a BOM.
-    */
-  private def stripBom(df: DataFrame): DataFrame = {
-    val cols = df.columns
-    if (cols.nonEmpty && cols.head.startsWith("\uFEFF")) df.toDF((cols.head.stripPrefix("\uFEFF") +: cols.tail.toSeq): _*)
-    else df
-  }
+  private def stripBom(df: DataFrame): DataFrame = MetadataSource.stripBomHeader(df)
 
   private def mapped(name: String): String = cfg.columnMapping.getOrElse(name, name)
 
@@ -307,8 +300,20 @@ final class ConfiguredSource(cfg: SourceConfig) {
     */
   private def readDirKeyed(spark: SparkSession, base64: Boolean): DataFrame = {
     val levels = dirLevels(base64)
-    if (cfg.fileFormat == "csv" && levels.lengthCompare(1) == 0) {
-      val raw = dirPositional(reader(spark, infer = cfg.valueType == "auto").load(cfg.path))
+    // ONE distributed scan with the key decoded from input_file_name()
+    // — no per-file plans — whenever the files share a schema by
+    // construction: any single-level CSV dir (headerless all-string
+    // columns can't conflict), and single-level BASE64 dirs of any
+    // format (the graft-native layout, written by this engine's own
+    // sinks with self-describing uniform columns). The reference's
+    // "name" layout over columnar files keeps per-file reads: its
+    // semantics are positional with genuinely per-series schemas.
+    val sparkNative = Set("csv", "parquet", "json", "orc").contains(cfg.fileFormat)
+    // Arrow IPC formats decode via RDDs where input_file_name() is
+    // empty — they always take the per-file path
+    if (levels.lengthCompare(1) == 0 && sparkNative && (cfg.fileFormat == "csv" || levels.head.base64)) {
+      val loaded = loadPath(spark, cfg.path, infer = cfg.valueType == "auto")
+      val raw = if (cfg.fileFormat == "csv") dirPositional(loaded) else stripBom(loaded)
       val fileName = regexp_extract(input_file_name(), "([^/]+)\\.[A-Za-z0-9]+$", 1)
       val series =
         if (levels.head.base64) {
@@ -415,9 +420,19 @@ final class ConfiguredSource(cfg: SourceConfig) {
     if (!levels.forall(l => tags.contains(l.key))) return None
     def enc(v: String, level: DirPartition): String =
       if (level.base64) java.util.Base64.getEncoder.encodeToString(v.getBytes("UTF-8")) else v
-    val ext = cfg.fileFormat match { case "parquet" => "parquet"; case other => other }
+    // the selector's tag values become PATH COMPONENTS: reject
+    // separators and parent refs so a hostile series name cannot
+    // escape the source dir (the reference raises on traversal too —
+    // tests/source/test_json.py test_metadata_directory_traversal)
+    levels.foreach { l =>
+      val v = tags(l.key)
+      require(
+        !v.contains('/') && !v.contains('\\') && v != ".." && !v.startsWith("../") && !v.contains("/../"),
+        s"series tag ${l.key} value is not a valid path component: $v",
+      )
+    }
     val rel = levels.map(l => enc(tags(l.key), l)).mkString("/")
-    Some(seriesFileFrame(spark, levels.map(l => l.key -> tags(l.key)).toMap, s"${cfg.path.stripSuffix("/")}/$rel.$ext"))
+    Some(seriesFileFrame(spark, levels.map(l => l.key -> tags(l.key)).toMap, s"${cfg.path.stripSuffix("/")}/$rel.${cfg.fileFormat}"))
   }
 
   /** Series discovery over this source (kukur search): distinct tags ×

@@ -54,8 +54,11 @@ object Inspect {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def kindOf(name: String): String = {
       val dot = name.lastIndexOf('.')
+      // the default applies ONLY to extension-less names; an UNKNOWN
+      // extension stays "other" (kukur/inspect/arrow.py:154 returns the
+      // default for extension == "" and None otherwise)
       if (dot < 0 || dot == name.length - 1) defaultResourceType.getOrElse("other")
-      else SupportedExtensions.getOrElse(name.substring(dot + 1).toLowerCase, defaultResourceType.getOrElse("other"))
+      else SupportedExtensions.getOrElse(name.substring(dot + 1).toLowerCase, "other")
     }
     def list(p: Path): Seq[(String, String, Long)] =
       fs.listStatus(p).toSeq.flatMap { st =>

@@ -59,6 +59,11 @@ final class MetadataSource(cfg: MetadataConfig) {
 
   import MetadataSource._
 
+  /** Whether this source's rows are keyed by (tags, field) — set when
+    * the config declares a metadata_field_column.
+    */
+  def fieldKeyed: Boolean = cfg.fieldColumn.isDefined
+
   /** Resolve a canonical/tag/custom name to the source column, by the
     * reference's chain (csv.py:244 `_map_column_name`): metadata_mapping
     * first, then column_mapping — falling back through the kukur spaced
@@ -128,10 +133,7 @@ final class MetadataSource(cfg: MetadataConfig) {
       } else reader.load(cfg.path)
     // a BOM'd header leaves `\uFEFF<first column>` — strip it so name
     // resolution sees the real name (kukur's utf-8-sig open does this)
-    val raw =
-      if (raw0.columns.nonEmpty && raw0.columns.head.startsWith("\uFEFF"))
-        raw0.toDF((raw0.columns.head.stripPrefix("\uFEFF") +: raw0.columns.tail.toSeq): _*)
-      else raw0
+    val raw = stripBomHeader(raw0)
     def colOrNull(name: String): Column =
       resolve(raw, name).map(col).getOrElse(lit(null).cast("string"))
     val tags = cfg.tagColumns.map(t => colOrNull(t).cast("string").as(t))
@@ -188,6 +190,17 @@ final class MetadataSource(cfg: MetadataConfig) {
 }
 
 object MetadataSource {
+
+  /** Strip a UTF-8 BOM remnant from the first column name — univocity
+    * leaves `\uFEFF<first column>` when a header file starts with a
+    * BOM. Shared by the metadata reader and ConfiguredSource.
+    */
+  private[sources] def stripBomHeader(df: DataFrame): DataFrame = {
+    val cols = df.columns
+    if (cols.nonEmpty && cols.head.startsWith("\uFEFF"))
+      df.toDF((cols.head.stripPrefix("\uFEFF") +: cols.tail.toSeq): _*)
+    else df
+  }
 
   /** Charsets Spark's CSV reader accepts WITHOUT the legacy flag
     * (CharsetProvider.VALID_CHARSETS, SPARK-46411).

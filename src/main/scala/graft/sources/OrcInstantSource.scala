@@ -80,34 +80,52 @@ object OrcInstantSource {
     })
   }
 
-  /** Decode one file batch-by-batch; the iterator closes its reader
-    * when it drains (file counts here are small — one per series).
+  /** Lazy per-batch decode: rows stream out one VectorizedRowBatch at
+    * a time, so task memory is one batch, never the file. The reader
+    * closes when the iterator drains; a task-completion listener covers
+    * early termination (limit, failure) — the same lifecycle contract
+    * as [[ArrowIpcSource.decodeAll]].
     */
-  private def decodeFile(conf: Configuration, path: String, schema: StructType): Iterator[Row] = {
-    val reader = OrcFile.createReader(new Path(path), OrcFile.readerOptions(conf))
-    val rows = reader.rows()
-    val batch = reader.getSchema.createRowBatch()
-    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-    try {
-      while (rows.nextBatch(batch)) {
-        var r = 0
-        while (r < batch.size) {
-          val values = new Array[Any](schema.length)
-          var c = 0
-          while (c < schema.length) {
-            values(c) = readValue(batch.cols(c), r, schema(c).dataType)
-            c += 1
-          }
-          out += Row.fromSeq(values.toIndexedSeq)
-          r += 1
+  private def decodeFile(conf: Configuration, path: String, schema: StructType): Iterator[Row] =
+    new Iterator[Row] {
+      private val reader = OrcFile.createReader(new Path(path), OrcFile.readerOptions(conf))
+      private val rows =
+        try reader.rows()
+        catch { case e: Throwable => reader.close(); throw e }
+      private val batch = reader.getSchema.createRowBatch()
+      private var rowIdx = 0
+      private var open = true
+
+      Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => close()))
+
+      private def close(): Unit =
+        if (open) {
+          open = false
+          rows.close()
+          reader.close()
         }
+
+      private def advance(): Unit =
+        while (open && rowIdx >= batch.size) {
+          if (rows.nextBatch(batch)) rowIdx = 0
+          else close()
+        }
+
+      override def hasNext: Boolean = { advance(); open }
+
+      override def next(): Row = {
+        advance()
+        if (!open) throw new NoSuchElementException("exhausted orc batch iterator")
+        val values = new Array[Any](schema.length)
+        var c = 0
+        while (c < schema.length) {
+          values(c) = readValue(batch.cols(c), rowIdx, schema(c).dataType)
+          c += 1
+        }
+        rowIdx += 1
+        Row.fromSeq(values.toIndexedSeq)
       }
-    } finally {
-      rows.close()
-      reader.close()
     }
-    out.iterator
-  }
 
   private def readValue(v: ColumnVector, rowIdx: Int, dt: DataType): Any = {
     val i = if (v.isRepeating) 0 else rowIdx

@@ -716,9 +716,11 @@ object EventStream {
     * (append). Windows with missing or extra ticks (≠ |pattern|
     * points) are shape-undefined and drop, which also makes the
     * contract explicit: the stream must be a fixed-interval grid, the
-    * same precondition A32's rowsBetween window assumes. On the same
-    * points, a window starting at t scores EXACTLY the batch
-    * operator's SSD at t — spec-asserted cross-implementation parity.
+    * same precondition A32's rowsBetween window assumes (the grid may
+    * sit at any offset from the epoch — `window_start` is the window's
+    * first POINT, not the epoch-aligned boundary). On the same points,
+    * a window starting at t scores EXACTLY the batch operator's SSD at
+    * t — spec-asserted cross-implementation parity.
     */
   def patternGateStream(
       pointStream: DataFrame,
@@ -760,7 +762,16 @@ object EventStream {
         ).cast("long"),
       )
       .where(col("ssd_micro2") <= maxSsdMicro2)
-      .select(col("window.start").as("window_start"), col("series_name"), col("ssd_micro2"))
+      // report the window's FIRST POINT's ts, not the epoch-aligned
+      // window boundary: on a grid offset from the epoch (ticks at
+      // :30, say) the two differ by the offset, and the batch operator
+      // keys its SSD by the subsequence's first point — emitting the
+      // boundary would break the documented (series, start) parity
+      .select(
+        col("__pts")(0).getField("ts").as("window_start"),
+        col("series_name"),
+        col("ssd_micro2"),
+      )
   }
 
   /** Convenience: run a streaming frame to completion against a memory

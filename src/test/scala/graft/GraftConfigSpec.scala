@@ -144,10 +144,15 @@ class GraftConfigSpec extends AnyFunSuite {
       assert(sel.name == encoded)
       assert(SeriesSelector.fromName("source", sel.name) == sel)
     }
-    // whitespace strips (test_from_name_strip_whitespace)
+    // whitespace strips (test_from_name_strip_whitespace) — on BOTH
+    // branches: with a ::field suffix and on a plain series name
     assert(
       SeriesSelector.fromName("source", " c,tag-a=a,tag-b=b::field ") ==
         SeriesSelector("source", Map("tag-a" -> "a", "tag-b" -> "b", "series name" -> "c"), "field")
+    )
+    assert(
+      SeriesSelector.fromName("source", " test-tag-1 ") ==
+        SeriesSelector("source", Map("series name" -> "test-tag-1"), "value")
     )
   }
 

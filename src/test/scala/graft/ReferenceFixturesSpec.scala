@@ -290,6 +290,18 @@ class ReferenceFixturesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(prod.map(_.getAs[String]("value")).toSeq == Seq("A", "A", "B"))
   }
 
+  test("getPlotData slices the selector's field like getData (multi-field sources)") {
+    val sel = SeriesSelector("", Map("location" -> "Antwerp", "plant" -> "P1"))
+    // product is a STRING field: if value rows leaked into the same
+    // buckets the min/max aggregates would mix numeric strings in
+    val plot = g
+      .getPlotData("row_tags", sel.copy(field = "product"), Start, End, intervalCount = 1)
+      .collect()
+    assert(plot.nonEmpty)
+    val vals = plot.map(_.getAs[Any]("value").toString).toSet
+    assert(vals.subsetOf(Set("A", "B")), s"value rows leaked into the product plot: $vals")
+  }
+
   test("test_row_tags_quality: mapped quality beside tag columns") {
     val sel = SeriesSelector("", Map("location" -> "Antwerp", "plant" -> "P1"))
     val rows = g.getData("row_tags_quality", sel, Start, End).orderBy("ts").collect()

@@ -80,6 +80,15 @@ class ReferenceInspectFixturesSpec extends AnyFunSuite {
       .collect()
     assert(rows.length == 1)
     assert(rows.head.getAs[String]("resource_type") == "csv")
+    // the default applies ONLY to extension-less names: a .toml beside
+    // the csv fixtures stays "other" even with a csv default
+    // (kukur/inspect/arrow.py:154 returns the default only for ext == "")
+    val withDefault = Inspect
+      .listPath(spark, s"$Data/csv", defaultResourceType = Some("csv"))
+      .collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[String]("resource_type"))
+      .toMap
+    assert(withDefault.find(_._1.endsWith("csv-examples.toml")).get._2 == "other")
   }
 
   test("preview of a csv dir through the facade listing path still works") {

@@ -45,6 +45,10 @@ class SourcesSpec extends AnyFunSuite {
     assert(pruned.map(_.getAs[Double]("value")).toSeq == Seq(1.0, 2.0))
     assert(pruned.forall(_.getAs[String]("series_name") == "good"))
     intercept[Exception](src.read(spark).collect()) // whole-source read must hit the corrupt file
+    // a traversal-shaped series name must be rejected, not resolved
+    // into a path outside the source dir (the reference raises too)
+    val e = intercept[IllegalArgumentException](src.readSeries(spark, Map("series_name" -> "../../../etc/passwd")))
+    assert(e.getMessage.contains("not a valid path component"))
   }
 
   test("row CSV source: column mapping, datetime format, quality mapping") {

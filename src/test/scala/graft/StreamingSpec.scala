@@ -84,6 +84,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count(_._2 == 0L) == 1)
     // a tight gate admits only the motif window
     assert(streamed.count(_._2 <= 10L) == 1)
+
+    // OFFSET grid: ticks at :30 — window_start must be the first
+    // POINT's ts (batch keys SSD by the subsequence start), not the
+    // epoch-aligned window boundary 30s earlier
+    val memOff = MemoryStream[(String, Timestamp, Double)]
+    memOff.addData(s1.zipWithIndex.map { case (v, i) =>
+      ("s1", Timestamp.from(base.plusSeconds(30L + i * 60L)), v)
+    }: _*)
+    val qOff = EventStream
+      .patternGateStream(
+        memOff.toDF().toDF("series_name", "ts", "value"),
+        pattern,
+        intervalSeconds = 60L,
+        maxSsdMicro2 = Long.MaxValue,
+      )
+      .writeStream.format("memory").queryName("pattern_gate_off").outputMode(OutputMode.Append())
+      .start()
+    qOff.processAllAvailable()
+    memOff.addData(("s1", t("2024-01-01T09:00:00Z"), 0.0))
+    qOff.processAllAvailable()
+    qOff.stop()
+    val offStarts = spark.table("pattern_gate_off")
+      .where(col("window_start") < t("2024-01-01T01:00:00Z"))
+      .collect()
+      .map(_.getAs[Timestamp]("window_start").toInstant)
+      .toSet
+    assert(offStarts.size == 9)
+    assert(offStarts.contains(Instant.parse("2024-01-01T00:00:30Z")))
+    assert(offStarts.forall(_.getEpochSecond % 60 == 30))
   }
 
   test("windowedAgg aggregates tumbling windows with watermark") {
