@@ -104,6 +104,15 @@ final class MetadataSource(cfg: MetadataConfig) {
     */
   private def numeric(c: Column): Column = c.cast("string").try_cast("double")
 
+  /** Enum-ish field (interpolation/data type): blank or whitespace-only
+    * is ABSENT, not a value (kukur fields.py `_is_empty_string` in
+    * `_interpolation_type_from_json` / `_data_type_from_json`).
+    */
+  private def enumNorm(c: Column): Column = {
+    val s = c.cast("string")
+    when(trim(s) === "", lit(null).cast("string")).otherwise(upper(s))
+  }
+
   def read(spark: SparkSession): DataFrame = {
     val reader = spark.read.format(cfg.fileFormat)
     val raw0 =
@@ -153,8 +162,8 @@ final class MetadataSource(cfg: MetadataConfig) {
       numeric(valueMapped("limit_high_functional", colOrNull("limit_high_functional"))).as("limit_high_functional"),
       numeric(valueMapped("accuracy", colOrNull("accuracy"))).as("accuracy"),
       numeric(valueMapped("accuracy_percentage", colOrNull("accuracy_percentage"))).as("accuracy_percentage"),
-      upper(valueMapped("interpolation_type", colOrNull("interpolation_type")).cast("string")).as("interpolation_type"),
-      upper(valueMapped("data_type", colOrNull("data_type")).cast("string")).as("data_type"),
+      enumNorm(valueMapped("interpolation_type", colOrNull("interpolation_type"))).as("interpolation_type"),
+      enumNorm(valueMapped("data_type", colOrNull("data_type"))).as("data_type"),
       valueMapped("dictionary_name", colOrNull("dictionary_name")).cast("string").as("dictionary_name"),
     ) ++ customFields.map(f => valueMapped(f, colOrNull(f)).cast("string").as(f))
     val selected = raw.select(tags ++ fieldKey ++ fields: _*)

@@ -52,6 +52,30 @@ class GpxSpec extends AnyFunSuite {
     assert(speed > 1 && speed < 10, s"speed $speed") // km/h
   }
 
+  test("reference fixture: the real Strava track parses to the reference's table") {
+    // tests/source/test_gpx.py pins len == 2263 with ele/lon/lat
+    // columns; the derived totals below re-run the reference's own
+    // ECEF-chord/cumsum formula (kukur/source/gpx/__init__.py:131-166)
+    // over the same fixture
+    val df = GpxSource.read(spark, "/root/reference/tests/test_data/gpx").orderBy("seq")
+    val rows = df.collect()
+    assert(rows.length == 2263)
+    assert(df.columns.toSet.intersect(Set("ele", "lon", "lat")) == Set("ele", "lon", "lat"))
+    val first = rows.head
+    assert(first.getAs[Double]("lat") == 51.217777)
+    assert(first.getAs[Double]("lon") == 5.298671)
+    assert(first.getAs[Double]("ele") == 50.4)
+    assert(first.getAs[java.sql.Timestamp]("ts").toInstant == java.time.Instant.parse("2024-05-01T08:15:02Z"))
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("hr")) && !r.isNullAt(r.fieldIndex("cad"))))
+    val last = rows.last
+    assert(last.getAs[Double]("ele") == 49.8)
+    assert(math.abs(last.getAs[Double]("calc_total_distance") - 7930.086) < 0.01)
+    assert(last.getAs[Double]("calc_time") == 2262.0)
+    // cumulative columns are monotone non-decreasing in sequence order
+    val totals = rows.map(_.getAs[Double]("calc_total_distance"))
+    assert(totals.zip(totals.tail).forall { case (a, b) => b >= a })
+  }
+
   test("gpx canonical melt yields one series per field, tracks in parallel") {
     val dir = Files.createTempDirectory("graft-gpx2").toString
     writeTrack(dir, "a")

@@ -113,6 +113,30 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(units == Seq("b", "c", "x"))
   }
 
+  test("blank metadata cells coerce to absent, mirroring tests/test_metadata.py") {
+    // test_*_coerce_empty: " " is ABSENT for typed fields (fields.py
+    // _is_empty_string) — interpolation/data type, accuracy, limits
+    val dir = Files.createTempDirectory("graft-blankmeta").toString
+    Files.writeString(
+      java.nio.file.Path.of(dir, "meta.csv"),
+      "series name,interpolation type,data type,accuracy,physical lower limit\n" +
+        "blank, , , , \n" +
+        "full,STEPPED,DICTIONARY,0.2,0\n",
+    )
+    val rows = new MetadataSource(MetadataConfig(path = s"$dir/meta.csv"))
+      .read(spark)
+      .orderBy("series_name")
+      .collect()
+    val blank = rows(0)
+    for (f <- Seq("interpolation_type", "data_type", "accuracy", "limit_low_physical"))
+      assert(blank.isNullAt(blank.fieldIndex(f)), s"$f should be absent for a blank cell")
+    val full = rows(1)
+    assert(full.getAs[String]("interpolation_type") == "STEPPED")
+    assert(full.getAs[String]("data_type") == "DICTIONARY")
+    assert(full.getAs[Double]("accuracy") == 0.2)
+    assert(full.getAs[Double]("limit_low_physical") == 0.0)
+  }
+
   test("inspect lists and previews datasets") {
     val dir = writeData()
     val listing = Inspect.listPath(spark, dir).collect()
