@@ -132,6 +132,7 @@ object GraftConfig {
           mean = d("mean", base.mean),
           stdDev = d("standard_deviation", base.stdDev),
           numberOfSteps = l("number_of_steps", base.numberOfSteps.toLong).toInt,
+          dataType = str(sn, "data_type").getOrElse(base.dataType),
         )
       }
     DeclaredSimulator(name, signals)

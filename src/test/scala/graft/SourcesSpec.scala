@@ -7,7 +7,7 @@ import java.time.Instant
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{ConfiguredSource, Simulators, SourceConfig}
+import graft.sources.{ConfiguredSource, Simulators, SimulatorSignal, SourceConfig}
 
 class SourcesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -270,6 +270,47 @@ class SourcesSpec extends AnyFunSuite {
       .map(_.getDouble(1))
     assert(math.abs(out.max - 60.0) < 0.5)
     assert(math.abs(out.min - 40.0) < 0.5)
+  }
+
+  test("simulator consistency: a narrower window is the wide window restricted") {
+    // tests/source/test_simulator.py test_*_consistency: generation is
+    // time-keyed, so [start+d, end-d) equals the full run dropped to
+    // that window — for every generator
+    val s0 = t("2024-01-01T00:00:00Z")
+    val e0 = t("2024-01-08T00:00:00Z")
+    val s1 = t("2024-01-03T00:00:00Z")
+    val e1 = t("2024-01-06T00:00:00Z")
+    def both(gen: (Timestamp, Timestamp) => org.apache.spark.sql.DataFrame): Unit = {
+      val wide = gen(s0, e0).where(col("ts") >= lit(s1) && col("ts") < lit(e1)).orderBy("ts").collect()
+      val narrow = gen(s1, e1).where(col("ts") < lit(e1)).orderBy("ts").collect()
+      assert(wide.nonEmpty)
+      assert(wide.toSeq == narrow.toSeq)
+    }
+    both((a, b) => Simulators.counter(spark, a, b, 0.0, 100.0, 10.0, 600L))
+    both((a, b) => Simulators.whiteNoise(spark, a, b, 0.0, 1.0, 3600L, seed = 7L))
+    both((a, b) => Simulators.step(spark, a, b, 0.0, 100.0, 10, 600L, seed = 7L))
+    both((a, b) => Simulators.sine(spark, a, b, 86400.0, 0.0, 10.0, 50.0, 3600L))
+  }
+
+  test("step simulator string data type emits string_<value>, unknown type fails") {
+    // test_step_signal_generator_produces_same_data_for_string /
+    // test_step_signal_generator_wrong_data_type
+    val sig = SimulatorSignal(
+      "s", "step", intervalSeconds = 600L, minValue = 0.0, maxValue = 100.0,
+      numberOfSteps = 10, dataType = "string",
+    )
+    val out = Simulators
+      .generate(spark, sig, t("2024-01-01T00:00:00Z"), t("2024-01-02T00:00:00Z"))
+      .collect()
+    assert(out.length == 144)
+    assert(out.forall(_.getAs[String]("value").matches("string_\\d+\\.\\d+")))
+    val again = Simulators
+      .generate(spark, sig, t("2024-01-01T00:00:00Z"), t("2024-01-02T00:00:00Z"))
+      .collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    intercept[IllegalArgumentException] {
+      Simulators.generate(spark, sig.copy(dataType = "foofoo"), t("2024-01-01T00:00:00Z"), t("2024-01-02T00:00:00Z"))
+    }
   }
 
   test("calculatedAccuracy: explicit wins, pct validated, limits fall back physical->functional") {
