@@ -342,9 +342,12 @@ object Bench {
       else runScaleProbe(spark, sfDir)
     val loadEnd = loadAvg1()
     def dirtyList(names: Seq[String]) = names.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // dirty_n is the TRUE count: the tail line caps the dirty name
+    // list at 10 (to fit the harness capture), so the count travels
+    // separately and a truncated list can never understate the damage
     def jsonLine(rs: Seq[(String, Double)], scale: String, dirty: String): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"load_start":$loadStart,"load_end":$loadEnd,"host_cpus":$hostCpus,"dirty":$dirty,"scale":$scale,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"load_start":$loadStart,"load_end":$loadEnd,"host_cpus":$hostCpus,"dirty_n":${dirtyQueries.length},"dirty":$dirty,"scale":$scale,"queries":$qs,"sf":"$sfDir"}"""
     }
     val full = jsonLine(results, scaleJson, dirtyList(dirtyQueries.sorted))
     println(full)

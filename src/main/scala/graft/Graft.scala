@@ -227,11 +227,23 @@ final class Graft(spark: SparkSession) {
 
     val searchRow = probe("search")(search(sourceName))
     // first series of the search result drives the per-series actions,
-    // like test_source.py's --name argument
+    // like test_source.py's --name argument. The probe key is the
+    // source's OWN tag columns — a config-declared source defaults to
+    // kukur's spaced "series name" tag, and multi-tag sources need
+    // every tag to name one series
+    val tagCols: Seq[String] = scala.util.Try(registered(sourceName)) match {
+      case scala.util.Success(f: FileRegistered) => f.dataConfig.tagColumns
+      // unknown/unavailable sources still report per-probe failures
+      case _ => Seq("series_name")
+    }
     val selector: Option[SeriesSelector] =
       try {
-        val first = search(sourceName).select(col("series_name").cast("string")).orderBy("series_name").limit(1).collect()
-        first.headOption.map(r => SeriesSelector(sourceName, Map("series_name" -> r.getString(0))))
+        val first = search(sourceName)
+          .select(tagCols.map(c => col(c).cast("string")): _*)
+          .orderBy(tagCols.map(col): _*)
+          .limit(1)
+          .collect()
+        first.headOption.map(r => SeriesSelector(sourceName, tagCols.zipWithIndex.map { case (c, i) => c -> r.getString(i) }.toMap))
       } catch { case _: Exception => None }
 
     val perSeries = selector match {

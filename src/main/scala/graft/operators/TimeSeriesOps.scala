@@ -691,18 +691,25 @@ object TimeSeriesOps {
       // |value| ≈ 3000 after micro-scaling, well inside real data.
       // Decimal keeps the SSD exact to 1e38; the final BIGINT cast
       // matches the oracle's CAST(... AS BIGINT) (same ts_integral
-      // pattern). Only SSDs beyond Long range — |value| ~ 1e6 over the
-      // whole window — can still overflow, now loudly at the cast.
+      // pattern). SSDs beyond Long range — |value| ~ 1e6 over the
+      // whole window — SATURATE to Long.MaxValue before the cast: a
+      // non-ANSI decimal→long overflow would return NULL, and nulls
+      // sort FIRST under the ascending ssd order — a silent
+      // worst-match-ranked-best inversion; saturated windows instead
+      // sort last, which is the correct "nowhere near the pattern".
       .withColumn(
         "ssd_micro2",
-        aggregate(
-          zip_with(
-            col("__win"),
-            pat,
-            (x, q) => (x - q).cast(org.apache.spark.sql.types.DecimalType(38, 0)) * (x - q),
+        least(
+          aggregate(
+            zip_with(
+              col("__win"),
+              pat,
+              (x, q) => (x - q).cast(org.apache.spark.sql.types.DecimalType(38, 0)) * (x - q),
+            ),
+            lit(0L).cast(org.apache.spark.sql.types.DecimalType(38, 0)),
+            (acc, v) => acc + v,
           ),
-          lit(0L).cast(org.apache.spark.sql.types.DecimalType(38, 0)),
-          (acc, v) => acc + v,
+          lit(Long.MaxValue).cast(org.apache.spark.sql.types.DecimalType(38, 0)),
         ).cast("long"),
       )
       .select(tagCols.map(col) ++ Seq(col("ts"), col("ssd_micro2")): _*)

@@ -101,7 +101,12 @@ final class ConfiguredSource(cfg: SourceConfig) {
     cfg.fileFormat match {
       case "feather" => ArrowIpcSource.read(spark, path)
       case "arrows"  => ArrowIpcSource.read(spark, path, streaming = true)
-      case _         => reader(spark, header, infer).load(path)
+      case "orc" if OrcInstantSource.needsInstantReader(spark, path) =>
+        // pyarrow-written tz-aware ORC (TIMESTAMP_INSTANT) — the
+        // reference's own fixtures — fails Spark's native footer
+        // round-trip; same probe-and-reroute as Inspect.readDataset
+        OrcInstantSource.read(spark, path)
+      case _ => reader(spark, header, infer).load(path)
     }
 
   private def stripBom(df: DataFrame): DataFrame = MetadataSource.stripBomHeader(df)
@@ -377,15 +382,27 @@ final class ConfiguredSource(cfg: SourceConfig) {
     walk(root, levels, Map.empty).sortBy(_._2)
   }
 
-  /** One series file as a canonical frame: positional ts/value
-    * [/quality] naming (the reference renames dir columns BY POSITION —
-    * arrow.py:216 `rename_columns` — so a file's own header never
-    * matters), value as double unless the file holds strings
+  /** One series file as a canonical frame. Column resolution mirrors
+    * the reference's split: headered CSV (or CSV with a column
+    * mapping) resolves BY NAME with `column_mapping` applied
+    * (csv.py:375 `_read_directory_data` → `_map_columns`) — the same
+    * rules the whole-dir scan uses, so the pruned and unpruned paths
+    * agree; everything else renames BY POSITION (arrow.py:216
+    * `rename_columns` — a columnar file's own schema never matters),
+    * value as double unless the file holds strings
     * (get_value_schema_type, arrow.py:235), tag values as literals.
     */
   private def seriesFileFrame(spark: SparkSession, tags: Map[String, String], path: String): DataFrame = {
     import org.apache.spark.sql.types.StringType
     val loaded = loadPath(spark, path, infer = cfg.valueType == "auto")
+    val tagLits = tags.toSeq.map { case (k, v) => lit(v).as(k) }
+    if (cfg.fileFormat == "csv" && (cfg.csvHeader || cfg.columnMapping.nonEmpty)) {
+      val raw = stripBom(loaded)
+      return withQuality(raw).select(
+        tagLits ++ Seq(normalizeTs(col(mapped("ts"))).as("ts"), dirValue(raw)) ++
+          (if (cfg.qualityGood.nonEmpty) Seq(col("quality")) else Nil): _*
+      )
+    }
     val names = Seq("ts", "value") ++ (if (cfg.qualityGood.nonEmpty) Seq("quality") else Nil)
     require(
       loaded.columns.length >= names.length,
@@ -399,10 +416,9 @@ final class ConfiguredSource(cfg: SourceConfig) {
         if (raw.schema("value").dataType == StringType && !cfg.decimalPoint.exists(_ != ".")) col("value")
         else expr(fieldSql("value", "double"))
     }
-    val tagCols = tags.toSeq.map { case (k, v) => lit(v).as(k) }
     withQuality(raw)
       .select(
-        tagCols ++ Seq(normalizeTs(col("ts")).as("ts"), valueC.as("value")) ++
+        tagLits ++ Seq(normalizeTs(col("ts")).as("ts"), valueC.as("value")) ++
           (if (cfg.qualityGood.nonEmpty) Seq(col("quality")) else Nil): _*
       )
   }
@@ -415,7 +431,7 @@ final class ConfiguredSource(cfg: SourceConfig) {
     * not a keyed dir or the selector misses a partition key.
     */
   def readSeries(spark: SparkSession, tags: Map[String, String]): Option[DataFrame] = {
-    if (cfg.dataFormat != "dir" || cfg.pathEncoding.isEmpty) return None
+    if (cfg.dataFormat != "dir" || cfg.pathEncoding.isEmpty || cfg.path.isEmpty) return None
     val levels = dirLevels(cfg.pathEncoding.contains("base64"))
     if (!levels.forall(l => tags.contains(l.key))) return None
     def enc(v: String, level: DirPartition): String =
@@ -432,7 +448,23 @@ final class ConfiguredSource(cfg: SourceConfig) {
       )
     }
     val rel = levels.map(l => enc(tags(l.key), l)).mkString("/")
-    Some(seriesFileFrame(spark, levels.map(l => l.key -> tags(l.key)).toMap, s"${cfg.path.stripSuffix("/")}/$rel.${cfg.fileFormat}"))
+    val exact = s"${cfg.path.stripSuffix("/")}/$rel.${cfg.fileFormat}"
+    // cheap driver-side existence probe (one namenode RPC — the same
+    // class of metadata call Spark's own file index makes): a missing
+    // file means the series either uses a different extension than the
+    // format's default or does not exist — fall back to the dir
+    // listing, then to the caller's unpruned path (which yields the
+    // empty result an unknown series always produced) instead of
+    // failing the plan with PATH_NOT_FOUND
+    val p = new org.apache.hadoop.fs.Path(exact)
+    val resolved =
+      if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) Some(exact)
+      else
+        scala.util
+          .Try(listSeriesFiles(spark, levels))
+          .getOrElse(Nil)
+          .collectFirst { case (t, f) if levels.forall(l => t(l.key) == tags(l.key)) => f }
+    resolved.map(f => seriesFileFrame(spark, levels.map(l => l.key -> tags(l.key)).toMap, f))
   }
 
   /** Series discovery over this source (kukur search): distinct tags ×

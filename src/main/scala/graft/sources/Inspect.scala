@@ -106,30 +106,11 @@ object Inspect {
         // local time zone" through the SQL parser, which has no such
         // production). Probe the footer; instant files decode through
         // OrcInstantSource, everything else stays on the native path.
-        if (orcNeedsInstantReader(spark, uri)) OrcInstantSource.read(spark, uri)
+        if (OrcInstantSource.needsInstantReader(spark, uri)) OrcInstantSource.read(spark, uri)
         else spark.read.orc(uri)
       case other => spark.read.format(other).load(uri)
     }
     if (options.columnNames.isEmpty) df else df.select(options.columnNames.map(c => col(s"`$c`")): _*)
-  }
-
-  private def orcNeedsInstantReader(spark: SparkSession, uri: String): Boolean = {
-    import scala.jdk.CollectionConverters._
-    import org.apache.orc.TypeDescription.Category
-    val path = new Path(uri)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val file =
-      if (fs.getFileStatus(path).isDirectory)
-        fs.listStatus(path)
-          .toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".orc"))
-          .map(_.getPath)
-          .headOption
-          .getOrElse(throw new IllegalArgumentException(s"no .orc files under $uri"))
-      else path
-    val reader = org.apache.orc.OrcFile.createReader(file, org.apache.orc.OrcFile.readerOptions(spark.sparkContext.hadoopConfiguration))
-    try reader.getSchema.getChildren.asScala.exists(_.getCategory == Category.TIMESTAMP_INSTANT)
-    finally reader.close()
   }
 
   /** Database-backed inspect (kukur/inspect/postgres.py:1,

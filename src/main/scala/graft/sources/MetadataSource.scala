@@ -145,7 +145,19 @@ final class MetadataSource(cfg: MetadataConfig) {
     val raw = stripBomHeader(raw0)
     def colOrNull(name: String): Column =
       resolve(raw, name).map(col).getOrElse(lit(null).cast("string"))
-    val tags = cfg.tagColumns.map(t => colOrNull(t).cast("string").as(t))
+    // tag columns are the JOIN KEY: an unresolvable one would emit
+    // all-null tags that silently match nothing downstream (merge
+    // full-outer joins, selector filters) — fail loudly instead, like
+    // the reference's KeyError on a missing metadata column
+    val tags = cfg.tagColumns.map { t =>
+      val resolved = resolve(raw, t).getOrElse(
+        throw new IllegalArgumentException(
+          s"metadata at ${cfg.path} has no column resolving tag "
+            + s""""$t" (columns: ${raw.columns.mkString(", ")})"""
+        )
+      )
+      col(resolved).cast("string").as(t)
+    }
     val fieldKey = cfg.fieldColumn.toSeq.map(fc => colOrNull(fc).cast("string").as("field"))
     // the canonical fields this source contributes (names normalized so
     // `"functional lower limit"` in a kukur config restricts

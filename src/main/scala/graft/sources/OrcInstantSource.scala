@@ -52,6 +52,27 @@ object OrcInstantSource {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Whether `uri` (a file or a dir of .orc files) carries a
+    * TIMESTAMP_INSTANT column and therefore needs THIS reader instead
+    * of `spark.read.orc` — one driver-side footer probe, shared by
+    * Inspect and ConfiguredSource.
+    */
+  def needsInstantReader(spark: SparkSession, uri: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new Path(uri)
+    val fs = path.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(path).isDirectory)
+        fs.listStatus(path)
+          .toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".orc"))
+          .map(_.getPath)
+          .headOption
+          .getOrElse(throw new IllegalArgumentException(s"no .orc files under $uri"))
+      else path
+    withReader(conf, file.toString)(_.getSchema.getChildren.asScala.exists(_.getCategory == Category.TIMESTAMP_INSTANT))
+  }
+
   private def withReader[T](conf: Configuration, path: String)(f: Reader => T): T = {
     val reader = OrcFile.createReader(new Path(path), OrcFile.readerOptions(conf))
     try f(reader)

@@ -156,16 +156,45 @@ object TomlLite {
     private def basicString(): String = {
       // multiline basic string: three quotes, runs to the closing
       // triple (kukur's datafusion/tdengine configs hold SQL this way);
-      // a newline right after the opener is trimmed per the TOML spec
+      // a newline right after the opener is trimmed, escapes are
+      // processed (TOML requires them in multiline BASIC strings), up
+      // to two quotes adjacent to the closing triple belong to the
+      // content (`""""` closes a body ending in one quote), and a
+      // line-ending backslash swallows whitespace through the newline
       if (input.startsWith("\"\"\"", pos)) {
         pos += 3
-        val end = input.indexOf("\"\"\"", pos)
-        if (end < 0) fail("unterminated multiline string")
-        var body = input.substring(pos, end)
-        if (body.startsWith("\r\n")) body = body.substring(2)
-        else if (body.startsWith("\n")) body = body.substring(1)
-        pos = end + 3
-        return body
+        if (input.startsWith("\r\n", pos)) pos += 2
+        else if (pos < input.length && input.charAt(pos) == '\n') pos += 1
+        val sb = new StringBuilder
+        var closed = false
+        while (!closed) {
+          if (pos >= input.length) fail("unterminated multiline string")
+          if (input.startsWith("\"\"\"", pos)) {
+            var extra = 0
+            while (extra < 2 && input.startsWith("\"", pos + 3 + extra)) extra += 1
+            sb.append("\"" * extra)
+            pos += 3 + extra
+            closed = true
+          } else if (input.charAt(pos) == '\\') {
+            pos += 1
+            if (pos >= input.length) fail("dangling escape")
+            input.charAt(pos) match {
+              case '"'  => sb += '"'; pos += 1
+              case '\\' => sb += '\\'; pos += 1
+              case 'n'  => sb += '\n'; pos += 1
+              case 'r'  => sb += '\r'; pos += 1
+              case 't'  => sb += '\t'; pos += 1
+              case 'u' =>
+                if (pos + 4 >= input.length) fail("truncated unicode escape")
+                sb += Integer.parseInt(input.substring(pos + 1, pos + 5), 16).toChar
+                pos += 5
+              case c if c == '\n' || c == '\r' || c == ' ' || c == '\t' =>
+                while (pos < input.length && " \t\r\n".contains(input.charAt(pos))) pos += 1
+              case c => fail(s"unsupported escape \\$c")
+            }
+          } else { sb += input.charAt(pos); pos += 1 }
+        }
+        return sb.result()
       }
       expect('"')
       val sb = new StringBuilder

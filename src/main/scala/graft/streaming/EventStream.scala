@@ -749,16 +749,22 @@ object EventStream {
       )
       .agg(sort_array(collect_list(struct(col("ts"), col("__vm")))).as("__pts"))
       .where(size(col("__pts")) === w)
+      // saturate the decimal SSD at Long.MaxValue before the cast —
+      // a non-ANSI overflow would NULL the column and silently drop
+      // the window from the gate (same fix as the batch operator)
       .withColumn(
         "ssd_micro2",
-        aggregate(
-          zip_with(
-            transform(col("__pts"), p => p.getField("__vm")),
-            pat,
-            (x, q) => (x - q).cast(dec) * (x - q),
+        least(
+          aggregate(
+            zip_with(
+              transform(col("__pts"), p => p.getField("__vm")),
+              pat,
+              (x, q) => (x - q).cast(dec) * (x - q),
+            ),
+            lit(0L).cast(dec),
+            (acc, v) => acc + v,
           ),
-          lit(0L).cast(dec),
-          (acc, v) => acc + v,
+          lit(Long.MaxValue).cast(dec),
         ).cast("long"),
       )
       .where(col("ssd_micro2") <= maxSsdMicro2)

@@ -227,6 +227,24 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(good.get(1).get(1).asInt == 210 && good.get(2).asText == "good")
   }
 
+  test("TomlLite multiline basic strings process escapes and closing-adjacent quotes") {
+    // TOML requires escape processing in multiline BASIC strings (the
+    // datafusion/tdengine configs hold SQL with \" in them), and a
+    // body may end in quotes adjacent to the closing triple
+    val root = TomlLite.parse(
+      "q = \"\"\"SELECT \\\"a\\\" FROM t\"\"\"\n" +
+        "tail = \"\"\"ends in a quote\"\"\"\"\n" +
+        "folded = \"\"\"one \\\n   two\"\"\"\n" +
+        "raw = '''no \\escapes here'''\n"
+    )
+    assert(root.get("q").asText == "SELECT \"a\" FROM t")
+    assert(root.get("tail").asText == "ends in a quote\"")
+    // a line-ending backslash swallows the newline and leading indent
+    assert(root.get("folded").asText == "one two")
+    // literal multiline strings stay raw
+    assert(root.get("raw").asText == "no \\escapes here")
+  }
+
   test("TomlLite rejects malformed documents with line context") {
     val e = intercept[IllegalArgumentException](
       TomlLite.parse("ok = 1\nbroken = \"unterminated\nnext = 2\n")

@@ -91,6 +91,28 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(probe("search") == false && probe("data") == false)
   }
 
+  test("testSource probes sources keyed by kukur's spaced default tag") {
+    // a config-declared source defaults to tag "series name" (with the
+    // space) — the probe must key on the source's own tag columns, not
+    // a hardcoded series_name
+    val dir = Files.createTempDirectory("graft-spacedtag").toString
+    Seq(("a", t("2024-01-01T00:30:00Z"), 1.0), ("b", t("2024-01-01T01:30:00Z"), 2.0))
+      .toDF("series name", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/data")
+    val g = new Graft(spark).registerSource(
+      "sp",
+      SourceConfig(path = s"$dir/data", dataFormat = "row", tagColumns = Seq("series name")),
+    )
+    val out = g
+      .testSource("sp", t("2024-01-01T00:00:00Z"), t("2024-01-01T02:00:00Z"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getLong(2))))
+      .toMap
+    assert(out("search") == ((true, 2L)))
+    assert(out("data") == ((true, 1L))) // series "a", one point in range
+    assert(out("plot")._1)
+  }
+
   test("metadata merge: earlier sources win, empty values fall through") {
     val hi = Seq(("s1", "High desc", null.asInstanceOf[String])).toDF("series_name", "description", "unit")
     val lo = Seq(("s1", "Low desc", "degC"), ("s2", "Only low", "bar")).toDF("series_name", "description", "unit")

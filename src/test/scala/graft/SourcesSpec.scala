@@ -49,6 +49,55 @@ class SourcesSpec extends AnyFunSuite {
     // into a path outside the source dir (the reference raises too)
     val e = intercept[IllegalArgumentException](src.readSeries(spark, Map("series_name" -> "../../../etc/passwd")))
     assert(e.getMessage.contains("not a valid path component"))
+    // an unknown series is None (caller falls back to its empty
+    // filter), never a PATH_NOT_FOUND plan failure
+    assert(src.readSeries(spark, Map("series_name" -> "nope")).isEmpty)
+  }
+
+  test("readSeries prunes headered dir csv BY NAME and odd extensions via the listing") {
+    val dir = tmp()
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/data"))
+    // header order is value,ts — a positional rename would read the
+    // timestamp column as the value (csv.py:375 resolves by name)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/data/s1.csv"), "value,ts\n7.5,2024-01-01T00:00:00Z\n8.5,2024-01-01T01:00:00Z\n")
+    val src = new ConfiguredSource(
+      SourceConfig(
+        path = s"$dir/data",
+        fileFormat = "csv",
+        dataFormat = "dir",
+        tagColumns = Seq("series_name"),
+        pathEncoding = Some("name"),
+        csvHeader = true,
+      )
+    )
+    val pruned = src.readSeries(spark, Map("series_name" -> "s1")).get.orderBy("ts").collect()
+    assert(pruned.map(_.getAs[Double]("value")).toSeq == Seq(7.5, 8.5))
+    assert(pruned.map(_.getAs[Timestamp]("ts").toInstant).head == Instant.parse("2024-01-01T00:00:00Z"))
+    // the unpruned scan agrees with the pruned read on the same source
+    val full = src.read(spark).orderBy("ts").collect()
+    assert(full.map(_.getAs[Double]("value")).toSeq == Seq(7.5, 8.5))
+    // a series file with a non-default extension still prunes (the
+    // search listing accepts any extension; the pruned path must too)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/data/s2.txt"), "value,ts\n1.0,2024-01-01T00:00:00Z\n")
+    val odd = src.readSeries(spark, Map("series_name" -> "s2")).get.collect()
+    assert(odd.map(_.getAs[Double]("value")).toSeq == Seq(1.0))
+  }
+
+  test("config-declared orc source reads the reference's TIMESTAMP_INSTANT fixture") {
+    // pyarrow's tz-aware ORC fails spark.read.orc outright; the
+    // configured source must reroute through OrcInstantSource just
+    // like Inspect does
+    val src = new ConfiguredSource(
+      SourceConfig(
+        path = "/root/reference/tests/test_data/orc/row.orc",
+        fileFormat = "orc",
+        dataFormat = "row",
+        tagColumns = Seq("series name"),
+      )
+    )
+    val rows = src.read(spark).collect()
+    assert(rows.length == 47)
+    assert(rows.exists(r => r.getAs[String]("series name") == "test-tag-1"))
   }
 
   test("row CSV source: column mapping, datetime format, quality mapping") {
