@@ -157,6 +157,30 @@ class ReferenceParquetFixturesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tags.contains(("Barcelona", "PlantB", "test-tag-5")))
   }
 
+  test("test_partitions_string: a STRING series rides the same partitioned layout") {
+    val sel = SeriesSelector(
+      "",
+      Map("location" -> "Barcelona", "plant" -> "PlantB", SeriesSelector.SeriesNameTag -> "test-tag-5"),
+    )
+    val rows = g.getData("partitioned-parquet", sel, Start, End).orderBy("ts").collect()
+    assert(rows.length == 7)
+    assert(ts(rows.head) == Start.toInstant)
+    assert(rows.head.getAs[Any]("value").toString == "A")
+  }
+
+  test("test_partitions_traversal: a traversal-shaped series name raises") {
+    val sel = SeriesSelector(
+      "",
+      Map("location" -> "Antwerp", "plant" -> "PlantA", SeriesSelector.SeriesNameTag -> "../../../dir/test-tag-5"),
+    )
+    // the reference raises InvalidDataError (source_or_metadata.py path
+    // containment check); graft rejects the path component up front
+    val e = intercept[IllegalArgumentException] {
+      g.getData("partitioned-parquet", sel, Start, End).collect()
+    }
+    assert(e.getMessage.contains("not a valid path component"))
+  }
+
   test("test_arrow.py row-tags analog: native-typed tag/field columns with mapping") {
     val sel = SeriesSelector("", Map("location" -> "Antwerp", "plant" -> "P1"))
     val vals = g.getData("row-parquet-tags", sel, Start, End).orderBy("ts").collect()
