@@ -10,7 +10,7 @@ import graft.functions.{BpeFunctions, CorpusFunctions, DedupFunctions, TextFunct
 import graft.model.SeriesDictionary
 import graft.multimodal.Multimodal
 import graft.operators.{Downsample, TimeSeriesOps}
-import graft.sources.{ConfiguredSource, MetadataConfig, MetadataSource, Simulators, SourceConfig}
+import graft.sources.{ConfiguredSource, Inspect, MetadataConfig, MetadataSource, Simulators, SourceConfig}
 
 /** Driver contract — one `queries` entry (+ DuckDB oracle where
   * SQL-expressible) per operator in SURVEY.md §2.
@@ -587,6 +587,34 @@ object SparkEntry {
         )
       )
       ntz(src.read(s))
+    },
+    // A15g: Excel worksheet source (kukur/source/excel, inspect
+    // arrow.py:133 `path@sheet` refs) — a workbook staged by the pure
+    // JDK OOXML writer, read back distributed through Inspect's
+    // worksheet resolution; string timestamps re-parse, longs stay
+    // long, doubles round-trip exactly via their XML tokens
+    "ts_excel_source" -> { (s, dir) =>
+      val tmp = fixture(dir, "xlsx") { p =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+        val staged = Tables
+          .canonicalEvents(s, dir)
+          .where(col("series_name") === "error" && col("user_id") % 7 === 0)
+          .select(
+            col("series_name"),
+            col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            col("value"),
+          )
+          .collect() // fixture staging only: one workbook is one file (~3k rows)
+        val bytes = graft.sources.XlsxLite.write(
+          Seq("series_name", "user_id", "ts", "value"),
+          staged.iterator.map(r => Seq(r.get(0), r.get(1), r.get(2), r.get(3))),
+        )
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$p/data.xlsx"), bytes)
+      }
+      Inspect
+        .readDataset(s, s"$tmp/data.xlsx@data")
+        .withColumn("ts", to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").cast("timestamp_ntz"))
     },
     // A16b: the reference's DEFAULT dir layout — one flat headerless
     // CSV per series, filename = series key (csv.py:393), declared in
@@ -1847,6 +1875,9 @@ object SparkEntry {
     "ts_row_source_orc" ->
       """SELECT event_type AS series_name, user_id, 'value' AS field, ts, value
          FROM events WHERE event_type IN ('view', 'error')""",
+    "ts_excel_source" ->
+      """SELECT event_type AS series_name, user_id, ts, value
+         FROM events WHERE event_type = 'error' AND user_id % 7 = 0""",
     "ts_row_source_arrows" ->
       """SELECT event_type AS series_name, user_id, 'value' AS field, ts, value
          FROM events WHERE event_type IN ('purchase', 'click')""",
@@ -2153,7 +2184,7 @@ object SparkEntry {
            SELECT doc_id, text, w,
                   CASE WHEN len(list_filter(w, t -> t IN ('the', 'a', 'and', 'of', 'to'))) >= GREATEST(len(list_filter(w, t -> t IN ('der', 'die', 'und', 'das', 'ist'))), len(list_filter(w, t -> t IN ('el', 'la', 'los', 'es', 'y'))), len(list_filter(w, t -> t IN ('le', 'les', 'est', 'et', 'une'))), len(list_filter(w, t -> t IN ('de', 'shi', 'bu', 'le', 'wo')))) THEN 'en' ELSE 'other' END AS pred_lang,
                   0.3 * (FLOOR(CAST(len(list_filter(w, t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE) * 1000000.0 / GREATEST(len(w), 1)) / 1000000.0)
-                  + 0.3 * (1.0 - FLOOR(CAST(n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) * 1000000.0 / n_chars) / 1000000.0)
+                  + 0.3 * (1.0 - FLOOR(CAST(n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) * 1000000.0 / GREATEST(n_chars, 1)) / 1000000.0)
                   + 0.4 * LEAST(CAST(len(w) AS DOUBLE) / 100.0, 1.0) AS quality_score
            FROM w0),
          kept AS (SELECT doc_id, text, w FROM scored WHERE quality_score > 0.45 AND pred_lang = 'en'),
@@ -2363,11 +2394,12 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM scored)
            WHERE rk <= 10),
          agg AS (SELECT query_id, label,
-                        CAST(SUM(CASE WHEN n_label = label THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+                        CAST(SUM(CASE WHEN n_label = label THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+                        CAST(COUNT(*) AS BIGINT) AS n_nb
                  FROM topk GROUP BY 1, 2)
          SELECT query_id, label, n_same,
-                (1000000 * n_same) // 10 AS agree_ppm,
-                (1000000 * n_same) // 10 < 500000 AS suspect
+                (1000000 * n_same) // n_nb AS agree_ppm,
+                (1000000 * n_same) // n_nb < 500000 AS suspect
          FROM agg""",
     "sim_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
@@ -2470,9 +2502,9 @@ object SparkEntry {
            FROM documents),
          feat AS (
            SELECT doc_id, n_chars, len(w) AS n_words,
-                  FLOOR(CAST(n_chars - (len(w) - 1) AS DOUBLE) * 1000000.0 / len(w)) / 1000000.0 AS avg_word_len,
-                  FLOOR(CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) * 1000000.0 / n_chars) / 1000000.0 AS digit_ratio,
-                  FLOOR(CAST(n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) * 1000000.0 / n_chars) / 1000000.0 AS punct_ratio,
+                  FLOOR(CAST(length(array_to_string(w, '')) AS DOUBLE) * 1000000.0 / GREATEST(len(w), 1)) / 1000000.0 AS avg_word_len,
+                  FLOOR(CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) * 1000000.0 / GREATEST(n_chars, 1)) / 1000000.0 AS digit_ratio,
+                  FLOOR(CAST(n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) * 1000000.0 / GREATEST(n_chars, 1)) / 1000000.0 AS punct_ratio,
                   FLOOR(CAST(len(list_filter(w, t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE) * 1000000.0 / GREATEST(len(w), 1)) / 1000000.0 AS stopword_ratio
            FROM base)
          SELECT doc_id, n_chars, n_words, avg_word_len, digit_ratio, punct_ratio, stopword_ratio,
@@ -2551,7 +2583,7 @@ object SparkEntry {
            FROM documents),
          feat AS (
            SELECT doc_id, lang, text, w, len(w) AS n_words,
-                  FLOOR(CAST(n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) * 1000000.0 / n_chars) / 1000000.0 AS punct_ratio,
+                  FLOOR(CAST(n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) * 1000000.0 / GREATEST(n_chars, 1)) / 1000000.0 AS punct_ratio,
                   FLOOR(CAST(len(list_filter(w, t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE) * 1000000.0 / GREATEST(len(w), 1)) / 1000000.0 AS stopword_ratio
            FROM base),
          kept AS (
@@ -2587,7 +2619,7 @@ object SparkEntry {
            FROM scrub),
          feat AS (
            SELECT doc_id, w, len(w) AS n_words,
-                  FLOOR(CAST(n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) * 1000000.0 / n_chars) / 1000000.0 AS punct_ratio,
+                  FLOOR(CAST(n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) * 1000000.0 / GREATEST(n_chars, 1)) / 1000000.0 AS punct_ratio,
                   FLOOR(CAST(len(list_filter(w, t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE) * 1000000.0 / GREATEST(len(w), 1)) / 1000000.0 AS stopword_ratio
            FROM base),
          kept AS (
@@ -2796,7 +2828,7 @@ object SparkEntry {
          s AS (SELECT doc_id,
                       CAST(FLOOR(1000000.0 * (
                         0.3 * (FLOOR(CAST(len(list_filter(w, t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE) * 1000000.0 / GREATEST(len(w), 1)) / 1000000.0)
-                        + 0.3 * (1.0 - FLOOR(CAST(n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) * 1000000.0 / n_chars) / 1000000.0)
+                        + 0.3 * (1.0 - FLOOR(CAST(n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) * 1000000.0 / GREATEST(n_chars, 1)) / 1000000.0)
                         + 0.4 * LEAST(CAST(len(w) AS DOUBLE) / 100.0, 1.0))) AS BIGINT) AS quality_ppm,
                       CAST(len(w) AS BIGINT) AS n_words
                FROM base)
@@ -2874,9 +2906,10 @@ object SparkEntry {
                 dsir_ppm + CAST(FLOOR(ROUND(-LN(-LN((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)), 6) * 1e6) AS BIGINT) >= 1000000 AS keep
          FROM sc""",
     "text_word_entropy" ->
-      """WITH w AS (SELECT doc_id,
+      """WITH w0 AS (SELECT doc_id,
                            unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
                     FROM documents),
+         w AS (SELECT * FROM w0 WHERE w <> ''),
          cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
          agg AS (SELECT doc_id,
                         CAST(SUM(c) AS BIGINT) AS n_words,
@@ -2888,9 +2921,10 @@ object SparkEntry {
                   - CAST(FLOOR(CAST(s AS DOUBLE) / CAST(n_words AS DOUBLE)) AS BIGINT) AS entropy_ppm
          FROM agg""",
     "corpus_vocab_overlap" ->
-      """WITH vw AS (SELECT DISTINCT lang AS stratum,
+      """WITH vw0 AS (SELECT DISTINCT lang AS stratum,
                             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
                      FROM documents),
+         vw AS (SELECT * FROM vw0 WHERE w <> ''),
          sizes AS (SELECT stratum, COUNT(*) AS vocab FROM vw GROUP BY 1),
          inter AS (SELECT a.stratum AS stratum_a, b.stratum AS stratum_b, COUNT(*) AS n_common
                    FROM vw a JOIN vw b USING (w)
@@ -2950,7 +2984,7 @@ object SparkEntry {
                   CAST(n_chars AS BIGINT) AS n_chars,
                   CAST(len(w) AS BIGINT) AS n_words,
                   0.3 * (FLOOR(CAST(len(list_filter(w, t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE) * 1000000.0 / GREATEST(len(w), 1)) / 1000000.0)
-                  + 0.3 * (1.0 - FLOOR(CAST(n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) * 1000000.0 / n_chars) / 1000000.0)
+                  + 0.3 * (1.0 - FLOOR(CAST(n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) * 1000000.0 / GREATEST(n_chars, 1)) / 1000000.0)
                   + 0.4 * LEAST(CAST(len(w) AS DOUBLE) / 100.0, 1.0) AS q
            FROM base),
          src AS (

@@ -74,8 +74,13 @@ object CorpusFunctions {
     def keepAt(rate: Double): Column =
       if (rate >= 1.0) lit(true)
       else digits < lit(f"${math.floor(rate * 4294967296.0).toLong}%08x")
-    val keep = rates.toSeq.sortBy(_._1).foldRight(lit(true)) { case ((s, r), rest) =>
-      when(stratum === s, keepAt(r)).otherwise(rest)
+    // sort null-last (a null stratum key is legal: mixturePlan's
+    // groupBy keeps the null group and mixtureSample feeds it back
+    // here) and match null-safely — `stratum === null` can never be
+    // true, which would silently promote a planned rate to
+    // keep-everything, and Ordering.String would NPE on the sort
+    val keep = rates.toSeq.sortBy(_._1)(Ordering.Option[String].on[String](Option(_))).foldRight(lit(true)) {
+      case ((s, r), rest) => when(stratum <=> lit(s), keepAt(r)).otherwise(rest)
     }
     df.where(keep)
   }
@@ -354,8 +359,10 @@ object CorpusFunctions {
     * engine-reproducible (other α use libm `pow`: deterministic per
     * JVM and partitioning-independent, but last-ulp engine-dependent).
     *
-    * Fully in-plan: one corpus aggregate, two one-row broadcast
-    * summaries (Σ rt_ppm, T*), zero driver collects.
+    * Fully in-plan: one corpus aggregate, then Σ rt_ppm and T* as
+    * single-partition windows over the per-stratum frame (one
+    * exchange of stratum-cardinality rows — mixturePlan's shape),
+    * zero driver collects.
     */
   def temperatureMixturePlan(
       df: DataFrame,
@@ -372,14 +379,19 @@ object CorpusFunctions {
     val rt =
       if (alpha == 0.5) sqrt(col("tokens").cast("double"))
       else pow(col("tokens").cast("double"), lit(alpha))
-    val ppm = counts.withColumn("__rt_ppm", floor(rt * lit(1e6)).cast("long"))
-    val total = ppm.agg(sum(col("__rt_ppm")).as("__total"))
-    val shared = ppm
-      .crossJoin(broadcast(total))
+    // Σ rt_ppm and T* as single-partition windows over the tiny
+    // per-stratum frame — the same shape as mixturePlan, for the same
+    // measured reason: the agg + broadcast-back form re-instantiates
+    // the corpus scan+aggregate subtree once per broadcast (~4 scans
+    // through shared/total/tStar), and ReuseExchange only catches part
+    // of it. Both windows share one partitioning, so the cost is ONE
+    // exchange of stratum-cardinality rows.
+    val w0 = Window.partitionBy(lit(0))
+    counts
+      .withColumn("__rt_ppm", floor(rt * lit(1e6)).cast("long"))
+      .withColumn("__total", sum(col("__rt_ppm")).over(w0))
       .withColumn("target_share", col("__rt_ppm").cast("double") / col("__total").cast("double"))
-    val tStar = shared.agg(min(col("tokens").cast("double") / col("target_share")).as("t_star"))
-    shared
-      .crossJoin(broadcast(tStar))
+      .withColumn("t_star", min(col("tokens").cast("double") / col("target_share")).over(w0))
       .withColumn("__binding", col("tokens").cast("double") / col("target_share") <= col("t_star"))
       .withColumn(
         "keep_rate_ppm",
@@ -678,6 +690,9 @@ object CorpusFunctions {
     DedupFunctions
       .spread(df)
       .select(idCol.as("doc_id"), explode(TextFunctions.words(text)).as("w"))
+      // words("") yields [""] — the empty token is not a word (same
+      // filter wordRarity/lexicalDiversity apply); empty docs drop out
+      .where(col("w") =!= "")
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -710,6 +725,10 @@ object CorpusFunctions {
     val vw = DedupFunctions
       .spread(df)
       .select(stratum.as("stratum"), explode(TextFunctions.words(text)).as("w"))
+      // the empty token from words("") is not vocabulary — it would
+      // register as a spurious shared "word" between any two strata
+      // that each contain one empty doc
+      .where(col("w") =!= "")
       .distinct()
     val sizes = vw.groupBy(col("stratum")).agg(count(lit(1)).as("vocab"))
     val inter = vw

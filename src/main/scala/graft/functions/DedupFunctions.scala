@@ -238,6 +238,14 @@ object DedupFunctions {
     * no aggregation.
     */
   def lshBuckets(signatures: DataFrame, perms: Int = 128, bands: Int = 32): DataFrame = {
+    // same contract HammingJoin.bandArrayExpr enforces: a non-dividing
+    // band count would silently hash only a prefix of the signature
+    // (weakening recall below the configured perms), and bands > perms
+    // would build a zero-argument xxhash64
+    require(
+      bands >= 1 && bands <= perms && perms % bands == 0,
+      s"bands ($bands) must divide perms ($perms)",
+    )
     val rows = perms / bands
     val bandExprs = (0 until rows).map(r => s"element_at(sig, b * $rows + ${r + 1})").mkString(", ")
     // barrier again: keep the sig array materialized, not inlined 32×
@@ -676,13 +684,15 @@ object DedupFunctions {
       denThreshold: Int = 2,
       maxDf: Long = 0L,
   ): DataFrame = {
-    val all = TextFunctions.fingerprints(df, col(idCol), col(textCol), k, w)
-    val kept =
+    // checkpoint BEFORE the df-cap join: `all` (per-char md5
+    // winnowing, the expensive scan) feeds both the df count and the
+    // probe side of the cap join, then sizes and both self-join sides
+    // downstream — same placement rationale as HammingJoin.pairs'
+    // banded checkpoint; Bench/Verify release via getPersistentRDDs
+    val all = TextFunctions.fingerprints(df, col(idCol), col(textCol), k, w).localCheckpoint()
+    val fps =
       if (maxDf <= 0) all
       else all.join(all.groupBy(col("fp")).agg(count(lit(1)).as("__df")).where(col("__df") <= maxDf), "fp").drop("__df")
-    // two consumers (sizes + both join sides): eager checkpoint, same
-    // rationale as jaccardPairs; Bench/Verify release via getPersistentRDDs
-    val fps = kept.localCheckpoint()
     val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     fps
       .select(col("doc_id").as("doc_a"), col("fp"))

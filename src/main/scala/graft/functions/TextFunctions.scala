@@ -112,11 +112,22 @@ object TextFunctions {
     df.withColumn("__w", words(text))
       .withColumn("n_chars", length(text))
       .withColumn("n_words", size(col("__w")))
-      .withColumn("avg_word_len", ratio6(col("n_chars") - (col("n_words") - lit(1)), col("n_words")))
-      .withColumn("digit_ratio", ratio6(col("n_chars") - length(regexp_replace(text, "[0-9]", "")), col("n_chars")))
+      // avg_word_len over the NORMALIZED tokens (total token chars /
+      // token count) — the raw-length-minus-separators form overcounts
+      // on any doc with runs of whitespace; char-denominator ratios
+      // guard n_chars like stopword_ratio guards n_words (empty text
+      // would otherwise null the ratios and the composite score)
+      .withColumn(
+        "avg_word_len",
+        ratio6(length(array_join(col("__w"), "")), greatest(col("n_words"), lit(1))),
+      )
+      .withColumn(
+        "digit_ratio",
+        ratio6(col("n_chars") - length(regexp_replace(text, "[0-9]", "")), greatest(col("n_chars"), lit(1))),
+      )
       .withColumn(
         "punct_ratio",
-        ratio6(col("n_chars") - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")), col("n_chars")),
+        ratio6(col("n_chars") - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")), greatest(col("n_chars"), lit(1))),
       )
       .withColumn(
         "stopword_ratio",
@@ -259,16 +270,20 @@ object TextFunctions {
         "__bi",
         expr("CASE WHEN size(__w) >= 2 THEN transform(sequence(1, size(__w) - 1), i -> concat_ws(' ', element_at(__w, i), element_at(__w, i + 1))) ELSE array() END"),
       )
-    // cache: dupTri feeds BOTH the final join's left side and the
-    // bigram explode — uncached, the regex tokenization and n-gram
-    // builds would run twice per document
+    // eager localCheckpoint, NOT cache: dupTri feeds BOTH the final
+    // join's left side and the bigram explode — uncached, the regex
+    // tokenization and n-gram builds would run twice per document, and
+    // a lazily-built cache under memory pressure evicts and silently
+    // re-runs them per consumer (the r5 30× bench collapse that moved
+    // jaccardPairs to checkpoints); Bench/Verify release the RDD via
+    // getPersistentRDDs like the other checkpointed operators
     val dupTri = base.select(
       col("doc_id"),
       when(size(col("__tri")) > 0,
         ratio6(size(col("__tri")) - size(array_distinct(col("__tri"))), size(col("__tri"))))
         .otherwise(lit(0.0)).as("dup_trigram_frac"),
       col("__bi"),
-    ).cache()
+    ).localCheckpoint()
     val topBigram = dupTri
       .select(col("doc_id"), explode(col("__bi")).as("bigram"))
       .groupBy(col("doc_id"), col("bigram"))
@@ -441,7 +456,11 @@ object TextFunctions {
       maxHits: Long = 1L,
   ): DataFrame = {
     require(blocklist.nonEmpty, "blocklist must not be empty")
-    val listCol = array(blocklist.distinct.sorted.map(lit): _*)
+    // entries go through the same normalization as the tokens they
+    // match (normText lowercases and collapses whitespace) — an
+    // uppercase entry would otherwise never hit a lowercased token
+    val normalized = blocklist.map(_.toLowerCase.trim.replaceAll("\\s+", " "))
+    val listCol = array(normalized.distinct.sorted.map(lit): _*)
     df.withColumn("__w", words(text))
       .select(
         idCol.as("doc_id"),

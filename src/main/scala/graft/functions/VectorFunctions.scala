@@ -112,13 +112,19 @@ object VectorFunctions {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .groupBy(col("query_id"), col("label"))
-      .agg(sum(when(col("n_label") === col("label"), lit(1L)).otherwise(lit(0L))).as("n_same"))
+      .agg(
+        sum(when(col("n_label") === col("label"), lit(1L)).otherwise(lit(0L))).as("n_same"),
+        // agreement over the neighbors that EXIST: with fewer than k
+        // candidates (tiny cells, filtered corpora) a literal-k
+        // denominator would flag perfectly-agreeing vectors as suspect
+        count(lit(1)).as("__n_nb"),
+      )
       .select(
         col("query_id"),
         col("label"),
         col("n_same"),
-        expr(s"1000000 * n_same div $k").as("agree_ppm"),
-        (expr(s"1000000 * n_same div $k") < minAgreePpm).as("suspect"),
+        expr("1000000 * n_same div __n_nb").as("agree_ppm"),
+        (expr("1000000 * n_same div __n_nb") < minAgreePpm).as("suspect"),
       )
   }
 
