@@ -27,6 +27,10 @@ object Inspect {
     "feather" -> "arrow",
     "arrows" -> "arrows",
     "txt" -> "csv",
+    // workbooks act as folders of worksheets (kukur/inspect/__init__
+    // .py:49 EXCEL_WORKBOOK "acts as a folder", arrow.py:174)
+    "xlsx" -> "excel-workbook",
+    "xls" -> "excel-workbook",
   )
 
   /** Options for data fetching (kukur inspect DataOptions,
@@ -38,6 +42,7 @@ object Inspect {
       csvDelimiter: String = ",",
       csvHeaderRow: Boolean = true,
       defaultResourceType: Option[String] = None,
+      excelHeaderRow: Boolean = true,
   )
 
   /** List a path: one row per child with kind directory|<format>|other
@@ -52,6 +57,16 @@ object Inspect {
     import spark.implicits._
     val root = new Path(uri)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // inspecting a workbook FILE lists its worksheets (kukur/inspect/
+    // arrow.py:33 _inspect_excel_workbook): one row per sheet,
+    // addressable as `path@sheet`
+    if (uri.toLowerCase.endsWith(".xlsx") && fs.getFileStatus(root).isFile) {
+      val size = fs.getFileStatus(root).getLen
+      return XlsxSource
+        .listSheets(spark, uri)
+        .map(sheet => (s"${root.toString}@$sheet", "excel-worksheet", size))
+        .toDF("path", "resource_type", "size_bytes")
+    }
     def kindOf(name: String): String = {
       val dot = name.lastIndexOf('.')
       // the default applies ONLY to extension-less names; an UNKNOWN
@@ -89,8 +104,16 @@ object Inspect {
     * with it the scan, for columnar formats).
     */
   def readDataset(spark: SparkSession, uri: String, options: Options = Options()): DataFrame = {
-    val fmt = inferFormat(spark, uri, options.defaultResourceType)
+    // `file.xlsx@sheet` worksheet refs (kukur/inspect/arrow.py:133
+    // rsplit("@", 1) → parse_excel with DataOptions.excel_header_row)
+    val sheetRef = XlsxSource.splitSheetRef(uri)
+    val fmt =
+      if (sheetRef.isDefined) "excel-worksheet"
+      else inferFormat(spark, uri, options.defaultResourceType)
     val df = fmt match {
+      case "excel-worksheet" =>
+        val (file, sheet) = sheetRef.get
+        XlsxSource.read(spark, file, sheet, options.excelHeaderRow)
       case "arrow"  => ArrowIpcSource.read(spark, uri)
       case "arrows" => ArrowIpcSource.read(spark, uri, streaming = true)
       case "csv" =>
@@ -108,6 +131,13 @@ object Inspect {
         // OrcInstantSource, everything else stays on the native path.
         if (OrcInstantSource.needsInstantReader(spark, uri)) OrcInstantSource.read(spark, uri)
         else spark.read.orc(uri)
+      case "excel-workbook" =>
+        val sheets =
+          try XlsxSource.listSheets(spark, uri).mkString("[", ", ", "]")
+          catch { case e: IllegalArgumentException => s"(${e.getMessage})" }
+        throw new IllegalArgumentException(
+          s"a workbook acts as a folder of worksheets — address one as '$uri@<sheet>'; available: $sheets"
+        )
       case other => spark.read.format(other).load(uri)
     }
     if (options.columnNames.isEmpty) df else df.select(options.columnNames.map(c => col(s"`$c`")): _*)

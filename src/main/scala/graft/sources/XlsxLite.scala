@@ -1,0 +1,483 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import scala.collection.mutable
+
+/** Minimal OOXML spreadsheet (.xlsx) reader and writer, pure JDK
+  * (java.util.zip + StAX) — no Apache POI.
+  *
+  * Mirrors the reference's excel module (kukur/source/excel/__init__
+  * .py:22 `parse_excel`, :45 `list_sheets`, backed by openpyxl with
+  * `data_only=True, read_only=True`) and the semantics its own tests
+  * pin (tests/source/test_excel.py:13-27): sheets listed in workbook
+  * order, first row as headers when the header option is set, else
+  * columns named "0","1","2",… with the first row kept as data.
+  *
+  * Cell decoding follows the OOXML spec subset openpyxl handles:
+  * shared strings (with rich-text runs concatenated), inline strings,
+  * cached formula strings, booleans, numbers, and date-formatted
+  * numbers (builtin numFmtIds 14-22/45-47 or a custom format whose
+  * code contains date tokens) converted from the 1900 serial system —
+  * openpyxl's `data_only` view of a workbook. Legacy BIFF `.xls` is
+  * rejected, as openpyxl itself would.
+  */
+object XlsxLite {
+
+  sealed trait Cell
+  case object NullCell extends Cell
+  final case class StrCell(v: String) extends Cell
+  /** Numeric cell; `text` is the raw XML token so exact long/double
+    * round-trips survive (no double re-formatting on the read path).
+    */
+  final case class NumCell(text: String) extends Cell {
+    def isIntegral: Boolean = {
+      // scientific notation ("1E3") is never integral-typed: openpyxl
+      // surfaces those as floats even when mathematically whole
+      val t = if (text.startsWith("-")) text.substring(1) else text
+      t.nonEmpty && t.forall(_.isDigit) && (t.length < 19 ||
+        (try { text.toLong; true }
+        catch { case _: NumberFormatException => false }))
+    }
+    def toDouble: Double = text.toDouble
+    def toLong: Long = text.toLong
+  }
+  final case class BoolCell(v: Boolean) extends Cell
+  /** Date-formatted numeric cell, already converted to epoch micros. */
+  final case class TsCell(micros: Long) extends Cell
+
+  final case class Sheet(name: String, rows: Vector[Vector[Cell]])
+
+  /** Days between 1899-12-30 (the effective Excel 1900-system epoch,
+    * including the Lotus leap-year bug offset) and 1970-01-01.
+    */
+  private val ExcelEpochDays = 25569L
+  private val MicrosPerDay = 86400000000L
+
+  // ---------------------------------------------------------------- read
+
+  /** Worksheet names in workbook order (reference `list_sheets`,
+    * kukur/source/excel/__init__.py:45).
+    */
+  def listSheets(bytes: Array[Byte]): Seq[String] = {
+    val parts = readParts(bytes, Set("xl/workbook.xml"))
+    val wb = parts.getOrElse("xl/workbook.xml", failNotXlsx())
+    parseWorkbookSheets(wb).map(_._1)
+  }
+
+  /** Parse one worksheet to a padded row grid (reference
+    * `parse_excel`, excel/__init__.py:22 — `worksheet.values` with
+    * rows padded to the widest row, nulls for absent cells).
+    */
+  def parseGrid(bytes: Array[Byte], sheetName: String): Vector[Vector[Cell]] = {
+    val parts = readParts(
+      bytes,
+      Set("xl/workbook.xml", "xl/_rels/workbook.xml.rels", "xl/sharedStrings.xml", "xl/styles.xml"),
+      sheetPrefix = true,
+    )
+    val wb = parts.getOrElse("xl/workbook.xml", failNotXlsx())
+    val sheets = parseWorkbookSheets(wb)
+    val pos = sheets.indexWhere(_._1 == sheetName)
+    if (pos < 0)
+      throw new IllegalArgumentException(
+        s"worksheet '$sheetName' not found; workbook has ${sheets.map(_._1).mkString("[", ", ", "]")}"
+      )
+    val rid = sheets(pos)._2
+    val target = parts
+      .get("xl/_rels/workbook.xml.rels")
+      .flatMap(parseRels(_).get(rid))
+      .map(t => if (t.startsWith("/")) t.substring(1) else s"xl/$t")
+      // no rels part: fall back to the conventional sheet numbering
+      .getOrElse(s"xl/worksheets/sheet${pos + 1}.xml")
+    val sheetXml = parts.getOrElse(
+      target,
+      throw new IllegalArgumentException(s"worksheet part '$target' missing from archive"),
+    )
+    val shared = parts.get("xl/sharedStrings.xml").map(parseSharedStrings).getOrElse(Vector.empty)
+    val dateStyles = parts.get("xl/styles.xml").map(parseDateStyles).getOrElse(Set.empty[Int])
+    parseSheetRows(sheetXml, shared, dateStyles)
+  }
+
+  // --------------------------------------------------------------- write
+
+  /** Write a single-sheet workbook. Strings become inline strings,
+    * Long/Int/Double numeric cells, Boolean boolean cells, null empty
+    * cells — the minimal part set every OOXML consumer (including
+    * this reader and openpyxl) accepts. Fixture/test-sized output:
+    * one workbook is one file, written on the caller's thread; a
+    * distributed sink would write one workbook per partition.
+    */
+  def write(headers: Seq[String], rows: Iterator[Seq[Any]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    def put(name: String, content: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zip.closeEntry()
+    }
+    put(
+      "[Content_Types].xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+        """</Types>""",
+    )
+    put(
+      "_rels/.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+        """</Relationships>""",
+    )
+    put(
+      "xl/workbook.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        """<sheets><sheet name="data" sheetId="1" r:id="rId1"/></sheets></workbook>""",
+    )
+    put(
+      "xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+        """</Relationships>""",
+    )
+    val sheet = new StringBuilder
+    sheet.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    sheet.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    def appendRow(r: Int, vals: Seq[Any]): Unit = {
+      sheet.append(s"""<row r="$r">""")
+      vals.zipWithIndex.foreach { case (v, c) =>
+        val ref = colRef(c) + r
+        v match {
+          case null => ()
+          case s: String =>
+            sheet.append(s"""<c r="$ref" t="inlineStr"><is><t>${escapeXml(s)}</t></is></c>""")
+          case b: Boolean =>
+            sheet.append(s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>""")
+          case n @ (_: Long | _: Int | _: Short | _: Byte) =>
+            sheet.append(s"""<c r="$ref"><v>$n</v></c>""")
+          case d: Double =>
+            sheet.append(s"""<c r="$ref"><v>$d</v></c>""")
+          case f: Float =>
+            sheet.append(s"""<c r="$ref"><v>${f.toDouble}</v></c>""")
+          case other =>
+            sheet.append(s"""<c r="$ref" t="inlineStr"><is><t>${escapeXml(other.toString)}</t></is></c>""")
+        }
+      }
+      sheet.append("</row>")
+    }
+    var r = 1
+    if (headers.nonEmpty) { appendRow(1, headers); r = 2 }
+    rows.foreach { vals => appendRow(r, vals); r += 1 }
+    sheet.append("</sheetData></worksheet>")
+    put("xl/worksheets/sheet1.xml", sheet.toString)
+    zip.close()
+    bos.toByteArray
+  }
+
+  private def colRef(c: Int): String = {
+    var n = c
+    val sb = new StringBuilder
+    while (n >= 0) { sb.insert(0, ('A' + n % 26).toChar); n = n / 26 - 1 }
+    sb.toString
+  }
+
+  private def escapeXml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  // ------------------------------------------------------------ internals
+
+  private def failNotXlsx(): Nothing =
+    throw new IllegalArgumentException(
+      "not an OOXML workbook (no xl/workbook.xml) — legacy BIFF .xls is not supported"
+    )
+
+  /** Extract the needed zip parts in one streaming pass. */
+  private def readParts(
+      bytes: Array[Byte],
+      names: Set[String],
+      sheetPrefix: Boolean = false,
+  ): Map[String, Array[Byte]] = {
+    val out = mutable.Map.empty[String, Array[Byte]]
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        val name = e.getName
+        if (names.contains(name) || (sheetPrefix && name.startsWith("xl/worksheets/") && name.endsWith(".xml")))
+          out(name) = zin.readAllBytes()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.toMap
+  }
+
+  private def xmlReader(bytes: Array[Byte]) = {
+    val f = XMLInputFactory.newInstance()
+    // fixture XML is untrusted: no DTDs, no external entities
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.createXMLStreamReader(new ByteArrayInputStream(bytes))
+  }
+
+  /** (name, r:id) per sheet, workbook order. */
+  private def parseWorkbookSheets(wb: Array[Byte]): Vector[(String, String)] = {
+    val r = xmlReader(wb)
+    val out = Vector.newBuilder[(String, String)]
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
+          var name: String = null
+          var rid: String = null
+          var i = 0
+          while (i < r.getAttributeCount) {
+            val ln = r.getAttributeLocalName(i)
+            if (ln == "name") name = r.getAttributeValue(i)
+            else if (ln == "id") rid = r.getAttributeValue(i)
+            i += 1
+          }
+          if (name != null) out += ((name, if (rid == null) "" else rid))
+        }
+      }
+    } finally r.close()
+    out.result()
+  }
+
+  /** rId → Target from workbook.xml.rels. */
+  private def parseRels(rels: Array[Byte]): Map[String, String] = {
+    val r = xmlReader(rels)
+    val out = Map.newBuilder[String, String]
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship") {
+          var id: String = null
+          var target: String = null
+          var i = 0
+          while (i < r.getAttributeCount) {
+            val ln = r.getAttributeLocalName(i)
+            if (ln == "Id") id = r.getAttributeValue(i)
+            else if (ln == "Target") target = r.getAttributeValue(i)
+            i += 1
+          }
+          if (id != null && target != null) out += (id -> target)
+        }
+      }
+    } finally r.close()
+    out.result()
+  }
+
+  /** Shared strings, rich-text runs concatenated per `si`. */
+  private def parseSharedStrings(sst: Array[Byte]): Vector[String] = {
+    val r = xmlReader(sst)
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var inSi = false
+    var inT = false
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "si" => inSi = true; cur.clear()
+              case "t" if inSi => inT = true
+              case _ => ()
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA if inT =>
+            cur.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "t" => inT = false
+              case "si" => inSi = false; out += cur.toString
+              case _ => ()
+            }
+          case _ => ()
+        }
+      }
+    } finally r.close()
+    out.result()
+  }
+
+  /** Builtin date numFmtIds per ECMA-376 §18.8.30 (what openpyxl's
+    * is_date_format recognizes for the builtin range).
+    */
+  private val BuiltinDateFormats: Set[Int] = ((14 to 22) ++ (45 to 47)).toSet
+
+  /** Style indexes (cellXfs order) whose number format is a date. */
+  private def parseDateStyles(styles: Array[Byte]): Set[Int] = {
+    val r = xmlReader(styles)
+    val customDate = mutable.Set.empty[Int]
+    val xfFmts = Vector.newBuilder[Int]
+    var inCellXfs = false
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "numFmt" =>
+                var id = -1
+                var code: String = null
+                var i = 0
+                while (i < r.getAttributeCount) {
+                  val ln = r.getAttributeLocalName(i)
+                  if (ln == "numFmtId") id = r.getAttributeValue(i).toInt
+                  else if (ln == "formatCode") code = r.getAttributeValue(i)
+                  i += 1
+                }
+                if (id >= 0 && code != null && isDateFormatCode(code)) customDate += id
+              case "cellXfs" => inCellXfs = true
+              case "xf" if inCellXfs =>
+                var fmt = 0
+                var i = 0
+                while (i < r.getAttributeCount) {
+                  if (r.getAttributeLocalName(i) == "numFmtId") fmt = r.getAttributeValue(i).toInt
+                  i += 1
+                }
+                xfFmts += fmt
+              case _ => ()
+            }
+          case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+            inCellXfs = false
+          case _ => ()
+        }
+      }
+    } finally r.close()
+    val fmts = xfFmts.result()
+    fmts.indices.filter { s =>
+      val id = fmts(s)
+      BuiltinDateFormats.contains(id) || customDate.contains(id)
+    }.toSet
+  }
+
+  /** A custom format code is a date format when it contains an
+    * unquoted/unbracketed date token (y/m/d/h/s) — openpyxl's
+    * heuristic (openpyxl/styles/numbers.py).
+    */
+  private def isDateFormatCode(code: String): Boolean = {
+    val sb = new StringBuilder
+    var i = 0
+    var inQuote = false
+    var inBracket = false
+    while (i < code.length) {
+      val ch = code.charAt(i)
+      if (ch == '"') inQuote = !inQuote
+      else if (ch == '[') inBracket = true
+      else if (ch == ']') inBracket = false
+      else if (ch == '\\') i += 1 // escaped literal: skip next
+      else if (!inQuote && !inBracket) sb.append(ch)
+      i += 1
+    }
+    sb.toString.toLowerCase.exists("ymdhs".contains(_))
+  }
+
+  private def parseSheetRows(
+      sheetXml: Array[Byte],
+      shared: Vector[String],
+      dateStyles: Set[Int],
+  ): Vector[Vector[Cell]] = {
+    val r = xmlReader(sheetXml)
+    val rows = Vector.newBuilder[Vector[Cell]]
+    var maxWidth = 0
+    val row = mutable.ArrayBuffer.empty[Cell]
+    var cellType = ""
+    var cellStyle = 0
+    var cellCol = -1
+    var inV = false
+    var inIs = false
+    var inT = false
+    var sawText = false
+    val text = new StringBuilder
+
+    def colIndexOf(ref: String): Int = {
+      var i = 0
+      var n = 0
+      while (i < ref.length && ref.charAt(i).isLetter) {
+        n = n * 26 + (ref.charAt(i).toUpper - 'A' + 1)
+        i += 1
+      }
+      n - 1
+    }
+
+    def finishCell(): Unit = {
+      val idx = if (cellCol >= 0) cellCol else row.length
+      while (row.length < idx) row += NullCell
+      val raw = text.toString
+      // a <c/> with no <v>/<is> content is an empty cell regardless of
+      // its declared type (openpyxl yields None); an explicit empty
+      // inline string (<is><t/></is>) is the empty string
+      val cell: Cell =
+        if (!sawText) NullCell
+        else
+          cellType match {
+            case "s" =>
+              val i = raw.trim.toInt
+              if (i >= 0 && i < shared.length) StrCell(shared(i)) else NullCell
+            case "str" | "inlineStr" => StrCell(raw)
+            case "b" => BoolCell(raw.trim == "1" || raw.trim.equalsIgnoreCase("true"))
+            case "e" => StrCell(raw)
+            case _ =>
+              if (raw.trim.isEmpty) NullCell
+              else if (dateStyles.contains(cellStyle)) TsCell(serialToMicros(raw.trim.toDouble))
+              else NumCell(raw.trim)
+          }
+      row += cell
+    }
+
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "row" => row.clear()
+              case "c" =>
+                cellType = ""
+                cellStyle = 0
+                cellCol = -1
+                sawText = false
+                text.clear()
+                var i = 0
+                while (i < r.getAttributeCount) {
+                  r.getAttributeLocalName(i) match {
+                    case "t" => cellType = r.getAttributeValue(i)
+                    case "s" => cellStyle = r.getAttributeValue(i).toInt
+                    case "r" => cellCol = colIndexOf(r.getAttributeValue(i))
+                    case _ => ()
+                  }
+                  i += 1
+                }
+              case "v" => inV = true; sawText = true
+              case "is" => inIs = true
+              case "t" if inIs => inT = true; sawText = true
+              case _ => ()
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA if inV || inT =>
+            text.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "v" => inV = false
+              case "t" => inT = false
+              case "is" => inIs = false
+              case "c" => finishCell()
+              case "row" =>
+                if (row.length > maxWidth) maxWidth = row.length
+                rows += row.toVector
+              case _ => ()
+            }
+          case _ => ()
+        }
+      }
+    } finally r.close()
+    // pad every row to the widest (openpyxl pads worksheet.values rows
+    // to the sheet width; the reference's zip(..., strict=True) over
+    // columns requires the rectangle)
+    rows.result().map(rw => if (rw.length == maxWidth) rw else rw ++ Vector.fill(maxWidth - rw.length)(NullCell))
+  }
+
+  private def serialToMicros(serial: Double): Long =
+    math.round((serial - ExcelEpochDays) * MicrosPerDay)
+}

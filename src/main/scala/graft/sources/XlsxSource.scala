@@ -1,0 +1,150 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Excel workbook source (kukur/source/excel, kukur/inspect/arrow.py:133):
+  * worksheets addressed as `path.xlsx@sheet`, first row as headers by
+  * default, headerless sheets getting positional "0","1",… column
+  * names — the semantics pinned by tests/source/test_excel.py:13-27.
+  *
+  * Spark-first shape: the driver parses ONE workbook (the first in
+  * listing order) for schema inference — the same sample-driven
+  * discovery Spark's CSV/JSON readers do — then every workbook parses
+  * in parallel inside executor tasks via `binaryFiles`, one task per
+  * file (a workbook is a zip archive: whole-file decode, like GPX but
+  * binary). A directory of workbooks scales per file; column typing
+  * follows the reference's arrow inference (uniform longs stay
+  * integers, numeric mixes widen to double, any string makes the
+  * column string — kukur/source/excel/__init__.py:56 `_to_pyarrow`).
+  */
+object XlsxSource {
+
+  /** Split a `file.xlsx@sheet` reference. */
+  def splitSheetRef(uri: String): Option[(String, String)] = {
+    val at = uri.lastIndexOf('@')
+    if (at <= 0) None
+    else {
+      val base = uri.substring(0, at).toLowerCase
+      if (base.endsWith(".xlsx") || base.endsWith(".xls")) Some((uri.substring(0, at), uri.substring(at + 1)))
+      else None
+    }
+  }
+
+  /** Worksheet names of a workbook (kukur `list_sheets`). Driver-side
+    * metadata read, like a footer probe.
+    */
+  def listSheets(spark: SparkSession, uri: String): Seq[String] =
+    XlsxLite.listSheets(readWhole(spark, new Path(uri)))
+
+  def read(
+      spark: SparkSession,
+      uri: String,
+      sheet: String,
+      headerRow: Boolean = true,
+  ): DataFrame = {
+    val root = new Path(uri)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val status = fs.getFileStatus(root)
+    val files =
+      if (status.isDirectory)
+        fs.listStatus(root)
+          .filter(st => st.isFile && st.getPath.getName.toLowerCase.endsWith(".xlsx"))
+          .map(_.getPath)
+          .sortBy(_.getName)
+          .toSeq
+      else Seq(root)
+    require(files.nonEmpty, s"no .xlsx files under $uri")
+
+    // schema from the first workbook (sample-driven inference, the
+    // Spark reader convention); remaining workbooks parse in executors
+    val firstGrid = XlsxLite.parseGrid(readWhole(spark, files.head), sheet)
+    val (names, types) = inferSchema(firstGrid, headerRow)
+    val schema = StructType(names.zip(types).map { case (n, t) => StructField(n, t, nullable = true) })
+
+    val sheetName = sheet
+    val header = headerRow
+    val typesB = types
+    val pathList = files.map(_.toString).mkString(",")
+    val rows = spark.sparkContext
+      .binaryFiles(pathList)
+      .flatMap { case (_, pds) =>
+        val grid = XlsxLite.parseGrid(pds.toArray(), sheetName)
+        val data = if (header && grid.nonEmpty) grid.tail else grid
+        data.iterator.map { r =>
+          Row.fromSeq(typesB.zipWithIndex.map { case (t, i) =>
+            coerce(if (i < r.length) r(i) else XlsxLite.NullCell, t)
+          })
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  // ------------------------------------------------------------ internals
+
+  private def readWhole(spark: SparkSession, p: Path): Array[Byte] = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try in.readAllBytes()
+    finally in.close()
+  }
+
+  private def inferSchema(
+      grid: Vector[Vector[XlsxLite.Cell]],
+      headerRow: Boolean,
+  ): (Seq[String], Seq[DataType]) = {
+    val width = grid.headOption.map(_.length).getOrElse(0)
+    val names =
+      if (headerRow && grid.nonEmpty) grid.head.map(stringify)
+      else (0 until width).map(_.toString)
+    val data = if (headerRow && grid.nonEmpty) grid.tail else grid
+    val types = (0 until width).map { c =>
+      val cells = data.iterator.map(r => if (c < r.length) r(c) else XlsxLite.NullCell).filter(_ != XlsxLite.NullCell).toSeq
+      columnType(cells)
+    }
+    (names, types)
+  }
+
+  /** The reference's `pa.array` inference order (`_to_pyarrow`):
+    * uniform type wins, integral numerics stay int64, numeric mixes
+    * widen to float64, anything else falls back to stringified.
+    */
+  private def columnType(cells: Seq[XlsxLite.Cell]): DataType =
+    if (cells.isEmpty) StringType
+    else if (cells.forall(_.isInstanceOf[XlsxLite.StrCell])) StringType
+    else if (cells.forall(_.isInstanceOf[XlsxLite.BoolCell])) BooleanType
+    else if (cells.forall(_.isInstanceOf[XlsxLite.TsCell])) TimestampType
+    else if (cells.forall(_.isInstanceOf[XlsxLite.NumCell])) {
+      if (cells.forall { case n: XlsxLite.NumCell => n.isIntegral; case _ => false }) LongType
+      else DoubleType
+    } else StringType
+
+  private def stringify(c: XlsxLite.Cell): String = c match {
+    case XlsxLite.NullCell => "None" // the reference's str(None) header
+    case XlsxLite.StrCell(v) => v
+    case XlsxLite.BoolCell(v) => if (v) "True" else "False"
+    case n: XlsxLite.NumCell => if (n.isIntegral) n.toLong.toString else n.toDouble.toString
+    case XlsxLite.TsCell(micros) => microsToTimestamp(micros).toInstant.toString
+  }
+
+  private def coerce(c: XlsxLite.Cell, t: DataType): Any = c match {
+    case XlsxLite.NullCell => null
+    case _ =>
+      t match {
+        case StringType => stringify(c)
+        case LongType => c match { case n: XlsxLite.NumCell if n.isIntegral => n.toLong; case _ => null }
+        case DoubleType => c match { case n: XlsxLite.NumCell => n.toDouble; case _ => null }
+        case BooleanType => c match { case XlsxLite.BoolCell(v) => v; case _ => null }
+        case TimestampType => c match { case XlsxLite.TsCell(m) => microsToTimestamp(m); case _ => null }
+        case _ => null
+      }
+  }
+
+  private def microsToTimestamp(micros: Long): java.sql.Timestamp = {
+    val ms = Math.floorDiv(micros, 1000L)
+    val ts = new java.sql.Timestamp(ms)
+    ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+    ts
+  }
+}
