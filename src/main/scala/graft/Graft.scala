@@ -144,7 +144,10 @@ final class Graft(spark: SparkSession) {
           case Some(one) => return TimeSeriesOps.filterRange(one, start, end)
           case None      => ()
         }
-        val all = readAll(sourceName)
+        // Delta tables with timestamp partitions: derived partition
+        // IN-list from the range so the scan prunes DAY/MONTH/… dirs
+        // (tag partitions prune through filterTags below)
+        val all = f.data.readRangePruned(spark, start, end).getOrElse(readAll(sourceName))
         // multi-field sources: a selector names ONE field of the series
         // (kukur csv.py:313 picks row_data[selector.field])
         val one =

@@ -616,6 +616,27 @@ object SparkEntry {
         .readDataset(s, s"$tmp/data.xlsx@data")
         .withColumn("ts", to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").cast("timestamp_ntz"))
     },
+    // A15h: Delta Lake source (kukur/source/delta) WITHOUT delta-spark:
+    // graft resolves the _delta_log itself and reads the active files
+    // through the native parquet scan — staged here by graft's own
+    // single-commit delta writer, partitioned by series so the tag
+    // filter prunes hive dirs
+    "ts_delta_source" -> { (s, dir) =>
+      val tmp = fixture(dir, "delta") { p =>
+        graft.sources.DeltaSource.write(
+          Tables
+            .canonicalEvents(s, dir)
+            .where(col("user_id") % 5 === 1)
+            .select(col("series_name"), col("ts"), col("value")),
+          p,
+          partitionBy = Seq("series_name"),
+        )
+      }
+      val src = new ConfiguredSource(
+        SourceConfig(path = tmp, fileFormat = "delta", dataFormat = "row", tagColumns = Seq("series_name"))
+      )
+      ntz(src.read(s))
+    },
     // A16b: the reference's DEFAULT dir layout — one flat headerless
     // CSV per series, filename = series key (csv.py:393), declared in
     // native TOML and read through Graft.fromConfig. Puts the
@@ -1878,6 +1899,9 @@ object SparkEntry {
     "ts_excel_source" ->
       """SELECT event_type AS series_name, user_id, ts, value
          FROM events WHERE event_type = 'error' AND user_id % 7 = 0""",
+    "ts_delta_source" ->
+      """SELECT event_type AS series_name, 'value' AS field, ts, value
+         FROM events WHERE user_id % 5 = 1""",
     "ts_row_source_arrows" ->
       """SELECT event_type AS series_name, user_id, 'value' AS field, ts, value
          FROM events WHERE event_type IN ('purchase', 'click')""",

@@ -71,6 +71,30 @@ final case class SourceConfig(
       * arrow.py:83).
       */
     partitions: Seq[DirPartition] = Nil,
+    /** Delta tables only: the reference's `[[source.X.partitions]]`
+      * pruning hints (kukur/source/delta/delta_lake.py:62
+      * DeltaLakePartition). `tag`-origin partitions prune for free —
+      * the partition column is a tag column, so the selector's
+      * equality filter reaches Spark's partition pruning. `timestamp`-
+      * origin partitions (YEAR/MONTH/DAY/HOUR, optional strftime
+      * format and column override) need the derived predicate
+      * [[ConfiguredSource.readRangePruned]] builds from the query
+      * range, because a `ts >= …` filter alone cannot prune a
+      * `DAY=2020-01-03` directory.
+      */
+    prunePartitions: Seq[PrunePartition] = Nil,
+)
+
+/** A Delta-table partition pruning hint (kukur DeltaLakePartition):
+  * origin "tag" or "timestamp"; for timestamp, `key` is the resolution
+  * (YEAR|MONTH|DAY|HOUR), `column` overrides the partition column name
+  * and `format` is the strftime rendering of the partition value.
+  */
+final case class PrunePartition(
+    origin: String,
+    key: String,
+    format: Option[String] = None,
+    column: Option[String] = None,
 )
 
 /** One nested dir-layout path level: the tag it encodes and whether the
@@ -101,6 +125,7 @@ final class ConfiguredSource(cfg: SourceConfig) {
     cfg.fileFormat match {
       case "feather" => ArrowIpcSource.read(spark, path)
       case "arrows"  => ArrowIpcSource.read(spark, path, streaming = true)
+      case "delta"   => DeltaSource.read(spark, path)
       case "orc" if OrcInstantSource.needsInstantReader(spark, path) =>
         // pyarrow-written tz-aware ORC (TIMESTAMP_INSTANT) — the
         // reference's own fixtures — fails Spark's native footer
@@ -162,8 +187,10 @@ final class ConfiguredSource(cfg: SourceConfig) {
     * unpivoted into (field, value) rows via `stack` so multi-field
     * sources land in the same canonical shape.
     */
-  private def readRow(spark: SparkSession): DataFrame = {
-    val loaded = stripBom(loadPath(spark, cfg.path, infer = cfg.valueType == "auto"))
+  private def readRow(spark: SparkSession): DataFrame =
+    canonicalRow(stripBom(loadPath(spark, cfg.path, infer = cfg.valueType == "auto")))
+
+  private def canonicalRow(loaded: DataFrame): DataFrame = {
     // Headerless CSV names columns positionally: tags, ts, fields
     // (+ quality) — kukur/source/arrow.py:164's column_names order for
     // sources with header_row = false (the reference default).
@@ -465,6 +492,119 @@ final class ConfiguredSource(cfg: SourceConfig) {
           .getOrElse(Nil)
           .collectFirst { case (t, f) if levels.forall(l => t(l.key) == tags(l.key)) => f }
     resolved.map(f => seriesFileFrame(spark, levels.map(l => l.key -> tags(l.key)).toMap, f))
+  }
+
+  /** Range read with Delta timestamp-partition pruning (kukur
+    * delta_lake.py:305 `_format_timestamp_partition`): enumerate the
+    * partition values covered by [start, end) per resolution and push
+    * an IN-list on the partition column, so the scan prunes
+    * `DAY=…`/`MONTH=…` directories a plain `ts` range predicate never
+    * could. Returns None when this source has no timestamp partitions
+    * (tag partitions prune through the selector's own equality filter).
+    *
+    * Divergence from the reference, on purpose: kukur caps the
+    * enumeration (31 days, 12 months, 24 hours) and silently DROPS
+    * data past the cap; graft skips the predicate instead — an
+    * unpruned scan is slower, never wrong.
+    */
+  def readRangePruned(
+      spark: SparkSession,
+      start: java.sql.Timestamp,
+      end: java.sql.Timestamp,
+  ): Option[DataFrame] = {
+    if (cfg.fileFormat != "delta" || cfg.dataFormat != "row") return None
+    val tsParts = cfg.prunePartitions.filter(_.origin == "timestamp")
+    if (tsParts.isEmpty) return None
+    val loaded = loadPath(spark, cfg.path)
+    val preds = tsParts.flatMap { p =>
+      val columnName = p.column.getOrElse(p.key)
+      if (!loaded.columns.contains(columnName)) None
+      else
+        timestampPartitionValues(p, start.toInstant, end.toInstant).map { vals =>
+          import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+          val typed: Seq[Any] = loaded.schema(columnName).dataType match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              // numeric partition column: compare with numeric
+              // literals so partition pruning stays applicable (a
+              // string IN-list would cast the attribute and block it)
+              scala.util.Try(vals.map(_.toLong: Any)).getOrElse(vals)
+            case _ => vals
+          }
+          col(columnName).isin(typed: _*)
+        }
+    }
+    if (preds.isEmpty) None else Some(canonicalRow(preds.foldLeft(loaded)(_ where _)))
+  }
+
+  /** Partition values covered by [start, end) at one resolution —
+    * the reference's enumeration (YEAR unbounded with strftime "%Y"
+    * default; MONTH/DAY/HOUR default to the unpadded component).
+    * None when the range exceeds the resolution's sane span (prune
+    * nothing rather than mis-prune).
+    */
+  private def timestampPartitionValues(
+      p: PrunePartition,
+      start: java.time.Instant,
+      end: java.time.Instant,
+  ): Option[Seq[String]] = {
+    import java.time.{ZonedDateTime, ZoneOffset}
+    import java.time.temporal.ChronoUnit
+    val startZ = start.atZone(ZoneOffset.UTC)
+    val endZ = end.atZone(ZoneOffset.UTC)
+    def render(fmt: Option[String], dflt: ZonedDateTime => String)(z: ZonedDateTime): String =
+      fmt match {
+        case Some(f) =>
+          java.time.format.DateTimeFormatter.ofPattern(GraftConfig.strftimeToJava(f)).format(z)
+        case None => dflt(z)
+      }
+    def enumerate(
+        first: ZonedDateTime,
+        step: ZonedDateTime => ZonedDateTime,
+        max: Int,
+        fmt: ZonedDateTime => String,
+    ): Option[Seq[String]] = {
+      val out = Seq.newBuilder[String]
+      var cur = first
+      var n = 0
+      while (cur.isBefore(endZ)) {
+        if (n >= max) return None
+        out += fmt(cur)
+        cur = step(cur)
+        n += 1
+      }
+      Some(out.result().distinct)
+    }
+    p.key match {
+      case "YEAR" =>
+        enumerate(
+          startZ.truncatedTo(ChronoUnit.DAYS).withDayOfYear(1),
+          _.plusYears(1),
+          max = 1000,
+          render(p.format.orElse(Some("%Y")), _.getYear.toString),
+        )
+      case "MONTH" =>
+        enumerate(
+          startZ.truncatedTo(ChronoUnit.DAYS).withDayOfMonth(1),
+          _.plusMonths(1),
+          max = 12,
+          render(p.format, _.getMonthValue.toString),
+        )
+      case "DAY" =>
+        enumerate(
+          startZ.truncatedTo(ChronoUnit.DAYS),
+          _.plusDays(1),
+          max = 31,
+          render(p.format, _.getDayOfMonth.toString),
+        )
+      case "HOUR" =>
+        enumerate(
+          startZ.truncatedTo(ChronoUnit.HOURS),
+          _.plusHours(1),
+          max = 24,
+          render(p.format, _.getHour.toString),
+        )
+      case other => throw new IllegalArgumentException(s"unknown timestamp partition resolution: $other")
+    }
   }
 
   /** Series discovery over this source (kukur search): distinct tags ×

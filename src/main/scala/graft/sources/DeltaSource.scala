@@ -1,0 +1,304 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Delta Lake table source without the delta-spark package.
+  *
+  * The reference reads Delta through the `deltalake` python package
+  * (kukur/source/delta/delta_lake.py:128). Neither that nor
+  * delta-spark is available here, but the Delta transaction log is an
+  * open format: JSON commit files plus parquet checkpoints under
+  * `_delta_log/`. This module resolves a snapshot from the log and
+  * hands the active data files to Spark's native parquet reader —
+  * partition columns come back through Spark's own hive-path
+  * discovery, typed by the table's schema.
+  *
+  * Scale shape: the checkpoint parquet (the bulk of the file listing
+  * on a large table) is read DISTRIBUTED via `spark.read.parquet`;
+  * only the post-checkpoint JSON tail (bounded by the checkpoint
+  * interval, 10 commits by default in every writer) is parsed on the
+  * driver. The resolved file list lands on the driver — the same
+  * place Spark's own `InMemoryFileIndex` holds it for any
+  * multi-file read.
+  *
+  * Protocol: reader version 1 fully; version 2 only when column
+  * mapping is unset (name mode needs no translation we don't do);
+  * version 3 when every `readerFeatures` entry is one Spark handles
+  * natively (`timestampNtz`). Anything else fails loudly rather than
+  * returning wrong rows.
+  */
+object DeltaSource {
+
+  final case class AddFile(path: String, partitionValues: Map[String, String])
+
+  final case class Snapshot(
+      schema: StructType,
+      partitionColumns: Seq[String],
+      files: Seq[AddFile],
+      version: Long,
+  )
+
+  private val SupportedReaderFeatures = Set("timestampNtz")
+
+  /** Resolve the current snapshot of a Delta table. */
+  def snapshot(spark: SparkSession, tablePath: String): Snapshot = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(root, "_delta_log")
+    require(fs.exists(logDir), s"not a Delta table (no _delta_log): $tablePath")
+
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    // checkpoint base, if any (_last_checkpoint names the version)
+    val lastCheckpoint = {
+      val p = new Path(logDir, "_last_checkpoint")
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val node = try mapper.readTree(in)
+        finally in.close()
+        Some((node.path("version").asLong(), Option(node.get("parts")).map(_.asInt())))
+      } else None
+    }
+
+    val adds = mutable.LinkedHashMap.empty[String, AddFile]
+    var schemaJson: String = null
+    var partitionCols: Seq[String] = Nil
+    var configuration = Map.empty[String, String]
+    var readerVersion = 1
+    var readerFeatures = Set.empty[String]
+
+    def applyMeta(schemaString: String, parts: Seq[String], conf: Map[String, String]): Unit = {
+      schemaJson = schemaString
+      partitionCols = parts
+      configuration = conf
+    }
+
+    def applyAdd(path: String, pv: Map[String, String]): Unit = {
+      val decoded = decodePath(path)
+      adds(decoded) = AddFile(decoded, pv)
+    }
+
+    def applyRemove(path: String): Unit = adds.remove(decodePath(path))
+
+    // 1. checkpoint: distributed parquet read of the action columns
+    lastCheckpoint.foreach { case (version, parts) =>
+      val files: Seq[String] = parts match {
+        case Some(n) =>
+          (1 to n).map(i => new Path(logDir, f"$version%020d.checkpoint.$i%010d.$n%010d.parquet").toString)
+        case None => Seq(new Path(logDir, f"$version%020d.checkpoint.parquet").toString)
+      }
+      val cp = spark.read.parquet(files: _*)
+      val cols = cp.columns.toSet
+      if (cols.contains("protocol")) {
+        cp.select("protocol.minReaderVersion").na.drop().collect().foreach { r =>
+          readerVersion = math.max(readerVersion, r.getInt(0))
+        }
+        if (cp.select("protocol.*").columns.contains("readerFeatures"))
+          cp.selectExpr("protocol.readerFeatures").na.drop().collect().foreach { r =>
+            readerFeatures ++= r.getSeq[String](0)
+          }
+      }
+      if (cols.contains("metaData"))
+        cp.select("metaData.schemaString", "metaData.partitionColumns", "metaData.configuration")
+          .na.drop("all")
+          .where("metaData.schemaString is not null")
+          .collect()
+          .foreach { r =>
+            applyMeta(
+              r.getString(0),
+              r.getSeq[String](1),
+              Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty),
+            )
+          }
+      if (cols.contains("add"))
+        cp.select("add.path", "add.partitionValues")
+          .where("add.path is not null")
+          .collect()
+          .foreach(r => applyAdd(r.getString(0), Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty)))
+      // removes in a checkpoint are tombstones for vacuum, not active
+      // files — the add set in the checkpoint is already net of them
+    }
+
+    // 2. JSON commits after the checkpoint, in version order
+    val startAfter = lastCheckpoint.map(_._1).getOrElse(-1L)
+    val commits = fs
+      .listStatus(logDir)
+      .iterator
+      .map(_.getPath)
+      .filter(p => p.getName.matches("\\d{20}\\.json"))
+      .map(p => (p.getName.dropRight(5).toLong, p))
+      .filter(_._1 > startAfter)
+      .toSeq
+      .sortBy(_._1)
+    var version = startAfter
+    commits.foreach { case (v, p) =>
+      version = v
+      val in = fs.open(p)
+      val content = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+      content.linesIterator.filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        def strMap(n: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+          if (n == null || !n.isObject) Map.empty
+          else n.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+        val proto = node.get("protocol")
+        if (proto != null) {
+          readerVersion = proto.path("minReaderVersion").asInt(1)
+          readerFeatures = Option(proto.get("readerFeatures"))
+            .map(_.elements().asScala.map(_.asText()).toSet)
+            .getOrElse(Set.empty)
+        }
+        val meta = node.get("metaData")
+        if (meta != null)
+          applyMeta(
+            meta.path("schemaString").asText(),
+            meta.path("partitionColumns").elements().asScala.map(_.asText()).toSeq,
+            strMap(meta.get("configuration")),
+          )
+        val add = node.get("add")
+        if (add != null) applyAdd(add.path("path").asText(), strMap(add.get("partitionValues")))
+        val remove = node.get("remove")
+        if (remove != null) applyRemove(remove.path("path").asText())
+      }
+    }
+
+    // protocol gate: refuse tables whose correct reading needs a
+    // feature this reader lacks (column mapping, deletion vectors, …)
+    val columnMappingMode = configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(
+      columnMappingMode == "none",
+      s"Delta column mapping mode '$columnMappingMode' is not supported",
+    )
+    if (readerVersion >= 3) {
+      val unsupported = readerFeatures.diff(SupportedReaderFeatures)
+      require(unsupported.isEmpty, s"unsupported Delta reader features: ${unsupported.mkString(", ")}")
+    } else
+      require(readerVersion <= 2, s"unsupported Delta minReaderVersion: $readerVersion")
+
+    require(schemaJson != null, s"Delta log at $tablePath has no metaData action")
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    Snapshot(schema, partitionCols, adds.values.toSeq, version)
+  }
+
+  /** Read the current snapshot as a DataFrame, columns in table-schema
+    * order, partition columns restored and typed by the table schema.
+    */
+  def read(spark: SparkSession, tablePath: String): DataFrame = {
+    val snap = snapshot(spark, tablePath)
+    val base = tablePath.stripSuffix("/")
+    if (snap.files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    val paths = snap.files.map(f => s"$base/${f.path}")
+    if (snap.partitionColumns.isEmpty)
+      spark.read.schema(snap.schema).parquet(paths: _*)
+    else if (snap.files.forall(f => snap.partitionColumns.forall(c => f.path.contains(s"$c=")))) {
+      // hive-style paths (what delta-rs and Spark both write): Spark's
+      // partition discovery recovers the partition columns, typed by
+      // the user-specified schema — one distributed scan, prunable
+      spark.read
+        .option("basePath", base)
+        .schema(snap.schema)
+        .parquet(paths: _*)
+        .select(snap.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    } else {
+      // non-hive layout: partitionValues from the log are authoritative;
+      // group files per partition tuple and union with literal columns
+      import org.apache.spark.sql.functions.{col, lit}
+      val dataSchema = StructType(snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
+      snap.files
+        .groupBy(_.partitionValues)
+        .map { case (pv, fs) =>
+          val df = spark.read.schema(dataSchema).parquet(fs.map(f => s"$base/${f.path}"): _*)
+          snap.partitionColumns.foldLeft(df) { (d, c) =>
+            d.withColumn(c, lit(pv.getOrElse(c, null)).cast(snap.schema(c).dataType))
+          }
+        }
+        .reduce(_.unionByName(_))
+        .select(snap.schema.fieldNames.map(col): _*)
+    }
+  }
+
+  /** Write `df` as a NEW single-commit Delta table (fixture/sink
+    * helper): parquet files via Spark's writer (hive layout when
+    * `partitionBy` is set), then commit 0 with protocol, metaData and
+    * one add per data file. Appends/overwrites of existing tables are
+    * out of scope — this stages test tables and round-trip fixtures.
+    */
+  def write(df: DataFrame, tablePath: String, partitionBy: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tablePath)
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def leafParquet(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) leafParquet(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+        else Nil
+      }
+
+    val rootUri = root.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def js(s: String): String = mapper.writeValueAsString(s)
+
+    val files = leafParquet(root).map { p =>
+      val rel = rootUri.relativize(p.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri).getPath
+      val pv = rel
+        .split('/')
+        .dropRight(1)
+        .filter(_.contains('='))
+        .map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          unescapePathName(k) -> unescapePathName(v)
+        }
+        .toMap
+      (rel, pv, fs.getFileStatus(p).getLen)
+    }
+    val now = java.lang.System.currentTimeMillis()
+    val sb = new StringBuilder
+    sb.append(s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":1}}""").append('\n')
+    val partJson = partitionBy.map(js).mkString("[", ",", "]")
+    sb.append(
+      s"""{"metaData":{"id":"graft-${now}","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${js(df.schema.json)},"partitionColumns":$partJson,"configuration":{},"createdTime":$now}}"""
+    ).append('\n')
+    files.foreach { case (rel, pv, size) =>
+      val pvJson = pv.map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
+      sb.append(
+        s"""{"add":{"path":${js(rel)},"size":$size,"partitionValues":$pvJson,"modificationTime":$now,"dataChange":true}}"""
+      ).append('\n')
+    }
+    val logDir = new Path(root, "_delta_log")
+    fs.mkdirs(logDir)
+    val out = fs.create(new Path(logDir, f"${0L}%020d.json"), true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Delta add/remove paths are percent-encoded relative URIs. */
+  private def decodePath(p: String): String =
+    try new java.net.URI(p).getPath
+    catch { case _: java.net.URISyntaxException => p }
+
+  /** Reverse hive-path escaping (%XX) for a path segment. */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

@@ -64,7 +64,7 @@ object GraftConfig {
     */
   final case class DeclaredUnavailable(name: String, sourceType: String) extends Declared
 
-  private val fileTypes = Set("csv", "parquet", "json", "orc", "feather", "arrows")
+  private val fileTypes = Set("csv", "parquet", "json", "orc", "feather", "arrows", "delta")
   private val supportedTypes = fileTypes ++ Set("plugin", "simulator")
 
   def load(configPath: String): Seq[Declared] = {
@@ -148,8 +148,9 @@ object GraftConfig {
         val data = SourceConfig(
           // metadata-only sources (kukur csv.py:46: `path` optional) are
           // legal: search/metadata answer from the sidecar, data reads
-          // fail with the reference's "No data path configured"
-          path = str(node, "path").map(resolve(dir, _)).getOrElse(""),
+          // fail with the reference's "No data path configured";
+          // delta tables spell the path "uri" (delta_lake.py:103)
+          path = str(node, "path").orElse(str(node, "uri")).map(resolve(dir, _)).getOrElse(""),
           fileFormat = typ,
           dataFormat = dataFormat,
           tagColumns = tagColumns,
@@ -175,11 +176,23 @@ object GraftConfig {
           decimalPoint = str(node, "data_decimal_point"),
           // kukur [[source.X.partitions]] (arrow.py:25 SourcePartition):
           // nested per-tag path levels, each optionally base64-encoded
-          partitions = Option(node.get("partitions")).toSeq
+          partitions = Option(node.get("partitions")).filter(_ => typ != "delta").toSeq
             .flatMap(_.elements().asScala)
             .map { p =>
               val key = str(p, "key").getOrElse(fail(s"partition in $name has no key"))
               DirPartition(key, base64 = str(p, "path_encoding").contains("base64"))
+            },
+          // delta [[partitions]] are PRUNING hints, not a dir layout
+          // (delta_lake.py:62 DeltaLakePartition: origin tag|timestamp)
+          prunePartitions = Option(node.get("partitions")).filter(_ => typ == "delta").toSeq
+            .flatMap(_.elements().asScala)
+            .map { p =>
+              PrunePartition(
+                origin = str(p, "origin").getOrElse(fail(s"partition in $name has no origin")),
+                key = str(p, "key").getOrElse(fail(s"partition in $name has no key")),
+                format = str(p, "format"),
+                column = str(p, "column"),
+              )
             },
         )
         // a metadata section node (the source itself or a named

@@ -53,6 +53,7 @@ object Inspect {
       uri: String,
       recursive: Boolean = false,
       defaultResourceType: Option[String] = None,
+      detectDelta: Boolean = false,
   ): DataFrame = {
     import spark.implicits._
     val root = new Path(uri)
@@ -78,10 +79,16 @@ object Inspect {
     def list(p: Path): Seq[(String, String, Long)] =
       fs.listStatus(p).toSeq.flatMap { st =>
         if (st.isDirectory) {
-          // FileOptions.recursive (kukur/inspect/__init__.py:89): walk
-          // into subdirectories, reporting both the dir and its files
-          val self = (st.getPath.toString, "directory", st.getLen)
-          if (recursive) self +: list(st.getPath) else Seq(self)
+          // FileOptions.detect_delta (kukur/inspect/arrow.py:77): a dir
+          // holding _delta_log is a Delta table, not a plain folder
+          if (detectDelta && fs.exists(new Path(st.getPath, "_delta_log")))
+            Seq((st.getPath.toString, "delta", st.getLen))
+          else {
+            // FileOptions.recursive (kukur/inspect/__init__.py:89): walk
+            // into subdirectories, reporting both the dir and its files
+            val self = (st.getPath.toString, "directory", st.getLen)
+            if (recursive) self +: list(st.getPath) else Seq(self)
+          }
         } else Seq((st.getPath.toString, kindOf(st.getPath.getName), st.getLen))
       }
     list(root).toDF("path", "resource_type", "size_bytes")
@@ -131,6 +138,7 @@ object Inspect {
         // OrcInstantSource, everything else stays on the native path.
         if (OrcInstantSource.needsInstantReader(spark, uri)) OrcInstantSource.read(spark, uri)
         else spark.read.orc(uri)
+      case "delta" => DeltaSource.read(spark, uri)
       case "excel-workbook" =>
         val sheets =
           try XlsxSource.listSheets(spark, uri).mkString("[", ", ", "]")
@@ -188,10 +196,15 @@ object Inspect {
       val path = new Path(uri)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.getFileStatus(path).isDirectory) {
-        val exts = fs.listStatus(path).toSeq.filter(_.isFile).flatMap { st =>
-          SupportedExtensions.get(st.getPath.getName.split('.').last.toLowerCase)
+        // a _delta_log dir marks a Delta table (kukur BlobResource
+        // falls back to DeltaTable when no plain dataset matches)
+        if (fs.exists(new Path(path, "_delta_log"))) "delta"
+        else {
+          val exts = fs.listStatus(path).toSeq.filter(_.isFile).flatMap { st =>
+            SupportedExtensions.get(st.getPath.getName.split('.').last.toLowerCase)
+          }
+          exts.headOption.orElse(dflt).getOrElse("parquet")
         }
-        exts.headOption.orElse(dflt).getOrElse("parquet")
       } else dflt.getOrElse("parquet")
     }
   }

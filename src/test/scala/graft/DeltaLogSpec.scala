@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{DeltaSource, Inspect}
+
+/** Delta transaction-log machinery beyond what the reference fixtures
+  * exercise: multi-commit reconstruction (adds overridden by removes),
+  * parquet checkpoints with `_last_checkpoint`, protocol gates
+  * (column mapping, unknown reader features), the single-commit
+  * writer's round trip, and Inspect's delta detection.
+  */
+class DeltaLogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): Path = Files.createTempDirectory("graft-delta-log")
+
+  private def writeData(dir: Path, name: String, ids: Seq[Long]): Long = {
+    val file = dir.resolve(name)
+    ids.toDF("id").coalesce(1).write.mode("overwrite").parquet(file.toString)
+    // relocate the single part file to a stable name delta can address
+    val part = Files.list(file).toArray.map(_.asInstanceOf[Path]).find(_.getFileName.toString.endsWith(".parquet")).get
+    val target = dir.resolve(s"$name.parquet")
+    Files.move(part, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteDirectory(file.toFile)
+    Files.size(target)
+  }
+
+  private val SchemaJson =
+    """{"type":"struct","fields":[{"name":"id","type":"long","nullable":true,"metadata":{}}]}"""
+
+  private def metaLine(configuration: String = "{}"): String =
+    s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jsonStr(SchemaJson)},"partitionColumns":[],"configuration":$configuration}}"""
+
+  private def jsonStr(s: String): String =
+    new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(s)
+
+  private def commit(dir: Path, version: Long, lines: Seq[String]): Unit = {
+    val log = dir.resolve("_delta_log")
+    Files.createDirectories(log)
+    Files.write(log.resolve(f"$version%020d.json"), lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  test("multi-commit: later removes and adds rewrite the active set") {
+    val dir = tmp()
+    writeData(dir, "f1", Seq(1L, 2L))
+    writeData(dir, "f2", Seq(3L))
+    writeData(dir, "f3", Seq(4L, 5L, 6L))
+    commit(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":1}}""",
+      metaLine(),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""",
+    ))
+    commit(dir, 1L, Seq(
+      """{"remove":{"path":"f1.parquet","dataChange":true}}""",
+      """{"add":{"path":"f3.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""",
+    ))
+    val ids = DeltaSource.read(spark, dir.toString).as[Long].collect().sorted.toSeq
+    assert(ids == Seq(3L, 4L, 5L, 6L))
+    val snap = DeltaSource.snapshot(spark, dir.toString)
+    assert(snap.version == 1L && snap.files.map(_.path).toSet == Set("f2.parquet", "f3.parquet"))
+  }
+
+  test("checkpoint: _last_checkpoint skips earlier JSON, tail commits still apply") {
+    val dir = tmp()
+    writeData(dir, "f1", Seq(1L))
+    writeData(dir, "f2", Seq(2L))
+    writeData(dir, "f3", Seq(3L))
+    val log = dir.resolve("_delta_log")
+    Files.createDirectories(log)
+    // checkpoint at version 2 carries the net state {f1, f2}; version 0
+    // is deliberately ABSENT (vacuumed) so reading works only via the
+    // checkpoint; commit 3 then removes f1 and adds f3
+    val actionSchema = "protocol struct<minReaderVersion:int,readerFeatures:array<string>>," +
+      "metaData struct<schemaString:string,partitionColumns:array<string>,configuration:map<string,string>>," +
+      "add struct<path:string,partitionValues:map<string,string>>," +
+      "remove struct<path:string>"
+    val rows = Seq(
+      """{"protocol":{"minReaderVersion":1}}""",
+      s"""{"metaData":{"schemaString":${jsonStr(SchemaJson)},"partitionColumns":[],"configuration":{}}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{}}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{}}}""",
+    )
+    val cpDir = Files.createTempDirectory("graft-delta-cp")
+    spark.read.schema(actionSchema).json(rows.toDS).coalesce(1).write.mode("overwrite").parquet(cpDir.toString)
+    val part = Files.list(cpDir).toArray.map(_.asInstanceOf[Path]).find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, log.resolve(f"${2L}%020d.checkpoint.parquet"))
+    Files.write(log.resolve("_last_checkpoint"), """{"version":2,"size":4}""".getBytes("UTF-8"))
+    commit(dir, 3L, Seq(
+      """{"remove":{"path":"f1.parquet","dataChange":true}}""",
+      """{"add":{"path":"f3.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""",
+    ))
+    val ids = DeltaSource.read(spark, dir.toString).as[Long].collect().sorted.toSeq
+    assert(ids == Seq(2L, 3L))
+    assert(DeltaSource.snapshot(spark, dir.toString).version == 3L)
+  }
+
+  test("protocol gates: column mapping and unknown reader features fail loudly") {
+    val mapped = tmp()
+    commit(mapped, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLine("""{"delta.columnMapping.mode":"name"}"""),
+    ))
+    val e1 = intercept[IllegalArgumentException](DeltaSource.snapshot(spark, mapped.toString))
+    assert(e1.getMessage.contains("column mapping"))
+
+    val dv = tmp()
+    commit(dv, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      metaLine(),
+    ))
+    val e2 = intercept[IllegalArgumentException](DeltaSource.snapshot(spark, dv.toString))
+    assert(e2.getMessage.contains("deletionVectors"))
+
+    val notATable = tmp()
+    val e3 = intercept[IllegalArgumentException](DeltaSource.snapshot(spark, notATable.toString))
+    assert(e3.getMessage.contains("_delta_log"))
+  }
+
+  test("writer round trip: partitioned table, hive paths, exact rows back") {
+    val dir = tmp().resolve("table")
+    val df = Seq(("a", 1L, 1.5), ("a", 2L, 2.5), ("b", 3L, -0.25)).toDF("k", "seq", "x")
+    DeltaSource.write(df, dir.toString, partitionBy = Seq("k"))
+    val back = DeltaSource.read(spark, dir.toString)
+    assert(back.columns.toSeq == Seq("k", "seq", "x"))
+    assert(back.orderBy("seq").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("a", 1L, 1.5), ("a", 2L, 2.5), ("b", 3L, -0.25)))
+    // partition pruning on the recovered partition column
+    val files = back.where($"k" === "b").select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().count()
+    assert(files == 1L)
+  }
+
+  test("inspect: detectDelta labels the table dir; readDataset resolves it") {
+    val dir = tmp()
+    val table = dir.resolve("t")
+    DeltaSource.write(Seq(1L, 2L).toDF("id"), table.toString)
+    val listed = Inspect.listPath(spark, dir.toString, detectDelta = true).collect()
+    assert(listed.exists(r => r.getString(0).endsWith("/t") && r.getString(1) == "delta"))
+    assert(Inspect.readDataset(spark, table.toString).count() == 2L)
+  }
+}

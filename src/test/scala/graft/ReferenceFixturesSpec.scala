@@ -73,11 +73,14 @@ class ReferenceFixturesSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("the reference's root Kukur.toml loads: includes merge, unsupported types resolve lazily") {
     assert(g.listSources.contains("row"))
     assert(g.listSources.contains("dir_semicolon_separator"))
-    // configs for connectors this build lacks (odbc, delta, …) loaded
-    // without error; touching one fails like SourceFactory.get_source
+    // configs for connectors this build lacks (odbc driver-manager
+    // sources, …) loaded without error; touching one fails like
+    // SourceFactory.get_source. (delta moved OFF this list in round 8 —
+    // DeltaSource reads the log natively, see ReferenceDeltaFixturesSpec)
     assert(g.listSources.contains("row-delta"))
-    val e = intercept[IllegalArgumentException](g.search("row-delta"))
-    assert(e.getMessage.contains("unsupported type delta"))
+    assert(g.listSources.contains("sql"))
+    val e = intercept[IllegalArgumentException](g.search("sql"))
+    assert(e.getMessage.contains("unsupported type odbc"))
   }
 
   // ---- data: layouts (test_dir/test_row/test_pivot + quality) -----------
