@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.SeriesSelector
 import graft.operators.TimeSeriesOps
-import graft.sources.{ConfiguredSource, GraftConfig, MetadataConfig, MetadataSource, PluginSource, SeriesKey, SimulatorSignal, Simulators, SourceConfig}
+import graft.sources.{ConfiguredSource, GraftConfig, InfluxConfig, InfluxSource, MetadataConfig, MetadataSource, PluginSource, SeriesKey, SimulatorSignal, Simulators, SourceConfig}
 
 /** The client facade — graft's equivalent of the reference's Flight API
   * surface (kukur/client.py: search, get_metadata, get_data,
@@ -43,6 +43,7 @@ final class Graft(spark: SparkSession) {
   ) extends Registered
   final case class PluginRegistered(plugin: PluginSource) extends Registered
   final case class SimulatorRegistered(signals: Seq[SimulatorSignal]) extends Registered
+  final case class InfluxRegistered(influx: InfluxSource, metadata: Seq[MetadataSource] = Nil) extends Registered
   final case class UnavailableRegistered(sourceType: String) extends Registered
 
   private val sources = mutable.LinkedHashMap.empty[String, Registered]
@@ -58,6 +59,11 @@ final class Graft(spark: SparkSession) {
 
   def registerPluginSource(name: String, plugin: PluginSource): this.type = {
     sources(name) = PluginRegistered(plugin)
+    this
+  }
+
+  def registerInfluxSource(name: String, config: InfluxConfig, metadata: Seq[MetadataConfig] = Nil): this.type = {
+    sources(name) = InfluxRegistered(new InfluxSource(config), metadata.map(new MetadataSource(_)))
     this
   }
 
@@ -98,6 +104,7 @@ final class Graft(spark: SparkSession) {
         MetadataSource.merge(f.dataConfig.tagColumns, f.metadata.map(_.read(spark)))
       else f.data.search(spark)
     case p: PluginRegistered => p.plugin.search(spark)
+    case i: InfluxRegistered => i.influx.search(spark)
     case s: SimulatorRegistered =>
       import spark.implicits._
       s.signals.map(sig => (sig.seriesName, sig.signalType)).toDF("series_name", "signal_type")
@@ -156,6 +163,7 @@ final class Graft(spark: SparkSession) {
         TimeSeriesOps.filterRange(filterTags(one, selector), start, end)
       case p: PluginRegistered =>
         p.plugin.dataForKeys(spark, Seq(SeriesKey(selector.tags, selector.field)), start, end)
+      case i: InfluxRegistered => i.influx.getData(spark, selector, start, end)
       case s: SimulatorRegistered => simulatorData(s, selector, start, end)
     }
 
@@ -180,6 +188,12 @@ final class Graft(spark: SparkSession) {
       TimeSeriesOps.plotData(slice, f.dataConfig.tagColumns, start, end, intervalCount)
     case p: PluginRegistered =>
       p.plugin.plotData(spark, Seq(SeriesKey(selector.tags, selector.field)), start, end, intervalCount)
+    case i: InfluxRegistered =>
+      // influx has no server-side plot action: bucket the fetched range
+      // with the same operator the reference's plot fallback uses
+      TimeSeriesOps.plotData(
+        i.influx.getData(spark, selector, start, end).withColumn("series_name", lit(selector.name)),
+        Seq("series_name"), start, end, intervalCount)
     case s: SimulatorRegistered =>
       TimeSeriesOps.plotData(simulatorData(s, selector, start, end), Seq("series_name"), start, end, intervalCount)
   }
@@ -203,14 +217,28 @@ final class Graft(spark: SparkSession) {
           tagged.where(col("field") === lit(selector.field))
         else tagged
       case p: PluginRegistered => p.plugin.metadata(spark, SeriesKey(selector.tags, selector.field))
+      case i: InfluxRegistered =>
+        // the influx source itself always answers empty metadata
+        // (influxdb.py:119), but kukur's factory wrapper layers
+        // metadata_sources extras over every source kind — the influx
+        // fixtures carry metadata_sources = ["noaa"]
+        if (i.metadata.nonEmpty) {
+          val mergeTags = i.metadata.head.tagColumns
+          filterTags(MetadataSource.merge(mergeTags, i.metadata.map(_.read(spark))), selector)
+        } else {
+          import spark.implicits._
+          selector.tags.toSeq.sortBy(_._1).toDF("tag", "value")
+        }
       case _: SimulatorRegistered =>
         throw new IllegalArgumentException(s"simulator source $sourceName has no metadata")
     }
 
   /** Tag/field structure of a source (kukur get_source_structure). */
-  def getSourceStructure(sourceName: String): DataFrame = {
-    val cfg = fileOnly(sourceName, "getSourceStructure").dataConfig
-    TimeSeriesOps.sourceStructure(readAll(sourceName), cfg.tagColumns, cfg.fieldColumns)
+  def getSourceStructure(sourceName: String): DataFrame = registered(sourceName) match {
+    case i: InfluxRegistered => i.influx.sourceStructure(spark)
+    case _ =>
+      val cfg = fileOnly(sourceName, "getSourceStructure").dataConfig
+      TimeSeriesOps.sourceStructure(readAll(sourceName), cfg.tagColumns, cfg.fieldColumns)
   }
 
   /** Source connectivity diagnostic — the reference's `test` CLI
@@ -285,6 +313,7 @@ object Graft {
       case GraftConfig.DeclaredPlugin(name, cmd, configJson, source, qualityGood) =>
         g.registerPluginSource(name, PluginSource(cmd, configJson, source, qualityGood))
       case GraftConfig.DeclaredSimulator(name, signals) => g.registerSimulatorSource(name, signals)
+      case GraftConfig.DeclaredInflux(name, config, metadata) => g.registerInfluxSource(name, config, metadata)
       case GraftConfig.DeclaredUnavailable(name, typ) => g.sources(name) = g.UnavailableRegistered(typ)
     }
     g

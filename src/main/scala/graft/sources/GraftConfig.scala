@@ -56,6 +56,8 @@ object GraftConfig {
   final case class DeclaredPlugin(name: String, cmd: Seq[String], configJson: String, source: String, qualityGood: Seq[Any] = Nil) extends Declared
   final case class DeclaredSimulator(name: String, signals: Seq[SimulatorSignal]) extends Declared
 
+  final case class DeclaredInflux(name: String, config: InfluxConfig, metadata: Seq[MetadataConfig] = Nil) extends Declared
+
   /** A source whose `type` this engine has no connector for. The
     * reference resolves types LAZILY (SourceFactory.get_source raises
     * only when the source is requested, kukur/source/__init__.py), so a
@@ -65,7 +67,7 @@ object GraftConfig {
   final case class DeclaredUnavailable(name: String, sourceType: String) extends Declared
 
   private val fileTypes = Set("csv", "parquet", "json", "orc", "feather", "arrows", "delta")
-  private val supportedTypes = fileTypes ++ Set("plugin", "simulator")
+  private val supportedTypes = fileTypes ++ Set("plugin", "simulator", "influxdb")
 
   def load(configPath: String): Seq[Declared] = {
     val path = Paths.get(configPath).toAbsolutePath
@@ -81,10 +83,31 @@ object GraftConfig {
         if (!supportedTypes.contains(typ)) DeclaredUnavailable(name, typ)
         else if (typ == "plugin") declaredPlugin(root, name, node)
         else if (typ == "simulator") declaredSimulator(name, node)
+        else if (typ == "influxdb") declaredInflux(root, dir, name, node)
         else declaredFile(root, dir, name, node, typ)
       }
       .toSeq
   }
+
+  /** `type = "influxdb"` (kukur/source/influxdb/influxdb.py:46
+    * InfluxConfiguration.from_data): host/port/ssl with the reference's
+    * defaults, required database, optional credentials.
+    */
+  private def declaredInflux(root: ObjectNode, dir: Path, name: String, node: JsonNode): DeclaredInflux =
+    DeclaredInflux(
+      name,
+      InfluxConfig(
+        database = str(node, "database").getOrElse(fail(s"""influxdb source "$name" requires a "database"""")),
+        host = str(node, "host").getOrElse("localhost"),
+        port = Option(node.get("port")).map(_.asInt).getOrElse(8086),
+        ssl = Option(node.get("ssl")).exists(_.asBoolean),
+        username = str(node, "username"),
+        password = str(node, "password"),
+      ),
+      // kukur's factory attaches metadata extras to every source kind —
+      // the influx fixtures carry metadata_sources = ["noaa"]
+      sidecarConfigs(root, dir, name, node, "influxdb", Seq(graft.model.SeriesSelector.SeriesNameTag)),
+    )
 
   /** `type = "plugin"`: `cmd` is a string or list (plugin.py:119-121);
     * the WHOLE source object forwards as the request `config`, exactly
@@ -195,44 +218,60 @@ object GraftConfig {
               )
             },
         )
-        // a metadata section node (the source itself or a named
-        // [metadata.*] extra) -> MetadataConfig; `metadata` names the
-        // table file for the source sidecar, `path`/`metadata` for
-        // extras (the reference accepts both spellings)
-        def metadataConfig(mdNode: JsonNode, mdPath: String, mdFormat: String, dfltTags: Seq[String]): MetadataConfig =
-          MetadataConfig(
-            path = resolve(dir, mdPath),
-            fileFormat = mdFormat,
-            tagColumns = strSeq(mdNode, "tag_columns").getOrElse(dfltTags),
-            fieldMapping = namedSection(root, "metadata_mapping", mdNode).map(normalizedObjMap).getOrElse(Map.empty),
-            valueMapping = namedSection(root, "metadata_value_mapping", mdNode).map(valueMapping).getOrElse(Map.empty),
-            dictionaryDir = str(mdNode, "dictionary_dir").map(resolve(dir, _)),
-            csvSeparator = str(mdNode, "data_column_separator").getOrElse(","),
-            fields = strSeq(mdNode, "metadata_fields").orElse(strSeq(mdNode, "fields")).getOrElse(Nil),
-            columnMapping = objMap(mdNode.get("column_mapping")),
-            // accepts a string or a single-element list (both appear in
-            // the reference's own fixtures)
-            fieldColumn = strOrHead(mdNode, "metadata_field_column"),
-            fileEncoding = str(mdNode, "file_encoding"),
-          )
-        // `metadata_type` overrides the sidecar's file format (a parquet
-        // source with a CSV metadata table — parquet-examples.toml)
-        val sidecar = str(node, "metadata")
-          .map(metadataConfig(node, _, str(node, "metadata_type").filter(fileTypes.contains).getOrElse(typ), tagColumns))
-        val extras = strSeq(node, "metadata_sources").getOrElse(Nil).map { mdName =>
-          val mdNode = root.path("metadata").path(mdName)
-          if (mdNode.isMissingNode)
-            fail(s"""metadata source "$mdName" for source "$name" not found""")
-          val mdType = str(mdNode, "type").getOrElse(fail(s"""metadata source "$mdName" has no type"""))
-          if (!fileTypes.contains(mdType))
-            fail(s"""metadata source "$mdName" has unknown type "$mdType"""")
-          val mdPath = str(mdNode, "metadata")
-            .orElse(str(mdNode, "path"))
-            .getOrElse(fail(s"""metadata source "$mdName" has no path"""))
-          metadataConfig(mdNode, mdPath, mdType, tagColumns)
-        }
-        DeclaredFile(name, data, sidecar.toSeq ++ extras)
+        DeclaredFile(name, data, sidecarConfigs(root, dir, name, node, typ, tagColumns))
     }
+  }
+
+  /** The metadata sidecar(s) of a source: the inline `metadata` table
+    * plus named `metadata_sources` extras — kukur attaches these
+    * through its factory wrapper to EVERY source kind, so file and
+    * influx registrations share this parse.
+    */
+  private def sidecarConfigs(
+      root: ObjectNode,
+      dir: Path,
+      name: String,
+      node: JsonNode,
+      typ: String,
+      tagColumns: Seq[String],
+  ): Seq[MetadataConfig] = {
+    // a metadata section node (the source itself or a named
+    // [metadata.*] extra) -> MetadataConfig; `metadata` names the
+    // table file for the source sidecar, `path`/`metadata` for
+    // extras (the reference accepts both spellings)
+    def metadataConfig(mdNode: JsonNode, mdPath: String, mdFormat: String, dfltTags: Seq[String]): MetadataConfig =
+      MetadataConfig(
+        path = resolve(dir, mdPath),
+        fileFormat = mdFormat,
+        tagColumns = strSeq(mdNode, "tag_columns").getOrElse(dfltTags),
+        fieldMapping = namedSection(root, "metadata_mapping", mdNode).map(normalizedObjMap).getOrElse(Map.empty),
+        valueMapping = namedSection(root, "metadata_value_mapping", mdNode).map(valueMapping).getOrElse(Map.empty),
+        dictionaryDir = str(mdNode, "dictionary_dir").map(resolve(dir, _)),
+        csvSeparator = str(mdNode, "data_column_separator").getOrElse(","),
+        fields = strSeq(mdNode, "metadata_fields").orElse(strSeq(mdNode, "fields")).getOrElse(Nil),
+        columnMapping = objMap(mdNode.get("column_mapping")),
+        // accepts a string or a single-element list (both appear in
+        // the reference's own fixtures)
+        fieldColumn = strOrHead(mdNode, "metadata_field_column"),
+        fileEncoding = str(mdNode, "file_encoding"),
+      )
+    // `metadata_type` overrides the sidecar's file format (a parquet
+    // source with a CSV metadata table — parquet-examples.toml)
+    val sidecar = str(node, "metadata")
+      .map(metadataConfig(node, _, str(node, "metadata_type").filter(fileTypes.contains).getOrElse(typ), tagColumns))
+    val extras = strSeq(node, "metadata_sources").getOrElse(Nil).map { mdName =>
+      val mdNode = root.path("metadata").path(mdName)
+      if (mdNode.isMissingNode)
+        fail(s"""metadata source "$mdName" for source "$name" not found""")
+      val mdType = str(mdNode, "type").getOrElse(fail(s"""metadata source "$mdName" has no type"""))
+      if (!fileTypes.contains(mdType))
+        fail(s"""metadata source "$mdName" has unknown type "$mdType"""")
+      val mdPath = str(mdNode, "metadata")
+        .orElse(str(mdNode, "path"))
+        .getOrElse(fail(s"""metadata source "$mdName" has no path"""))
+      metadataConfig(mdNode, mdPath, mdType, tagColumns)
+    }
+    sidecar.toSeq ++ extras
   }
 
   /** python strftime -> Spark DateTimeFormatter pattern (the reference

@@ -64,6 +64,9 @@ final class MetadataSource(cfg: MetadataConfig) {
     */
   def fieldKeyed: Boolean = cfg.fieldColumn.isDefined
 
+  /** The tag columns this metadata table is keyed by. */
+  def tagColumns: Seq[String] = cfg.tagColumns
+
   /** Resolve a canonical/tag/custom name to the source column, by the
     * reference's chain (csv.py:244 `_map_column_name`): metadata_mapping
     * first, then column_mapping — falling back through the kukur spaced

@@ -355,11 +355,13 @@ class GraftConfigSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-config-bad").toString
     Files.writeString(
       Paths.get(s"$dir/bad.json"),
-      """{"source": {"x": {"type": "influxdb", "path": "nope"}}}""",
+      // odbc: a connector this build genuinely lacks (influxdb and
+      // delta both resolve natively since round 8)
+      """{"source": {"x": {"type": "odbc", "connection_string": "nope"}}}""",
     )
     val g = Graft.fromConfig(spark, s"$dir/bad.json")
     assert(g.listSources == Seq("x"))
     val e = intercept[IllegalArgumentException](g.readAll("x"))
-    assert(e.getMessage.contains("influxdb") && e.getMessage.contains("unsupported"))
+    assert(e.getMessage.contains("odbc") && e.getMessage.contains("unsupported"))
   }
 }
