@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.SeriesSelector
 import graft.operators.TimeSeriesOps
-import graft.sources.{ConfiguredSource, GraftConfig, InfluxConfig, InfluxSource, MetadataConfig, MetadataSource, PluginSource, SeriesKey, SimulatorSignal, Simulators, SourceConfig}
+import graft.sources.{ConfiguredSource, ElasticsearchSource, EsConfig, EsOptions, GraftConfig, InfluxConfig, InfluxSource, MetadataConfig, MetadataSource, PiWebApiConfig, PiWebApiSource, PluginSource, SeriesKey, SimulatorSignal, Simulators, SourceConfig}
 
 /** The client facade — graft's equivalent of the reference's Flight API
   * surface (kukur/client.py: search, get_metadata, get_data,
@@ -44,6 +44,8 @@ final class Graft(spark: SparkSession) {
   final case class PluginRegistered(plugin: PluginSource) extends Registered
   final case class SimulatorRegistered(signals: Seq[SimulatorSignal]) extends Registered
   final case class InfluxRegistered(influx: InfluxSource, metadata: Seq[MetadataSource] = Nil) extends Registered
+  final case class EsRegistered(es: ElasticsearchSource) extends Registered
+  final case class PiRegistered(pi: PiWebApiSource) extends Registered
   final case class UnavailableRegistered(sourceType: String) extends Registered
 
   private val sources = mutable.LinkedHashMap.empty[String, Registered]
@@ -64,6 +66,16 @@ final class Graft(spark: SparkSession) {
 
   def registerInfluxSource(name: String, config: InfluxConfig, metadata: Seq[MetadataConfig] = Nil): this.type = {
     sources(name) = InfluxRegistered(new InfluxSource(config), metadata.map(new MetadataSource(_)))
+    this
+  }
+
+  def registerElasticsearchSource(name: String, config: EsConfig, options: EsOptions): this.type = {
+    sources(name) = EsRegistered(new ElasticsearchSource(config, options))
+    this
+  }
+
+  def registerPiWebApiSource(name: String, config: PiWebApiConfig): this.type = {
+    sources(name) = PiRegistered(new PiWebApiSource(config))
     this
   }
 
@@ -105,6 +117,8 @@ final class Graft(spark: SparkSession) {
       else f.data.search(spark)
     case p: PluginRegistered => p.plugin.search(spark)
     case i: InfluxRegistered => i.influx.search(spark)
+    case e: EsRegistered => e.es.search(spark)
+    case pi: PiRegistered => pi.pi.search(spark)
     case s: SimulatorRegistered =>
       import spark.implicits._
       s.signals.map(sig => (sig.seriesName, sig.signalType)).toDF("series_name", "signal_type")
@@ -164,6 +178,8 @@ final class Graft(spark: SparkSession) {
       case p: PluginRegistered =>
         p.plugin.dataForKeys(spark, Seq(SeriesKey(selector.tags, selector.field)), start, end)
       case i: InfluxRegistered => i.influx.getData(spark, selector, start, end)
+      case e: EsRegistered => e.es.getData(spark, selector, start, end)
+      case pi: PiRegistered => pi.pi.getData(spark, selector, start, end)
       case s: SimulatorRegistered => simulatorData(s, selector, start, end)
     }
 
@@ -194,6 +210,15 @@ final class Graft(spark: SparkSession) {
       TimeSeriesOps.plotData(
         i.influx.getData(spark, selector, start, end).withColumn("series_name", lit(selector.name)),
         Seq("series_name"), start, end, intervalCount)
+    case e: EsRegistered =>
+      TimeSeriesOps.plotData(
+        e.es.getData(spark, selector, start, end).withColumn("value", col("value").cast("double"))
+          .withColumn("series_name", lit(selector.name)),
+        Seq("series_name"), start, end, intervalCount)
+    case pi: PiRegistered =>
+      // PI serves plot-reduced data itself (the PlotData stream with
+      // an intervals parameter) — no client-side bucketing needed
+      pi.pi.getPlotData(spark, selector, start, end, intervalCount)
     case s: SimulatorRegistered =>
       TimeSeriesOps.plotData(simulatorData(s, selector, start, end), Seq("series_name"), start, end, intervalCount)
   }
@@ -229,6 +254,8 @@ final class Graft(spark: SparkSession) {
           import spark.implicits._
           selector.tags.toSeq.sortBy(_._1).toDF("tag", "value")
         }
+      case e: EsRegistered => e.es.getMetadata(spark, selector)
+      case pi: PiRegistered => pi.pi.getMetadata(spark, selector)
       case _: SimulatorRegistered =>
         throw new IllegalArgumentException(s"simulator source $sourceName has no metadata")
     }
@@ -314,6 +341,8 @@ object Graft {
         g.registerPluginSource(name, PluginSource(cmd, configJson, source, qualityGood))
       case GraftConfig.DeclaredSimulator(name, signals) => g.registerSimulatorSource(name, signals)
       case GraftConfig.DeclaredInflux(name, config, metadata) => g.registerInfluxSource(name, config, metadata)
+      case GraftConfig.DeclaredEs(name, config, options) => g.registerElasticsearchSource(name, config, options)
+      case GraftConfig.DeclaredPiWebApi(name, config) => g.registerPiWebApiSource(name, config)
       case GraftConfig.DeclaredUnavailable(name, typ) => g.sources(name) = g.UnavailableRegistered(typ)
     }
     g

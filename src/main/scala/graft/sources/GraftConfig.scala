@@ -57,6 +57,8 @@ object GraftConfig {
   final case class DeclaredSimulator(name: String, signals: Seq[SimulatorSignal]) extends Declared
 
   final case class DeclaredInflux(name: String, config: InfluxConfig, metadata: Seq[MetadataConfig] = Nil) extends Declared
+  final case class DeclaredEs(name: String, config: EsConfig, options: EsOptions) extends Declared
+  final case class DeclaredPiWebApi(name: String, config: PiWebApiConfig) extends Declared
 
   /** A source whose `type` this engine has no connector for. The
     * reference resolves types LAZILY (SourceFactory.get_source raises
@@ -67,7 +69,7 @@ object GraftConfig {
   final case class DeclaredUnavailable(name: String, sourceType: String) extends Declared
 
   private val fileTypes = Set("csv", "parquet", "json", "orc", "feather", "arrows", "delta")
-  private val supportedTypes = fileTypes ++ Set("plugin", "simulator", "influxdb")
+  private val supportedTypes = fileTypes ++ Set("plugin", "simulator", "influxdb", "elasticsearch", "piwebapi-da")
 
   def load(configPath: String): Seq[Declared] = {
     val path = Paths.get(configPath).toAbsolutePath
@@ -84,6 +86,8 @@ object GraftConfig {
         else if (typ == "plugin") declaredPlugin(root, name, node)
         else if (typ == "simulator") declaredSimulator(name, node)
         else if (typ == "influxdb") declaredInflux(root, dir, name, node)
+        else if (typ == "elasticsearch") declaredEs(root, name, node)
+        else if (typ == "piwebapi-da") declaredPiWebApi(name, node)
         else declaredFile(root, dir, name, node, typ)
       }
       .toSeq
@@ -108,6 +112,67 @@ object GraftConfig {
       // the influx fixtures carry metadata_sources = ["noaa"]
       sidecarConfigs(root, dir, name, node, "influxdb", Seq(graft.model.SeriesSelector.SeriesNameTag)),
     )
+
+  /** `type = "piwebapi-da"` (kukur/source/piwebapi_da/piwebapi_da.py:
+    * 404 from_config): required data_archive_uri, the reference's
+    * defaults for timeouts/page size/system states, basic credentials.
+    */
+  private def declaredPiWebApi(name: String, node: JsonNode): DeclaredPiWebApi =
+    DeclaredPiWebApi(
+      name,
+      PiWebApiConfig(
+        dataArchiveUri = str(node, "data_archive_uri")
+          .getOrElse(fail(s"""piwebapi-da sources require a "data_archive_uri" entry""")),
+        timeoutSeconds = Option(node.get("timeout_seconds")).map(_.asInt).getOrElse(60),
+        maxReturnedItemsPerCall =
+          Option(node.get("max_returned_items_per_call")).map(_.asInt).getOrElse(150000),
+        includeSystemStates = Option(node.get("include_system_states")).exists(_.asBoolean),
+        username = str(node, "username"),
+        password = str(node, "password"),
+      ),
+    )
+
+  /** `type = "elasticsearch"` (kukur/source/elasticsearch/
+    * elasticsearch.py:38 from_config): connection + query options with
+    * the reference's defaults and its validation — at least one of
+    * `index`, `list_query`, `metadata_query` must be set.
+    */
+  private def declaredEs(root: ObjectNode, name: String, node: JsonNode): DeclaredEs = {
+    val creds = Option(node.get("credentials"))
+    val index = str(node, "index")
+    val listQuery = str(node, "list_query")
+    val metadataQuery = str(node, "metadata_query")
+    if (index.isEmpty && listQuery.isEmpty && metadataQuery.isEmpty)
+      fail(s"""invalid configuration for "$name": No `index`, `list_query` or `metadata_query` is defined""")
+    DeclaredEs(
+      name,
+      EsConfig(
+        scheme = str(node, "scheme").getOrElse("http"),
+        host = str(node, "host").getOrElse("localhost"),
+        port = Option(node.get("port")).map(_.asInt),
+        username = creds.flatMap(str(_, "username")),
+        password = creds.flatMap(str(_, "password")),
+        apiKey = creds.flatMap(str(_, "api_key")),
+        queryTimeoutSeconds = Option(node.get("query_timeout_seconds")).map(_.asInt).getOrElse(60),
+        queryPageSize = Option(node.get("query_page_size")).map(_.asInt).getOrElse(10000),
+      ),
+      EsOptions(
+        index = index,
+        metadataIndex = str(node, "metadata_index").orElse(index),
+        tagColumns = strSeq(node, "tag_columns").getOrElse(Seq(graft.model.SeriesSelector.SeriesNameTag)),
+        fieldColumns = strSeq(node, "field_columns").getOrElse(Seq("value")),
+        metadataColumns = strSeq(node, "metadata_columns").getOrElse(Nil),
+        timestampColumn = str(node, "timestamp_column").getOrElse("ts"),
+        metadataFieldColumn = str(node, "metadata_field_column"),
+        listQuery = listQuery,
+        metadataQuery = metadataQuery,
+        metadataIndexFilter = Option(node.get("metadata_index_filter")).map(_.toString),
+        // kukur name -> source column (the reference's MetadataMapper,
+        // named into the top-level [metadata_mapping.*] sections)
+        mapping = namedSection(root, "metadata_mapping", node).map(objMap).getOrElse(Map.empty),
+      ),
+    )
+  }
 
   /** `type = "plugin"`: `cmd` is a string or list (plugin.py:119-121);
     * the WHOLE source object forwards as the request `config`, exactly

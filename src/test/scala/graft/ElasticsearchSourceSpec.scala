@@ -1,0 +1,319 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+import java.time.Instant
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.SeriesSelector
+import graft.sources.SeriesKey
+
+/** Elasticsearch source against an in-process stub speaking the ES
+  * HTTP wire protocol (`POST {index}/_search` DSL with search_after
+  * pagination, `POST _sql` with cursor pagination) — modeled on the
+  * reference's own fixture corpus (tests/test_data/elasticsearch/
+  * data.ndjson: the tsai_metadata docs, the nested/list-valued
+  * tsai_metadata_doc docs) and its elasticsearch-examples.toml
+  * configs (noaa-es, noaa-es-doc with query_page_size = 1,
+  * noaa-es-sql with list_query/metadata_query). The reference can
+  * only test this source dockerized.
+  */
+class ElasticsearchSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = TestSpark.spark
+
+  private val mapper = new ObjectMapper()
+  private var server: HttpServer = _
+  private var port: Int = _
+  @volatile private var dataQueries: Int = 0
+
+  // tsai_metadata docs, straight from the reference's data.ndjson
+  private val MetaDocs = Seq(
+    """{"name":"h2o","location":"coyote_creek","description":"between 6 and 9 feet","field":"water_level","limits.low":6,"limits.high":9}""",
+    """{"name":"h2o","location":"coyote_creek","description":"between 0 and 40 degrees","field":"temperature","limits.low":0,"limits.high":40}""",
+    """{"name":"h2o","location":"santa_monica","description":"between 7 and 8 feet","field":"water_level","limits.low":7,"limits.high":8}""",
+  )
+  // tsai_metadata_doc: nested objects + list-valued tag
+  private val DocDocs = Seq(
+    """{"name":"h2o","location":["santa_monica","venice"],"description":"between 7 and 8 feet","field":"water_level","limits":{"low":7,"high":8},"sensor":{"model":"A"}}""",
+  )
+  // tsai_data points for (h2o, coyote_creek)
+  private val Points = Seq(
+    ("2020-01-01T00:00:00Z", 8.12),
+    ("2020-01-01T00:06:00Z", 8.005),
+    ("2020-01-01T00:12:00Z", 7.887),
+    ("2020-01-01T00:18:00Z", 7.762),
+    ("2020-01-01T00:24:00Z", 7.635),
+  )
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    port = server.getAddress.getPort
+  }
+
+  override def afterAll(): Unit = {
+    server.stop(0)
+    super.afterAll()
+  }
+
+  private def respond(ex: HttpExchange, body: String, code: Int = 200): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes)
+    os.close()
+  }
+
+  /** hits page: docs[from until from+size] as _source hits with sort values. */
+  private def dslPage(docs: Seq[String], from: Int, size: Int): String = {
+    val page = docs.slice(from, from + size).zipWithIndex.map { case (d, i) =>
+      s"""{"_source":$d,"sort":[${from + i}]}"""
+    }
+    s"""{"hits":{"total":{"value":${docs.length}},"hits":[${page.mkString(",")}]}}"""
+  }
+
+  private def handle(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    val body = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+    path match {
+      case "/tsai_metadata/_search" | "/tsai_metadata_doc/_search" =>
+        val docs0 = if (path.startsWith("/tsai_metadata_doc")) DocDocs else MetaDocs
+        // a bool/term query filters (getMetadata's DSL path)
+        val docs = Option(body.get("query")).map(_.path("bool").path("must")) match {
+          case Some(must) if must.isArray && must.size() > 0 =>
+            val terms = (0 until must.size()).map { i =>
+              val t = must.get(i).path("term")
+              val f = t.fieldNames().next()
+              f -> t.path(f).asText()
+            }
+            docs0.filter { d =>
+              val n = mapper.readTree(d)
+              terms.forall { case (k, v) =>
+                val node = n.path(k)
+                if (node.isArray) (0 until node.size()).exists(j => node.get(j).asText() == v)
+                else node.asText() == v
+              }
+            }
+          case _ => docs0
+        }
+        val size = body.path("size").asInt(10)
+        val from = Option(body.get("search_after")).map(_.get(0).asInt() + 1).getOrElse(0)
+        respond(ex, dslPage(docs, from, size))
+      case "/tsai_data/_search" =>
+        dataQueries += 1
+        val must = body.path("query").path("bool").path("must")
+        val terms = (0 until must.size()).map { i =>
+          val t = must.get(i).path("term")
+          val f = t.fieldNames().next()
+          f -> t.path(f).asText()
+        }.toMap
+        val range = body.path("query").path("bool").path("filter").path("range").path("ts")
+        val gte = Instant.parse(range.path("gte").asText())
+        val lte = Instant.parse(range.path("lte").asText())
+        val field = body.path("fields").get(1).asText()
+        val pts =
+          if (terms.get("name").contains("h2o") && terms.get("location").contains("coyote_creek") && field == "water_level")
+            Points.filter { case (t, _) => val i = Instant.parse(t); !i.isBefore(gte) && !i.isAfter(lte) }
+          else Nil
+        val from = Option(body.get("search_after")).map(_.get(0).asInt() + 1).getOrElse(0)
+        val page = pts.zipWithIndex.slice(from, from + 2).map { case ((t, v), i) =>
+          s"""{"fields":{"ts":["$t"],"$field":[$v]},"sort":[$i]}"""
+        }
+        respond(ex, s"""{"hits":{"total":{"value":${pts.length}},"hits":[${page.mkString(",")}]}}""")
+      case "/_sql" =>
+        if (body.has("cursor")) {
+          // second SQL page: values only, no columns, no cursor
+          assert(body.path("cursor").asText() == "c1")
+          val d = mapper.readTree(MetaDocs(2))
+          val cols = Seq("name", "location", "description", "field", "limits.low", "limits.high")
+          val vals = cols.map(c => s"[${mapper.writeValueAsString(d.path(c).asText())}]").mkString("[", ",", "]")
+          respond(ex, s"""{"values":$vals}""")
+        } else {
+          val params = Option(body.get("params"))
+            .map(p => (0 until p.size()).map(p.get(_).asText()))
+            .getOrElse(Nil)
+          val docs =
+            if (params.isEmpty) MetaDocs.take(2) // page 1 of the list query, cursor follows
+            else
+              MetaDocs.filter { d =>
+                val n = mapper.readTree(d)
+                n.path("name").asText() == params(0) &&
+                n.path("location").asText() == params(1) &&
+                n.path("field").asText() == params(2)
+              }
+          val cols = Seq("name", "location", "description", "field", "limits.low", "limits.high")
+          val colsJson = cols.map(c => s"""{"name":${mapper.writeValueAsString(c)}}""").mkString("[", ",", "]")
+          val vals = cols
+            .map(c => docs.map(d => mapper.writeValueAsString(mapper.readTree(d).path(c).asText())).mkString("[", ",", "]"))
+            .mkString("[", ",", "]")
+          val cursor = if (params.isEmpty) ""","cursor":"c1"""" else ""
+          respond(ex, s"""{"columns":$colsJson,"values":$vals$cursor}""")
+        }
+      case _ => respond(ex, """{"error":"unknown path"}""", code = 404)
+    }
+  }
+
+  private val Start = Timestamp.from(Instant.parse("2020-01-01T00:00:00Z"))
+  private val End = Timestamp.from(Instant.parse("2020-01-01T01:00:00Z"))
+
+  private def config(extra: String = "") = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-es-cfg")
+    java.nio.file.Files.writeString(
+      dir.resolve("graft.toml"),
+      s"""[source.noaa-es]
+         |type = "elasticsearch"
+         |host = "127.0.0.1"
+         |port = $port
+         |tag_columns = ["name", "location"]
+         |field_columns = ["water_level", "temperature"]
+         |metadata_columns = ["name", "description", "limits.low", "limits.high"]
+         |metadata_mapping = "noaa_es_mapping"
+         |metadata_index = "tsai_metadata"
+         |index = "tsai_data"
+         |metadata_field_column = "field"
+         |timestamp_column = "ts"
+         |$extra
+         |[metadata_mapping."noaa_es_mapping"]
+         |"series name" = "name"
+         |"functional lower limit" = "limits.low"
+         |"functional upper limit" = "limits.high"
+         |""".stripMargin,
+    )
+    Graft.fromConfig(spark, dir.resolve("graft.toml").toString)
+  }
+
+  private def sel(loc: String, field: String = "water_level") =
+    SeriesSelector("", Map(SeriesSelector.SeriesNameTag -> "h2o", "location" -> loc), field)
+
+  test("search: DSL metadata-index scan, metadata_field_column, mapped names") {
+    val g = config()
+    val rows = g.search("noaa-es").collect()
+    assert(rows.length == 3) // one per metadata doc (field column pins the field)
+    val cols = g.search("noaa-es").columns.toSeq
+    // kukur names out of the mapping, source columns stay for unmapped
+    assert(cols.contains(SeriesSelector.SeriesNameTag) && cols.contains("functional lower limit"))
+    assert(rows.forall(_.getAs[String](SeriesSelector.SeriesNameTag) == "h2o"))
+    assert(rows.map(_.getAs[String]("field")).sorted.toSeq == Seq("temperature", "water_level", "water_level"))
+  }
+
+  test("get_data: term filters, inclusive range, search_after pagination") {
+    val g = config()
+    dataQueries = 0
+    val rows = g.getData("noaa-es", sel("coyote_creek"), Start, End).orderBy("ts").collect()
+    assert(rows.length == 5)
+    assert(rows.head.getAs[Timestamp]("ts").toInstant == Start.toInstant)
+    assert(rows.head.getAs[String]("value") == "8.12")
+    // 5 points at 2 per page = 3 round trips
+    assert(dataQueries == 3)
+    // inclusive end keeps a point landing exactly on it
+    val endOn = Timestamp.from(Instant.parse("2020-01-01T00:06:00Z"))
+    assert(g.getData("noaa-es", sel("coyote_creek"), Start, endOn).count() == 2L)
+    // unknown series: zero rows, no error
+    assert(g.getData("noaa-es", sel("santa_monica"), Start, End).count() == 0L)
+  }
+
+  test("get_metadata: DSL term query on the metadata index, mapped output") {
+    val g = config()
+    val md = g.getMetadata("noaa-es", sel("coyote_creek")).collect()
+    assert(md.length == 1)
+    assert(md.head.getAs[String]("description") == "between 6 and 9 feet")
+    assert(md.head.getAs[String]("functional lower limit") == "6")
+    val md2 = g.getMetadata("noaa-es", sel("coyote_creek", field = "temperature")).collect()
+    assert(md2.head.getAs[String]("functional upper limit") == "40")
+  }
+
+  test("sql list_query and metadata_query: columnar + cursor pagination") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-es-sql")
+    java.nio.file.Files.writeString(
+      dir.resolve("graft.toml"),
+      s"""[source.noaa-es-sql]
+         |type = "elasticsearch"
+         |host = "127.0.0.1"
+         |port = $port
+         |tag_columns = ["name", "location"]
+         |field_columns = ["water_level", "temperature"]
+         |metadata_columns = ["name", "description", "limits.low", "limits.high"]
+         |index = "tsai_data"
+         |list_query = "select * from tsai_metadata"
+         |metadata_query = "select * from tsai_metadata where name = ? and location = ? and field = ?"
+         |metadata_field_column = "field"
+         |timestamp_column = "ts"
+         |""".stripMargin,
+    )
+    val g = Graft.fromConfig(spark, dir.resolve("graft.toml").toString)
+    // 2 docs on page 1 + 1 behind the cursor = all 3
+    val rows = g.search("noaa-es-sql").collect()
+    assert(rows.length == 3)
+    val md = g.getMetadata(
+      "noaa-es-sql",
+      SeriesSelector("", Map("name" -> "h2o", "location" -> "santa_monica"), "water_level"),
+    ).collect()
+    assert(md.head.getAs[String]("description") == "between 7 and 8 feet")
+  }
+
+  test("nested docs + list-valued tags flatten to one series per value") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-es-doc")
+    java.nio.file.Files.writeString(
+      dir.resolve("graft.toml"),
+      s"""[source.noaa-es-doc]
+         |type = "elasticsearch"
+         |host = "127.0.0.1"
+         |port = $port
+         |query_page_size = 1
+         |tag_columns = ["name", "location"]
+         |field_columns = ["water_level", "temperature"]
+         |metadata_columns = ["name", "description", "limits.low", "limits.high", "sensor.model"]
+         |index = "tsai_metadata_doc"
+         |metadata_field_column = "field"
+         |timestamp_column = "ts"
+         |""".stripMargin,
+    )
+    val g = Graft.fromConfig(spark, dir.resolve("graft.toml").toString)
+    val rows = g.search("noaa-es-doc").collect()
+    // one doc, location list of 2 -> 2 series rows (field pinned by doc)
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("location")).sorted.toSeq == Seq("santa_monica", "venice"))
+    // dot lookups reach nested objects
+    assert(rows.forall(_.getAs[String]("limits.low") == "7"))
+    assert(rows.forall(_.getAs[String]("sensor.model") == "A"))
+  }
+
+  test("dataForKeys fans out per series from executor tasks") {
+    val g = config() // registration check only; use the source directly
+    assert(g.listSources.contains("noaa-es"))
+    val src = new graft.sources.ElasticsearchSource(
+      graft.sources.EsConfig(host = "127.0.0.1", port = Some(port)),
+      graft.sources.EsOptions(
+        index = Some("tsai_data"),
+        tagColumns = Seq("name", "location"),
+        mapping = Map(SeriesSelector.SeriesNameTag -> "name"),
+      ),
+    )
+    val keys = Seq(
+      SeriesKey(Map(SeriesSelector.SeriesNameTag -> "h2o", "location" -> "coyote_creek"), "water_level"),
+      SeriesKey(Map(SeriesSelector.SeriesNameTag -> "h2o", "location" -> "santa_monica"), "water_level"),
+    )
+    val df = src.dataForKeys(spark, keys, Start, End)
+    assert(df.count() == 5L) // coyote_creek's 5; santa_monica has no data
+  }
+
+  test("config validation: index, list_query or metadata_query required") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-es-bad")
+    java.nio.file.Files.writeString(
+      dir.resolve("graft.toml"),
+      s"""[source.bad-es]
+         |type = "elasticsearch"
+         |host = "127.0.0.1"
+         |""".stripMargin,
+    )
+    val e = intercept[IllegalArgumentException](Graft.fromConfig(spark, dir.resolve("graft.toml").toString))
+    assert(e.getMessage.contains("list_query"))
+  }
+}

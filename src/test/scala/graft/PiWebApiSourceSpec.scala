@@ -1,0 +1,277 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+import java.time.Instant
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.SeriesSelector
+import graft.sources.{PiWebApiConfig, PiWebApiSource, SeriesKey}
+
+/** PI Web API Data Archive source against an in-process stub serving
+  * the reference's OWN mock corpus — SAMPLE_POINTS, DATA_POINTS,
+  * PLOT_POINTS and the system-state stream from
+  * `/root/reference/tests/source/test_piwebapi_da.py:13-248` — with
+  * every one of the reference's 8 test cases mirrored on the same
+  * inputs and expected outputs. The reference mocks `requests`
+  * directly; this stub answers over real HTTP.
+  */
+class PiWebApiSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = TestSpark.spark
+
+  private var server: HttpServer = _
+  private var base: String = _
+
+  // the reference's SAMPLE_POINTS (test_piwebapi_da.py:13)
+  private def samplePoints(b: String) = Seq(
+    s"""{"WebId":"1","Id":8,"Name":"CDT158","Descriptor":"Atmospheric Tower OH Vapor","PointClass":"classic",
+        "PointType":"Float32","DigitalSetName":"","EngineeringUnits":"DEG. C","Span":200.0,"Zero":50.0,
+        "Step":false,"Future":false,
+        "Links":{"RecordedData":"$b/streams/1/recorded","PlotData":"$b/streams/1/plot"}}""",
+    s"""{"WebId":"2","Id":13,"Name":"CDT159","Descriptor":"PICampaign storage point.","PointClass":"base",
+        "PointType":"String","DigitalSetName":"","EngineeringUnits":"","Span":100.0,"Zero":0.0,
+        "Step":true,"Future":false,
+        "Links":{"RecordedData":"$b/streams/2/recorded","PlotData":"$b/streams/2/plot"}}""",
+    // one point with an UNKNOWN PointType: invisible, like the
+    // reference's `return None` (not in SAMPLE_POINTS, added to pin it)
+    s"""{"WebId":"3","Id":14,"Name":"CDT160","Descriptor":"blob","PointClass":"base",
+        "PointType":"Blob","DigitalSetName":"","EngineeringUnits":"","Span":1.0,"Zero":0.0,
+        "Step":false,"Future":false,
+        "Links":{"RecordedData":"$b/streams/3/recorded","PlotData":"$b/streams/3/plot"}}""",
+    // one Digital point so the dictionary path runs during search
+    s"""{"WebId":"4","Id":15,"Name":"CDT161","Descriptor":"state","PointClass":"classic",
+        "PointType":"Digital","DigitalSetName":"Modes","EngineeringUnits":"","Span":4.0,"Zero":0.0,
+        "Step":true,"Future":false,
+        "Links":{"RecordedData":"$b/streams/4/recorded","PlotData":"$b/streams/4/plot"}}""",
+  )
+
+  private val SystemPoint = """{"Name":"Shutdown","Value":254,"IsSystem":true}"""
+
+  // the reference's DATA_POINTS (test_piwebapi_da.py:69)
+  private val DataPoints: Seq[(String, String, Boolean)] = Seq(
+    ("2020-01-01T00:00:00Z", "81.83204", true),
+    ("2020-01-01T07:33:25Z", "13.6064939", true),
+    ("2020-01-01T08:37:25Z", "0.9678813", true),
+    ("2020-01-01T09:42:25Z", "3.38636", true),
+    ("2020-01-01T09:42:25Z", "23.6581783", true),
+    ("2020-01-01T09:42:25Z", "23.6581783", true),
+    ("2020-01-01T09:44:25Z", "23.6581783", true),
+    ("2020-01-01T17:24:18Z", SystemPoint, false),
+    ("2020-01-02T00:00:00Z", "81.83204", true),
+    ("2020-01-02T07:33:25Z", "13.6064939", true),
+    ("2020-01-02T08:37:25Z", "0.9678813", true),
+    ("2020-01-02T09:42:25Z", "3.38636", true),
+    ("2020-01-02T10:56:25Z", "23.6581783", true),
+    ("2020-01-03T00:00:00Z", "81.83204", true),
+    ("2020-01-03T07:33:25Z", "13.6064939", true),
+    ("2020-01-03T08:37:25Z", "0.9678813", true),
+    ("2020-01-03T09:42:25Z", "3.38636", true),
+    ("2020-01-03T10:56:25Z", "23.6581783", true),
+  )
+
+  // the reference's PLOT_POINTS (same values on 2021-01-01/02/03)
+  private val PlotPoints: Seq[(String, String, Boolean)] =
+    DataPoints.map { case (t, v, g) => (t.replace("2020-", "2021-"), v, g) }
+
+  // the reference's mocked_requests_get_system stream
+  private def systemStream(startTime: String): Seq[(String, String, Boolean)] =
+    if (startTime.startsWith("2020-01-01T17:24:21"))
+      Seq(("2020-01-01T17:24:21Z", SystemPoint, false), ("2020-01-02T00:00:00Z", "81.83204", true))
+    else
+      Seq(
+        ("2020-01-01T17:24:18Z", SystemPoint, false),
+        ("2020-01-01T17:24:19Z", SystemPoint, false),
+        ("2020-01-01T17:24:20Z", SystemPoint, false),
+        ("2020-01-01T17:24:21Z", SystemPoint, false),
+      )
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    base = s"http://127.0.0.1:${server.getAddress.getPort}"
+  }
+
+  override def afterAll(): Unit = {
+    server.stop(0)
+    super.afterAll()
+  }
+
+  private def args(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").filter(_.nonEmpty).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k -> java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+
+  private def respond(ex: HttpExchange, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(200, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes)
+    os.close()
+  }
+
+  private def page(points: Seq[(String, String, Boolean)], a: Map[String, String]): String = {
+    val start = Instant.parse(a("startTime"))
+    val end = Instant.parse(a("endTime"))
+    val max = a("maxCount").toInt
+    val kept = points
+      .filter { case (t, _, _) => val i = Instant.parse(t); !i.isBefore(start) && !i.isAfter(end) }
+      .take(max)
+      .map { case (t, v, g) => s"""{"Timestamp":"$t","Value":$v,"Good":$g}""" }
+    s"""{"Items":[${kept.mkString(",")}]}"""
+  }
+
+  private def handle(ex: HttpExchange): Unit = {
+    val a = args(ex)
+    // basic auth must ride on every request (the reference applies it
+    // to the whole session)
+    assert(Option(ex.getRequestHeaders.getFirst("Authorization")).exists(_.startsWith("Basic ")))
+    ex.getRequestURI.getPath match {
+      case "/" =>
+        respond(
+          ex,
+          s"""{"Links":{"Points":"$base/points","EnumerationSets":"$base/enumerationsets"}}""",
+        )
+      case "/points" =>
+        a.get("nameFilter") match {
+          case Some(name) =>
+            val matching = samplePoints(base).filter(_.contains(s""""Name":"$name"""")).mkString(",")
+            respond(ex, s"""{"Items":[$matching]}""")
+          case None =>
+            val startIndex = a.getOrElse("startIndex", "0").toInt
+            respond(ex, if (startIndex > 0) """{"Items":[]}""" else s"""{"Items":[${samplePoints(base).mkString(",")}]}""")
+        }
+      case "/enumerationsets" =>
+        respond(
+          ex,
+          s"""{"Items":[{"Name":"Modes","Links":{"Values":"$base/enumerationsets/modes/values"}}]}""",
+        )
+      case "/enumerationsets/modes/values" =>
+        respond(ex, """{"Items":[{"Name":"Off","Value":0},{"Name":"On","Value":1}]}""")
+      case "/streams/1/recorded" => respond(ex, page(DataPoints, a))
+      case "/streams/1/plot" =>
+        assert(a.contains("intervals")) // the reference's own assertion
+        respond(ex, page(PlotPoints, a))
+      case "/streams/9/recorded" => respond(ex, page(systemStream(a("startTime")), a))
+      case "/sys" =>
+        respond(ex, s"""{"Links":{"Points":"$base/syspoints"}}""")
+      case "/syspoints" =>
+        respond(ex, s"""{"Items":[{"Name":"CDT158","Links":{"RecordedData":"$base/streams/9/recorded"}}]}""")
+      case other => throw new IllegalStateException(s"unexpected path $other")
+    }
+  }
+
+  private def cfg(max: Int, uri: String = null, includeSystem: Boolean = false) =
+    PiWebApiConfig(
+      dataArchiveUri = if (uri == null) base else uri,
+      maxReturnedItemsPerCall = max,
+      includeSystemStates = includeSystem,
+      username = Some("test"),
+      password = Some("test"),
+    )
+
+  private def sel(name: String) = SeriesSelector("", Map(SeriesSelector.SeriesNameTag -> name))
+
+  private val T0 = Timestamp.from(Instant.parse("2020-01-01T00:00:00Z"))
+
+  private def t(s: String) = Timestamp.from(Instant.parse(s))
+
+  test("test_search: 2 known point types surface, unknown types and dictionaries resolve") {
+    val rows = new PiWebApiSource(cfg(max = 5)).search(spark).collect()
+    // CDT158 (Float32), CDT159 (String), CDT161 (Digital) — Blob invisible
+    assert(rows.map(_.getAs[String]("series_name")).toSeq == Seq("CDT158", "CDT159", "CDT161"))
+    val cdt158 = rows.head
+    assert(cdt158.getAs[String]("description") == "Atmospheric Tower OH Vapor")
+    assert(cdt158.getAs[String]("unit") == "DEG. C")
+    assert(cdt158.getAs[String]("interpolation_type") == "LINEAR")
+    assert(cdt158.getAs[String]("limit_low_functional") == "50.0")
+    assert(cdt158.getAs[String]("limit_high_functional") == "250.0")
+    assert(cdt158.getAs[String]("data_type") == "FLOAT32")
+    assert(rows(1).getAs[String]("interpolation_type") == "STEPPED")
+    assert(rows(2).getAs[String]("dictionary_name") == "Modes")
+  }
+
+  test("test_get_data_without_limits: 8 points in one day") {
+    val data = new PiWebApiSource(cfg(max = 10))
+      .getData(spark, sel("CDT158"), T0, t("2020-01-02T00:00:00Z")).collect()
+    assert(data.length == 8)
+  }
+
+  test("test_get_data_multiple_requests: pagination restarts at the boundary") {
+    val data = new PiWebApiSource(cfg(max = 4))
+      .getData(spark, sel("CDT158"), T0, t("2020-01-02T10:56:25Z")).orderBy("ts").collect()
+    assert(data.length == 12)
+    assert(data.head.getAs[Timestamp]("ts").toInstant == Instant.parse("2020-01-01T00:00:00Z"))
+    assert(data.last.getAs[Timestamp]("ts").toInstant == Instant.parse("2020-01-02T10:56:25Z"))
+  }
+
+  test("test_get_data_dates_outside_limits: full range, 17 points") {
+    val data = new PiWebApiSource(cfg(max = 4))
+      .getData(spark, sel("CDT158"), t("2019-10-01T00:00:00Z"), t("2020-02-01T10:56:25Z")).orderBy("ts").collect()
+    assert(data.length == 17)
+    assert(data.head.getAs[Timestamp]("ts").toInstant == Instant.parse("2020-01-01T00:00:00Z"))
+    assert(data.last.getAs[Timestamp]("ts").toInstant == Instant.parse("2020-01-03T10:56:25Z"))
+  }
+
+  test("test_get_data_include_system_points (+ null value): quality flags carried") {
+    val data = new PiWebApiSource(cfg(max = 4, uri = s"$base/sys", includeSystem = true))
+      .getData(spark, sel("CDT158"), t("2019-10-01T00:00:00Z"), t("2020-02-01T10:56:25Z")).orderBy("ts").collect()
+    assert(data.length == 5)
+    assert(data.head.getAs[Timestamp]("ts").toInstant == Instant.parse("2020-01-01T17:24:18Z"))
+    assert(data.head.getAs[Int]("quality") == 0)
+    assert(data.head.getAs[String]("value") == null) // system state reading is null
+    assert(data.last.getAs[Timestamp]("ts").toInstant == Instant.parse("2020-01-02T00:00:00Z"))
+    assert(data.last.getAs[Int]("quality") == 1)
+    assert(data.last.getAs[String]("value") == "81.83204")
+  }
+
+  test("test_get_data_ignore_system_points: only the real reading survives") {
+    val data = new PiWebApiSource(cfg(max = 4, uri = s"$base/sys"))
+      .getData(spark, sel("CDT158"), t("2019-10-01T00:00:00Z"), t("2020-02-01T10:56:25Z")).collect()
+    assert(data.length == 1)
+    assert(data.head.getAs[Timestamp]("ts").toInstant == Instant.parse("2020-01-02T00:00:00Z"))
+  }
+
+  test("test_get_plot_data_without_limits: the PlotData stream with intervals") {
+    val data = new PiWebApiSource(cfg(max = 10))
+      .getPlotData(spark, sel("CDT158"), t("2021-01-01T00:00:00Z"), t("2021-01-02T00:00:00Z"), 200).collect()
+    assert(data.length == 8)
+  }
+
+  test("metadata, dictionary and fromConfig registration") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pi-cfg")
+    java.nio.file.Files.writeString(
+      dir.resolve("graft.toml"),
+      s"""[source.pi]
+         |type = "piwebapi-da"
+         |data_archive_uri = "$base"
+         |max_returned_items_per_call = 10
+         |username = "test"
+         |password = "test"
+         |""".stripMargin,
+    )
+    val g = Graft.fromConfig(spark, dir.resolve("graft.toml").toString)
+    assert(g.search("pi").count() == 3L)
+    val md = g.getMetadata("pi", sel("CDT158")).collect()
+    assert(md.length == 1 && md.head.getAs[String]("unit") == "DEG. C")
+    // server-side plot reduction through the facade
+    assert(g.getPlotData("pi", sel("CDT158"), t("2021-01-01T00:00:00Z"), t("2021-01-02T00:00:00Z"), 200).count() == 8L)
+    // digital set mapping
+    val dict = new PiWebApiSource(cfg(max = 10)).readDictionary(spark, "Modes").collect()
+    assert(dict.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((0, "Off"), (1, "On")))
+    // distributed fan-out
+    val df = new PiWebApiSource(cfg(max = 10)).dataForKeys(
+      spark,
+      Seq(SeriesKey(Map(SeriesSelector.SeriesNameTag -> "CDT158"))),
+      T0,
+      t("2020-01-02T00:00:00Z"),
+    )
+    assert(df.count() == 8L)
+  }
+}
