@@ -208,7 +208,8 @@ final class Graft(spark: SparkSession) {
       // influx has no server-side plot action: bucket the fetched range
       // with the same operator the reference's plot fallback uses
       TimeSeriesOps.plotData(
-        i.influx.getData(spark, selector, start, end).withColumn("series_name", lit(selector.name)),
+        i.influx.getData(spark, selector, start, end).withColumn("value", col("value").cast("double"))
+          .withColumn("series_name", lit(selector.name)),
         Seq("series_name"), start, end, intervalCount)
     case e: EsRegistered =>
       TimeSeriesOps.plotData(

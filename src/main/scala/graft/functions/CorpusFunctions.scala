@@ -74,7 +74,7 @@ object CorpusFunctions {
     def keepAt(rate: Double): Column =
       if (rate >= 1.0) lit(true)
       else digits < lit(f"${math.floor(rate * 4294967296.0).toLong}%08x")
-    // sort null-last (a null stratum key is legal: mixturePlan's
+    // sort null-safely (a null stratum key is legal: mixturePlan's
     // groupBy keeps the null group and mixtureSample feeds it back
     // here) and match null-safely — `stratum === null` can never be
     // true, which would silently promote a planned rate to

@@ -145,7 +145,14 @@ object DeltaSource {
         val node = mapper.readTree(line)
         def strMap(n: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
           if (n == null || !n.isObject) Map.empty
-          else n.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+          else
+            n.fields().asScala
+              // a JSON-null partition value is SQL NULL: drop the key so
+              // the non-hive branch's getOrElse(c, null) restores it
+              // (asText() would stringify it as "null")
+              .filterNot(_.getValue.isNull)
+              .map(e => e.getKey -> e.getValue.asText())
+              .toMap
         val proto = node.get("protocol")
         if (proto != null) {
           readerVersion = proto.path("minReaderVersion").asInt(1)

@@ -7,6 +7,8 @@ import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{StringType, StructField, StructType, TimestampType}
 
+import scala.jdk.CollectionConverters._
+
 import graft.model.SeriesSelector
 
 /** Elasticsearch source (kukur/source/elasticsearch/elasticsearch.py)
@@ -183,7 +185,12 @@ class ElasticsearchSource(cfg: EsConfig, opts: EsOptions) extends Serializable {
           .map(h => iter(h.path("_source").fields()).map(e => opts.fromSource(e.getKey) -> e.getValue.asText()).toMap)
     }
     val row = doc.getOrElse(Map.empty)
-    val cols = (opts.tagColumns.map(t => t -> selector.tags.get(t).orNull).toMap ++ row).toSeq.sortBy(_._1)
+    // echo tags under their KUKUR names — selector.tags is keyed by
+    // them, and the query row already carries the same names
+    val cols = (opts.tagColumns.map { t =>
+      val name = opts.fromSource(t)
+      name -> selector.tags.get(name).orNull
+    }.toMap ++ row).toSeq.sortBy(_._1)
     spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row.fromSeq(cols.map(_._2))), 1),
       StructType(cols.map(c => StructField(c._1, StringType))),
@@ -193,10 +200,10 @@ class ElasticsearchSource(cfg: EsConfig, opts: EsOptions) extends Serializable {
 
 object ElasticsearchSource {
 
-  private def iter[T](it: java.util.Iterator[T]): Iterator[T] = new Iterator[T] {
-    def hasNext: Boolean = it.hasNext
-    def next(): T = it.next()
-  }
+  private def iter[T](it: java.util.Iterator[T]): Iterator[T] = it.asScala
+
+  // one client per JVM (thread-safe, pooled) — not one per request
+  private lazy val http = java.net.http.HttpClient.newHttpClient()
 
   /** POST one JSON query (elasticsearch.py:379 `send_query`). */
   private def send(cfg: EsConfig, path: String, body: String): JsonNode = {
@@ -214,9 +221,7 @@ object ElasticsearchSource {
         val enc = java.util.Base64.getEncoder.encodeToString(s"$u:$p".getBytes("UTF-8"))
         b.header("Authorization", s"Basic $enc")
       }
-    val resp = java.net.http.HttpClient
-      .newHttpClient()
-      .send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+    val resp = http.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() < 400, s"elasticsearch query failed (${resp.statusCode()}): ${resp.body().take(200)}")
     new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
   }
@@ -318,10 +323,15 @@ object ElasticsearchSource {
     range.put("lte", end.toInstant.toString)
     val out = Seq.newBuilder[(Timestamp, String)]
     var searchAfter: Option[JsonNode] = None
-    var fetched = 0L
-    var total = Long.MaxValue
-    while (fetched < total) {
+    var done = false
+    // deliberate divergence from the reference: kukur stops when its
+    // row count reaches hits.total.value, but ES caps total.value at
+    // 10,000 by default (relation "gte"), which silently truncates
+    // larger series. Page with an explicit size and stop on a short
+    // page instead — the same contract listQueryDsl uses.
+    while (!done) {
       val q = mapper.createObjectNode()
+      q.put("size", cfg.queryPageSize)
       q.set[ObjectNode]("query", bool)
       val f = q.putArray("fields")
       f.add(opts.timestampColumn)
@@ -333,20 +343,17 @@ object ElasticsearchSource {
       sort.add(s0)
       if (searchAfter.isEmpty) q.put("_source", false)
       val data = send(cfg, s"$index/_search", mapper.writeValueAsString(q))
-      total = data.path("hits").path("total").path("value").asLong()
       val hits = iter(data.path("hits").path("hits").elements()).toSeq
-      if (hits.isEmpty && fetched < total)
-        throw new IllegalStateException(s"elasticsearch returned no hits at offset $fetched of $total")
       hits.foreach { h =>
         val fields = h.path("fields")
         val ts = iter(fields.path(opts.timestampColumn).elements()).toSeq
         val vs = iter(fields.path(key.field).elements()).toSeq
         ts.zip(vs).foreach { case (t, v) =>
           out += ((Timestamp.from(java.time.Instant.parse(t.asText())), v.asText()))
-          fetched += 1
         }
         searchAfter = Some(h.path("sort"))
       }
+      if (hits.size < cfg.queryPageSize) done = true
     }
     out.result()
   }

@@ -322,8 +322,13 @@ object GraftConfig {
       )
     // `metadata_type` overrides the sidecar's file format (a parquet
     // source with a CSV metadata table — parquet-examples.toml)
+    // the sidecar's format defaults to the parent TYPE only when that
+    // is itself a file format — a server-backed parent (influxdb) would
+    // otherwise yield spark.read.format("influxdb"); csv is the
+    // reference's own sidecar convention for those
+    val dfltSidecarType = if (fileTypes.contains(typ)) typ else "csv"
     val sidecar = str(node, "metadata")
-      .map(metadataConfig(node, _, str(node, "metadata_type").filter(fileTypes.contains).getOrElse(typ), tagColumns))
+      .map(metadataConfig(node, _, str(node, "metadata_type").filter(fileTypes.contains).getOrElse(dfltSidecarType), tagColumns))
     val extras = strSeq(node, "metadata_sources").getOrElse(Nil).map { mdName =>
       val mdNode = root.path("metadata").path(mdName)
       if (mdNode.isMissingNode)

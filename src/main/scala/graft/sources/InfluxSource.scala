@@ -5,6 +5,8 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
+import scala.jdk.CollectionConverters._
+
 import graft.model.SeriesSelector
 
 /** InfluxDB 1.x source (kukur/source/influxdb/influxdb.py) without the
@@ -130,18 +132,16 @@ class InfluxSource(cfg: InfluxConfig) extends Serializable {
   private def showFieldKeys(): Map[String, Seq[String]] =
     resultSeries(query(cfg, "SHOW FIELD KEYS")).map { s =>
       s.path("name").asText() ->
-        s.path("values").elements().asScalaIterator.map(_.get(0).asText()).toSeq
+        s.path("values").elements().asScala.map(_.get(0).asText()).toSeq
     }.toMap
 }
 
 object InfluxSource {
 
-  private implicit class JIter[T](it: java.util.Iterator[T]) {
-    def asScalaIterator: Iterator[T] = new Iterator[T] {
-      def hasNext: Boolean = it.hasNext
-      def next(): T = it.next()
-    }
-  }
+  // one client per JVM: HttpClient is thread-safe and owns a
+  // connection pool; a client per request would leak sockets across
+  // pagination loops and executor tasks
+  private lazy val http = java.net.http.HttpClient.newHttpClient()
 
   /** One `GET /query` round trip. Runs on the driver for metadata
     * queries and inside executor tasks for [[InfluxSource.dataForKeys]].
@@ -168,8 +168,7 @@ object InfluxSource {
     val uri = java.net.URI.create(
       s"$scheme://${cfg.host}:${cfg.port}/query?db=${enc(cfg.database)}&q=${enc(q)}$auth$paramsArg"
     )
-    val client = java.net.http.HttpClient.newHttpClient()
-    val resp = client.send(
+    val resp = http.send(
       java.net.http.HttpRequest.newBuilder(uri).GET().build(),
       java.net.http.HttpResponse.BodyHandlers.ofString(),
     )
@@ -182,19 +181,19 @@ object InfluxSource {
 
   /** All `series` entries of the first result. */
   private def resultSeries(node: com.fasterxml.jackson.databind.JsonNode): Seq[com.fasterxml.jackson.databind.JsonNode] =
-    node.path("results").path(0).path("series").elements().asScalaIterator.toSeq
+    node.path("results").path(0).path("series").elements().asScala.toSeq
 
   /** Value rows of the first series of the first result. */
   private def seriesValues(node: com.fasterxml.jackson.databind.JsonNode): Seq[com.fasterxml.jackson.databind.JsonNode] =
     resultSeries(node).headOption
-      .map(_.path("values").elements().asScalaIterator.toSeq)
+      .map(_.path("values").elements().asScala.toSeq)
       .getOrElse(Nil)
 
   /** Flattened single-column values across ALL series of the first
     * result (SHOW TAG KEYS answers one series per measurement).
     */
   private def seriesFlat(node: com.fasterxml.jackson.databind.JsonNode): Seq[com.fasterxml.jackson.databind.JsonNode] =
-    resultSeries(node).flatMap(_.path("values").elements().asScalaIterator.map(_.get(0)))
+    resultSeries(node).flatMap(_.path("values").elements().asScala.map(_.get(0)))
 
   /** `measurement,tag=v,tag=v` → (measurement, tags) — the reference's
     * `_parse_influx_series` (influxdb.py:181), backslashes stripped.
@@ -227,7 +226,11 @@ object InfluxSource {
       SeriesSelector.SeriesNameTag,
       throw new IllegalArgumentException("No series name"),
     )
-    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+    // micro-precision bounds: the reference's strftime("%Y-%m-%dT%H:
+    // %M:%SZ") silently truncates sub-second boundaries (points inside
+    // the truncated second leak in / drop out); InfluxQL accepts
+    // fractional RFC3339, so keep the full precision
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
       .withZone(java.time.ZoneOffset.UTC)
     var q = s"""SELECT time, "${escape(key.field)}" FROM "${escape(measurement)}"""" +
       " WHERE time >= $start_date and time <= $end_date"
@@ -241,13 +244,13 @@ object InfluxSource {
     }
     val node = query(cfg, q, params.toMap)
     resultSeries(node).headOption.toSeq.flatMap { s =>
-      val cols = s.path("columns").elements().asScalaIterator.map(_.asText()).toSeq
+      val cols = s.path("columns").elements().asScala.map(_.asText()).toSeq
       val timeIdx = cols.indexOf("time")
       val valueIdx = cols.indexWhere(_ == key.field) match {
         case -1 => if (cols.length > 1) (if (timeIdx == 0) 1 else 0) else 0
         case i  => i
       }
-      s.path("values").elements().asScalaIterator.map { v =>
+      s.path("values").elements().asScala.map { v =>
         (Timestamp.from(java.time.Instant.parse(v.get(timeIdx).asText())), v.get(valueIdx))
       }
     }

@@ -106,7 +106,10 @@ class PiWebApiSource(cfg: PiWebApiConfig) extends Serializable {
   }
 
   def getData(spark: SparkSession, selector: SeriesSelector, start: Timestamp, end: Timestamp): DataFrame =
-    pointsFrame(spark, fetchData(cfg, streamUrl(cfg, seriesName(selector), "RecordedData"), start, end, None))
+    pointsFrame(
+      spark,
+      fetchData(cfg, streamUrl(cfg, pointsUrl(cfg), seriesName(selector), "RecordedData"), start, end, None),
+    )
 
   /** Server-side plot reduction (piwebapi_da.py:129 `get_plot_data`):
     * the point's PlotData stream with an `intervals` parameter.
@@ -120,7 +123,7 @@ class PiWebApiSource(cfg: PiWebApiConfig) extends Serializable {
   ): DataFrame =
     pointsFrame(
       spark,
-      fetchData(cfg, streamUrl(cfg, seriesName(selector), "PlotData"), start, end, Some(intervalCount)),
+      fetchData(cfg, streamUrl(cfg, pointsUrl(cfg), seriesName(selector), "PlotData"), start, end, Some(intervalCount)),
     )
 
   /** Distributed multi-series read: one paginated stream read per
@@ -129,9 +132,11 @@ class PiWebApiSource(cfg: PiWebApiConfig) extends Serializable {
   def dataForKeys(spark: SparkSession, keys: Seq[SeriesKey], start: Timestamp, end: Timestamp): DataFrame = {
     require(keys.nonEmpty, "piwebapi data read needs at least one series")
     val c = cfg
-    // stream links resolve on the driver (one nameFilter round trip per
-    // series — bounded metadata); the data pages fetch in executors
-    val tasks = keys.map(k => (k.name, streamUrl(c, k.tags.getOrElse(SeriesSelector.SeriesNameTag, k.name), "RecordedData")))
+    // stream links resolve on the driver — the archive's Points URL
+    // fetched ONCE, then one nameFilter round trip per series (bounded
+    // metadata); the data pages fetch in executors
+    val points = pointsUrl(c)
+    val tasks = keys.map(k => (k.name, streamUrl(c, points, k.tags.getOrElse(SeriesSelector.SeriesNameTag, k.name), "RecordedData")))
     val rows = spark.sparkContext
       .parallelize(tasks, math.min(tasks.size, spark.sparkContext.defaultParallelism))
       .flatMap { case (name, url) =>
@@ -177,6 +182,9 @@ object PiWebApiSource {
     StructField("data_type", StringType),
     StructField("dictionary_name", StringType),
   ))
+
+  // one client per JVM (thread-safe, pooled) — not one per request
+  private lazy val http = java.net.http.HttpClient.newHttpClient()
 
   /** PointType → kukur DataType (piwebapi_da.py:398); absent types
     * make the point invisible, like the reference's `return None`.
@@ -227,20 +235,23 @@ object PiWebApiSource {
       val auth = java.util.Base64.getEncoder.encodeToString(s"$u:$p".getBytes("UTF-8"))
       b.header("Authorization", s"Basic $auth")
     }
-    val resp = java.net.http.HttpClient
-      .newHttpClient()
-      .send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+    val resp = http.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() != 404, s"Data not found for $url")
     require(resp.statusCode() < 400, s"piwebapi request failed (${resp.statusCode()}): ${resp.body().take(200)}")
     new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
   }
 
+  /** The archive's Links.Points collection URL — one round trip,
+    * shared by every per-series lookup.
+    */
+  private def pointsUrl(cfg: PiWebApiConfig): String =
+    get(cfg, cfg.dataArchiveUri, Map("selectedFields" -> "Links.Points"))
+      .path("Links").path("Points").asText()
+
   /** Resolve a tag's stream link via nameFilter
     * (piwebapi_da.py:315 `_get_data_url` / :343 `_get_plot_data_url`).
     */
-  private def streamUrl(cfg: PiWebApiConfig, name: String, link: String): String = {
-    val archive = get(cfg, cfg.dataArchiveUri, Map("selectedFields" -> "Links.Points"))
-    val pointsUrl = archive.path("Links").path("Points").asText()
+  private def streamUrl(cfg: PiWebApiConfig, pointsUrl: String, name: String, link: String): String = {
     val items = get(
       cfg,
       pointsUrl,

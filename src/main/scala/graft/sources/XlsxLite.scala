@@ -383,6 +383,8 @@ object XlsxLite {
     val r = xmlReader(sheetXml)
     val rows = Vector.newBuilder[Vector[Cell]]
     var maxWidth = 0
+    var rowCount = 0
+    var declaredRow = -1
     val row = mutable.ArrayBuffer.empty[Cell]
     var cellType = ""
     var cellStyle = 0
@@ -433,7 +435,14 @@ object XlsxLite {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
             r.getLocalName match {
-              case "row" => row.clear()
+              case "row" =>
+                row.clear()
+                declaredRow = -1
+                var i = 0
+                while (i < r.getAttributeCount) {
+                  if (r.getAttributeLocalName(i) == "r") declaredRow = r.getAttributeValue(i).toInt
+                  i += 1
+                }
               case "c" =>
                 cellType = ""
                 cellStyle = 0
@@ -464,8 +473,16 @@ object XlsxLite {
               case "is" => inIs = false
               case "c" => finishCell()
               case "row" =>
+                // gaps in the r= numbering are empty rows a writer may
+                // omit entirely — openpyxl's worksheet.values yields a
+                // None row for each, so emit them (padded at the end)
+                while (declaredRow > rowCount + 1) {
+                  rows += Vector.empty
+                  rowCount += 1
+                }
                 if (row.length > maxWidth) maxWidth = row.length
                 rows += row.toVector
+                rowCount += 1
               case _ => ()
             }
           case _ => ()

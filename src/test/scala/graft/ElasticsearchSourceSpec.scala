@@ -122,8 +122,9 @@ class ElasticsearchSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
           if (terms.get("name").contains("h2o") && terms.get("location").contains("coyote_creek") && field == "water_level")
             Points.filter { case (t, _) => val i = Instant.parse(t); !i.isBefore(gte) && !i.isAfter(lte) }
           else Nil
+        val size = body.path("size").asInt(10)
         val from = Option(body.get("search_after")).map(_.get(0).asInt() + 1).getOrElse(0)
-        val page = pts.zipWithIndex.slice(from, from + 2).map { case ((t, v), i) =>
+        val page = pts.zipWithIndex.slice(from, from + size).map { case ((t, v), i) =>
           s"""{"fields":{"ts":["$t"],"$field":[$v]},"sort":[$i]}"""
         }
         respond(ex, s"""{"hits":{"total":{"value":${pts.length}},"hits":[${page.mkString(",")}]}}""")
@@ -171,6 +172,7 @@ class ElasticsearchSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
          |type = "elasticsearch"
          |host = "127.0.0.1"
          |port = $port
+         |query_page_size = 2
          |tag_columns = ["name", "location"]
          |field_columns = ["water_level", "temperature"]
          |metadata_columns = ["name", "description", "limits.low", "limits.high"]

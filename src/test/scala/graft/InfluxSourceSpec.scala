@@ -106,7 +106,7 @@ class InfluxSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val params: Map[String, String] = a.get("params") match {
       case Some(j) =>
         val n = mapper.readTree(j)
-        n.fieldNames().asScalaStub.map(f => f -> n.get(f).asText()).toMap
+        scala.jdk.CollectionConverters.IteratorHasAsScala(n.fieldNames()).asScala.map(f => f -> n.get(f).asText()).toMap
       case None => Map.empty
     }
     val body =
@@ -136,13 +136,6 @@ class InfluxSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         ok(series("h2o_feet", Seq("time", "water_level"), kept.map { case (t, v) => Seq(t, v) }))
       } else s"""{"results":[{"statement_id":0,"error":"unhandled: $q"}]}"""
     respond(ex, body)
-  }
-
-  private implicit class JIterStub[T](it: java.util.Iterator[T]) {
-    def asScalaStub: Iterator[T] = new Iterator[T] {
-      def hasNext: Boolean = it.hasNext
-      def next(): T = it.next()
-    }
   }
 
   private def cfg = InfluxConfig(database = "NOAA_water_database", host = "127.0.0.1", port = port)

@@ -171,6 +171,24 @@ class ReferenceExcelFixtureSpec extends AnyFunSuite {
     ))
   }
 
+  test("omitted rows (gaps in r= numbering) yield empty padded rows") {
+    // Excel-authored files omit entirely-empty rows; openpyxl's
+    // worksheet.values still yields a None row for each
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1"><v>1</v></c></row>""" +
+        """<row r="4"><c r="A4"><v>4</v></c></row>""" +
+        """</sheetData></worksheet>"""
+    val grid = XlsxLite.parseGrid(buildZip(Map("xl/worksheets/sheet1.xml" -> sheet)), "data")
+    assert(grid === Vector(
+      Vector(XlsxLite.NumCell("1")),
+      Vector(XlsxLite.NullCell),
+      Vector(XlsxLite.NullCell),
+      Vector(XlsxLite.NumCell("4")),
+    ))
+  }
+
   test("rich-text shared strings concatenate their runs") {
     val sst =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
