@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.SeriesSelector
 import graft.operators.TimeSeriesOps
-import graft.sources.{ConfiguredSource, ElasticsearchSource, EsConfig, EsOptions, GraftConfig, InfluxConfig, InfluxSource, MetadataConfig, MetadataSource, PiWebApiConfig, PiWebApiSource, PluginSource, SeriesKey, SimulatorSignal, Simulators, SourceConfig}
+import graft.sources.{ConfiguredSource, ElasticsearchSource, EsConfig, EsOptions, GraftConfig, InfluxConfig, InfluxSource, MetadataConfig, MetadataSource, PiAfConfig, PiAfSource, PiWebApiConfig, PiWebApiSource, PluginSource, SeriesKey, SimulatorSignal, Simulators, SourceConfig}
 
 /** The client facade — graft's equivalent of the reference's Flight API
   * surface (kukur/client.py: search, get_metadata, get_data,
@@ -46,6 +46,7 @@ final class Graft(spark: SparkSession) {
   final case class InfluxRegistered(influx: InfluxSource, metadata: Seq[MetadataSource] = Nil) extends Registered
   final case class EsRegistered(es: ElasticsearchSource) extends Registered
   final case class PiRegistered(pi: PiWebApiSource) extends Registered
+  final case class PiAfRegistered(af: PiAfSource) extends Registered
   final case class UnavailableRegistered(sourceType: String) extends Registered
 
   private val sources = mutable.LinkedHashMap.empty[String, Registered]
@@ -76,6 +77,11 @@ final class Graft(spark: SparkSession) {
 
   def registerPiWebApiSource(name: String, config: PiWebApiConfig): this.type = {
     sources(name) = PiRegistered(new PiWebApiSource(config))
+    this
+  }
+
+  def registerPiAfSource(name: String, config: PiAfConfig): this.type = {
+    sources(name) = PiAfRegistered(new PiAfSource(config))
     this
   }
 
@@ -119,6 +125,7 @@ final class Graft(spark: SparkSession) {
     case i: InfluxRegistered => i.influx.search(spark)
     case e: EsRegistered => e.es.search(spark)
     case pi: PiRegistered => pi.pi.search(spark)
+    case af: PiAfRegistered => af.af.search(spark)
     case s: SimulatorRegistered =>
       import spark.implicits._
       s.signals.map(sig => (sig.seriesName, sig.signalType)).toDF("series_name", "signal_type")
@@ -180,6 +187,7 @@ final class Graft(spark: SparkSession) {
       case i: InfluxRegistered => i.influx.getData(spark, selector, start, end)
       case e: EsRegistered => e.es.getData(spark, selector, start, end)
       case pi: PiRegistered => pi.pi.getData(spark, selector, start, end)
+      case af: PiAfRegistered => af.af.getData(spark, selector, start, end)
       case s: SimulatorRegistered => simulatorData(s, selector, start, end)
     }
 
@@ -220,6 +228,7 @@ final class Graft(spark: SparkSession) {
       // PI serves plot-reduced data itself (the PlotData stream with
       // an intervals parameter) — no client-side bucketing needed
       pi.pi.getPlotData(spark, selector, start, end, intervalCount)
+    case af: PiAfRegistered => af.af.getPlotData(spark, selector, start, end, intervalCount)
     case s: SimulatorRegistered =>
       TimeSeriesOps.plotData(simulatorData(s, selector, start, end), Seq("series_name"), start, end, intervalCount)
   }
@@ -257,6 +266,10 @@ final class Graft(spark: SparkSession) {
         }
       case e: EsRegistered => e.es.getMetadata(spark, selector)
       case pi: PiRegistered => pi.pi.getMetadata(spark, selector)
+      case _: PiAfRegistered =>
+        // the reference's AF get_metadata raises NotImplementedError
+        // (piwebapi_af.py:55) — search carries the metadata instead
+        throw new UnsupportedOperationException("piwebapi-af sources answer metadata through search")
       case _: SimulatorRegistered =>
         throw new IllegalArgumentException(s"simulator source $sourceName has no metadata")
     }
@@ -344,6 +357,7 @@ object Graft {
       case GraftConfig.DeclaredInflux(name, config, metadata) => g.registerInfluxSource(name, config, metadata)
       case GraftConfig.DeclaredEs(name, config, options) => g.registerElasticsearchSource(name, config, options)
       case GraftConfig.DeclaredPiWebApi(name, config) => g.registerPiWebApiSource(name, config)
+      case GraftConfig.DeclaredPiAf(name, config) => g.registerPiAfSource(name, config)
       case GraftConfig.DeclaredUnavailable(name, typ) => g.sources(name) = g.UnavailableRegistered(typ)
     }
     g

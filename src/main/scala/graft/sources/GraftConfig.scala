@@ -59,6 +59,7 @@ object GraftConfig {
   final case class DeclaredInflux(name: String, config: InfluxConfig, metadata: Seq[MetadataConfig] = Nil) extends Declared
   final case class DeclaredEs(name: String, config: EsConfig, options: EsOptions) extends Declared
   final case class DeclaredPiWebApi(name: String, config: PiWebApiConfig) extends Declared
+  final case class DeclaredPiAf(name: String, config: PiAfConfig) extends Declared
 
   /** A source whose `type` this engine has no connector for. The
     * reference resolves types LAZILY (SourceFactory.get_source raises
@@ -69,7 +70,8 @@ object GraftConfig {
   final case class DeclaredUnavailable(name: String, sourceType: String) extends Declared
 
   private val fileTypes = Set("csv", "parquet", "json", "orc", "feather", "arrows", "delta")
-  private val supportedTypes = fileTypes ++ Set("plugin", "simulator", "influxdb", "elasticsearch", "piwebapi-da")
+  private val supportedTypes =
+    fileTypes ++ Set("plugin", "simulator", "influxdb", "elasticsearch", "piwebapi-da", "piwebapi-af", "piwebapi-af-template")
 
   def load(configPath: String): Seq[Declared] = {
     val path = Paths.get(configPath).toAbsolutePath
@@ -88,6 +90,7 @@ object GraftConfig {
         else if (typ == "influxdb") declaredInflux(root, dir, name, node)
         else if (typ == "elasticsearch") declaredEs(root, name, node)
         else if (typ == "piwebapi-da") declaredPiWebApi(name, node)
+        else if (typ == "piwebapi-af" || typ == "piwebapi-af-template") declaredPiAf(name, node, typ)
         else declaredFile(root, dir, name, node, typ)
       }
       .toSeq
@@ -127,6 +130,48 @@ object GraftConfig {
         maxReturnedItemsPerCall =
           Option(node.get("max_returned_items_per_call")).map(_.asInt).getOrElse(150000),
         includeSystemStates = Option(node.get("include_system_states")).exists(_.asBoolean),
+        username = str(node, "username"),
+        password = str(node, "password"),
+      ),
+    )
+
+  /** `type = "piwebapi-af"` / `"piwebapi-af-template"` — the reference
+    * registers both names onto the same PIAssetFramework
+    * (source/__init__.py:83-84); required database_uri, the
+    * AFTemplateSourceConfiguration vocabulary with its defaults
+    * (pi_asset_framework.py:66 from_data).
+    */
+  private def declaredPiAf(name: String, node: JsonNode, typ: String): DeclaredPiAf =
+    DeclaredPiAf(
+      name,
+      PiAfConfig(
+        databaseUri = str(node, "database_uri")
+          .getOrElse(fail(s"""$name sources require a "database_uri" entry""")),
+        rootId = str(node, "root_id"),
+        elementTemplate = str(node, "element_template"),
+        elementCategory = str(node, "element_category"),
+        attributeNames = strSeq(node, "attribute_names"),
+        attributeCategory = str(node, "attribute_category"),
+        allowedDataReferences = strSeq(node, "allowed_data_references").getOrElse(Seq("PI Point")),
+        // the two type names flip the naming defaults: piwebapi-af
+        // forces attribute-as-series with path names when unset
+        // (piwebapi_af.py:43-46); the template flavor keeps the
+        // AFTemplateSourceConfiguration defaults (true/false)
+        attributesAsFields = Option(node.get("attributes_as_fields"))
+          .map(_.asBoolean)
+          .getOrElse(typ == "piwebapi-af-template"),
+        useAttributePath = Option(node.get("use_attribute_path"))
+          .map(_.asBoolean)
+          .getOrElse(typ == "piwebapi-af"),
+        includeSystemStates = Option(node.get("include_system_states")).exists(_.asBoolean),
+        timeoutSeconds = Option(node.get("timeout_seconds")).map(_.asInt).getOrElse(60),
+        metadataTimeoutSeconds =
+          Option(node.get("metadata_request_timeout_seconds")).map(_.asInt).getOrElse(10),
+        maxReturnedItemsPerCall =
+          Option(node.get("max_returned_items_per_call")).map(_.asInt).getOrElse(150000),
+        maxReturnedMetadataItemsPerCall =
+          Option(node.get("max_returned_metadata_items_per_call")).map(_.asInt).getOrElse(150),
+        webIdType = str(node, "web_id_type").getOrElse("Full"),
         username = str(node, "username"),
         password = str(node, "password"),
       ),

@@ -220,7 +220,7 @@ object PiWebApiSource {
   }
 
   /** One GET with query params; basic auth when configured. */
-  private def get(cfg: PiWebApiConfig, url: String, params: Map[String, String]): JsonNode = {
+  private[sources] def get(cfg: PiWebApiConfig, url: String, params: Map[String, String]): JsonNode = {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     val sep = if (url.contains('?')) "&" else "?"
     val full =
@@ -273,7 +273,7 @@ object PiWebApiSource {
     * duplicated boundary rows popped; system states skipped or kept
     * null-valued per `include_system_states`.
     */
-  private def fetchData(
+  private[sources] def fetchData(
       cfg: PiWebApiConfig,
       dataUrl: String,
       start: Timestamp,

@@ -1,0 +1,528 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+import java.time.Instant
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.SeriesSelector
+import graft.sources.{PiAfConfig, PiAfSource, SeriesKey}
+
+/** PI Asset Framework source against an in-process stub serving the
+  * reference's OWN mock corpus — the BATCH_RESPONSE /
+  * BATCH_FILTER_ROOT / category / paginated / error fixtures of
+  * `/root/reference/tests/source/test_piwebapi_af_template.py:26-860`
+  * and the data streams of `test_piwebapi_af.py` — with all 17
+  * af-template search cases and the 6 AF data cases mirrored on the
+  * same inputs and expected outputs, over real HTTP instead of the
+  * reference's `requests` mocks.
+  */
+class PiAfSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = TestSpark.spark
+
+  private val mapper = new ObjectMapper()
+  private var server: HttpServer = _
+  private var base: String = _
+  private def dbUri = s"$base/piwebapi/assetdatabases/DB1"
+  private def rootUri = s"$base/piwebapi/elements/ROOT1"
+  private def phasesUri = s"$base/piwebapi/enumerationsets/PHASES/enumerationvalues"
+
+  /** which canned corpus the batch endpoint serves */
+  @volatile private var mode: String = "normal"
+
+  // ---- fixture JSON (the reference's test corpus) ---------------------
+
+  private def attr(
+      webId: String,
+      name: String,
+      path: String,
+      typ: String = "Double",
+      typeQualifier: Option[String] = None,
+      plugin: String = "PI Point",
+      cats: Seq[String] = Seq("Measurement"),
+      step: Boolean = false,
+      span: Option[Double] = Some(100.0),
+      zero: Option[Double] = Some(0.0),
+      enumLink: Option[String] = None,
+  ): String = {
+    val tq = typeQualifier.map(t => s""","TypeQualifier":${mapper.writeValueAsString(t)}""").getOrElse("")
+    val links = enumLink.map(l => s""","Links":{"EnumerationValues":${mapper.writeValueAsString(l)}}""").getOrElse("")
+    s"""{"WebId":"$webId","Name":"$name","Description":"","Path":${mapper.writeValueAsString(path)},
+        "Type":"$typ"$tq,"DefaultUnitsNameAbbreviation":"","DataReferencePlugIn":"$plugin",
+        "CategoryNames":[${cats.map(mapper.writeValueAsString).mkString(",")}],
+        "Step":$step,"Span":${span.map(_.toString).getOrElse("null")},"Zero":${zero.map(_.toString).getOrElse("null")}$links}"""
+  }
+
+  /** the reference's per-element attribute set (6 attrs, one filtered) */
+  private def elementAttrs(p: String, site: String, reactor: String, phaseEnum: Boolean): String = {
+    val root = s"\\\\vm-ts-pi\\Timeseer\\$site\\$reactor"
+    Seq(
+      attr(s"${p}_1", "Active", s"$root|Status|Active", cats = Seq("Status"), step = true, span = Some(1.0)),
+      attr(s"${p}_2", "Concentration", s"$root|Concentration", span = Some(200.0)),
+      attr(s"${p}_3", "Level", s"$root|Level"),
+      if (phaseEnum)
+        attr(s"${p}_4", "Phase", s"$root|Status|Phase", typ = "EnumerationValue",
+          typeQualifier = Some("Phases"), cats = Seq("Status"), step = true, span = Some(7.0),
+          enumLink = Some(phasesUri))
+      else attr(s"${p}_4", "Phase", s"$root|Status|Phase", cats = Seq("Status"), step = true, span = Some(7.0)),
+      attr(s"${p}_5", "Status", s"$root|Status", plugin = "", cats = Nil, step = true, span = None, zero = None),
+      attr(s"${p}_6", "Temperature", s"$root|Temperature"),
+    ).mkString(",")
+  }
+
+  private def element(webId: String, name: String, desc: String, cats: Seq[String]): String =
+    s"""{"WebId":"$webId","Name":"$name","Description":${mapper.writeValueAsString(desc)},
+        "CategoryNames":[${cats.map(mapper.writeValueAsString).mkString(",")}],
+        "Links":{"Attributes":"$base/piwebapi/elements/$webId/attributes"}}"""
+
+  private def ok200(items: String): String = s"""{"Status":200,"Headers":{},"Content":{"Items":[$items]}}"""
+  private def inner200(items: String): String = s"""{"Status":200,"Content":{"Items":[$items]}}"""
+
+  private def batchResponse: String =
+    s"""{"GetAttributes":{"Status":207,"Headers":{},"Content":{"Total":2,"Items":[
+          ${inner200(elementAttrs("A1", "TSAI Houston", "Reactor01", phaseEnum = true))},
+          ${inner200(elementAttrs("A2", "TSAI Antwerp", "Reactor02", phaseEnum = false))}]}},
+        "GetElements":${ok200(Seq(
+        element("R1", "Reactor01", "Reactor Houston", Seq("Production")),
+        element("R2", "Reactor02", "Reactor Antwerp", Seq("Test")),
+      ).mkString(","))}}"""
+
+  private def batchFilterRootResponse: String =
+    s"""{"GetAttributes":{"Status":207,"Headers":{},"Content":{"Total":1,"Items":[
+          ${inner200(elementAttrs("A2", "TSAI Antwerp", "Reactor02", phaseEnum = false))}]}},
+        "GetElements":${ok200(element("R2", "Reactor02", "Reactor Antwerp", Seq("Test")))}}"""
+
+  private def batchEmptyAttributes: String =
+    s"""{"GetAttributes":{"Status":207,"Headers":{},"Content":{"Total":1,"Items":[
+          {"Status":200,"Content":{}}]}},
+        "GetElements":${ok200(element("R1", "Reactor01", "Reactor Houston", Seq("Production")))}}"""
+
+  private def batchError: String =
+    s"""{"GetAttributes":{"Status":409,"Headers":{},"Content":"The following ParentIds did not complete successfully: GetElements."},
+        "GetElements":{"Status":400,"Headers":{},"Content":{"Errors":["The specified element category was not found in the specified Asset Database."]}}}"""
+
+  private def batchGlobalErrorAttributes: String =
+    s"""{"GetAttributes":{"Status":409,"Headers":{},"Content":"Error during GetAttributes requests."},
+        "GetElements":${ok200(Seq(
+        element("R1", "Reactor01", "Reactor Houston", Seq("Production")),
+        element("R2", "Reactor02", "Reactor Antwerp", Seq("Test")),
+      ).mkString(","))}}"""
+
+  private def batchPartialErrorAttributes: String =
+    s"""{"GetAttributes":{"Status":207,"Headers":{},"Content":{"Total":2,"Items":[
+          {"Status":404,"Content":{"Message":"No HTTP resource was found that matches the request URI."}},
+          ${inner200(attr("A2_2", "Concentration", "\\\\vm-ts-pi\\\\Timeseer\\\\TSAI Antwerp\\\\Reactor02|Concentration", span = Some(200.0)))}]}},
+        "GetElements":${ok200(Seq(
+        element("R1", "Reactor01", "Reactor Houston", Seq("Production")),
+        element("R2", "Reactor02", "Reactor Antwerp", Seq("Test")),
+      ).mkString(","))}}"""
+
+  private def categoryAttr(webId: String, name: String, reactor: String, path: String): String =
+    s"""{"WebId":"$webId","Name":"$name","Description":"","Path":${mapper.writeValueAsString(s"\\\\vm-ts-pi\\WriteBack\\Reactors\\$reactor|$path")},
+        "Type":"Double","TypeQualifier":"","DefaultUnitsNameAbbreviation":"","DataReferencePlugIn":"PI Point",
+        "CategoryNames":["Validation"],"Step":false,"Span":100.0,"Zero":0.0,
+        "Links":{"Element":"$base/piwebapi/elements/$webId"}}"""
+
+  private def categoryElement(webId: String, name: String): String =
+    s"""{"Status":200,"Content":{"WebId":"$webId","Name":"$name","Description":"","TemplateName":"Reactor","CategoryNames":[]}}"""
+
+  private def batchCategoryResponse: String =
+    s"""{"GetElement":{"Status":207,"Headers":{},"Content":{"Total":2,"Items":[
+          ${categoryElement("R1", "Reactor01")},${categoryElement("R2", "Reactor02")}]}},
+        "GetAttributes":{"Status":200,"Content":{"Items":[
+          ${categoryAttr("A1", "Level", "Reactor01", "Level")},
+          ${categoryAttr("A2", "Active", "Reactor02", "Status|Active")}]}}}"""
+
+  private def categoryPage(startIndex: Int): String = startIndex match {
+    case 0 =>
+      s"""{"GetElement":{"Status":207,"Headers":{},"Content":{"Total":1,"Items":[${categoryElement("R1", "Reactor01")}]}},
+          "GetAttributes":{"Status":200,"Content":{"Items":[${categoryAttr("A1", "Level", "Reactor01", "Level")}]}}}"""
+    case 1 =>
+      s"""{"GetElement":{"Status":207,"Headers":{},"Content":{"Total":1,"Items":[${categoryElement("R2", "Reactor02")}]}},
+          "GetAttributes":{"Status":200,"Content":{"Items":[${categoryAttr("A2", "Active", "Reactor02", "Status|Active")}]}}}"""
+    case _ =>
+      s"""{"GetElement":{"Status":400,"Headers":{},"Content":"Some JSON paths did not select any tokens: $$.GetAttributes.Content.Items[*].Links.Element."},
+          "GetAttributes":{"Status":200,"Headers":{},"Content":{"Items":[]}}}"""
+  }
+
+  private def templatePage(startIndex: Int): String = startIndex match {
+    case 0 | 1 =>
+      val (e, n, a) = if (startIndex == 0) ("R1", "Reactor01", "TA1") else ("R2", "Reactor02", "TA2")
+      s"""{"GetElements":${ok200(element(e, n, "", Nil))},
+          "GetAttributes":{"Status":207,"Headers":{},"Content":{"Total":1,"Items":[
+            ${inner200(attr(a, "Level", s"\\\\vm-ts-pi\\\\Timeseer\\\\$n|Level"))}]}}}"""
+    case _ =>
+      s"""{"GetElements":{"Status":200,"Headers":{},"Content":{"Items":[]}},
+          "GetAttributes":{"Status":400,"Headers":{},"Content":"Some JSON paths did not select any tokens: $$.GetElements.Content.Items[*].Links.Attributes."}}"""
+  }
+
+  // the DA suite's data points (test_piwebapi_af.py shares them)
+  private val SystemPoint = """{"Name":"Shutdown","Value":254,"IsSystem":true}"""
+  private val DataPoints: Seq[(String, String, Boolean)] = Seq(
+    ("2020-01-01T00:00:00Z", "81.83204", true),
+    ("2020-01-01T07:33:25Z", "13.6064939", true),
+    ("2020-01-01T08:37:25Z", "0.9678813", true),
+    ("2020-01-01T09:42:25Z", "3.38636", true),
+    ("2020-01-01T09:42:25Z", "23.6581783", true),
+    ("2020-01-01T09:42:25Z", "23.6581783", true),
+    ("2020-01-01T09:44:25Z", "23.6581783", true),
+    ("2020-01-01T17:24:18Z", SystemPoint, false),
+    ("2020-01-02T00:00:00Z", "81.83204", true),
+    ("2020-01-02T07:33:25Z", "13.6064939", true),
+    ("2020-01-02T08:37:25Z", "0.9678813", true),
+    ("2020-01-02T09:42:25Z", "3.38636", true),
+    ("2020-01-02T10:56:25Z", "23.6581783", true),
+    ("2020-01-03T00:00:00Z", "81.83204", true),
+    ("2020-01-03T07:33:25Z", "13.6064939", true),
+    ("2020-01-03T08:37:25Z", "0.9678813", true),
+    ("2020-01-03T09:42:25Z", "3.38636", true),
+    ("2020-01-03T10:56:25Z", "23.6581783", true),
+  )
+
+  private def systemStream(startTime: String): Seq[(String, String, Boolean)] =
+    if (startTime.startsWith("2020-01-01T17:24:21"))
+      Seq(("2020-01-01T17:24:21Z", SystemPoint, false), ("2020-01-02T00:00:00Z", "81.83204", true))
+    else
+      Seq(
+        ("2020-01-01T17:24:18Z", SystemPoint, false),
+        ("2020-01-01T17:24:19Z", SystemPoint, false),
+        ("2020-01-01T17:24:20Z", SystemPoint, false),
+        ("2020-01-01T17:24:21Z", SystemPoint, false),
+      )
+
+  // ---- the stub server -------------------------------------------------
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    base = s"http://127.0.0.1:${server.getAddress.getPort}"
+  }
+
+  override def afterAll(): Unit = {
+    server.stop(0)
+    super.afterAll()
+  }
+
+  private def respond(ex: HttpExchange, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(200, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes)
+    os.close()
+  }
+
+  private def args(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").filter(_.nonEmpty).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k -> java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+
+  private def startIndexOf(resource: String): Int =
+    "startIndex=(\\d+)".r.findFirstMatchIn(resource).map(_.group(1).toInt).getOrElse(0)
+
+  private def page(points: Seq[(String, String, Boolean)], a: Map[String, String]): String = {
+    val start = Instant.parse(a("startTime"))
+    val end = Instant.parse(a("endTime"))
+    val max = a("maxCount").toInt
+    val kept = points
+      .filter { case (t, _, _) => val i = Instant.parse(t); !i.isBefore(start) && !i.isAfter(end) }
+      .take(max)
+      .map { case (t, v, g) => s"""{"Timestamp":"$t","Value":$v,"Good":$g}""" }
+    s"""{"Items":[${kept.mkString(",")}]}"""
+  }
+
+  private def handle(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    if (ex.getRequestMethod == "POST" && path == "/piwebapi/batch") {
+      val body: JsonNode = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      val response = mode match {
+        case "global-error" => batchGlobalErrorAttributes
+        case "partial-error" => batchPartialErrorAttributes
+        case "empty" => batchEmptyAttributes
+        case "template-paginated" =>
+          templatePage(startIndexOf(body.path("GetElements").path("Resource").asText()))
+        case "category-paginated" =>
+          categoryPage(startIndexOf(body.path("GetAttributes").path("Resource").asText()))
+        case _ =>
+          if (body.has("GetElement")) {
+            // the reference's own assertion: the category rides quoted
+            // inside the attribute search query
+            val resource = body.path("GetAttributes").path("Resource").asText()
+            assert(java.net.URLDecoder.decode(resource, "UTF-8").contains("category:\"Validation Series\""))
+            batchCategoryResponse
+          } else {
+            val resource = body.path("GetElements").path("Resource").asText()
+            if (resource.contains("categoryName=Invalid")) batchError
+            else {
+              assert(resource.contains("templateName=Reactor"))
+              assert(resource.startsWith(s"$dbUri/elements") || resource.startsWith(s"$rootUri/elements"))
+              if (resource.startsWith(s"$rootUri/elements")) batchFilterRootResponse else batchResponse
+            }
+          }
+      }
+      respond(ex, response)
+    } else {
+      val a = args(ex)
+      path match {
+        case "/piwebapi/elements/ROOT1" =>
+          val db = if (mode == "invalid-root") s"$base/piwebapi/hacker" else dbUri
+          respond(ex, s"""{"Links":{"Database":"$db"}}""")
+        case "/piwebapi/enumerationsets/PHASES/enumerationvalues" =>
+          respond(ex, """{"Items":[{"Name":"Phase1","Value":0},{"Name":"Phase2","Value":1}]}""")
+        case "/streams/A2/recorded" => respond(ex, page(DataPoints, a))
+        case "/streams/SYS/recorded" => respond(ex, page(systemStream(a("startTime")), a))
+        case "/streams/A2/plot" =>
+          assert(a.contains("intervals"))
+          respond(ex, page(DataPoints.map { case (t, v, g) => (t.replace("2020-", "2021-"), v, g) }, a))
+        case other => throw new IllegalStateException(s"unexpected path $other")
+      }
+    }
+  }
+
+  // ---- search: the 17 reference af_template cases ----------------------
+
+  private def cfg(
+      template: Option[String] = Some("Reactor"),
+      category: Option[String] = None,
+      rootId: Option[String] = None,
+      attributesAsFields: Boolean = true,
+      useAttributePath: Boolean = false,
+      attributeNames: Option[Seq[String]] = None,
+      elementCategory: Option[String] = None,
+      metaPage: Int = 150,
+  ) = PiAfConfig(
+    databaseUri = dbUri,
+    rootId = rootId,
+    elementTemplate = template,
+    elementCategory = elementCategory,
+    attributeNames = attributeNames,
+    attributeCategory = category,
+    attributesAsFields = attributesAsFields,
+    useAttributePath = useAttributePath,
+    maxReturnedMetadataItemsPerCall = metaPage,
+  )
+
+  private def rows(c: PiAfConfig): Seq[org.apache.spark.sql.Row] = {
+    mode = if (mode.startsWith("__")) "normal" else mode
+    new PiAfSource(c).search(spark).collect().toSeq
+  }
+
+  test("test_search: 10 series, template column, categories, fallback description") {
+    mode = "normal"
+    val all = rows(cfg())
+    assert(all.length == 10)
+    val concentration = all.filter(_.getAs[String]("field") == "Concentration")
+    assert(concentration.length == 2)
+    assert(concentration.map(_.getAs[String]("Reactor")).sorted.toSeq == Seq("Reactor01", "Reactor02"))
+    val m = concentration.find(_.getAs[String]("Reactor") == "Reactor01").get
+    assert(m.getAs[String]("series name") == "Reactor01")
+    assert(m.getAs[String]("__id__") == "A1_2")
+    assert(m.getAs[String]("description") == "Reactor Houston")
+    assert(m.getAs[String]("data_type") == "FLOAT64")
+    assert(m.getAs[String]("Element category") == "Production")
+    assert(m.getAs[String]("Attribute category") == "Measurement")
+    assert(m.getAs[String]("limit_low_functional") == "0.0")
+    assert(m.getAs[String]("limit_high_functional") == "200.0")
+  }
+
+  test("test_search_attribute_as_tag: attribute names become series names") {
+    mode = "normal"
+    val all = rows(cfg(attributesAsFields = false))
+    assert(all.length == 10)
+    val concentration = all.filter(_.getAs[String]("series name") == "Concentration")
+    assert(concentration.length == 2)
+    val m = concentration.find(_.getAs[String]("Reactor") == "Reactor01").get
+    assert(m.getAs[String]("element") == "Reactor01")
+    assert(m.getAs[String]("__id__") == "A1_2")
+    assert(m.getAs[String]("field") == "value")
+  }
+
+  test("test_search_attribute_path: |-paths as series names") {
+    mode = "normal"
+    val all = rows(cfg(attributesAsFields = false, useAttributePath = true))
+    assert(all.length == 10)
+    assert(all.count(_.getAs[String]("series name") == "Status|Active") == 2)
+  }
+
+  test("test_search_missing_element_template: empty without template or category") {
+    mode = "normal"
+    assert(rows(cfg(template = None)).isEmpty)
+  }
+
+  test("test_search_attribute_filter: attribute_names select by path") {
+    mode = "normal"
+    val all = rows(cfg(attributeNames = Some(Seq("Level", "Status|Active"))))
+    assert(all.length == 4)
+    assert(all.count(_.getAs[String]("field") == "Active") == 2)
+  }
+
+  test("test_search_invalid_category: batch errors surface") {
+    mode = "normal"
+    val e = intercept[IllegalStateException](rows(cfg(elementCategory = Some("Invalid"))))
+    assert(e.getMessage.contains("element category was not found"))
+    assert(e.getMessage.contains("ParentIds"))
+  }
+
+  test("test_search_root_uri: element root narrows the search") {
+    mode = "normal"
+    val all = rows(cfg(rootId = Some("ROOT1")))
+    assert(all.length == 5)
+    assert(all.forall(_.getAs[String]("Reactor") == "Reactor02"))
+  }
+
+  test("test_search_invalid_root_uri: root in another database rejected") {
+    mode = "invalid-root"
+    val e = intercept[IllegalStateException](rows(cfg(rootId = Some("ROOT1"))))
+    assert(e.getMessage.contains("not in configured database"))
+    mode = "normal"
+  }
+
+  test("test_search_no_attributes: elements without attributes yield nothing") {
+    mode = "empty"
+    assert(rows(cfg()).isEmpty)
+    mode = "normal"
+  }
+
+  test("test_search_dictionary: enumeration sets resolve and cache") {
+    mode = "normal"
+    val all = rows(cfg())
+    val phases = all.filter(_.getAs[String]("field") == "Phase")
+    assert(phases.length == 2)
+    val withDict = phases.find(_.getAs[String]("Reactor") == "Reactor01").get
+    assert(withDict.getAs[String]("data_type") == "DICTIONARY")
+    assert(withDict.getAs[String]("dictionary_name") == "Phases")
+    assert(withDict.getAs[String]("dictionary") == "0=Phase1;1=Phase2")
+    // the R2 Phase is a plain Double — no dictionary
+    assert(phases.find(_.getAs[String]("Reactor") == "Reactor02").get.getAs[String]("data_type") == "FLOAT64")
+  }
+
+  test("test_search_by_category: attribute-category search") {
+    mode = "normal"
+    val all = rows(cfg(template = None, category = Some("Validation Series")))
+    assert(all.length == 2)
+    assert(all.head.getAs[String]("series name") == "Reactor01")
+    assert(all.head.getAs[String]("Reactor") == "Reactor01") // TemplateName column
+  }
+
+  test("test_search_by_category_field_tag: attributes as series") {
+    mode = "normal"
+    val all = rows(cfg(template = None, category = Some("Validation Series"), attributesAsFields = false))
+    assert(all.length == 2)
+    assert(all.head.getAs[String]("series name") == "Level")
+    assert(all.head.getAs[String]("element") == "Reactor01")
+  }
+
+  test("test_search_by_category_use_path: |-paths in category mode") {
+    mode = "normal"
+    val all = rows(cfg(template = None, category = Some("Validation Series"),
+      attributesAsFields = false, useAttributePath = true))
+    assert(all.length == 2)
+    assert(all(1).getAs[String]("series name") == "Status|Active")
+    assert(all(1).getAs[String]("element") == "Reactor02")
+  }
+
+  test("test_search_by_category_pagination: startIndex pages until the JSON-paths 400") {
+    mode = "category-paginated"
+    val all = rows(cfg(template = None, category = Some("Validation"), metaPage = 1))
+    assert(all.length == 2)
+    assert(all.head.getAs[String]("series name") == "Reactor01")
+    mode = "normal"
+  }
+
+  test("test_search_template_pagination: element pages until the JSON-paths 400") {
+    mode = "template-paginated"
+    val all = rows(cfg(metaPage = 1))
+    assert(all.length == 2)
+    assert(all.map(_.getAs[String]("series name")).toSeq == Seq("Reactor01", "Reactor02"))
+    mode = "normal"
+  }
+
+  test("test_search_global_error_get_attributes: 409 surfaces") {
+    mode = "global-error"
+    val e = intercept[IllegalStateException](rows(cfg()))
+    assert(e.getMessage.contains("Error during GetAttributes requests"))
+    mode = "normal"
+  }
+
+  test("test_search_error_get_attributes: per-item 404 inside a 207 surfaces") {
+    mode = "partial-error"
+    val e = intercept[IllegalStateException](rows(cfg()))
+    assert(e.getMessage.contains("No HTTP resource was found"))
+    mode = "normal"
+  }
+
+  // ---- data: the 6 reference af cases (shared DA engine, __id__ urls) --
+
+  private def dataCfg(max: Int, includeSystem: Boolean = false) =
+    PiAfConfig(databaseUri = base, maxReturnedItemsPerCall = max, includeSystemStates = includeSystem)
+
+  private def byId(id: String) = SeriesSelector("", Map("__id__" -> id))
+
+  private def t(s: String) = Timestamp.from(Instant.parse(s))
+
+  test("af data: one-day read, pagination, range beyond limits") {
+    mode = "normal"
+    val src10 = new PiAfSource(dataCfg(10))
+    assert(src10.getData(spark, byId("A2"), t("2020-01-01T00:00:00Z"), t("2020-01-02T00:00:00Z")).count() == 8L)
+    val src4 = new PiAfSource(dataCfg(4))
+    val multi = src4.getData(spark, byId("A2"), t("2020-01-01T00:00:00Z"), t("2020-01-02T10:56:25Z")).orderBy("ts").collect()
+    assert(multi.length == 12)
+    assert(multi.last.getAs[Timestamp]("ts").toInstant == Instant.parse("2020-01-02T10:56:25Z"))
+    assert(src4.getData(spark, byId("A2"), t("2019-10-01T00:00:00Z"), t("2020-02-01T10:56:25Z")).count() == 17L)
+  }
+
+  test("af data: system states kept null-valued or skipped") {
+    mode = "normal"
+    val incl = new PiAfSource(dataCfg(4, includeSystem = true))
+      .getData(spark, byId("SYS"), t("2019-10-01T00:00:00Z"), t("2020-02-01T10:56:25Z")).orderBy("ts").collect()
+    assert(incl.length == 5)
+    assert(incl.head.getAs[Int]("quality") == 0 && incl.head.getAs[String]("value") == null)
+    assert(incl.last.getAs[Int]("quality") == 1 && incl.last.getAs[String]("value") == "81.83204")
+    val excl = new PiAfSource(dataCfg(4))
+      .getData(spark, byId("SYS"), t("2019-10-01T00:00:00Z"), t("2020-02-01T10:56:25Z")).collect()
+    assert(excl.length == 1)
+    assert(excl.head.getAs[Timestamp]("ts").toInstant == Instant.parse("2020-01-02T00:00:00Z"))
+  }
+
+  test("af data: server-side plot with intervals; distributed fan-out by __id__") {
+    mode = "normal"
+    val src = new PiAfSource(dataCfg(10))
+    assert(src.getPlotData(spark, byId("A2"), t("2021-01-01T00:00:00Z"), t("2021-01-02T00:00:00Z"), 200).count() == 8L)
+    val df = src.dataForKeys(spark, Seq(SeriesKey(Map("__id__" -> "A2"))), t("2020-01-01T00:00:00Z"), t("2020-01-02T00:00:00Z"))
+    assert(df.count() == 8L)
+  }
+
+  test("fromConfig: both type names register, with their naming defaults") {
+    mode = "normal"
+    val dir = java.nio.file.Files.createTempDirectory("graft-piaf-cfg")
+    java.nio.file.Files.writeString(
+      dir.resolve("graft.toml"),
+      s"""[source.af]
+         |type = "piwebapi-af"
+         |database_uri = "$dbUri"
+         |element_template = "Reactor"
+         |
+         |[source.af-template]
+         |type = "piwebapi-af-template"
+         |database_uri = "$dbUri"
+         |element_template = "Reactor"
+         |""".stripMargin,
+    )
+    val g = Graft.fromConfig(spark, dir.resolve("graft.toml").toString)
+    // piwebapi-af defaults: attribute-as-series with path names
+    val af = g.search("af").collect()
+    assert(af.length == 10)
+    assert(af.count(_.getAs[String]("series name") == "Status|Active") == 2)
+    // the template flavor defaults: attribute-as-field with plain names
+    val tmpl = g.search("af-template").collect()
+    assert(tmpl.length == 10)
+    assert(tmpl.count(_.getAs[String]("field") == "Active") == 2)
+  }
+}
