@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.SeriesSelector
 import graft.operators.TimeSeriesOps
-import graft.sources.{ConfiguredSource, ElasticsearchSource, EsConfig, EsOptions, GraftConfig, InfluxConfig, InfluxSource, MetadataConfig, MetadataSource, PiAfConfig, PiAfSource, PiWebApiConfig, PiWebApiSource, PluginSource, SeriesKey, SimulatorSignal, Simulators, SourceConfig}
+import graft.sources.{AdxConfig, AdxSource, ConfiguredSource, ElasticsearchSource, EsConfig, EsOptions, GraftConfig, InfluxConfig, InfluxSource, MetadataConfig, MetadataSource, PiAfConfig, PiAfSource, PiWebApiConfig, PiWebApiSource, PluginSource, SeriesKey, SimulatorSignal, Simulators, SourceConfig}
 
 /** The client facade — graft's equivalent of the reference's Flight API
   * surface (kukur/client.py: search, get_metadata, get_data,
@@ -47,6 +47,7 @@ final class Graft(spark: SparkSession) {
   final case class EsRegistered(es: ElasticsearchSource) extends Registered
   final case class PiRegistered(pi: PiWebApiSource) extends Registered
   final case class PiAfRegistered(af: PiAfSource) extends Registered
+  final case class AdxRegistered(adx: AdxSource) extends Registered
   final case class UnavailableRegistered(sourceType: String) extends Registered
 
   private val sources = mutable.LinkedHashMap.empty[String, Registered]
@@ -82,6 +83,11 @@ final class Graft(spark: SparkSession) {
 
   def registerPiAfSource(name: String, config: PiAfConfig): this.type = {
     sources(name) = PiAfRegistered(new PiAfSource(config))
+    this
+  }
+
+  def registerAdxSource(name: String, config: AdxConfig): this.type = {
+    sources(name) = AdxRegistered(new AdxSource(config))
     this
   }
 
@@ -126,6 +132,7 @@ final class Graft(spark: SparkSession) {
     case e: EsRegistered => e.es.search(spark)
     case pi: PiRegistered => pi.pi.search(spark)
     case af: PiAfRegistered => af.af.search(spark)
+    case a: AdxRegistered => a.adx.search(spark)
     case s: SimulatorRegistered =>
       import spark.implicits._
       s.signals.map(sig => (sig.seriesName, sig.signalType)).toDF("series_name", "signal_type")
@@ -188,6 +195,7 @@ final class Graft(spark: SparkSession) {
       case e: EsRegistered => e.es.getData(spark, selector, start, end)
       case pi: PiRegistered => pi.pi.getData(spark, selector, start, end)
       case af: PiAfRegistered => af.af.getData(spark, selector, start, end)
+      case a: AdxRegistered => a.adx.getData(spark, selector, start, end)
       case s: SimulatorRegistered => simulatorData(s, selector, start, end)
     }
 
@@ -229,6 +237,12 @@ final class Graft(spark: SparkSession) {
       // an intervals parameter) — no client-side bucketing needed
       pi.pi.getPlotData(spark, selector, start, end, intervalCount)
     case af: PiAfRegistered => af.af.getPlotData(spark, selector, start, end, intervalCount)
+    case a: AdxRegistered =>
+      // kusto has no plot action: bucket the fetched range client-side
+      TimeSeriesOps.plotData(
+        a.adx.getData(spark, selector, start, end).withColumn("value", col("value").cast("double"))
+          .withColumn("series_name", lit(selector.name)),
+        Seq("series_name"), start, end, intervalCount)
     case s: SimulatorRegistered =>
       TimeSeriesOps.plotData(simulatorData(s, selector, start, end), Seq("series_name"), start, end, intervalCount)
   }
@@ -270,6 +284,11 @@ final class Graft(spark: SparkSession) {
         // the reference's AF get_metadata raises NotImplementedError
         // (piwebapi_af.py:55) — search carries the metadata instead
         throw new UnsupportedOperationException("piwebapi-af sources answer metadata through search")
+      case a: AdxRegistered =>
+        // the reference returns empty metadata (azure_data_explorer.py:
+        // 236) — one row carrying only the selector's tags
+        import spark.implicits._
+        selector.tags.toSeq.sortBy(_._1).toDF("tag", "value")
       case _: SimulatorRegistered =>
         throw new IllegalArgumentException(s"simulator source $sourceName has no metadata")
     }
@@ -358,6 +377,7 @@ object Graft {
       case GraftConfig.DeclaredEs(name, config, options) => g.registerElasticsearchSource(name, config, options)
       case GraftConfig.DeclaredPiWebApi(name, config) => g.registerPiWebApiSource(name, config)
       case GraftConfig.DeclaredPiAf(name, config) => g.registerPiAfSource(name, config)
+      case GraftConfig.DeclaredAdx(name, config) => g.registerAdxSource(name, config)
       case GraftConfig.DeclaredUnavailable(name, typ) => g.sources(name) = g.UnavailableRegistered(typ)
     }
     g

@@ -60,6 +60,7 @@ object GraftConfig {
   final case class DeclaredEs(name: String, config: EsConfig, options: EsOptions) extends Declared
   final case class DeclaredPiWebApi(name: String, config: PiWebApiConfig) extends Declared
   final case class DeclaredPiAf(name: String, config: PiAfConfig) extends Declared
+  final case class DeclaredAdx(name: String, config: AdxConfig) extends Declared
 
   /** A source whose `type` this engine has no connector for. The
     * reference resolves types LAZILY (SourceFactory.get_source raises
@@ -71,7 +72,7 @@ object GraftConfig {
 
   private val fileTypes = Set("csv", "parquet", "json", "orc", "feather", "arrows", "delta")
   private val supportedTypes =
-    fileTypes ++ Set("plugin", "simulator", "influxdb", "elasticsearch", "piwebapi-da", "piwebapi-af", "piwebapi-af-template")
+    fileTypes ++ Set("plugin", "simulator", "influxdb", "elasticsearch", "piwebapi-da", "piwebapi-af", "piwebapi-af-template", "azure-data-explorer")
 
   def load(configPath: String): Seq[Declared] = {
     val path = Paths.get(configPath).toAbsolutePath
@@ -91,6 +92,7 @@ object GraftConfig {
         else if (typ == "elasticsearch") declaredEs(root, name, node)
         else if (typ == "piwebapi-da") declaredPiWebApi(name, node)
         else if (typ == "piwebapi-af" || typ == "piwebapi-af-template") declaredPiAf(name, node, typ)
+        else if (typ == "azure-data-explorer") declaredAdx(name, node)
         else declaredFile(root, dir, name, node, typ)
       }
       .toSeq
@@ -132,6 +134,35 @@ object GraftConfig {
         includeSystemStates = Option(node.get("include_system_states")).exists(_.asBoolean),
         username = str(node, "username"),
         password = str(node, "password"),
+      ),
+    )
+
+  /** `type = "azure-data-explorer"` (kukur/source/azure_data_explorer/
+    * azure_data_explorer.py:79 from_config): the Kusto cluster
+    * connection string, required database, and the reference's
+    * defaults for paging and throttling.
+    */
+  private def declaredAdx(name: String, node: JsonNode): DeclaredAdx =
+    DeclaredAdx(
+      name,
+      AdxConfig(
+        connectionString = str(node, "connection_string")
+          .getOrElse(fail(s"""$name sources require a "connection_string" entry""")),
+        database = str(node, "database").getOrElse(fail(s"""$name sources require a "database" entry""")),
+        table = str(node, "table"),
+        timestampColumn = str(node, "timestamp_column").getOrElse("ts"),
+        tagColumns = strSeq(node, "tag_columns").getOrElse(Nil),
+        fieldColumns = strSeq(node, "field_columns").getOrElse(Nil),
+        metadataColumns = strSeq(node, "metadata_columns").getOrElse(Nil),
+        maxItemsPerCall = Option(node.get("max_items_per_call")).map(_.asInt).getOrElse(500000),
+        listQuery = str(node, "list_query"),
+        dataQuery = str(node, "data_query"),
+        dataQueryNamedParameters = objMap(node.get("data_query_named_parameters")),
+        throttleBackoffCount = Option(node.get("throttle_backoff_count")).map(_.asInt).getOrElse(8),
+        clientId = str(node, "client_id"),
+        clientSecret = str(node, "client_secret"),
+        tenantId = str(node, "tenant_id"),
+        tokenUrl = str(node, "token_url"),
       ),
     )
 

@@ -1,0 +1,356 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+import java.time.Instant
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.SeriesSelector
+import graft.sources.{AdxConfig, AdxSource, SeriesKey}
+
+/** Azure Data Explorer source against an in-process stub speaking the
+  * public wire protocols the Azure SDKs wrap: the AAD
+  * client-credentials token grant and the Kusto `/v2/rest/query`
+  * endpoint (v2 frame responses). Mirrors the reference's own 9 test
+  * cases (tests/source/test_azure_data_explorer.py) on the same
+  * canned queries and expected outputs — distinct/summarize/custom
+  * searches, bound-parameter data queries, serialize/row_number/take
+  * pagination, E_QUERY_RESULT_SET_TOO_LARGE halving, and 429
+  * exponential backoff. The reference mocks KustoClient.execute;
+  * this stub answers over real HTTP, covering the token flow too.
+  */
+class AdxSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = TestSpark.spark
+
+  private val mapper = new ObjectMapper()
+  private var server: HttpServer = _
+  private var base: String = _
+
+  @volatile private var mode: String = "normal"
+  @volatile private var tokenRequests: Int = 0
+  @volatile private var queryCount: Int = 0
+  @volatile private var throttlesLeft: Int = 0
+  @volatile private var lastQuery: String = ""
+  @volatile private var lastParams: Map[String, String] = Map.empty
+
+  // canned corpus: 10 pressure points, one per minute
+  private val Points: Seq[(String, Double)] =
+    (1 to 10).map(i => (f"2020-01-01T00:$i%02d:00Z", i * 1.5))
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    base = s"http://127.0.0.1:${server.getAddress.getPort}"
+  }
+
+  override def afterAll(): Unit = {
+    server.stop(0)
+    super.afterAll()
+  }
+
+  private def respond(ex: HttpExchange, body: String, code: Int = 200): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes)
+    os.close()
+  }
+
+  /** v2 frame envelope with one PrimaryResult table. */
+  private def frames(columns: Seq[String], rows: Seq[Seq[Any]]): String = {
+    val cols = columns.map(c => s"""{"ColumnName":${mapper.writeValueAsString(c)},"ColumnType":"string"}""").mkString(",")
+    val rws = rows.map(_.map {
+      case s: String => mapper.writeValueAsString(s)
+      case d: Double => d.toString
+      case null      => "null"
+      case other     => mapper.writeValueAsString(other.toString)
+    }.mkString("[", ",", "]")).mkString(",")
+    s"""[{"FrameType":"DataSetHeader","Version":"v2.0"},
+        {"FrameType":"DataTable","TableKind":"PrimaryResult","TableName":"PrimaryResult","Columns":[$cols],"Rows":[$rws]},
+        {"FrameType":"DataSetCompletion"}]"""
+  }
+
+  private def limitOf(q: String): Option[Int] = "take (\\d+)".r.findFirstMatchIn(q).map(_.group(1).toInt)
+  private def offsetOf(q: String): Int =
+    "row_number\\(\\) > (\\d+)".r.findFirstMatchIn(q).map(_.group(1).toInt).getOrElse(0)
+
+  private def handle(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    path match {
+      case "/token" =>
+        tokenRequests += 1
+        assert(body.contains("grant_type=client_credentials"))
+        assert(body.contains("client_id=app1") && body.contains("client_secret=s3cret"))
+        assert(body.contains(java.net.URLEncoder.encode(s"$base//.default", "UTF-8")))
+        respond(ex, """{"access_token":"tok123","token_type":"Bearer","expires_in":3600}""")
+      case "/v2/rest/query" =>
+        assert(ex.getRequestHeaders.getFirst("Authorization") == "Bearer tok123")
+        val node = mapper.readTree(body)
+        assert(node.path("db").asText() == "telemetry")
+        val q = node.path("csl").asText()
+        lastQuery = q
+        val params = node.path("properties").path("Parameters")
+        lastParams =
+          if (params.isObject)
+            params.fieldNames().asScalaIter.map(f => f -> params.path(f).asText()).toMap
+          else Map.empty
+        queryCount += 1
+        mode match {
+          case "throttle-all" => respond(ex, """{"error":"throttled"}""", 429)
+          case "throttle-3" if throttlesLeft > 0 =>
+            throttlesLeft -= 1
+            respond(ex, """{"error":"throttled"}""", 429)
+          case "too-large" if limitOf(q).contains(6) =>
+            respond(ex, """{"error":{"@message":"E_QUERY_RESULT_SET_TOO_LARGE"}}""", 400)
+          case _ => respond(ex, route(q))
+        }
+      case other => throw new IllegalStateException(s"unexpected path $other")
+    }
+  }
+
+  private def route(q: String): String =
+    if (q.contains("telemetry-metadata"))
+      frames(
+        Seq("deviceId", "plant", "location", "data type"),
+        Seq(
+          Seq("sim000001", "Plant01", "Antwerp", "float"),
+          Seq("sim000002", "Plant02", "Antwerp", null),
+        ),
+      )
+    else if (q.contains("distinct deviceId, plant, location"))
+      frames(
+        Seq("deviceId", "plant", "location"),
+        Seq(
+          Seq("sim000001", "Plant01", "Antwerp"),
+          Seq("sim000002", "Plant02", "Antwerp"),
+          Seq("sim000003", "Plant03", "Curitiba"),
+        ),
+      )
+    else if (q.contains("summarize")) {
+      // the metadata search: arg_max summarize + project-away + rename
+      assert(q.contains("arg_max(['ts'], ['sensorModel'])"))
+      assert(q.contains("project-rename ['sensorModel']=['sensorModel1']"))
+      frames(
+        Seq("deviceId", "plant", "location", "sensorModel"),
+        Seq(
+          Seq("sim000001", "Plant01", "Antwerp", "AST20PT"),
+          Seq("sim000002", "Plant02", "Antwerp", "AST20PT"),
+          Seq("sim000003", "Plant03", "Curitiba", "AST20PT"),
+        ),
+      )
+    } else {
+      // data: apply pagination to the canned points
+      val offset = offsetOf(q)
+      val page = Points.drop(offset).take(limitOf(q).getOrElse(Points.size))
+      frames(Seq("ts", "pressure"), page.map { case (t, v) => Seq(t, v) })
+    }
+
+  private implicit class JIter[T](it: java.util.Iterator[T]) {
+    def asScalaIter: Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+  }
+
+  private def cfg(
+      table: Option[String] = Some("telemetry-data"),
+      tags: Seq[String] = Seq("plant", "location"),
+      fields: Seq[String] = Seq("pressure"),
+      metadataColumns: Seq[String] = Nil,
+      listQuery: Option[String] = None,
+      dataQuery: Option[String] = None,
+      namedParams: Map[String, String] = Map.empty,
+      maxItems: Int = 500000,
+      backoff: Int = 8,
+  ) = AdxConfig(
+    connectionString = base,
+    database = "telemetry",
+    table = table,
+    tagColumns = tags,
+    fieldColumns = fields,
+    metadataColumns = metadataColumns,
+    listQuery = listQuery,
+    dataQuery = dataQuery,
+    dataQueryNamedParameters = namedParams,
+    maxItemsPerCall = maxItems,
+    throttleBackoffCount = backoff,
+    clientId = Some("app1"),
+    clientSecret = Some("s3cret"),
+    tenantId = Some("tenant1"),
+    tokenUrl = Some(s"$base/token"),
+  )
+
+  private val Start = Timestamp.from(Instant.parse("2020-01-01T00:00:00Z"))
+  private val End = Timestamp.from(Instant.parse("2020-01-01T01:00:00Z"))
+
+  private def sel = SeriesSelector("", Map("location" -> "Curitiba", "plant" -> "Plant02"), "pressure")
+
+  test("test_get_data: the reference's bound-parameter query, one page") {
+    mode = "normal"
+    val data = new AdxSource(cfg()).getData(spark, sel, Start, End).collect()
+    assert(data.length == 10)
+    assert(lastQuery.contains("['plant']==tag_0") && lastQuery.contains("['location']==tag_1"))
+    assert(lastQuery.contains("['ts'] >= todatetime(startDate)"))
+    assert(lastQuery.contains("['ts'] <= todatetime(endDate)"))
+    assert(lastQuery.contains("project ['ts'], ['pressure']"))
+    assert(lastParams("tag_0") == "Plant02" && lastParams("tag_1") == "Curitiba")
+    assert(data.head.getAs[String]("value") == "1.5")
+  }
+
+  test("test_get_data_multiple_calls: serialize/row_number/take pagination") {
+    mode = "normal"
+    queryCount = 0
+    val data = new AdxSource(cfg(maxItems = 3)).getData(spark, sel, Start, End).collect()
+    assert(data.length == 10)
+    assert(queryCount == 4) // 3+3+3+1
+  }
+
+  test("test_result_set_too_large: page size halves until it fits") {
+    mode = "too-large"
+    queryCount = 0
+    val data = new AdxSource(cfg(fields = Seq("pressure", "temperature"), maxItems = 6))
+      .getData(spark, sel, Start, End).collect()
+    // 1 failed call at take 6 + 4 pages at take 3 (3+3+3+1)
+    assert(queryCount == 5)
+    assert(data.length == 10)
+    mode = "normal"
+  }
+
+  test("test_search_with_metadata: arg_max summarize, tags x fields") {
+    mode = "normal"
+    val rows = new AdxSource(cfg(
+      tags = Seq("deviceId", "plant", "location"),
+      fields = Seq("pressure", "temperature"),
+      metadataColumns = Seq("sensorModel"),
+    )).search(spark).collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getAs[String]("sensorModel") == "AST20PT"))
+  }
+
+  test("test_search_without_metadata: distinct over the tag columns") {
+    mode = "normal"
+    val rows = new AdxSource(cfg(
+      tags = Seq("deviceId", "plant", "location"),
+      fields = Seq("pressure", "temperature"),
+    )).search(spark).collect()
+    assert(rows.length == 6)
+    assert(lastQuery == "['telemetry-data'] | distinct deviceId, plant, location")
+    assert(rows.forall(r => r.getAs[String]("plant") != null && r.getAs[String]("location") != null))
+  }
+
+  test("test_search_with_custom_query: list_query rows x fields, null metadata dropped") {
+    mode = "normal"
+    val rows = new AdxSource(cfg(
+      table = None,
+      tags = Seq("deviceId", "plant", "location"),
+      fields = Seq("pressure", "temperature"),
+      metadataColumns = Seq("data type"),
+      listQuery = Some("['telemetry-metadata'] | distinct deviceId, plant, location, ['data type']"),
+    )).search(spark).collect()
+    assert(rows.length == 4)
+    assert(rows.count(_.getAs[String]("field") == "pressure") == 2)
+    assert(rows.count(_.getAs[String]("field") == "temperature") == 2)
+    val bySim = rows.filter(_.getAs[String]("deviceId") == "sim000001")
+    assert(bySim.forall(_.getAs[String]("data type") == "float"))
+    assert(rows.filter(_.getAs[String]("deviceId") == "sim000002").forall(_.getAs[String]("data type") == null))
+  }
+
+  test("test_get_data_custom_query: named parameters bind selector tags") {
+    mode = "normal"
+    val antwerp = SeriesSelector("", Map("location" -> "Antwerp", "plant" -> "Plant02"), "pressure")
+    val data = new AdxSource(cfg(
+      table = None,
+      tags = Seq("deviceId", "plant", "location"),
+      fields = Seq("pressure", "temperature"),
+      dataQuery = Some("['telemetry-custom-data'] | where ['location'] == loc"),
+      namedParams = Map("loc" -> "location"),
+      maxItems = 3,
+    )).getData(spark, antwerp, Start, End).collect()
+    assert(data.length == 10)
+    assert(lastQuery.contains("telemetry-custom-data"))
+    assert(lastParams("loc") == "Antwerp")
+  }
+
+  test("test_get_data_throttle: backoff exhausts after throttle_backoff_count sleeps") {
+    mode = "throttle-all"
+    var sleeps = 0
+    val src = new AdxSource(
+      cfg(
+        table = None,
+        dataQuery = Some("['telemetry-custom-data'] | where ['location'] == loc"),
+        namedParams = Map("loc" -> "location"),
+        maxItems = 3,
+        backoff = 7,
+      ),
+      sleepSeconds = _ => sleeps += 1,
+    )
+    val antwerp = SeriesSelector("", Map("location" -> "Antwerp", "plant" -> "Plant02"), "pressure")
+    intercept[Exception](src.getData(spark, antwerp, Start, End).collect())
+    assert(sleeps == 7)
+    mode = "normal"
+  }
+
+  test("test_get_data_throttle_resolved: recovery resets the backoff") {
+    mode = "throttle-3"
+    throttlesLeft = 3
+    var sleeps = 0
+    val src = new AdxSource(
+      cfg(
+        table = None,
+        dataQuery = Some("['telemetry-custom-data'] | where ['location'] == loc"),
+        namedParams = Map("loc" -> "location"),
+        maxItems = 3,
+      ),
+      sleepSeconds = _ => sleeps += 1,
+    )
+    val antwerp = SeriesSelector("", Map("location" -> "Antwerp", "plant" -> "Plant02"), "pressure")
+    val data = src.getData(spark, antwerp, Start, End).collect()
+    assert(data.length == 10)
+    assert(sleeps == 3)
+    mode = "normal"
+  }
+
+  test("token flow: one grant per source, cached until expiry; fromConfig registers") {
+    mode = "normal"
+    tokenRequests = 0
+    val src = new AdxSource(cfg())
+    src.getData(spark, sel, Start, End).collect()
+    src.getData(spark, sel, Start, End).collect()
+    assert(tokenRequests == 1) // cached across queries
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-adx-cfg")
+    java.nio.file.Files.writeString(
+      dir.resolve("graft.toml"),
+      s"""[source.adx]
+         |type = "azure-data-explorer"
+         |connection_string = "$base"
+         |database = "telemetry"
+         |table = "telemetry-data"
+         |tag_columns = ["plant", "location"]
+         |field_columns = ["pressure"]
+         |client_id = "app1"
+         |client_secret = "s3cret"
+         |tenant_id = "tenant1"
+         |token_url = "$base/token"
+         |""".stripMargin,
+    )
+    val g = Graft.fromConfig(spark, dir.resolve("graft.toml").toString)
+    assert(g.getData("adx", sel, Start, End).count() == 10L)
+    // distributed fan-out
+    val df = new AdxSource(cfg()).dataForKeys(
+      spark,
+      Seq(SeriesKey(Map("location" -> "Curitiba", "plant" -> "Plant02"), "pressure")),
+      Start,
+      End,
+    )
+    assert(df.count() == 10L)
+  }
+}
