@@ -75,15 +75,20 @@ class AdxSource(cfg: AdxConfig, sleepSeconds: Long => Unit = s => Thread.sleep(s
     val (query, withMetadata) = cfg.listQuery match {
       case Some(q) => (q, true)
       case None if cfg.metadataColumns.isEmpty =>
-        (s"['${cfg.table.get}'] | distinct ${cfg.tagColumns.mkString(", ")}", false)
+        (s"['${table("search")}'] | distinct ${cfg.tagColumns.mkString(", ")}", false)
       case None =>
         val summaries = cfg.metadataColumns.map(n => s"['$n']=arg_max(['${cfg.timestampColumn}'], ['$n'])")
         val renames = cfg.metadataColumns.map(n => s"['$n']=['${n}1']")
+        // NOTE: built by concatenation, NOT stripMargin — '|' is both
+        // the Scala margin character and the KQL pipe, and stripMargin
+        // would eat the pipes
         (
-          s"""['${cfg.table.get}']
-             | summarize ${summaries.mkString(", ")} by ${cfg.tagColumns.map(c => s"['$c']").mkString(", ")}
-             | project-away ${cfg.metadataColumns.map(c => s"['$c']").mkString(", ")}
-             | project-rename ${renames.mkString(", ")}""".stripMargin,
+          Seq(
+            s"['${table("search")}']",
+            s"| summarize ${summaries.mkString(", ")} by ${cfg.tagColumns.map(c => s"['$c']").mkString(", ")}",
+            s"| project-away ${cfg.metadataColumns.map(c => s"['$c']").mkString(", ")}",
+            s"| project-rename ${renames.mkString(", ")}",
+          ).mkString("\n"),
           true,
         )
     }
@@ -195,11 +200,13 @@ class AdxSource(cfg: AdxConfig, sleepSeconds: Long => Unit = s => Thread.sleep(s
         val ts = cfg.timestampColumn
         val declared = Seq("startDate: string", "endDate: string") ++
           cfg.tagColumns.indices.map(i => s"tag_$i: string")
-        var query =
-          s"""declare query_parameters (${declared.mkString(", ")});
-             |['${cfg.table.get}']
-             | where ['$ts'] >= todatetime(startDate)
-             | where ['$ts'] <= todatetime(endDate)""".stripMargin
+        // concatenation, not stripMargin: '|' is the KQL pipe
+        var query = Seq(
+          s"declare query_parameters (${declared.mkString(", ")});",
+          s"['${table("data queries")}']",
+          s"| where ['$ts'] >= todatetime(startDate)",
+          s"| where ['$ts'] <= todatetime(endDate)",
+        ).mkString("\n")
         cfg.tagColumns.zipWithIndex.foreach { case (t, i) => query += s" | where ['$t']==tag_$i" }
         query += s" | project ['$ts'], ['${key.field}']"
         query += s" | sort by ['$ts'] asc"
@@ -210,6 +217,13 @@ class AdxSource(cfg: AdxConfig, sleepSeconds: Long => Unit = s => Thread.sleep(s
 
   private def textOrNull(n: JsonNode): String =
     if (n == null || n.isNull) null else n.asText()
+
+  private def table(purpose: String): String =
+    cfg.table.getOrElse(
+      throw new IllegalArgumentException(
+        s"""data explorer source needs a "table" entry for $purpose (or a list_query/data_query override)"""
+      )
+    )
 }
 
 object AdxSource {

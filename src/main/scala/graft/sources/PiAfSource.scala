@@ -76,6 +76,13 @@ final case class PiAfConfig(
       username = username,
       password = password,
     )
+
+  /** Metadata GETs honor metadata_request_timeout_seconds (the
+    * reference uses it for element verification and enumeration sets,
+    * pi_asset_framework.py:824,942), not the data timeout.
+    */
+  private[sources] def metadataConfig: PiWebApiConfig =
+    dataConfig.copy(timeoutSeconds = metadataTimeoutSeconds)
 }
 
 class PiAfSource(cfg: PiAfConfig) extends Serializable {
@@ -136,14 +143,12 @@ class PiAfSource(cfg: PiAfConfig) extends Serializable {
       }
     spark.createDataFrame(
       rows,
-      StructType(
-        StructField("series_name", StringType) +:
-          StructType(Seq(
-            StructField("ts", org.apache.spark.sql.types.TimestampType),
-            StructField("value", StringType),
-            StructField("quality", org.apache.spark.sql.types.IntegerType),
-          )).fields.toSeq
-      ),
+      StructType(Seq(
+        StructField("series_name", StringType),
+        StructField("ts", org.apache.spark.sql.types.TimestampType),
+        StructField("value", StringType),
+        StructField("quality", org.apache.spark.sql.types.IntegerType),
+      )),
     )
   }
 
@@ -398,7 +403,7 @@ class PiAfSource(cfg: PiAfConfig) extends Serializable {
     * the configured database.
     */
   private def verifyElementInDatabase(url: String): Unit = {
-    val data = PiWebApiSource.get(cfg.dataConfig, url, Map("selectedFields" -> "Links.Database"))
+    val data = PiWebApiSource.get(cfg.metadataConfig, url, Map("selectedFields" -> "Links.Database"))
     val database = data.path("Links").path("Database").asText()
     if (database != cfg.databaseUri)
       throw new IllegalStateException(
@@ -410,27 +415,29 @@ class PiAfSource(cfg: PiAfConfig) extends Serializable {
     * :938).
     */
   private class DictionaryLookup(cfg: PiAfConfig) {
-    private val cache = scala.collection.mutable.Map.empty[String, Option[Map[Int, String]]]
+    private val cache = scala.collection.mutable.Map.empty[String, Map[Int, String]]
 
     def get(name: String, attribute: JsonNode): Option[Map[Int, String]] =
-      cache.getOrElseUpdate(
-        name, {
-          val link = attribute.path("Links").path("EnumerationValues")
-          if (link.isMissingNode || link.isNull) None
-          else {
-            val result = PiWebApiSource.get(
-              cfg.dataConfig,
-              link.asText(),
-              Map("selectedFields" -> "Items.Name;Items.Value"),
-            )
-            Some(
-              result.path("Items").elements().asScala.map { item =>
-                item.path("Value").asInt() -> item.path("Name").asText()
-              }.toMap
-            )
-          }
-        },
-      )
+      cache.get(name).orElse {
+        // only SUCCESSFUL fetches cache (the reference's lookup,
+        // pi_asset_framework.py:946): an attribute without the
+        // EnumerationValues link must not poison the set name for a
+        // later attribute that carries it
+        val link = attribute.path("Links").path("EnumerationValues")
+        if (link.isMissingNode || link.isNull) None
+        else {
+          val result = PiWebApiSource.get(
+            cfg.metadataConfig,
+            link.asText(),
+            Map("selectedFields" -> "Items.Name;Items.Value"),
+          )
+          val mapping = result.path("Items").elements().asScala.map { item =>
+            item.path("Value").asInt() -> item.path("Name").asText()
+          }.toMap
+          cache(name) = mapping
+          Some(mapping)
+        }
+      }
   }
 }
 
@@ -454,8 +461,6 @@ object PiAfSource {
   /** Stable text rendering of an enumeration mapping. */
   private def renderDictionary(m: Map[Int, String]): String =
     m.toSeq.sortBy(_._1).map { case (v, n) => s"$v=$n" }.mkString(";")
-
-  private lazy val http = java.net.http.HttpClient.newHttpClient()
 
   /** `DatabaseURLBuilder` (:226): `root` resolves against the web API
     * root (the database URI minus its last two path segments),
@@ -490,20 +495,15 @@ object PiAfSource {
     s"$url$sep${encode(params)}"
   }
 
-  /** One batch POST (the reference's `session.post(batch_url, json=…)`). */
-  private def post(cfg: PiAfConfig, url: String, body: String): JsonNode = {
-    val b = java.net.http.HttpRequest
-      .newBuilder(java.net.URI.create(url))
-      .timeout(java.time.Duration.ofSeconds(cfg.metadataTimeoutSeconds.toLong))
-      .header("Content-Type", "application/json")
-      .header("X-Requested-With", "graft")
-      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
-    for { u <- cfg.username; p <- cfg.password } {
-      val auth = java.util.Base64.getEncoder.encodeToString(s"$u:$p".getBytes("UTF-8"))
-      b.header("Authorization", s"Basic $auth")
-    }
-    val resp = http.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
-    require(resp.statusCode() < 400, s"piwebapi batch failed (${resp.statusCode()}): ${resp.body().take(200)}")
-    new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
-  }
+  /** One batch POST (the reference's `session.post(batch_url, json=…)`)
+    * — the DA source's request plumbing, with a JSON body.
+    */
+  private def post(cfg: PiAfConfig, url: String, body: String): JsonNode =
+    PiWebApiSource.sendJson(
+      PiWebApiSource
+        .requestBuilder(cfg.metadataConfig, url)
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)),
+      url,
+    )
 }

@@ -219,6 +219,29 @@ object PiWebApiSource {
     }
   }
 
+  /** Shared request builder: timeout, marker header, basic auth. */
+  private[sources] def requestBuilder(
+      cfg: PiWebApiConfig,
+      url: String,
+  ): java.net.http.HttpRequest.Builder = {
+    val b = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(cfg.timeoutSeconds.toLong))
+      .header("X-Requested-With", "graft")
+    for { u <- cfg.username; p <- cfg.password } {
+      val auth = java.util.Base64.getEncoder.encodeToString(s"$u:$p".getBytes("UTF-8"))
+      b.header("Authorization", s"Basic $auth")
+    }
+    b
+  }
+
+  private[sources] def sendJson(b: java.net.http.HttpRequest.Builder, url: String): JsonNode = {
+    val resp = http.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() != 404, s"Data not found for $url")
+    require(resp.statusCode() < 400, s"piwebapi request failed (${resp.statusCode()}): ${resp.body().take(200)}")
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
+  }
+
   /** One GET with query params; basic auth when configured. */
   private[sources] def get(cfg: PiWebApiConfig, url: String, params: Map[String, String]): JsonNode = {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
@@ -226,19 +249,7 @@ object PiWebApiSource {
     val full =
       if (params.isEmpty) url
       else url + sep + params.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${enc(v)}" }.mkString("&")
-    val b = java.net.http.HttpRequest
-      .newBuilder(java.net.URI.create(full))
-      .timeout(java.time.Duration.ofSeconds(cfg.timeoutSeconds.toLong))
-      .header("X-Requested-With", "graft")
-      .GET()
-    for { u <- cfg.username; p <- cfg.password } {
-      val auth = java.util.Base64.getEncoder.encodeToString(s"$u:$p".getBytes("UTF-8"))
-      b.header("Authorization", s"Basic $auth")
-    }
-    val resp = http.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
-    require(resp.statusCode() != 404, s"Data not found for $url")
-    require(resp.statusCode() < 400, s"piwebapi request failed (${resp.statusCode()}): ${resp.body().take(200)}")
-    new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
+    sendJson(requestBuilder(cfg, full).GET(), full)
   }
 
   /** The archive's Links.Points collection URL — one round trip,

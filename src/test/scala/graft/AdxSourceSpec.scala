@@ -135,9 +135,11 @@ class AdxSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         ),
       )
     else if (q.contains("summarize")) {
-      // the metadata search: arg_max summarize + project-away + rename
-      assert(q.contains("arg_max(['ts'], ['sensorModel'])"))
-      assert(q.contains("project-rename ['sensorModel']=['sensorModel1']"))
+      // the metadata search: arg_max summarize + project-away + rename,
+      // each stage behind a REAL KQL pipe (a stripMargin would eat them)
+      assert(q.contains("| summarize ['sensorModel']=arg_max(['ts'], ['sensorModel'])"), q)
+      assert(q.contains("| project-away ['sensorModel']"), q)
+      assert(q.contains("| project-rename ['sensorModel']=['sensorModel1']"), q)
       frames(
         Seq("deviceId", "plant", "location", "sensorModel"),
         Seq(
@@ -197,10 +199,11 @@ class AdxSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     mode = "normal"
     val data = new AdxSource(cfg()).getData(spark, sel, Start, End).collect()
     assert(data.length == 10)
-    assert(lastQuery.contains("['plant']==tag_0") && lastQuery.contains("['location']==tag_1"))
-    assert(lastQuery.contains("['ts'] >= todatetime(startDate)"))
-    assert(lastQuery.contains("['ts'] <= todatetime(endDate)"))
-    assert(lastQuery.contains("project ['ts'], ['pressure']"))
+    assert(lastQuery.contains("| where ['plant']==tag_0") && lastQuery.contains("| where ['location']==tag_1"))
+    assert(lastQuery.contains("| where ['ts'] >= todatetime(startDate)"))
+    assert(lastQuery.contains("| where ['ts'] <= todatetime(endDate)"))
+    assert(lastQuery.contains("| project ['ts'], ['pressure']"))
+    assert(lastQuery.contains("| sort by ['ts'] asc"))
     assert(lastParams("tag_0") == "Plant02" && lastParams("tag_1") == "Curitiba")
     assert(data.head.getAs[String]("value") == "1.5")
   }

@@ -243,6 +243,18 @@ class PiAfSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     if (ex.getRequestMethod == "POST" && path == "/piwebapi/batch") {
       val body: JsonNode = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
       val response = mode match {
+        case "dict-retry" =>
+          // one element with TWO EnumerationValue attrs sharing a set
+          // name; the FIRST lacks the EnumerationValues link
+          s"""{"GetAttributes":{"Status":207,"Headers":{},"Content":{"Total":1,"Items":[
+                ${inner200(Seq(
+               attr("D1", "PhaseA", "\\\\pi\\T\\R1|PhaseA", typ = "EnumerationValue",
+                 typeQualifier = Some("Phases"), cats = Seq("Status"), step = true, span = Some(7.0)),
+               attr("D2", "PhaseB", "\\\\pi\\T\\R1|PhaseB", typ = "EnumerationValue",
+                 typeQualifier = Some("Phases"), cats = Seq("Status"), step = true, span = Some(7.0),
+                 enumLink = Some(phasesUri)),
+             ).mkString(","))}]}},
+              "GetElements":${ok200(element("R1", "Reactor01", "", Nil))}}"""
         case "global-error" => batchGlobalErrorAttributes
         case "partial-error" => batchPartialErrorAttributes
         case "empty" => batchEmptyAttributes
@@ -455,6 +467,19 @@ class PiAfSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     mode = "partial-error"
     val e = intercept[IllegalStateException](rows(cfg()))
     assert(e.getMessage.contains("No HTTP resource was found"))
+    mode = "normal"
+  }
+
+  test("dictionary cache only keeps successful fetches (no link does not poison the set)") {
+    mode = "dict-retry"
+    val all = rows(cfg())
+    assert(all.length == 2)
+    val a = all.find(_.getAs[String]("field") == "PhaseA").get
+    val b = all.find(_.getAs[String]("field") == "PhaseB").get
+    // the link-less attribute has the set name but no mapping …
+    assert(a.getAs[String]("dictionary_name") == "Phases" && a.getAs[String]("dictionary") == null)
+    // … and the linked one still resolves despite being seen second
+    assert(b.getAs[String]("dictionary") == "0=Phase1;1=Phase2")
     mode = "normal"
   }
 
