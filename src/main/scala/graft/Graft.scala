@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.SeriesSelector
 import graft.operators.TimeSeriesOps
-import graft.sources.{AdxConfig, AdxSource, ConfiguredSource, ElasticsearchSource, EsConfig, EsOptions, GraftConfig, InfluxConfig, InfluxSource, MetadataConfig, MetadataSource, PiAfConfig, PiAfSource, PiWebApiConfig, PiWebApiSource, PluginSource, SeriesKey, SimulatorSignal, Simulators, SourceConfig}
+import graft.sources.{AdxConfig, AdxSource, ConfiguredSource, DataFusionConfig, DataFusionSource, ElasticsearchSource, EsConfig, EsOptions, GraftConfig, InfluxConfig, InfluxSource, MetadataConfig, MetadataSource, PiAfConfig, PiAfSource, PiWebApiConfig, PiWebApiSource, PluginSource, SeriesKey, SimulatorSignal, Simulators, SourceConfig}
 
 /** The client facade — graft's equivalent of the reference's Flight API
   * surface (kukur/client.py: search, get_metadata, get_data,
@@ -48,6 +48,7 @@ final class Graft(spark: SparkSession) {
   final case class PiRegistered(pi: PiWebApiSource) extends Registered
   final case class PiAfRegistered(af: PiAfSource) extends Registered
   final case class AdxRegistered(adx: AdxSource) extends Registered
+  final case class DataFusionRegistered(df: DataFusionSource) extends Registered
   final case class UnavailableRegistered(sourceType: String) extends Registered
 
   private val sources = mutable.LinkedHashMap.empty[String, Registered]
@@ -88,6 +89,11 @@ final class Graft(spark: SparkSession) {
 
   def registerAdxSource(name: String, config: AdxConfig): this.type = {
     sources(name) = AdxRegistered(new AdxSource(config))
+    this
+  }
+
+  def registerDataFusionSource(name: String, config: DataFusionConfig): this.type = {
+    sources(name) = DataFusionRegistered(new DataFusionSource(config))
     this
   }
 
@@ -133,6 +139,7 @@ final class Graft(spark: SparkSession) {
     case pi: PiRegistered => pi.pi.search(spark)
     case af: PiAfRegistered => af.af.search(spark)
     case a: AdxRegistered => a.adx.search(spark)
+    case d: DataFusionRegistered => d.df.search(spark)
     case s: SimulatorRegistered =>
       import spark.implicits._
       s.signals.map(sig => (sig.seriesName, sig.signalType)).toDF("series_name", "signal_type")
@@ -196,6 +203,7 @@ final class Graft(spark: SparkSession) {
       case pi: PiRegistered => pi.pi.getData(spark, selector, start, end)
       case af: PiAfRegistered => af.af.getData(spark, selector, start, end)
       case a: AdxRegistered => a.adx.getData(spark, selector, start, end)
+      case d: DataFusionRegistered => d.df.getData(spark, selector, start, end)
       case s: SimulatorRegistered => simulatorData(s, selector, start, end)
     }
 
@@ -243,6 +251,10 @@ final class Graft(spark: SparkSession) {
         a.adx.getData(spark, selector, start, end).withColumn("value", col("value").cast("double"))
           .withColumn("series_name", lit(selector.name)),
         Seq("series_name"), start, end, intervalCount)
+    case d: DataFusionRegistered =>
+      TimeSeriesOps.plotData(
+        d.df.getData(spark, selector, start, end).withColumn("series_name", lit(selector.name)),
+        Seq("series_name"), start, end, intervalCount)
     case s: SimulatorRegistered =>
       TimeSeriesOps.plotData(simulatorData(s, selector, start, end), Seq("series_name"), start, end, intervalCount)
   }
@@ -289,6 +301,10 @@ final class Graft(spark: SparkSession) {
         // 236) — one row carrying only the selector's tags
         import spark.implicits._
         selector.tags.toSeq.sortBy(_._1).toDF("tag", "value")
+      case _: DataFusionRegistered =>
+        // the reference raises NotImplementedError (datafusion.py:119)
+        // — the list_query carries metadata through search instead
+        throw new UnsupportedOperationException("datafusion sources answer metadata through search")
       case _: SimulatorRegistered =>
         throw new IllegalArgumentException(s"simulator source $sourceName has no metadata")
     }
@@ -378,6 +394,7 @@ object Graft {
       case GraftConfig.DeclaredPiWebApi(name, config) => g.registerPiWebApiSource(name, config)
       case GraftConfig.DeclaredPiAf(name, config) => g.registerPiAfSource(name, config)
       case GraftConfig.DeclaredAdx(name, config) => g.registerAdxSource(name, config)
+      case GraftConfig.DeclaredDataFusion(name, config) => g.registerDataFusionSource(name, config)
       case GraftConfig.DeclaredUnavailable(name, typ) => g.sources(name) = g.UnavailableRegistered(typ)
     }
     g

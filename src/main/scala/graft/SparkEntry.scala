@@ -637,6 +637,30 @@ object SparkEntry {
       )
       ntz(src.read(s))
     },
+    // A15i: SQL-over-files source (kukur/source/datafusion) — the
+    // reference's embedded DataFusion engine re-expressed as Spark SQL
+    // over registered temp views: $-parameter data query with ANSI
+    // double-quoted identifiers, bound from the selector's tags
+    "ts_datafusion_source" -> { (s, dir) =>
+      val src = new graft.sources.DataFusionSource(
+        graft.sources.DataFusionConfig(
+          tables = Seq(graft.sources.DataFusionTable("parquet", "events_tbl", s"$dir/events.parquet")),
+          dataQuery = Some(
+            """select event_type as "series_name", ts, value from events_tbl
+               where event_type = $name and ts >= $startDate and ts < $endDate"""
+          ),
+          dataQueryNamedParameters = Map("name" -> "series name"),
+        )
+      )
+      ntz(
+        src.getData(
+          s,
+          graft.model.SeriesSelector("", Map(graft.model.SeriesSelector.SeriesNameTag -> "view")),
+          ts("2024-01-05T00:00:00Z"),
+          ts("2024-01-20T00:00:00Z"),
+        )
+      )
+    },
     // A16b: the reference's DEFAULT dir layout — one flat headerless
     // CSV per series, filename = series key (csv.py:393), declared in
     // native TOML and read through Graft.fromConfig. Puts the
@@ -1902,6 +1926,10 @@ object SparkEntry {
     "ts_delta_source" ->
       """SELECT event_type AS series_name, 'value' AS field, ts, value
          FROM events WHERE user_id % 5 = 1""",
+    "ts_datafusion_source" ->
+      """SELECT event_type AS series_name, ts, value FROM events
+         WHERE event_type = 'view'
+           AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'""",
     "ts_row_source_arrows" ->
       """SELECT event_type AS series_name, user_id, 'value' AS field, ts, value
          FROM events WHERE event_type IN ('purchase', 'click')""",

@@ -61,6 +61,7 @@ object GraftConfig {
   final case class DeclaredPiWebApi(name: String, config: PiWebApiConfig) extends Declared
   final case class DeclaredPiAf(name: String, config: PiAfConfig) extends Declared
   final case class DeclaredAdx(name: String, config: AdxConfig) extends Declared
+  final case class DeclaredDataFusion(name: String, config: DataFusionConfig) extends Declared
 
   /** A source whose `type` this engine has no connector for. The
     * reference resolves types LAZILY (SourceFactory.get_source raises
@@ -72,7 +73,7 @@ object GraftConfig {
 
   private val fileTypes = Set("csv", "parquet", "json", "orc", "feather", "arrows", "delta")
   private val supportedTypes =
-    fileTypes ++ Set("plugin", "simulator", "influxdb", "elasticsearch", "piwebapi-da", "piwebapi-af", "piwebapi-af-template", "azure-data-explorer")
+    fileTypes ++ Set("plugin", "simulator", "influxdb", "elasticsearch", "piwebapi-da", "piwebapi-af", "piwebapi-af-template", "azure-data-explorer", "datafusion")
 
   def load(configPath: String): Seq[Declared] = {
     val path = Paths.get(configPath).toAbsolutePath
@@ -93,6 +94,7 @@ object GraftConfig {
         else if (typ == "piwebapi-da") declaredPiWebApi(name, node)
         else if (typ == "piwebapi-af" || typ == "piwebapi-af-template") declaredPiAf(name, node, typ)
         else if (typ == "azure-data-explorer") declaredAdx(name, node)
+        else if (typ == "datafusion") declaredDataFusion(root, dir, name, node)
         else declaredFile(root, dir, name, node, typ)
       }
       .toSeq
@@ -134,6 +136,30 @@ object GraftConfig {
         includeSystemStates = Option(node.get("include_system_states")).exists(_.asBoolean),
         username = str(node, "username"),
         password = str(node, "password"),
+      ),
+    )
+
+  /** `type = "datafusion"` (kukur/source/datafusion/datafusion.py:66
+    * from_data): [[table]] registrations, list/data queries, named
+    * parameters and a metadata value mapping.
+    */
+  private def declaredDataFusion(root: ObjectNode, dir: Path, name: String, node: JsonNode): DeclaredDataFusion =
+    DeclaredDataFusion(
+      name,
+      DataFusionConfig(
+        tables = Option(node.get("table")).toSeq.flatMap(_.elements().asScala).map { t =>
+          DataFusionTable(
+            tableType = str(t, "type").getOrElse(fail(s"datafusion table in $name has no type")),
+            name = str(t, "name").getOrElse(fail(s"datafusion table in $name has no name")),
+            location = str(t, "location").map(resolve(dir, _)).getOrElse(fail(s"datafusion table in $name has no location")),
+          )
+        },
+        tagColumns = strSeq(node, "tag_columns").getOrElse(Seq(graft.model.SeriesSelector.SeriesNameTag)),
+        fieldColumns = strSeq(node, "field_columns").getOrElse(Seq("value")),
+        listQuery = str(node, "list_query"),
+        dataQuery = str(node, "data_query"),
+        dataQueryNamedParameters = objMap(node.get("data_query_named_parameters")),
+        valueMapping = namedSection(root, "metadata_value_mapping", node).map(valueMapping).getOrElse(Map.empty),
       ),
     )
 
