@@ -96,6 +96,9 @@ object DataFusionSource {
   /** ANSI double-quoted identifiers → Spark backticks. DataFusion's
     * dialect (ident normalization off) treats "..." as identifiers and
     * '...' as strings, so every double-quoted run is an identifier.
+    * Known limit: a double quote INSIDE a single-quoted string literal
+    * is also rewritten (a full tokenizer would be needed to tell them
+    * apart) — none of the reference's queries or fixtures hit this.
     */
   private[graft] def quoteIdents(sql: String): String =
     "\"([^\"]*)\"".r.replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(s"`${m.group(1)}`"))
