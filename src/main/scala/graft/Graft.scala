@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.SeriesSelector
 import graft.operators.TimeSeriesOps
-import graft.sources.{AdxConfig, AdxSource, ConfiguredSource, DataFusionConfig, DataFusionSource, ElasticsearchSource, EsConfig, EsOptions, GraftConfig, InfluxConfig, InfluxSource, MetadataConfig, MetadataSource, PiAfConfig, PiAfSource, PiWebApiConfig, PiWebApiSource, PluginSource, SeriesKey, SimulatorSignal, Simulators, SourceConfig}
+import graft.sources.{AdxConfig, AdxSource, ConfiguredSource, DataFusionConfig, DataFusionSource, ElasticsearchSource, EsConfig, EsOptions, GraftConfig, InfluxConfig, InfluxSource, MetadataConfig, MetadataSource, PiAfConfig, PiAfSource, PiWebApiConfig, PiWebApiSource, PluginSource, SeriesKey, SimulatorSignal, Simulators, SourceConfig, TdEngineConfig, TdEngineSource}
 
 /** The client facade — graft's equivalent of the reference's Flight API
   * surface (kukur/client.py: search, get_metadata, get_data,
@@ -49,6 +49,7 @@ final class Graft(spark: SparkSession) {
   final case class PiAfRegistered(af: PiAfSource) extends Registered
   final case class AdxRegistered(adx: AdxSource) extends Registered
   final case class DataFusionRegistered(df: DataFusionSource) extends Registered
+  final case class TdEngineRegistered(td: TdEngineSource) extends Registered
   final case class UnavailableRegistered(sourceType: String) extends Registered
 
   private val sources = mutable.LinkedHashMap.empty[String, Registered]
@@ -97,6 +98,11 @@ final class Graft(spark: SparkSession) {
     this
   }
 
+  def registerTdEngineSource(name: String, config: TdEngineConfig): this.type = {
+    sources(name) = TdEngineRegistered(new TdEngineSource(config))
+    this
+  }
+
   def registerSimulatorSource(name: String, signals: Seq[SimulatorSignal]): this.type = {
     require(signals.nonEmpty, s"simulator source $name needs at least one signal")
     sources(name) = SimulatorRegistered(signals)
@@ -140,6 +146,7 @@ final class Graft(spark: SparkSession) {
     case af: PiAfRegistered => af.af.search(spark)
     case a: AdxRegistered => a.adx.search(spark)
     case d: DataFusionRegistered => d.df.search(spark)
+    case t: TdEngineRegistered => t.td.search(spark)
     case s: SimulatorRegistered =>
       import spark.implicits._
       s.signals.map(sig => (sig.seriesName, sig.signalType)).toDF("series_name", "signal_type")
@@ -204,6 +211,7 @@ final class Graft(spark: SparkSession) {
       case af: PiAfRegistered => af.af.getData(spark, selector, start, end)
       case a: AdxRegistered => a.adx.getData(spark, selector, start, end)
       case d: DataFusionRegistered => d.df.getData(spark, selector, start, end)
+      case t: TdEngineRegistered => t.td.getData(spark, selector, start, end)
       case s: SimulatorRegistered => simulatorData(s, selector, start, end)
     }
 
@@ -255,6 +263,13 @@ final class Graft(spark: SparkSession) {
       TimeSeriesOps.plotData(
         d.df.getData(spark, selector, start, end).withColumn("series_name", lit(selector.name)),
         Seq("series_name"), start, end, intervalCount)
+    case t: TdEngineRegistered =>
+      // tdengine has no plot action: bucket the fetched range
+      // client-side like the other SQL-family kinds
+      TimeSeriesOps.plotData(
+        t.td.getData(spark, selector, start, end).withColumn("value", col("value").cast("double"))
+          .withColumn("series_name", lit(selector.name)),
+        Seq("series_name"), start, end, intervalCount)
     case s: SimulatorRegistered =>
       TimeSeriesOps.plotData(simulatorData(s, selector, start, end), Seq("series_name"), start, end, intervalCount)
   }
@@ -305,6 +320,7 @@ final class Graft(spark: SparkSession) {
         // the reference raises NotImplementedError (datafusion.py:119)
         // — the list_query carries metadata through search instead
         throw new UnsupportedOperationException("datafusion sources answer metadata through search")
+      case t: TdEngineRegistered => t.td.metadata(spark, selector)
       case _: SimulatorRegistered =>
         throw new IllegalArgumentException(s"simulator source $sourceName has no metadata")
     }
@@ -340,6 +356,7 @@ final class Graft(spark: SparkSession) {
     // every tag to name one series
     val tagCols: Seq[String] = scala.util.Try(registered(sourceName)) match {
       case scala.util.Success(f: FileRegistered) => f.dataConfig.tagColumns
+      case scala.util.Success(t: TdEngineRegistered) => t.td.tagColumns
       // unknown/unavailable sources still report per-probe failures
       case _ => Seq("series_name")
     }
@@ -395,6 +412,7 @@ object Graft {
       case GraftConfig.DeclaredPiAf(name, config) => g.registerPiAfSource(name, config)
       case GraftConfig.DeclaredAdx(name, config) => g.registerAdxSource(name, config)
       case GraftConfig.DeclaredDataFusion(name, config) => g.registerDataFusionSource(name, config)
+      case GraftConfig.DeclaredTdEngine(name, config) => g.registerTdEngineSource(name, config)
       case GraftConfig.DeclaredUnavailable(name, typ) => g.sources(name) = g.UnavailableRegistered(typ)
     }
     g

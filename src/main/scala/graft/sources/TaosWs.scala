@@ -1,0 +1,304 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, WebSocket}
+import java.nio.ByteBuffer
+import java.nio.ByteOrder.LITTLE_ENDIAN
+import java.util.concurrent.{CompletionStage, LinkedBlockingQueue, TimeUnit}
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** TDengine WebSocket connection settings. The reference passes these
+  * as `taosws.connect(connection_string, **connection_options)`
+  * (kukur/source/tdengine/tdengine.py:39-43); host/port/user/password/
+  * db come from the `[source.<name>.connection]` table in the config
+  * (tests/test_data/tdengine/tdengine.toml:13-15).
+  */
+final case class TaosWsConfig(
+    host: String = "localhost",
+    port: Int = 6041,
+    user: String = "root",
+    password: String = "taosdata",
+    database: Option[String] = None,
+    ssl: Boolean = false,
+    timeoutSeconds: Int = 60,
+) extends Serializable
+
+/** Minimal client for the public taosAdapter WebSocket query protocol
+  * (`ws://host:6041/ws`) — the wire protocol behind the `taosws`
+  * driver the reference uses (tdengine.py:17 `import taosws`). The
+  * taosws library is a native wheel, but the protocol itself is plain
+  * JSON control frames plus one binary frame shape, all served by the
+  * JDK's `java.net.http.WebSocket`:
+  *
+  *  - `{"action":"conn","args":{"req_id":N,"user":…,"password":…,"db":…}}`
+  *    → `{"code":0,…}` (non-zero `code` + `message` on failure)
+  *  - `{"action":"query","args":{"req_id":N,"sql":…}}`
+  *    → `{"code":0,"id":R,"is_update":bool,"affected_rows":n,
+  *        "fields_count":n,"fields_names":[…],"fields_types":[…],
+  *        "precision":p}`
+  *  - `{"action":"fetch","args":{"req_id":N,"id":R}}`
+  *    → `{"code":0,"id":R,"completed":bool,"rows":n}`
+  *  - `{"action":"fetch_block","args":{"req_id":N,"id":R}}`
+  *    → one BINARY frame: uint64-LE result id, then a raw data block
+  *      (layout in [[TaosWs.decodeRawBlock]])
+  *  - `{"action":"free_result","args":{"req_id":N,"id":R}}` (no reply
+  *    expected by the protocol; fire-and-forget)
+  *
+  * One short-lived connection per query batch — the reference opens a
+  * fresh DB-API connection per source call (sql.py:150,188,291), so a
+  * per-call socket matches its lifecycle. Requests are strictly
+  * sequential on a connection (send → await reply), so a single inbox
+  * queue suffices.
+  */
+final class TaosWsClient(cfg: TaosWsConfig) extends AutoCloseable {
+
+  import TaosWs._
+
+  private val mapper = new ObjectMapper()
+  // completed inbound messages: Left = text (JSON control), Right = binary
+  private val inbox = new LinkedBlockingQueue[Either[String, Array[Byte]]]()
+  private val textBuf = new StringBuilder
+  private val binBuf = new java.io.ByteArrayOutputStream()
+
+  private val listener = new WebSocket.Listener {
+    override def onText(ws: WebSocket, data: CharSequence, last: Boolean): CompletionStage[_] = {
+      textBuf.append(data)
+      if (last) { inbox.put(Left(textBuf.toString)); textBuf.setLength(0) }
+      ws.request(1)
+      null
+    }
+    override def onBinary(ws: WebSocket, data: ByteBuffer, last: Boolean): CompletionStage[_] = {
+      val bytes = new Array[Byte](data.remaining()); data.get(bytes); binBuf.write(bytes)
+      if (last) { inbox.put(Right(binBuf.toByteArray)); binBuf.reset() }
+      ws.request(1)
+      null
+    }
+    override def onError(ws: WebSocket, error: Throwable): Unit =
+      inbox.put(Left(s"""{"code":-1,"message":"connection error: ${error.getMessage}"}"""))
+  }
+
+  private val ws: WebSocket = {
+    val scheme = if (cfg.ssl) "wss" else "ws"
+    HttpClient
+      .newHttpClient()
+      .newWebSocketBuilder()
+      .buildAsync(URI.create(s"$scheme://${cfg.host}:${cfg.port}/ws"), listener)
+      .join()
+  }
+
+  private var reqId = 0L
+
+  // authenticate before anything else — the protocol rejects query
+  // frames on an unauthenticated connection
+  locally {
+    val args = mapper.createObjectNode()
+    args.put("user", cfg.user).put("password", cfg.password)
+    args.put("db", cfg.database.getOrElse(""))
+    try checkedCall("conn", args)
+    catch { case e: Throwable => ws.abort(); throw e }
+  }
+
+  private def nextReq(): Long = { reqId += 1; reqId }
+
+  private def send(action: String, args: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
+    args.put("req_id", nextReq())
+    val frame = mapper.createObjectNode()
+    frame.put("action", action)
+    frame.set[JsonNode]("args", args)
+    ws.sendText(mapper.writeValueAsString(frame), true).join()
+  }
+
+  private def awaitText(): JsonNode =
+    inbox.poll(cfg.timeoutSeconds.toLong, TimeUnit.SECONDS) match {
+      case Left(text) => mapper.readTree(text)
+      case Right(_)   => throw new IllegalStateException("tdengine: unexpected binary frame")
+      case null       => throw new IllegalStateException(s"tdengine: no reply within ${cfg.timeoutSeconds}s")
+    }
+
+  private def checkedCall(action: String, args: com.fasterxml.jackson.databind.node.ObjectNode): JsonNode = {
+    send(action, args)
+    val reply = awaitText()
+    val code = reply.path("code").asInt(-1)
+    require(code == 0, s"tdengine $action failed ($code): ${reply.path("message").asText()}")
+    reply
+  }
+
+  private def awaitBinary(): Array[Byte] =
+    inbox.poll(cfg.timeoutSeconds.toLong, TimeUnit.SECONDS) match {
+      case Right(bytes) => bytes
+      case Left(text) =>
+        // the server reports fetch_block errors as a JSON frame
+        val node = mapper.readTree(text)
+        throw new IllegalStateException(s"tdengine fetch_block failed: ${node.path("message").asText()}")
+      case null => throw new IllegalStateException(s"tdengine: no block within ${cfg.timeoutSeconds}s")
+    }
+
+  /** Run one SQL statement, draining all result blocks. */
+  def query(sql: String): TaosResult = {
+    val qargs = mapper.createObjectNode(); qargs.put("sql", sql)
+    val q = checkedCall("query", qargs)
+    if (q.path("is_update").asBoolean(false))
+      return TaosResult(Nil, 0, Vector.empty, q.path("affected_rows").asInt(0))
+    val id = q.path("id").asLong()
+    val precision = q.path("precision").asInt(0)
+    val names = q.path("fields_names").elements()
+    val types = q.path("fields_types").elements()
+    val fields = Vector.newBuilder[Field]
+    while (names.hasNext && types.hasNext) fields += Field(names.next().asText(), types.next().asInt())
+    val rows = Vector.newBuilder[Seq[Any]]
+    var completed = false
+    while (!completed) {
+      val fargs = mapper.createObjectNode(); fargs.put("id", id)
+      val f = checkedCall("fetch", fargs)
+      completed = f.path("completed").asBoolean(false)
+      if (!completed) {
+        val bargs = mapper.createObjectNode(); bargs.put("id", id)
+        send("fetch_block", bargs)
+        val block = awaitBinary()
+        val buf = ByteBuffer.wrap(block).order(LITTLE_ENDIAN)
+        val blockId = buf.getLong()
+        require(blockId == id, s"tdengine: block for result $blockId, expected $id")
+        rows ++= decodeRawBlock(buf, precision)
+      }
+    }
+    val frargs = mapper.createObjectNode(); frargs.put("id", id)
+    send("free_result", frargs)
+    TaosResult(fields.result(), precision, rows.result())
+  }
+
+  override def close(): Unit = {
+    try ws.sendClose(WebSocket.NORMAL_CLOSURE, "done").join()
+    catch { case _: Exception => () }
+    ws.abort()
+  }
+}
+
+object TaosWs {
+
+  final case class Field(name: String, tpe: Int)
+  final case class TaosResult(fields: Seq[Field], precision: Int, rows: Seq[Seq[Any]], affectedRows: Int = 0)
+
+  // public TDengine column type ids (taosdef — stable across the wire
+  // protocol and the SQL layer's DESCRIBE output)
+  val TypeBool = 1
+  val TypeTinyInt = 2
+  val TypeSmallInt = 3
+  val TypeInt = 4
+  val TypeBigInt = 5
+  val TypeFloat = 6
+  val TypeDouble = 7
+  val TypeVarchar = 8 // a.k.a. BINARY
+  val TypeTimestamp = 9
+  val TypeNchar = 10
+  val TypeUTinyInt = 11
+  val TypeUSmallInt = 12
+  val TypeUInt = 13
+  val TypeUBigInt = 14
+  val TypeJson = 15
+
+  private def isVarType(t: Int): Boolean =
+    t == TypeVarchar || t == TypeNchar || t == TypeJson
+
+  /** Decode one raw data block (the payload of a `fetch_block` frame
+    * after its uint64 result id). Layout — little-endian throughout:
+    *
+    * {{{
+    * int32  version
+    * int32  length          (total block bytes)
+    * int32  rows
+    * int32  cols
+    * int32  flag            (column-segment marker, unused here)
+    * int64  groupId
+    * cols × { int8 type; int32 bytes }          (column schema)
+    * cols × int32                               (per-column data length)
+    * per column:
+    *   fixed-width types: NULL bitmap of ceil(rows/8) bytes (MSB-first,
+    *     bit set = NULL), then rows × bytes of values
+    *   var-width types (VARCHAR/NCHAR/JSON): rows × int32 offsets into
+    *     the blob (-1 = NULL), then the blob — each entry is a uint16
+    *     byte length followed by the payload (NCHAR payload is UCS-4LE)
+    * }}}
+    *
+    * Timestamps are int64 epoch values in the result's precision
+    * (0 = ms, 1 = µs, 2 = ns).
+    */
+  def decodeRawBlock(buf: ByteBuffer, precision: Int): Seq[Seq[Any]] = {
+    buf.order(LITTLE_ENDIAN)
+    val version = buf.getInt()
+    require(version >= 1, s"tdengine: unsupported block version $version")
+    buf.getInt() // total length
+    val rows = buf.getInt()
+    val cols = buf.getInt()
+    buf.getInt() // flag
+    buf.getLong() // group id
+    val types = new Array[Int](cols)
+    val sizes = new Array[Int](cols)
+    var c = 0
+    while (c < cols) { types(c) = buf.get() & 0xff; sizes(c) = buf.getInt(); c += 1 }
+    val lens = Array.fill(cols)(buf.getInt())
+    val out = Array.fill(rows)(new Array[Any](cols))
+    c = 0
+    while (c < cols) {
+      if (isVarType(types(c))) {
+        val offsets = Array.fill(rows)(buf.getInt())
+        val blob = new Array[Byte](lens(c)); buf.get(blob)
+        var r = 0
+        while (r < rows) {
+          if (offsets(r) >= 0) {
+            val bb = ByteBuffer.wrap(blob).order(LITTLE_ENDIAN).position(offsets(r))
+            val n = bb.getShort() & 0xffff
+            val payload = new Array[Byte](n); bb.get(payload)
+            out(r)(c) =
+              if (types(c) == TypeNchar) decodeUcs4(payload)
+              else new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+          }
+          r += 1
+        }
+      } else {
+        val bitmap = new Array[Byte]((rows + 7) / 8); buf.get(bitmap)
+        val data = new Array[Byte](rows * sizes(c)); buf.get(data)
+        val db = ByteBuffer.wrap(data).order(LITTLE_ENDIAN)
+        var r = 0
+        while (r < rows) {
+          val isNull = (bitmap(r >> 3) & (1 << (7 - (r & 7)))) != 0
+          if (!isNull) out(r)(c) = readFixed(db, r * sizes(c), types(c), precision)
+          r += 1
+        }
+      }
+      c += 1
+    }
+    out.toSeq.map(_.toSeq)
+  }
+
+  private def decodeUcs4(payload: Array[Byte]): String = {
+    val bb = ByteBuffer.wrap(payload).order(LITTLE_ENDIAN)
+    val sb = new java.lang.StringBuilder(payload.length / 4)
+    while (bb.remaining() >= 4) sb.appendCodePoint(bb.getInt())
+    sb.toString
+  }
+
+  private def readFixed(db: ByteBuffer, at: Int, tpe: Int, precision: Int): Any = tpe match {
+    case TypeBool      => db.get(at) != 0
+    case TypeTinyInt   => db.get(at)
+    case TypeSmallInt  => db.getShort(at)
+    case TypeInt       => db.getInt(at)
+    case TypeBigInt    => db.getLong(at)
+    case TypeUTinyInt  => (db.get(at) & 0xff).toShort
+    case TypeUSmallInt => db.getShort(at) & 0xffff
+    case TypeUInt      => db.getInt(at) & 0xffffffffL
+    case TypeUBigInt   => db.getLong(at)
+    case TypeFloat     => db.getFloat(at)
+    case TypeDouble    => db.getDouble(at)
+    case TypeTimestamp => epochToTimestamp(db.getLong(at), precision)
+    case other         => throw new IllegalStateException(s"tdengine: unsupported column type $other")
+  }
+
+  /** Epoch in the result precision → java.sql.Timestamp (UTC). */
+  def epochToTimestamp(v: Long, precision: Int): java.sql.Timestamp = precision match {
+    case 0 => new java.sql.Timestamp(v)
+    case 1 => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(Math.floorDiv(v, 1000000L), Math.floorMod(v, 1000000L) * 1000L))
+    case 2 => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(Math.floorDiv(v, 1000000000L), Math.floorMod(v, 1000000000L)))
+    case p => throw new IllegalStateException(s"tdengine: unknown precision $p")
+  }
+}

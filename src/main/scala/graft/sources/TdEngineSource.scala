@@ -1,0 +1,363 @@
+package graft.sources
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.model.SeriesSelector
+
+/** TDengine source (kukur/source/tdengine/tdengine.py) without the
+  * `taosws` native wheel: the adapter speaks a public JSON-over-
+  * WebSocket protocol that [[TaosWsClient]] implements on the JDK's
+  * `java.net.http.WebSocket`.
+  *
+  * The reference class is two lines of glue — `BaseSQLSource` plus a
+  * taosws connection — so the semantics here mirror
+  * `kukur/source/sql.py`: `list_query` drives search (bare selectors
+  * when `list_columns` is empty, metadata rows otherwise, sql.py:
+  * 134-143), `metadata_query`/`dictionary_query` drive per-series
+  * metadata (sql.py:145-180), and `data_query` takes the tag values
+  * followed by the formatted start/end dates (sql.py:261-285; end
+  * bound exclusive or inclusive exactly as the configured SQL text
+  * says — the shipped fixture uses `ts >= '{}' and ts < '{}'`,
+  * tests/test_data/tdengine/tdengine.toml:9).
+  *
+  * `query_string_parameters = true` is REQUIRED, as the reference's
+  * own docs state for this source (docs/source/tdengine.asciidoc:
+  * "true parameterizable queries are not supported by the driver") —
+  * parameters are rendered into `{}` placeholders with
+  * single-quote-stripping, matching Python `str.format` over the
+  * reference's param list. Dates render as Python's `str(datetime)`
+  * ("2020-01-01 00:00:00+00:00") unless `data_query_datetime_format`
+  * is set (sql.py:389-396).
+  *
+  * Scale shape: one series' points is a bounded driver fetch (the
+  * reference does the same); multi-series reads fan out one WebSocket
+  * query per series across executor tasks ([[dataForKeys]]) — the
+  * InfluxSource/PluginSource pattern, so a cluster fans out against
+  * taosAdapter instead of serializing on the driver.
+  */
+final case class TdEngineConfig(
+    connection: TaosWsConfig = TaosWsConfig(),
+    tagColumns: Seq[String] = Seq(SeriesSelector.SeriesNameTag),
+    fieldColumns: Option[Seq[String]] = None,
+    listQuery: Option[String] = None,
+    listColumns: Seq[String] = Nil,
+    metadataQuery: Option[String] = None,
+    metadataColumns: Seq[String] = Nil,
+    dictionaryQuery: Option[String] = None,
+    dataQuery: Option[String] = None,
+    dataQueryDatetimeFormat: Option[String] = None,
+    dataQueryTags: Option[Seq[String]] = None,
+    queryStringParameters: Boolean = false,
+    qualityGood: Seq[Any] = Nil,
+) extends Serializable
+
+class TdEngineSource(cfg: TdEngineConfig) extends Serializable {
+
+  import TdEngineSource._
+
+  /** The configured tag vocabulary — the facade's test probe keys
+    * selectors on it.
+    */
+  def tagColumns: Seq[String] = cfg.tagColumns
+
+  /** Series discovery (sql.py:134 `search`): nothing without a
+    * `list_query`; bare tag tuples when `list_columns` is empty
+    * (sql.py:287 `__search_names`), metadata rows otherwise (sql.py:
+    * 306 `__search_metadata`). Output is one row per (tags × field):
+    * tag columns, then `field`, then any non-tag list columns that
+    * coerce into the metadata vocabulary (the reference swallows
+    * ValueError per field, sql.py:358-363 — a column like the
+    * fixture's `table` simply drops out).
+    */
+  def search(spark: SparkSession): DataFrame = {
+    val listQuery = cfg.listQuery.getOrElse(return emptySearch(spark))
+    val result = withClient(_.query(listQuery))
+    val fields = cfg.fieldColumns.getOrElse(Seq("value"))
+    if (cfg.listColumns.isEmpty) {
+      require(
+        result.fields.size == cfg.tagColumns.size,
+        "number of tag_columns does not match result of list_query",
+      )
+      val rows = for {
+        tagValues <- result.rows
+        field <- fields
+      } yield Row.fromSeq(tagValues.map(v => if (v == null) null else v.toString) :+ field)
+      val schema = StructType(
+        cfg.tagColumns.map(StructField(_, StringType)) :+ StructField("field", StringType)
+      )
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    } else {
+      cfg.tagColumns.foreach { t =>
+        require(cfg.listColumns.contains(t), s"""tag column "$t" not found""")
+      }
+      // non-tag columns keep their position; only vocabulary names
+      // survive (coerce_field ValueError semantics)
+      val metaCols = cfg.listColumns.filterNot(cfg.tagColumns.contains).filter(isMetadataName)
+      val idx = cfg.listColumns.zipWithIndex.toMap
+      val rows = for {
+        row <- result.rows
+        field <- fields
+      } yield Row.fromSeq(
+        cfg.tagColumns.map(t => cell(row, idx(t))) ++ (field +: metaCols.map(m => cell(row, idx(m))))
+      )
+      val schema = StructType(
+        cfg.tagColumns.map(StructField(_, StringType)) ++
+          (StructField("field", StringType) +: metaCols.map(m => StructField(MetadataSource.canonicalName(m), StringType)))
+      )
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    }
+  }
+
+  /** Per-series metadata (sql.py:145 `get_metadata`): the metadata
+    * query with the tag values as parameters; dictionary_name triggers
+    * the dictionary query. One row: tag columns + surviving metadata
+    * columns (+ `dictionary` as a `label:value,…` rendering when
+    * resolved).
+    */
+  def metadata(spark: SparkSession, selector: SeriesSelector): DataFrame = {
+    val tagVals = cfg.tagColumns.map(t => selector.tags.getOrElse(t, ""))
+    val base = cfg.tagColumns.map(t => t -> selector.tags.getOrElse(t, "")).toMap
+    val fields: Map[String, String] = cfg.metadataQuery match {
+      case None => Map.empty
+      case Some(q) =>
+        val result = withClient(_.query(formatQuery(q, tagVals)))
+        result.rows.headOption match {
+          case None => Map.empty
+          case Some(row) =>
+            cfg.metadataColumns.zipWithIndex.flatMap { case (name, i) =>
+              val v = cell(row, i)
+              if (v == null || v.isEmpty || !isMetadataName(name)) None
+              else Some(MetadataSource.canonicalName(name) -> v)
+            }.toMap
+        }
+    }
+    val dict = fields.get("dictionary_name").flatMap(queryDictionary)
+    val all = base ++ fields ++ dict.map("dictionary" -> _)
+    val names = (cfg.tagColumns ++ fields.keys.toSeq.sorted ++ dict.map(_ => "dictionary")).distinct
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row.fromSeq(names.map(all.getOrElse(_, null)))), 1),
+      StructType(names.map(StructField(_, StringType))),
+    )
+  }
+
+  /** The dictionary query (sql.py:372): `(key, label)` rows for one
+    * dictionary name, rendered `key:label` comma-joined in key order.
+    */
+  private def queryDictionary(name: String): Option[String] = cfg.dictionaryQuery.map { q =>
+    val result = withClient(_.query(formatQuery(q, Seq(name))))
+    result.rows
+      .map(r => (r.head.toString.toInt, cell(r, 1)))
+      .sortBy(_._1)
+      .map { case (k, v) => s"$k:$v" }
+      .mkString(",")
+  }
+
+  /** Range data for one series: `ts`/`value` (+ `quality` when the
+    * query yields a third column and a quality mapping is configured,
+    * sql.py:245-247).
+    */
+  def getData(spark: SparkSession, selector: SeriesSelector, start: Timestamp, end: Timestamp): DataFrame = {
+    val rows = fetchData(cfg, selector.tags, start, end)
+    toDataFrame(spark, rows, series = None)
+  }
+
+  /** Distributed multi-series read: one WebSocket query per series,
+    * one task per series (the InfluxSource/PluginSource fan-out shape
+    * — rows never pass through the driver). `valueType` declares the
+    * canonical value column, "double" by default: a TDengine column is
+    * typed, so the caller knows the supertable's value type.
+    */
+  def dataForKeys(
+      spark: SparkSession,
+      keys: Seq[Map[String, String]],
+      start: Timestamp,
+      end: Timestamp,
+      valueType: String = "double",
+  ): DataFrame = {
+    require(keys.nonEmpty, "tdengine data read needs at least one series")
+    val target: DataType = if (valueType == "string") StringType else DoubleType
+    val conf = cfg
+    val tagCols = cfg.tagColumns
+    val rows = spark.sparkContext
+      .parallelize(keys, math.min(keys.size, spark.sparkContext.defaultParallelism))
+      .flatMap { tags =>
+        val name = tagCols.map(t => tags.getOrElse(t, "")).mkString(",")
+        fetchData(conf, tags, start, end).map(r => Row(name, r.ts, coerce(r.value, target)))
+      }
+    spark.createDataFrame(
+      rows,
+      StructType(Seq(
+        StructField("series_name", StringType),
+        StructField("ts", TimestampType),
+        StructField("value", target),
+      )),
+    )
+  }
+
+  private def toDataFrame(spark: SparkSession, rows: Seq[DataRow], series: Option[String]): DataFrame = {
+    val hasQuality = cfg.qualityGood.nonEmpty && rows.forall(_.quality.isDefined) && rows.nonEmpty
+    val valueType: DataType = detectType(rows.map(_.value))
+    val data = rows.map { r =>
+      val vs = Seq(r.ts, coerce(r.value, valueType)) ++
+        (if (hasQuality) Seq(if (isGoodQuality(r.quality.get)) 1 else 0) else Nil)
+      Row.fromSeq(series.map(Seq(_)).getOrElse(Nil) ++ vs)
+    }
+    val schema = StructType(
+      series.map(_ => StructField("series_name", StringType)).toSeq ++
+        Seq(StructField("ts", TimestampType), StructField("value", valueType)) ++
+        (if (hasQuality) Seq(StructField("quality", IntegerType)) else Nil)
+    )
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+  }
+
+  private def isGoodQuality(v: Any): Boolean = cfg.qualityGood.exists {
+    case n: Number => v match {
+      case m: Number => m.longValue() == n.longValue()
+      case s: String => s == n.toString
+      case _         => false
+    }
+    case s => v != null && v.toString == s.toString
+  }
+
+  private def emptySearch(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(cfg.tagColumns.map(StructField(_, StringType)) :+ StructField("field", StringType)),
+    )
+
+  private def withClient[T](f: TaosWsClient => T): T = TdEngineSource.withClient(cfg, f)
+  private def formatQuery(q: String, params: Seq[String]): String =
+    TdEngineSource.formatQuery(cfg, q, params)
+  private def fetchData(
+      conf: TdEngineConfig,
+      tags: Map[String, String],
+      start: Timestamp,
+      end: Timestamp,
+  ): Seq[DataRow] = TdEngineSource.fetchData(conf, tags, start, end)
+}
+
+object TdEngineSource {
+
+  private[sources] final case class DataRow(ts: Timestamp, value: Any, quality: Option[Any])
+
+  private def withClient[T](cfg: TdEngineConfig, f: TaosWsClient => T): T = {
+    val client = new TaosWsClient(cfg.connection)
+    try f(client)
+    finally client.close()
+  }
+
+  /** Python `str.format` over positional `{}` placeholders — the
+    * reference's `query_string_parameters` path (sql.py:156-158,
+    * 282-284). Values are quote-stripped: they land inside
+    * single-quoted SQL literals in the configured text, and the
+    * reference's own identifier scrub precedent (influxdb.py:195)
+    * applies the same defense.
+    */
+  private[sources] def formatQuery(cfg: TdEngineConfig, q: String, params: Seq[String]): String = {
+    require(
+      cfg.queryStringParameters,
+      "tdengine requires query_string_parameters = true " +
+        "(the taosws driver has no parameterizable queries — docs/source/tdengine.asciidoc)",
+    )
+    val it = params.iterator
+    val sb = new StringBuilder
+    var i = 0
+    while (i < q.length) {
+      if (i + 1 < q.length && q.charAt(i) == '{' && q.charAt(i + 1) == '}' && it.hasNext) {
+        sb.append(it.next().replace("'", ""))
+        i += 2
+      } else { sb.append(q.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Python `str(datetime)` for an aware UTC datetime:
+    * `2020-01-01 00:00:00+00:00`, microseconds only when non-zero —
+    * what `"{}".format(start_date)` renders when no
+    * `data_query_datetime_format` is configured (sql.py:389-396).
+    */
+  private[sources] def pythonStr(ts: Timestamp): String = {
+    val ins = ts.toInstant
+    val base = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(ins)
+    val micros = ins.getNano / 1000
+    val frac = if (micros == 0) "" else f".$micros%06d"
+    s"$base$frac+00:00"
+  }
+
+  private[sources] def formatDate(cfg: TdEngineConfig, ts: Timestamp): String =
+    cfg.dataQueryDatetimeFormat match {
+      case Some(fmt) =>
+        java.time.format.DateTimeFormatter
+          .ofPattern(GraftConfig.strftimeToJava(fmt))
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(ts.toInstant)
+      case None => pythonStr(ts)
+    }
+
+  /** One series' rows over the WebSocket — runs on the driver for
+    * single-series reads and inside executor tasks for
+    * [[TdEngineSource.dataForKeys]].
+    */
+  private def fetchData(
+      cfg: TdEngineConfig,
+      tags: Map[String, String],
+      start: Timestamp,
+      end: Timestamp,
+  ): Seq[DataRow] = {
+    val query = cfg.dataQuery.getOrElse(return Nil)
+    val tagNames = cfg.dataQueryTags.getOrElse(cfg.tagColumns)
+    val params = tagNames.map(t => tags.getOrElse(t, "")) ++
+      Seq(formatDate(cfg, start), formatDate(cfg, end))
+    val result = withClient(cfg, _.query(formatQuery(cfg, query, params)))
+    result.rows.map { row =>
+      val ts = row.head match {
+        case t: Timestamp => t
+        case s: String    => parseTimestamp(s)
+        case other        => throw new IllegalStateException(s"tdengine: unexpected ts value $other")
+      }
+      DataRow(ts, row(1), if (row.size > 2) Some(row(2)) else None)
+    }
+  }
+
+  private def parseTimestamp(s: String): Timestamp = {
+    val iso = s.trim.replace(" ", "T")
+    val withZone = if (iso.endsWith("Z") || iso.contains("+")) iso else iso + "Z"
+    Timestamp.from(java.time.OffsetDateTime.parse(withZone).toInstant)
+  }
+
+  /** The reference's per-result type detection (sql.py:404 with the
+    * 90% majority rule) collapses here: a TDengine column carries one
+    * SQL type, so a result is uniformly numeric, boolean, or textual.
+    */
+  private def detectType(values: Seq[Any]): DataType = {
+    val nonNull = values.filter(_ != null)
+    if (nonNull.nonEmpty && nonNull.forall(_.isInstanceOf[Number])) DoubleType
+    else if (nonNull.nonEmpty && nonNull.forall(_.isInstanceOf[Boolean])) BooleanType
+    else StringType
+  }
+
+  private def coerce(v: Any, t: DataType): Any =
+    if (v == null) {
+      // the reference maps SQL NULL in a numeric series to NaN (sql.py:233)
+      if (t == DoubleType) Double.NaN else null
+    } else
+      t match {
+        case DoubleType  => v.asInstanceOf[Number].doubleValue()
+        case BooleanType => v
+        case _           => v.toString
+      }
+
+  private def cell(row: Seq[Any], i: Int): String =
+    if (i >= row.size || row(i) == null) null else row(i).toString
+
+  private def isMetadataName(name: String): Boolean = {
+    val canonical = MetadataSource.canonicalName(name)
+    MetadataSource.CanonicalFields.contains(canonical)
+  }
+}

@@ -1,0 +1,341 @@
+package graft
+
+import java.io.{InputStream, OutputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.ByteBuffer
+import java.nio.ByteOrder.LITTLE_ENDIAN
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import java.util.Base64
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.sources.TaosWs
+
+/** In-process WebSocket server speaking the taosAdapter `/ws` query
+  * protocol — the TDengine analog of InfluxSourceSpec's HTTP stub. The
+  * JDK has no WebSocket *server*, so this implements RFC 6455 directly
+  * on a ServerSocket: the Upgrade handshake (Sec-WebSocket-Accept =
+  * base64(SHA-1(key + RFC GUID))), masked client frames, unmasked
+  * server frames, text/binary/ping/close opcodes, continuation
+  * reassembly.
+  *
+  * Protocol engine: `conn` checks credentials; `query` hands the SQL
+  * to the spec-provided handler; `fetch`/`fetch_block` page the result
+  * out `blockRows` rows at a time (forcing the client's pagination
+  * loop); `free_result` releases the cursor. Blocks are encoded in the
+  * raw-block layout [[TaosWs.decodeRawBlock]] documents — the spec
+  * pins the layout itself against hand-built golden bytes so encoder
+  * and decoder cannot drift together.
+  */
+object TaosWsStub {
+
+  /** One query result: (name, type id, byte width) per column. */
+  final case class StubResult(
+      fields: Seq[(String, Int, Int)],
+      rows: Seq[Seq[Any]],
+      precision: Int = 0,
+      affectedRows: Int = -1, // >= 0 marks an update statement
+  )
+
+  /** Raw-block encoder — the server side of the layout documented at
+    * [[TaosWs.decodeRawBlock]].
+    */
+  def encodeBlock(fields: Seq[(String, Int, Int)], rows: Seq[Seq[Any]]): Array[Byte] = {
+    val cols = fields.size
+    val varType = Set(8, 10, 15)
+    val colBytes: Seq[Array[Byte]] = fields.zipWithIndex.map { case ((_, tpe, width), c) =>
+      if (varType.contains(tpe)) {
+        val blob = new java.io.ByteArrayOutputStream()
+        val offsets = ByteBuffer.allocate(4 * rows.size).order(LITTLE_ENDIAN)
+        rows.foreach { row =>
+          row(c) match {
+            case null => offsets.putInt(-1)
+            case v =>
+              offsets.putInt(blob.size())
+              val payload =
+                if (tpe == 10) { // NCHAR: UCS-4LE code points
+                  val s = v.toString
+                  val cps = s.codePoints().toArray
+                  val bb = ByteBuffer.allocate(4 * cps.length).order(LITTLE_ENDIAN)
+                  cps.foreach(bb.putInt)
+                  bb.array()
+                } else v.toString.getBytes(UTF_8)
+              val len = ByteBuffer.allocate(2).order(LITTLE_ENDIAN).putShort(payload.length.toShort).array()
+              blob.write(len); blob.write(payload)
+          }
+        }
+        val data = blob.toByteArray
+        val out = ByteBuffer.allocate(offsets.capacity() + data.length).order(LITTLE_ENDIAN)
+        out.put(offsets.array()); out.put(data)
+        out.array()
+      } else {
+        val bitmap = new Array[Byte]((rows.size + 7) / 8)
+        val data = ByteBuffer.allocate(rows.size * width).order(LITTLE_ENDIAN)
+        rows.zipWithIndex.foreach { case (row, r) =>
+          row(c) match {
+            case null =>
+              bitmap(r >> 3) = (bitmap(r >> 3) | (1 << (7 - (r & 7)))).toByte
+              data.position(data.position() + width)
+            case v =>
+              tpe match {
+                case 1 => data.put(if (v.asInstanceOf[Boolean]) 1.toByte else 0.toByte)
+                case 2 => data.put(v.asInstanceOf[Number].byteValue())
+                case 3 => data.putShort(v.asInstanceOf[Number].shortValue())
+                case 4 => data.putInt(v.asInstanceOf[Number].intValue())
+                case 5 | 9 => data.putLong(v.asInstanceOf[Number].longValue())
+                case 6 => data.putFloat(v.asInstanceOf[Number].floatValue())
+                case 7 => data.putDouble(v.asInstanceOf[Number].doubleValue())
+                case other => throw new IllegalArgumentException(s"stub: type $other")
+              }
+          }
+        }
+        val out = ByteBuffer.allocate(bitmap.length + data.capacity()).order(LITTLE_ENDIAN)
+        out.put(bitmap); out.put(data.array())
+        out.array()
+      }
+    }
+    val headerLen = 4 * 5 + 8 + cols * 5 + cols * 4
+    val total = headerLen + colBytes.map(_.length).sum
+    val buf = ByteBuffer.allocate(total).order(LITTLE_ENDIAN)
+    buf.putInt(1) // version
+    buf.putInt(total)
+    buf.putInt(rows.size)
+    buf.putInt(cols)
+    buf.putInt(0) // flag
+    buf.putLong(0L) // group id
+    fields.foreach { case (_, tpe, width) => buf.put(tpe.toByte); buf.putInt(width) }
+    // per-column data length: for var types, the blob only (offsets are
+    // not counted — the decoder reads rows*4 offsets then `length` bytes)
+    fields.zipWithIndex.foreach { case ((_, tpe, _), c) =>
+      val len = if (varType.contains(tpe)) colBytes(c).length - 4 * rows.size else {
+        // fixed: rows*width (bitmap not counted)
+        colBytes(c).length - (rows.size + 7) / 8
+      }
+      buf.putInt(len)
+    }
+    colBytes.foreach(buf.put)
+    buf.array()
+  }
+}
+
+final class TaosWsStub(
+    handler: String => TaosWsStub.StubResult,
+    user: String = "root",
+    password: String = "taosdata",
+    blockRows: Int = 2,
+) extends AutoCloseable {
+
+  import TaosWsStub._
+
+  private val mapper = new ObjectMapper()
+  private val server = new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
+  @volatile var lastSql: String = ""
+  @volatile var lastConnDb: String = ""
+  @volatile var connCount: Int = 0
+
+  def port: Int = server.getLocalPort
+
+  private val acceptThread = new Thread(() => {
+    try while (!server.isClosed) {
+      val socket = server.accept()
+      val t = new Thread(() => serve(socket))
+      t.setDaemon(true)
+      t.start()
+    } catch { case _: Exception => () }
+  })
+  acceptThread.setDaemon(true)
+  acceptThread.start()
+
+  override def close(): Unit = server.close()
+
+  // ---- RFC 6455 ----
+
+  private def serve(socket: Socket): Unit = {
+    val in = socket.getInputStream
+    val out = socket.getOutputStream
+    try {
+      handshake(in, out)
+      val state = new ConnState
+      var open = true
+      while (open) readFrame(in) match {
+        case None => open = false
+        case Some((opcode, payload)) =>
+          opcode match {
+            case 1 => onText(new String(payload, UTF_8), out, state)
+            case 8 => writeFrame(out, 8, payload); open = false
+            case 9 => writeFrame(out, 10, payload) // ping -> pong
+            case _ => ()
+          }
+      }
+    } catch { case _: Exception => () }
+    finally socket.close()
+  }
+
+  private def handshake(in: InputStream, out: OutputStream): Unit = {
+    val req = new StringBuilder
+    var prev = 0
+    var done = false
+    while (!done) {
+      val b = in.read()
+      if (b < 0) throw new java.io.EOFException("handshake")
+      req.append(b.toChar)
+      if (b == '\n' && prev == '\n') done = true
+      if (b != '\r') prev = b
+    }
+    val key = req.toString.linesIterator
+      .find(_.toLowerCase.startsWith("sec-websocket-key:"))
+      .map(_.split(":", 2)(1).trim)
+      .getOrElse(throw new IllegalStateException("no Sec-WebSocket-Key"))
+    val accept = Base64.getEncoder.encodeToString(
+      MessageDigest.getInstance("SHA-1").digest((key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").getBytes(UTF_8))
+    )
+    out.write(
+      ("HTTP/1.1 101 Switching Protocols\r\n" +
+        "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+        s"Sec-WebSocket-Accept: $accept\r\n\r\n").getBytes(UTF_8)
+    )
+    out.flush()
+  }
+
+  /** One complete message (continuation frames reassembled). Returns
+    * None on EOF.
+    */
+  private def readFrame(in: InputStream): Option[(Int, Array[Byte])] = {
+    val acc = new java.io.ByteArrayOutputStream()
+    var opcode = -1
+    var fin = false
+    while (!fin) {
+      val b0 = in.read(); if (b0 < 0) return None
+      val b1 = in.read(); if (b1 < 0) return None
+      fin = (b0 & 0x80) != 0
+      val op = b0 & 0x0f
+      if (op != 0) opcode = op
+      val masked = (b1 & 0x80) != 0
+      var len: Long = b1 & 0x7f
+      if (len == 126) len = ((in.read() & 0xff) << 8 | (in.read() & 0xff)).toLong
+      else if (len == 127) { len = 0L; (0 until 8).foreach(_ => len = (len << 8) | (in.read() & 0xff)) }
+      val mask = if (masked) { val m = new Array[Byte](4); readFully(in, m); m } else null
+      val payload = new Array[Byte](len.toInt)
+      readFully(in, payload)
+      if (masked) payload.indices.foreach(i => payload(i) = (payload(i) ^ mask(i % 4)).toByte)
+      acc.write(payload)
+    }
+    Some((opcode, acc.toByteArray))
+  }
+
+  private def readFully(in: InputStream, buf: Array[Byte]): Unit = {
+    var off = 0
+    while (off < buf.length) {
+      val n = in.read(buf, off, buf.length - off)
+      if (n < 0) throw new java.io.EOFException()
+      off += n
+    }
+  }
+
+  private def writeFrame(out: OutputStream, opcode: Int, payload: Array[Byte]): Unit = out.synchronized {
+    out.write(0x80 | opcode)
+    if (payload.length < 126) out.write(payload.length)
+    else if (payload.length < 65536) {
+      out.write(126); out.write(payload.length >> 8); out.write(payload.length & 0xff)
+    } else {
+      out.write(127)
+      (7 to 0 by -1).foreach(i => out.write(((payload.length.toLong >> (8 * i)) & 0xff).toInt))
+    }
+    out.write(payload)
+    out.flush()
+  }
+
+  // ---- taosws protocol engine ----
+
+  private final class ConnState {
+    var authed = false
+    var nextId = 0L
+    // result id -> (result, cursor, pending chunk size)
+    val results = scala.collection.mutable.Map.empty[Long, (StubResult, Int, Int)]
+  }
+
+  private def onText(text: String, out: OutputStream, state: ConnState): Unit = {
+    val node = mapper.readTree(text)
+    val action = node.path("action").asText()
+    val args = node.path("args")
+    val reqId = args.path("req_id").asLong()
+    def reply(extra: (String, Any)*): Unit = {
+      val o = mapper.createObjectNode()
+      o.put("code", 0).put("message", "").put("action", action).put("req_id", reqId).put("timing", 1)
+      extra.foreach {
+        case (k, v: String) => o.put(k, v)
+        case (k, v: Long) => o.put(k, v)
+        case (k, v: Int) => o.put(k, v)
+        case (k, v: Boolean) => o.put(k, v)
+        case (k, v: com.fasterxml.jackson.databind.JsonNode) => o.set[com.fasterxml.jackson.databind.JsonNode](k, v)
+        case (k, v) => o.put(k, v.toString)
+      }
+      writeFrame(out, 1, mapper.writeValueAsString(o).getBytes(UTF_8))
+    }
+    def fail(msg: String): Unit = {
+      val o = mapper.createObjectNode()
+      o.put("code", 0x0216).put("message", msg).put("action", action).put("req_id", reqId)
+      writeFrame(out, 1, mapper.writeValueAsString(o).getBytes(UTF_8))
+    }
+
+    action match {
+      case "conn" =>
+        connCount += 1
+        lastConnDb = args.path("db").asText("")
+        if (args.path("user").asText() == user && args.path("password").asText() == password) {
+          state.authed = true; reply()
+        } else fail("Authentication failure")
+      case "query" =>
+        if (!state.authed) { fail("not authenticated"); return }
+        lastSql = args.path("sql").asText()
+        val result =
+          try handler(lastSql)
+          catch { case e: Exception => fail(e.getMessage); return }
+        if (result.affectedRows >= 0) {
+          reply("is_update" -> true, "affected_rows" -> result.affectedRows)
+        } else {
+          state.nextId += 1
+          val id = state.nextId
+          state.results(id) = (result, 0, 0)
+          val names = mapper.createArrayNode(); result.fields.foreach(f => names.add(f._1))
+          val types = mapper.createArrayNode(); result.fields.foreach(f => types.add(f._2))
+          val lengths = mapper.createArrayNode(); result.fields.foreach(f => lengths.add(f._3))
+          reply(
+            "id" -> id, "is_update" -> false, "affected_rows" -> 0,
+            "fields_count" -> result.fields.size,
+            "fields_names" -> names, "fields_types" -> types, "fields_lengths" -> lengths,
+            "precision" -> result.precision,
+          )
+        }
+      case "fetch" =>
+        val id = args.path("id").asLong()
+        state.results.get(id) match {
+          case None => fail(s"unknown result $id")
+          case Some((result, cursor, _)) =>
+            val chunk = math.min(blockRows, result.rows.size - cursor)
+            if (chunk <= 0) reply("id" -> id, "completed" -> true, "rows" -> 0)
+            else {
+              state.results(id) = (result, cursor, chunk)
+              reply("id" -> id, "completed" -> false, "rows" -> chunk)
+            }
+        }
+      case "fetch_block" =>
+        val id = args.path("id").asLong()
+        state.results.get(id) match {
+          case None => fail(s"unknown result $id")
+          case Some((result, cursor, chunk)) =>
+            val rows = result.rows.slice(cursor, cursor + chunk)
+            state.results(id) = (result, cursor + chunk, 0)
+            val block = encodeBlock(result.fields, rows)
+            val frame = ByteBuffer.allocate(8 + block.length).order(LITTLE_ENDIAN)
+            frame.putLong(id); frame.put(block)
+            writeFrame(out, 2, frame.array())
+        }
+      case "free_result" =>
+        state.results.remove(args.path("id").asLong())
+        // the protocol expects no reply to free_result
+      case other => fail(s"unknown action $other")
+    }
+  }
+}
