@@ -1644,6 +1644,17 @@ object SparkEntry {
         .sampleFrames(Multimodal.toTiffAssets(assets))
         .select(col("asset_id"), col("frame_idx"), col("width"), col("height"))
     },
+    // C12g (video): payload → REAL MJPEG AVI (RIFF container written
+    // chunk by chunk, baseline-JPEG frames) → RIFF walk to LIST('movi')
+    // → every-2nd frame chunk JPEG-decoded. Same frame-count formula as
+    // mm_frames, so sampled indices/dims hash-verify; decoded per-frame
+    // mean luma is spec-checked (JPEG is lossy — no SQL form).
+    "mm_video_frames" -> { (s, dir) =>
+      val assets = Multimodal.asAssets(Tables.documents(s, dir), "doc_id", "text", "source")
+      Multimodal
+        .sampleVideoFrames(Multimodal.toAviAssets(assets))
+        .select(col("asset_id"), col("frame_idx"), col("width"), col("height"))
+    },
     // C12e: perceptual image hash (pHash/DCT) + exact banded near-dup
     // pairs — LAION-style image dedup on the real PNG assets (hash is
     // a DCT of decoded pixels: no SQL form → rows-only, spec-verified)
@@ -2279,6 +2290,12 @@ object SparkEntry {
                 CAST(CEIL(CAST(h0 AS DOUBLE) / fac) AS INT) AS height
          FROM f""",
     "mm_frames" ->
+      """WITH n AS (SELECT doc_id, LEAST(GREATEST(octet_length(encode(text)), 1), 4096) AS nb FROM documents),
+         fr AS (SELECT doc_id, CAST(CEIL(nb / 256.0) AS INT) AS nf FROM n)
+         SELECT doc_id AS asset_id, CAST(UNNEST(range(0, nf, 2)) AS INT) AS frame_idx,
+                16 AS width, 16 AS height
+         FROM fr""",
+    "mm_video_frames" ->
       """WITH n AS (SELECT doc_id, LEAST(GREATEST(octet_length(encode(text)), 1), 4096) AS nb FROM documents),
          fr AS (SELECT doc_id, CAST(CEIL(nb / 256.0) AS INT) AS nf FROM n)
          SELECT doc_id AS asset_id, CAST(UNNEST(range(0, nf, 2)) AS INT) AS frame_idx,

@@ -14,9 +14,12 @@ import org.apache.spark.sql.types._
   * Audio decode is REAL too: [[decodeAudio]] parses WAV containers with
   * `javax.sound.sampled` (JDK built-in) — true encoding/sample-rate/
   * channels/bit-depth/frame-count plus RMS and amplitude histogram
-  * from the actual PCM frames. Compressed audio and video codecs are
-  * not in the JDK, so [[stubDecode]] remains as the documented
-  * stand-in for VIDEO only: it derives deterministic fake features
+  * from the actual PCM frames. Video is REAL for the MJPEG-AVI
+  * subset: [[toAviAssets]]/[[sampleVideoFrames]] write and walk the
+  * RIFF container and decode the per-frame baseline JPEGs with
+  * ImageIO. Inter-frame codecs (H.264/VP9/AV1) and compressed audio
+  * are not in the JDK, so [[stubDecode]] remains as the documented
+  * stand-in for THOSE only: it derives deterministic fake features
   * from the bytes while keeping the production contract — schema,
   * batched per-partition execution, partition sizing — identical, so
   * swapping in a real codec (JNI or an Arrow-IPC sidecar process)
@@ -493,6 +496,189 @@ object Multimodal {
     spark.createDataFrame(rdd, frameFeatureSchema)
   }
 
+  /** Deterministically render each asset's bytes as a REAL MJPEG AVI
+    * clip — the honest floor of the video arm: the AVI container is
+    * RIFF (the same chunk grammar the WAV path walks) and MJPEG frames
+    * are baseline JPEGs the JDK encodes/decodes natively, so the whole
+    * round trip is real; only inter-frame codecs (H.264/VP9/AV1) stay
+    * out of JDK reach. Payload bytes are cut into `frameW × frameH`
+    * 8-bit grayscale frames exactly like [[toTiffAssets]] (same frame
+    * count formula — a pure function of payload length, which the
+    * oracle exploits), each JPEG-encoded and laid out as the standard
+    * structure: `RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
+    * LIST('movi' '00dc'…) idx1)`.
+    */
+  def toAviAssets(
+      assets: DataFrame,
+      frameW: Int = 16,
+      frameH: Int = 16,
+      fps: Int = 10,
+      maxFrames: Int = 16,
+  ): DataFrame = {
+    val spark = assets.sparkSession
+    val (fw, fh, rate, cap) = (frameW, frameH, fps, maxFrames)
+    val rdd = assets.select(col("asset_id"), col("content"), col("meta.source")).rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val pixelsPerFrame = fw * fh
+        val n = math.min(math.max(bytes.length, 1), pixelsPerFrame * cap)
+        val nFrames = (n + pixelsPerFrame - 1) / pixelsPerFrame
+        val jpegs = (0 until nFrames).map { fi =>
+          val img = new java.awt.image.BufferedImage(fw, fh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var i = 0
+          while (i < pixelsPerFrame) {
+            val gi = fi * pixelsPerFrame + i
+            raster.setSample(i % fw, i / fw, 0, if (gi < bytes.length) bytes(gi) & 0xff else 0)
+            i += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpeg", out)
+          out.toByteArray
+        }
+        val avi = writeAvi(fw, fh, rate, jpegs)
+        Row(id, avi, Row("video/x-msvideo", avi.length, r.getString(2)))
+      }
+    }
+    spark.createDataFrame(rdd, assetSchema)
+  }
+
+  /** Serialize MJPEG frames into the AVI RIFF layout. All sizes
+    * little-endian; chunk payloads pad to even length per RIFF.
+    */
+  private def writeAvi(w: Int, h: Int, fps: Int, jpegs: Seq[Array[Byte]]): Array[Byte] = {
+    def fourcc(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def le32(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def le16(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(2).order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(v.toShort).array()
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if (payload.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray
+      fourcc(id) ++ le32(payload.length) ++ payload ++ pad
+    }
+    def list(listType: String, payload: Array[Byte]): Array[Byte] =
+      fourcc("LIST") ++ le32(payload.length + 4) ++ fourcc(listType) ++ payload
+
+    val maxJpeg = if (jpegs.isEmpty) 0 else jpegs.map(_.length).max
+    val avih = le32(1000000 / math.max(fps, 1)) ++ le32(maxJpeg * fps) ++ le32(0) ++
+      le32(0x10 /* AVIF_HASINDEX */ ) ++ le32(jpegs.size) ++ le32(0) ++ le32(1) ++ le32(maxJpeg) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++
+      le32(1) ++ le32(fps) ++ le32(0) ++ le32(jpegs.size) ++ le32(maxJpeg) ++ le32(-1) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++ fourcc("MJPG") ++
+      le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list(
+      "hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)),
+    )
+    val frameChunks = jpegs.map(j => chunk("00dc", j))
+    val movi = list("movi", frameChunks.flatten.toArray)
+    // idx1: offsets are relative to the 'movi' fourcc (the common
+    // convention), one AVIIF_KEYFRAME entry per frame
+    val idxEntries = {
+      var off = 4
+      jpegs.map { j =>
+        val e = fourcc("00dc") ++ le32(0x10) ++ le32(off) ++ le32(j.length)
+        off += 8 + j.length + (j.length % 2)
+        e
+      }
+    }
+    val idx1 = chunk("idx1", idxEntries.flatten.toArray)
+    val body = fourcc("AVI ") ++ hdrl ++ movi ++ idx1
+    fourcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** REAL video frame sampling — the MJPEG-AVI realization of the
+    * frame-sample verb: walk the RIFF chunk tree to `LIST('movi')`,
+    * take every `everyN`-th `##dc`/`##db` frame chunk (from `offset`),
+    * decode each sampled JPEG with ImageIO and emit its true dims plus
+    * the integer-exact mean luminance of the DECODED pixels (floor-
+    * scaled to 1e-6, like [[sampleFrames]]). Bytes that are not a RIFF
+    * AVI, or frames no installed reader decodes, emit no rows rather
+    * than failing the task. Batched per partition like every decode
+    * step.
+    */
+  def sampleVideoFrames(assets: DataFrame, everyN: Int = 2, offset: Int = 0, batchSize: Int = 64): DataFrame = {
+    require(everyN >= 1, "everyN must be at least 1")
+    val spark = assets.sparkSession
+    val (stride, off) = (everyN, offset)
+    val rdd = assets
+      .select(col("asset_id"), col("content"))
+      .rdd
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            val id = r.getLong(0)
+            val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+            aviFrames(bytes).zipWithIndex.collect {
+              case (jpeg, fi) if fi >= off && (fi - off) % stride == 0 =>
+                try {
+                  val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+                  if (img == null) None
+                  else {
+                    val (w, h) = (img.getWidth, img.getHeight)
+                    var sum = 0L
+                    var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) { sum += lumaAt(img, x, y); x += 1 }
+                      y += 1
+                    }
+                    val mean = math.floor(sum.toDouble * 1e6 / (w.toLong * h)) / 1e6
+                    Some(Row(id, fi, w, h, mean))
+                  }
+                } catch { case _: Exception => None }
+            }.flatten
+          }
+        }
+      }
+    spark.createDataFrame(rdd, frameFeatureSchema)
+  }
+
+  /** Video frame chunks of one AVI blob, in stream order. RIFF walk:
+    * `RIFF('AVI ' …)` at the top, then chunks/LISTs with even-padded
+    * payloads; frames are the `##dc`/`##db` chunks inside
+    * `LIST('movi')` (including nested `LIST('rec ')` groups).
+    */
+  private[multimodal] def aviFrames(bytes: Array[Byte]): Vector[Array[Byte]] = {
+    if (bytes.length < 12) return Vector.empty
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); buf.get(b)
+      new String(b, java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    if (fourcc() != "RIFF") return Vector.empty
+    val riffSize = buf.getInt()
+    if (fourcc() != "AVI ") return Vector.empty
+    val end = math.min(8L + riffSize, bytes.length.toLong).toInt
+    val out = Vector.newBuilder[Array[Byte]]
+
+    def walk(limit: Int, inMovi: Boolean): Unit = {
+      while (buf.position() + 8 <= limit) {
+        val id = fourcc()
+        val size = buf.getInt()
+        val dataStart = buf.position()
+        val dataEnd = dataStart + size
+        if (size < 0 || dataEnd > limit) return // corrupt size: stop
+        if (id == "LIST") {
+          val listType = fourcc()
+          walk(dataEnd, inMovi || listType == "movi")
+        } else if (inMovi && size > 0 && id.length == 4 && (id.endsWith("dc") || id.endsWith("db"))) {
+          val frame = new Array[Byte](size)
+          buf.get(frame)
+          out += frame
+        }
+        buf.position(dataEnd + (size % 2)) // even padding
+      }
+    }
+    walk(end, inMovi = false)
+    out.result()
+  }
+
   val audioFeatureSchema: StructType = StructType(
     Seq(
       StructField("asset_id", LongType, nullable = false),
@@ -798,12 +984,14 @@ object Multimodal {
       .where(col("shared_fp") >= minShared)
   }
 
-  /** STUB decode for codecs the JDK lacks (audio/video): per-partition
-    * batched "decode" producing deterministic fake features
-    * (byte-histogram moments). Replace the body with a real decoder;
-    * the mapPartitions batching (the Scala analog of `mapInPandas`)
-    * and the output schema are the production contract — see
-    * [[decodeImages]] for the realized image case.
+  /** STUB decode for codecs the JDK lacks (inter-frame video —
+    * H.264/VP9/AV1 — and compressed audio): per-partition batched
+    * "decode" producing deterministic fake features (byte-histogram
+    * moments). Replace the body with a real decoder; the mapPartitions
+    * batching (the Scala analog of `mapInPandas`) and the output
+    * schema are the production contract — see [[decodeImages]] for the
+    * realized image case and [[sampleVideoFrames]] for the realized
+    * MJPEG-AVI video case.
     */
   def stubDecode(assets: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = assets.sparkSession

@@ -97,6 +97,81 @@ class MultimodalSpec extends AnyFunSuite {
     assert(offset.map(_.getAs[Int]("frame_idx")).toSeq == Seq(1))
   }
 
+  test("toAviAssets + sampleVideoFrames: real MJPEG-AVI round trip, every-Nth selection, near-exact luma") {
+    // same 600-byte payload as the TIFF case → 3 frames of 16×16
+    val payload = Array.fill[Byte](600)(7)
+    val docs = Seq((1L, payload, "clip")).toDF("asset_id", "content", "label")
+      .select(
+        $"asset_id",
+        $"content",
+        org.apache.spark.sql.functions
+          .struct(
+            org.apache.spark.sql.functions.lit("application/octet-stream").as("mime"),
+            org.apache.spark.sql.functions.length($"content").as("n_bytes"),
+            $"label".as("source"),
+          )
+          .as("meta"),
+      )
+    val avi = Multimodal.toAviAssets(docs)
+    // the container really is an AVI: RIFF fourcc + AVI form type
+    val blob = avi.collect().head.getAs[Array[Byte]]("content")
+    assert(new String(blob.take(4), "US-ASCII") == "RIFF")
+    assert(new String(blob.slice(8, 12), "US-ASCII") == "AVI ")
+    val all = Multimodal.sampleVideoFrames(avi, everyN = 1).orderBy("frame_idx").collect()
+    assert(all.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 2))
+    assert(all.forall(r => r.getAs[Int]("width") == 16 && r.getAs[Int]("height") == 16))
+    // JPEG is lossy but a solid-gray frame is DC-only: decoded mean
+    // stays within one luma level of the true value
+    assert(math.abs(all(0).getAs[Double]("mean_luma") - 7.0) <= 1.0)
+    assert(math.abs(all(1).getAs[Double]("mean_luma") - 7.0) <= 1.0)
+    val frame2True = math.floor(88.0 * 7 * 1e6 / 256) / 1e6
+    assert(math.abs(all(2).getAs[Double]("mean_luma") - frame2True) <= 2.0)
+    // every-2nd sampling and offset: identical comb to the TIFF path
+    val sampled = Multimodal.sampleVideoFrames(avi, everyN = 2).orderBy("frame_idx").collect()
+    assert(sampled.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2))
+    val offset = Multimodal.sampleVideoFrames(avi, everyN = 2, offset = 1).collect()
+    assert(offset.map(_.getAs[Int]("frame_idx")).toSeq == Seq(1))
+  }
+
+  test("sampleVideoFrames: AVI/TIFF frame-index parity, junk bytes, determinism") {
+    val docs = Seq(
+      (1L, ("x" * 700).getBytes("UTF-8"), "a"),
+      (2L, ("hello world, this is a longer clip payload " * 40).getBytes("UTF-8"), "b"),
+      (3L, "not a container".getBytes("UTF-8"), "c"),
+    ).toDF("asset_id", "content", "label")
+      .select(
+        $"asset_id",
+        $"content",
+        org.apache.spark.sql.functions
+          .struct(
+            org.apache.spark.sql.functions.lit("application/octet-stream").as("mime"),
+            org.apache.spark.sql.functions.length($"content").as("n_bytes"),
+            $"label".as("source"),
+          )
+          .as("meta"),
+      )
+    // the AVI path samples exactly the frame indices the TIFF path does
+    // (same frame-count formula, same comb)
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("asset_id", "frame_idx", "width", "height").orderBy("asset_id", "frame_idx")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    val fromAvi = keys(Multimodal.sampleVideoFrames(Multimodal.toAviAssets(docs)))
+    val fromTiff = keys(Multimodal.sampleFrames(Multimodal.toTiffAssets(docs)))
+    assert(fromAvi == fromTiff && fromAvi.nonEmpty)
+    // raw junk (not RIFF) emits no frames instead of failing
+    val junk = docs.withColumn("content", org.apache.spark.sql.functions.lit("garbage".getBytes("UTF-8")))
+    assert(Multimodal.sampleVideoFrames(junk).count() == 0)
+    // a truncated AVI (corrupt chunk size) stops cleanly
+    val blob = Multimodal.toAviAssets(docs.limit(1)).collect().head.getAs[Array[Byte]]("content")
+    val truncated = docs.limit(1).withColumn("content", org.apache.spark.sql.functions.lit(blob.take(blob.length / 2)))
+    Multimodal.sampleVideoFrames(truncated).count() // must not throw
+    // byte-identical across runs: JPEG encode + RIFF layout are
+    // deterministic
+    val a = Multimodal.toAviAssets(docs).orderBy("asset_id").collect().map(_.getAs[Array[Byte]]("content").toSeq)
+    val b = Multimodal.toAviAssets(docs).orderBy("asset_id").collect().map(_.getAs[Array[Byte]]("content").toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("perceptualHash: identical images collide, perturbed images stay close, distinct stay far") {
     // gradient image + a copy + a 2-pixel perturbation + an unrelated
     // checkerboard — pHash must order these by visual similarity
