@@ -213,20 +213,39 @@ object DeltaSource {
         .parquet(paths: _*)
         .select(snap.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
     } else {
-      // non-hive layout: partitionValues from the log are authoritative;
-      // group files per partition tuple and union with literal columns
-      import org.apache.spark.sql.functions.{col, lit}
+      // non-hive layout: partitionValues from the log are authoritative.
+      // ONE distributed scan + a broadcast join from the file name to
+      // its partition tuple — a per-tuple union would build an
+      // O(#tuples) logical plan and choke on tables with thousands of
+      // distinct tuples. Join key is `_metadata.file_name`: parquet
+      // part files carry a UUID, unique within a table (guarded below).
+      import org.apache.spark.sql.functions.{broadcast, col}
       val dataSchema = StructType(snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
-      snap.files
-        .groupBy(_.partitionValues)
-        .map { case (pv, fs) =>
-          val df = spark.read.schema(dataSchema).parquet(fs.map(f => s"$base/${f.path}"): _*)
-          snap.partitionColumns.foldLeft(df) { (d, c) =>
-            d.withColumn(c, lit(pv.getOrElse(c, null)).cast(snap.schema(c).dataType))
-          }
-        }
-        .reduce(_.unionByName(_))
-        .select(snap.schema.fieldNames.map(col): _*)
+      val names = snap.files.map(f => f.path.split('/').last)
+      require(
+        names.distinct.size == names.size,
+        s"Delta log at $tablePath lists duplicate data file names across directories — " +
+          "cannot key partitionValues by file name for the non-hive layout",
+      )
+      val mapRows = snap.files.map { f =>
+        org.apache.spark.sql.Row.fromSeq(
+          f.path.split('/').last +: snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, null))
+        )
+      }
+      val mapSchema = StructType(
+        org.apache.spark.sql.types.StructField("__graft_file", org.apache.spark.sql.types.StringType) +:
+          snap.partitionColumns.map(c => org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))
+      )
+      val mapping = spark.createDataFrame(spark.sparkContext.parallelize(mapRows, 1), mapSchema)
+      spark.read
+        .schema(dataSchema)
+        .parquet(paths: _*)
+        .withColumn("__graft_file", col("_metadata.file_name"))
+        .join(broadcast(mapping), Seq("__graft_file"))
+        .select(snap.schema.fields.toSeq.map { f =>
+          if (snap.partitionColumns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else col(f.name)
+        }: _*)
     }
   }
 

@@ -135,6 +135,32 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(files == 1L)
   }
 
+  test("non-hive layout with MANY partition tuples: one scan + broadcast join, no per-tuple unions") {
+    val dir = tmp()
+    val nTuples = 40
+    val schemaJson =
+      """{"type":"struct","fields":[{"name":"id","type":"long","nullable":true,"metadata":{}},{"name":"p","type":"string","nullable":true,"metadata":{}}]}"""
+    val meta =
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jsonStr(schemaJson)},"partitionColumns":["p"],"configuration":{}}}"""
+    val adds = (0 until nTuples).map { i =>
+      writeData(dir, s"f$i", Seq(i.toLong))
+      s"""{"add":{"path":"f$i.parquet","partitionValues":{"p":"t$i"},"size":1,"modificationTime":0,"dataChange":true}}"""
+    }
+    commit(dir, 0, meta +: adds)
+    val df = DeltaSource.read(spark, dir.toString)
+    // every row carries the partition value its log entry declares
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == (0 until nTuples).map(i => (i.toLong, s"t$i")).toSet)
+    assert(df.columns.toSeq == Seq("id", "p"))
+    // plan shape: ONE parquet scan joined broadcast to the tuple map —
+    // not a 40-arm union (the O(#tuples) plan this replaces)
+    // AQE prints Final + Initial sections: count scans in the final one
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan.take(400)) // the tuple map is an RDD scan, not parquet
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan.take(400))
+    assert(!plan.contains("Union"), "per-tuple union resurfaced")
+  }
+
   test("inspect: detectDelta labels the table dir; readDataset resolves it") {
     val dir = tmp()
     val table = dir.resolve("t")

@@ -93,6 +93,54 @@ class SkylineSpec extends AnyFunSuite {
     assert(Skyline.skyline(anti, maximize = Seq("a", "b"), maxFrontier = 2000).count() == 1000L)
   }
 
+  test("skylineGrid ANSWERS the adversarial anti-correlated input the two-phase guard refuses") {
+    // y = 1000 - x: every point is on the true frontier (1000 rows),
+    // 10× the two-phase bound that raises above. The grid fallback
+    // must return the exact set with the SAME tiny per-task bound —
+    // its tasks scale with CELL frontiers (~1000/16 ≈ 63 here), not
+    // the global frontier; the grid resolution is the knob.
+    val anti = spark.range(0, 1000L).select(
+      col("id"),
+      col("id").as("a"),
+      (lit(1000L) - col("id")).as("b"),
+    )
+    val out = Skyline.skylineGrid(anti, maximize = Seq("a", "b"), gridPerDim = 16, maxFrontier = 100)
+    assert(out.columns.toSeq == Seq("id", "a", "b")) // helper columns dropped
+    assert(out.select("id").collect().map(_.getLong(0)).toSet == (0L until 1000L).toSet)
+  }
+
+  test("skylineGrid equals skyline (and the quadratic oracle) on mixed-direction random data") {
+    val rnd = new scala.util.Random(11)
+    val data = (1 to 400).map(i => (i.toLong, rnd.nextInt(40).toLong, rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val df = data.toDF("id", "a", "b", "c")
+    val twoPhase = Skyline.skyline(df, maximize = Seq("a", "b"), minimize = Seq("c"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val grid = Skyline.skylineGrid(df, maximize = Seq("a", "b"), minimize = Seq("c"), gridPerDim = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(grid == twoPhase)
+    // quadratic NOT-EXISTS ground truth
+    val oracle = data.filter { case (_, a, b, c) =>
+      !data.exists { case (_, a2, b2, c2) =>
+        a2 >= a && b2 >= b && c2 <= c && (a2 > a || b2 > b || c2 < c)
+      }
+    }.map(_._1).toSet
+    assert(grid == oracle)
+  }
+
+  test("skylineGrid keeps ties, degenerate single-cell input, and NULL exclusion") {
+    val rows = Seq[(Long, java.lang.Long, java.lang.Long)](
+      (1L, 10L, 10L),
+      (2L, 10L, 10L), // exact tie: both kept
+      (3L, 10L, 5L), // dominated
+      (4L, null, 99L), // NULL excluded
+    ).toDF("id", "a", "b")
+    val out = Skyline.skylineGrid(rows, maximize = Seq("a", "b")).select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L))
+    // constant criteria: quantile cuts collapse to one cell — still exact
+    val flat = Seq((1L, 5L, 5L), (2L, 5L, 5L), (3L, 5L, 5L)).toDF("id", "a", "b")
+    assert(Skyline.skylineGrid(flat, maximize = Seq("a", "b")).count() == 3L)
+  }
+
   test("non-long criteria are rejected up front") {
     val rows = Seq((1L, 1.5)).toDF("id", "x")
     val e = intercept[IllegalArgumentException](Skyline.skyline(rows, maximize = Seq("x")))

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.connect.graft
+
+import org.apache.spark.SparkContext
+import org.apache.spark.sql.connect.service.SparkConnectService
+
+/** Test-only accessors for `private[spark]` connect-service surface:
+  * the binding-port conf lives on the SparkContext's SparkConf and the
+  * ephemeral bound port on the service object — both package-private.
+  */
+object ConnectTestBridge {
+  def setSparkConf(sc: SparkContext, key: String, value: String): Unit =
+    sc.conf.set(key, value)
+
+  def boundPort: Int = SparkConnectService.localPort
+}
