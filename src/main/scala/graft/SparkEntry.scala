@@ -1692,6 +1692,24 @@ object SparkEntry {
           col("duration_s"),
         )
     },
+    // C12h (companded audio): PCM WAV → µ-law transcode through the
+    // JDK's own codec (format code 7) → decode. Header fields are a
+    // pure function of payload length → hash-verified; the companded
+    // amplitude features are spec-checked (MultimodalSpec).
+    "mm_audio_ulaw" -> { (s, dir) =>
+      val assets = Multimodal.asAssets(Tables.documents(s, dir), "doc_id", "text", "source")
+      Multimodal
+        .decodeAudio(Multimodal.transcodeWav(Multimodal.toWavAssets(assets), "ulaw"))
+        .select(
+          col("asset_id"),
+          col("encoding"),
+          col("sample_rate"),
+          col("channels"),
+          col("sample_bits"),
+          col("n_frames"),
+          col("duration_s"),
+        )
+    },
     // C15: the composed training-data pipeline — quality gate → langid
     // → near-dup removal (keep group representative) → chunking. Every
     // stage is an operator proven above; this query proves they chain.
@@ -2304,6 +2322,12 @@ object SparkEntry {
     "mm_audio" ->
       """SELECT doc_id AS asset_id, 'PCM_SIGNED' AS encoding, 8000 AS sample_rate,
                 1 AS channels, 16 AS sample_bits,
+                CAST(LEAST(GREATEST(octet_length(encode(text)), 1), 16384) AS BIGINT) AS n_frames,
+                round(CAST(LEAST(GREATEST(octet_length(encode(text)), 1), 16384) AS DOUBLE) / 8000.0, 6) AS duration_s
+         FROM documents""",
+    "mm_audio_ulaw" ->
+      """SELECT doc_id AS asset_id, 'ULAW' AS encoding, 8000 AS sample_rate,
+                1 AS channels, 8 AS sample_bits,
                 CAST(LEAST(GREATEST(octet_length(encode(text)), 1), 16384) AS BIGINT) AS n_frames,
                 round(CAST(LEAST(GREATEST(octet_length(encode(text)), 1), 16384) AS DOUBLE) / 8000.0, 6) AS duration_s
          FROM documents""",

@@ -735,6 +735,45 @@ object Multimodal {
     spark.createDataFrame(rdd, assetSchema)
   }
 
+  /** Transcode WAV assets to µ-law or a-law through the JDK's own
+    * companding codec (`AudioSystem.getAudioInputStream` format
+    * conversion, then a WAVE container write with format code 7/6) —
+    * a REAL second codec round trip, not a header relabel. Bytes no
+    * provider reads pass through unchanged (the junk-tolerant decode
+    * contract downstream).
+    */
+  def transcodeWav(assets: DataFrame, law: String = "ulaw", batchSize: Int = 64): DataFrame = {
+    require(law == "ulaw" || law == "alaw", s"law must be ulaw or alaw, got $law")
+    val spark = assets.sparkSession
+    val useUlaw = law == "ulaw"
+    val rdd = assets.select(col("asset_id"), col("content"), col("meta.source")).rdd.mapPartitions { rows =>
+      val enc =
+        if (useUlaw) javax.sound.sampled.AudioFormat.Encoding.ULAW
+        else javax.sound.sampled.AudioFormat.Encoding.ALAW
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+          val out =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+              try {
+                val fmt = ais.getFormat
+                val lawFmt = new javax.sound.sampled.AudioFormat(
+                  enc, fmt.getSampleRate, 8, fmt.getChannels, fmt.getChannels, fmt.getSampleRate, false)
+                val converted = javax.sound.sampled.AudioSystem.getAudioInputStream(lawFmt, ais)
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.sound.sampled.AudioSystem.write(converted, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+                bos.toByteArray
+              } finally ais.close()
+            } catch { case _: Exception => bytes }
+          Row(id, out, Row(s"audio/wav;codec=$law", out.length, r.getString(2)))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, assetSchema)
+  }
+
   /** REAL audio decode — JDK-only `javax.sound.sampled` over the binary
     * column, batched per partition like [[decodeImages]]: container
     * header gives encoding/rate/channels/bits/frames, then the PCM
@@ -779,10 +818,26 @@ object Multimodal {
         val dur = round6(frames.toDouble / fmt.getSampleRate.toDouble)
         val pcm16Mono = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
           fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian
+        // companded mono (µ-law/a-law, WAV format codes 7/6): the JDK
+        // ships the codec — convert to PCM-16 and compute the SAME
+        // amplitude features; header fields keep reporting the original
+        // encoding/8-bit width
+        val lawMono = (fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.ULAW ||
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.ALAW) && fmt.getChannels == 1
         val (rms, hist) =
-          if (!pcm16Mono) (null: java.lang.Double, None)
+          if (!pcm16Mono && !lawMono) (null: java.lang.Double, None)
           else {
-            val data = ais.readAllBytes()
+            val pcmAis =
+              if (pcm16Mono) ais
+              else
+                javax.sound.sampled.AudioSystem.getAudioInputStream(
+                  new javax.sound.sampled.AudioFormat(
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+                    fmt.getSampleRate, 16, 1, 2, fmt.getSampleRate, false,
+                  ),
+                  ais,
+                )
+            val data = pcmAis.readAllBytes()
             val n = data.length / 2
             var sumSq = 0.0
             val h = new Array[Double](4)

@@ -665,8 +665,13 @@ object GraftConfig {
   private def namedSection(root: JsonNode, section: String, node: JsonNode): Option[JsonNode] =
     str(node, section).map(root.path(section).path(_)).filter(!_.isMissingNode)
 
+  // URI-schemed paths (s3a://…, abfss://…, hdfs://…) pass through — the
+  // reference's cloud loaders hand such paths to their blob clients
+  // unchanged; only plain relative paths resolve against the config dir
+  private val SchemedPath = "^[a-zA-Z][a-zA-Z0-9+.-]*://.*".r
+
   private def resolve(dir: Path, p: String): String =
-    if (Paths.get(p).isAbsolute) p else dir.resolve(p).toString
+    if (SchemedPath.matches(p) || Paths.get(p).isAbsolute) p else dir.resolve(p).toString
 
   private def str(n: JsonNode, key: String): Option[String] =
     Option(n.get(key)).filterNot(_.isNull).map(_.asText)

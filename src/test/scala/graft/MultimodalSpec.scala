@@ -351,6 +351,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(junkRows.head.isNullAt(1) && junkRows.head.isNullAt(5))
   }
 
+  test("transcodeWav: real µ-law/a-law companding round trip via the JDK codec") {
+    // letters/digits only: bytes 32/64/96 ((b-128)<<8 on a bin edge)
+    // would land in different histogram bins before/after companding
+    val docs = Seq((1L, "aModeratelyLongAudioPayloadWithStructure0123456789" * 8, "src"))
+      .toDF("doc_id", "text", "source")
+    val pcm = Multimodal.toWavAssets(Multimodal.asAssets(docs, "doc_id", "text", "source"))
+    val pcmRow = Multimodal.decodeAudio(pcm).collect().head
+    for (law <- Seq("ulaw", "alaw")) {
+      val companded = Multimodal.transcodeWav(pcm, law)
+      // the container really changed codecs: WAVE format code 7/6
+      val blob = companded.collect().head.getAs[Array[Byte]]("content")
+      assert(new String(blob.take(4), "US-ASCII") == "RIFF")
+      val row = Multimodal.decodeAudio(companded).collect().head
+      assert(row.getAs[String]("encoding") == (if (law == "ulaw") "ULAW" else "ALAW"))
+      assert(row.getAs[Int]("sample_bits") == 8)
+      assert(row.getAs[Int]("sample_rate") == 8000 && row.getAs[Int]("channels") == 1)
+      assert(row.getAs[Long]("n_frames") == pcmRow.getAs[Long]("n_frames"))
+      // companding is log-quantized but must track the PCM features:
+      // RMS within ~5% relative, histogram mass within a few percent
+      val rms = row.getAs[Double]("rms")
+      val pcmRms = pcmRow.getAs[Double]("rms")
+      assert(math.abs(rms - pcmRms) <= 0.05 * pcmRms + 0.005, s"$law rms $rms vs pcm $pcmRms")
+      val h = row.getSeq[Double](8)
+      val ph = pcmRow.getSeq[Double](8)
+      assert(h.size == 4 && h.zip(ph).forall { case (a, b) => math.abs(a - b) < 0.05 })
+    }
+    // junk bytes pass through and decode to the null-metadata row
+    val junk = pcm.withColumn("content", org.apache.spark.sql.functions.lit("junk".getBytes("UTF-8")))
+    val jr = Multimodal.decodeAudio(Multimodal.transcodeWav(junk, "ulaw")).collect().head
+    assert(jr.isNullAt(1))
+  }
+
   test("toWavAssets is deterministic: same payload → byte-identical WAV") {
     val docs = Seq((1L, "repeatable", "srcA")).toDF("doc_id", "text", "source")
     def bytes() = Multimodal

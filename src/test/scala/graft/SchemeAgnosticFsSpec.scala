@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Inspect
+
+/** Evidence for the cloud-fs n/a row's load-bearing claim: "Spark
+  * reads `s3a://`/`abfss://` through Hadoop FS connectors, so Inspect
+  * and every ConfiguredSource path are scheme-agnostic ALREADY." No
+  * cloud credentials exist in this sandbox, so the demonstration uses
+  * the same extension point a cloud connector does — a REGISTERED
+  * NON-`file` SCHEME (`fs.mockfs.impl`, exactly how `fs.s3a.impl`
+  * introduces S3AFileSystem) backed by [[MockFs]] — and drives
+  * Inspect listing/preview and a config-declared CSV source entirely
+  * through `mockfs://` URIs. If any path in graft resolved through
+  * `java.io.File` instead of the Hadoop FS abstraction, this spec
+  * would break.
+  */
+class SchemeAgnosticFsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def stage(): java.nio.file.Path = {
+    val dir = Files.createTempDirectory("graft-mockfs")
+    Files.writeString(dir.resolve("sensors.csv"), "test-tag-1,2020-01-01T00:00:00Z,1.0\ntest-tag-1,2020-01-02T00:00:00Z,2.0\ntest-tag-2,2020-01-01T00:00:00Z,5.5\n")
+    Files.createDirectories(dir.resolve("sub"))
+    Files.writeString(dir.resolve("sub").resolve("more.csv"), "a,b\n1,2\n")
+    dir
+  }
+
+  private def register(): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mockfs.impl", classOf[MockFs].getName)
+    // each getFileSystem caches per scheme; disable to pick up re-registration
+    conf.set("fs.mockfs.impl.disable.cache", "true")
+  }
+
+  test("Inspect lists and previews through a registered non-file scheme") {
+    register()
+    val dir = stage()
+    val uri = s"mockfs://host${dir.toAbsolutePath}"
+    val listed = Inspect.listPath(spark, uri).collect()
+    val byName = listed.map(r => r.getString(0).split('/').last -> r.getString(1)).toMap
+    assert(byName.get("sensors.csv").contains("csv"))
+    assert(byName.get("sub").contains("directory"))
+    // every returned path keeps the foreign scheme — downstream reads
+    // stay on the Hadoop FS abstraction
+    assert(listed.forall(_.getString(0).startsWith("mockfs://")))
+    val previewed =
+      Inspect.preview(spark, s"$uri/sensors.csv", 10, Inspect.Options(csvHeaderRow = false))
+    assert(previewed.count() == 3)
+  }
+
+  test("a config-declared source reads through the foreign scheme end to end") {
+    register()
+    val dir = stage()
+    val toml =
+      s"""[source.remote-sensors]
+         |type = "csv"
+         |path = "mockfs://host${dir.toAbsolutePath}/sensors.csv"
+         |""".stripMargin
+    val cfgDir = Files.createTempDirectory("graft-mockfs-cfg")
+    val cfgPath = cfgDir.resolve("config.toml")
+    Files.writeString(cfgPath, toml)
+    val g = Graft.fromConfig(spark, cfgPath.toString)
+    val rows = g.readAll("remote-sensors").collect()
+    assert(rows.length == 3)
+    val search = g.search("remote-sensors").collect()
+    assert(search.length == 2) // two distinct series
+  }
+}
+
+/** A Hadoop FileSystem for the fake `mockfs://` scheme, delegating to
+  * the local FS — the registration shape every cloud connector uses
+  * (`fs.<scheme>.impl`). Only the scheme handling is custom; paths map
+  * 1:1 onto the local filesystem.
+  */
+class MockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mockfs"
+  override def getUri: java.net.URI = java.net.URI.create("mockfs://host/")
+
+  override def makeQualified(path: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    super.makeQualified(path)
+}
