@@ -614,7 +614,10 @@ object Multimodal {
           batch.iterator.flatMap { r =>
             val id = r.getLong(0)
             val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-            aviFrames(bytes).zipWithIndex.collect {
+            val frames =
+              try aviFrames(bytes)
+              catch { case _: Exception => Vector.empty[Array[Byte]] }
+            frames.zipWithIndex.collect {
               case (jpeg, fi) if fi >= off && (fi - off) % stride == 0 =>
                 try {
                   val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
@@ -672,7 +675,8 @@ object Multimodal {
           buf.get(frame)
           out += frame
         }
-        buf.position(dataEnd + (size % 2)) // even padding
+        // even padding; a truncated final pad byte must not overrun
+        buf.position(math.min(dataEnd + (size % 2), limit))
       }
     }
     walk(end, inMovi = false)

@@ -131,11 +131,11 @@ object Skyline {
     // per-dim quantile cuts (gridPerDim-1 interior cuts). Cut choice
     // only routes rows to cells — the result set is exact regardless.
     val probs = (1 until gridPerDim).map(_.toDouble / gridPerDim).toArray
-    val wNames = dims.indices.map(i => s"__w$i")
+    val wNames = dims.indices.map(i => s"__w$i").toArray
     val wFrame = clean.select(working.zip(wNames).map { case (c, n) => c.as(n) }: _*)
-    val cuts: Seq[Array[Double]] = wNames.map(n =>
-      wFrame.stat.approxQuantile(n, probs, 0.001).distinct.sorted
-    )
+    // one pass for every dimension's cuts (multi-column approxQuantile)
+    val cuts: Seq[Array[Double]] =
+      wFrame.stat.approxQuantile(wNames, probs, 0.001).toSeq.map(_.distinct.sorted)
 
     // cell id: Σ bucket_i · g^i, bucket = #cuts at or below the value
     val cellExpr = dims.indices

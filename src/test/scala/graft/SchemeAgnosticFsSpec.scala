@@ -79,7 +79,4 @@ class SchemeAgnosticFsSpec extends AnyFunSuite {
 class MockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "mockfs"
   override def getUri: java.net.URI = java.net.URI.create("mockfs://host/")
-
-  override def makeQualified(path: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
-    super.makeQualified(path)
 }
