@@ -209,6 +209,8 @@ object GraftConfig {
         dictionaryQuery = queryText("dictionary_query"),
         dataQuery = queryText("data_query"),
         dataQueryDatetimeFormat = str(node, "data_query_datetime_format"),
+        dataTimezone = str(node, "data_timezone"),
+        dataQueryTimezone = str(node, "data_query_timezone"),
         dataQueryTags = strSeq(node, "data_query_tags"),
         queryStringParameters = Option(node.get("query_string_parameters")).exists(_.asBoolean),
         qualityGood = str(node, "quality_mapping")

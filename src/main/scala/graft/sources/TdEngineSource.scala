@@ -49,6 +49,15 @@ final case class TdEngineConfig(
     dictionaryQuery: Option[String] = None,
     dataQuery: Option[String] = None,
     dataQueryDatetimeFormat: Option[String] = None,
+    /** sql.py:218 `replace(tzinfo=data_timezone)`: reinterpret result
+      * wall clocks as this zone (the server renders UTC), then convert
+      * to UTC.
+      */
+    dataTimezone: Option[String] = None,
+    /** sql.py:389-392: render the start/end bounds as this zone's
+      * LOCAL time, offset-free.
+      */
+    dataQueryTimezone: Option[String] = None,
     dataQueryTags: Option[Seq[String]] = None,
     queryStringParameters: Boolean = false,
     qualityGood: Seq[Any] = Nil,
@@ -290,15 +299,42 @@ object TdEngineSource {
     s"$base$frac+00:00"
   }
 
-  private[sources] def formatDate(cfg: TdEngineConfig, ts: Timestamp): String =
+  private[sources] def formatDate(cfg: TdEngineConfig, ts: Timestamp): String = {
+    val queryZone = cfg.dataQueryTimezone.map(java.time.ZoneId.of)
     cfg.dataQueryDatetimeFormat match {
       case Some(fmt) =>
         java.time.format.DateTimeFormatter
           .ofPattern(GraftConfig.strftimeToJava(fmt))
-          .withZone(java.time.ZoneOffset.UTC)
+          .withZone(queryZone.getOrElse(java.time.ZoneOffset.UTC))
           .format(ts.toInstant)
-      case None => pythonStr(ts)
+      case None =>
+        queryZone match {
+          // astimezone(qz).replace(tzinfo=None) → naive local rendering
+          case Some(z) =>
+            java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd HH:mm:ss")
+              .format(ts.toInstant.atZone(z).toLocalDateTime) +
+              fracPart(ts)
+          case None => pythonStr(ts)
+        }
     }
+  }
+
+  private def fracPart(ts: Timestamp): String = {
+    val micros = ts.toInstant.getNano / 1000
+    if (micros == 0) "" else f".$micros%06d"
+  }
+
+  /** sql.py:217-219: `replace(tzinfo=data_timezone)` keeps the wall
+    * clock and swaps the zone. Block timestamps are epochs the server
+    * renders in UTC, so the reinterpretation shifts UTC wall time into
+    * the configured zone.
+    */
+  private def reinterpret(ts: Timestamp, zone: Option[java.time.ZoneId]): Timestamp = zone match {
+    case None => ts
+    case Some(z) =>
+      Timestamp.from(ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime.atZone(z).toInstant)
+  }
 
   /** One series' rows over the WebSocket — runs on the driver for
     * single-series reads and inside executor tasks for
@@ -315,20 +351,29 @@ object TdEngineSource {
     val params = tagNames.map(t => tags.getOrElse(t, "")) ++
       Seq(formatDate(cfg, start), formatDate(cfg, end))
     val result = withClient(cfg, _.query(formatQuery(cfg, query, params)))
+    val zone = cfg.dataTimezone.map(java.time.ZoneId.of)
     result.rows.map { row =>
       val ts = row.head match {
-        case t: Timestamp => t
-        case s: String    => parseTimestamp(s)
+        case t: Timestamp => reinterpret(t, zone)
+        case s: String    => parseTimestamp(s, zone)
         case other        => throw new IllegalStateException(s"tdengine: unexpected ts value $other")
       }
       DataRow(ts, row(1), if (row.size > 2) Some(row(2)) else None)
     }
   }
 
-  private def parseTimestamp(s: String): Timestamp = {
+  private def parseTimestamp(s: String, zone: Option[java.time.ZoneId]): Timestamp = {
     val iso = s.trim.replace(" ", "T")
-    val withZone = if (iso.endsWith("Z") || iso.contains("+")) iso else iso + "Z"
-    Timestamp.from(java.time.OffsetDateTime.parse(withZone).toInstant)
+    zone match {
+      // replace(tzinfo=…) semantics: the written wall clock, any
+      // offset in the text notwithstanding, stamped with the zone
+      case Some(z) =>
+        val local = java.time.LocalDateTime.parse(iso.takeWhile(c => c != '+' && c != 'Z'))
+        Timestamp.from(local.atZone(z).toInstant)
+      case None =>
+        val withZone = if (iso.endsWith("Z") || iso.contains("+")) iso else iso + "Z"
+        Timestamp.from(java.time.OffsetDateTime.parse(withZone).toInstant)
+    }
   }
 
   /** The reference's per-result type detection (sql.py:404 with the

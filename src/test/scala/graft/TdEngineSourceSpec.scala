@@ -56,8 +56,13 @@ class TdEngineSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     s"$base+00:00"
   }
 
-  private def parsePy(s: String): Instant =
-    java.time.OffsetDateTime.parse(s.replace(" ", "T").replace("+00:00", "Z")).toInstant
+  private def parsePy(s: String): Instant = {
+    val iso = s.replace(" ", "T").replace("+00:00", "Z")
+    // naive bounds (data_query_timezone rendering) read as UTC wall
+    // clocks — the TDengine server's own treatment of zone-less text
+    val zoned = if (iso.endsWith("Z") || iso.contains("+")) iso else iso + "Z"
+    java.time.OffsetDateTime.parse(zoned).toInstant
+  }
 
   private def handle(sql: String): TaosWsStub.StubResult = sql.trim match {
     case q if q == "show table tags from data from kukur" =>
@@ -284,6 +289,34 @@ class TdEngineSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ts("2020-01-03T00:00:00Z"),
     ).collect()
     assert(stub.lastSql.contains("ts >= '2020-01-01T00:00:00Z' and ts < '2020-01-03T00:00:00Z'"))
+  }
+
+  test("data_timezone reinterprets result wall clocks; data_query_timezone localizes the bounds") {
+    // Brussels is +01:00 in January: the wall clock 2020-01-01 00:00
+    // read as Brussels time is 2019-12-31T23:00Z (sql.py:218 replace)
+    val src = new TdEngineSource(
+      fixtureConfig.copy(
+        dataTimezone = Some("Europe/Brussels"),
+        dataQueryTimezone = Some("Europe/Brussels"),
+      )
+    )
+    val rows = src.getData(
+      spark,
+      SeriesSelector("tdengine", Map("name" -> "test-tag-1", "location" -> "Antwerp")),
+      ts("2020-01-01T00:00:00Z"),
+      ts("2020-01-02T00:00:00Z"),
+    ).collect()
+    // bounds render as naive Brussels local time (astimezone + replace
+    // drops the offset): 2020-01-01T00:00Z -> "2020-01-01 01:00:00"
+    assert(
+      stub.lastSql.contains("ts >= '2020-01-01 01:00:00' and ts < '2020-01-02 01:00:00'"),
+      s"unexpected SQL: ${stub.lastSql}",
+    )
+    // the stub reads naive bounds as UTC wall clocks → only the
+    // 2020-01-02T00:00Z point falls in [01:00Z, Jan-2 01:00Z); its
+    // wall clock reinterpreted as Brussels shifts one hour back
+    assert(rows.length == 1)
+    assert(rows.head.getTimestamp(0) == ts("2020-01-01T23:00:00Z"))
   }
 
   test("metadata query with dictionary resolution and NCHAR decode") {
