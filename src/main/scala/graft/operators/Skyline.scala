@@ -207,6 +207,15 @@ object Skyline {
     }
     val localCached = localSky.localCheckpoint(eager = true)
     val cellIds = localCached.select(col("__cell")).distinct().collect().map(_.getLong(0))
+    // the driver step below is quadratic in NONEMPTY cells (pruning +
+    // threat pairs), not merely a collect — bound it explicitly. 4096
+    // cells → ≤ 16.8M vector comparisons and a threat map well under
+    // broadcast size; denser grids need a coarser gridPerDim.
+    require(
+      cellIds.length <= 4096,
+      s"skyline grid populated ${cellIds.length} cells (> 4096) — lower gridPerDim " +
+        "(fewer, larger cells) or raise maxFrontier and use the two-phase skyline",
+    )
     val vectors = cellIds.map(c => c -> decode(c)).toMap
     def strictlyAbove(b: Array[Int], a: Array[Int]): Boolean = {
       var i = 0

@@ -219,14 +219,31 @@ object DeltaSource {
       // O(#tuples) logical plan and choke on tables with thousands of
       // distinct tuples. Join key is `_metadata.file_name`: parquet
       // part files carry a UUID, unique within a table (guarded below).
-      import org.apache.spark.sql.functions.{broadcast, col}
+      import org.apache.spark.sql.functions.{broadcast, col, lit}
       val dataSchema = StructType(snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
       val names = snap.files.map(f => f.path.split('/').last)
-      require(
-        names.distinct.size == names.size,
-        s"Delta log at $tablePath lists duplicate data file names across directories — " +
-          "cannot key partitionValues by file name for the non-hive layout",
-      )
+      if (names.distinct.size != names.size) {
+        // duplicate basenames across directories (external writers with
+        // per-directory naming): the file-name join key is ambiguous, so
+        // fall back to per-tuple unions — correct, but plan size grows
+        // with the tuple count, hence the cap
+        val byTuple = snap.files.groupBy(_.partitionValues)
+        require(
+          byTuple.size <= 1000,
+          s"Delta log at $tablePath has duplicate data file names across ${byTuple.size} partition " +
+            "tuples — the per-tuple union fallback caps at 1000 tuples; rewrite the table with " +
+            "unique file names (every delta-rs/Spark writer does) or a hive layout",
+        )
+        return byTuple
+          .map { case (pv, fs) =>
+            val df = spark.read.schema(dataSchema).parquet(fs.map(f => s"$base/${f.path}"): _*)
+            snap.partitionColumns.foldLeft(df) { (d, c) =>
+              d.withColumn(c, lit(pv.getOrElse(c, null)).cast(snap.schema(c).dataType))
+            }
+          }
+          .reduce(_.unionByName(_))
+          .select(snap.schema.fieldNames.map(col): _*)
+      }
       val mapRows = snap.files.map { f =>
         org.apache.spark.sql.Row.fromSeq(
           f.path.split('/').last +: snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, null))

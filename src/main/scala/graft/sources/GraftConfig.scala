@@ -198,7 +198,10 @@ object GraftConfig {
           password = connStr("password").orElse(dsnUser.flatMap(_.lift(1))).getOrElse("taosdata"),
           database = connStr("db").orElse(connStr("database"))
             .orElse(dsn.flatMap(u => Option(u.getPath)).map(_.stripPrefix("/")).filter(_.nonEmpty)),
-          ssl = conn.exists(c => Option(c.get("ssl")).exists(_.asBoolean)) || dsn.exists(_.getScheme == "taoswss"),
+          // TLS schemes the taosws drivers accept: taoswss / wss /
+          // taos+wss (plain: taosws / ws / taos+ws)
+          ssl = conn.exists(c => Option(c.get("ssl")).exists(_.asBoolean)) ||
+            dsn.exists(u => Set("taoswss", "wss", "taos+wss").contains(u.getScheme)),
         ),
         tagColumns = strSeq(node, "tag_columns").getOrElse(Seq(graft.model.SeriesSelector.SeriesNameTag)),
         fieldColumns = strSeq(node, "field_columns"),

@@ -74,14 +74,19 @@ final class TaosWsClient(cfg: TaosWsConfig) extends AutoCloseable {
       ws.request(1)
       null
     }
-    override def onError(ws: WebSocket, error: Throwable): Unit =
-      inbox.put(Left(s"""{"code":-1,"message":"connection error: ${error.getMessage}"}"""))
+    override def onError(ws: WebSocket, error: Throwable): Unit = {
+      // build real JSON — an interpolated message with quotes would
+      // mask the connection error behind a parse error
+      val o = mapper.createObjectNode()
+      o.put("code", -1)
+      o.put("message", s"connection error: ${Option(error.getMessage).getOrElse(error.getClass.getName)}")
+      inbox.put(Left(mapper.writeValueAsString(o)))
+    }
   }
 
   private val ws: WebSocket = {
     val scheme = if (cfg.ssl) "wss" else "ws"
-    HttpClient
-      .newHttpClient()
+    TaosWs.http
       .newWebSocketBuilder()
       .buildAsync(URI.create(s"$scheme://${cfg.host}:${cfg.port}/ws"), listener)
       .join()
@@ -175,6 +180,12 @@ final class TaosWsClient(cfg: TaosWsConfig) extends AutoCloseable {
 }
 
 object TaosWs {
+
+  // one client per JVM: HttpClient owns a selector-manager thread and
+  // has no close() on JDK 17 — an instance per query would leak a
+  // thread per series until GC (WebSocket connections are still
+  // per-builder, so sharing the client shares nothing else)
+  private[sources] lazy val http: HttpClient = HttpClient.newHttpClient()
 
   final case class Field(name: String, tpe: Int)
   final case class TaosResult(fields: Seq[Field], precision: Int, rows: Seq[Seq[Any]], affectedRows: Int = 0)
@@ -287,7 +298,9 @@ object TaosWs {
     case TypeUTinyInt  => (db.get(at) & 0xff).toShort
     case TypeUSmallInt => db.getShort(at) & 0xffff
     case TypeUInt      => db.getInt(at) & 0xffffffffL
-    case TypeUBigInt   => db.getLong(at)
+    // the only unsigned width a Long cannot widen: go through the
+    // unsigned rendering so 2^63..2^64-1 stays positive
+    case TypeUBigInt   => new java.math.BigDecimal(java.lang.Long.toUnsignedString(db.getLong(at)))
     case TypeFloat     => db.getFloat(at)
     case TypeDouble    => db.getDouble(at)
     case TypeTimestamp => epochToTimestamp(db.getLong(at), precision)

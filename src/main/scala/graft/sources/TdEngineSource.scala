@@ -168,10 +168,8 @@ class TdEngineSource(cfg: TdEngineConfig) extends Serializable {
     * query yields a third column and a quality mapping is configured,
     * sql.py:245-247).
     */
-  def getData(spark: SparkSession, selector: SeriesSelector, start: Timestamp, end: Timestamp): DataFrame = {
-    val rows = fetchData(cfg, selector.tags, start, end)
-    toDataFrame(spark, rows, series = None)
-  }
+  def getData(spark: SparkSession, selector: SeriesSelector, start: Timestamp, end: Timestamp): DataFrame =
+    toDataFrame(spark, fetchData(cfg, selector.tags, start, end), series = None)
 
   /** Distributed multi-series read: one WebSocket query per series,
     * one task per series (the InfluxSource/PluginSource fan-out shape
@@ -194,7 +192,7 @@ class TdEngineSource(cfg: TdEngineConfig) extends Serializable {
       .parallelize(keys, math.min(keys.size, spark.sparkContext.defaultParallelism))
       .flatMap { tags =>
         val name = tagCols.map(t => tags.getOrElse(t, "")).mkString(",")
-        fetchData(conf, tags, start, end).map(r => Row(name, r.ts, coerce(r.value, target)))
+        fetchData(conf, tags, start, end).rows.map(r => Row(name, r.ts, coerce(r.value, target)))
       }
     spark.createDataFrame(
       rows,
@@ -206,9 +204,14 @@ class TdEngineSource(cfg: TdEngineConfig) extends Serializable {
     )
   }
 
-  private def toDataFrame(spark: SparkSession, rows: Seq[DataRow], series: Option[String]): DataFrame = {
-    val hasQuality = cfg.qualityGood.nonEmpty && rows.forall(_.quality.isDefined) && rows.nonEmpty
-    val valueType: DataType = detectType(rows.map(_.value))
+  private def toDataFrame(spark: SparkSession, fetched: Fetched, series: Option[String]): DataFrame = {
+    val rows = fetched.rows
+    // schema from the WIRE field types, not the rows — an empty window
+    // must not degrade the value column or drop quality
+    val hasQuality = cfg.qualityGood.nonEmpty && fetched.fields.size > 2
+    val valueType: DataType =
+      if (rows.nonEmpty) detectType(rows.map(_.value))
+      else fieldType(fetched.fields.lift(1))
     val data = rows.map { r =>
       val vs = Seq(r.ts, coerce(r.value, valueType)) ++
         (if (hasQuality) Seq(if (isGoodQuality(r.quality.get)) 1 else 0) else Nil)
@@ -245,12 +248,21 @@ class TdEngineSource(cfg: TdEngineConfig) extends Serializable {
       tags: Map[String, String],
       start: Timestamp,
       end: Timestamp,
-  ): Seq[DataRow] = TdEngineSource.fetchData(conf, tags, start, end)
+  ): Fetched = TdEngineSource.fetchData(conf, tags, start, end)
 }
 
 object TdEngineSource {
 
   private[sources] final case class DataRow(ts: Timestamp, value: Any, quality: Option[Any])
+  private[sources] final case class Fetched(fields: Seq[TaosWs.Field], rows: Seq[DataRow])
+
+  /** Spark type for a wire column type when no rows came back. */
+  private def fieldType(f: Option[TaosWs.Field]): DataType = f.map(_.tpe) match {
+    case Some(t) if t >= TaosWs.TypeTinyInt && t <= TaosWs.TypeDouble => DoubleType
+    case Some(t) if t >= TaosWs.TypeUTinyInt && t <= TaosWs.TypeUBigInt => DoubleType
+    case Some(TaosWs.TypeBool) => BooleanType
+    case _ => StringType
+  }
 
   private def withClient[T](cfg: TdEngineConfig, f: TaosWsClient => T): T = {
     val client = new TaosWsClient(cfg.connection)
@@ -275,7 +287,10 @@ object TdEngineSource {
     val sb = new StringBuilder
     var i = 0
     while (i < q.length) {
-      if (i + 1 < q.length && q.charAt(i) == '{' && q.charAt(i + 1) == '}' && it.hasNext) {
+      if (i + 1 < q.length && q.charAt(i) == '{' && q.charAt(i + 1) == '}') {
+        // Python str.format raises IndexError on too few args — fail
+        // at build time, not as an opaque server-side syntax error
+        require(it.hasNext, s"query has more {} placeholders than parameters (${params.size} given): $q")
         sb.append(it.next().replace("'", ""))
         i += 2
       } else { sb.append(q.charAt(i)); i += 1 }
@@ -345,14 +360,14 @@ object TdEngineSource {
       tags: Map[String, String],
       start: Timestamp,
       end: Timestamp,
-  ): Seq[DataRow] = {
-    val query = cfg.dataQuery.getOrElse(return Nil)
+  ): Fetched = {
+    val query = cfg.dataQuery.getOrElse(return Fetched(Nil, Nil))
     val tagNames = cfg.dataQueryTags.getOrElse(cfg.tagColumns)
     val params = tagNames.map(t => tags.getOrElse(t, "")) ++
       Seq(formatDate(cfg, start), formatDate(cfg, end))
     val result = withClient(cfg, _.query(formatQuery(cfg, query, params)))
     val zone = cfg.dataTimezone.map(java.time.ZoneId.of)
-    result.rows.map { row =>
+    val rows = result.rows.map { row =>
       val ts = row.head match {
         case t: Timestamp => reinterpret(t, zone)
         case s: String    => parseTimestamp(s, zone)
@@ -360,18 +375,24 @@ object TdEngineSource {
       }
       DataRow(ts, row(1), if (row.size > 2) Some(row(2)) else None)
     }
+    Fetched(result.fields, rows)
   }
+
+  // a zone offset tail: Z, +HH:MM, -HHMM, +HH — matched at the END so
+  // the date's own '-' separators never trigger it
+  private val OffsetTail = "(Z|[+-]\\d{2}(:?\\d{2})?)$".r
 
   private def parseTimestamp(s: String, zone: Option[java.time.ZoneId]): Timestamp = {
     val iso = s.trim.replace(" ", "T")
+    val offset = OffsetTail.findFirstIn(iso)
     zone match {
       // replace(tzinfo=…) semantics: the written wall clock, any
       // offset in the text notwithstanding, stamped with the zone
       case Some(z) =>
-        val local = java.time.LocalDateTime.parse(iso.takeWhile(c => c != '+' && c != 'Z'))
-        Timestamp.from(local.atZone(z).toInstant)
+        val wall = offset.map(o => iso.dropRight(o.length)).getOrElse(iso)
+        Timestamp.from(java.time.LocalDateTime.parse(wall).atZone(z).toInstant)
       case None =>
-        val withZone = if (iso.endsWith("Z") || iso.contains("+")) iso else iso + "Z"
+        val withZone = if (offset.isDefined) iso else iso + "Z"
         Timestamp.from(java.time.OffsetDateTime.parse(withZone).toInstant)
     }
   }

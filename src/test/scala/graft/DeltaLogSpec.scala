@@ -161,6 +161,28 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(!plan.contains("Union"), "per-tuple union resurfaced")
   }
 
+  test("non-hive layout with duplicate file basenames falls back to per-tuple unions") {
+    // external writers may name files per directory: 2020/part.parquet
+    // and 2021/part.parquet — the file-name join key is ambiguous, the
+    // union fallback must still read the table
+    val dir = tmp()
+    val schemaJson =
+      """{"type":"struct","fields":[{"name":"id","type":"long","nullable":true,"metadata":{}},{"name":"p","type":"string","nullable":true,"metadata":{}}]}"""
+    val meta =
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jsonStr(schemaJson)},"partitionColumns":["p"],"configuration":{}}}"""
+    Files.createDirectories(dir.resolve("2020"))
+    Files.createDirectories(dir.resolve("2021"))
+    writeData(dir.resolve("2020"), "part", Seq(1L))
+    writeData(dir.resolve("2021"), "part", Seq(2L))
+    commit(dir, 0, Seq(
+      meta,
+      """{"add":{"path":"2020/part.parquet","partitionValues":{"p":"a"},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"2021/part.parquet","partitionValues":{"p":"b"},"size":1,"modificationTime":0,"dataChange":true}}""",
+    ))
+    val rows = DeltaSource.read(spark, dir.toString).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a"), (2L, "b")))
+  }
+
   test("inspect: detectDelta labels the table dir; readDataset resolves it") {
     val dir = tmp()
     val table = dir.resolve("t")

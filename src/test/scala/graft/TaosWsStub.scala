@@ -83,7 +83,7 @@ object TaosWsStub {
                 case 2 => data.put(v.asInstanceOf[Number].byteValue())
                 case 3 => data.putShort(v.asInstanceOf[Number].shortValue())
                 case 4 => data.putInt(v.asInstanceOf[Number].intValue())
-                case 5 | 9 => data.putLong(v.asInstanceOf[Number].longValue())
+                case 5 | 9 | 14 => data.putLong(v.asInstanceOf[Number].longValue())
                 case 6 => data.putFloat(v.asInstanceOf[Number].floatValue())
                 case 7 => data.putDouble(v.asInstanceOf[Number].doubleValue())
                 case other => throw new IllegalArgumentException(s"stub: type $other")

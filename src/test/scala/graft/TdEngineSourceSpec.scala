@@ -102,6 +102,18 @@ class TdEngineSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       )
     case "create database graft" =>
       TaosWsStub.StubResult(Nil, Nil, affectedRows = 0)
+    case "select ts, v from kukur.string_ts" =>
+      // a VARCHAR ts column with a NEGATIVE UTC offset
+      TaosWsStub.StubResult(
+        Seq(("ts", Varchar, 32), ("v", Dbl, 8)),
+        Seq(Seq("2020-01-01 00:00:00-05:00", java.lang.Double.valueOf(1.0))),
+      )
+    case "select big from kukur.unsigned" =>
+      // UBIGINT (type 14): raw bits -1 == 2^64-1 unsigned
+      TaosWsStub.StubResult(
+        Seq(("ts", Ts, 8), ("big", 14, 8)),
+        Seq(Seq(java.lang.Long.valueOf(0L), java.lang.Long.valueOf(-1L))),
+      )
     case other => throw new IllegalArgumentException(s"stub: unexpected query: $other")
   }
 
@@ -319,6 +331,46 @@ class TdEngineSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.head.getTimestamp(0) == ts("2020-01-01T23:00:00Z"))
   }
 
+  test("string timestamps with negative offsets parse; UBIGINT stays unsigned") {
+    val src = new TdEngineSource(
+      fixtureConfig.copy(dataQuery = Some("select ts, v from kukur.string_ts"), tagColumns = Nil, dataQueryTags = Some(Nil))
+    )
+    val rows = src.getData(spark, SeriesSelector("td"), ts("2019-01-01T00:00:00Z"), ts("2021-01-01T00:00:00Z")).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getTimestamp(0) == ts("2020-01-01T05:00:00Z")) // -05:00 wall → UTC
+    // UBIGINT 2^64-1 must not wrap negative
+    val client = new TaosWsClient(conn)
+    try {
+      val r = client.query("select big from kukur.unsigned")
+      assert(r.rows.head(1) == new java.math.BigDecimal("18446744073709551615"))
+    } finally client.close()
+  }
+
+  test("an empty window keeps the wire schema: value stays double, no row-dependent degrade") {
+    val src = new TdEngineSource(fixtureConfig)
+    val df = src.getData(
+      spark,
+      SeriesSelector("tdengine", Map("name" -> "test-tag-1", "location" -> "Antwerp")),
+      ts("1990-01-01T00:00:00Z"),
+      ts("1991-01-01T00:00:00Z"),
+    )
+    assert(df.count() == 0)
+    assert(df.schema("value").dataType == org.apache.spark.sql.types.DoubleType)
+  }
+
+  test("too few parameters for the {} placeholders fails at build time, like str.format") {
+    val src = new TdEngineSource(fixtureConfig.copy(dataQueryTags = Some(Seq("name")))) // drops location
+    val e = intercept[IllegalArgumentException] {
+      src.getData(
+        spark,
+        SeriesSelector("tdengine", Map("name" -> "test-tag-1")),
+        ts("2020-01-01T00:00:00Z"),
+        ts("2020-01-02T00:00:00Z"),
+      )
+    }
+    assert(e.getMessage.contains("placeholders"))
+  }
+
   test("metadata query with dictionary resolution and NCHAR decode") {
     val src = new TdEngineSource(
       fixtureConfig.copy(
@@ -418,5 +470,20 @@ class TdEngineSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cfg.connection.user == "alice" && cfg.connection.password == "secret")
     assert(cfg.connection.database.contains("telemetry"))
     assert(!cfg.connection.ssl)
+    // TLS schemes flip ssl on
+    for (scheme <- Seq("taoswss", "wss", "taos+wss")) {
+      val p2 = dir.resolve(s"config-$scheme.toml")
+      java.nio.file.Files.writeString(
+        p2,
+        s"""[source.dsn]
+           |type = "tdengine"
+           |connection_string = "$scheme://db.example.com:7041/telemetry"
+           |query_string_parameters = true
+           |""".stripMargin,
+      )
+      val c2 = graft.sources.GraftConfig.load(p2.toString)
+        .collect { case t: graft.sources.GraftConfig.DeclaredTdEngine => t }.head.config
+      assert(c2.connection.ssl, scheme)
+    }
   }
 }
