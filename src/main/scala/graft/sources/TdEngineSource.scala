@@ -171,11 +171,17 @@ class TdEngineSource(cfg: TdEngineConfig) extends Serializable {
   def getData(spark: SparkSession, selector: SeriesSelector, start: Timestamp, end: Timestamp): DataFrame =
     toDataFrame(spark, fetchData(cfg, selector.tags, start, end), series = None)
 
-  /** Distributed multi-series read: one WebSocket query per series,
-    * one task per series (the InfluxSource/PluginSource fan-out shape
-    * — rows never pass through the driver). `valueType` declares the
+  /** Distributed multi-series read: one WebSocket query per (series ×
+    * interval chunk), one task each (the PluginSource fan-out shape —
+    * rows never pass through the driver). `valueType` declares the
     * canonical value column, "double" by default: a TDengine column is
     * typed, so the caller knows the supertable's value type.
+    * `intervalChunks > 1` splits [start, end) into equal sub-ranges so
+    * ONE long series parallelizes across executors too — the 100 TB
+    * shape when series counts are low but histories deep. Chunking
+    * assumes the configured `data_query` binds a HALF-OPEN range (the
+    * reference fixture's `ts >= '{}' and ts < '{}'`); an
+    * inclusive-end query would double-count chunk boundaries.
     */
   def dataForKeys(
       spark: SparkSession,
@@ -183,16 +189,25 @@ class TdEngineSource(cfg: TdEngineConfig) extends Serializable {
       start: Timestamp,
       end: Timestamp,
       valueType: String = "double",
+      intervalChunks: Int = 1,
   ): DataFrame = {
     require(keys.nonEmpty, "tdengine data read needs at least one series")
+    require(intervalChunks >= 1, "intervalChunks must be at least 1")
     val target: DataType = if (valueType == "string") StringType else DoubleType
     val conf = cfg
     val tagCols = cfg.tagColumns
+    val (lo, hi) = (start.getTime, end.getTime)
+    val bounds = (0 until intervalChunks).map { i =>
+      val a = lo + (hi - lo) * i / intervalChunks
+      val b = if (i == intervalChunks - 1) hi else lo + (hi - lo) * (i + 1) / intervalChunks
+      (new Timestamp(a), new Timestamp(b))
+    }.filter { case (a, b) => b.after(a) }
+    val work = for { tags <- keys; (a, b) <- bounds } yield (tags, a, b)
     val rows = spark.sparkContext
-      .parallelize(keys, math.min(keys.size, spark.sparkContext.defaultParallelism))
-      .flatMap { tags =>
+      .parallelize(work, math.min(work.size, spark.sparkContext.defaultParallelism))
+      .flatMap { case (tags, a, b) =>
         val name = tagCols.map(t => tags.getOrElse(t, "")).mkString(",")
-        fetchData(conf, tags, start, end).rows.map(r => Row(name, r.ts, coerce(r.value, target)))
+        fetchData(conf, tags, a, b).rows.map(r => Row(name, r.ts, coerce(r.value, target)))
       }
     spark.createDataFrame(
       rows,

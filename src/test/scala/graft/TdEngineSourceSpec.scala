@@ -405,6 +405,17 @@ class TdEngineSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts == Map("test-tag-1,Antwerp" -> 5L, "test-tag-2,Barcelona" -> 5L))
   }
 
+  test("interval chunking partitions one deep series across tasks with identical output") {
+    val src = new TdEngineSource(fixtureConfig)
+    val keys = Seq(Map("name" -> "test-tag-1", "location" -> "Antwerp"))
+    val whole = src.dataForKeys(spark, keys, ts("2020-01-01T00:00:00Z"), ts("2020-01-06T00:00:00Z"))
+      .collect().map(r => (r.getTimestamp(1), r.getDouble(2))).sortBy(_._1.getTime).toSeq
+    val chunked = src.dataForKeys(
+      spark, keys, ts("2020-01-01T00:00:00Z"), ts("2020-01-06T00:00:00Z"), intervalChunks = 4)
+      .collect().map(r => (r.getTimestamp(1), r.getDouble(2))).sortBy(_._1.getTime).toSeq
+    assert(chunked == whole && whole.size == 5) // half-open chunks partition exactly
+  }
+
   // ---- config + facade ----
 
   test("the reference's own tdengine.toml parses: 3 sources, fixture queries intact") {
