@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skyline
+
+/** One-off scale probe for the grid-partitioned skyline: the
+  * worst-case (fully anti-correlated, every row on the true frontier)
+  * at growing N, grid resolution scaled with the data so per-cell
+  * frontiers stay bounded. Prints per-row cost — the 100 TB question
+  * is whether it stays flat as N grows 100×.
+  *
+  * Run: sbt "Test/runMain graft.SkylineGridProbeDev"
+  */
+object SkylineGridProbeDev {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def run(n: Long, grid: Int): (Double, Long) = {
+      val anti = spark.range(0, n).select(
+        col("id"),
+        col("id").as("a"),
+        (lit(n) - col("id")).as("b"),
+      )
+      val t0 = System.nanoTime()
+      val out = Skyline.skylineGrid(anti, maximize = Seq("a", "b"), gridPerDim = grid, maxFrontier = 1000000)
+      val cnt = out.count()
+      ((System.nanoTime() - t0) / 1e9, cnt)
+    }
+
+    // warm up the JIT/session on a small run
+    run(10000L, 8)
+    for ((n, g) <- Seq((10000L, 16), (100000L, 32), (1000000L, 64))) {
+      val (sec, cnt) = run(n, g)
+      println(f"SKYGRID n=$n%8d grid=$g%3d  total=$sec%7.2fs  us_per_row=${sec * 1e6 / n}%8.3f  frontier=$cnt")
+      require(cnt == n, s"anti-correlated frontier must be all $n rows, got $cnt")
+    }
+    spark.stop()
+  }
+}
