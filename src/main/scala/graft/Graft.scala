@@ -49,7 +49,7 @@ final class Graft(spark: SparkSession) {
   final case class PiAfRegistered(af: PiAfSource) extends Registered
   final case class AdxRegistered(adx: AdxSource) extends Registered
   final case class DataFusionRegistered(df: DataFusionSource) extends Registered
-  final case class TdEngineRegistered(td: TdEngineSource) extends Registered
+  final case class TdEngineRegistered(td: TdEngineSource, metadata: Seq[MetadataSource] = Nil) extends Registered
   final case class UnavailableRegistered(sourceType: String) extends Registered
 
   private val sources = mutable.LinkedHashMap.empty[String, Registered]
@@ -98,8 +98,8 @@ final class Graft(spark: SparkSession) {
     this
   }
 
-  def registerTdEngineSource(name: String, config: TdEngineConfig): this.type = {
-    sources(name) = TdEngineRegistered(new TdEngineSource(config))
+  def registerTdEngineSource(name: String, config: TdEngineConfig, metadata: Seq[MetadataConfig] = Nil): this.type = {
+    sources(name) = TdEngineRegistered(new TdEngineSource(config), metadata.map(new MetadataSource(_)))
     this
   }
 
@@ -320,7 +320,13 @@ final class Graft(spark: SparkSession) {
         // the reference raises NotImplementedError (datafusion.py:119)
         // — the list_query carries metadata through search instead
         throw new UnsupportedOperationException("datafusion sources answer metadata through search")
-      case t: TdEngineRegistered => t.td.metadata(spark, selector)
+      case t: TdEngineRegistered =>
+        // the source's own metadata query first, metadata_sources
+        // extras layered over missing fields (the factory wrapper's
+        // merge precedence, source/__init__.py:205)
+        val own = t.td.metadata(spark, selector)
+        if (t.metadata.isEmpty) own
+        else filterTags(MetadataSource.merge(t.td.tagColumns, own +: t.metadata.map(_.read(spark))), selector)
       case _: SimulatorRegistered =>
         throw new IllegalArgumentException(s"simulator source $sourceName has no metadata")
     }
@@ -412,7 +418,7 @@ object Graft {
       case GraftConfig.DeclaredPiAf(name, config) => g.registerPiAfSource(name, config)
       case GraftConfig.DeclaredAdx(name, config) => g.registerAdxSource(name, config)
       case GraftConfig.DeclaredDataFusion(name, config) => g.registerDataFusionSource(name, config)
-      case GraftConfig.DeclaredTdEngine(name, config) => g.registerTdEngineSource(name, config)
+      case GraftConfig.DeclaredTdEngine(name, config, metadata) => g.registerTdEngineSource(name, config, metadata)
       case GraftConfig.DeclaredUnavailable(name, typ) => g.sources(name) = g.UnavailableRegistered(typ)
     }
     g

@@ -62,7 +62,7 @@ object GraftConfig {
   final case class DeclaredPiAf(name: String, config: PiAfConfig) extends Declared
   final case class DeclaredAdx(name: String, config: AdxConfig) extends Declared
   final case class DeclaredDataFusion(name: String, config: DataFusionConfig) extends Declared
-  final case class DeclaredTdEngine(name: String, config: TdEngineConfig) extends Declared
+  final case class DeclaredTdEngine(name: String, config: TdEngineConfig, metadata: Seq[MetadataConfig] = Nil) extends Declared
 
   /** A source whose `type` this engine has no connector for. The
     * reference resolves types LAZILY (SourceFactory.get_source raises
@@ -186,6 +186,7 @@ object GraftConfig {
       .filter(_.nonEmpty)
       .map(s => java.net.URI.create(s))
     val dsnUser = dsn.flatMap(u => Option(u.getUserInfo)).map(_.split(":", 2))
+    val tagColumns = strSeq(node, "tag_columns").getOrElse(Seq(graft.model.SeriesSelector.SeriesNameTag))
     DeclaredTdEngine(
       name,
       TdEngineConfig(
@@ -203,7 +204,7 @@ object GraftConfig {
           ssl = conn.exists(c => Option(c.get("ssl")).exists(_.asBoolean)) ||
             dsn.exists(u => Set("taoswss", "wss", "taos+wss").contains(u.getScheme)),
         ),
-        tagColumns = strSeq(node, "tag_columns").getOrElse(Seq(graft.model.SeriesSelector.SeriesNameTag)),
+        tagColumns = tagColumns,
         fieldColumns = strSeq(node, "field_columns"),
         listQuery = queryText("list_query"),
         listColumns = strSeq(node, "list_columns").getOrElse(Nil),
@@ -220,6 +221,9 @@ object GraftConfig {
           .map(n => qualityGood(root.path("quality_mapping").path(n)))
           .getOrElse(Nil),
       ),
+      // kukur's factory layers metadata_sources extras over every
+      // source kind (source/__init__.py:170)
+      sidecarConfigs(root, dir, name, node, "tdengine", tagColumns),
     )
   }
 

@@ -203,20 +203,24 @@ class TdEngineSource(cfg: TdEngineConfig) extends Serializable {
       (new Timestamp(a), new Timestamp(b))
     }.filter { case (a, b) => b.after(a) }
     val work = for { tags <- keys; (a, b) <- bounds } yield (tags, a, b)
+    val schema = StructType(Seq(
+      StructField("series_name", StringType),
+      StructField("ts", TimestampType),
+      StructField("value", target),
+    ))
+    // an empty or inverted window leaves no chunks: answer empty like
+    // getData does (parallelize would reject zero slices)
+    if (work.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val rows = spark.sparkContext
       .parallelize(work, math.min(work.size, spark.sparkContext.defaultParallelism))
       .flatMap { case (tags, a, b) =>
         val name = tagCols.map(t => tags.getOrElse(t, "")).mkString(",")
-        fetchData(conf, tags, a, b).rows.map(r => Row(name, r.ts, coerce(r.value, target)))
+        // companion call, NOT the instance wrapper — the closure must
+        // capture only (conf, tagCols, target), never `this`
+        TdEngineSource.fetchData(conf, tags, a, b).rows.map(r => Row(name, r.ts, coerce(r.value, target)))
       }
-    spark.createDataFrame(
-      rows,
-      StructType(Seq(
-        StructField("series_name", StringType),
-        StructField("ts", TimestampType),
-        StructField("value", target),
-      )),
-    )
+    spark.createDataFrame(rows, schema)
   }
 
   private def toDataFrame(spark: SparkSession, fetched: Fetched, series: Option[String]): DataFrame = {
@@ -224,8 +228,11 @@ class TdEngineSource(cfg: TdEngineConfig) extends Serializable {
     // schema from the WIRE field types, not the rows — an empty window
     // must not degrade the value column or drop quality
     val hasQuality = cfg.qualityGood.nonEmpty && fetched.fields.size > 2
+    val nonNull = rows.map(_.value).filter(_ != null)
     val valueType: DataType =
-      if (rows.nonEmpty) detectType(rows.map(_.value))
+      if (nonNull.nonEmpty) detectType(nonNull)
+      // no rows, or an all-NULL window of a typed column: the wire
+      // field type keeps the schema stable (and NULL→NaN applicable)
       else fieldType(fetched.fields.lift(1))
     val data = rows.map { r =>
       val vs = Seq(r.ts, coerce(r.value, valueType)) ++
@@ -302,11 +309,17 @@ object TdEngineSource {
     val sb = new StringBuilder
     var i = 0
     while (i < q.length) {
-      if (i + 1 < q.length && q.charAt(i) == '{' && q.charAt(i + 1) == '}') {
+      // str.format brace escapes first: {{ and }} render literally
+      if (i + 1 < q.length && q.charAt(i) == '{' && q.charAt(i + 1) == '{') { sb += '{'; i += 2 }
+      else if (i + 1 < q.length && q.charAt(i) == '}' && q.charAt(i + 1) == '}') { sb += '}'; i += 2 }
+      else if (i + 1 < q.length && q.charAt(i) == '{' && q.charAt(i + 1) == '}') {
         // Python str.format raises IndexError on too few args — fail
         // at build time, not as an opaque server-side syntax error
         require(it.hasNext, s"query has more {} placeholders than parameters (${params.size} given): $q")
-        sb.append(it.next().replace("'", ""))
+        // strip BOTH quote chars and backslashes: a trailing backslash
+        // would escape the literal's closing quote (TDengine honors
+        // backslash escapes in string literals)
+        sb.append(it.next().replace("'", "").replace("\\", ""))
         i += 2
       } else { sb.append(q.charAt(i)); i += 1 }
     }
@@ -319,14 +332,11 @@ object TdEngineSource {
     * `data_query_datetime_format` is configured (sql.py:389-396).
     */
   private[sources] def pythonStr(ts: Timestamp): String = {
-    val ins = ts.toInstant
     val base = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss")
       .withZone(java.time.ZoneOffset.UTC)
-      .format(ins)
-    val micros = ins.getNano / 1000
-    val frac = if (micros == 0) "" else f".$micros%06d"
-    s"$base$frac+00:00"
+      .format(ts.toInstant)
+    s"$base${fracPart(ts)}+00:00"
   }
 
   private[sources] def formatDate(cfg: TdEngineConfig, ts: Timestamp): String = {
@@ -407,7 +417,15 @@ object TdEngineSource {
         val wall = offset.map(o => iso.dropRight(o.length)).getOrElse(iso)
         Timestamp.from(java.time.LocalDateTime.parse(wall).atZone(z).toInstant)
       case None =>
-        val withZone = if (offset.isDefined) iso else iso + "Z"
+        // OffsetDateTime.parse needs the colon form: -0500 → -05:00,
+        // and a bare ±HH gains :00
+        val withZone = offset match {
+          case None => iso + "Z"
+          case Some(o) if o.matches("[+-]\\d{4}") =>
+            iso.dropRight(2) + ":" + iso.takeRight(2)
+          case Some(o) if o.matches("[+-]\\d{2}") => iso + ":00"
+          case Some(_) => iso
+        }
         Timestamp.from(java.time.OffsetDateTime.parse(withZone).toInstant)
     }
   }

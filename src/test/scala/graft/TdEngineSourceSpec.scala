@@ -103,11 +103,24 @@ class TdEngineSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     case "create database graft" =>
       TaosWsStub.StubResult(Nil, Nil, affectedRows = 0)
     case "select ts, v from kukur.string_ts" =>
-      // a VARCHAR ts column with a NEGATIVE UTC offset
+      // VARCHAR ts columns with NEGATIVE offsets, colon and no-colon
       TaosWsStub.StubResult(
         Seq(("ts", Varchar, 32), ("v", Dbl, 8)),
-        Seq(Seq("2020-01-01 00:00:00-05:00", java.lang.Double.valueOf(1.0))),
+        Seq(
+          Seq("2020-01-01 00:00:00-05:00", java.lang.Double.valueOf(1.0)),
+          Seq("2020-06-01 00:00:00-0500", java.lang.Double.valueOf(2.0)),
+        ),
       )
+    case "select v from kukur.all_nulls" =>
+      TaosWsStub.StubResult(
+        Seq(("ts", Ts, 8), ("v", Dbl, 8)),
+        Seq(
+          Seq(java.lang.Long.valueOf(1577836800000L), null),
+          Seq(java.lang.Long.valueOf(1577923200000L), null),
+        ),
+      )
+    case q if q.startsWith("select ts, v from kukur.braced") =>
+      TaosWsStub.StubResult(Seq(("ts", Ts, 8), ("v", Dbl, 8)), Nil)
     case "select big from kukur.unsigned" =>
       // UBIGINT (type 14): raw bits -1 == 2^64-1 unsigned
       TaosWsStub.StubResult(
@@ -335,15 +348,62 @@ class TdEngineSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val src = new TdEngineSource(
       fixtureConfig.copy(dataQuery = Some("select ts, v from kukur.string_ts"), tagColumns = Nil, dataQueryTags = Some(Nil))
     )
-    val rows = src.getData(spark, SeriesSelector("td"), ts("2019-01-01T00:00:00Z"), ts("2021-01-01T00:00:00Z")).collect()
-    assert(rows.length == 1)
-    assert(rows.head.getTimestamp(0) == ts("2020-01-01T05:00:00Z")) // -05:00 wall → UTC
+    val rows = src.getData(spark, SeriesSelector("td"), ts("2019-01-01T00:00:00Z"), ts("2021-01-01T00:00:00Z"))
+      .orderBy("ts").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getTimestamp(0) == ts("2020-01-01T05:00:00Z")) // -05:00 wall → UTC
+    assert(rows(1).getTimestamp(0) == ts("2020-06-01T05:00:00Z")) // no-colon -0500 form
     // UBIGINT 2^64-1 must not wrap negative
     val client = new TaosWsClient(conn)
     try {
       val r = client.query("select big from kukur.unsigned")
       assert(r.rows.head(1) == new java.math.BigDecimal("18446744073709551615"))
     } finally client.close()
+  }
+
+  test("an all-NULL window keeps the wire type and maps NULL to NaN; brace escapes render literally; backslashes strip") {
+    // all-NULL double column: wire type wins, sql.py:233 NULL→NaN holds
+    val nulls = new TdEngineSource(
+      fixtureConfig.copy(dataQuery = Some("select v from kukur.all_nulls"), tagColumns = Nil, dataQueryTags = Some(Nil))
+    )
+    val nr = nulls.getData(spark, SeriesSelector("td"), ts("2019-01-01T00:00:00Z"), ts("2021-01-01T00:00:00Z")).collect()
+    assert(nr.length == 2 && nr.forall(_.getDouble(1).isNaN))
+    // {{}} is a literal brace pair per str.format, not a placeholder
+    val braced = new TdEngineSource(
+      fixtureConfig.copy(
+        dataQuery = Some("select ts, v from kukur.braced where x = '{{}}' and name = '{}'"),
+        dataQueryTags = Some(Seq("name")),
+      )
+    )
+    braced.getData(
+      spark,
+      SeriesSelector("td", Map("name" -> "test-tag-1")),
+      ts("2020-01-01T00:00:00Z"),
+      ts("2020-01-02T00:00:00Z"),
+    ).collect()
+    assert(stub.lastSql.contains("x = '{}' and name = 'test-tag-1'"), stub.lastSql)
+    // a trailing backslash cannot escape the literal's closing quote
+    val src = new TdEngineSource(fixtureConfig)
+    src.getData(
+      spark,
+      SeriesSelector("td", Map("name" -> "evil\\", "location" -> "x")),
+      ts("2020-01-01T00:00:00Z"),
+      ts("2020-01-02T00:00:00Z"),
+    ).collect()
+    assert(stub.lastSql.contains("name = 'evil' and"), stub.lastSql)
+  }
+
+  test("dataForKeys answers an empty window with an empty typed frame") {
+    val src = new TdEngineSource(fixtureConfig)
+    val df = src.dataForKeys(
+      spark,
+      Seq(Map("name" -> "test-tag-1", "location" -> "Antwerp")),
+      ts("2020-01-01T00:00:00Z"),
+      ts("2020-01-01T00:00:00Z"), // start == end
+      intervalChunks = 4,
+    )
+    assert(df.count() == 0)
+    assert(df.schema.fieldNames.toSeq == Seq("series_name", "ts", "value"))
   }
 
   test("an empty window keeps the wire schema: value stays double, no row-dependent degrade") {
@@ -462,6 +522,42 @@ class TdEngineSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val probe = g.testSource("td", ts("2020-01-01T00:00:00Z"), ts("2020-01-06T00:00:00Z"))
     val byAction = probe.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(byAction("search") && byAction("data") && byAction("plot"))
+  }
+
+  test("metadata_sources extras layer over the source's own metadata (factory wrapper semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-td-meta")
+    java.nio.file.Files.writeString(
+      dir.resolve("meta.csv"),
+      "name,location,unit,description\ntest-tag-1,Antwerp,m,From the sidecar\n",
+    )
+    val toml =
+      s"""[source.td-meta]
+         |type = "tdengine"
+         |tag_columns = ["name", "location"]
+         |list_query = "show table tags from data from kukur"
+         |list_columns = ["table", "name", "location"]
+         |data_query = "select ts, v from kukur.data where name = '{}' and location = '{}' and ts >= '{}' and ts < '{}'"
+         |query_string_parameters = true
+         |metadata_sources = ["extra"]
+         |
+         |[source.td-meta.connection]
+         |host = "127.0.0.1"
+         |port = ${stub.port}
+         |
+         |[metadata.extra]
+         |type = "csv"
+         |path = "meta.csv"
+         |tag_columns = ["name", "location"]
+         |""".stripMargin
+    val path = dir.resolve("config.toml")
+    java.nio.file.Files.writeString(path, toml)
+    val g = Graft.fromConfig(spark, path.toString)
+    val row = g.getMetadata(
+      "td-meta",
+      SeriesSelector("td-meta", Map("name" -> "test-tag-1", "location" -> "Antwerp")),
+    ).collect().head
+    assert(row.getAs[String]("unit") == "m")
+    assert(row.getAs[String]("description") == "From the sidecar")
   }
 
   test("connection_string DSN parses user, host, port, database and ssl scheme") {
