@@ -1,0 +1,200 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.plans.UnigramModel
+
+/** Unigram-LM subword tokenizer (Kudo 2018, "Subword Regularization" —
+  * the SentencePiece unigram model), the second of the two tokenizer
+  * families behind every modern LLM data pipeline (the first, BPE, is
+  * [[BpeFunctions]]; reference analog: kukur has no tokenizer, this is
+  * part of the LLM-pipeline surface graft adds).
+  *
+  * Architecture inverts the BPE trainer's: where BPE learns merges at
+  * the driver from a bounded top-`vocabCap` dictionary, the unigram
+  * E-step runs WHERE THE DATA LIVES — the corpus-sized distinct-word
+  * frequency table never leaves the executors; each EM pass is one
+  * scan applying [[graft.plans.UnigramEStep]] (forward-backward over
+  * the word's segmentation lattice) plus one map-side-combined
+  * aggregate down to a vocabulary-sized expected-count summary, and
+  * only that summary (≤ seed size rows) reaches the driver for the
+  * M-step renormalization. A vocabulary that only a 100 TB crawl
+  * produces changes nothing in the plan shape.
+  *
+  * Determinism, per the SURVEY policy: per-word expected counts are
+  * floor-scaled to 1e6 and multiplied by the exact word count in
+  * DECIMAL(38,0) (no long overflow at any corpus size, order-independent
+  * summation), so training is bit-reproducible under any partitioning;
+  * driver-side ln goes through `StrictMath` and lands on the 6-decimal
+  * grid before scaling into the model literal.
+  *
+  * Simplifications vs Kudo 2018, documented honestly: seed scoring is
+  * frequency·length over all substrings up to `maxPieceLen` (not the
+  * suffix-array ESA score), and pruning drops the lowest-probability
+  * multi-character pieces per round (not the leave-one-out likelihood
+  * loss) — both are the standard simplifications in public
+  * reimplementations; single-character pieces are never pruned, so
+  * coverage of the training charset is total and OOV can only occur
+  * on unseen data (where the tokenizer falls back to per-character
+  * [[graft.plans.UnigramModel.OovLogp]] edges).
+  */
+object UnigramLm {
+
+  /** A trained model: pieces in canonical (piece asc) order with
+    * ln(p) on the 6-decimal grid scaled to ppm-of-nat longs, plus the
+    * corpus log-likelihood after each EM update (for convergence
+    * audits — EM guarantees it non-decreasing between prunes).
+    */
+  case class Model(pieces: Seq[(String, Long)], logliks: Seq[Double]) {
+    def spec: String = UnigramLm.spec(pieces)
+  }
+
+  /** Wire encoding for the native expressions: `piece\u0001logpPpm`
+    * entries joined by tabs (words never contain whitespace —
+    * [[TextFunctions.words]] splits on it — and the trainer filters
+    * control characters from pieces).
+    */
+  def spec(pieces: Seq[(String, Long)]): String =
+    pieces.map { case (p, lp) => s"$p\u0001$lp" }.mkString("\t")
+
+  /** Train a unigram LM of at most `vocabSize` pieces.
+    *
+    * @param emIters     EM updates per pruning round (and after the
+    *                    final prune)
+    * @param shrink      fraction of multi-char pieces kept per round
+    * @param maxWordLen  training-lattice cap: words longer than this
+    *                    (URLs, DNA soup) are excluded from TRAINING
+    *                    only — `tokenize` still segments any length
+    */
+  def train(
+      df: DataFrame,
+      text: Column,
+      vocabSize: Int = 1500,
+      seedSize: Int = 6000,
+      maxPieceLen: Int = 8,
+      emIters: Int = 2,
+      shrink: Double = 0.6,
+      maxWordLen: Int = 64,
+  ): Model = {
+    require(vocabSize > 0 && seedSize >= vocabSize, "need seedSize >= vocabSize > 0")
+    require(shrink > 0.0 && shrink < 1.0, "shrink must be in (0, 1)")
+    val spark = df.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+
+    // distinct-word frequency table: the E-step input for every pass —
+    // checkpointed once, released at the end
+    val wf = DedupFunctions
+      .spread(df)
+      .select(explode(TextFunctions.words(text)).as("w"))
+      .where(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+
+    try {
+      // ---- seed: all substrings up to maxPieceLen, scored freq·len ----
+      val subs = wf
+        .select(
+          col("n"),
+          explode(
+            expr(
+              s"flatten(transform(sequence(1, length(w)), i -> " +
+                s"transform(sequence(i, least(length(w), i + ${maxPieceLen - 1})), j -> substring(w, i, j - i + 1))))"
+            )
+          ).as("p"),
+        )
+        .where(!col("p").rlike("[\\x00-\\x08\\x0e-\\x1f]")) // defensive: wire-format separators
+        .groupBy(col("p"))
+        .agg(sum(col("n")).as("cnt"))
+        .withColumn("score", col("cnt") * length(col("p")))
+        .localCheckpoint()
+
+      val chars: Array[(String, Long)] =
+        subs.where(length(col("p")) === 1).select(col("p"), col("score")).collect().map(r => (r.getString(0), r.getLong(1)))
+      require(chars.nonEmpty, "corpus has no trainable words")
+      require(chars.length <= 50000, s"charset of ${chars.length} exceeds the single-piece budget")
+      val multiBudget = math.max(0, seedSize - chars.length)
+      val multis: Array[(String, Long)] = subs
+        .where(length(col("p")) > 1)
+        .orderBy(col("score").desc, col("p"))
+        .limit(multiBudget)
+        .select(col("p"), col("score"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(subs).foreach(_.unpersist(blocking = true))
+
+      var pieces: Map[String, Double] = { // piece -> logp (driver grid happens at spec time)
+        val all = chars ++ multis
+        val total = all.map(_._2).sum.toDouble
+        all.map { case (p, s) => p -> StrictMath.log(s / total) }.toMap
+      }
+      val charSet = chars.map(_._1).toSet
+      val logliks = scala.collection.mutable.ArrayBuffer.empty[Double]
+
+      def toGrid(logp: Map[String, Double]): Seq[(String, Long)] =
+        logp.toSeq.sortBy(_._1).map { case (p, lp) =>
+          (p, math.floor(BigDecimal(lp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6).toLong)
+        }
+
+      // one EM pass: a single scan + one vocabulary-sized aggregate
+      def emPass(current: Map[String, Double]): Map[String, Double] = {
+        val lt = lit(spec(toGrid(current)))
+        val summary = wf
+          .select(col("n").cast(DecimalType(38, 0)).as("n"), call_function("graft_unigram_estep", col("w"), lt).as("e"))
+          .select(col("n"), explode(col("e")).as("pc"))
+          .select(
+            col("pc.p").as("p"),
+            (col("n") * floor(col("pc.c") * lit(1e6)).cast(DecimalType(38, 0))).as("c6"),
+          )
+          .groupBy(col("p"))
+          .agg(sum(col("c6")).as("c6"))
+          .collect()
+        var loglik = 0.0
+        val counts = scala.collection.mutable.HashMap.empty[String, BigDecimal]
+        summary.foreach { r =>
+          val p = r.getString(0)
+          val c6 = BigDecimal(r.getDecimal(1))
+          if (p == UnigramModel.LogZKey) loglik = (c6 / 1e6).toDouble
+          else counts.put(p, c6)
+        }
+        logliks += loglik
+        val kept = counts.toSeq.filter { case (p, c) => c > 0 || charSet(p) }
+        val total = kept.map { case (_, c) => c.max(BigDecimal(1)) }.sum
+        // single chars with zero expectation keep a 1-count floor so
+        // coverage never collapses; dropped multis just leave the model
+        kept.map { case (p, c) => p -> StrictMath.log((c.max(BigDecimal(1)) / total).toDouble) }.toMap
+      }
+
+      def prune(current: Map[String, Double], target: Int): Map[String, Double] = {
+        val multisNow = current.filterNot { case (p, _) => charSet(p) }.toSeq
+        val keepMulti = math.max(0, target - (current.size - multisNow.size))
+        val kept = multisNow.sortBy { case (p, lp) => (-lp, p) }.take(keepMulti)
+        current.filter { case (p, _) => charSet(p) } ++ kept
+      }
+
+      var guard = 0
+      while (pieces.size > vocabSize && guard < 64) {
+        for (_ <- 1 to emIters) pieces = emPass(pieces)
+        pieces = prune(pieces, math.max(vocabSize, math.ceil(pieces.size * shrink).toInt))
+        guard += 1
+      }
+      for (_ <- 1 to emIters) pieces = emPass(pieces)
+
+      Model(toGrid(pieces), logliks.toSeq)
+    } finally {
+      org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(wf).foreach(_.unpersist(blocking = true))
+    }
+  }
+
+  /** Apply a trained model: adds `unigram_tokens` (array<string>) and
+    * `n_unigram_tokens`. Pure per-row projection — no shuffle; the
+    * model rides the plan as a literal.
+    */
+  def tokenize(df: DataFrame, text: Column, model: Model): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.withColumn("unigram_tokens", call_function("graft_unigram_tokenize", TextFunctions.words(text), lit(model.spec)))
+      .withColumn("n_unigram_tokens", size(col("unigram_tokens")))
+  }
+}

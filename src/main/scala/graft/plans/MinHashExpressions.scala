@@ -285,6 +285,18 @@ object GraftFunctions {
     (children: Seq[Expression]) => BpeEncode(children(0), children(1)),
   )
 
+  val unigramEStepDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_unigram_estep"),
+    new ExpressionInfo(classOf[UnigramEStep].getName, "graft_unigram_estep"),
+    (children: Seq[Expression]) => UnigramEStep(children(0), children(1)),
+  )
+
+  val unigramTokenizeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_unigram_tokenize"),
+    new ExpressionInfo(classOf[UnigramTokenize].getName, "graft_unigram_tokenize"),
+    (children: Seq[Expression]) => UnigramTokenize(children(0), children(1)),
+  )
+
   val deflateLenDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_deflate_len"),
     new ExpressionInfo(classOf[DeflateLength].getName, "graft_deflate_len"),
@@ -345,6 +357,8 @@ object GraftFunctions {
     hyperplaneSigDescriptor,
     simhashDescriptor,
     bpeDescriptor,
+    unigramEStepDescriptor,
+    unigramTokenizeDescriptor,
     deflateLenDescriptor,
     unormDescriptor,
     stripMarksDescriptor,

@@ -1,0 +1,311 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared model table for the unigram-LM tokenizer expressions (Kudo
+  * 2018, "Subword Regularization: Improving Neural Network Translation
+  * Models with Multiple Subword Candidates" — the SentencePiece
+  * unigram model; reference analog: kukur has no tokenizer, this is
+  * part of the LLM-pipeline surface graft adds on top of the provider
+  * semantics).
+  *
+  * Wire format ([[graft.functions.UnigramLm.spec]]): entries
+  * `piece\u0001logpPpm` joined by tabs, where `logpPpm` is ln(p)
+  * rounded to the 6-decimal grid and scaled to a long (the SURVEY
+  * libm-determinism policy). Pieces come from whitespace-split words,
+  * so neither `\t` nor `\u0001` can appear inside one (the trainer
+  * additionally filters control characters defensively).
+  *
+  * Positions with no matching piece fall back to a per-character OOV
+  * edge at [[UnigramModel.OovLogp]], so every string has at least one
+  * segmentation and the lattice partition function is never zero.
+  */
+private[graft] final class UnigramModel(spec: String) {
+  val logp = new java.util.HashMap[String, java.lang.Double]()
+  var maxLen = 1
+  spec.split("\t").foreach { entry =>
+    val sep = entry.indexOf('\u0001')
+    if (sep > 0) {
+      val piece = entry.substring(0, sep)
+      val lp = entry.substring(sep + 1).toLong / 1e6
+      if (!logp.containsKey(piece)) {
+        logp.put(piece, lp)
+        val n = piece.codePointCount(0, piece.length)
+        if (n > maxLen) maxLen = n
+      }
+    }
+  }
+}
+
+private[graft] object UnigramModel {
+
+  /** ln(1e-10): the score of an out-of-vocabulary single character.
+    * Far below any trained piece (corpus pieces have p ≥ 1/Σcounts at
+    * ppm grain), so OOV edges only fire when nothing else can.
+    */
+  val OovLogp: Double = StrictMath.log(1e-10)
+
+  /** The piece name under which [[UnigramEStep]] smuggles the word's
+    * log-evidence into its output array — `\u0000` cannot be a real
+    * piece (the trainer filters control characters), so one explode +
+    * one aggregate collects expected counts AND the corpus
+    * log-likelihood in a single scan.
+    */
+  val LogZKey = "\u0000"
+
+  /** Split a word into Unicode code points (the lattice alphabet —
+    * identical to the BPE symbol grain, so the two tokenizer families
+    * agree on what a "character" is).
+    */
+  def codePoints(word: String): Array[String] = {
+    val b = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      b += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    b.toArray
+  }
+}
+
+/** Forward-backward expected piece counts over one word's segmentation
+  * lattice — the E-step of unigram-LM tokenizer training, run where
+  * the data lives: the corpus-sized distinct-word table never leaves
+  * the executors, this expression emits one bounded array per word
+  * (at most len·maxPieceLen entries), and the caller's aggregate
+  * reduces it map-side to a vocabulary-sized summary. Lattice
+  * dynamic programming has no SQL/higher-order-function formulation
+  * (the recurrence is data-dependent per position), which is the
+  * custom-Expression criterion.
+  *
+  * Output: `array<struct<p: string, c: double>>` — the expected count
+  * of every piece that occurs in some segmentation of the word, plus
+  * one pseudo-entry ([[UnigramModel.LogZKey]]) carrying the word's
+  * log-evidence logZ. All lattice math is log-domain (α/β via
+  * incremental log-sum-exp in a fixed iteration order), so a 100-char
+  * word of 1e-6-probability pieces cannot underflow, and the same
+  * input always produces bit-identical output regardless of
+  * partitioning.
+  */
+case class UnigramEStep(left: Expression, right: Expression)
+    extends BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("p", StringType, nullable = false), StructField("c", DoubleType, nullable = false))),
+    containsNull = false,
+  )
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) if right.foldable => TypeCheckResult.TypeCheckSuccess
+      case (StringType, StringType) =>
+        TypeCheckResult.TypeCheckFailure("graft_unigram_estep model must be a foldable string literal")
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"graft_unigram_estep needs (string word, string model literal), got $other")
+    }
+
+  override def foldable: Boolean = false
+
+  @transient private lazy val model: UnigramModel = {
+    val spec = right.eval(null)
+    new UnigramModel(if (spec == null) "" else spec.asInstanceOf[UTF8String].toString)
+  }
+
+  private def logAdd(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else {
+      val m = math.max(a, b)
+      m + math.log(math.exp(a - m) + math.exp(b - m))
+    }
+
+  override def nullSafeEval(wordAny: Any, specAny: Any): Any = {
+    val cps = UnigramModel.codePoints(wordAny.asInstanceOf[UTF8String].toString)
+    val n = cps.length
+    if (n == 0) {
+      return new GenericArrayData(Array[Any](InternalRow(UTF8String.fromString(UnigramModel.LogZKey), 0.0)))
+    }
+    val maxL = model.maxLen
+    // edge scores: logp(piece spanning [i, j)) or OOV for single chars
+    def edge(i: Int, j: Int): (String, Double) = {
+      val piece = cps.slice(i, j).mkString
+      val lp = model.logp.get(piece)
+      if (lp != null) (piece, lp.doubleValue())
+      else if (j - i == 1) (piece, UnigramModel.OovLogp)
+      else (null, Double.NegativeInfinity)
+    }
+    val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
+    alpha(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var i = math.max(0, j - maxL)
+      while (i < j) {
+        val (_, lp) = edge(i, j)
+        if (lp != Double.NegativeInfinity && alpha(i) != Double.NegativeInfinity)
+          alpha(j) = logAdd(alpha(j), alpha(i) + lp)
+        i += 1
+      }
+      j += 1
+    }
+    val beta = Array.fill(n + 1)(Double.NegativeInfinity)
+    beta(n) = 0.0
+    var i = n - 1
+    while (i >= 0) {
+      var k = i + 1
+      val lim = math.min(n, i + maxL)
+      while (k <= lim) {
+        val (_, lp) = edge(i, k)
+        if (lp != Double.NegativeInfinity && beta(k) != Double.NegativeInfinity)
+          beta(i) = logAdd(beta(i), lp + beta(k))
+        k += 1
+      }
+      i -= 1
+    }
+    val logZ = alpha(n)
+    // expected counts: fixed (i asc, j asc) accumulation order
+    val counts = new java.util.LinkedHashMap[String, java.lang.Double]()
+    i = 0
+    while (i < n) {
+      var k = i + 1
+      val lim = math.min(n, i + maxL)
+      while (k <= lim) {
+        val (piece, lp) = edge(i, k)
+        if (lp != Double.NegativeInfinity && model.logp.containsKey(piece)) {
+          val g = math.exp(alpha(i) + lp + beta(k) - logZ)
+          if (g > 0.0) {
+            val prev = counts.get(piece)
+            counts.put(piece, if (prev == null) g else prev.doubleValue() + g)
+          }
+        }
+        k += 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    out += InternalRow(UTF8String.fromString(UnigramModel.LogZKey), logZ)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out += InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): UnigramEStep =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_unigram_estep"
+}
+
+/** Viterbi best segmentation of each word under a trained unigram LM —
+  * the apply step: a pure per-row projection whose model rides the
+  * plan as a literal (one parse per task; the CMS lesson — never ship
+  * model state through a join column). Deterministic tie-break: later
+  * start positions are scanned in ascending order with a strict
+  * improvement test, so the first-considered optimal path wins and
+  * tokenization is independent of everything but the word and the
+  * model. OOV characters ride the [[UnigramModel.OovLogp]] edge as
+  * single-character tokens, so concat(tokens) == word always holds.
+  */
+case class UnigramTokenize(left: Expression, right: Expression)
+    extends BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), StringType) if right.foldable => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(StringType, _), StringType) =>
+        TypeCheckResult.TypeCheckFailure("graft_unigram_tokenize model must be a foldable string literal")
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_unigram_tokenize needs (array<string>, string model literal), got $other"
+        )
+    }
+
+  override def foldable: Boolean = false
+
+  @transient private lazy val model: UnigramModel = {
+    val spec = right.eval(null)
+    new UnigramModel(if (spec == null) "" else spec.asInstanceOf[UTF8String].toString)
+  }
+
+  /** Bounded per-task memo (words repeat Zipf-style); cleared when
+    * full rather than evicted — a word beyond the cap is re-decoded,
+    * never wrong.
+    */
+  @transient private lazy val memo = new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
+  private val MemoCap = 1 << 16
+
+  private def segment(word: String): Array[UTF8String] = {
+    val cached = memo.get(word)
+    if (cached != null) return cached
+    val cps = UnigramModel.codePoints(word)
+    val n = cps.length
+    if (n == 0) return Array.empty
+    val maxL = model.maxLen
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = Array.fill(n + 1)(-1)
+    best(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var i = math.max(0, j - maxL)
+      while (i < j) {
+        if (best(i) != Double.NegativeInfinity) {
+          val piece = cps.slice(i, j).mkString
+          val lpBoxed = model.logp.get(piece)
+          val lp =
+            if (lpBoxed != null) lpBoxed.doubleValue()
+            else if (j - i == 1) UnigramModel.OovLogp
+            else Double.NegativeInfinity
+          if (lp != Double.NegativeInfinity && best(i) + lp > best(j)) {
+            best(j) = best(i) + lp
+            back(j) = i
+          }
+        }
+        i += 1
+      }
+      j += 1
+    }
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var p = n
+    while (p > 0) {
+      val s = back(p)
+      pieces += UTF8String.fromString(cps.slice(s, p).mkString)
+      p = s
+    }
+    val res = pieces.reverseIterator.toArray
+    if (memo.size() >= MemoCap) memo.clear()
+    memo.put(word, res)
+    res
+  }
+
+  override def nullSafeEval(wordsAny: Any, specAny: Any): Any = {
+    val words = wordsAny.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val w = words.getUTF8String(i).toString
+        if (w.nonEmpty) out ++= segment(w)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): UnigramTokenize =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_unigram_tokenize"
+}

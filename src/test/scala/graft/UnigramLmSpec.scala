@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextFunctions, UnigramLm}
+
+/** Unigram-LM tokenizer (Kudo 2018 / SentencePiece family): trainer
+  * convergence, partitioning-determinism, segmentation round-trip and
+  * OOV behavior. The DuckDB oracle cannot train EM, so `text_unigram`
+  * is rows-only by design — THESE specs carry the correctness claim.
+  */
+class UnigramLmSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(200).cache()
+
+  test("segmentation round-trips: concat(tokens) rebuilds the normalized text of every doc") {
+    val model = UnigramLm.train(docs, col("text"), vocabSize = 400, seedSize = 1200, emIters = 1)
+    val out = UnigramLm.tokenize(docs, col("text"), model)
+    val bad = out
+      .withColumn("rebuilt", concat_ws("", col("unigram_tokens")))
+      .withColumn("expected", concat_ws("", TextFunctions.words(col("text"))))
+      .where(col("rebuilt") =!= col("expected"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("subword pieces compress below the character grain") {
+    val model = UnigramLm.train(docs, col("text"), vocabSize = 400, seedSize = 1200, emIters = 1)
+    assert(model.pieces.exists(_._1.length > 1), "vocabulary has multi-character pieces")
+    val r = UnigramLm
+      .tokenize(docs, col("text"), model)
+      .agg(
+        sum(col("n_unigram_tokens").cast("long")).as("toks"),
+        sum(length(concat_ws("", TextFunctions.words(col("text")))).cast("long")).as("chars"),
+      )
+      .head()
+    assert(r.getLong(0) < r.getLong(1), s"${r.getLong(0)} tokens should beat ${r.getLong(1)} chars")
+  }
+
+  test("EM log-likelihood is non-decreasing when no pruning intervenes") {
+    // seed fits inside vocabSize -> the prune loop never runs and the
+    // recorded logliks are consecutive EM updates on a fixed lattice
+    val model = UnigramLm.train(docs.limit(60), col("text"), vocabSize = 20000, seedSize = 20000, emIters = 6)
+    val liks = model.logliks
+    assert(liks.size == 6)
+    liks.sliding(2).foreach { case Seq(a, b) =>
+      // ppm-grid quantization of the model can cost a whisker; EM must
+      // otherwise climb
+      assert(b >= a - math.abs(a) * 1e-4, s"loglik fell: $a -> $b in $liks")
+    }
+  }
+
+  test("training is bit-identical under repartitioning") {
+    val narrow = docs.limit(80).repartition(1)
+    val wide = docs.limit(80).repartition(7)
+    val a = UnigramLm.train(narrow, col("text"), vocabSize = 300, seedSize = 900, emIters = 2)
+    val b = UnigramLm.train(wide, col("text"), vocabSize = 300, seedSize = 900, emIters = 2)
+    assert(a.pieces == b.pieces)
+  }
+
+  test("a dominant repeated pattern is learned as a multi-character piece") {
+    val corpus = Seq.fill(50)("ababab ababab cdcd").toDF("text")
+    val model = UnigramLm.train(corpus, col("text"), vocabSize = 12, seedSize = 40, emIters = 2, maxPieceLen = 6)
+    val multi = model.pieces.filter(_._1.length > 1).map(_._1)
+    assert(multi.exists(p => p.contains("ab") || p.contains("cd")), s"expected ab/cd pieces in $multi")
+    val toks = UnigramLm.tokenize(corpus.limit(1), col("text"), model).select(col("unigram_tokens")).head().getSeq[String](0)
+    assert(toks.mkString == "ababababababcdcd")
+    assert(toks.length < "ababababababcdcd".length, s"Viterbi should prefer multi-char pieces: $toks")
+  }
+
+  test("OOV characters segment as single-character fallback tokens and round-trip") {
+    val corpus = Seq.fill(20)("aaa bbb aaa").toDF("text")
+    val model = UnigramLm.train(corpus, col("text"), vocabSize = 10, seedSize = 20, emIters = 1)
+    assert(!model.pieces.exists(_._1.contains("x")))
+    val out = UnigramLm
+      .tokenize(Seq("axa xéb").toDF("text"), col("text"), model)
+      .select(col("unigram_tokens"))
+      .head()
+      .getSeq[String](0)
+    assert(out.mkString == "axaxéb")
+    assert(out.contains("x"), s"OOV char should be its own token in $out")
+  }
+
+  test("tokenization is deterministic across repeated runs (memo on and off paths)") {
+    val model = UnigramLm.train(docs.limit(40), col("text"), vocabSize = 200, seedSize = 600, emIters = 1)
+    val once = UnigramLm.tokenize(docs.limit(40), col("text"), model).select(col("doc_id"), col("unigram_tokens")).collect()
+    val twice = UnigramLm.tokenize(docs.limit(40).repartition(5), col("text"), model)
+      .select(col("doc_id"), col("unigram_tokens"))
+      .collect()
+    assert(once.map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1).toSeq ==
+      twice.map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1).toSeq)
+  }
+}
