@@ -6,7 +6,7 @@ import java.time.Instant
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{BpeFunctions, CorpusFunctions, DedupFunctions, TextFunctions, VectorFunctions}
+import graft.functions.{BpeFunctions, CorpusFunctions, DedupFunctions, TextFunctions, UnigramLm, VectorFunctions}
 import graft.model.SeriesDictionary
 import graft.multimodal.Multimodal
 import graft.operators.{Downsample, TimeSeriesOps}
@@ -1270,6 +1270,28 @@ object SparkEntry {
           floor(col("n_bpe_tokens").cast("double") * lit(1000000.0) / greatest(col("n_words"), lit(1))).cast("long").as("tokens_per_word_ppm"),
         )
     },
+    // C10d: unigram-LM tokenization (Kudo 2018 / SentencePiece) — the
+    // OTHER tokenizer family: EM-trained where the data lives (the
+    // distinct-word table never leaves the executors; only
+    // vocab-sized expected-count summaries collect), Viterbi-applied
+    // via the native graft_unigram_tokenize expression. EM training
+    // has no SQL form → rows-only, spec-verified (round-trip,
+    // monotone likelihood, partitioning-determinism, OOV fallback)
+    "text_unigram" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      // the synthetic corpus has ~31 distinct words — a tight vocab +
+      // short max piece force genuine subword segmentation (a web-scale
+      // corpus would use vocabSize ~32000, maxPieceLen 16)
+      val model = UnigramLm.train(docs, col("text"), vocabSize = 64, seedSize = 256, maxPieceLen = 4, emIters = 2)
+      UnigramLm
+        .tokenize(docs, col("text"), model)
+        .withColumn("n_words", size(TextFunctions.words(col("text"))))
+        .select(
+          col("doc_id"), col("n_words").cast("long").as("n_words"),
+          col("n_unigram_tokens").cast("long").as("n_unigram_tokens"),
+          floor(col("n_unigram_tokens").cast("double") * lit(1000000.0) / greatest(col("n_words"), lit(1))).cast("long").as("tokens_per_word_ppm"),
+        )
+    },
     // C10b: overlapping word-window chunking (64-word chunks, 16 overlap)
     "text_chunk" -> { (s, dir) =>
       TextFunctions.chunk(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -1335,6 +1357,23 @@ object SparkEntry {
     // integer/IEEE-division arithmetic (no cross-engine float log)
     "text_bigram_lm" -> { (s, dir) =>
       CorpusFunctions.bigramLm(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
+    // C31b: bucket-granular perplexity gate (the CCNet filtering step
+    // composed on C31): drop the lowest-scoring 20% of the scored
+    // corpus at whole-bucket granularity — threshold from a BOUNDED
+    // score-bucket histogram, never a corpus-wide sort
+    "text_lm_gate" -> { (s, dir) =>
+      CorpusFunctions.lmGate(Tables.documents(s, dir), col("doc_id"), col("text"), dropFrac = 0.2)
+    },
+    // C31c: cross-corpus LM scoring (the true CCNet shape — train the
+    // LM on a clean reference, score everything): English docs are the
+    // reference, unseen bigrams ride the Laplace floor (0+1)/(0+V)
+    "text_lm_score_ref" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val ref = CorpusFunctions.bigramLmRef(docs.where(col("lang") === "en"), col("text"))
+      val out = CorpusFunctions.bigramLmScoreAgainst(docs, col("doc_id"), col("text"), ref)
+      ref.unpersist() // out is materialized (localCheckpoint) before release
+      out
     },
     // C32: BM25 lexical retrieval — every doc scored against a fixed
     // query; one scan + one broadcast stats row, zero shuffles
@@ -2830,6 +2869,40 @@ object SparkEntry {
          sc AS (SELECT bg.doc_id,
                        CAST(FLOOR(1e12 * (CAST(cb.cb + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))) AS BIGINT) AS p
                 FROM bg JOIN cb USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+                FLOOR(CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1e6 AS lm_prob_ppm
+         FROM sc GROUP BY 1""",
+    "text_lm_gate" ->
+      """WITH norm AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+         bgl AS (SELECT doc_id, unnest(generate_series(1, len(w) - 1)) AS i, w FROM norm WHERE len(w) >= 2),
+         bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM bgl),
+         cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+         c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+         v AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT w1 AS w FROM bg UNION ALL SELECT w2 AS w FROM bg)),
+         sc AS (SELECT bg.doc_id,
+                       CAST(FLOOR(1e12 * (CAST(cb.cb + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))) AS BIGINT) AS p
+                FROM bg JOIN cb USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+         scores AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                           FLOOR(CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1e6 AS lm_prob_ppm
+                    FROM sc GROUP BY 1),
+         hist AS (SELECT CAST(FLOOR(lm_prob_ppm) AS BIGINT) AS b, COUNT(*) AS n FROM scores GROUP BY 1),
+         k AS (SELECT FLOOR(SUM(n) * 0.2) AS k FROM hist),
+         cum AS (SELECT b, SUM(n) OVER (ORDER BY b) AS cum FROM hist),
+         thr AS (SELECT MAX(b) AS t FROM cum CROSS JOIN k WHERE cum <= k)
+         SELECT doc_id, n_bigrams, lm_prob_ppm
+         FROM scores CROSS JOIN thr WHERE CAST(FLOOR(lm_prob_ppm) AS BIGINT) > COALESCE(t, -1)""",
+    "text_lm_score_ref" ->
+      """WITH norm AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+         bgl AS (SELECT doc_id, unnest(generate_series(1, len(w) - 1)) AS i, w FROM norm WHERE len(w) >= 2),
+         bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM bgl),
+         bgr AS (SELECT bg.* FROM bg JOIN documents USING (doc_id) WHERE documents.lang = 'en'),
+         cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bgr GROUP BY 1, 2),
+         c1 AS (SELECT w1, COUNT(*) AS c1 FROM bgr GROUP BY 1),
+         v AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT w1 AS w FROM bgr UNION ALL SELECT w2 AS w FROM bgr)),
+         sc AS (SELECT bg.doc_id,
+                       CAST(FLOOR(1e12 * (CAST(COALESCE(cb.cb, 0) + 1 AS DOUBLE) / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE))) AS BIGINT) AS p
+                FROM bg LEFT JOIN cb ON bg.w1 = cb.w1 AND bg.w2 = cb.w2
+                        LEFT JOIN c1 ON bg.w1 = c1.w1 CROSS JOIN v)
          SELECT doc_id, COUNT(*) AS n_bigrams,
                 FLOOR(CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1e6 AS lm_prob_ppm
          FROM sc GROUP BY 1""",

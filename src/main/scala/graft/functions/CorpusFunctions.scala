@@ -162,6 +162,26 @@ object CorpusFunctions {
       )
   }
 
+  /** LEFT-join variant of [[zipfSplitJoin]] for probes that may MISS
+    * the frequency table (cross-corpus LM scoring: unseen bigrams must
+    * survive with a null count, not drop): hot keys broadcast, the
+    * tail left-joins, rows matching neither arm keep their null.
+    */
+  private[graft] def zipfSplitJoinLeft(
+      probe: DataFrame,
+      freq: DataFrame,
+      keys: Seq[String],
+      cntCol: String,
+      hotMin: Long,
+  ): DataFrame = {
+    val probed = probe.join(broadcast(freq.where(col(cntCol) >= hotMin)), keys, "left")
+    probed
+      .where(col(cntCol).isNotNull)
+      .unionByName(
+        probed.where(col(cntCol).isNull).drop(cntCol).join(freq.where(col(cntCol) < hotMin), keys, "left")
+      )
+  }
+
   /** Per-document bigram language-model score — the perplexity-filter
     * quality signal (Wenzek et al. 2020, "CCNet: Extracting high
     * quality monolingual datasets from web crawl data" — there scored
@@ -219,6 +239,125 @@ object CorpusFunctions {
     // Dataset.unpersist is a NO-OP on a localCheckpoint'd frame (it only
     // clears CacheManager entries) — release through the RDD handle,
     // exactly like dedupGroups.release
+    org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(bgs).foreach(_.unpersist(blocking = true))
+    out
+  }
+
+  /** Bucket-granular perplexity gate (the CCNet filtering step): score
+    * every document with [[bigramLm]] and drop the lowest-scoring
+    * `dropFrac` of the scored corpus — at WHOLE-BUCKET granularity, so
+    * the threshold never needs a corpus-wide sort. Buckets are
+    * `floor(lm_prob_ppm)` (an integer in [0, 1e6] — BOUNDED at any
+    * corpus size), the bucket histogram is one tiny aggregate, the
+    * cumulative threshold is a window over that bounded frame
+    * broadcast back, and the gate itself is a per-row filter: the
+    * largest bucket prefix holding at most `floor(dropFrac · N)` docs
+    * is dropped, so the gate removes AT MOST the requested fraction,
+    * never more. Documents with fewer than two words are never scored
+    * and never emitted, mirroring [[bigramLm]].
+    *
+    * All arithmetic is exact (integer buckets, exact counts), so the
+    * kept set is deterministic on any engine and partitioning.
+    */
+  def lmGate(df: DataFrame, idCol: Column, text: Column, dropFrac: Double = 0.1, hotMin: Long = 1000L): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0, "dropFrac must be in [0, 1)")
+    val scores = bigramLm(df, idCol, text, hotMin).withColumn("__b", floor(col("lm_prob_ppm")))
+    val hist = scores.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+    val w = Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, 0)
+    val thr = hist
+      .withColumn("__cum", sum(col("__n")).over(w))
+      .crossJoin(broadcast(hist.agg(floor(sum(col("__n")) * lit(dropFrac)).as("__k"))))
+      .where(col("__cum") <= col("__k"))
+      .agg(max(col("__b")).as("__t"))
+    scores
+      .crossJoin(broadcast(thr))
+      .where(col("__b") > coalesce(col("__t"), lit(-1L)))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_prob_ppm"))
+  }
+
+  /** A trained bigram LM as three reference tables: bigram counts,
+    * first-word counts, and the vocabulary size — the CCNet usage
+    * where the LM comes from a CLEAN reference corpus and scores new
+    * data. `cb`/`c1` are cached (corpus-vocabulary-sized, reused per
+    * scoring batch or microbatch); the CALLER owns the handles and
+    * unpersists them when done, the [[noveltyRef]] contract.
+    */
+  case class BigramLmRef(cb: DataFrame, c1: DataFrame, v: DataFrame) {
+    def unpersist(): Unit = { cb.unpersist(); c1.unpersist() }
+  }
+
+  def bigramLmRef(refDf: DataFrame, text: Column): BigramLmRef = {
+    val bgs = DedupFunctions
+      .spread(refDf)
+      .select(TextFunctions.words(text).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(
+        explode(
+          expr("transform(sequence(0, size(w) - 2), i -> named_struct('w1', w[i], 'w2', w[i + 1]))")
+        ).as("bg")
+      )
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .localCheckpoint()
+    val cb = bgs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb")).cache()
+    val c1 = bgs.groupBy(col("w1")).agg(count(lit(1)).as("c1")).cache()
+    // V collapses to one scalar — evaluate it NOW and rebuild it as a
+    // literal frame, so nothing in the returned ref still points at
+    // the checkpointed bigram stream once it is released below
+    val vVal = bgs
+      .select(col("w1").as("w"))
+      .unionAll(bgs.select(col("w2").as("w")))
+      .agg(countDistinct(col("w")).as("v"))
+      .head()
+      .getLong(0)
+    val v = refDf.sparkSession.range(1).select(lit(vVal).as("v"))
+    // materialize both cached tables, then release the bigram stream
+    cb.count(); c1.count()
+    org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(bgs).foreach(_.unpersist(blocking = true))
+    BigramLmRef(cb, c1, v)
+  }
+
+  /** Score documents against a PRE-TRAINED [[BigramLmRef]] — the
+    * cross-corpus form of [[bigramLm]] (train on clean reference,
+    * score the crawl). Unseen bigrams ride the same Laplace floor the
+    * self-trained form gives count-zero pairs: p = (cb+1)/(c1+V) with
+    * missing counts as 0, so on documents the LM WAS trained on the
+    * score equals [[bigramLm]]'s exactly (the parity the streaming
+    * gate's spec asserts). Joins against the reference tables are
+    * plain equi-joins — Spark picks broadcast vs shuffled-hash by
+    * table size; the probe side never carries text.
+    */
+  def bigramLmScoreAgainst(df: DataFrame, idCol: Column, text: Column, ref: BigramLmRef): DataFrame = {
+    // checkpoint the bigram stream: the nested zipf-split joins put it
+    // in four union arms (the bigramLm shape — shuffles dedupe via
+    // ReuseExchange, the narrow probe pass re-runs against storage)
+    val bgs = DedupFunctions
+      .spread(df)
+      .select(idCol.as("doc_id"), TextFunctions.words(text).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          expr("transform(sequence(0, size(w) - 2), i -> named_struct('w1', w[i], 'w2', w[i + 1]))")
+        ).as("bg"),
+      )
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .localCheckpoint()
+    val out = bgs
+      .transform(p => zipfSplitJoinLeft(p, ref.cb, Seq("w1", "w2"), "cb", 1000L))
+      .transform(p => zipfSplitJoinLeft(p, ref.c1, Seq("w1"), "c1", 1000L))
+      .crossJoin(broadcast(ref.v))
+      .withColumn(
+        "p_scaled",
+        floor(
+          lit(1e12) * ((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
+        ),
+      )
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_scaled")).as("__sum_p"))
+      .withColumn("lm_prob_ppm", floor(col("__sum_p").cast("double") / col("n_bigrams").cast("double")) / 1e6)
+      .select(col("doc_id"), col("n_bigrams"), col("lm_prob_ppm"))
+      .localCheckpoint()
     org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(bgs).foreach(_.unpersist(blocking = true))
     out
   }

@@ -780,6 +780,81 @@ object EventStream {
       )
   }
 
+  /** Streaming perplexity gate (D21) — the streaming dual of the C31
+    * bigram-LM signal in its CCNet form: score each incoming document
+    * against a STATIC bigram LM trained on a clean reference corpus
+    * ([[graft.functions.CorpusFunctions.bigramLmRef]] — the caller
+    * owns the cached tables, the [[noveltyRef]] contract) and admit
+    * documents whose mean Laplace-smoothed conditional probability
+    * clears `minProbPpm`. (A stream cannot know its own future bigram
+    * frequencies, so the streaming semantic is score-vs-reference,
+    * not C31's score-vs-self — the same dual the novelty gate takes.)
+    *
+    * Plan: the [[noveltyGateStream]] two-arm shape — the payload on a
+    * zero-weight row, the doc's bigrams on narrow rows through
+    * stream-static LEFT joins against the reference counts (unseen
+    * bigrams ride the Laplace floor (0+1)/(0+V)), one windowed
+    * aggregation recombines. Probabilities are the batch policy's
+    * exact floor-scaled integers, so on documents the LM was trained
+    * on the score equals the batch [[graft.functions.CorpusFunctions
+    * .bigramLm]] exactly — spec-asserted. State is one row per
+    * in-horizon doc; emission on watermark close (append). Docs with
+    * fewer than two words carry no bigrams and drop out, mirroring
+    * the batch scorer.
+    */
+  def lmGateStream(
+      docStream: DataFrame,
+      ref: graft.functions.CorpusFunctions.BigramLmRef,
+      tsCol: String = "ingest_ts",
+      watermark: String = "1 hour",
+      window_ : String = "10 minutes",
+      minProbPpm: Double = 0.0,
+  ): DataFrame = {
+    val wm = docStream.withWatermark(tsCol, watermark)
+    val payload = wm.select(col("doc_id"), col(tsCol), col("text"), lit(0L).as("__cnt"), lit(0L).as("__p"))
+    val bigrams = wm
+      .select(col("doc_id"), col(tsCol), graft.functions.TextFunctions.words(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(
+        col("doc_id"),
+        col(tsCol),
+        explode(
+          expr("transform(sequence(0, size(w) - 2), i -> named_struct('w1', w[i], 'w2', w[i + 1]))")
+        ).as("bg"),
+      )
+      .select(col("doc_id"), col(tsCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .join(ref.cb, Seq("w1", "w2"), "left")
+      .join(ref.c1, Seq("w1"), "left")
+      // V is one scalar from the BATCH reference — evaluated once at
+      // gate construction and shipped as a literal (a stream-static
+      // cross join would re-run the aggregate per microbatch)
+      .withColumn("v", lit(ref.v.head().getLong(0)))
+      .select(
+        col("doc_id"),
+        col(tsCol),
+        lit(null).cast("string").as("text"),
+        lit(1L).as("__cnt"),
+        floor(
+          lit(1e12) * ((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
+        ).as("__p"),
+      )
+    payload
+      .unionByName(bigrams)
+      .groupBy(window(col(tsCol), window_), col("doc_id"))
+      .agg(max(col("text")).as("text"), sum(col("__cnt")).as("n_bigrams"), sum(col("__p")).as("__sum_p"))
+      .where(col("n_bigrams") > 0L)
+      .withColumn("lm_prob_ppm", floor(col("__sum_p").cast("double") / col("n_bigrams").cast("double")) / 1e6)
+      .where(col("lm_prob_ppm") >= minProbPpm)
+      .select(
+        col("window.start").as("window_start"),
+        col("doc_id"),
+        col("text"),
+        col("n_bigrams"),
+        col("lm_prob_ppm"),
+      )
+  }
+
   /** Convenience: run a streaming frame to completion against a memory
     * sink (test/demo harness; production would use a real sink).
     */

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.CorpusFunctions
+import graft.streaming.EventStream
+
+/** Perplexity-filter family: the bucket-granular batch gate (C31b),
+  * cross-corpus LM scoring (C31c) and the D21 streaming gate — parity
+  * and boundary behavior beyond what the DuckDB oracle pins.
+  */
+class LmGateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(s: String): java.sql.Timestamp = java.sql.Timestamp.from(java.time.Instant.parse(s))
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(120).cache()
+
+  test("lmGate drops at most the requested fraction, from the bottom buckets only") {
+    val scored = CorpusFunctions.bigramLm(docs, col("doc_id"), col("text"))
+    val n = scored.count()
+    val kept = CorpusFunctions.lmGate(docs, col("doc_id"), col("text"), dropFrac = 0.25)
+    val k = kept.count()
+    assert(n - k <= math.floor(n * 0.25).toLong, s"dropped ${n - k} of $n > 25%")
+    assert(k < n, "a 25% gate on a spread of scores must drop something")
+    // every dropped doc scores at or below every kept doc's bucket
+    val keptMin = kept.agg(min(floor(col("lm_prob_ppm")))).head().getLong(0)
+    val dropped = scored.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    val dropMax = dropped.agg(max(floor(col("lm_prob_ppm")))).head().getLong(0)
+    assert(dropMax < keptMin, s"dropped bucket $dropMax must sit below kept bucket $keptMin")
+  }
+
+  test("lmGate with dropFrac 0 keeps every scored doc") {
+    val scored = CorpusFunctions.bigramLm(docs, col("doc_id"), col("text")).count()
+    val kept = CorpusFunctions.lmGate(docs, col("doc_id"), col("text"), dropFrac = 0.0).count()
+    assert(kept == scored)
+  }
+
+  test("scoring a corpus against an LM trained on itself equals the self-trained score") {
+    val ref = CorpusFunctions.bigramLmRef(docs, col("text"))
+    try {
+      val self = CorpusFunctions.bigramLm(docs, col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+      val against = CorpusFunctions.bigramLmScoreAgainst(docs, col("doc_id"), col("text"), ref).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+      assert(against == self)
+    } finally ref.unpersist()
+  }
+
+  test("unseen bigrams score at the Laplace floor (0+1)/(0+V)") {
+    val refDocs = Seq("alpha beta gamma alpha beta").toDF("text")
+    val ref = CorpusFunctions.bigramLmRef(refDocs, col("text"))
+    try {
+      val v = ref.v.head().getLong(0) // 3 distinct words
+      assert(v == 3L)
+      val out = CorpusFunctions
+        .bigramLmScoreAgainst(Seq((1L, "zeta eta")).toDF("doc_id", "text"), col("doc_id"), col("text"), ref)
+        .head()
+      // one bigram, fully unseen: p = floor(1e12 * 1/(0+3)) → ppm grid
+      val expected = math.floor(math.floor(1e12 * (1.0 / 3.0)) / 1.0) / 1e6
+      assert(out.getLong(1) == 1L)
+      assert(out.getDouble(2) == expected)
+    } finally ref.unpersist()
+  }
+
+  test("lmGateStream scores against the static LM with exact batch parity and gates low scores") {
+    implicit val sq = spark.sqlContext
+    val refDocs = docs.limit(40)
+    val ref = CorpusFunctions.bigramLmRef(refDocs, col("text"))
+    try {
+      // batch twin: self-trained scores of the SAME docs (training set ⊂ stream)
+      val batch = CorpusFunctions.bigramLm(refDocs, col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+
+      val streamed = refDocs.select(col("doc_id"), col("text")).collect().map(r => (r.getLong(0), r.getString(1)))
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      mem.addData(streamed.map(d => (d._1, d._2, t("2024-01-01T00:05:00Z"))).toSeq: _*)
+      val q = EventStream
+        .lmGateStream(mem.toDF().toDF("doc_id", "text", "ingest_ts"), ref, minProbPpm = 0.0)
+        .writeStream.format("memory").queryName("lm_gate").outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      mem.addData((999999L, "watermark advancer pushing the horizon far ahead", t("2024-01-01T09:00:00Z")))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("lm_gate")
+        .where(col("doc_id") < 999999L)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), (r.getAs[Long]("n_bigrams"), r.getAs[Double]("lm_prob_ppm"))))
+        .toMap
+      assert(out == batch, "stream scores vs the LM trained on these docs must equal the batch self-scores")
+
+      // gating: a threshold above the max admits nothing
+      val maxScore = batch.values.map(_._2).max
+      val mem2 = MemoryStream[(Long, String, java.sql.Timestamp)]
+      mem2.addData(streamed.map(d => (d._1, d._2, t("2024-01-01T00:05:00Z"))).toSeq: _*)
+      val q2 = EventStream
+        .lmGateStream(mem2.toDF().toDF("doc_id", "text", "ingest_ts"), ref, minProbPpm = maxScore + 1.0)
+        .writeStream.format("memory").queryName("lm_gate_high").outputMode(OutputMode.Append())
+        .start()
+      q2.processAllAvailable()
+      mem2.addData((999999L, "watermark advancer pushing the horizon far ahead", t("2024-01-01T09:00:00Z")))
+      q2.processAllAvailable()
+      q2.stop()
+      assert(spark.table("lm_gate_high").where(col("doc_id") < 999999L).count() == 0)
+    } finally ref.unpersist()
+  }
+}
