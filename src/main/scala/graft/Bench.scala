@@ -89,7 +89,9 @@ object Bench {
     "dedup_cdc_chunks",
     "dedup_paragraph",
     "text_bigram_lm",
+    "text_lm_gate", // C31 joins + bounded bucket histogram: the gate must add O(1) over the score
     "text_bpe",
+    "text_unigram", // EM scans of the distinct-word table: per-pass cost linear in vocabulary, not corpus
     "pipeline_clean_corpus",
     "corpus_mixture_apply",
     "corpus_dsir_select", // explode → bounded-key aggs + broadcast: must stay linear

@@ -78,6 +78,31 @@ class ZipfJoinPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("zipfSplitJoinLeft: left semantics survive misses, hot arm broadcasts, tail arm shuffles") {
+    withoutAutoBroadcast {
+      val (toks, freq) = toksFreq()
+      // probe rows whose keys miss the freq table entirely
+      val probe = toks.unionByName(Seq((9001L, "unseen1"), (9002L, "unseen2")).toDF("doc_id", "w"))
+      val joined = CorpusFunctions.zipfSplitJoinLeft(probe, freq, Seq("w"), "cf", 100L)
+      val plan = finalPlan(joined)
+      // same split shape as the inner form: one broadcast (hot hint),
+      // a genuine shuffle join for the tail, exchanges reused
+      assert(countMatches(plan, """\+\- BroadcastExchange""") == 1, plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(plan.contains("ReusedExchange"), plan)
+      // LEFT semantics: every probe row survives; misses carry null
+      assert(joined.count() == probe.count())
+      val misses = joined.where(col("w").startsWith("unseen")).collect()
+      assert(misses.length == 2 && misses.forall(_.isNullAt(misses.head.fieldIndex("cf"))))
+      // and matched rows carry the exact counts of the inner form
+      val inner = CorpusFunctions.zipfSplitJoin(toks, freq, Seq("w"), "cf", 100L)
+      assert(
+        joined.where(col("cf").isNotNull).orderBy("doc_id", "w").collect().toSeq ==
+          inner.orderBy("doc_id", "w").collect().toSeq
+      )
+    }
+  }
+
   test("spread() is conditional: already-parallel inputs pass through with no repartition Exchange") {
     val par = spark.sparkContext.defaultParallelism
     val wide = spark.range(0, 1000, 1, par + 2).selectExpr("id AS doc_id", "concat('w', id % 7, ' x y') AS text", "'en' AS lang")
