@@ -1375,6 +1375,12 @@ object SparkEntry {
       ref.unpersist() // out is materialized (localCheckpoint) before release
       out
     },
+    // C55: the canonical CCNet pipeline in the paper's own order —
+    // exact dedup → langid filter → self-trained perplexity bucket
+    // gate — composed end to end as one hash-verified plan
+    "pipeline_ccnet" -> { (s, dir) =>
+      CorpusFunctions.ccnetCurate(Tables.documents(s, dir), "doc_id", "text", keepLang = "en", dropFrac = 0.1)
+    },
     // C32: BM25 lexical retrieval — every doc scored against a fixed
     // query; one scan + one broadcast stats row, zero shuffles
     "text_bm25" -> { (s, dir) =>
@@ -2906,6 +2912,44 @@ object SparkEntry {
          SELECT doc_id, COUNT(*) AS n_bigrams,
                 FLOOR(CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1e6 AS lm_prob_ppm
          FROM sc GROUP BY 1""",
+    "pipeline_ccnet" ->
+      """WITH reps AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                              MIN(doc_id) AS rep_id, MIN(text) AS t, COUNT(*) AS n_copies
+                       FROM documents GROUP BY 1),
+         lw AS (SELECT rep_id, fp, n_copies, t,
+                       string_split(trim(regexp_replace(lower(t), '\s+', ' ', 'g')), ' ') AS w
+                FROM reps),
+         lid AS (SELECT rep_id, fp, n_copies, t, w,
+                  len(list_filter(w, x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS s_en,
+                  len(list_filter(w, x -> x IN ('der', 'die', 'und', 'das', 'ist'))) AS s_de,
+                  len(list_filter(w, x -> x IN ('el', 'la', 'los', 'es', 'y'))) AS s_es,
+                  len(list_filter(w, x -> x IN ('le', 'les', 'est', 'et', 'une'))) AS s_fr,
+                  len(list_filter(w, x -> x IN ('de', 'shi', 'bu', 'le', 'wo'))) AS s_zh
+                 FROM lw),
+         inlang AS (SELECT rep_id, fp, n_copies, w FROM lid
+                    WHERE CASE WHEN s_en >= GREATEST(s_de, s_es, s_fr, s_zh) THEN 'en'
+                               WHEN s_de >= GREATEST(s_es, s_fr, s_zh) THEN 'de'
+                               WHEN s_es >= GREATEST(s_fr, s_zh) THEN 'es'
+                               WHEN s_fr >= s_zh THEN 'fr'
+                               ELSE 'zh' END = 'en'),
+         bgl AS (SELECT rep_id, unnest(generate_series(1, len(w) - 1)) AS i, w FROM inlang WHERE len(w) >= 2),
+         bg AS (SELECT rep_id, w[i] AS w1, w[i + 1] AS w2 FROM bgl),
+         cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+         c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+         v AS (SELECT COUNT(DISTINCT x) AS v FROM (SELECT w1 AS x FROM bg UNION ALL SELECT w2 AS x FROM bg)),
+         sc AS (SELECT bg.rep_id,
+                       CAST(FLOOR(1e12 * (CAST(cb.cb + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))) AS BIGINT) AS p
+                FROM bg JOIN cb USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+         scores AS (SELECT rep_id, COUNT(*) AS n_bigrams,
+                           FLOOR(CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1e6 AS lm_prob_ppm
+                    FROM sc GROUP BY 1),
+         hist AS (SELECT CAST(FLOOR(lm_prob_ppm) AS BIGINT) AS b, COUNT(*) AS n FROM scores GROUP BY 1),
+         k AS (SELECT FLOOR(SUM(n) * 0.1) AS k FROM hist),
+         cum AS (SELECT b, SUM(n) OVER (ORDER BY b) AS cum FROM hist),
+         thr AS (SELECT MAX(b) AS t FROM cum CROSS JOIN k WHERE cum <= k)
+         SELECT s.rep_id, i.fp, i.n_copies, s.n_bigrams, s.lm_prob_ppm
+         FROM scores s CROSS JOIN thr JOIN inlang i ON s.rep_id = i.rep_id
+         WHERE CAST(FLOOR(s.lm_prob_ppm) AS BIGINT) > COALESCE(thr.t, -1)""",
     "text_bm25" ->
       """WITH base AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
          tf AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,

@@ -275,6 +275,51 @@ object CorpusFunctions {
       .select(col("doc_id"), col("n_bigrams"), col("lm_prob_ppm"))
   }
 
+  /** The canonical CCNet curation pipeline (Wenzek et al. 2020), one
+    * plan end to end in the paper's own order: exact dedup (normalized
+    * fingerprint groupBy — representative = min id, min raw text, so
+    * the choice is deterministic and SQL-expressible), language
+    * filter over the representatives, then the bucket-granular
+    * perplexity gate ([[lmGate]]) with the LM self-trained on the
+    * surviving in-language representatives — exactly the corpus CCNet
+    * trains its shard LMs on.
+    *
+    * Shapes: one fingerprint aggregate over the corpus, stateless
+    * langid projection, the C31/C31b join stack, and one final doc-id
+    * equi-join to reunite the gate verdict with the dedup payload
+    * (over the deduped in-language frame, already a fraction of the
+    * corpus). The intermediate is checkpointed once and released when
+    * the output materializes — the bigramLm residency discipline.
+    */
+  def ccnetCurate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      keepLang: String = "en",
+      dropFrac: Double = 0.1,
+      hotMin: Long = 1000L,
+  ): DataFrame = {
+    val inLang = TextFunctions
+      .langId(
+        DedupFunctions
+          .spread(df)
+          .withColumn("fp", md5(TextFunctions.normText(col(textCol))))
+          .groupBy(col("fp"))
+          .agg(min(col(idCol)).as("rep_id"), min(col(textCol)).as("__text"), count(lit(1)).as("n_copies")),
+        col("__text"),
+      )
+      .where(col("pred_lang") === keepLang)
+      .localCheckpoint()
+    val gated = lmGate(inLang, col("rep_id"), col("__text"), dropFrac, hotMin)
+    val out = inLang
+      .select(col("rep_id"), col("fp"), col("n_copies"))
+      .join(gated.withColumnRenamed("doc_id", "rep_id"), Seq("rep_id"))
+      .select(col("rep_id"), col("fp"), col("n_copies"), col("n_bigrams"), col("lm_prob_ppm"))
+      .localCheckpoint()
+    org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(inLang).foreach(_.unpersist(blocking = true))
+    out
+  }
+
   /** A trained bigram LM as three reference tables: bigram counts,
     * first-word counts, and the vocabulary size — the CCNet usage
     * where the LM comes from a CLEAN reference corpus and scores new

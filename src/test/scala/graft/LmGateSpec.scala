@@ -67,6 +67,31 @@ class LmGateSpec extends AnyFunSuite {
     } finally ref.unpersist()
   }
 
+  test("ccnetCurate runs the paper's order: dedup first, so duplicate mass cannot inflate the LM") {
+    // 60 copies of gibberish: trained BEFORE dedup its bigrams would be
+    // the hottest in the LM (score ~highest); deduped FIRST it counts
+    // once and lands in the bottom bucket of the (tiny) rep corpus
+    val junk = (1 to 60).map(i => (1000L + i, "zq xv jk wq zx vb nm qp wz xk", "en"))
+    val prose = (1 to 30).map(i =>
+      (i.toLong, s"the data of the table and the scan of the data moved to the sort $i", "en")
+    )
+    val german = Seq((500L, "der hund und die katze das ist und der die das", "de"))
+    val docs = spark.createDataFrame(junk ++ prose ++ german).toDF("doc_id", "text", "lang")
+    val out = CorpusFunctions.ccnetCurate(docs, "doc_id", "text", keepLang = "en", dropFrac = 0.1)
+    val ids = out.select("rep_id").collect().map(_.getLong(0)).toSet
+    // the 60 junk copies collapsed to one rep (min id 1001) and the
+    // 10% gate on the ~31 reps dropped exactly the junk bucket
+    assert(!ids.contains(1001L), s"deduped junk rep must gate out, kept: $ids")
+    assert(!ids.exists(_ > 1001L), "all junk copies collapsed into the one rep")
+    assert(prose.map(_._1).toSet.subsetOf(ids), "every distinct prose doc survives")
+    assert(!ids.contains(500L), "non-target-language rep is filtered before the LM")
+    val junkRow = CorpusFunctions
+      .ccnetCurate(docs, "doc_id", "text", keepLang = "en", dropFrac = 0.0)
+      .where(col("rep_id") === 1001L)
+      .head()
+    assert(junkRow.getLong(2) == 60L, "n_copies carries the collapsed duplicate mass")
+  }
+
   test("lmGateStream scores against the static LM with exact batch parity and gates low scores") {
     implicit val sq = spark.sqlContext
     val refDocs = docs.limit(40)
