@@ -1284,11 +1284,17 @@ object SparkEntry {
       // corpus would use vocabSize ~32000, maxPieceLen 16)
       val model = UnigramLm.train(docs, col("text"), vocabSize = 64, seedSize = 256, maxPieceLen = 4, emIters = 2)
       UnigramLm
-        .tokenize(docs, col("text"), model)
+        .tokenizeSampled(
+          UnigramLm.tokenize(docs, col("text"), model),
+          col("text"),
+          model,
+          xxhash64(col("doc_id"), lit(1)), // epoch-1 subword-regularization draw
+        )
         .withColumn("n_words", size(TextFunctions.words(col("text"))))
         .select(
           col("doc_id"), col("n_words").cast("long").as("n_words"),
           col("n_unigram_tokens").cast("long").as("n_unigram_tokens"),
+          col("n_unigram_sampled_tokens").cast("long").as("n_unigram_sampled_tokens"),
           floor(col("n_unigram_tokens").cast("double") * lit(1000000.0) / greatest(col("n_words"), lit(1))).cast("long").as("tokens_per_word_ppm"),
         )
     },

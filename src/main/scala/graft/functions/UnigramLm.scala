@@ -197,4 +197,21 @@ object UnigramLm {
     df.withColumn("unigram_tokens", call_function("graft_unigram_tokenize", TextFunctions.words(text), lit(model.spec)))
       .withColumn("n_unigram_tokens", size(col("unigram_tokens")))
   }
+
+  /** Subword regularization (Kudo 2018 §3): SAMPLE a segmentation from
+    * P(seg) ∝ Π p(piece)^alpha per word instead of taking Viterbi —
+    * the data-augmentation mode the paper is named for. `seed` is a
+    * per-row long expression (e.g. `xxhash64($"doc_id", lit(epoch))`):
+    * sampling is a pure function of (row seed, model), so the "random"
+    * augmentation is reproducible on any partitioning and retry, and a
+    * new epoch seed redraws it. Adds `unigram_sampled_tokens` and
+    * `n_unigram_sampled_tokens`; still a pure per-row projection.
+    */
+  def tokenizeSampled(df: DataFrame, text: Column, model: Model, seed: Column, alpha: Double = 1.0): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.withColumn(
+      "unigram_sampled_tokens",
+      call_function("graft_unigram_sample", TextFunctions.words(text), lit(model.spec), lit(alpha), seed.cast("long")),
+    ).withColumn("n_unigram_sampled_tokens", size(col("unigram_sampled_tokens")))
+  }
 }

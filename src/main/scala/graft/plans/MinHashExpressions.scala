@@ -297,6 +297,12 @@ object GraftFunctions {
     (children: Seq[Expression]) => UnigramTokenize(children(0), children(1)),
   )
 
+  val unigramSampleDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_unigram_sample"),
+    new ExpressionInfo(classOf[UnigramSample].getName, "graft_unigram_sample"),
+    (children: Seq[Expression]) => UnigramSample(children(0), children(1), children(2), children(3)),
+  )
+
   val deflateLenDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_deflate_len"),
     new ExpressionInfo(classOf[DeflateLength].getName, "graft_deflate_len"),
@@ -359,6 +365,7 @@ object GraftFunctions {
     bpeDescriptor,
     unigramEStepDescriptor,
     unigramTokenizeDescriptor,
+    unigramSampleDescriptor,
     deflateLenDescriptor,
     unormDescriptor,
     stripMarksDescriptor,

@@ -205,6 +205,162 @@ case class UnigramEStep(left: Expression, right: Expression)
   override def prettyName: String = "graft_unigram_estep"
 }
 
+/** Sampled segmentation of each word under a trained unigram LM — the
+  * actual POINT of Kudo 2018: subword REGULARIZATION. Instead of the
+  * one Viterbi path, draw a segmentation from
+  * P(seg) ∝ Π p(piece)^alpha via forward-filtering backward-sampling
+  * over the word lattice (α → 0 approaches uniform over segmentations,
+  * α = 1 the exact LM posterior, large α concentrates on Viterbi).
+  *
+  * Randomness is DETERMINISTIC the Spark way: the caller passes a
+  * per-row seed expression (e.g. `xxhash64(doc_id)`), each word in the
+  * row's array advances a splitmix64 stream, and every draw is a pure
+  * function of (seed, word index, lattice) — same row in, same tokens
+  * out, on any partitioning, any retry, any engine. No memo: two
+  * occurrences of the same word sample independently by design.
+  */
+case class UnigramSample(words: Expression, spec: Expression, alpha: Expression, seed: Expression)
+    extends Expression
+    with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(words, spec, alpha, seed)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (words.dataType, spec.dataType, alpha.dataType, seed.dataType) match {
+      case (ArrayType(StringType, _), StringType, DoubleType, LongType) if spec.foldable && alpha.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(StringType, _), StringType, DoubleType, LongType) =>
+        TypeCheckResult.TypeCheckFailure("graft_unigram_sample model and alpha must be foldable literals")
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_unigram_sample needs (array<string>, string model literal, double alpha literal, bigint seed), got $other"
+        )
+    }
+
+  @transient private lazy val model: UnigramModel = {
+    val s = spec.eval(null)
+    new UnigramModel(if (s == null) "" else s.asInstanceOf[UTF8String].toString)
+  }
+
+  @transient private lazy val alphaVal: Double = {
+    val a = alpha.eval(null)
+    if (a == null) 1.0 else a.asInstanceOf[Double]
+  }
+
+  /** splitmix64: one multiply-xor-shift chain per draw — the standard
+    * public-domain generator, statefully advanced per word.
+    */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Uniform double in [0, 1) from a mixed long. */
+  private def unit(z: Long): Double = (z >>> 11) * (1.0 / (1L << 53).toDouble)
+
+  private def logAdd(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else { val m = math.max(a, b); m + math.log(math.exp(a - m) + math.exp(b - m)) }
+
+  private def sampleWord(word: String, seed0: Long, out: scala.collection.mutable.ArrayBuffer[UTF8String]): Unit = {
+    val cps = UnigramModel.codePoints(word)
+    val n = cps.length
+    if (n == 0) return
+    val maxL = model.maxLen
+    def edgeLp(i: Int, j: Int): Double = {
+      val lp = model.logp.get(cps.slice(i, j).mkString)
+      if (lp != null) lp.doubleValue()
+      else if (j - i == 1) UnigramModel.OovLogp
+      else Double.NegativeInfinity
+    }
+    // forward filter at temperature alpha
+    val alphaArr = Array.fill(n + 1)(Double.NegativeInfinity)
+    alphaArr(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var i = math.max(0, j - maxL)
+      while (i < j) {
+        val lp = edgeLp(i, j)
+        if (lp != Double.NegativeInfinity && alphaArr(i) != Double.NegativeInfinity)
+          alphaArr(j) = logAdd(alphaArr(j), alphaArr(i) + alphaVal * lp)
+        i += 1
+      }
+      j += 1
+    }
+    // backward sample: from n, pick predecessor i w.p. ∝ exp(alpha_i + α·lp(i,j))
+    var rng = seed0
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var pos = n
+    while (pos > 0) {
+      val lo = math.max(0, pos - maxL)
+      val ws = new Array[Double](pos - lo)
+      var total = Double.NegativeInfinity
+      var i = lo
+      while (i < pos) {
+        val lp = edgeLp(i, pos)
+        val sc = if (lp == Double.NegativeInfinity || alphaArr(i) == Double.NegativeInfinity)
+          Double.NegativeInfinity
+        else alphaArr(i) + alphaVal * lp
+        ws(i - lo) = sc
+        total = logAdd(total, sc)
+        i += 1
+      }
+      rng = mix(rng)
+      val u = unit(rng) // in [0,1)
+      // walk the normalized cumulative in a FIXED order (i ascending)
+      var acc = 0.0
+      var chosen = -1
+      i = lo
+      while (i < pos && chosen < 0) {
+        val w = ws(i - lo)
+        if (w != Double.NegativeInfinity) {
+          acc += math.exp(w - total)
+          if (u < acc) chosen = i
+        }
+        i += 1
+      }
+      if (chosen < 0) { // float tail: fall back to the last feasible edge
+        i = pos - 1
+        while (chosen < 0 && i >= lo) { if (ws(i - lo) != Double.NegativeInfinity) chosen = i else i -= 1 }
+      }
+      pieces += UTF8String.fromString(cps.slice(chosen, pos).mkString)
+      pos = chosen
+    }
+    out ++= pieces.reverseIterator
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val wordsAny = words.eval(input)
+    if (wordsAny == null) return null
+    val seedAny = seed.eval(input)
+    val seed0 = if (seedAny == null) 0L else seedAny.asInstanceOf[Long]
+    val arr = wordsAny.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val w = arr.getUTF8String(i).toString
+        // per-word stream: mix the row seed with the word INDEX so
+        // repeated words in one doc sample independently
+        if (w.nonEmpty) sampleWord(w, mix(seed0 ^ (i.toLong * 0xd1342543de82ef95L)), out)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): UnigramSample =
+    copy(words = newChildren(0), spec = newChildren(1), alpha = newChildren(2), seed = newChildren(3))
+
+  override def prettyName: String = "graft_unigram_sample"
+}
+
 /** Viterbi best segmentation of each word under a trained unigram LM —
   * the apply step: a pure per-row projection whose model rides the
   * plan as a literal (one parse per task; the CMS lesson — never ship

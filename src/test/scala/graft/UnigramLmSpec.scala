@@ -84,6 +84,50 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(out.contains("x"), s"OOV char should be its own token in $out")
   }
 
+  test("subword sampling round-trips, is seed-deterministic under repartitioning, and redraws on a new epoch") {
+    val model = UnigramLm.train(docs, col("text"), vocabSize = 64, seedSize = 256, maxPieceLen = 4, emIters = 2)
+    def run(epoch: Int, parts: Int) = UnigramLm
+      .tokenizeSampled(docs.repartition(parts), col("text"), model, xxhash64(col("doc_id"), lit(epoch)))
+      .select(col("doc_id"), col("unigram_sampled_tokens"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+      .sortBy(_._1)
+      .toSeq
+    val a = run(1, 3)
+    val b = run(1, 7)
+    assert(a == b, "same per-row seed must sample identically on any partitioning")
+    val c = run(2, 3)
+    assert(a != c, "a new epoch seed must redraw at least one segmentation")
+    // every sample still concatenates back to the normalized text
+    val bad = UnigramLm
+      .tokenizeSampled(docs, col("text"), model, xxhash64(col("doc_id")))
+      .withColumn("rebuilt", concat_ws("", col("unigram_sampled_tokens")))
+      .withColumn("expected", concat_ws("", TextFunctions.words(col("text"))))
+      .where(col("rebuilt") =!= col("expected"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("sampling explores alternatives at alpha 1 and concentrates on Viterbi at high alpha") {
+    val corpus = Seq.fill(50)("ababab ababab").toDF("text").withColumn("doc_id", monotonically_increasing_id())
+    val model = UnigramLm.train(corpus, col("text"), vocabSize = 8, seedSize = 30, emIters = 3, maxPieceLen = 4)
+    val viterbi = UnigramLm.tokenize(corpus.limit(1), col("text"), model)
+      .select("unigram_tokens").head().getSeq[String](0)
+    // 64 seeds at alpha=1: the posterior has real mass off the argmax →
+    // at least two distinct segmentations appear
+    val seeds = (1 to 64).map(i => (i.toLong, "ababab")).toDF("doc_id", "text")
+    val drawn = UnigramLm
+      .tokenizeSampled(seeds, col("text"), model, xxhash64(col("doc_id")), alpha = 1.0)
+      .select("unigram_sampled_tokens").collect().map(_.getSeq[String](0)).toSet
+    assert(drawn.size >= 2, s"alpha=1 sampling should vary, got only $drawn")
+    assert(drawn.forall(_.mkString == "ababab"))
+    // alpha=1000: the distribution collapses onto the Viterbi path
+    val sharp = UnigramLm
+      .tokenizeSampled(seeds, col("text"), model, xxhash64(col("doc_id")), alpha = 1000.0)
+      .select("unigram_sampled_tokens").collect().map(_.getSeq[String](0)).toSet
+    assert(sharp.size == 1 && sharp.head == viterbi.take(sharp.head.length), s"alpha=1000 drew $sharp vs viterbi $viterbi")
+  }
+
   test("tokenization is deterministic across repeated runs (memo on and off paths)") {
     val model = UnigramLm.train(docs.limit(40), col("text"), vocabSize = 200, seedSize = 600, emIters = 1)
     val once = UnigramLm.tokenize(docs.limit(40), col("text"), model).select(col("doc_id"), col("unigram_tokens")).collect()
