@@ -361,6 +361,25 @@ object CorpusFunctions {
     BigramLmRef(cb, c1, v)
   }
 
+  /** Reference-LM persistence (the bloomSketch precedent): write the
+    * trained tables once, load them for every scoring batch or
+    * streaming gate without re-reading the reference corpus. The
+    * loader rebuilds the same cached-tables + literal-V shape
+    * [[bigramLmRef]] returns (caller owns the cache handles).
+    */
+  def bigramLmRefSave(ref: BigramLmRef, path: String): Unit = {
+    ref.cb.write.mode("overwrite").parquet(s"$path/cb")
+    ref.c1.write.mode("overwrite").parquet(s"$path/c1")
+    ref.v.write.mode("overwrite").parquet(s"$path/v")
+  }
+
+  def bigramLmRefLoad(spark: org.apache.spark.sql.SparkSession, path: String): BigramLmRef = {
+    val cb = spark.read.parquet(s"$path/cb").cache()
+    val c1 = spark.read.parquet(s"$path/c1").cache()
+    val vVal = spark.read.parquet(s"$path/v").head().getLong(0)
+    BigramLmRef(cb, c1, spark.range(1).select(lit(vVal).as("v")))
+  }
+
   /** Score documents against a PRE-TRAINED [[BigramLmRef]] — the
     * cross-corpus form of [[bigramLm]] (train on clean reference,
     * score the crawl). Unseen bigrams ride the same Laplace floor the

@@ -198,6 +198,28 @@ object UnigramLm {
       .withColumn("n_unigram_tokens", size(col("unigram_tokens")))
   }
 
+  /** Model persistence, the bloomSketch precedent: a trained model as
+    * a vocab-sized frame (one row per piece) the daily job writes once
+    * — `model.toFrame(spark).write.parquet(path)` — and every later
+    * tokenize loads in milliseconds instead of re-running EM over the
+    * lake. Round trip is exact: logp is already on the ppm grid.
+    */
+  def modelToFrame(spark: org.apache.spark.sql.SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    model.pieces.toDF("piece", "logp_ppm")
+  }
+
+  def modelFromFrame(df: DataFrame): Model = {
+    val pieces = df
+      .select(col("piece"), col("logp_ppm").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+      .toSeq
+    require(pieces.nonEmpty, "empty unigram model frame")
+    Model(pieces, Seq.empty)
+  }
+
   /** Subword regularization (Kudo 2018 §3): SAMPLE a segmentation from
     * P(seg) ∝ Π p(piece)^alpha per word instead of taking Viterbi —
     * the data-augmentation mode the paper is named for. `seed` is a

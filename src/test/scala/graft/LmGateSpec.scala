@@ -67,6 +67,32 @@ class LmGateSpec extends AnyFunSuite {
     } finally ref.unpersist()
   }
 
+  test("model persistence round-trips exactly: unigram frame and bigram reference tables") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm-persist").toString
+    // unigram: pieces survive parquet bit-exactly (logp already on grid)
+    val um = graft.functions.UnigramLm.train(docs.limit(40), col("text"), vocabSize = 200, seedSize = 600, emIters = 1)
+    graft.functions.UnigramLm.modelToFrame(spark, um).write.parquet(s"$tmp/unigram")
+    val um2 = graft.functions.UnigramLm.modelFromFrame(spark.read.parquet(s"$tmp/unigram"))
+    assert(um2.pieces == um.pieces)
+    val t1 = graft.functions.UnigramLm.tokenize(docs.limit(40), col("text"), um).select("doc_id", "unigram_tokens").collect()
+    val t2 = graft.functions.UnigramLm.tokenize(docs.limit(40), col("text"), um2).select("doc_id", "unigram_tokens").collect()
+    assert(t1.map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1).toSeq ==
+      t2.map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1).toSeq)
+    // bigram reference: saved tables score identically to the live ref
+    val ref = CorpusFunctions.bigramLmRef(docs.limit(40), col("text"))
+    try {
+      CorpusFunctions.bigramLmRefSave(ref, s"$tmp/bigram")
+      val ref2 = CorpusFunctions.bigramLmRefLoad(spark, s"$tmp/bigram")
+      try {
+        val live = CorpusFunctions.bigramLmScoreAgainst(docs, col("doc_id"), col("text"), ref).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+        val loaded = CorpusFunctions.bigramLmScoreAgainst(docs, col("doc_id"), col("text"), ref2).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+        assert(live == loaded)
+      } finally ref2.unpersist()
+    } finally ref.unpersist()
+  }
+
   test("ccnetCurate runs the paper's order: dedup first, so duplicate mass cannot inflate the LM") {
     // 60 copies of gibberish: trained BEFORE dedup its bigrams would be
     // the hottest in the LM (score ~highest); deduped FIRST it counts
