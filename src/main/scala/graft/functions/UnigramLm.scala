@@ -135,7 +135,10 @@ object UnigramLm {
 
       def toGrid(logp: Map[String, Double]): Seq[(String, Long)] =
         logp.toSeq.sortBy(_._1).map { case (p, lp) =>
-          (p, math.floor(BigDecimal(lp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6).toLong)
+          // exact decimal path: round-to-grid then scale without ever
+          // touching a double again (a double multiply can land 1 ulp
+          // off the grid and floor() would amplify it to a full step)
+          (p, (BigDecimal(lp).setScale(6, BigDecimal.RoundingMode.HALF_UP) * BigDecimal(1000000)).toLongExact)
         }
 
       // one EM pass: a single scan + one vocabulary-sized aggregate
