@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.UnigramLm
+import graft.plans.UnigramModel
+
+/** Brute-force fuzz of the unigram lattice algebra: for random small
+  * vocabularies and words, EVERY segmentation is enumerated and the
+  * native expressions must agree exactly —
+  *   - `graft_unigram_estep`'s logZ equals logsumexp over all paths
+  *     and its expected counts equal the enumerated posterior
+  *     expectations;
+  *   - `graft_unigram_tokenize`'s path score equals the enumerated
+  *     maximum (tie-safe: the returned path must score AT the max);
+  *   - `graft_unigram_sample` only ever draws enumerable paths.
+  * The DuckDB oracle cannot train or segment, so this enumeration IS
+  * the exactness check for the tokenizer family.
+  */
+class UnigramLatticeFuzzSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+
+  /** Random vocabulary on the ppm grid: all single chars of {a,b,c}
+    * plus random multi pieces; 'd' is deliberately absent (OOV).
+    */
+  private def randomVocab(): Seq[(String, Long)] = {
+    val chars = Seq("a", "b", "c").map(c => c -> (-(1 + rnd.nextInt(8000000)).toLong))
+    val multis = (1 to 2 + rnd.nextInt(4)).map { _ =>
+      val len = 2 + rnd.nextInt(2)
+      val p = Seq.fill(len)(Seq("a", "b", "c")(rnd.nextInt(3))).mkString
+      p -> (-(1 + rnd.nextInt(12000000)).toLong)
+    }.distinct.filterNot(m => chars.exists(_._1 == m._1))
+    (chars ++ multis).distinctBy(_._1)
+  }
+
+  private def logp(vocab: Map[String, Long], piece: String): Option[Double] =
+    vocab.get(piece).map(_ / 1e6).orElse(if (piece.length == 1) Some(UnigramModel.OovLogp) else None)
+
+  /** All segmentations of `w` with their total log score. */
+  private def enumerate(vocab: Map[String, Long], w: String, maxLen: Int): Seq[(List[String], Double)] = {
+    if (w.isEmpty) return Seq((Nil, 0.0))
+    (1 to math.min(maxLen, w.length)).flatMap { l =>
+      val head = w.take(l)
+      logp(vocab, head) match {
+        case Some(lp) => enumerate(vocab, w.drop(l), maxLen).map { case (tail, s) => (head :: tail, lp + s) }
+        case None => Seq.empty
+      }
+    }
+  }
+
+  private def logsumexp(xs: Seq[Double]): Double = {
+    val m = xs.max
+    m + math.log(xs.map(x => math.exp(x - m)).sum)
+  }
+
+  test("estep logZ and expected counts match brute-force enumeration over all segmentations") {
+    graft.plans.GraftFunctions.register(spark)
+    for (trial <- 1 to 30) {
+      val vocab = randomVocab()
+      val vmap = vocab.toMap
+      val spec = UnigramLm.spec(vocab.sortBy(_._1))
+      val maxLen = vocab.map(_._1.length).max
+      val alphabet = Seq("a", "b", "c", "d")
+      val word = Seq.fill(1 + rnd.nextInt(7))(alphabet(rnd.nextInt(4))).mkString
+      val segs = enumerate(vmap, word, math.max(maxLen, 1))
+      assert(segs.nonEmpty, s"OOV fallback must leave at least the char path for $word")
+
+      val out = Seq(word).toDF("w")
+        .select(call_function("graft_unigram_estep", col("w"), lit(spec)).as("e"))
+        .select(explode(col("e")).as("pc"))
+        .select(col("pc.p"), col("pc.c"))
+        .collect()
+        .map(r => r.getString(0) -> r.getDouble(1))
+        .toMap
+
+      val logZ = logsumexp(segs.map(_._2))
+      assert(math.abs(out(UnigramModel.LogZKey) - logZ) < 1e-9,
+        s"trial $trial: logZ ${out(UnigramModel.LogZKey)} vs enumerated $logZ for '$word' over $vocab")
+
+      // posterior expected count per KNOWN piece
+      val expected = segs
+        .flatMap { case (seg, s) => seg.filter(vmap.contains).map(p => p -> math.exp(s - logZ)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val got = out - UnigramModel.LogZKey
+      assert(got.keySet == expected.keySet, s"trial $trial: pieces ${got.keySet} vs $expected for '$word'")
+      expected.foreach { case (p, c) =>
+        assert(math.abs(got(p) - c) < 1e-9, s"trial $trial: E[$p] ${got(p)} vs $c for '$word'")
+      }
+    }
+  }
+
+  test("Viterbi path score equals the enumerated maximum; samples only draw enumerable paths") {
+    graft.plans.GraftFunctions.register(spark)
+    for (trial <- 1 to 30) {
+      val vocab = randomVocab()
+      val vmap = vocab.toMap
+      val spec = UnigramLm.spec(vocab.sortBy(_._1))
+      val maxLen = vocab.map(_._1.length).max
+      val alphabet = Seq("a", "b", "c", "d")
+      val word = Seq.fill(1 + rnd.nextInt(7))(alphabet(rnd.nextInt(4))).mkString
+      val segs = enumerate(vmap, word, math.max(maxLen, 1))
+      val best = segs.map(_._2).max
+
+      def score(seg: Seq[String]): Double = seg.map(p => logp(vmap, p).get).sum
+
+      val vit = Seq(word).toDF("w")
+        .select(call_function("graft_unigram_tokenize", array(col("w")), lit(spec)).as("t"))
+        .head().getSeq[String](0)
+      assert(vit.mkString == word)
+      assert(math.abs(score(vit) - best) < 1e-9, s"trial $trial: viterbi $vit scores ${score(vit)} vs max $best")
+
+      val segSet = segs.map(_._1).toSet
+      val draws = (1 to 8).map { s =>
+        Seq((word, s.toLong)).toDF("w", "seed")
+          .select(call_function("graft_unigram_sample", array(col("w")), lit(spec), lit(1.0), col("seed")).as("t"))
+          .head().getSeq[String](0).toList
+      }
+      draws.foreach(d => assert(segSet.contains(d), s"trial $trial: sampled $d not an enumerable segmentation of '$word'"))
+    }
+  }
+}
