@@ -1590,6 +1590,12 @@ object SparkEntry {
     "dedup_substring" -> { (s, dir) =>
       DedupFunctions.repeatedSpans(Tables.documents(s, dir), "doc_id", "text", k = 10)
     },
+    // C24f: repeated-span REMOVAL — the cleanup step C24 only locates:
+    // every marked span is cut and the doc rebuilt from the survivors
+    // (bounded span array per doc + per-row HOF filter, no range join)
+    "dedup_substring_scrub" -> { (s, dir) =>
+      DedupFunctions.scrubRepeatedSpans(Tables.documents(s, dir), "doc_id", "text", k = 10)
+    },
     // C24c: winnowing-fingerprint near-dup pairs (MOSS scheme) — the
     // guaranteed-substring-match complement of shingle Jaccard, on the
     // winnowed (≈2/(w+1)-density) fingerprint index
@@ -3258,6 +3264,32 @@ object SparkEntry {
          SELECT doc_id, MIN(strt) AS span_start, MAX(en) AS span_end,
                 MAX(en) - MIN(strt) + 1 AS span_words
          FROM isl GROUP BY doc_id, island""",
+    "dedup_substring_scrub" ->
+      """WITH nw AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+         g AS (SELECT doc_id,
+                      CAST(UNNEST(generate_series(1, len(w) - 9)) AS BIGINT) AS strt,
+                      UNNEST(list_transform(generate_series(1, len(w) - 9), i -> array_to_string(list_slice(w, i, i + 9), ' '))) AS gram
+               FROM nw WHERE len(w) >= 10),
+         dup AS (SELECT gram FROM g GROUP BY 1 HAVING COUNT(*) > 1),
+         m AS (SELECT doc_id, strt, strt + 9 AS en FROM g JOIN dup USING (gram)),
+         mm AS (SELECT doc_id, strt, en,
+                       MAX(en) OVER (PARTITION BY doc_id ORDER BY strt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                FROM m),
+         isl AS (SELECT doc_id, strt, en,
+                        SUM(CASE WHEN pmax IS NULL OR strt > pmax + 1 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY strt) AS island
+                 FROM mm),
+         spans AS (SELECT doc_id, MIN(strt) AS s, MAX(en) AS e FROM isl GROUP BY doc_id, island),
+         wp AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM nw),
+         words AS (SELECT doc_id, i, w[i] AS word FROM wp),
+         kept AS (SELECT wd.doc_id, wd.i, wd.word
+                  FROM words wd
+                  WHERE NOT EXISTS (SELECT 1 FROM spans sp WHERE sp.doc_id = wd.doc_id AND wd.i BETWEEN sp.s AND sp.e)),
+         agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS clean_text, COUNT(*) AS n_kept FROM kept GROUP BY 1)
+         SELECT nw.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+                CAST(len(nw.w) AS BIGINT) AS n_words,
+                CAST(len(nw.w) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed_words
+         FROM nw LEFT JOIN agg USING (doc_id)""",
     "dedup_winnow" ->
       """WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
          hashes AS (SELECT doc_id,

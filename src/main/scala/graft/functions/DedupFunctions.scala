@@ -674,6 +674,44 @@ object DedupFunctions {
     * hot-key guard at corpus scale: the join then has bounded per-key
     * fanout, and |F_A| counts only retained fingerprints.
     */
+  /** Repeated-span REMOVAL — the cleanup step [[repeatedSpans]] only
+    * locates (Lee et al. 2022 cut their matches from the corpus; this
+    * is the aggressive every-occurrence variant, the right default for
+    * boilerplate): every word inside a marked span is dropped and the
+    * document is rebuilt from the survivors at the normalized-word
+    * grain (the same grain chunking emits).
+    *
+    * Shape: the detector's stages, then the spans fold into ONE
+    * bounded array per doc (≤ len/k spans by maximality), join back on
+    * doc id, and the cut itself is a per-row higher-order filter on
+    * the word positions — no range join, no second corpus shuffle
+    * beyond the doc-id join. Docs without marked spans keep every word
+    * (left join, null-safe), docs shorter than k words carry no grams
+    * and pass through whole.
+    */
+  def scrubRepeatedSpans(df: DataFrame, idCol: String, textCol: String, k: Int = 10): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    df.select(col(idCol).as("doc_id"), TextFunctions.words(col(textCol)).as("__w"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn(
+        "__kept",
+        when(col("__spans").isNull, col("__w")).otherwise(
+          expr(
+            "filter(transform(__w, (x, i) -> named_struct('x', x, 'p', i + 1)), " +
+              "e -> NOT exists(__spans, s -> e.p >= s.span_start AND e.p <= s.span_end))"
+          ).getField("x")
+        ),
+      )
+      .select(
+        col("doc_id"),
+        concat_ws(" ", col("__kept")).as("clean_text"),
+        size(col("__w")).cast("long").as("n_words"),
+        (size(col("__w")) - size(col("__kept"))).cast("long").as("n_removed_words"),
+      )
+  }
+
   def winnowPairs(
       df: DataFrame,
       idCol: String,

@@ -703,6 +703,27 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("scrubRepeatedSpans cuts exactly the marked spans and passes clean docs through whole") {
+    val shared = "a b c d e f g h i j k l"
+    val d = Seq(
+      (0L, s"$shared unique0 tail0 x0 y0 z0 w0 v0 u0 t0 s0"),
+      (1L, s"$shared unique1 tail1 x1 y1 z1 w1 v1 u1 t1 s1"),
+      (2L, "totally different words with no repeated ten gram span here at all"),
+      (3L, shared), // ENTIRELY boilerplate: scrubs to empty
+      (4L, shared),
+      (5L, "short doc"), // below k: no grams, passes whole
+    ).toDF("doc_id", "text")
+    val out = DedupFunctions.scrubRepeatedSpans(d, "doc_id", "text", k = 10)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(0L) == (("unique0 tail0 x0 y0 z0 w0 v0 u0 t0 s0", 22L, 12L)))
+    assert(out(1L) == (("unique1 tail1 x1 y1 z1 w1 v1 u1 t1 s1", 22L, 12L)))
+    assert(out(2L)._1.startsWith("totally different") && out(2L)._3 == 0L)
+    assert(out(3L) == (("", 12L, 12L)) && out(4L) == (("", 12L, 12L)))
+    assert(out(5L) == (("short doc", 2L, 0L)))
+  }
+
   test("winnowPairs finds near-dups via shared fingerprints; maxDf drops ubiquitous boilerplate") {
     val boiler = "copyright acme corp all rights reserved worldwide"
     val body = "a quick brown fox jumped over the extremely lazy dog near the river bank today"
