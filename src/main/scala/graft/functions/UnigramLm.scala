@@ -30,13 +30,14 @@ import graft.plans.UnigramModel
   * driver-side ln goes through `StrictMath` and lands on the 6-decimal
   * grid before scaling into the model literal.
   *
-  * Simplifications vs Kudo 2018, documented honestly: seed scoring is
+  * Pruning is Kudo's leave-one-out loss: removing a piece forces its
+  * expected-count mass through its best alternative segmentation, so
+  * each round drops the multis whose `c_x · (logp_x − alt_x)` is
+  * smallest — computed entirely on the vocab-sized driver state. The
+  * one documented simplification vs Kudo 2018: seed scoring is
   * frequency·length over all substrings up to `maxPieceLen` (not the
-  * suffix-array ESA score), and pruning drops the lowest-probability
-  * multi-character pieces per round (not the leave-one-out likelihood
-  * loss) — both are the standard simplifications in public
-  * reimplementations; single-character pieces are never pruned, so
-  * coverage of the training charset is total and OOV can only occur
+  * suffix-array ESA score). Single-character pieces are never pruned,
+  * so coverage of the training charset is total and OOV can only occur
   * on unseen data (where the tokenizer falls back to per-character
   * [[graft.plans.UnigramModel.OovLogp]] edges).
   */
@@ -141,8 +142,10 @@ object UnigramLm {
           (p, (BigDecimal(lp).setScale(6, BigDecimal.RoundingMode.HALF_UP) * BigDecimal(1000000)).toLongExact)
         }
 
-      // one EM pass: a single scan + one vocabulary-sized aggregate
-      def emPass(current: Map[String, Double]): Map[String, Double] = {
+      // one EM pass: a single scan + one vocabulary-sized aggregate;
+      // returns the updated model AND its expected counts (pruning
+      // needs them for the leave-one-out loss)
+      def emPass(current: Map[String, Double]): (Map[String, Double], Map[String, BigDecimal]) = {
         val lt = lit(spec(toGrid(current)))
         val summary = wf
           .select(col("n").cast(DecimalType(38, 0)).as("n"), call_function("graft_unigram_estep", col("w"), lt).as("e"))
@@ -167,23 +170,77 @@ object UnigramLm {
         val total = kept.map { case (_, c) => c.max(BigDecimal(1)) }.sum
         // single chars with zero expectation keep a 1-count floor so
         // coverage never collapses; dropped multis just leave the model
-        kept.map { case (p, c) => p -> StrictMath.log((c.max(BigDecimal(1)) / total).toDouble) }.toMap
+        val next = kept.map { case (p, c) => p -> StrictMath.log((c.max(BigDecimal(1)) / total).toDouble) }.toMap
+        (next, kept.toMap)
       }
 
-      def prune(current: Map[String, Double], target: Int): Map[String, Double] = {
+      /** Driver-side Viterbi score of `s` under `logp` with `piece`
+        * excluded — the alternative-segmentation cost the leave-one-out
+        * loss compares against. Single-char OOV fallback keeps every
+        * string scorable.
+        */
+      def altScore(s: String, logp: Map[String, Double], excluded: String): Double = {
+        val cps = graft.plans.UnigramModel.codePoints(s)
+        val n = cps.length
+        val maxL = logp.keysIterator.map(p => p.codePointCount(0, p.length)).maxOption.getOrElse(1)
+        val best = Array.fill(n + 1)(Double.NegativeInfinity)
+        best(0) = 0.0
+        var j = 1
+        while (j <= n) {
+          var i = math.max(0, j - maxL)
+          while (i < j) {
+            if (best(i) != Double.NegativeInfinity) {
+              val piece = cps.slice(i, j).mkString
+              val lp =
+                if (piece == excluded) Double.NegativeInfinity
+                else logp.get(piece) match {
+                  case Some(v) => v
+                  case None => if (j - i == 1) graft.plans.UnigramModel.OovLogp else Double.NegativeInfinity
+                }
+              if (lp != Double.NegativeInfinity && best(i) + lp > best(j)) best(j) = best(i) + lp
+            }
+            i += 1
+          }
+          j += 1
+        }
+        best(n)
+      }
+
+      /** Kudo's leave-one-out pruning on the vocab-sized driver state:
+        * removing piece x forces its expected-count mass through its
+        * best ALTERNATIVE segmentation, so the likelihood loss is
+        * c_x · (logp_x − altScore_x). Keep the highest-loss multis
+        * (negative loss = removal is an improvement, those go first);
+        * single chars are never pruned.
+        */
+      def prune(current: Map[String, Double], expCounts: Map[String, BigDecimal], target: Int): Map[String, Double] = {
         val multisNow = current.filterNot { case (p, _) => charSet(p) }.toSeq
         val keepMulti = math.max(0, target - (current.size - multisNow.size))
-        val kept = multisNow.sortBy { case (p, lp) => (-lp, p) }.take(keepMulti)
+        val kept = multisNow
+          .map { case (p, lp) =>
+            val c = expCounts.getOrElse(p, BigDecimal(0)).max(BigDecimal(0))
+            val loss = (c / 1000000).toDouble * (lp - altScore(p, current, p))
+            (p, lp, loss)
+          }
+          .sortBy { case (p, _, loss) => (-loss, p) }
+          .take(keepMulti)
+          .map { case (p, lp, _) => p -> lp }
         current.filter { case (p, _) => charSet(p) } ++ kept
       }
 
+      var lastCounts: Map[String, BigDecimal] = Map.empty
+      def emStep(): Unit = {
+        val (next, counts) = emPass(pieces)
+        pieces = next
+        lastCounts = counts
+      }
       var guard = 0
       while (pieces.size > vocabSize && guard < 64) {
-        for (_ <- 1 to emIters) pieces = emPass(pieces)
-        pieces = prune(pieces, math.max(vocabSize, math.ceil(pieces.size * shrink).toInt))
+        for (_ <- 1 to emIters) emStep()
+        pieces = prune(pieces, lastCounts, math.max(vocabSize, math.ceil(pieces.size * shrink).toInt))
         guard += 1
       }
-      for (_ <- 1 to emIters) pieces = emPass(pieces)
+      for (_ <- 1 to emIters) emStep()
 
       Model(toGrid(pieces), logliks.toSeq)
     } finally {
