@@ -118,6 +118,56 @@ class LmGateSpec extends AnyFunSuite {
     assert(junkRow.getLong(2) == 60L, "n_copies carries the collapsed duplicate mass")
   }
 
+  test("streaming CCNet composes from existing gates: bloom dedup → langid → LM gate, one query") {
+    implicit val sq = spark.sqlContext
+    import graft.functions.{DedupFunctions, TextFunctions}
+    // static side: an ingested corpus provides the dedup fingerprints,
+    // the Bloom sketch and the reference LM — the CCNet "clean shard"
+    val corpus = Seq(
+      (100L, "the data of the table and the scan of the data and the sort"),
+      (101L, "the plan of the query and the join of the table and the scan"),
+      (102L, "the sort of the batch and the merge of the rows and the plan"),
+    ).toDF("doc_id", "text")
+    val corpusFp = corpus.select(md5(TextFunctions.normText(col("text"))).as("fp")).distinct()
+    val sketch = DedupFunctions.bloomSketch(corpusFp, expectedItems = 100L)
+    val ref = CorpusFunctions.bigramLmRef(corpus, col("text"))
+    try {
+      val stream = Seq(
+        (1L, "The data of the table and the scan of   the data and the sort"), // corpus dup → bloom gate
+        (2L, "der hund und die katze das ist und der die das und der hund"), // wrong language → langid
+        (3L, "zq xv jk wq zx vb nm qp wz xk zq xv"), // gibberish → LM gate
+        (4L, "the scan of the table and the join of the query and the plan"), // clean prose → passes
+      )
+      // batch twin for the survivor's score
+      val batchScore = CorpusFunctions
+        .bigramLmScoreAgainst(stream.toDF("doc_id", "text"), col("doc_id"), col("text"), ref)
+        .where(col("doc_id") === 4L).head().getDouble(2)
+
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      mem.addData(stream.map(d => (d._1, d._2, t("2024-01-01T00:05:00Z"))).toSeq: _*)
+      val docStream = mem.toDF().toDF("doc_id", "text", "ingest_ts")
+      // the composition: three gates, one streaming query, one state store
+      val composed = EventStream.lmGateStream(
+        TextFunctions
+          .langId(EventStream.bloomGateStream(docStream, corpusFp, sketch), col("text"))
+          .where(col("pred_lang") === "en")
+          .drop("pred_lang", "confidence", "fp"),
+        ref,
+        // ppm scale: the fully-unseen doc scores 1e6/V ≈ 76 923 ppm
+        // (the Laplace floor), clean prose ≈ 197 426 — cut between
+        minProbPpm = 100000.0,
+      )
+      val q = composed.writeStream.format("memory").queryName("ccnet_stream").outputMode(OutputMode.Append()).start()
+      q.processAllAvailable()
+      mem.addData((999L, "the watermark advancer pushing the horizon far ahead", t("2024-01-01T09:00:00Z")))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("ccnet_stream").where(col("doc_id") < 999L).collect()
+      assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(4L), s"only clean novel English prose passes, got ${out.toSeq}")
+      assert(out.head.getAs[Double]("lm_prob_ppm") == batchScore, "the survivor's score equals the batch twin")
+    } finally ref.unpersist()
+  }
+
   test("lmGateStream scores against the static LM with exact batch parity and gates low scores") {
     implicit val sq = spark.sqlContext
     val refDocs = docs.limit(40)
