@@ -1608,6 +1608,12 @@ object SparkEntry {
     "dedup_substring_char" -> { (s, dir) =>
       DedupFunctions.repeatedSpansChar(Tables.documents(s, dir), "doc_id", "text", k = 20)
     },
+    // C24g: char-grain span REMOVAL — the C24f cut at Lee et al.'s own
+    // granularity: substring surgery over the merged char intervals,
+    // survivors reassembled from the gap segments per row
+    "dedup_substring_char_scrub" -> { (s, dir) =>
+      DedupFunctions.scrubRepeatedSpansChar(Tables.documents(s, dir), "doc_id", "text", k = 20)
+    },
     // C24e: content-defined chunking dedup (LBFS/FastCDC family) —
     // insertion-robust chunk boundaries from local context hashes,
     // duplicated chunks found through the fingerprint count
@@ -3323,6 +3329,36 @@ object SparkEntry {
          SELECT doc_id, MIN(strt) AS span_start, MAX(en) AS span_end,
                 MAX(en) - MIN(strt) + 1 AS span_chars
          FROM isl GROUP BY doc_id, island""",
+    "dedup_substring_char_scrub" ->
+      """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+         g AS (SELECT doc_id,
+                      CAST(UNNEST(generate_series(1, len(t) - 19)) AS BIGINT) AS strt,
+                      UNNEST(list_transform(generate_series(1, len(t) - 19), i -> substr(t, i, 20))) AS gram
+               FROM n WHERE len(t) >= 20),
+         dup AS (SELECT gram FROM g GROUP BY 1 HAVING COUNT(*) > 1),
+         m AS (SELECT doc_id, strt, strt + 19 AS en FROM g JOIN dup USING (gram)),
+         mm AS (SELECT doc_id, strt, en,
+                       MAX(en) OVER (PARTITION BY doc_id ORDER BY strt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                FROM m),
+         isl AS (SELECT doc_id, strt, en,
+                        SUM(CASE WHEN pmax IS NULL OR strt > pmax + 1 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY strt) AS island
+                 FROM mm),
+         spans AS (SELECT doc_id, MIN(strt) AS s, MAX(en) AS e FROM isl GROUP BY doc_id, island),
+         seq AS (SELECT doc_id, s, e, LAG(e) OVER (PARTITION BY doc_id ORDER BY s) AS pe FROM spans),
+         gaps AS (SELECT doc_id, COALESCE(pe + 1, 1) AS gs, s - 1 AS ge FROM seq
+                  UNION ALL
+                  SELECT spans.doc_id, MAX(spans.e) + 1 AS gs, MAX(len(n.t)) AS ge
+                  FROM spans JOIN n USING (doc_id) GROUP BY 1),
+         kept AS (SELECT gaps.doc_id, gs, substr(n.t, CAST(gs AS INT), CAST(ge - gs + 1 AS INT)) AS seg
+                  FROM gaps JOIN n USING (doc_id) WHERE ge >= gs),
+         agg AS (SELECT doc_id, string_agg(seg, '' ORDER BY gs) AS ct FROM kept GROUP BY 1),
+         sd AS (SELECT DISTINCT doc_id FROM spans)
+         SELECT n.doc_id,
+                CASE WHEN sd.doc_id IS NULL THEN n.t ELSE COALESCE(agg.ct, '') END AS clean_text,
+                CAST(len(n.t) AS BIGINT) AS n_chars,
+                CAST(len(n.t) - len(CASE WHEN sd.doc_id IS NULL THEN n.t ELSE COALESCE(agg.ct, '') END) AS BIGINT) AS n_removed_chars
+         FROM n LEFT JOIN sd ON n.doc_id = sd.doc_id LEFT JOIN agg ON n.doc_id = agg.doc_id""",
     "dedup_cdc_chunks" ->
       """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
          b AS (SELECT doc_id, t, len(t) AS nl,

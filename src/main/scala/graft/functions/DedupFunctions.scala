@@ -712,6 +712,48 @@ object DedupFunctions {
       )
   }
 
+  /** Char-grain span removal — [[scrubRepeatedSpans]] at Lee et al.'s
+    * own granularity: the marked char intervals of
+    * [[repeatedSpansChar]] are cut from the NORMALIZED text and the
+    * survivors reassemble from the gap segments. The merged spans are
+    * disjoint and sorted, so the gaps fall out of one per-row
+    * higher-order transform (segment before each span + the tail
+    * after the last) — substring surgery, no char-level explode, no
+    * range join.
+    */
+  def scrubRepeatedSpansChar(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 20,
+      hotMin: Long = 1000L,
+  ): DataFrame = {
+    val spans = repeatedSpansChar(df, idCol, textCol, k, hotMin)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))).as("__spans"))
+    df.select(col(idCol).as("doc_id"), TextFunctions.normText(col(textCol)).as("__t"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn(
+        "clean_text",
+        when(col("__spans").isNull, col("__t")).otherwise(
+          concat(
+            expr(
+              "concat_ws('', transform(__spans, (sp, i) -> " +
+                "substring(__t, IF(i = 0, 1, __spans[i - 1].e + 1), " +
+                "CAST(sp.s AS INT) - IF(i = 0, 1, CAST(__spans[i - 1].e AS INT) + 1))))"
+            ),
+            expr("substring(__t, element_at(__spans, -1).e + 1, length(__t) - element_at(__spans, -1).e)"),
+          )
+        ),
+      )
+      .select(
+        col("doc_id"),
+        col("clean_text"),
+        length(col("__t")).cast("long").as("n_chars"),
+        (length(col("__t")) - length(col("clean_text"))).cast("long").as("n_removed_chars"),
+      )
+  }
+
   def winnowPairs(
       df: DataFrame,
       idCol: String,

@@ -724,6 +724,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out(5L) == (("short doc", 2L, 0L)))
   }
 
+  test("scrubRepeatedSpansChar cuts the marked char intervals and reassembles the gaps") {
+    // tails/fillers share NO 20-char context with each other — only the
+    // header (and its adjacent shared spaces) is corpus-repeated
+    val boiler = "this exact boilerplate license header block" // 43 chars, shared
+    val d = Seq(
+      (0L, s"$boiler qq ww ee rr tt yy"),
+      (1L, s"$boiler aa ss dd ff gg hh"),
+      (2L, "completely different and unrepeated content here"),
+      (3L, s"k1 k2 k3 k4 $boiler m1 m2 m3 m4 $boiler z1 z2 z3 z4"), // two cuts, interior survivor
+      (4L, s"p5 p6 p7 p8 $boiler n5 n6 n7 n8 $boiler w5 w6 w7 w8"),
+      (5L, "tiny"), // below k: no grams
+    ).toDF("doc_id", "text")
+    val out = DedupFunctions.scrubRepeatedSpansChar(d, "doc_id", "text", k = 20)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // the shared header (with its trailing shared space) is cut, the
+    // unique tails survive
+    assert(out(0L)._1 == "qq ww ee rr tt yy", s"unexpected scrub for doc 0: '${out(0L)._1}'")
+    assert(out(1L)._1 == "aa ss dd ff gg hh")
+    assert(out(2L)._1 == "completely different and unrepeated content here" && out(2L)._3 == 0L)
+    // two separated cuts leave prefix/middle/suffix fragments (the
+    // cuts may nibble a shared char or two at the seams — "4 "+header
+    // repeats within the doc, so it is honestly part of the span)
+    assert(out(3L)._1.contains("k1 k2 k3") && out(3L)._1.contains("z2 z3 z4") && !out(3L)._1.contains("license"))
+    assert(out(4L)._1.contains("p5 p6 p7") && out(4L)._1.contains("w6 w7 w8") && !out(4L)._1.contains("license"))
+    assert(out(3L)._3 > 0L && out(4L)._3 > 0L)
+    assert(out(5L) == (("tiny", 4L, 0L)))
+    // removal counts reconcile: clean length + removed == original
+    out.values.foreach { case (ct, nc, nr) => assert(ct.length.toLong == nc - nr) }
+  }
+
   test("winnowPairs finds near-dups via shared fingerprints; maxDf drops ubiquitous boilerplate") {
     val boiler = "copyright acme corp all rights reserved worldwide"
     val body = "a quick brown fox jumped over the extremely lazy dog near the river bank today"
