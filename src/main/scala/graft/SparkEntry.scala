@@ -1381,6 +1381,12 @@ object SparkEntry {
       ref.unpersist() // out is materialized (localCheckpoint) before release
       out
     },
+    // C56: deterministic shuffle-shard export plan — seeded md5
+    // permutation, shard = key mod N, per-shard positions from a
+    // shard-partitioned window (never a global sort)
+    "corpus_shuffle_shards" -> { (s, dir) =>
+      CorpusFunctions.shuffleShards(Tables.documents(s, dir), col("doc_id"), nShards = 8)
+    },
     // C55: the canonical CCNet pipeline in the paper's own order —
     // exact dedup → langid filter → self-trained perplexity bucket
     // gate — composed end to end as one hash-verified plan
@@ -2930,6 +2936,13 @@ object SparkEntry {
          SELECT doc_id, COUNT(*) AS n_bigrams,
                 FLOOR(CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1e6 AS lm_prob_ppm
          FROM sc GROUP BY 1""",
+    "corpus_shuffle_shards" ->
+      """WITH h AS (SELECT doc_id,
+                           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8)) AS BIGINT) AS hv
+                    FROM documents)
+         SELECT doc_id, hv % 8 AS shard,
+                CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS BIGINT) AS pos
+         FROM h""",
     "pipeline_ccnet" ->
       """WITH reps AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
                               MIN(doc_id) AS rep_id, MIN(text) AS t, COUNT(*) AS n_copies

@@ -275,6 +275,30 @@ object CorpusFunctions {
       .select(col("doc_id"), col("n_bigrams"), col("lm_prob_ppm"))
   }
 
+  /** Deterministic corpus shuffle + sharding — the export step every
+    * training run needs at 100 TB: break source/time locality so each
+    * shard is an unbiased sample, WITHOUT a global sort. Each doc gets
+    * a pseudo-random key (md5 of id + seed — reproducible, and a new
+    * seed redraws the whole permutation per epoch), the shard is the
+    * key mod `nShards`, and the within-shard position is a
+    * shard-partitioned window: shards sort independently in parallel,
+    * nothing ever serializes through one partition. The production
+    * write is `df.repartition(shard).sortWithinPartitions(pos)` —
+    * this operator is the deterministic plan for it, oracle-checkable
+    * because md5 is the same function in every engine.
+    */
+  def shuffleShards(df: DataFrame, idCol: Column, nShards: Int, seed: Long = 0L): DataFrame = {
+    require(nShards > 0, "need at least one shard")
+    val h = conv(substring(md5(concat(idCol.cast("string"), lit(":"), lit(seed.toString))), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col("doc_id"))
+    df.select(idCol.as("doc_id"))
+      .withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   /** The canonical CCNet curation pipeline (Wenzek et al. 2020), one
     * plan end to end in the paper's own order: exact dedup (normalized
     * fingerprint groupBy — representative = min id, min raw text, so

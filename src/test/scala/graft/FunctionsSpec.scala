@@ -703,6 +703,31 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffleShards: balanced deterministic permutation, epoch seed redraws, positions contiguous") {
+    import graft.functions.CorpusFunctions
+    val docs = (1L to 800L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = CorpusFunctions.shuffleShards(docs.repartition(3), col("doc_id"), nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val b = CorpusFunctions.shuffleShards(docs.repartition(7), col("doc_id"), nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b, "the permutation is a pure function of (id, seed) — partitioning must not matter")
+    // per-shard positions are exactly 1..|shard|
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size.toLong), s"shard $shard positions not contiguous")
+    }
+    // md5 spreads evenly: no shard is pathologically loaded
+    val sizes = a.groupBy(_._2).view.mapValues(_.size).values.toSeq
+    assert(sizes.size == 8 && sizes.min > 60 && sizes.max < 140, s"unbalanced shards: $sizes")
+    // the shuffle actually breaks id order: consecutive ids separate
+    val shardOf = a.map(r => r._1 -> r._2).toMap
+    val together = (1L until 800L).count(i => shardOf(i) == shardOf(i + 1))
+    assert(together < 300, s"consecutive docs should scatter, $together/799 stayed together")
+    // a new epoch seed is a different permutation
+    val c = CorpusFunctions.shuffleShards(docs, col("doc_id"), nShards = 8, seed = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(c != a, "epoch seed must redraw the permutation")
+  }
+
   test("scrubRepeatedSpans cuts exactly the marked spans and passes clean docs through whole") {
     val shared = "a b c d e f g h i j k l"
     val d = Seq(
