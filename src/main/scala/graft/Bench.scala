@@ -89,7 +89,9 @@ object Bench {
     "dedup_cdc_chunks",
     "dedup_paragraph",
     "text_bigram_lm",
+    "text_lm_kn", // KN: same stream, one extra type-table agg + one extra zipf join — must track text_bigram_lm
     "text_lm_gate", // C31 joins + bounded bucket histogram: the gate must add O(1) over the score
+    "corpus_shuffle_shards", // two-level rank: hash + tiny offsets frame + bucketed window — must stay linear
     "text_bpe",
     "text_unigram", // EM scans of the distinct-word table: per-pass cost linear in vocabulary, not corpus
     "pipeline_clean_corpus",

@@ -1381,6 +1381,13 @@ object SparkEntry {
       ref.unpersist() // out is materialized (localCheckpoint) before release
       out
     },
+    // C31d: interpolated Kneser–Ney bigram score — the smoothing family
+    // KenLM (CCNet's real filter model) uses: absolute discount 0.75,
+    // stolen mass backed off to the continuation unigram; exact counts
+    // + fixed-order IEEE steps keep it hash-verifiable
+    "text_lm_kn" -> { (s, dir) =>
+      CorpusFunctions.bigramLmKn(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
     // C56: deterministic shuffle-shard export plan — seeded md5
     // permutation, shard = key mod N, per-shard positions from a
     // shard-partitioned window (never a global sort)
@@ -2935,6 +2942,21 @@ object SparkEntry {
                         LEFT JOIN c1 ON bg.w1 = c1.w1 CROSS JOIN v)
          SELECT doc_id, COUNT(*) AS n_bigrams,
                 FLOOR(CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1e6 AS lm_prob_ppm
+         FROM sc GROUP BY 1""",
+    "text_lm_kn" ->
+      """WITH norm AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+         bgl AS (SELECT doc_id, unnest(generate_series(1, len(w) - 1)) AS i, w FROM norm WHERE len(w) >= 2),
+         bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM bgl),
+         cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+         c1 AS (SELECT w1, SUM(cb) AS c1, COUNT(*) AS n1p FROM cb GROUP BY 1),
+         ct AS (SELECT w2, COUNT(*) AS cont FROM cb GROUP BY 1),
+         nt AS (SELECT COUNT(*) AS ntot FROM cb),
+         sc AS (SELECT bg.doc_id,
+                       CAST(FLOOR(1e12 * (GREATEST(CAST(cb.cb AS DOUBLE) - 0.75, 0.0) / CAST(c1.c1 AS DOUBLE)
+                            + (0.75 * CAST(c1.n1p AS DOUBLE) / CAST(c1.c1 AS DOUBLE)) * (CAST(ct.cont AS DOUBLE) / CAST(nt.ntot AS DOUBLE)))) AS BIGINT) AS p
+                FROM bg JOIN cb USING (w1, w2) JOIN c1 USING (w1) JOIN ct USING (w2) CROSS JOIN nt)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+                FLOOR(CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1e6 AS kn_prob_ppm
          FROM sc GROUP BY 1""",
     "corpus_shuffle_shards" ->
       """WITH h AS (SELECT doc_id,

@@ -154,11 +154,17 @@ object CorpusFunctions {
       cntCol: String,
       hotMin: Long,
   ): DataFrame = {
+    // the miss arm sheds EVERY freq payload column (not just cntCol) so
+    // multi-payload model tables — e.g. bigramLmKn's (c1, n1p) — re-join
+    // the tail without ambiguous duplicates; the split stays on cntCol
+    val payload = freq.columns.filterNot(keys.contains)
     val probed = probe.join(broadcast(freq.where(col(cntCol) >= hotMin)), keys, "left")
     probed
       .where(col(cntCol).isNotNull)
       .unionByName(
-        probed.where(col(cntCol).isNull).drop(cntCol).join(freq.where(col(cntCol) < hotMin), keys)
+        payload
+          .foldLeft(probed.where(col(cntCol).isNull))(_.drop(_))
+          .join(freq.where(col(cntCol) < hotMin), keys)
       )
   }
 
@@ -174,11 +180,14 @@ object CorpusFunctions {
       cntCol: String,
       hotMin: Long,
   ): DataFrame = {
+    val payload = freq.columns.filterNot(keys.contains)
     val probed = probe.join(broadcast(freq.where(col(cntCol) >= hotMin)), keys, "left")
     probed
       .where(col(cntCol).isNotNull)
       .unionByName(
-        probed.where(col(cntCol).isNull).drop(cntCol).join(freq.where(col(cntCol) < hotMin), keys, "left")
+        payload
+          .foldLeft(probed.where(col(cntCol).isNull))(_.drop(_))
+          .join(freq.where(col(cntCol) < hotMin), keys, "left")
       )
   }
 
@@ -275,28 +284,135 @@ object CorpusFunctions {
       .select(col("doc_id"), col("n_bigrams"), col("lm_prob_ppm"))
   }
 
+  /** Interpolated Kneser–Ney bigram score — [[bigramLm]]'s smoothing
+    * upgraded to the family KenLM (and therefore CCNet's real filter
+    * model) uses (Kneser & Ney 1995; Chen & Goodman 1998, eq. 4.26):
+    * absolute discount d = 0.75 on the bigram count, the stolen mass
+    * backed off to the CONTINUATION unigram — how many distinct
+    * contexts a word follows, not how often it occurs — so a token
+    * frequent in one boilerplate context stops inflating unseen-bigram
+    * probability:
+    *
+    *   p(w2|w1) = max(c(w1 w2) − d, 0) / c(w1 ·)
+    *            + (d · N1+(w1 ·) / c(w1 ·)) · N1+(· w2) / N1+(· ·)
+    *
+    * Every count is exact; d = 0.75 is exact in binary64 and each
+    * division/product is one correctly-rounded IEEE step in a fixed
+    * order, so the floor-scaled score is bit-reproducible on any
+    * engine and partitioning — the same no-float-log policy as
+    * [[bigramLm]].
+    *
+    * Plan shape is [[bigramLm]]'s: one explode to the checkpointed
+    * bigram stream; ALL FOUR model tables (bigram counts; left totals
+    * + left continuation-type counts, one aggregate; right
+    * continuation-type counts; the distinct-bigram total) derive from
+    * the single groupBy(w1,w2) aggregate, whose exchange AQE
+    * deduplicates across consumers; three [[zipfSplitJoin]]s + one
+    * one-row broadcast bring the model back onto the stream. The model
+    * is corpus-sized, never driver-sized — nothing assumes a 100 TB
+    * crawl's vocabulary fits in one broadcast.
+    */
+  def bigramLmKn(df: DataFrame, idCol: Column, text: Column, hotMin: Long = 1000L): DataFrame = {
+    val bgs = DedupFunctions
+      .spread(df)
+      .select(idCol.as("doc_id"), TextFunctions.words(text).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          expr("transform(sequence(0, size(w) - 2), i -> named_struct('w1', w[i], 'w2', w[i + 1]))")
+        ).as("bg"),
+      )
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .localCheckpoint()
+    val cb = bgs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    // c(w1·) = Σ_w2 cb and N1+(w1·) = #distinct w2 fall out of ONE pass
+    // over the type table; the zipf split rides c1 for both payloads
+    val c1f = cb.groupBy(col("w1")).agg(sum(col("cb")).as("c1"), count(lit(1)).as("n1p"))
+    val ctf = cb.groupBy(col("w2")).agg(count(lit(1)).as("cont"))
+    val nt = cb.agg(count(lit(1)).as("ntot"))
+    val p =
+      greatest(col("cb").cast("double") - lit(0.75), lit(0.0)) / col("c1").cast("double") +
+        (lit(0.75) * col("n1p").cast("double") / col("c1").cast("double")) *
+        (col("cont").cast("double") / col("ntot").cast("double"))
+    val out =
+      zipfSplitJoin(
+        zipfSplitJoin(zipfSplitJoin(bgs, cb, Seq("w1", "w2"), "cb", hotMin), c1f, Seq("w1"), "c1", hotMin),
+        ctf,
+        Seq("w2"),
+        "cont",
+        hotMin,
+      )
+        .crossJoin(broadcast(nt))
+        .withColumn("p_scaled", floor(lit(1e12) * p))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("p_scaled")).as("__sum_p"))
+        .withColumn("kn_prob_ppm", floor(col("__sum_p").cast("double") / col("n_bigrams").cast("double")) / 1e6)
+        .select(col("doc_id"), col("n_bigrams"), col("kn_prob_ppm"))
+        .localCheckpoint()
+    org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(bgs).foreach(_.unpersist(blocking = true))
+    out
+  }
+
   /** Deterministic corpus shuffle + sharding — the export step every
     * training run needs at 100 TB: break source/time locality so each
     * shard is an unbiased sample, WITHOUT a global sort. Each doc gets
     * a pseudo-random key (md5 of id + seed — reproducible, and a new
     * seed redraws the whole permutation per epoch), the shard is the
     * key mod `nShards`, and the within-shard position is a
-    * shard-partitioned window: shards sort independently in parallel,
-    * nothing ever serializes through one partition. The production
-    * write is `df.repartition(shard).sortWithinPartitions(pos)` —
-    * this operator is the deterministic plan for it, oracle-checkable
-    * because md5 is the same function in every engine.
+    * two-level rank: shards sort independently in parallel, nothing
+    * ever serializes through one partition. The production write is
+    * `df.repartition(shard).sortWithinPartitions(pos)` — this operator
+    * is the deterministic plan for it, oracle-checkable because md5 is
+    * the same function in every engine.
+    *
+    * Within-shard positions do NOT come from one window per shard
+    * (that caps parallelism at `nShards` — a 100 TB export into 64
+    * shards would sort 1.5 TB per window task). The hash's high byte
+    * buckets each shard into 256 ORDER-ALIGNED sub-ranges (the bucket
+    * is monotone in `__h`, so bucket-then-hash order equals hash
+    * order); per-bucket counts prefix-sum into start offsets on a
+    * ≤ nShards·256-row frame that broadcasts back, and the window
+    * ranks only within (shard, bucket) — `nShards × 256`-way parallel,
+    * bit-identical to the single-window form (spec-asserted). Above
+    * 4096 shards the offsets frame stops being broadcast-small and the
+    * plain per-shard window is already ample parallelism, so the plan
+    * switches back — same output either way.
     */
   def shuffleShards(df: DataFrame, idCol: Column, nShards: Int, seed: Long = 0L): DataFrame = {
     require(nShards > 0, "need at least one shard")
     val h = conv(substring(md5(concat(idCol.cast("string"), lit(":"), lit(seed.toString))), 1, 8), 16, 10)
       .cast("long")
-    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col("doc_id"))
-    df.select(idCol.as("doc_id"))
+    val keyed = df
+      .select(idCol.as("doc_id"))
       .withColumn("__h", h)
       .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
-      .withColumn("pos", row_number().over(w).cast("long"))
-      .select(col("doc_id"), col("shard"), col("pos"))
+    if (nShards > 4096) {
+      val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col("doc_id"))
+      keyed
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    } else {
+      val bucketed = keyed.withColumn("__b", shiftright(col("__h"), 24))
+      val offs = bucketed
+        .groupBy(col("shard"), col("__b"))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn(
+          "__off",
+          coalesce(
+            sum(col("__n")).over(
+              Window.partitionBy(col("shard")).orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            lit(0L),
+          ),
+        )
+        .select(col("shard"), col("__b"), col("__off"))
+      val w = Window.partitionBy(col("shard"), col("__b")).orderBy(col("__h"), col("doc_id"))
+      bucketed
+        .join(broadcast(offs), Seq("shard", "__b"))
+        .withColumn("pos", (col("__off") + row_number().over(w)).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }
   }
 
   /** The canonical CCNet curation pipeline (Wenzek et al. 2020), one

@@ -241,6 +241,41 @@ class FunctionsSpec extends AnyFunSuite {
     assert(hybrid == out)
   }
 
+  test("bigramLmKn scores with interpolated Kneser-Ney: discount + continuation backoff") {
+    val d = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val out = CorpusFunctions.bigramLmKn(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // cb: (a,b)=3, (b,a)=1; c1: a=3, b=1; N1+: a->1, b->1; cont: a<-1, b<-1; ntot=2
+    // p(b|a) = (3-0.75)/3 + (0.75*1/3)*(1/2) = 0.875 -> 875000000000
+    // p(a|b) = (1-0.75)/1 + (0.75*1/1)*(1/2) = 0.625 -> 625000000000
+    // doc 1: floor(2375000000000 / 3) / 1e6 = 791666.666666
+    assert(out(1L) == ((3L, 791666.666666)))
+    assert(out(2L) == ((1L, 875000.0)))
+    assert(!out.contains(3L)) // single-word doc has no bigrams
+    // hot/cold split moved so hot keys ride the broadcast arm of every
+    // zipf join (incl. the two-payload c1/n1p table): identical output
+    val hybrid = CorpusFunctions.bigramLmKn(d, col("doc_id"), col("text"), hotMin = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(hybrid == out)
+    // the continuation property that separates KN from Laplace: "r y"
+    // and "u v" have IDENTICAL raw counts (cb=1, c1=1), but y follows 3
+    // distinct contexts while v follows 1, so KN ranks the versatile
+    // continuation higher — Laplace scores both (1+1)/(1+V), equal.
+    val d2 = Seq(
+      (1L, "q x q x q x q x"),
+      (2L, "r y"), (3L, "s y"), (4L, "t y"), // cont(y) = 3
+      (5L, "u v"), // cont(v) = 1
+    ).toDF("doc_id", "text")
+    // ntot = 6 distinct bigrams: (q,x),(x,q),(r,y),(s,y),(t,y),(u,v)
+    // p(y|r) = 0.25/1 + 0.75*(3/6) = 0.625; p(v|u) = 0.25/1 + 0.75*(1/6) = 0.375
+    val kn2 = CorpusFunctions.bigramLmKn(d2, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(kn2(2L) == 625000.0 && kn2(5L) == 375000.0)
+    val lp2 = CorpusFunctions.bigramLm(d2, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(lp2(2L) == lp2(5L)) // Laplace is blind to the difference
+  }
+
   test("bm25Search scores matching docs and drops non-matching ones") {
     val d = Seq((1L, "spark join spark"), (2L, "scan scan scan scan"), (3L, "the cat")).toDF("doc_id", "text")
     val out = CorpusFunctions.bm25Search(d, col("doc_id"), col("text"), "spark join scan")
@@ -726,6 +761,21 @@ class FunctionsSpec extends AnyFunSuite {
     val c = CorpusFunctions.shuffleShards(docs, col("doc_id"), nShards = 8, seed = 1L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
     assert(c != a, "epoch seed must redraw the permutation")
+    // the two-level bucket-offset rank equals the DEFINITIONAL
+    // single-window rank, recomputed from first principles here
+    val hv = docs.select(
+      col("doc_id"),
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(":0"))), 1, 8), 16, 10).cast("long").as("h"),
+    ).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = hv
+      .map { case (id, h) => (id, h, h % 8) }
+      .groupBy(_._3)
+      .toSeq
+      .flatMap { case (shard, rows) =>
+        rows.sortBy(r => (r._2, r._1)).zipWithIndex.map { case ((id, _, _), i) => (id, shard, i + 1L) }
+      }
+      .sortBy(_._1)
+    assert(a == expected, "bucketed rank must equal the per-shard global rank")
   }
 
   test("scrubRepeatedSpans cuts exactly the marked spans and passes clean docs through whole") {
