@@ -1381,6 +1381,11 @@ object SparkEntry {
       ref.unpersist() // out is materialized (localCheckpoint) before release
       out
     },
+    // C31e: the C31b bucket gate over Kneser–Ney scores — same bounded
+    // histogram + whole-bucket drop, scorer swapped for C31d
+    "text_lm_gate_kn" -> { (s, dir) =>
+      CorpusFunctions.lmGateKn(Tables.documents(s, dir), col("doc_id"), col("text"), dropFrac = 0.2)
+    },
     // C31d: interpolated Kneser–Ney bigram score — the smoothing family
     // KenLM (CCNet's real filter model) uses: absolute discount 0.75,
     // stolen mass backed off to the continuation unigram; exact counts
@@ -2958,6 +2963,27 @@ object SparkEntry {
          SELECT doc_id, COUNT(*) AS n_bigrams,
                 FLOOR(CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1e6 AS kn_prob_ppm
          FROM sc GROUP BY 1""",
+    "text_lm_gate_kn" ->
+      """WITH norm AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+         bgl AS (SELECT doc_id, unnest(generate_series(1, len(w) - 1)) AS i, w FROM norm WHERE len(w) >= 2),
+         bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM bgl),
+         cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+         c1 AS (SELECT w1, SUM(cb) AS c1, COUNT(*) AS n1p FROM cb GROUP BY 1),
+         ct AS (SELECT w2, COUNT(*) AS cont FROM cb GROUP BY 1),
+         nt AS (SELECT COUNT(*) AS ntot FROM cb),
+         sc AS (SELECT bg.doc_id,
+                       CAST(FLOOR(1e12 * (GREATEST(CAST(cb.cb AS DOUBLE) - 0.75, 0.0) / CAST(c1.c1 AS DOUBLE)
+                            + (0.75 * CAST(c1.n1p AS DOUBLE) / CAST(c1.c1 AS DOUBLE)) * (CAST(ct.cont AS DOUBLE) / CAST(nt.ntot AS DOUBLE)))) AS BIGINT) AS p
+                FROM bg JOIN cb USING (w1, w2) JOIN c1 USING (w1) JOIN ct USING (w2) CROSS JOIN nt),
+         scores AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                           FLOOR(CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1e6 AS kn_prob_ppm
+                    FROM sc GROUP BY 1),
+         hist AS (SELECT CAST(FLOOR(kn_prob_ppm) AS BIGINT) AS b, COUNT(*) AS n FROM scores GROUP BY 1),
+         k AS (SELECT FLOOR(SUM(n) * 0.2) AS k FROM hist),
+         cum AS (SELECT b, SUM(n) OVER (ORDER BY b) AS cum FROM hist),
+         thr AS (SELECT MAX(b) AS t FROM cum CROSS JOIN k WHERE cum <= k)
+         SELECT doc_id, n_bigrams, kn_prob_ppm
+         FROM scores CROSS JOIN thr WHERE CAST(FLOOR(kn_prob_ppm) AS BIGINT) > COALESCE(t, -1)""",
     "corpus_shuffle_shards" ->
       """WITH h AS (SELECT doc_id,
                            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8)) AS BIGINT) AS hv

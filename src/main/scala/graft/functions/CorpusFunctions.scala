@@ -268,9 +268,24 @@ object CorpusFunctions {
     * All arithmetic is exact (integer buckets, exact counts), so the
     * kept set is deterministic on any engine and partitioning.
     */
-  def lmGate(df: DataFrame, idCol: Column, text: Column, dropFrac: Double = 0.1, hotMin: Long = 1000L): DataFrame = {
+  def lmGate(df: DataFrame, idCol: Column, text: Column, dropFrac: Double = 0.1, hotMin: Long = 1000L): DataFrame =
+    bucketGate(bigramLm(df, idCol, text, hotMin), "lm_prob_ppm", dropFrac)
+
+  /** [[lmGate]] with the scorer swapped for [[bigramLmKn]] — the same
+    * bounded-histogram whole-bucket drop over Kneser–Ney scores.
+    */
+  def lmGateKn(df: DataFrame, idCol: Column, text: Column, dropFrac: Double = 0.1, hotMin: Long = 1000L): DataFrame =
+    bucketGate(bigramLmKn(df, idCol, text, hotMin), "kn_prob_ppm", dropFrac)
+
+  /** The shared bounded-histogram threshold: drop the largest
+    * `floor(scoreCol)`-bucket prefix holding at most
+    * `floor(dropFrac · N)` rows. Exact-integer deterministic; the
+    * histogram is ≤ 1e6 rows at any corpus size.
+    */
+  private def bucketGate(scored: DataFrame, scoreCol: String, dropFrac: Double): DataFrame = {
     require(dropFrac >= 0.0 && dropFrac < 1.0, "dropFrac must be in [0, 1)")
-    val scores = bigramLm(df, idCol, text, hotMin).withColumn("__b", floor(col("lm_prob_ppm")))
+    val keep = scored.columns
+    val scores = scored.withColumn("__b", floor(col(scoreCol)))
     val hist = scores.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
     val w = Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, 0)
     val thr = hist
@@ -281,7 +296,7 @@ object CorpusFunctions {
     scores
       .crossJoin(broadcast(thr))
       .where(col("__b") > coalesce(col("__t"), lit(-1L)))
-      .select(col("doc_id"), col("n_bigrams"), col("lm_prob_ppm"))
+      .select(keep.map(col).toSeq: _*)
   }
 
   /** Interpolated Kneser–Ney bigram score — [[bigramLm]]'s smoothing

@@ -34,6 +34,19 @@ class LmGateSpec extends AnyFunSuite {
     assert(dropMax < keptMin, s"dropped bucket $dropMax must sit below kept bucket $keptMin")
   }
 
+  test("lmGateKn mirrors lmGate's bucket contract over Kneser-Ney scores") {
+    val scored = CorpusFunctions.bigramLmKn(docs, col("doc_id"), col("text"))
+    val n = scored.count()
+    val kept = CorpusFunctions.lmGateKn(docs, col("doc_id"), col("text"), dropFrac = 0.25)
+    val k = kept.count()
+    assert(n - k <= math.floor(n * 0.25).toLong, s"dropped ${n - k} of $n > 25%")
+    assert(k < n, "a 25% gate on a spread of scores must drop something")
+    val keptMin = kept.agg(min(floor(col("kn_prob_ppm")))).head().getLong(0)
+    val dropped = scored.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    val dropMax = dropped.agg(max(floor(col("kn_prob_ppm")))).head().getLong(0)
+    assert(dropMax < keptMin, s"dropped bucket $dropMax must sit below kept bucket $keptMin")
+  }
+
   test("lmGate with dropFrac 0 keeps every scored doc") {
     val scored = CorpusFunctions.bigramLm(docs, col("doc_id"), col("text")).count()
     val kept = CorpusFunctions.lmGate(docs, col("doc_id"), col("text"), dropFrac = 0.0).count()
