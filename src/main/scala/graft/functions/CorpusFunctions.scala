@@ -158,6 +158,10 @@ object CorpusFunctions {
     // multi-payload model tables — e.g. bigramLmKn's (c1, n1p) — re-join
     // the tail without ambiguous duplicates; the split stays on cntCol
     val payload = freq.columns.filterNot(keys.contains)
+    require(
+      probe.columns.intersect(payload).isEmpty,
+      s"zipf split join: probe columns [${probe.columns.intersect(payload).mkString(",")}] collide with freq payload columns - the miss-arm shed would silently drop them",
+    )
     val probed = probe.join(broadcast(freq.where(col(cntCol) >= hotMin)), keys, "left")
     probed
       .where(col(cntCol).isNotNull)
@@ -181,6 +185,10 @@ object CorpusFunctions {
       hotMin: Long,
   ): DataFrame = {
     val payload = freq.columns.filterNot(keys.contains)
+    require(
+      probe.columns.intersect(payload).isEmpty,
+      s"zipf split join: probe columns [${probe.columns.intersect(payload).mkString(",")}] collide with freq payload columns - the miss-arm shed would silently drop them",
+    )
     val probed = probe.join(broadcast(freq.where(col(cntCol) >= hotMin)), keys, "left")
     probed
       .where(col(cntCol).isNotNull)
@@ -483,7 +491,14 @@ object CorpusFunctions {
     * unpersists them when done, the [[noveltyRef]] contract.
     */
   case class BigramLmRef(cb: DataFrame, c1: DataFrame, v: DataFrame) {
-    def unpersist(): Unit = { cb.unpersist(); c1.unpersist() }
+    def unpersist(): Unit = Seq(cb, c1).foreach { df =>
+      // trained tables are either localCheckpoint()ed (bigramLmRef — the
+      // RDD handle is the only release path) or cache()d (bigramLmRefLoad)
+      org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(df) match {
+        case Some(rdd) => rdd.unpersist(blocking = false)
+        case None      => df.unpersist()
+      }
+    }
   }
 
   def bigramLmRef(refDf: DataFrame, text: Column): BigramLmRef = {
@@ -498,8 +513,12 @@ object CorpusFunctions {
       )
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .localCheckpoint()
-    val cb = bgs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb")).cache()
-    val c1 = bgs.groupBy(col("w1")).agg(count(lit(1)).as("c1")).cache()
+    // localCheckpoint (not cache): truncates the lineage so releasing the
+    // bigram stream below cannot strand a recompute path — a cached block
+    // lost to executor failure mid-stream would otherwise re-root at the
+    // unpersisted checkpoint RDD and fail unrecoverably
+    val cb = bgs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb")).localCheckpoint()
+    val c1 = bgs.groupBy(col("w1")).agg(count(lit(1)).as("c1")).localCheckpoint()
     // V collapses to one scalar — evaluate it NOW and rebuild it as a
     // literal frame, so nothing in the returned ref still points at
     // the checkpointed bigram stream once it is released below
@@ -510,8 +529,8 @@ object CorpusFunctions {
       .head()
       .getLong(0)
     val v = refDf.sparkSession.range(1).select(lit(vVal).as("v"))
-    // materialize both cached tables, then release the bigram stream
-    cb.count(); c1.count()
+    // both model tables are checkpointed (lineage-free) — the bigram
+    // stream can be released safely now
     org.apache.spark.sql.GraftSqlBridge.checkpointedRdd(bgs).foreach(_.unpersist(blocking = true))
     BigramLmRef(cb, c1, v)
   }

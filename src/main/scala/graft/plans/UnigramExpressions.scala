@@ -124,7 +124,7 @@ case class UnigramEStep(left: Expression, right: Expression)
     else if (b == Double.NegativeInfinity) a
     else {
       val m = math.max(a, b)
-      m + math.log(math.exp(a - m) + math.exp(b - m))
+      m + StrictMath.log(StrictMath.exp(a - m) + StrictMath.exp(b - m))
     }
 
   override def nullSafeEval(wordAny: Any, specAny: Any): Any = {
@@ -179,7 +179,7 @@ case class UnigramEStep(left: Expression, right: Expression)
       while (k <= lim) {
         val (piece, lp) = edge(i, k)
         if (lp != Double.NegativeInfinity && model.logp.containsKey(piece)) {
-          val g = math.exp(alpha(i) + lp + beta(k) - logZ)
+          val g = StrictMath.exp(alpha(i) + lp + beta(k) - logZ)
           if (g > 0.0) {
             val prev = counts.get(piece)
             counts.put(piece, if (prev == null) g else prev.doubleValue() + g)
@@ -265,7 +265,7 @@ case class UnigramSample(words: Expression, spec: Expression, alpha: Expression,
   private def logAdd(a: Double, b: Double): Double =
     if (a == Double.NegativeInfinity) b
     else if (b == Double.NegativeInfinity) a
-    else { val m = math.max(a, b); m + math.log(math.exp(a - m) + math.exp(b - m)) }
+    else { val m = math.max(a, b); m + StrictMath.log(StrictMath.exp(a - m) + StrictMath.exp(b - m)) }
 
   private def sampleWord(word: String, seed0: Long, out: scala.collection.mutable.ArrayBuffer[UTF8String]): Unit = {
     val cps = UnigramModel.codePoints(word)
@@ -319,7 +319,7 @@ case class UnigramSample(words: Expression, spec: Expression, alpha: Expression,
       while (i < pos && chosen < 0) {
         val w = ws(i - lo)
         if (w != Double.NegativeInfinity) {
-          acc += math.exp(w - total)
+          acc += StrictMath.exp(w - total)
           if (u < acc) chosen = i
         }
         i += 1
