@@ -1128,6 +1128,22 @@ object SparkEntry {
     "emb_knn_label_noise" -> { (s, dir) =>
       VectorFunctions.knnLabelNoise(Tables.embeddings(s, dir), k = 10)
     },
+    // C47b: cell-scoped scale dual of the label audit — neighborhoods
+    // scanned over nProbe nearest k-means cells instead of all pairs
+    // (rows-only: learned cells; spec pins nProbe=nCells equality with
+    // the exact form and a planted-noise catch)
+    "emb_knn_label_noise_cells" -> { (s, dir) =>
+      VectorFunctions.knnLabelNoiseCells(Tables.embeddings(s, dir), k = 10)
+    },
+    // C46b: IVF swap for hard-negative mining — candidates cell-indexed,
+    // each query mines from its nProbe nearest cells; no broadcast on
+    // either side (rows-only: learned cells; recall-spec'd vs exhaustive)
+    "emb_hard_negatives_ivf" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      VectorFunctions
+        .hardNegativesIvf(emb.where(col("vec_id") < 5), emb, k = 10)
+        .withColumn("rk", col("rk").cast("long"))
+    },
     // C7: hyperplane-LSH bucketed ANN (hash-dependent → rows-only check)
     "sim_lsh_ann" -> { (s, dir) =>
       VectorFunctions.lshAnn(Tables.embeddings(s, dir), k = 5)

@@ -66,8 +66,8 @@ object VectorFunctions {
     * (broadcast query side, scaled-integer dots, per-query window
     * rank), with the label mismatch pushed into the join condition so
     * same-label pairs never materialize. At 100 TB the candidate scan
-    * stays embarrassingly parallel; swap the exhaustive scan for
-    * [[ivfAnn]] cells when the query side outgrows a broadcast.
+    * stays embarrassingly parallel; [[hardNegativesIvf]] is the
+    * cell-pruned swap for when the query side outgrows a broadcast.
     */
   def hardNegatives(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     withFns(queries)
@@ -93,9 +93,9 @@ object VectorFunctions {
     * before the label ever reaches a loss function.
     *
     * This is the exact all-pairs baseline, quadratic by definition
-    * (like [[cosineDedupPairs]]); the scale path scopes the
-    * neighborhood scan to k-means cells ([[semanticDedup]]'s shape)
-    * or LSH buckets with identical scoring. Integer-exact agreement
+    * (like [[cosineDedupPairs]]); the scale path is
+    * [[knnLabelNoiseCells]], which scopes the neighborhood scan to
+    * k-means cells with identical scoring. Integer-exact agreement
     * counts, ties on neighbor_id, ppm by integer division of
     * non-negative longs — deterministic across engines.
     */
@@ -126,6 +126,126 @@ object VectorFunctions {
         expr("1000000 * n_same div __n_nb").as("agree_ppm"),
         (expr("1000000 * n_same div __n_nb") < minAgreePpm).as("suspect"),
       )
+  }
+
+  /** Cell-scoped scale dual of [[knnLabelNoise]] — the IVF recipe
+    * applied to the label audit: assign every vector to a
+    * deterministic k-means cell ([[semanticDedup]]'s quantizer), and
+    * scan each query's neighborhood over its `nProbe` nearest cells
+    * only, scoring agreement IDENTICALLY to the exact form (same
+    * cosine expression, same per-existing-neighbor denominator, same
+    * ppm arithmetic). Pair volume drops from N² to
+    * Σ |probe_q ∩ cell_c| ≈ N²·nProbe/nCells with nCells ∝ √N — the
+    * bounded-cell path every other quadratic baseline in this file
+    * already has. With `nProbe = nCells` the probed set is the whole
+    * corpus and the output equals [[knnLabelNoise]] exactly (the
+    * equality the spec pins); the quantizer is the file's
+    * scaled-integer Lloyd, so cells — and therefore the audit — are
+    * identical on every run and partitioning.
+    */
+  def knnLabelNoiseCells(
+      df: DataFrame,
+      k: Int,
+      minAgreePpm: Long = 500000L,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      lloydIterations: Int = 5,
+      trainLimit: Int = 100000,
+  ): DataFrame = {
+    require(nCells >= 2, "knnLabelNoiseCells needs at least 2 cells (least() argmin is binary-plus)")
+    require(nProbe >= 1 && nProbe <= nCells, "nProbe must be in [1, nCells]")
+    withFns(df)
+    val vecs = DedupFunctions.spread(df)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .cache()
+    val centroids = trainKmeans(vecs.select(col("vec_id"), col("embedding")), nCells, lloydIterations, trainLimit)
+    val indexed = assignCell(vecs, centroids)
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("label").as("n_label"))
+      .cache()
+    val probeStructs = centroids.zipWithIndex.map { case (cen, i) =>
+      struct(dist2(col("embedding"), cen).as("d"), lit(i).as("cell"))
+    }
+    // cells are disjoint, so a (query, neighbor) pair appears at most
+    // once across the probe arms — no distinct needed before the rank
+    val probes = vecs
+      .withColumn("probe", explode(slice(array_sort(array(probeStructs: _*)), 1, nProbe)))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label"), col("probe.cell").as("cell"))
+    val scored = probes
+      .join(indexed, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", qcCosine)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    val out = scored
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .groupBy(col("query_id"), col("label"))
+      .agg(
+        sum(when(col("n_label") === col("label"), lit(1L)).otherwise(lit(0L))).as("n_same"),
+        count(lit(1)).as("__n_nb"),
+      )
+      .select(
+        col("query_id"),
+        col("label"),
+        col("n_same"),
+        expr("1000000 * n_same div __n_nb").as("agree_ppm"),
+        (expr("1000000 * n_same div __n_nb") < minAgreePpm).as("suspect"),
+      )
+      // |corpus|-row summary; release the two cached embedding copies NOW
+      .localCheckpoint()
+    vecs.unpersist(blocking = true)
+    indexed.unpersist(blocking = true)
+    out
+  }
+
+  /** IVF scale dual of [[hardNegatives]] — the documented swap for
+    * when the query side outgrows a broadcast: train the coarse
+    * quantizer on the CANDIDATES, assign them to cells once, and let
+    * each query mine its negatives from its `nProbe` nearest cells
+    * instead of the full candidate scan. The label-mismatch predicate
+    * and scoring are identical to the exhaustive form, so within the
+    * probed cells the ranking is exact; recall vs the exhaustive form
+    * follows the IVF curve the spec measures. Both sides shuffle on
+    * `cell` — no broadcast required on either side at any scale.
+    */
+  def hardNegativesIvf(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      lloydIterations: Int = 5,
+      trainLimit: Int = 100000,
+  ): DataFrame = {
+    require(nCells >= 2, "hardNegativesIvf needs at least 2 cells (least() argmin is binary-plus)")
+    require(nProbe >= 1 && nProbe <= nCells, "nProbe must be in [1, nCells]")
+    withFns(queries)
+    val cand = DedupFunctions.spread(candidates)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .cache()
+    val centroids = trainKmeans(cand.select(col("vec_id"), col("embedding")), nCells, lloydIterations, trainLimit)
+    val indexed = assignCell(cand, centroids)
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("label").as("neg_label"))
+      .cache()
+    val probeStructs = centroids.zipWithIndex.map { case (cen, i) =>
+      struct(dist2(col("embedding"), cen).as("d"), lit(i).as("cell"))
+    }
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding"), col("label").as("query_label"))
+      .withColumn("probe", explode(slice(array_sort(array(probeStructs: _*)), 1, nProbe)))
+      .select(col("query_id"), col("embedding").as("qe"), col("query_label"), col("probe.cell").as("cell"))
+    val scored = probes
+      .join(indexed, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id") && col("query_label") =!= col("neg_label"))
+      .withColumn("cosine", qcCosine)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    val out = scored
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"), col("neg_label"), col("cosine"), col("rk"))
+      .localCheckpoint()
+    cand.unpersist(blocking = true)
+    indexed.unpersist(blocking = true)
+    out
   }
 
   /** Embedding-cosine near-duplicate pairs — the exact baseline: all

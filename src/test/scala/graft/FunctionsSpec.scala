@@ -456,6 +456,55 @@ class FunctionsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"PQ recall $recall too low")
   }
 
+  test("knnLabelNoiseCells at nProbe=nCells equals the exact all-pairs audit") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toSet
+    // probing every cell makes the scanned neighborhood the whole
+    // corpus — the cell-scoped audit must then be bit-identical
+    val exact = rows(VectorFunctions.knnLabelNoise(emb, k = 10))
+    val cells = rows(VectorFunctions.knnLabelNoiseCells(emb, k = 10, nCells = 4, nProbe = 4))
+    assert(cells == exact)
+    // determinism of the learned cells: two runs at the pruned setting agree
+    val a = rows(VectorFunctions.knnLabelNoiseCells(emb, k = 10))
+    val b = rows(VectorFunctions.knnLabelNoiseCells(emb, k = 10))
+    assert(a == b)
+  }
+
+  test("knnLabelNoiseCells catches a planted label flip inside a tight cluster") {
+    // two well-separated clusters of 12, one vector mislabeled: its
+    // whole neighborhood votes against it even under cell pruning
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 24).map { i =>
+      val base = if (i < 12) Array(1.0f, 0.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f, 0.0f)
+      val vec = base.map(x => x + rnd.nextFloat() * 0.01f)
+      val label = if (i == 5) 1 else if (i < 12) 0 else 1 // vec 5 flipped
+      (i.toLong, vec, label)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = VectorFunctions.knnLabelNoiseCells(df, k = 5, nCells = 2, nProbe = 1, trainLimit = 24)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out(5L), "planted flip not flagged suspect")
+    assert(out.count(_._2) == 1, s"false positives: ${out.filter(_._2).keys.toSeq.sorted}")
+  }
+
+  test("hardNegativesIvf is deterministic and recalls most exhaustive hard negatives") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = emb.where($"vec_id" < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(VectorFunctions.hardNegatives(queries, emb, k = 10))
+    val ivf1 = pairs(VectorFunctions.hardNegativesIvf(queries, emb, k = 10))
+    val ivf2 = pairs(VectorFunctions.hardNegativesIvf(queries, emb, k = 10))
+    assert(ivf1 == ivf2) // deterministic cells and ranking
+    val recall = ivf1.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"hardNegativesIvf recall $recall too low") // 4 of 16 cells probed
+    // nProbe = nCells closes the gap entirely: same label filter, same
+    // scoring, full scan — must equal the exhaustive form
+    val full = pairs(VectorFunctions.hardNegativesIvf(queries, emb, k = 10, nCells = 4, nProbe = 4))
+    assert(full == exact)
+  }
+
   test("ivfPqAnn composes cell pruning with ADC and stays deterministic with useful recall") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val queries = emb.orderBy("vec_id").limit(20)
