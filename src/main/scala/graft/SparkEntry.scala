@@ -1415,6 +1415,17 @@ object SparkEntry {
     "corpus_shuffle_shards" -> { (s, dir) =>
       CorpusFunctions.shuffleShards(Tables.documents(s, dir), col("doc_id"), nShards = 8)
     },
+    // C56b: MATERIALIZED shard export — writes one pos-ordered parquet
+    // file per shard (repartition on shard + sortWithinPartitions +
+    // partitionBy), re-reads the files, and manifests them; the oracle
+    // recomputes the manifest from first principles, so a hash match
+    // proves the write→read round trip preserved the permutation
+    "corpus_shard_export" -> { (s, dir) =>
+      val path = System.getProperty("java.io.tmpdir") + "/graft_shard_export_q"
+      CorpusFunctions.shardManifest(
+        CorpusFunctions.shuffleShardsExport(Tables.documents(s, dir), "doc_id", nShards = 8, path)
+      )
+    },
     // C55: the canonical CCNet pipeline in the paper's own order —
     // exact dedup → langid filter → self-trained perplexity bucket
     // gate — composed end to end as one hash-verified plan
@@ -3007,6 +3018,16 @@ object SparkEntry {
          SELECT doc_id, hv % 8 AS shard,
                 CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS BIGINT) AS pos
          FROM h""",
+    "corpus_shard_export" ->
+      """WITH h AS (SELECT doc_id,
+                           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8)) AS BIGINT) AS hv
+                    FROM documents),
+         p AS (SELECT doc_id, hv % 8 AS shard,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS BIGINT) AS pos
+               FROM h)
+         SELECT shard, COUNT(*) AS n_docs, MAX(pos) AS last_pos,
+                arg_min(doc_id, pos) AS first_doc, arg_max(doc_id, pos) AS last_doc
+         FROM p GROUP BY 1""",
     "pipeline_ccnet" ->
       """WITH reps AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
                               MIN(doc_id) AS rep_id, MIN(text) AS t, COUNT(*) AS n_copies

@@ -438,6 +438,60 @@ object CorpusFunctions {
     }
   }
 
+  /** Materialize a [[shuffleShards]] plan as training-ready files —
+    * the write the plan's doc promises: payload re-joined on doc_id,
+    * `repartition(nShards, shard)` + `sortWithinPartitions(shard,
+    * pos)` + `partitionBy(shard)`, so every shard directory holds
+    * EXACTLY ONE parquet file with its rows physically in `pos` order
+    * (a shard lives wholly inside one task's partition; the sort puts
+    * its rows consecutively; the partitioned writer then emits one
+    * file per (task, shard) pair). A trainer streams `shard=K/` files
+    * in file order — no shuffle, no sort, no index at read time.
+    * Returns the re-read frame (Spark's partition-discovery schema:
+    * payload columns + `pos` + `shard` partition column).
+    *
+    * At 100 TB: the only shuffle is the repartition on `shard` —
+    * exactly the exchange any writer needs to co-locate shard rows —
+    * and each write task sorts only its own shards' rows (the
+    * spill-backed ExternalSorter path, never a global sort).
+    */
+  def shuffleShardsExport(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      path: String,
+      seed: Long = 0L,
+  ): DataFrame = {
+    val plan = shuffleShards(df, col(idCol), nShards, seed)
+    plan
+      .join(df.withColumnRenamed(idCol, "doc_id"), Seq("doc_id"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write
+      .mode("overwrite")
+      .partitionBy("shard")
+      .parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** Per-shard manifest of an exported (or planned) shard frame:
+    * doc count, last position, and the doc ids at the first/last
+    * positions — the integrity summary a training run records next to
+    * the files. Computed FROM the export's own rows, so an oracle
+    * match on it proves the write→read round trip preserved the
+    * permutation. min_by/max_by on (pos) — pos is dense and non-null
+    * by construction, ties impossible.
+    */
+  def shardManifest(exported: DataFrame): DataFrame =
+    exported
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("pos")).as("last_pos"),
+        min_by(col("doc_id"), col("pos")).as("first_doc"),
+        max_by(col("doc_id"), col("pos")).as("last_doc"),
+      )
+
   /** The canonical CCNet curation pipeline (Wenzek et al. 2020), one
     * plan end to end in the paper's own order: exact dedup (normalized
     * fingerprint groupBy — representative = min id, min raw text, so

@@ -827,6 +827,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(a == expected, "bucketed rank must equal the per-shard global rank")
   }
 
+  test("shuffleShardsExport: one file per shard, file order IS pos order, round trip exact") {
+    import graft.functions.CorpusFunctions
+    val docs = (1L to 400L).map(i => (i, s"payload $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard_export_spec").toFile
+    try {
+      val path = dir.getAbsolutePath + "/out"
+      val reread = CorpusFunctions.shuffleShardsExport(docs, "doc_id", nShards = 4, path)
+      val plan = CorpusFunctions.shuffleShards(docs, col("doc_id"), nShards = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // exactly one parquet file per shard directory
+      val shardDirs = new java.io.File(path).listFiles().filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+      assert(shardDirs.map(_.getName).toSeq == (0 until 4).map(i => s"shard=$i"))
+      for (sd <- shardDirs) {
+        val parts = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(parts.length == 1, s"${sd.getName}: expected 1 file, got ${parts.length}")
+        // physical row order inside the single file equals the plan's pos order
+        val shard = sd.getName.stripPrefix("shard=").toLong
+        val fileIds = spark.read.parquet(parts.head.getAbsolutePath)
+          .coalesce(1).collect().map(_.getAs[Long]("doc_id")).toSeq
+        val expected = plan.filter(_._2 == shard).sortBy(_._3).map(_._1).toSeq
+        assert(fileIds == expected, s"shard $shard file order diverges from pos order")
+      }
+      // round trip: every (doc_id, shard, pos) and the payload survive
+      val back = reread.select(col("doc_id"), col("shard").cast("long"), col("pos"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(back == plan.map { case (id, sh, p) => (id, sh, p, s"payload $id") }.toSet)
+    } finally {
+      def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete() }
+      rm(dir)
+    }
+  }
+
   test("scrubRepeatedSpans cuts exactly the marked spans and passes clean docs through whole") {
     val shared = "a b c d e f g h i j k l"
     val d = Seq(
