@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.SeriesSelector
 import graft.operators.TimeSeriesOps
-import graft.sources.{AdxConfig, AdxSource, ConfiguredSource, DataFusionConfig, DataFusionSource, ElasticsearchSource, EsConfig, EsOptions, GraftConfig, InfluxConfig, InfluxSource, MetadataConfig, MetadataSource, PiAfConfig, PiAfSource, PiWebApiConfig, PiWebApiSource, PluginSource, SeriesKey, SimulatorSignal, Simulators, SourceConfig, TdEngineConfig, TdEngineSource}
+import graft.sources.{AdxConfig, AdxSource, ConfiguredSource, DataFusionConfig, DataFusionSource, ElasticsearchSource, EsConfig, EsOptions, GraftConfig, InfluxConfig, InfluxSource, MetadataConfig, MetadataSource, PiAfConfig, PiAfSource, PiWebApiConfig, PiWebApiSource, PluginSource, RedshiftConfig, RedshiftSource, SeriesKey, SimulatorSignal, Simulators, SourceConfig, TdEngineConfig, TdEngineSource}
 
 /** The client facade — graft's equivalent of the reference's Flight API
   * surface (kukur/client.py: search, get_metadata, get_data,
@@ -50,6 +50,7 @@ final class Graft(spark: SparkSession) {
   final case class AdxRegistered(adx: AdxSource) extends Registered
   final case class DataFusionRegistered(df: DataFusionSource) extends Registered
   final case class TdEngineRegistered(td: TdEngineSource, metadata: Seq[MetadataSource] = Nil) extends Registered
+  final case class RedshiftRegistered(rs: RedshiftSource, metadata: Seq[MetadataSource] = Nil) extends Registered
   final case class UnavailableRegistered(sourceType: String) extends Registered
 
   private val sources = mutable.LinkedHashMap.empty[String, Registered]
@@ -103,6 +104,11 @@ final class Graft(spark: SparkSession) {
     this
   }
 
+  def registerRedshiftSource(name: String, config: RedshiftConfig, metadata: Seq[MetadataConfig] = Nil): this.type = {
+    sources(name) = RedshiftRegistered(new RedshiftSource(config), metadata.map(new MetadataSource(_)))
+    this
+  }
+
   def registerSimulatorSource(name: String, signals: Seq[SimulatorSignal]): this.type = {
     require(signals.nonEmpty, s"simulator source $name needs at least one signal")
     sources(name) = SimulatorRegistered(signals)
@@ -147,6 +153,7 @@ final class Graft(spark: SparkSession) {
     case a: AdxRegistered => a.adx.search(spark)
     case d: DataFusionRegistered => d.df.search(spark)
     case t: TdEngineRegistered => t.td.search(spark)
+    case r: RedshiftRegistered => r.rs.search(spark)
     case s: SimulatorRegistered =>
       import spark.implicits._
       s.signals.map(sig => (sig.seriesName, sig.signalType)).toDF("series_name", "signal_type")
@@ -212,6 +219,7 @@ final class Graft(spark: SparkSession) {
       case a: AdxRegistered => a.adx.getData(spark, selector, start, end)
       case d: DataFusionRegistered => d.df.getData(spark, selector, start, end)
       case t: TdEngineRegistered => t.td.getData(spark, selector, start, end)
+      case r: RedshiftRegistered => r.rs.getData(spark, selector, start, end)
       case s: SimulatorRegistered => simulatorData(s, selector, start, end)
     }
 
@@ -268,6 +276,12 @@ final class Graft(spark: SparkSession) {
       // client-side like the other SQL-family kinds
       TimeSeriesOps.plotData(
         t.td.getData(spark, selector, start, end).withColumn("value", col("value").cast("double"))
+          .withColumn("series_name", lit(selector.name)),
+        Seq("series_name"), start, end, intervalCount)
+    case r: RedshiftRegistered =>
+      // SQL-family kinds have no plot action: bucket client-side
+      TimeSeriesOps.plotData(
+        r.rs.getData(spark, selector, start, end).withColumn("value", col("value").cast("double"))
           .withColumn("series_name", lit(selector.name)),
         Seq("series_name"), start, end, intervalCount)
     case s: SimulatorRegistered =>
@@ -327,6 +341,12 @@ final class Graft(spark: SparkSession) {
         val own = t.td.metadata(spark, selector)
         if (t.metadata.isEmpty) own
         else filterTags(MetadataSource.merge(t.td.tagColumns, own +: t.metadata.map(_.read(spark))), selector)
+      case r: RedshiftRegistered =>
+        // same BaseSQLSource shape as tdengine: own metadata query
+        // first, metadata_sources extras layered over missing fields
+        val own = r.rs.metadata(spark, selector)
+        if (r.metadata.isEmpty) own
+        else filterTags(MetadataSource.merge(r.rs.tagColumns, own +: r.metadata.map(_.read(spark))), selector)
       case _: SimulatorRegistered =>
         throw new IllegalArgumentException(s"simulator source $sourceName has no metadata")
     }
@@ -363,6 +383,7 @@ final class Graft(spark: SparkSession) {
     val tagCols: Seq[String] = scala.util.Try(registered(sourceName)) match {
       case scala.util.Success(f: FileRegistered) => f.dataConfig.tagColumns
       case scala.util.Success(t: TdEngineRegistered) => t.td.tagColumns
+      case scala.util.Success(r: RedshiftRegistered) => r.rs.tagColumns
       // unknown/unavailable sources still report per-probe failures
       case _ => Seq("series_name")
     }
@@ -419,6 +440,7 @@ object Graft {
       case GraftConfig.DeclaredAdx(name, config) => g.registerAdxSource(name, config)
       case GraftConfig.DeclaredDataFusion(name, config) => g.registerDataFusionSource(name, config)
       case GraftConfig.DeclaredTdEngine(name, config, metadata) => g.registerTdEngineSource(name, config, metadata)
+      case GraftConfig.DeclaredRedshift(name, config, metadata) => g.registerRedshiftSource(name, config, metadata)
       case GraftConfig.DeclaredUnavailable(name, typ) => g.sources(name) = g.UnavailableRegistered(typ)
     }
     g

@@ -63,6 +63,7 @@ object GraftConfig {
   final case class DeclaredAdx(name: String, config: AdxConfig) extends Declared
   final case class DeclaredDataFusion(name: String, config: DataFusionConfig) extends Declared
   final case class DeclaredTdEngine(name: String, config: TdEngineConfig, metadata: Seq[MetadataConfig] = Nil) extends Declared
+  final case class DeclaredRedshift(name: String, config: RedshiftConfig, metadata: Seq[MetadataConfig] = Nil) extends Declared
 
   /** A source whose `type` this engine has no connector for. The
     * reference resolves types LAZILY (SourceFactory.get_source raises
@@ -74,7 +75,7 @@ object GraftConfig {
 
   private val fileTypes = Set("csv", "parquet", "json", "orc", "feather", "arrows", "delta")
   private val supportedTypes =
-    fileTypes ++ Set("plugin", "simulator", "influxdb", "elasticsearch", "piwebapi-da", "piwebapi-af", "piwebapi-af-template", "azure-data-explorer", "datafusion", "tdengine")
+    fileTypes ++ Set("plugin", "simulator", "influxdb", "elasticsearch", "piwebapi-da", "piwebapi-af", "piwebapi-af-template", "azure-data-explorer", "datafusion", "tdengine", "redshift")
 
   def load(configPath: String): Seq[Declared] = {
     val path = Paths.get(configPath).toAbsolutePath
@@ -97,6 +98,7 @@ object GraftConfig {
         else if (typ == "azure-data-explorer") declaredAdx(name, node)
         else if (typ == "datafusion") declaredDataFusion(root, dir, name, node)
         else if (typ == "tdengine") declaredTdEngine(root, dir, name, node)
+        else if (typ == "redshift") declaredRedshift(root, dir, name, node)
         else declaredFile(root, dir, name, node, typ)
       }
       .toSeq
@@ -224,6 +226,51 @@ object GraftConfig {
       // kukur's factory layers metadata_sources extras over every
       // source kind (source/__init__.py:170)
       sidecarConfigs(root, dir, name, node, "tdengine", tagColumns),
+    )
+  }
+
+  /** `type = "redshift"` (kukur/source/redshift/redshift.py:19-44): a
+    * BaseSQLSource whose `connection` dictionary goes to
+    * `redshift_connector.connect(**options)` verbatim — here it maps
+    * onto the public Redshift JDBC URL scheme (see
+    * [[RedshiftSource]]'s dialect note), with `jdbc_url`/`jdbc_driver`
+    * overrides and all other keys passed through as JDBC properties.
+    */
+  private def declaredRedshift(root: ObjectNode, dir: Path, name: String, node: JsonNode): DeclaredRedshift = {
+    def queryText(key: String): Option[String] =
+      str(node, key).orElse(
+        str(node, s"${key}_path").map(p => Files.readString(Paths.get(resolve(dir, p))).stripPrefix("﻿"))
+      )
+    val conn = Option(node.get("connection")).getOrElse(
+      fail(s""""redshift" source "$name" requires a "connection" dictionary""")
+    )
+    val connMap = conn
+      .fields()
+      .asScala
+      .map(e => e.getKey -> e.getValue.asText)
+      .toMap
+    val tagColumns = strSeq(node, "tag_columns").getOrElse(Seq(graft.model.SeriesSelector.SeriesNameTag))
+    DeclaredRedshift(
+      name,
+      RedshiftConfig(
+        connection = connMap,
+        tagColumns = tagColumns,
+        fieldColumns = strSeq(node, "field_columns"),
+        listQuery = queryText("list_query"),
+        listColumns = strSeq(node, "list_columns").getOrElse(Nil),
+        metadataQuery = queryText("metadata_query"),
+        metadataColumns = strSeq(node, "metadata_columns").getOrElse(Nil),
+        dictionaryQuery = queryText("dictionary_query"),
+        dataQuery = queryText("data_query"),
+        dataQueryDatetimeFormat = str(node, "data_query_datetime_format"),
+        dataQueryTimezone = str(node, "data_query_timezone"),
+        dataQueryTags = strSeq(node, "data_query_tags"),
+        queryStringParameters = Option(node.get("query_string_parameters")).exists(_.asBoolean),
+        qualityGood = str(node, "quality_mapping")
+          .map(n => qualityGood(root.path("quality_mapping").path(n)))
+          .getOrElse(Nil),
+      ),
+      sidecarConfigs(root, dir, name, node, "redshift", tagColumns),
     )
   }
 

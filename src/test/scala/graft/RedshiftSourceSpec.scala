@@ -1,0 +1,183 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.{DriverManager, Timestamp}
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.SeriesSelector
+import graft.sources.{GraftConfig, RedshiftConfig, RedshiftSource}
+
+/** Redshift source conformance (kukur/source/redshift/redshift.py +
+  * the shared sql.py semantics). No Redshift listener exists in a
+  * sandbox, so — exactly like JdbcSource's own spec — embedded Derby
+  * drives the IDENTICAL code path via the config's documented
+  * `jdbc_url`/`jdbc_driver` overrides; the URL derivation from the
+  * reference's host/port/database connection options is asserted
+  * separately.
+  */
+class RedshiftSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def t(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  private lazy val dbUrl: String = {
+    val dbDir = Files.createTempDirectory("graft-derby-redshift").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE series (name VARCHAR(64), descr VARCHAR(128), unit VARCHAR(16), dict VARCHAR(32))")
+    st.execute("INSERT INTO series VALUES ('temp', 'temperature', 'C', NULL)")
+    st.execute("INSERT INTO series VALUES ('state', 'machine state', NULL, 'states')")
+    st.execute("CREATE TABLE dicts (dname VARCHAR(32), k INT, label VARCHAR(32))")
+    st.execute("INSERT INTO dicts VALUES ('states', 1, 'ON')")
+    st.execute("INSERT INTO dicts VALUES ('states', 0, 'OFF')")
+    st.execute("CREATE TABLE data (name VARCHAR(64), ts TIMESTAMP, val DOUBLE, q INT)")
+    st.execute("INSERT INTO data VALUES ('temp', TIMESTAMP('2024-01-01 00:00:00'), 20.5, 192)")
+    st.execute("INSERT INTO data VALUES ('temp', TIMESTAMP('2024-01-01 01:00:00'), 21.5, 0)")
+    st.execute("INSERT INTO data VALUES ('temp', TIMESTAMP('2024-01-02 00:00:00'), 22.5, 192)")
+    st.execute("INSERT INTO data VALUES ('state', TIMESTAMP('2024-01-01 00:30:00'), 1.0, 192)")
+    st.close(); conn.close()
+    url
+  }
+
+  private def cfg = RedshiftConfig(
+    connection = Map("jdbc_url" -> dbUrl, "jdbc_driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
+    tagColumns = Seq("series name"),
+    listQuery = Some("SELECT name, descr, unit FROM series"),
+    listColumns = Seq("series name", "description", "unit"),
+    metadataQuery = Some("SELECT descr, unit, dict FROM series WHERE name = %s"),
+    metadataColumns = Seq("description", "unit", "dictionary name"),
+    dictionaryQuery = Some("SELECT k, label FROM dicts WHERE dname = %s"),
+    dataQuery = Some("SELECT ts, val FROM data WHERE name = %s AND ts >= TIMESTAMP(%s) AND ts < TIMESTAMP(%s)"),
+    dataQueryDatetimeFormat = Some("%Y-%m-%d %H:%M:%S"),
+  )
+
+  test("jdbc url derives from redshift_connector's host/port/database options") {
+    val c = RedshiftConfig(connection = Map("host" -> "cluster.example", "database" -> "dev", "user" -> "u"))
+    assert(c.jdbcUrl == "jdbc:redshift://cluster.example:5439/dev")
+    assert(c.jdbcDriver == "com.amazon.redshift.Driver")
+    assert(c.jdbcProperties == Map("user" -> "u"))
+    val explicit = RedshiftConfig(connection = Map("jdbc_url" -> "jdbc:postgresql://h:5439/dev"))
+    assert(explicit.jdbcUrl == "jdbc:postgresql://h:5439/dev") // PG-wire endpoint choice
+  }
+
+  test("search in metadata mode: one row per (tags x field), vocabulary columns survive") {
+    val rows = new RedshiftSource(cfg).search(spark).collect()
+    assert(rows.length == 2)
+    val temp = rows.find(_.getString(0) == "temp").get
+    assert(temp.getAs[String]("field") == "value")
+    assert(temp.getAs[String]("description") == "temperature")
+    assert(temp.getAs[String]("unit") == "C")
+  }
+
+  test("search in names mode: bare tag tuples cross-joined with field_columns") {
+    val names = new RedshiftSource(
+      cfg.copy(listQuery = Some("SELECT name FROM series"), listColumns = Nil, fieldColumns = Some(Seq("value", "q")))
+    ).search(spark).collect()
+    assert(names.length == 4) // 2 series x 2 fields
+    assert(names.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("temp", "value"), ("temp", "q"), ("state", "value"), ("state", "q")))
+  }
+
+  test("metadata: %s parameters bind, dictionary_name triggers the dictionary query") {
+    val src = new RedshiftSource(cfg)
+    val md = src.metadata(spark, SeriesSelector("rs", Map("series name" -> "state"))).collect().head
+    assert(md.getAs[String]("description") == "machine state")
+    assert(md.getAs[String]("dictionary_name") == "states")
+    assert(md.getAs[String]("dictionary") == "0:OFF,1:ON") // key order
+    // empty/NULL metadata columns drop out (sql.py swallows them)
+    val md2 = src.metadata(spark, SeriesSelector("rs", Map("series name" -> "temp"))).collect().head
+    assert(md2.schema.fieldNames.contains("unit"))
+    assert(!md2.schema.fieldNames.contains("dictionary"))
+  }
+
+  test("data: strftime-rendered dates, half-open range, distributed JDBC scan") {
+    val src = new RedshiftSource(cfg)
+    val rows = src
+      .getData(spark, SeriesSelector("rs", Map("series name" -> "temp")), t("2024-01-01T00:00:00Z"), t("2024-01-02T00:00:00Z"))
+      .orderBy("ts")
+      .collect()
+    assert(rows.length == 2) // end bound exclusive per the configured SQL
+    assert(rows.map(_.getAs[Double]("value")).toSeq == Seq(20.5, 21.5))
+    assert(rows.head.getAs[Timestamp]("ts") == Timestamp.valueOf("2024-01-01 00:00:00"))
+  }
+
+  test("quality mapping maps a third column to 1/0") {
+    val src = new RedshiftSource(
+      cfg.copy(
+        dataQuery = Some("SELECT ts, val, q FROM data WHERE name = %s AND ts >= TIMESTAMP(%s) AND ts < TIMESTAMP(%s)"),
+        qualityGood = Seq(192),
+      )
+    )
+    val rows = src
+      .getData(spark, SeriesSelector("rs", Map("series name" -> "temp")), t("2024-01-01T00:00:00Z"), t("2024-01-03T00:00:00Z"))
+      .orderBy("ts")
+      .collect()
+    assert(rows.map(_.getAs[Int]("quality")).toSeq == Seq(1, 0, 1))
+  }
+
+  test("query_string_parameters renders {} placeholders with quote-stripping") {
+    val src = new RedshiftSource(
+      cfg.copy(
+        queryStringParameters = true,
+        dataQuery = Some("SELECT ts, val FROM data WHERE name = '{}' AND ts >= TIMESTAMP('{}') AND ts < TIMESTAMP('{}')"),
+      )
+    )
+    val rows = src
+      .getData(spark, SeriesSelector("rs", Map("series name" -> "temp' OR '1'='1")), t("2024-01-01T00:00:00Z"), t("2024-01-03T00:00:00Z"))
+      .collect()
+    assert(rows.isEmpty) // quotes stripped: the injection matches no series
+  }
+
+  test("dataForKeys unions one pushed-down scan per series") {
+    val src = new RedshiftSource(cfg)
+    val rows = src
+      .dataForKeys(
+        spark,
+        Seq(Map("series name" -> "temp"), Map("series name" -> "state")),
+        t("2024-01-01T00:00:00Z"),
+        t("2024-01-03T00:00:00Z"),
+      )
+      .orderBy("series_name", "ts")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("state", "temp", "temp", "temp"))
+  }
+
+  test("type = \"redshift\" config declares, registers, and answers through the facade") {
+    val dir = Files.createTempDirectory("graft-redshift-cfg")
+    val toml = s"""
+      |[source.rs]
+      |type = "redshift"
+      |tag_columns = ["series name"]
+      |list_query = "SELECT name, descr, unit FROM series"
+      |list_columns = ["series name", "description", "unit"]
+      |data_query = "SELECT ts, val FROM data WHERE name = %s AND ts >= TIMESTAMP(%s) AND ts < TIMESTAMP(%s)"
+      |data_query_datetime_format = "%Y-%m-%d %H:%M:%S"
+      |
+      |[source.rs.connection]
+      |jdbc_url = "${dbUrl.replace("\\", "\\\\")}"
+      |jdbc_driver = "org.apache.derby.jdbc.EmbeddedDriver"
+      |""".stripMargin
+    val path = dir.resolve("Kukur.toml")
+    Files.writeString(path, toml)
+    val declared = GraftConfig.load(path.toString)
+    assert(declared.exists {
+      case GraftConfig.DeclaredRedshift("rs", c, _) => c.jdbcDriver == "org.apache.derby.jdbc.EmbeddedDriver"
+      case _ => false
+    })
+    val g = Graft.fromConfig(spark, path.toString)
+    assert(g.search("rs").collect().map(_.getString(0)).sorted.toSeq == Seq("state", "temp"))
+    val data = g.getData("rs", SeriesSelector("rs", Map("series name" -> "temp")), t("2024-01-01T00:00:00Z"), t("2024-01-02T00:00:00Z"))
+    assert(data.count() == 2)
+  }
+
+  test("a missing connection dictionary fails at load, like the reference's InvalidSourceException") {
+    val dir = Files.createTempDirectory("graft-redshift-bad")
+    val path = dir.resolve("Kukur.toml")
+    Files.writeString(path, "[source.bad]\ntype = \"redshift\"\ndata_query = \"SELECT 1\"\n")
+    val e = intercept[IllegalArgumentException](GraftConfig.load(path.toString))
+    assert(e.getMessage.contains("connection"))
+  }
+}

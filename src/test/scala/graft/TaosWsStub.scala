@@ -137,12 +137,22 @@ final class TaosWsStub(
   def port: Int = server.getLocalPort
 
   private val acceptThread = new Thread(() => {
-    try while (!server.isClosed) {
-      val socket = server.accept()
-      val t = new Thread(() => serve(socket))
-      t.setDaemon(true)
-      t.start()
-    } catch { case _: Exception => () }
+    // the catch must stay INSIDE the loop: a transient accept failure
+    // (file-descriptor pressure under parallel full-suite load) would
+    // otherwise kill the acceptor permanently and every later test in
+    // the suite would burn its full client timeout — the observed
+    // under-load flake mode for socket stubs
+    while (!server.isClosed) {
+      try {
+        val socket = server.accept()
+        val t = new Thread(() => serve(socket))
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: Exception if server.isClosed => () // normal shutdown
+        case _: Exception                    => Thread.sleep(10)
+      }
+    }
   })
   acceptThread.setDaemon(true)
   acceptThread.start()
