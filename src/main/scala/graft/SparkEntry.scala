@@ -1882,6 +1882,46 @@ object SparkEntry {
         .hashSplit(kept.join(decon.where(!col("contaminated")).select("doc_id"), Seq("doc_id")), col("doc_id"))
         .select(col("doc_id"), col("split"))
     },
+    // C57: the end-to-end training-export mega-pipeline — curate (PII
+    // scrub → quality gate → decontamination → train split) → mixture
+    // apply (plan joined back, zero driver round trips) → curriculum
+    // schedule → shuffle-shard assignment, composed as ONE lazy plan:
+    // the closer that proves the pieces compose without materializing
+    "pipeline_train_export" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val scrubbed = TextFunctions
+        .piiScrub(docs, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val kept = TextFunctions
+        .qualityScore(scrubbed, col("text"))
+        .where(col("quality_score") > 0.45)
+        .select(col("doc_id"), col("text"))
+      val decon = TextFunctions.decontaminate(
+        kept.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0),
+        col("doc_id"),
+        col("text"),
+      )
+      val train = TextFunctions
+        .hashSplit(kept.join(decon.where(!col("contaminated")).select("doc_id"), Seq("doc_id")), col("doc_id"))
+        .where(col("split") === "train")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("text"))
+      val mixed = CorpusFunctions
+        .mixtureSampleJoined(train, col("doc_id"), col("lang"), col("text"), Map("en" -> 0.5, "zh" -> 0.25, "de" -> 0.25))
+      val sched = CorpusFunctions.curriculumInterleave(
+        mixed,
+        col("doc_id"),
+        col("lang"),
+        col("text"),
+        weightsPpm = Map("en" -> 500000L, "zh" -> 200000L, "es" -> 150000L),
+        defaultPpm = 100000L,
+      )
+      CorpusFunctions
+        .shuffleShards(mixed, col("doc_id"), nShards = 8)
+        .join(sched, Seq("doc_id"))
+        .select(col("doc_id"), col("stratum"), col("difficulty"), col("vt"), col("shard"), col("pos"))
+    },
     // B6: tumbling 1h window aggregates over events
     "q_events_window_agg" -> { (s, dir) =>
       ntz(
@@ -2844,6 +2884,70 @@ object SparkEntry {
                      ELSE 'test' END AS split
          FROM kept k
          WHERE k.doc_id % 20 <> 0 AND k.doc_id NOT IN (SELECT doc_id FROM contaminated)""",
+    "pipeline_train_export" ->
+      """WITH scrub AS (
+           SELECT doc_id,
+                  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                    'https?://[^ \t\n\x0B\f\r]+', '<URL>', 'g'),
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS text
+           FROM documents),
+         base AS (
+           SELECT doc_id, text, length(text) AS n_chars,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+           FROM scrub),
+         feat AS (
+           SELECT doc_id, w, len(w) AS n_words,
+                  FLOOR(CAST(n_chars - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) * 1000000.0 / GREATEST(n_chars, 1)) / 1000000.0 AS punct_ratio,
+                  FLOOR(CAST(len(list_filter(w, t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE) * 1000000.0 / GREATEST(len(w), 1)) / 1000000.0 AS stopword_ratio
+           FROM base),
+         kept AS (
+           SELECT doc_id, w FROM feat
+           WHERE 0.3 * stopword_ratio + 0.3 * (1.0 - punct_ratio) + 0.4 * LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) > 0.45),
+         bnorm AS (
+           SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+           FROM documents WHERE doc_id % 20 = 0),
+         bench AS (
+           SELECT DISTINCT unnest(list_distinct(list_transform(generate_series(1, len(w) - 4),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS s
+           FROM bnorm WHERE len(w) >= 5),
+         csh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 4),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS s
+           FROM kept WHERE doc_id % 20 <> 0 AND len(w) >= 5),
+         contaminated AS (SELECT DISTINCT a.doc_id FROM csh a JOIN bench b ON a.s = b.s),
+         train AS (
+           SELECT k.doc_id, d.lang, k.w
+           FROM kept k JOIN documents d USING (doc_id)
+           WHERE k.doc_id % 20 <> 0 AND k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+             AND substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7','8','9','a','b','c','d')),
+         counts AS (SELECT lang AS stratum, CAST(SUM(len(w)) AS BIGINT) AS tokens FROM train GROUP BY 1),
+         tgt AS (SELECT * FROM (VALUES ('de', 0.25), ('en', 0.5), ('zh', 0.25)) AS t(stratum, target_share)),
+         j AS (SELECT c.stratum, tokens, target_share FROM counts c LEFT JOIN tgt USING (stratum)),
+         ts AS (SELECT MIN(CAST(tokens AS DOUBLE) / target_share) AS t_star FROM j WHERE target_share IS NOT NULL),
+         plan AS (SELECT stratum,
+                         CASE WHEN target_share IS NOT NULL AND CAST(tokens AS DOUBLE) / target_share <= t_star THEN 1000000
+                              WHEN target_share IS NOT NULL THEN LEAST(1000000, CAST(FLOOR(1e6 * target_share * t_star / CAST(tokens AS DOUBLE)) AS BIGINT)) ELSE 0 END AS ppm
+                  FROM j CROSS JOIN ts),
+         mixed AS (SELECT t.doc_id, t.lang, t.w FROM train t JOIN plan p ON t.lang = p.stratum
+                   WHERE p.ppm >= 1000000
+                      OR substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) < printf('%08x', CAST(FLOOR(CAST(p.ppm AS DOUBLE) / 1e6 * 4294967296) AS BIGINT))),
+         sched0 AS (SELECT doc_id, lang AS stratum, CAST(COALESCE(len(w), 0) AS BIGINT) AS difficulty FROM mixed),
+         r AS (SELECT doc_id, stratum, difficulty,
+                      CAST(row_number() OVER (PARTITION BY stratum ORDER BY difficulty, doc_id) AS BIGINT) AS rank_in_stratum
+               FROM sched0),
+         sched AS (SELECT doc_id, stratum, difficulty,
+                          CAST(rank_in_stratum * (1000000000000
+                               // CAST(CASE stratum WHEN 'en' THEN 500000 WHEN 'zh' THEN 200000 WHEN 'es' THEN 150000 ELSE 100000 END AS BIGINT))
+                               AS BIGINT) AS vt
+                   FROM r),
+         h AS (SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8)) AS BIGINT) AS hv FROM mixed),
+         shards AS (SELECT doc_id, hv % 8 AS shard,
+                           CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS BIGINT) AS pos
+                    FROM h)
+         SELECT s.doc_id, s.stratum, s.difficulty, s.vt, sh.shard, sh.pos
+         FROM sched s JOIN shards sh USING (doc_id)""",
     "text_topk_ngrams" ->
       """WITH norm AS (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
          w AS (SELECT string_split(t, ' ') AS w FROM norm),

@@ -862,6 +862,35 @@ object CorpusFunctions {
     stratifiedSample(df, idCol, stratum, rates)
   }
 
+  /** [[mixtureSample]] with ZERO driver round trip: the plan's
+    * bounded per-stratum frame joins back by broadcast instead of
+    * collecting into literal rates, so the whole mixture application
+    * stays one lazy plan — the form long compositions
+    * (pipeline_train_export) need. The keep decision reproduces
+    * [[stratifiedSample]]'s md5-threshold bit for bit: rate 1 (the
+    * binding stratum) short-circuits, every other rate compares the
+    * first 8 md5 hex digits against `floor(ppm/1e6 · 2^32)` rendered
+    * `%08x` — both engines evaluate the same IEEE double expression.
+    */
+  def mixtureSampleJoined(
+      df: DataFrame,
+      idCol: Column,
+      stratum: Column,
+      text: Column,
+      targets: Map[String, Double],
+  ): DataFrame = {
+    val plan = mixturePlan(df, stratum, text, targets)
+      .select(col("stratum").as("__mix_stratum"), col("keep_rate_ppm"))
+    val digits = substring(md5(idCol.cast("string")), 1, 8)
+    val threshold = format_string(
+      "%08x",
+      floor(col("keep_rate_ppm").cast("double") / lit(1e6) * lit(4294967296.0)).cast("long"),
+    )
+    df.join(broadcast(plan), stratum <=> col("__mix_stratum"), "left")
+      .where(coalesce(col("keep_rate_ppm"), lit(0L)) >= 1000000L || digits < threshold)
+      .drop("__mix_stratum", "keep_rate_ppm")
+  }
+
   /** Per-stratum lexical diversity — exact type/token statistics: how
     * many distinct words, how many hapax legomena (words seen once),
     * type-token ratio and hapax share. Low TTR flags templated or

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.CorpusFunctions
+
+/** The end-to-end training-export composition (pipeline_train_export)
+  * and its zero-collect mixture stage.
+  */
+class TrainExportSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // a corpus that sails through the quality gate (stopwords, no
+  // punctuation, 100+ words) with DOC-UNIQUE 5-grams: every shingle
+  // carries a doc-specific token, so the decontamination stage never
+  // collides a training doc with the % 20 == 0 benchmark holdout and
+  // the planted structure (langs, sizes) survives curation intact
+  private def corpus(n: Int) =
+    (1 to n).map { i =>
+      val lang = i % 4 match {
+        case 0 | 1 => "en"
+        case 2     => "zh"
+        case 3     => "de"
+      }
+      val body = (1 to 25).map(k => s"the d${i}w$k a d${i}x$k").mkString(" ")
+      (i.toLong, lang, body)
+    }.toDF("doc_id", "lang", "text")
+
+  test("mixtureSampleJoined equals the collect-based mixtureSample bit for bit") {
+    val docs = corpus(400)
+    val targets = Map("en" -> 0.5, "zh" -> 0.25, "de" -> 0.25)
+    val a = CorpusFunctions.mixtureSample(docs, $"doc_id", $"lang", $"text", targets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = CorpusFunctions.mixtureSampleJoined(docs, $"doc_id", $"lang", $"text", targets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // and the joined form's plan has no eager driver evaluation: it
+    // stays buildable on an un-analyzed frame without running jobs
+    val lazyPlan = CorpusFunctions.mixtureSampleJoined(docs, $"doc_id", $"lang", $"text", targets)
+    assert(lazyPlan.queryExecution.logical != null)
+  }
+
+  test("pipeline_train_export: curriculum prefixes hold the interleave weights, shards balanced") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_train_export").toString
+    corpus(800).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("pipeline_train_export")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    // curate kept the survivors only; every doc appears exactly once
+    assert(out.map(_._1).distinct.length == out.length)
+
+    // per-prefix mixture: in vt order, stratum arrival rates follow
+    // weight_ppm (en 500k, zh/de -> default 100k). Check the half
+    // prefix while every stratum still has backlog: en should arrive
+    // at ~5x the rate of zh (weight ratio 5:1), within a loose band.
+    val byVt = out.sortBy(r => (r._3, r._1))
+    val half = byVt.take(byVt.length / 2)
+    val counts = half.groupBy(_._2).view.mapValues(_.size).toMap
+    val en = counts.getOrElse("en", 0).toDouble
+    val zh = counts.getOrElse("zh", 0).toDouble
+    assert(en > 0 && zh > 0, s"prefix missing strata: $counts")
+    val ratio = en / zh
+    assert(ratio > 2.5 && ratio < 10.0, s"en/zh arrival ratio $ratio should track the 5:1 weights")
+
+    // shards balanced: md5 spreads the survivors evenly over 8 shards
+    val shardSizes = out.groupBy(_._4).view.mapValues(_.size).values.toSeq
+    assert(shardSizes.size == 8, s"expected 8 shards, got ${shardSizes.size}")
+    val mean = shardSizes.sum.toDouble / shardSizes.size
+    assert(shardSizes.min > mean * 0.5 && shardSizes.max < mean * 1.7, s"unbalanced shards: $shardSizes")
+    // positions are dense 1..|shard|
+    out.groupBy(_._4).foreach { case (shard, rows) =>
+      assert(rows.map(_._5).sorted.toSeq == (1L to rows.size.toLong), s"shard $shard positions not dense")
+    }
+  }
+}
