@@ -226,6 +226,66 @@ object Bench {
         "null"
     }
 
+  /** Vocabulary-scale probe for the unigram-LM trainer: its EM
+    * collects are VOCAB-sized (piece-count rows reach the driver per
+    * pass, never corpus rows), so cost must track vocabulary, not
+    * corpus size — this measures exactly that, at seed vocabularies
+    * far beyond the main suite's toy fixture. Each cell synthesizes a
+    * corpus with ~`targetVocab` distinct words (deterministic hash
+    * word ids, tokens ≈ 5× vocab so most ids are realized), trains
+    * with a 50k+ seed, and stamps the driver-frame sizes (distinct
+    * words, seed, final pieces) next to per-pass wall time.
+    * SPARK_GRAFT_VOCAB_PROBE=0 disables.
+    */
+  private[graft] def runVocabProbe(spark: SparkSession): String =
+    try {
+      // (target distinct words, seedSize, vocabSize). The 100k-word /
+      // 80k-seed third cell lives in UnigramVocabProbeDev only (it
+      // alone costs ~8 min; its curve is recorded in SURVEY) — the
+      // bench keeps the probe to two cells so the driver run stays
+      // bounded. SPARK_GRAFT_VOCAB_CELLS=full restores all three.
+      val cells =
+        if (sys.env.get("SPARK_GRAFT_VOCAB_CELLS").contains("full"))
+          Seq((10000, 50000, 4000), (30000, 60000, 8000), (100000, 80000, 16000))
+        else Seq((10000, 50000, 4000), (30000, 60000, 8000))
+      cells
+        .map { case (v, seed, vocab) =>
+          val nDocs = v / 10
+          val docs = spark
+            .range(nDocs.toLong)
+            .select(
+              org.apache.spark.sql.functions.col("id").as("doc_id"),
+              org.apache.spark.sql.functions
+                .expr(s"concat_ws(' ', transform(sequence(1, 50), i -> concat('w', pmod(hash(id, i), $v))))")
+                .as("text"),
+            )
+            .repartition(32)
+          val distinctWords = docs
+            .select(org.apache.spark.sql.functions.explode(org.apache.spark.sql.functions.split(org.apache.spark.sql.functions.col("text"), " ")).as("w"))
+            .distinct()
+            .count()
+          val load = loadAvg1()
+          val t0 = System.nanoTime()
+          val model = graft.functions.UnigramLm
+            .train(docs, org.apache.spark.sql.functions.col("text"), vocabSize = vocab, seedSize = seed, emIters = 1)
+          val sec = (System.nanoTime() - t0) / 1e9
+          val passes = math.max(1, model.logliks.size)
+          val perPass = math.round(sec / passes * 1000) / 1000.0
+          System.err.println(
+            f"[bench/vocab] V=$v%-7d words=$distinctWords%-7d seed=$seed vocab=$vocab pieces=${model.pieces.size} " +
+              f"passes=$passes total=$sec%.1f s per-pass=$perPass%.3f s (load $load%.1f)"
+          )
+          s"""{"target_vocab":$v,"distinct_words":$distinctWords,"seed_size":$seed,"vocab_size":$vocab,""" +
+            s""""model_pieces":${model.pieces.size},"em_passes":$passes,"total_sec":${math.round(sec * 1000) / 1000.0},""" +
+            s""""per_pass_sec":$perPass,"load":$load}"""
+        }
+        .mkString("[", ",", "]")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench/vocab] vocab probe skipped: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        "null"
+    }
+
   /** Cumulative JVM GC pause milliseconds across all collectors. A
     * G1 full-GC storm (humongous-fragmentation class) multiplies a
     * query's wall time 10–100× with nothing in Spark's own logs; the
@@ -344,16 +404,22 @@ object Bench {
     val scaleJson =
       if (args.nonEmpty || sys.env.get("SPARK_GRAFT_SCALE").contains("0")) "null"
       else runScaleProbe(spark, sfDir)
+    // unigram-LM vocab-scale cells (driver-collect sizes stamped) —
+    // full JSON line only, like the scale section
+    val vocabJson =
+      if (args.nonEmpty || sys.env.get("SPARK_GRAFT_SCALE").contains("0") ||
+        sys.env.get("SPARK_GRAFT_VOCAB_PROBE").contains("0")) "null"
+      else runVocabProbe(spark)
     val loadEnd = loadAvg1()
     def dirtyList(names: Seq[String]) = names.map("\"" + _ + "\"").mkString("[", ",", "]")
     // dirty_n is the TRUE count: the tail line caps the dirty name
     // list at 10 (to fit the harness capture), so the count travels
     // separately and a truncated list can never understate the damage
-    def jsonLine(rs: Seq[(String, Double)], scale: String, dirty: String): String = {
+    def jsonLine(rs: Seq[(String, Double)], scale: String, vocab: String, dirty: String): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"load_start":$loadStart,"load_end":$loadEnd,"host_cpus":$hostCpus,"dirty_n":${dirtyQueries.length},"dirty":$dirty,"scale":$scale,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"load_start":$loadStart,"load_end":$loadEnd,"host_cpus":$hostCpus,"dirty_n":${dirtyQueries.length},"dirty":$dirty,"scale":$scale,"vocab_probe":$vocab,"queries":$qs,"sf":"$sfDir"}"""
     }
-    val full = jsonLine(results, scaleJson, dirtyList(dirtyQueries.sorted))
+    val full = jsonLine(results, scaleJson, vocabJson, dirtyList(dirtyQueries.sorted))
     println(full)
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
@@ -366,7 +432,7 @@ object Bench {
     // and target/bench.json.
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => k -> (math.round(v * 1000) / 1000.0) }
-    println(jsonLine(slowest, "null", dirtyList(dirtyQueries.sorted.take(10))))
+    println(jsonLine(slowest, "null", "null", dirtyList(dirtyQueries.sorted.take(10))))
     spark.stop()
   }
 }

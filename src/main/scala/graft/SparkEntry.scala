@@ -359,8 +359,10 @@ object SparkEntry {
       TimeSeriesOps.valueHistogram(ev(s, dir), Seq("series_name"), lo = 0.0, hi = 500.0, bins = 20)
     },
     // A29: LTTB plot downsampling (Steinarsson 2013) — sequential
-    // within a series, parallel across series; selection depends on
-    // bucket-average anchors → rows-only + DownsampleSpec
+    // within a series, parallel across series. HASH-ORACLED via a
+    // DuckDB recursive CTE that replays the per-bucket argmax walk
+    // (anchors as explicitly-ordered list_reduce folds, so the
+    // >2^53-magnitude micros sums round identically) + DownsampleSpec
     "ts_downsample_lttb" -> { (s, dir) =>
       ntz(Downsample.lttb(ev(s, dir).select(col("series_name"), col("ts"), col("value")), "series_name", nOut = 200))
     },
@@ -2239,6 +2241,66 @@ object SparkEntry {
                       lag(value) OVER w AS prev_v, lag(epoch_us(ts)) OVER w AS prev_us
                FROM events WHERE event_type = 'error'
                WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))""",
+    "ts_downsample_lttb" ->
+      """WITH RECURSIVE
+pts AS (
+  SELECT event_type AS k, epoch_us(ts) AS us, CAST(value AS DOUBLE) AS v,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY epoch_us(ts), CAST(value AS DOUBLE)) - 1 AS BIGINT) AS idx,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+big AS (SELECT * FROM pts WHERE n > 200),
+meta AS (SELECT k, MAX(n) AS n, CAST(MAX(n) - 2 AS DOUBLE) / 198.0 AS bs FROM big GROUP BY 1),
+anchors AS (
+  SELECT m.k, gi.i,
+         CASE WHEN cnt > 0 THEN ssum / cnt ELSE last_us END AS at,
+         CASE WHEN cnt > 0 THEN vsum / cnt ELSE last_v END AS av
+  FROM meta m
+  CROSS JOIN (SELECT unnest(generate_series(0, 197)) AS i) gi
+  LEFT JOIN LATERAL (
+    SELECT COUNT(*) AS cnt,
+           COALESCE(list_reduce(list(CAST(c.us AS DOUBLE) ORDER BY c.idx), (x, y) -> x + y), 0.0) AS ssum,
+           COALESCE(list_reduce(list(c.v ORDER BY c.idx), (x, y) -> x + y), 0.0) AS vsum
+    FROM big c
+    WHERE c.k = m.k
+      AND c.idx >= LEAST(CAST(trunc((gi.i + 1) * m.bs) AS BIGINT) + 1, m.n - 1)
+      AND c.idx < LEAST(CAST(trunc((gi.i + 2) * m.bs) AS BIGINT) + 1, m.n)
+  ) nb ON TRUE
+  LEFT JOIN LATERAL (
+    SELECT CAST(c2.us AS DOUBLE) AS last_us, c2.v AS last_v
+    FROM big c2 WHERE c2.k = m.k AND c2.idx = m.n - 1
+  ) lp ON TRUE
+),
+sel AS (
+  SELECT m.k, CAST(-1 AS BIGINT) AS i, CAST(0 AS BIGINT) AS a,
+         (SELECT CAST(b.us AS DOUBLE) FROM big b WHERE b.k = m.k AND b.idx = 0) AS a_us,
+         (SELECT b.v FROM big b WHERE b.k = m.k AND b.idx = 0) AS a_v
+  FROM meta m
+  UNION ALL
+  SELECT s.k, s.i + 1, nb.idx, CAST(nb.us AS DOUBLE), nb.v
+  FROM sel s
+  JOIN meta m ON m.k = s.k
+  JOIN anchors an ON an.k = s.k AND an.i = s.i + 1
+  JOIN LATERAL (
+    SELECT c.idx, c.us, c.v FROM big c
+    WHERE c.k = s.k
+      AND c.idx >= CAST(trunc((s.i + 1) * m.bs) AS BIGINT) + 1
+      AND c.idx < LEAST(CAST(trunc((s.i + 2) * m.bs) AS BIGINT) + 1, m.n - 1)
+    ORDER BY abs((s.a_us - an.at) * (c.v - s.a_v) - (s.a_us - CAST(c.us AS DOUBLE)) * (an.av - s.a_v)) DESC, c.idx
+    LIMIT 1
+  ) nb ON TRUE
+  WHERE s.i + 1 <= 197
+),
+picked AS (
+  SELECT k, a AS idx FROM sel
+  UNION ALL
+  SELECT k, n - 1 FROM meta
+  UNION ALL
+  SELECT k, idx FROM pts WHERE n <= 200
+)
+SELECT b.k AS series_name, make_timestamp(b.us) AS ts, b.v AS value
+FROM picked p JOIN pts b ON b.k = p.k AND b.idx = p.idx
+ORDER BY 1, 2, 3""",
     "ts_moving_avg" ->
       """SELECT series_name, ts, value,
                 SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) OVER w / 1000000.0 / COUNT(*) OVER w AS moving_avg

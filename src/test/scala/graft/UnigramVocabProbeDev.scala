@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Standalone driver for the unigram-LM vocabulary-scale probe —
+  * re-measures the Bench vocab cells in isolation (~minutes) without
+  * a full bench run.
+  */
+object UnigramVocabProbeDev {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftOptimizations.install(spark)
+    println("VOCAB=" + Bench.runVocabProbe(spark))
+    spark.stop()
+  }
+}
