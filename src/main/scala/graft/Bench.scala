@@ -239,15 +239,18 @@ object Bench {
     */
   private[graft] def runVocabProbe(spark: SparkSession): String =
     try {
-      // (target distinct words, seedSize, vocabSize). The 100k-word /
-      // 80k-seed third cell lives in UnigramVocabProbeDev only (it
-      // alone costs ~8 min; its curve is recorded in SURVEY) — the
-      // bench keeps the probe to two cells so the driver run stays
-      // bounded. SPARK_GRAFT_VOCAB_CELLS=full restores all three.
-      val cells =
-        if (sys.env.get("SPARK_GRAFT_VOCAB_CELLS").contains("full"))
-          Seq((10000, 50000, 4000), (30000, 60000, 8000), (100000, 80000, 16000))
-        else Seq((10000, 50000, 4000), (30000, 60000, 8000))
+      // (target distinct words, seedSize, vocabSize). All three cells
+      // run in ~30 s since the O(pieces²) prune fix this probe caught;
+      // SPARK_GRAFT_VOCAB_CELLS="words:seed:vocab,..." overrides for
+      // one-off experiments.
+      val cells = sys.env.get("SPARK_GRAFT_VOCAB_CELLS") match {
+        case Some(spec) if spec.nonEmpty && spec != "full" =>
+          spec.split(",").toSeq.map { c =>
+            val Array(v, s, k) = c.split(":").map(_.trim.toInt)
+            (v, s, k)
+          }
+        case _ => Seq((10000, 50000, 4000), (30000, 60000, 8000), (100000, 80000, 16000))
+      }
       cells
         .map { case (v, seed, vocab) =>
           val nDocs = v / 10

@@ -86,12 +86,19 @@ object UnigramLm {
 
     // distinct-word frequency table: the E-step input for every pass —
     // checkpointed once, released at the end
+    // EXPLICIT repartition after the aggregate (spread() is blind here:
+    // it reads the pre-adaptive partition count, 32, while AQE coalesces
+    // the small post-shuffle word table to ONE partition at runtime and
+    // localCheckpoint freezes that) — every subsequent EM scan (the
+    // lattice-heavy hot loop, ~10 passes) would otherwise run
+    // single-threaded. Caught by the vocab-scale probe.
     val wf = DedupFunctions
       .spread(df)
       .select(explode(TextFunctions.words(text)).as("w"))
       .where(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
       .groupBy(col("w"))
       .agg(count(lit(1)).as("n"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint()
 
     try {
@@ -110,6 +117,9 @@ object UnigramLm {
         .groupBy(col("p"))
         .agg(sum(col("n")).as("cnt"))
         .withColumn("score", col("cnt") * length(col("p")))
+        // same AQE-coalesce hazard as wf: both seed collects (chars +
+        // TakeOrdered top-multis) scan this table — keep it parallel
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint()
 
       val chars: Array[(String, Long)] =
@@ -186,10 +196,18 @@ object UnigramLm {
         * loss compares against. Single-char OOV fallback keeps every
         * string scorable.
         */
-      def altScore(s: String, logp: Map[String, Double], excluded: String): Double = {
+      // maxL is a property of the MODEL, not the candidate — computing
+      // it inside altScore rescanned all |pieces| keys (with a
+      // codePointCount each) once per pruning candidate: O(pieces²)
+      // per round, ~2e9 calls at a 50 k seed. Hoisted to one scan per
+      // prune call (caught by the vocab-scale probe: the driver, not
+      // the executors, owned the wall time).
+      def modelMaxLen(logp: Map[String, Double]): Int =
+        logp.keysIterator.map(p => p.codePointCount(0, p.length)).maxOption.getOrElse(1)
+
+      def altScore(s: String, logp: Map[String, Double], excluded: String, maxL: Int): Double = {
         val cps = graft.plans.UnigramModel.codePoints(s)
         val n = cps.length
-        val maxL = logp.keysIterator.map(p => p.codePointCount(0, p.length)).maxOption.getOrElse(1)
         val best = Array.fill(n + 1)(Double.NegativeInfinity)
         best(0) = 0.0
         var j = 1
@@ -223,10 +241,11 @@ object UnigramLm {
       def prune(current: Map[String, Double], expCounts: Map[String, BigDecimal], target: Int): Map[String, Double] = {
         val multisNow = current.filterNot { case (p, _) => charSet(p) }.toSeq
         val keepMulti = math.max(0, target - (current.size - multisNow.size))
+        val maxL = modelMaxLen(current)
         val kept = multisNow
           .map { case (p, lp) =>
             val c = expCounts.getOrElse(p, BigDecimal(0)).max(BigDecimal(0))
-            val loss = (c / 1000000).toDouble * (lp - altScore(p, current, p))
+            val loss = (c / 1000000).toDouble * (lp - altScore(p, current, p, maxL))
             (p, lp, loss)
           }
           .sortBy { case (p, _, loss) => (-loss, p) }
