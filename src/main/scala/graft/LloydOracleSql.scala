@@ -1,0 +1,205 @@
+package graft
+
+/** DuckDB oracle SQL for the deterministic-Lloyd operator family.
+  *
+  * The k-means trainer (VectorFunctions.trainKmeans) is fully
+  * deterministic — init = the nCells lowest vec_ids, scaled-integer
+  * per-(cell, position) means, argmin ties on cell id — so its five
+  * Lloyd iterations UNROLL into plain SQL stages (no recursion
+  * needed), and every operator that only consumes the learned cells
+  * becomes hash-oracle-able end to end. Float-exactness notes:
+  * squared distances replay the engine's left-fold evaluation order
+  * via `list_reduce` over position-ordered lists; dot12/norm sums are
+  * integer and order-free; centroid updates are the same two IEEE
+  * divisions of exact integers.
+  */
+object LloydOracleSql {
+
+  private val Cells = 16
+  private val Iters = 5
+
+  /** `(v.ed[j] - c.cvec[j])²` folded in position order — the engine's
+    * `aggregate(zip_with(...), 0.0, _ + _)` left fold.
+    */
+  private val dist =
+    "list_reduce(list_transform(range(1, v.dim + 1), j -> (v.ed[j] - c.cvec[j]) * (v.ed[j] - c.cvec[j])), (a, b) -> a + b)"
+
+  /** Shared prefix: ve (embeddings as double lists) + cent0..centN
+    * (the unrolled Lloyd iterations).
+    */
+  private def lloydPrefix: Seq[String] = {
+    val ve =
+      """ve AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed,
+        |         len(embedding) AS dim
+        |  FROM embeddings)""".stripMargin
+    val cent0 =
+      s"""cent0 AS (
+         |  SELECT CAST(rn - 1 AS INTEGER) AS cell, ed AS cvec
+         |  FROM (SELECT ed, row_number() OVER (ORDER BY vec_id) AS rn FROM ve)
+         |  WHERE rn <= $Cells)""".stripMargin
+    val iters = (0 until Iters).flatMap { it =>
+      Seq(
+        s"""assign$it AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT v.vec_id, c.cell,
+           |           row_number() OVER (PARTITION BY v.vec_id ORDER BY $dist, c.cell) AS rnk
+           |    FROM ve v CROSS JOIN cent$it c)
+           |  WHERE rnk = 1)""".stripMargin,
+        s"""sums$it AS (
+           |  SELECT a.cell, u.j AS pos, SUM(CAST(FLOOR(v.ed[u.j] * 1e9) AS BIGINT)) AS s, COUNT(*) AS n
+           |  FROM assign$it a JOIN ve v USING (vec_id)
+           |  CROSS JOIN LATERAL (SELECT unnest(range(1, v.dim + 1)) AS j) u
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"""cent${it + 1} AS (
+           |  SELECT p.cell,
+           |         list_transform(range(1, len(p.cvec) + 1),
+           |           j -> COALESCE(m.vals[j], p.cvec[j])) AS cvec
+           |  FROM cent$it p
+           |  LEFT JOIN (SELECT cell, list(CAST(s AS DOUBLE) / 1e9 / n ORDER BY pos) AS vals
+           |             FROM sums$it GROUP BY 1) m ON m.cell = p.cell)""".stripMargin,
+      )
+    }
+    (ve +: cent0 +: iters)
+  }
+
+  private def finalCent = s"cent$Iters"
+
+  /** Final argmin assignment of every vector under the trained cells. */
+  private def assignFinal(name: String, outId: String): String =
+    s"""$name AS (
+       |  SELECT vec_id AS $outId, cell FROM (
+       |    SELECT v.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY $dist, c.cell) AS rnk
+       |    FROM ve v CROSS JOIN $finalCent c)
+       |  WHERE rnk = 1)""".stripMargin
+
+  /** Each query's nProbe nearest cells (the array_sort/slice plan). */
+  private def probes(nProbe: Int, where: String = ""): String =
+    s"""probes AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT v.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY $dist, c.cell) AS rnk
+       |    FROM ve v CROSS JOIN $finalCent c $where)
+       |  WHERE rnk <= $nProbe)""".stripMargin
+
+  private val norms =
+    """norms AS (
+      |  SELECT vec_id,
+      |         list_reduce(list_transform(range(1, dim + 1), j -> CAST(FLOOR(ed[j] * ed[j] * 1e12) AS BIGINT)), (a, b) -> a + b) AS n2
+      |  FROM ve)""".stripMargin
+
+  private val cosine =
+    """CAST(list_reduce(list_transform(range(1, q.dim + 1), j -> CAST(FLOOR(q.ed[j] * n.ed[j] * 1e12) AS BIGINT)), (a, b) -> a + b) AS DOUBLE)
+      |           / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE)))""".stripMargin
+
+  /** sim_ivf_ann: ivfAnn(emb, k = 5) with the default quantizer. */
+  def ivfAnn(k: Int, nProbe: Int): String = {
+    val ctes = lloydPrefix ++ Seq(
+      norms,
+      probes(nProbe),
+      assignFinal("indexed", "neighbor_id"),
+      s"""ranked AS (
+         |  SELECT p.query_id, i.neighbor_id,
+         |         $cosine AS cosine
+         |  FROM probes p
+         |  JOIN indexed i USING (cell)
+         |  JOIN ve q ON q.vec_id = p.query_id
+         |  JOIN ve n ON n.vec_id = i.neighbor_id
+         |  JOIN norms nq ON nq.vec_id = p.query_id
+         |  JOIN norms nn ON nn.vec_id = i.neighbor_id
+         |  WHERE p.query_id <> i.neighbor_id)""".stripMargin,
+    )
+    "WITH " + ctes.mkString(",\n") +
+      s"""
+         |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM ranked)
+         |WHERE rnk <= $k""".stripMargin
+  }
+
+  /** emb_knn_label_noise_cells: knnLabelNoiseCells(emb, k = 10). */
+  def knnLabelNoiseCells(k: Int, minAgreePpm: Long, nProbe: Int): String = {
+    val ctes = lloydPrefix ++ Seq(
+      norms,
+      probes(nProbe),
+      assignFinal("indexed", "neighbor_id"),
+      s"""ranked AS (
+         |  SELECT p.query_id, q.label AS label, n.label AS n_label,
+         |         row_number() OVER (PARTITION BY p.query_id ORDER BY $cosine DESC, i.neighbor_id) AS rk
+         |  FROM probes p
+         |  JOIN indexed i USING (cell)
+         |  JOIN ve q ON q.vec_id = p.query_id
+         |  JOIN ve n ON n.vec_id = i.neighbor_id
+         |  JOIN norms nq ON nq.vec_id = p.query_id
+         |  JOIN norms nn ON nn.vec_id = i.neighbor_id
+         |  WHERE p.query_id <> i.neighbor_id)""".stripMargin,
+    )
+    "WITH " + ctes.mkString(",\n") +
+      s"""
+         |SELECT query_id, label,
+         |       CAST(SUM(CASE WHEN n_label = label THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+         |       CAST(1000000 * SUM(CASE WHEN n_label = label THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS agree_ppm,
+         |       CAST(1000000 * SUM(CASE WHEN n_label = label THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) < $minAgreePpm AS suspect
+         |FROM ranked WHERE rk <= $k
+         |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** emb_hard_negatives_ivf: hardNegativesIvf(vec_id < 5, emb, k = 10). */
+  def hardNegativesIvf(k: Int, nProbe: Int, queryPred: String): String = {
+    val ctes = lloydPrefix ++ Seq(
+      norms,
+      probes(nProbe, s"WHERE $queryPred"),
+      assignFinal("indexed", "neighbor_id"),
+      s"""ranked AS (
+         |  SELECT p.query_id, q.label AS query_label, i.neighbor_id, n.label AS neg_label,
+         |         $cosine AS cosine,
+         |         row_number() OVER (PARTITION BY p.query_id ORDER BY $cosine DESC, i.neighbor_id) AS rk
+         |  FROM probes p
+         |  JOIN indexed i USING (cell)
+         |  JOIN ve q ON q.vec_id = p.query_id
+         |  JOIN ve n ON n.vec_id = i.neighbor_id
+         |  JOIN norms nq ON nq.vec_id = p.query_id
+         |  JOIN norms nn ON nn.vec_id = i.neighbor_id
+         |  WHERE p.query_id <> i.neighbor_id AND q.label <> n.label)""".stripMargin,
+    )
+    "WITH " + ctes.mkString(",\n") +
+      s"""
+         |SELECT query_id, query_label, neighbor_id, neg_label, cosine, CAST(rk AS BIGINT) AS rk
+         |FROM ranked WHERE rk <= $k""".stripMargin
+  }
+
+  /** emb_prototype_prune: prototypePrune(emb, pruneFrac = 0.3), exact rank. */
+  def prototypePrune(pruneFrac: Double): String = {
+    val ctes = lloydPrefix :+
+      s"""assigned AS (
+         |  SELECT vec_id, cell, CAST(FLOOR(d * 1e9) AS BIGINT) AS proto_d2_nano FROM (
+         |    SELECT v.vec_id, c.cell, $dist AS d,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY $dist, c.cell) AS rnk
+         |    FROM ve v CROSS JOIN $finalCent c)
+         |  WHERE rnk = 1)""".stripMargin
+    "WITH " + ctes.mkString(",\n") +
+      s"""
+         |SELECT vec_id, cell, proto_d2_nano FROM (
+         |  SELECT vec_id, cell, proto_d2_nano,
+         |         row_number() OVER (PARTITION BY cell ORDER BY proto_d2_nano, vec_id) AS rk,
+         |         COUNT(*) OVER (PARTITION BY cell) AS n
+         |  FROM assigned)
+         |WHERE rk > FLOOR($pruneFrac * n)""".stripMargin
+  }
+
+  /** emb_cluster_balance: clusterBalance(emb, targetPerCell). */
+  def clusterBalance(targetPerCell: Long): String = {
+    val ctes = lloydPrefix :+ assignFinal("assigned", "vec_id")
+    "WITH " + ctes.mkString(",\n") +
+      s"""
+         |, counts AS (SELECT cell, COUNT(*) AS n FROM assigned GROUP BY 1)
+         |SELECT a.vec_id, a.cell
+         |FROM assigned a JOIN counts c USING (cell)
+         |WHERE c.n <= $targetPerCell
+         |   OR substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8) <
+         |      substr(printf('%08x', CAST(CAST(4294967296 * $targetPerCell AS DOUBLE) / CAST(c.n AS DOUBLE) AS BIGINT)), 1, 8)""".stripMargin
+  }
+}

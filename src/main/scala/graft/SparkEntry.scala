@@ -2711,6 +2711,14 @@ ORDER BY 1, 2, 3""",
                 (1000000 * n_same) // n_nb AS agree_ppm,
                 (1000000 * n_same) // n_nb < 500000 AS suspect
          FROM agg""",
+    // Lloyd-family oracles: the deterministic k-means trainer unrolls
+    // into plain SQL stages (see LloydOracleSql), so every operator
+    // that only consumes the learned cells hash-verifies end to end
+    "sim_ivf_ann" -> LloydOracleSql.ivfAnn(k = 5, nProbe = 4),
+    "emb_knn_label_noise_cells" -> LloydOracleSql.knnLabelNoiseCells(k = 10, minAgreePpm = 500000L, nProbe = 4),
+    "emb_hard_negatives_ivf" -> LloydOracleSql.hardNegativesIvf(k = 10, nProbe = 4, queryPred = "v.vec_id < 5"),
+    "emb_prototype_prune" -> LloydOracleSql.prototypePrune(pruneFrac = 0.3),
+    "emb_cluster_balance" -> LloydOracleSql.clusterBalance(targetPerCell = 50L),
     "sim_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
