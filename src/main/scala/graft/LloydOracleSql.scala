@@ -29,30 +29,30 @@ object LloydOracleSql {
     */
   private def lloydPrefix: Seq[String] = {
     val ve =
-      """ve AS (
+      """ve AS MATERIALIZED (
         |  SELECT vec_id, label,
         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed,
         |         len(embedding) AS dim
         |  FROM embeddings)""".stripMargin
     val cent0 =
-      s"""cent0 AS (
+      s"""cent0 AS MATERIALIZED (
          |  SELECT CAST(rn - 1 AS INTEGER) AS cell, ed AS cvec
          |  FROM (SELECT ed, row_number() OVER (ORDER BY vec_id) AS rn FROM ve)
          |  WHERE rn <= $Cells)""".stripMargin
     val iters = (0 until Iters).flatMap { it =>
       Seq(
-        s"""assign$it AS (
+        s"""assign$it AS MATERIALIZED (
            |  SELECT vec_id, cell FROM (
            |    SELECT v.vec_id, c.cell,
            |           row_number() OVER (PARTITION BY v.vec_id ORDER BY $dist, c.cell) AS rnk
            |    FROM ve v CROSS JOIN cent$it c)
            |  WHERE rnk = 1)""".stripMargin,
-        s"""sums$it AS (
+        s"""sums$it AS MATERIALIZED (
            |  SELECT a.cell, u.j AS pos, SUM(CAST(FLOOR(v.ed[u.j] * 1e9) AS BIGINT)) AS s, COUNT(*) AS n
            |  FROM assign$it a JOIN ve v USING (vec_id)
            |  CROSS JOIN LATERAL (SELECT unnest(range(1, v.dim + 1)) AS j) u
            |  GROUP BY 1, 2)""".stripMargin,
-        s"""cent${it + 1} AS (
+        s"""cent${it + 1} AS MATERIALIZED (
            |  SELECT p.cell,
            |         list_transform(range(1, len(p.cvec) + 1),
            |           j -> COALESCE(m.vals[j], p.cvec[j])) AS cvec
@@ -68,7 +68,7 @@ object LloydOracleSql {
 
   /** Final argmin assignment of every vector under the trained cells. */
   private def assignFinal(name: String, outId: String): String =
-    s"""$name AS (
+    s"""$name AS MATERIALIZED (
        |  SELECT vec_id AS $outId, cell FROM (
        |    SELECT v.vec_id, c.cell,
        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY $dist, c.cell) AS rnk
@@ -77,7 +77,7 @@ object LloydOracleSql {
 
   /** Each query's nProbe nearest cells (the array_sort/slice plan). */
   private def probes(nProbe: Int, where: String = ""): String =
-    s"""probes AS (
+    s"""probes AS MATERIALIZED (
        |  SELECT vec_id AS query_id, cell FROM (
        |    SELECT v.vec_id, c.cell,
        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY $dist, c.cell) AS rnk
@@ -85,7 +85,7 @@ object LloydOracleSql {
        |  WHERE rnk <= $nProbe)""".stripMargin
 
   private val norms =
-    """norms AS (
+    """norms AS MATERIALIZED (
       |  SELECT vec_id,
       |         list_reduce(list_transform(range(1, dim + 1), j -> CAST(FLOOR(ed[j] * ed[j] * 1e12) AS BIGINT)), (a, b) -> a + b) AS n2
       |  FROM ve)""".stripMargin
@@ -100,7 +100,7 @@ object LloydOracleSql {
       norms,
       probes(nProbe),
       assignFinal("indexed", "neighbor_id"),
-      s"""ranked AS (
+      s"""ranked AS MATERIALIZED (
          |  SELECT p.query_id, i.neighbor_id,
          |         $cosine AS cosine
          |  FROM probes p
@@ -126,7 +126,7 @@ object LloydOracleSql {
       norms,
       probes(nProbe),
       assignFinal("indexed", "neighbor_id"),
-      s"""ranked AS (
+      s"""ranked AS MATERIALIZED (
          |  SELECT p.query_id, q.label AS label, n.label AS n_label,
          |         row_number() OVER (PARTITION BY p.query_id ORDER BY $cosine DESC, i.neighbor_id) AS rk
          |  FROM probes p
@@ -153,7 +153,7 @@ object LloydOracleSql {
       norms,
       probes(nProbe, s"WHERE $queryPred"),
       assignFinal("indexed", "neighbor_id"),
-      s"""ranked AS (
+      s"""ranked AS MATERIALIZED (
          |  SELECT p.query_id, q.label AS query_label, i.neighbor_id, n.label AS neg_label,
          |         $cosine AS cosine,
          |         row_number() OVER (PARTITION BY p.query_id ORDER BY $cosine DESC, i.neighbor_id) AS rk
@@ -174,7 +174,7 @@ object LloydOracleSql {
   /** emb_prototype_prune: prototypePrune(emb, pruneFrac = 0.3), exact rank. */
   def prototypePrune(pruneFrac: Double): String = {
     val ctes = lloydPrefix :+
-      s"""assigned AS (
+      s"""assigned AS MATERIALIZED (
          |  SELECT vec_id, cell, CAST(FLOOR(d * 1e9) AS BIGINT) AS proto_d2_nano FROM (
          |    SELECT v.vec_id, c.cell, $dist AS d,
          |           row_number() OVER (PARTITION BY v.vec_id ORDER BY $dist, c.cell) AS rnk
@@ -201,5 +201,168 @@ object LloydOracleSql {
          |WHERE c.n <= $targetPerCell
          |   OR substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8) <
          |      substr(printf('%08x', CAST(CAST(4294967296 * $targetPerCell AS DOUBLE) / CAST(c.n AS DOUBLE) AS BIGINT)), 1, 8)""".stripMargin
+  }
+
+  /** sim_pq_ann family prefix: residual=false flat PQ over subspace
+    * slices of the raw embeddings; sim_ivfpq_ann composes the Lloyd
+    * cells + residual encoding before the same per-subspace trainer.
+    * `svSrc` supplies the slice CTE name (sv = raw, rsv = residual).
+    */
+  private def pqBooks(m: Int, codebookSize: Int, svName: String): Seq[String] = {
+    val sdist =
+      "list_reduce(list_transform(range(1, len(v.sl) + 1), j -> (v.sl[j] - b.bvec[j]) * (v.sl[j] - b.bvec[j])), (a, b) -> a + b)"
+    val init =
+      s"""books0 AS MATERIALIZED (
+         |  SELECT s, CAST(rn - 1 AS INTEGER) AS c, sl AS bvec FROM (
+         |    SELECT s, sl, row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn FROM $svName)
+         |  WHERE rn <= $codebookSize)""".stripMargin
+    val iters = (0 until Iters).flatMap { it =>
+      Seq(
+        s"""pass$it AS MATERIALIZED (
+           |  SELECT vec_id, s, c FROM (
+           |    SELECT v.vec_id, v.s, b.c,
+           |           row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY $sdist, b.c) AS rnk
+           |    FROM $svName v JOIN books$it b USING (s))
+           |  WHERE rnk = 1)""".stripMargin,
+        s"""psums$it AS MATERIALIZED (
+           |  SELECT a.s, a.c, u.j AS pos, SUM(CAST(FLOOR(v.sl[u.j] * 1e9) AS BIGINT)) AS sm, COUNT(*) AS n
+           |  FROM pass$it a JOIN $svName v USING (vec_id, s)
+           |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(v.sl) + 1)) AS j) u
+           |  GROUP BY 1, 2, 3)""".stripMargin,
+        s"""books${it + 1} AS MATERIALIZED (
+           |  SELECT p.s, p.c,
+           |         list_transform(range(1, len(p.bvec) + 1),
+           |           j -> COALESCE(m.vals[j], p.bvec[j])) AS bvec
+           |  FROM books$it p
+           |  LEFT JOIN (SELECT s, c, list(CAST(sm AS DOUBLE) / 1e9 / n ORDER BY pos) AS vals
+           |             FROM psums$it GROUP BY 1, 2) m ON m.s = p.s AND m.c = p.c)""".stripMargin,
+      )
+    }
+    init +: iters
+  }
+
+  private val fullD2 =
+    "list_reduce(list_transform(range(1, q.dim + 1), j -> (q.ed[j] - n.ed[j]) * (q.ed[j] - n.ed[j])), (a, b) -> a + b)"
+
+  private def rerankTail(k: Int): String =
+    s"""
+       |SELECT query_id, neighbor_id, round(rawd2, 6) AS d2, CAST(rnk AS INTEGER) AS rank FROM (
+       |  SELECT query_id, neighbor_id, rawd2,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY rawd2, neighbor_id) AS rnk
+       |  FROM rr)
+       |WHERE rnk <= $k""".stripMargin
+
+  /** sim_pq_ann: pqAnn(emb, 20 lowest ids, k = 5) — flat PQ, no OPQ. */
+  def pqAnn(k: Int, m: Int, codebookSize: Int, rerankFactor: Int, nQueries: Int): String = {
+    val fb = s"books$Iters"
+    val sdist =
+      "list_reduce(list_transform(range(1, len(v.sl) + 1), j -> (v.sl[j] - b.bvec[j]) * (v.sl[j] - b.bvec[j])), (a, b) -> a + b)"
+    val ctes = Seq(
+      s"""ve AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed,
+         |         len(embedding) AS dim, len(embedding) // $m AS dsub
+         |  FROM embeddings)""".stripMargin,
+      s"""sv AS MATERIALIZED (
+         |  SELECT vec_id, u.s,
+         |         list_transform(range(1, dsub + 1), j -> ed[u.s * dsub + j]) AS sl
+         |  FROM ve CROSS JOIN LATERAL (SELECT unnest(range(0, $m)) AS s) u)""".stripMargin,
+    ) ++ pqBooks(m, codebookSize, "sv") ++ Seq(
+      s"""codes AS MATERIALIZED (
+         |  SELECT vec_id, s, c FROM (
+         |    SELECT v.vec_id, v.s, b.c,
+         |           row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY $sdist, b.c) AS rnk
+         |    FROM sv v JOIN $fb b USING (s))
+         |  WHERE rnk = 1)""".stripMargin,
+      s"""qids AS MATERIALIZED (SELECT vec_id FROM ve ORDER BY vec_id LIMIT $nQueries)""",
+      s"""lut AS MATERIALIZED (
+         |  SELECT v.vec_id AS query_id, v.s, b.c, $sdist AS d
+         |  FROM sv v JOIN $fb b USING (s)
+         |  WHERE v.vec_id IN (SELECT vec_id FROM qids))""".stripMargin,
+      s"""adc AS MATERIALIZED (
+         |  SELECT l.query_id, cd.vec_id,
+         |         list_reduce(list(l.d ORDER BY l.s), (a, b) -> a + b) AS approx_d2
+         |  FROM codes cd JOIN lut l ON l.s = cd.s AND l.c = cd.c
+         |  WHERE l.query_id <> cd.vec_id
+         |  GROUP BY 1, 2)""".stripMargin,
+      s"""shortlist AS MATERIALIZED (
+         |  SELECT query_id, vec_id AS neighbor_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY approx_d2, vec_id) AS arank
+         |    FROM adc)
+         |  WHERE arank <= ${k * rerankFactor})""".stripMargin,
+      s"""rr AS MATERIALIZED (
+         |  SELECT sl.query_id, sl.neighbor_id, $fullD2 AS rawd2
+         |  FROM shortlist sl
+         |  JOIN ve q ON q.vec_id = sl.query_id
+         |  JOIN ve n ON n.vec_id = sl.neighbor_id)""".stripMargin,
+    )
+    "WITH " + ctes.mkString(",\n") + rerankTail(k)
+  }
+
+  /** sim_ivfpq_ann: ivfPqAnn(emb, 20 lowest ids, k = 5) — Lloyd cells
+    * prune the scan, PQ codes trained on and encoding RESIDUALS
+    * (vector − its cell centroid), per-(query, probed-cell) LUTs, ADC
+    * within cells, exact rerank on raw vectors.
+    */
+  def ivfPqAnn(k: Int, m: Int, codebookSize: Int, rerankFactor: Int, nProbe: Int, nQueries: Int): String = {
+    val fb = s"books$Iters"
+    val sdist =
+      "list_reduce(list_transform(range(1, len(v.sl) + 1), j -> (v.sl[j] - b.bvec[j]) * (v.sl[j] - b.bvec[j])), (a, b) -> a + b)"
+    val ctes = lloydPrefix ++ Seq(
+      assignFinal("assigned", "vec_id"),
+      s"""resid AS MATERIALIZED (
+         |  SELECT v.vec_id, a.cell,
+         |         list_transform(range(1, v.dim + 1), j -> v.ed[j] - c.cvec[j]) AS rv,
+         |         v.dim, v.dim // $m AS dsub
+         |  FROM ve v JOIN assigned a USING (vec_id) JOIN $finalCent c ON c.cell = a.cell)""".stripMargin,
+      s"""rsv AS MATERIALIZED (
+         |  SELECT vec_id, u.s,
+         |         list_transform(range(1, dsub + 1), j -> rv[u.s * dsub + j]) AS sl
+         |  FROM resid CROSS JOIN LATERAL (SELECT unnest(range(0, $m)) AS s) u)""".stripMargin,
+    ) ++ pqBooks(m, codebookSize, "rsv") ++ Seq(
+      s"""codes AS MATERIALIZED (
+         |  SELECT r.cell, cd.vec_id, cd.s, cd.c FROM (
+         |    SELECT v.vec_id, v.s, b.c,
+         |           row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY $sdist, b.c) AS rnk
+         |    FROM rsv v JOIN $fb b USING (s)) cd
+         |  JOIN resid r ON r.vec_id = cd.vec_id
+         |  WHERE cd.rnk = 1)""".stripMargin,
+      s"""qprob AS MATERIALIZED (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT v.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY $dist, c.cell) AS rnk
+         |    FROM ve v CROSS JOIN $finalCent c
+         |    WHERE v.vec_id IN (SELECT vec_id FROM ve ORDER BY vec_id LIMIT $nQueries))
+         |  WHERE rnk <= $nProbe)""".stripMargin,
+      s"""qrsv AS MATERIALIZED (
+         |  SELECT p.query_id, p.cell, u.s,
+         |         list_transform(range(1, v.dim // $m + 1), j -> (v.ed[u.s * (v.dim // $m) + j] - c.cvec[u.s * (v.dim // $m) + j])) AS sl
+         |  FROM qprob p
+         |  JOIN ve v ON v.vec_id = p.query_id
+         |  JOIN $finalCent c ON c.cell = p.cell
+         |  CROSS JOIN LATERAL (SELECT unnest(range(0, $m)) AS s) u)""".stripMargin,
+      s"""lut AS MATERIALIZED (
+         |  SELECT v.query_id, v.cell, v.s, b.c, $sdist AS d
+         |  FROM qrsv v JOIN $fb b USING (s))""".stripMargin,
+      s"""adc AS MATERIALIZED (
+         |  SELECT l.query_id, cd.vec_id,
+         |         list_reduce(list(l.d ORDER BY l.s), (a, b) -> a + b) AS approx_d2
+         |  FROM codes cd JOIN lut l ON l.cell = cd.cell AND l.s = cd.s AND l.c = cd.c
+         |  WHERE l.query_id <> cd.vec_id
+         |  GROUP BY 1, 2)""".stripMargin,
+      s"""shortlist AS MATERIALIZED (
+         |  SELECT query_id, vec_id AS neighbor_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY approx_d2, vec_id) AS arank
+         |    FROM adc)
+         |  WHERE arank <= ${k * rerankFactor})""".stripMargin,
+      s"""rr AS MATERIALIZED (
+         |  SELECT sl.query_id, sl.neighbor_id, $fullD2 AS rawd2
+         |  FROM shortlist sl
+         |  JOIN ve q ON q.vec_id = sl.query_id
+         |  JOIN ve n ON n.vec_id = sl.neighbor_id)""".stripMargin,
+    )
+    "WITH " + ctes.mkString(",\n") + rerankTail(k)
   }
 }
