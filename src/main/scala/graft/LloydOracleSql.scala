@@ -365,4 +365,104 @@ object LloydOracleSql {
     )
     "WITH " + ctes.mkString(",\n") + rerankTail(k)
   }
+
+  /** sim_pq_opq_ann: pqAnn(..., opq = true) — the OPQ-lite
+    * balanced-variance dimension permutation learned first (exact
+    * scaled-integer moments; the greedy assignment replays as a
+    * RECURSIVE CTE carrying per-subspace mass/slot lists — the one
+    * sequential driver loop in the family, 64 steps), then the flat
+    * PQ pipeline over the permuted embeddings. The anchor mass list
+    * must be CAST to DOUBLE[]: DuckDB types a bare [0.0, ...] as
+    * DECIMAL(2,1)[] and the recursion would silently round every
+    * mass update back to zero.
+    */
+  def pqOpqAnn(k: Int, m: Int, codebookSize: Int, rerankFactor: Int, nQueries: Int): String = {
+    val fb = s"books$Iters"
+    val sdist =
+      "list_reduce(list_transform(range(1, len(v.sl) + 1), j -> (v.sl[j] - b.bvec[j]) * (v.sl[j] - b.bvec[j])), (a, b) -> a + b)"
+    val zeros = Seq.fill(m)("0.0").mkString("[", ", ", "]")
+    val izeros = Seq.fill(m)("0").mkString("[", ", ", "]")
+    val ctes = Seq(
+      s"""ve AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed,
+         |         len(embedding) AS dim, len(embedding) // $m AS dsub
+         |  FROM embeddings)""".stripMargin,
+      s"""mom AS MATERIALIZED (
+         |  SELECT u.i AS dim_i,
+         |         SUM(CAST(FLOOR(ed[u.i + 1] * 1e6) AS BIGINT)) AS s,
+         |         SUM(CAST(FLOOR(ed[u.i + 1] * 1e6) AS BIGINT) * CAST(FLOOR(ed[u.i + 1] * 1e6) AS BIGINT)) AS q,
+         |         COUNT(*) AS n
+         |  FROM ve CROSS JOIN LATERAL (SELECT unnest(range(0, dim)) AS i) u
+         |  GROUP BY 1)""".stripMargin,
+      s"""vars AS MATERIALIZED (
+         |  SELECT dim_i,
+         |         (CAST(q AS DOUBLE) / 1e12) / CAST(n AS DOUBLE)
+         |           - (CAST(s AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)) AS var
+         |  FROM mom)""".stripMargin,
+      s"""ordv AS MATERIALIZED (
+         |  SELECT dim_i, var, CAST(row_number() OVER (ORDER BY var DESC, dim_i) AS BIGINT) AS rk
+         |  FROM vars)""".stripMargin,
+      s"""greedy(k, masses, slots, dim_i, sub) AS (
+         |  SELECT CAST(0 AS BIGINT), CAST($zeros AS DOUBLE[]), $izeros, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         |  UNION ALL
+         |  SELECT g.k + 1,
+         |         list_transform(range(1, $m + 1), j -> CASE WHEN j - 1 = pick.j THEN g.masses[j] + o.var ELSE g.masses[j] END),
+         |         list_transform(range(1, $m + 1), j -> CASE WHEN j - 1 = pick.j THEN g.slots[j] + 1 ELSE g.slots[j] END),
+         |         o.dim_i, pick.j
+         |  FROM greedy g
+         |  JOIN ordv o ON o.rk = g.k + 1
+         |  JOIN LATERAL (
+         |    SELECT j FROM (SELECT unnest(range(0, $m)) AS j) t
+         |    WHERE g.slots[j + 1] < (SELECT MAX(dsub) FROM ve)
+         |    ORDER BY g.masses[j + 1], j LIMIT 1
+         |  ) pick ON TRUE
+         |  WHERE g.k < (SELECT MAX(dim) FROM ve)
+         |)""".stripMargin,
+      s"""perm AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (ORDER BY sub, k) - 1 AS BIGINT) AS p, dim_i
+         |  FROM greedy WHERE dim_i IS NOT NULL)""".stripMargin,
+      s"""pl AS MATERIALIZED (
+         |  SELECT list(dim_i ORDER BY p) AS pv FROM perm)""".stripMargin,
+      s"""pe AS MATERIALIZED (
+         |  SELECT v.vec_id,
+         |         list_transform(range(1, v.dim + 1), j -> v.ed[pl.pv[j] + 1]) AS ed,
+         |         v.dim, v.dsub
+         |  FROM ve v CROSS JOIN pl)""".stripMargin,
+      s"""sv AS MATERIALIZED (
+         |  SELECT vec_id, u.s,
+         |         list_transform(range(1, dsub + 1), j -> ed[u.s * dsub + j]) AS sl
+         |  FROM pe CROSS JOIN LATERAL (SELECT unnest(range(0, $m)) AS s) u)""".stripMargin,
+    ) ++ pqBooks(m, codebookSize, "sv") ++ Seq(
+      s"""codes AS MATERIALIZED (
+         |  SELECT vec_id, s, c FROM (
+         |    SELECT v.vec_id, v.s, b.c,
+         |           row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY $sdist, b.c) AS rnk
+         |    FROM sv v JOIN $fb b USING (s))
+         |  WHERE rnk = 1)""".stripMargin,
+      s"""qids AS MATERIALIZED (SELECT vec_id FROM ve ORDER BY vec_id LIMIT $nQueries)""",
+      s"""lut AS MATERIALIZED (
+         |  SELECT v.vec_id AS query_id, v.s, b.c, $sdist AS d
+         |  FROM sv v JOIN $fb b USING (s)
+         |  WHERE v.vec_id IN (SELECT vec_id FROM qids))""".stripMargin,
+      s"""adc AS MATERIALIZED (
+         |  SELECT l.query_id, cd.vec_id,
+         |         list_reduce(list(l.d ORDER BY l.s), (a, b) -> a + b) AS approx_d2
+         |  FROM codes cd JOIN lut l ON l.s = cd.s AND l.c = cd.c
+         |  WHERE l.query_id <> cd.vec_id
+         |  GROUP BY 1, 2)""".stripMargin,
+      s"""shortlist AS MATERIALIZED (
+         |  SELECT query_id, vec_id AS neighbor_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY approx_d2, vec_id) AS arank
+         |    FROM adc)
+         |  WHERE arank <= ${k * rerankFactor})""".stripMargin,
+      s"""rr AS MATERIALIZED (
+         |  SELECT sl.query_id, sl.neighbor_id, $fullD2 AS rawd2
+         |  FROM shortlist sl
+         |  JOIN ve q ON q.vec_id = sl.query_id
+         |  JOIN ve n ON n.vec_id = sl.neighbor_id)""".stripMargin,
+    )
+    "WITH RECURSIVE " + ctes.mkString(",\n") + rerankTail(k)
+  }
 }

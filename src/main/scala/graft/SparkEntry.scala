@@ -2721,6 +2721,7 @@ ORDER BY 1, 2, 3""",
     "emb_cluster_balance" -> LloydOracleSql.clusterBalance(targetPerCell = 50L),
     "sim_pq_ann" -> LloydOracleSql.pqAnn(k = 5, m = 4, codebookSize = 16, rerankFactor = 10, nQueries = 20),
     "sim_ivfpq_ann" -> LloydOracleSql.ivfPqAnn(k = 5, m = 4, codebookSize = 16, rerankFactor = 10, nProbe = 4, nQueries = 20),
+    "sim_pq_opq_ann" -> LloydOracleSql.pqOpqAnn(k = 5, m = 4, codebookSize = 16, rerankFactor = 10, nQueries = 20),
     "sim_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
