@@ -1,0 +1,98 @@
+package graft
+
+/** DuckDB oracle SQL replaying the BPE trainer + encoder
+  * (BpeFunctions.trainMerges/encode) — the driver-side greedy merge
+  * loop unrolls into `numMerges` SQL rounds. Each round: weighted
+  * adjacent-pair counts over the dict words, the argmax pair
+  * (count desc, pair asc — Scala's minBy on (-n, a, b); ASCII-only
+  * vocabularies keep Scala's UTF-16 and DuckDB's UTF-8 byte orders
+  * identical), and the merge applied to every word as a
+  * `list_reduce` fold with a VARCHAR accumulator: the fold's
+  * last-symbol-vs-next comparison is exactly the trainer's in-place
+  * left-to-right merge scan (after a merge the joined symbol is
+  * re-compared against the following symbol). Words travel as
+  * `chr(1)`-joined symbol strings (words never contain control
+  * characters — the [[graft.functions.TextFunctions.words]]
+  * whitespace split). An exhausted round (no pairs left — the
+  * trainer's early stop) LEFT-joins an empty argmax and passes every
+  * word through unchanged.
+  */
+object BpeOracleSql {
+
+  private def prefix(numMerges: Int, vocabCap: Int): Seq[String] = {
+    val base = Seq(
+      """wf AS MATERIALIZED (
+        |  SELECT w, COUNT(*) AS n FROM (
+        |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        |    FROM documents) t
+        |  WHERE w <> ''
+        |  GROUP BY 1)""".stripMargin,
+      s"""dict AS MATERIALIZED (
+         |  SELECT w FROM wf ORDER BY n DESC, w LIMIT $vocabCap)""".stripMargin,
+      """w0 AS MATERIALIZED (
+        |  SELECT wf.w, wf.n, (dict.w IS NOT NULL) AS isd,
+        |         array_to_string(regexp_split_to_array(wf.w, ''), chr(1)) AS syms
+        |  FROM wf LEFT JOIN dict ON dict.w = wf.w)""".stripMargin,
+    )
+    val rounds = (0 until numMerges).flatMap { m =>
+      Seq(
+        s"""pc$m AS MATERIALIZED (
+           |  SELECT l[i] AS a, l[i + 1] AS b, SUM(n) AS cnt FROM (
+           |    SELECT string_split(syms, chr(1)) AS l, n FROM w$m WHERE isd) t
+           |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(l))) AS i) u
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"""bp$m AS MATERIALIZED (
+           |  SELECT a, b, a || b AS j FROM pc$m ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin,
+        s"""w${m + 1} AS MATERIALIZED (
+           |  SELECT w, n, isd,
+           |         CASE WHEN bp.a IS NULL OR len(l) = 1 THEN syms ELSE
+           |           list_reduce(l, (acc, x) -> CASE
+           |             WHEN (acc = bp.a OR ends_with(acc, chr(1) || bp.a)) AND x = bp.b
+           |               THEN substr(acc, 1, len(acc) - len(bp.a)) || bp.j
+           |             ELSE acc || chr(1) || x END)
+           |         END AS syms
+           |  FROM (SELECT w, n, isd, syms, string_split(syms, chr(1)) AS l FROM w$m) t
+           |  LEFT JOIN bp$m bp ON TRUE)""".stripMargin,
+      )
+    }
+    base ++ rounds
+  }
+
+  /** text_bpe: per-doc word/token counts after encoding with the
+    * trained merges.
+    */
+  def tokenCounts(numMerges: Int, vocabCap: Int): String = {
+    val ctes = prefix(numMerges, vocabCap) ++ Seq(
+      s"""wfin AS MATERIALIZED (
+         |  SELECT w, len(string_split(syms, chr(1))) AS n_tok FROM w$numMerges)""".stripMargin,
+      """docw AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS wl
+        |  FROM documents)""".stripMargin,
+      """aggd AS MATERIALIZED (
+        |  SELECT d.doc_id, CAST(len(d.wl) AS BIGINT) AS n_words,
+        |         CAST(COALESCE(SUM(f.n_tok), 0) AS BIGINT) AS n_bpe_tokens
+        |  FROM docw d
+        |  LEFT JOIN LATERAL (SELECT unnest(d.wl) AS w) u ON TRUE
+        |  LEFT JOIN wfin f ON f.w = u.w
+        |  GROUP BY 1, 2)""".stripMargin,
+    )
+    "WITH " + ctes.mkString(",\n") +
+      """
+        |SELECT doc_id, n_words, n_bpe_tokens,
+        |       CAST(FLOOR(CAST(n_bpe_tokens AS DOUBLE) * 1000000.0 / GREATEST(n_words, 1)) AS BIGINT) AS tokens_per_word_ppm
+        |FROM aggd""".stripMargin
+  }
+
+  /** text_bpe_merges: the learned merge sequence itself — the
+    * order-discriminating oracle (final token counts alone cannot
+    * distinguish merge orders once a small vocabulary merges to
+    * whole words).
+    */
+  def merges(numMerges: Int, vocabCap: Int): String = {
+    val union = (0 until numMerges)
+      .map(m => s"SELECT CAST($m AS BIGINT) AS merge_idx, a AS left_sym, b AS right_sym FROM bp$m")
+      .mkString("\n UNION ALL ")
+    "WITH " + prefix(numMerges, vocabCap).mkString(",\n") + "\n" + union
+  }
+}

@@ -1288,6 +1288,16 @@ object SparkEntry {
           floor(col("n_bpe_tokens").cast("double") * lit(1000000.0) / greatest(col("n_words"), lit(1))).cast("long").as("tokens_per_word_ppm"),
         )
     },
+    // C10e: the learned BPE merge SEQUENCE itself — hash-oracled by
+    // replaying the greedy trainer in SQL (BpeOracleSql); the order-
+    // discriminating dual of text_bpe's per-doc counts
+    "text_bpe_merges" -> { (s, dir) =>
+      val merges = BpeFunctions.trainMerges(Tables.documents(s, dir), col("text"), numMerges = 100, vocabCap = 2000)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("merge_idx", "left_sym", "right_sym")
+    },
     // C10d: unigram-LM tokenization (Kudo 2018 / SentencePiece) — the
     // OTHER tokenizer family: EM-trained where the data lives (the
     // distinct-word table never leaves the executors; only
@@ -2722,6 +2732,8 @@ ORDER BY 1, 2, 3""",
     "sim_pq_ann" -> LloydOracleSql.pqAnn(k = 5, m = 4, codebookSize = 16, rerankFactor = 10, nQueries = 20),
     "sim_ivfpq_ann" -> LloydOracleSql.ivfPqAnn(k = 5, m = 4, codebookSize = 16, rerankFactor = 10, nProbe = 4, nQueries = 20),
     "sim_pq_opq_ann" -> LloydOracleSql.pqOpqAnn(k = 5, m = 4, codebookSize = 16, rerankFactor = 10, nQueries = 20),
+    "text_bpe" -> BpeOracleSql.tokenCounts(numMerges = 100, vocabCap = 2000),
+    "text_bpe_merges" -> BpeOracleSql.merges(numMerges = 100, vocabCap = 2000),
     "sim_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
