@@ -24,6 +24,10 @@ object LloydOracleSql {
   private val dist =
     "list_reduce(list_transform(range(1, v.dim + 1), j -> (v.ed[j] - c.cvec[j]) * (v.ed[j] - c.cvec[j])), (a, b) -> a + b)"
 
+  /** Subspace-slice variant of [[dist]] for the PQ codebooks. */
+  private val sdist =
+    "list_reduce(list_transform(range(1, len(v.sl) + 1), j -> (v.sl[j] - b.bvec[j]) * (v.sl[j] - b.bvec[j])), (a, b) -> a + b)"
+
   /** Shared prefix: ve (embeddings as double lists) + cent0..centN
     * (the unrolled Lloyd iterations).
     */
@@ -200,7 +204,7 @@ object LloydOracleSql {
          |FROM assigned a JOIN counts c USING (cell)
          |WHERE c.n <= $targetPerCell
          |   OR substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8) <
-         |      substr(printf('%08x', CAST(CAST(4294967296 * $targetPerCell AS DOUBLE) / CAST(c.n AS DOUBLE) AS BIGINT)), 1, 8)""".stripMargin
+         |      substr(printf('%08x', CAST(FLOOR(CAST(4294967296 * $targetPerCell AS DOUBLE) / CAST(c.n AS DOUBLE)) AS BIGINT)), 1, 8)""".stripMargin
   }
 
   /** sim_pq_ann family prefix: residual=false flat PQ over subspace
@@ -209,8 +213,6 @@ object LloydOracleSql {
     * `svSrc` supplies the slice CTE name (sv = raw, rsv = residual).
     */
   private def pqBooks(m: Int, codebookSize: Int, svName: String): Seq[String] = {
-    val sdist =
-      "list_reduce(list_transform(range(1, len(v.sl) + 1), j -> (v.sl[j] - b.bvec[j]) * (v.sl[j] - b.bvec[j])), (a, b) -> a + b)"
     val init =
       s"""books0 AS MATERIALIZED (
          |  SELECT s, CAST(rn - 1 AS INTEGER) AS c, sl AS bvec FROM (
@@ -255,8 +257,6 @@ object LloydOracleSql {
   /** sim_pq_ann: pqAnn(emb, 20 lowest ids, k = 5) — flat PQ, no OPQ. */
   def pqAnn(k: Int, m: Int, codebookSize: Int, rerankFactor: Int, nQueries: Int): String = {
     val fb = s"books$Iters"
-    val sdist =
-      "list_reduce(list_transform(range(1, len(v.sl) + 1), j -> (v.sl[j] - b.bvec[j]) * (v.sl[j] - b.bvec[j])), (a, b) -> a + b)"
     val ctes = Seq(
       s"""ve AS MATERIALIZED (
          |  SELECT vec_id,
@@ -307,8 +307,6 @@ object LloydOracleSql {
     */
   def ivfPqAnn(k: Int, m: Int, codebookSize: Int, rerankFactor: Int, nProbe: Int, nQueries: Int): String = {
     val fb = s"books$Iters"
-    val sdist =
-      "list_reduce(list_transform(range(1, len(v.sl) + 1), j -> (v.sl[j] - b.bvec[j]) * (v.sl[j] - b.bvec[j])), (a, b) -> a + b)"
     val ctes = lloydPrefix ++ Seq(
       assignFinal("assigned", "vec_id"),
       s"""resid AS MATERIALIZED (
@@ -378,8 +376,6 @@ object LloydOracleSql {
     */
   def pqOpqAnn(k: Int, m: Int, codebookSize: Int, rerankFactor: Int, nQueries: Int): String = {
     val fb = s"books$Iters"
-    val sdist =
-      "list_reduce(list_transform(range(1, len(v.sl) + 1), j -> (v.sl[j] - b.bvec[j]) * (v.sl[j] - b.bvec[j])), (a, b) -> a + b)"
     val zeros = Seq.fill(m)("0.0").mkString("[", ", ", "]")
     val izeros = Seq.fill(m)("0").mkString("[", ", ", "]")
     val ctes = Seq(

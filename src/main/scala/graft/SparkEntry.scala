@@ -1433,10 +1433,18 @@ object SparkEntry {
     // recomputes the manifest from first principles, so a hash match
     // proves the write→read round trip preserved the permutation
     "corpus_shard_export" -> { (s, dir) =>
-      val path = System.getProperty("java.io.tmpdir") + "/graft_shard_export_q"
-      CorpusFunctions.shardManifest(
-        CorpusFunctions.shuffleShardsExport(Tables.documents(s, dir), "doc_id", nShards = 8, path)
-      )
+      // fresh per-call directory (concurrent Verify/Bench on one host
+      // must not race an overwrite against a re-read), manifest
+      // checkpointed so the files can be removed before returning
+      val tmp = java.nio.file.Files.createTempDirectory("graft_shard_export_q").toFile
+      val manifest = CorpusFunctions
+        .shardManifest(
+          CorpusFunctions.shuffleShardsExport(Tables.documents(s, dir), "doc_id", nShards = 8, tmp.getAbsolutePath + "/out")
+        )
+        .localCheckpoint()
+      def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete() }
+      rm(tmp)
+      manifest
     },
     // C55: the canonical CCNet pipeline in the paper's own order —
     // exact dedup → langid filter → self-trained perplexity bucket

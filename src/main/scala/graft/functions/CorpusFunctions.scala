@@ -462,6 +462,14 @@ object CorpusFunctions {
       path: String,
       seed: Long = 0L,
   ): DataFrame = {
+    // the plan contributes shard/pos (and the id is renamed doc_id) —
+    // a payload column with one of those names would come back
+    // ambiguous or silently renamed; fail loudly instead
+    val reserved = df.columns.filterNot(_ == idCol).intersect(Array("shard", "pos", "doc_id"))
+    require(
+      reserved.isEmpty,
+      s"shuffleShardsExport: payload columns [${reserved.mkString(",")}] collide with the plan's shard/pos/doc_id output",
+    )
     val plan = shuffleShards(df, col(idCol), nShards, seed)
     plan
       .join(df.withColumnRenamed(idCol, "doc_id"), Seq("doc_id"))

@@ -142,12 +142,13 @@ object UnigramLm {
         all.map { case (p, s) => p -> StrictMath.log(s / total) }.toMap
       }
       val charSet = chars.map(_._1).toSet
-      // single chars are never pruned, so a charset >= vocabSize could
+      // single chars are never pruned, so a charset > vocabSize could
       // never converge — the loop would burn its full 64 guarded rounds
-      // (64*emIters EM scans) and silently return an oversized model
+      // (64*emIters EM scans) and silently return an oversized model.
+      // Equality is fine: pruning reaches the all-chars model exactly.
       require(
-        charSet.size < vocabSize,
-        s"vocabSize ($vocabSize) must exceed the training charset (${charSet.size} distinct chars) — single-char pieces are never pruned",
+        charSet.size <= vocabSize,
+        s"vocabSize ($vocabSize) must cover the training charset (${charSet.size} distinct chars) — single-char pieces are never pruned",
       )
       val logliks = scala.collection.mutable.ArrayBuffer.empty[Double]
 

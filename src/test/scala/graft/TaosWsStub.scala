@@ -150,7 +150,12 @@ final class TaosWsStub(
         t.start()
       } catch {
         case _: Exception if server.isClosed => () // normal shutdown
-        case _: Exception                    => Thread.sleep(10)
+        case _: Exception =>
+          // backoff must not itself kill the acceptor: an interrupt
+          // during the sleep would otherwise escape the catch and end
+          // the loop — the exact flake this loop exists to prevent
+          try Thread.sleep(10)
+          catch { case _: InterruptedException => () }
       }
     }
   })
