@@ -243,31 +243,14 @@ object LloydOracleSql {
     init +: iters
   }
 
-  private val fullD2 =
-    "list_reduce(list_transform(range(1, q.dim + 1), j -> (q.ed[j] - n.ed[j]) * (q.ed[j] - n.ed[j])), (a, b) -> a + b)"
-
-  private def rerankTail(k: Int): String =
-    s"""
-       |SELECT query_id, neighbor_id, round(rawd2, 6) AS d2, CAST(rnk AS INTEGER) AS rank FROM (
-       |  SELECT query_id, neighbor_id, rawd2,
-       |         row_number() OVER (PARTITION BY query_id ORDER BY rawd2, neighbor_id) AS rnk
-       |  FROM rr)
-       |WHERE rnk <= $k""".stripMargin
-
-  /** sim_pq_ann: pqAnn(emb, 20 lowest ids, k = 5) — flat PQ, no OPQ. */
-  def pqAnn(k: Int, m: Int, codebookSize: Int, rerankFactor: Int, nQueries: Int): String = {
+  /** The flat-PQ query tail shared by pqAnn and pqOpqAnn: encode
+    * (codes) → query LUTs → ADC scan (subspace-ordered fold) →
+    * rerankFactor·k shortlist → exact-distance rerank input (rr).
+    * Operates over `sv` (raw or permuted slices) and `ve`.
+    */
+  private def pqFlatTail(k: Int, rerankFactor: Int, nQueries: Int): Seq[String] = {
     val fb = s"books$Iters"
-    val ctes = Seq(
-      s"""ve AS MATERIALIZED (
-         |  SELECT vec_id,
-         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed,
-         |         len(embedding) AS dim, len(embedding) // $m AS dsub
-         |  FROM embeddings)""".stripMargin,
-      s"""sv AS MATERIALIZED (
-         |  SELECT vec_id, u.s,
-         |         list_transform(range(1, dsub + 1), j -> ed[u.s * dsub + j]) AS sl
-         |  FROM ve CROSS JOIN LATERAL (SELECT unnest(range(0, $m)) AS s) u)""".stripMargin,
-    ) ++ pqBooks(m, codebookSize, "sv") ++ Seq(
+    Seq(
       s"""codes AS MATERIALIZED (
          |  SELECT vec_id, s, c FROM (
          |    SELECT v.vec_id, v.s, b.c,
@@ -297,6 +280,32 @@ object LloydOracleSql {
          |  JOIN ve q ON q.vec_id = sl.query_id
          |  JOIN ve n ON n.vec_id = sl.neighbor_id)""".stripMargin,
     )
+  }
+
+  private val fullD2 =
+    "list_reduce(list_transform(range(1, q.dim + 1), j -> (q.ed[j] - n.ed[j]) * (q.ed[j] - n.ed[j])), (a, b) -> a + b)"
+
+  private def rerankTail(k: Int): String =
+    s"""
+       |SELECT query_id, neighbor_id, round(rawd2, 6) AS d2, CAST(rnk AS INTEGER) AS rank FROM (
+       |  SELECT query_id, neighbor_id, rawd2,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY rawd2, neighbor_id) AS rnk
+       |  FROM rr)
+       |WHERE rnk <= $k""".stripMargin
+
+  /** sim_pq_ann: pqAnn(emb, 20 lowest ids, k = 5) — flat PQ, no OPQ. */
+  def pqAnn(k: Int, m: Int, codebookSize: Int, rerankFactor: Int, nQueries: Int): String = {
+    val ctes = Seq(
+      s"""ve AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed,
+         |         len(embedding) AS dim, len(embedding) // $m AS dsub
+         |  FROM embeddings)""".stripMargin,
+      s"""sv AS MATERIALIZED (
+         |  SELECT vec_id, u.s,
+         |         list_transform(range(1, dsub + 1), j -> ed[u.s * dsub + j]) AS sl
+         |  FROM ve CROSS JOIN LATERAL (SELECT unnest(range(0, $m)) AS s) u)""".stripMargin,
+    ) ++ pqBooks(m, codebookSize, "sv") ++ pqFlatTail(k, rerankFactor, nQueries)
     "WITH " + ctes.mkString(",\n") + rerankTail(k)
   }
 
@@ -375,7 +384,6 @@ object LloydOracleSql {
     * mass update back to zero.
     */
   def pqOpqAnn(k: Int, m: Int, codebookSize: Int, rerankFactor: Int, nQueries: Int): String = {
-    val fb = s"books$Iters"
     val zeros = Seq.fill(m)("0.0").mkString("[", ", ", "]")
     val izeros = Seq.fill(m)("0").mkString("[", ", ", "]")
     val ctes = Seq(
@@ -429,36 +437,7 @@ object LloydOracleSql {
          |  SELECT vec_id, u.s,
          |         list_transform(range(1, dsub + 1), j -> ed[u.s * dsub + j]) AS sl
          |  FROM pe CROSS JOIN LATERAL (SELECT unnest(range(0, $m)) AS s) u)""".stripMargin,
-    ) ++ pqBooks(m, codebookSize, "sv") ++ Seq(
-      s"""codes AS MATERIALIZED (
-         |  SELECT vec_id, s, c FROM (
-         |    SELECT v.vec_id, v.s, b.c,
-         |           row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY $sdist, b.c) AS rnk
-         |    FROM sv v JOIN $fb b USING (s))
-         |  WHERE rnk = 1)""".stripMargin,
-      s"""qids AS MATERIALIZED (SELECT vec_id FROM ve ORDER BY vec_id LIMIT $nQueries)""",
-      s"""lut AS MATERIALIZED (
-         |  SELECT v.vec_id AS query_id, v.s, b.c, $sdist AS d
-         |  FROM sv v JOIN $fb b USING (s)
-         |  WHERE v.vec_id IN (SELECT vec_id FROM qids))""".stripMargin,
-      s"""adc AS MATERIALIZED (
-         |  SELECT l.query_id, cd.vec_id,
-         |         list_reduce(list(l.d ORDER BY l.s), (a, b) -> a + b) AS approx_d2
-         |  FROM codes cd JOIN lut l ON l.s = cd.s AND l.c = cd.c
-         |  WHERE l.query_id <> cd.vec_id
-         |  GROUP BY 1, 2)""".stripMargin,
-      s"""shortlist AS MATERIALIZED (
-         |  SELECT query_id, vec_id AS neighbor_id FROM (
-         |    SELECT query_id, vec_id,
-         |           row_number() OVER (PARTITION BY query_id ORDER BY approx_d2, vec_id) AS arank
-         |    FROM adc)
-         |  WHERE arank <= ${k * rerankFactor})""".stripMargin,
-      s"""rr AS MATERIALIZED (
-         |  SELECT sl.query_id, sl.neighbor_id, $fullD2 AS rawd2
-         |  FROM shortlist sl
-         |  JOIN ve q ON q.vec_id = sl.query_id
-         |  JOIN ve n ON n.vec_id = sl.neighbor_id)""".stripMargin,
-    )
+    ) ++ pqBooks(m, codebookSize, "sv") ++ pqFlatTail(k, rerankFactor, nQueries)
     "WITH RECURSIVE " + ctes.mkString(",\n") + rerankTail(k)
   }
 }

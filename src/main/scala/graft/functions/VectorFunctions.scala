@@ -128,6 +128,53 @@ object VectorFunctions {
       )
   }
 
+  /** Shared IVF scaffold for the cell-scoped duals: train the
+    * deterministic Lloyd quantizer on the CANDIDATE side, cell-index
+    * the candidates once, probe each query's nProbe nearest cells,
+    * and cosine-score every (query, candidate) pair within probed
+    * cells — cells are disjoint, so a pair appears at most once
+    * across the probe arms. `finish` shapes the scored frame
+    * (query_id, qe, q_label, neighbor_id, ce, n_label, cosine); its
+    * result is localCheckpoint-materialized so BOTH cached embedding
+    * copies release before returning (the trainSample race
+    * discipline — this lifecycle is the fragile part, kept in ONE
+    * place).
+    */
+  private def ivfScored(
+      opName: String,
+      queries: DataFrame,
+      candidates: DataFrame,
+      nCells: Int,
+      nProbe: Int,
+      lloydIterations: Int,
+      trainLimit: Int,
+      samePair: Boolean,
+      pairPred: Column = lit(true),
+  )(finish: DataFrame => DataFrame): DataFrame = {
+    require(nCells >= 2, s"$opName needs at least 2 cells (least() argmin is binary-plus)")
+    require(nProbe >= 1 && nProbe <= nCells, "nProbe must be in [1, nCells]")
+    withFns(queries)
+    val cand = candidates.cache()
+    val centroids = trainKmeans(cand.select(col("vec_id"), col("embedding")), nCells, lloydIterations, trainLimit)
+    val indexed = assignCell(cand, centroids)
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("label").as("n_label"))
+      .cache()
+    val probeStructs = centroids.zipWithIndex.map { case (cen, i) =>
+      struct(dist2(col("embedding"), cen).as("d"), lit(i).as("cell"))
+    }
+    val probes = queries
+      .withColumn("probe", explode(slice(array_sort(array(probeStructs: _*)), 1, nProbe)))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label").as("q_label"), col("probe.cell").as("cell"))
+    val scored = probes
+      .join(indexed, Seq("cell"))
+      .where((if (samePair) lit(true) else col("query_id") =!= col("neighbor_id")) && pairPred)
+      .withColumn("cosine", qcCosine)
+    val out = finish(scored).localCheckpoint()
+    cand.unpersist(blocking = true)
+    indexed.unpersist(blocking = true)
+    out
+  }
+
   /** Cell-scoped scale dual of [[knnLabelNoise]] — the IVF recipe
     * applied to the label audit: assign every vector to a
     * deterministic k-means cell ([[semanticDedup]]'s quantizer), and
@@ -152,49 +199,26 @@ object VectorFunctions {
       lloydIterations: Int = 5,
       trainLimit: Int = 100000,
   ): DataFrame = {
-    require(nCells >= 2, "knnLabelNoiseCells needs at least 2 cells (least() argmin is binary-plus)")
-    require(nProbe >= 1 && nProbe <= nCells, "nProbe must be in [1, nCells]")
-    withFns(df)
-    val vecs = DedupFunctions.spread(df)
-      .select(col("vec_id"), col("embedding"), col("label"))
-      .cache()
-    val centroids = trainKmeans(vecs.select(col("vec_id"), col("embedding")), nCells, lloydIterations, trainLimit)
-    val indexed = assignCell(vecs, centroids)
-      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("label").as("n_label"))
-      .cache()
-    val probeStructs = centroids.zipWithIndex.map { case (cen, i) =>
-      struct(dist2(col("embedding"), cen).as("d"), lit(i).as("cell"))
+    val spread = DedupFunctions.spread(df).select(col("vec_id"), col("embedding"), col("label"))
+    ivfScored("knnLabelNoiseCells", spread, spread, nCells, nProbe, lloydIterations, trainLimit, samePair = false) {
+      scored =>
+        val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+        scored
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= k)
+          .groupBy(col("query_id"), col("q_label").as("label"))
+          .agg(
+            sum(when(col("n_label") === col("q_label"), lit(1L)).otherwise(lit(0L))).as("n_same"),
+            count(lit(1)).as("__n_nb"),
+          )
+          .select(
+            col("query_id"),
+            col("label"),
+            col("n_same"),
+            expr("1000000 * n_same div __n_nb").as("agree_ppm"),
+            (expr("1000000 * n_same div __n_nb") < minAgreePpm).as("suspect"),
+          )
     }
-    // cells are disjoint, so a (query, neighbor) pair appears at most
-    // once across the probe arms — no distinct needed before the rank
-    val probes = vecs
-      .withColumn("probe", explode(slice(array_sort(array(probeStructs: _*)), 1, nProbe)))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label"), col("probe.cell").as("cell"))
-    val scored = probes
-      .join(indexed, Seq("cell"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", qcCosine)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    val out = scored
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .groupBy(col("query_id"), col("label"))
-      .agg(
-        sum(when(col("n_label") === col("label"), lit(1L)).otherwise(lit(0L))).as("n_same"),
-        count(lit(1)).as("__n_nb"),
-      )
-      .select(
-        col("query_id"),
-        col("label"),
-        col("n_same"),
-        expr("1000000 * n_same div __n_nb").as("agree_ppm"),
-        (expr("1000000 * n_same div __n_nb") < minAgreePpm).as("suspect"),
-      )
-      // |corpus|-row summary; release the two cached embedding copies NOW
-      .localCheckpoint()
-    vecs.unpersist(blocking = true)
-    indexed.unpersist(blocking = true)
-    out
   }
 
   /** IVF scale dual of [[hardNegatives]] — the documented swap for
@@ -216,36 +240,23 @@ object VectorFunctions {
       lloydIterations: Int = 5,
       trainLimit: Int = 100000,
   ): DataFrame = {
-    require(nCells >= 2, "hardNegativesIvf needs at least 2 cells (least() argmin is binary-plus)")
-    require(nProbe >= 1 && nProbe <= nCells, "nProbe must be in [1, nCells]")
-    withFns(queries)
-    val cand = DedupFunctions.spread(candidates)
-      .select(col("vec_id"), col("embedding"), col("label"))
-      .cache()
-    val centroids = trainKmeans(cand.select(col("vec_id"), col("embedding")), nCells, lloydIterations, trainLimit)
-    val indexed = assignCell(cand, centroids)
-      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("label").as("neg_label"))
-      .cache()
-    val probeStructs = centroids.zipWithIndex.map { case (cen, i) =>
-      struct(dist2(col("embedding"), cen).as("d"), lit(i).as("cell"))
+    val q = queries.select(col("vec_id"), col("embedding"), col("label"))
+    val cand = DedupFunctions.spread(candidates).select(col("vec_id"), col("embedding"), col("label"))
+    ivfScored("hardNegativesIvf", q, cand, nCells, nProbe, lloydIterations, trainLimit, samePair = false,
+      pairPred = col("q_label") =!= col("n_label")) { scored =>
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+      scored
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= k)
+        .select(
+          col("query_id"),
+          col("q_label").as("query_label"),
+          col("neighbor_id"),
+          col("n_label").as("neg_label"),
+          col("cosine"),
+          col("rk"),
+        )
     }
-    val probes = queries
-      .select(col("vec_id").as("query_id"), col("embedding"), col("label").as("query_label"))
-      .withColumn("probe", explode(slice(array_sort(array(probeStructs: _*)), 1, nProbe)))
-      .select(col("query_id"), col("embedding").as("qe"), col("query_label"), col("probe.cell").as("cell"))
-    val scored = probes
-      .join(indexed, Seq("cell"))
-      .where(col("query_id") =!= col("neighbor_id") && col("query_label") =!= col("neg_label"))
-      .withColumn("cosine", qcCosine)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    val out = scored
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select(col("query_id"), col("query_label"), col("neighbor_id"), col("neg_label"), col("cosine"), col("rk"))
-      .localCheckpoint()
-    cand.unpersist(blocking = true)
-    indexed.unpersist(blocking = true)
-    out
   }
 
   /** Embedding-cosine near-duplicate pairs — the exact baseline: all

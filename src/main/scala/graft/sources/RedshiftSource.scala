@@ -282,31 +282,9 @@ object RedshiftSource {
     sb.toString
   }
 
-  /** Date rendering: strftime override, else naive local wall time in
-    * `data_query_timezone`, else Python `str(datetime)` UTC —
-    * sql.py:389-396, shared contract with the TdEngine source.
+  /** Date rendering: the shared sql.py:389-396 renderer (ONE copy of
+    * the contract, [[TdEngineSource.sqlFormatDate]]).
     */
-  private[sources] def formatDate(cfg: RedshiftConfig, ts: Timestamp): String = {
-    val queryZone = cfg.dataQueryTimezone.map(java.time.ZoneId.of)
-    cfg.dataQueryDatetimeFormat match {
-      case Some(fmt) =>
-        java.time.format.DateTimeFormatter
-          .ofPattern(GraftConfig.strftimeToJava(fmt))
-          .withZone(queryZone.getOrElse(java.time.ZoneOffset.UTC))
-          .format(ts.toInstant)
-      case None =>
-        queryZone match {
-          case Some(z) =>
-            java.time.format.DateTimeFormatter
-              .ofPattern("yyyy-MM-dd HH:mm:ss")
-              .format(ts.toInstant.atZone(z).toLocalDateTime) + fracPart(ts)
-          case None => TdEngineSource.pythonStr(ts)
-        }
-    }
-  }
-
-  private def fracPart(ts: Timestamp): String = {
-    val micros = ts.toInstant.getNano / 1000
-    if (micros == 0) "" else f".$micros%06d"
-  }
+  private[sources] def formatDate(cfg: RedshiftConfig, ts: Timestamp): String =
+    TdEngineSource.sqlFormatDate(cfg.dataQueryDatetimeFormat, cfg.dataQueryTimezone, ts)
 }

@@ -339,12 +339,20 @@ object TdEngineSource {
     s"$base${fracPart(ts)}+00:00"
   }
 
-  private[sources] def formatDate(cfg: TdEngineConfig, ts: Timestamp): String = {
-    val queryZone = cfg.dataQueryTimezone.map(java.time.ZoneId.of)
-    cfg.dataQueryDatetimeFormat match {
-      case Some(fmt) =>
+  private[sources] def formatDate(cfg: TdEngineConfig, ts: Timestamp): String =
+    sqlFormatDate(cfg.dataQueryDatetimeFormat, cfg.dataQueryTimezone, ts)
+
+  /** The ONE sql.py:389-396 date-bound renderer, shared by every
+    * BaseSQLSource-family source (tdengine, redshift): strftime
+    * override, else naive local wall time in `data_query_timezone`,
+    * else Python `str(datetime)` UTC.
+    */
+  private[sources] def sqlFormatDate(fmt: Option[String], queryTz: Option[String], ts: Timestamp): String = {
+    val queryZone = queryTz.map(java.time.ZoneId.of)
+    fmt match {
+      case Some(f) =>
         java.time.format.DateTimeFormatter
-          .ofPattern(GraftConfig.strftimeToJava(fmt))
+          .ofPattern(GraftConfig.strftimeToJava(f))
           .withZone(queryZone.getOrElse(java.time.ZoneOffset.UTC))
           .format(ts.toInstant)
       case None =>
