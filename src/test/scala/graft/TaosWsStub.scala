@@ -303,9 +303,15 @@ final class TaosWsStub(
         } else fail("Authentication failure")
       case "query" =>
         if (!state.authed) { fail("not authenticated"); return }
-        lastSql = args.path("sql").asText()
+        // read the sql into a LOCAL first: lastSql is shared debug
+        // state across ALL connections, and handler(lastSql) raced a
+        // concurrent connection's write — one interval-chunk task
+        // would receive another chunk's rows (the under-load flake
+        // observed 2026-08-15 as a duplicated/missing chunk row)
+        val sql = args.path("sql").asText()
+        lastSql = sql
         val result =
-          try handler(lastSql)
+          try handler(sql)
           catch { case e: Exception => fail(e.getMessage); return }
         if (result.affectedRows >= 0) {
           reply("is_update" -> true, "affected_rows" -> result.affectedRows)
