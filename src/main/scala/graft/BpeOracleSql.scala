@@ -4,9 +4,10 @@ package graft
   * (BpeFunctions.trainMerges/encode) — the driver-side greedy merge
   * loop unrolls into `numMerges` SQL rounds. Each round: weighted
   * adjacent-pair counts over the dict words, the argmax pair
-  * (count desc, pair asc — Scala's minBy on (-n, a, b); ASCII-only
-  * vocabularies keep Scala's UTF-16 and DuckDB's UTF-8 byte orders
-  * identical), and the merge applied to every word as a
+  * (count desc, pair asc — the trainer's minBy on (-n, a, b) breaks
+  * ties in CODE-POINT order, which equals DuckDB's UTF-8 memcmp
+  * `ORDER BY` for every Unicode string, supplementary plane
+  * included), and the merge applied to every word as a
   * `list_reduce` fold with a VARCHAR accumulator: the fold's
   * last-symbol-vs-next comparison is exactly the trainer's in-place
   * left-to-right merge scan (after a merge the joined symbol is

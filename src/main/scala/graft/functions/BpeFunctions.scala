@@ -58,8 +58,16 @@ object BpeFunctions {
       if (counts.isEmpty) exhausted = true
       else {
         // most frequent pair; ties break on the lexicographically
-        // smallest pair, so training is fully deterministic
-        val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        // smallest pair IN CODE-POINT ORDER, so training is fully
+        // deterministic AND matches the DuckDB oracle's ORDER BY
+        // (UTF-8 memcmp == code-point order) even for
+        // supplementary-plane symbols, where Scala's default UTF-16
+        // code-unit comparison would diverge (surrogates sort below
+        // U+E000..U+FFFF)
+        val best = counts.toSeq
+          .minBy { case ((a, b), n) => (-n, a, b) }(
+            Ordering.Tuple3(Ordering.Long, codePointOrdering, codePointOrdering))
+          ._1
         merges += best
         val joined = best._1 + best._2
         words.foreach { case (syms, _) =>
@@ -92,5 +100,20 @@ object BpeFunctions {
     graft.plans.GraftFunctions.register(df.sparkSession)
     df.withColumn("bpe_tokens", call_function("graft_bpe", TextFunctions.words(text), lit(spec(merges))))
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")))
+  }
+
+  /** Lexicographic comparison by Unicode code point — identical to
+    * UTF-8 byte order (and so to DuckDB's default memcmp collation).
+    * Scala's default String ordering compares UTF-16 code units,
+    * which ranks surrogate pairs (supplementary-plane symbols) below
+    * U+E000..U+FFFF — the one place the two orders diverge.
+    */
+  private[graft] val codePointOrdering: Ordering[String] = (x: String, y: String) => {
+    val xi = x.codePoints().iterator()
+    val yi = y.codePoints().iterator()
+    var r = 0
+    while (r == 0 && xi.hasNext && yi.hasNext) r = Integer.compare(xi.next(), yi.next())
+    if (r != 0) r
+    else java.lang.Boolean.compare(xi.hasNext, yi.hasNext)
   }
 }

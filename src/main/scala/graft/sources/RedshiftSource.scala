@@ -115,7 +115,7 @@ class RedshiftSource(cfg: RedshiftConfig) extends Serializable {
       result
         .toDF(cfg.tagColumns: _*)
         .select(cfg.tagColumns.map(t => col(t).cast("string").as(t)): _*)
-        .crossJoin(fieldDf)
+        .crossJoin(broadcast(fieldDf))
     } else {
       cfg.tagColumns.foreach { t =>
         require(cfg.listColumns.contains(t), s"""tag column "$t" not found""")
@@ -127,7 +127,7 @@ class RedshiftSource(cfg: RedshiftConfig) extends Serializable {
           cfg.tagColumns.map(t => col(t).cast("string").as(t)) ++
             metaCols.map(m => col(m).cast("string").as(MetadataSource.canonicalName(m))): _*
         )
-        .crossJoin(fieldDf)
+        .crossJoin(broadcast(fieldDf))
         .select(
           cfg.tagColumns.map(col) ++
             (col("field") +: metaCols.map(m => col(MetadataSource.canonicalName(m)))): _*
@@ -141,8 +141,8 @@ class RedshiftSource(cfg: RedshiftConfig) extends Serializable {
     * (sql.py:372).
     */
   def metadata(spark: SparkSession, selector: SeriesSelector): DataFrame = {
-    val tagVals = cfg.tagColumns.map(t => selector.tags.getOrElse(t, ""))
-    val base = cfg.tagColumns.map(t => t -> selector.tags.getOrElse(t, "")).toMap
+    val tagVals = cfg.tagColumns.map(requireTag(selector, _))
+    val base = cfg.tagColumns.zip(tagVals).toMap
     val fields: Map[String, String] = cfg.metadataQuery match {
       case None => Map.empty
       case Some(q) =>
@@ -165,14 +165,17 @@ class RedshiftSource(cfg: RedshiftConfig) extends Serializable {
     )
   }
 
+  /** Empty mapping → None, so no `dictionary` field materializes —
+    * `__query_dictionary` (sql.py:372-387) returns None for zero rows.
+    */
   private def queryDictionary(spark: SparkSession, name: String): Option[String] =
-    cfg.dictionaryQuery.map { q =>
-      runQuery(spark, formatQuery(cfg, q, Seq(name)))
+    cfg.dictionaryQuery.flatMap { q =>
+      val entries = runQuery(spark, formatQuery(cfg, q, Seq(name)))
         .collect()
         .map(r => (r.get(0).toString.toInt, if (r.isNullAt(1)) null else r.get(1).toString))
         .sortBy(_._1)
-        .map { case (k, v) => s"$k:$v" }
-        .mkString(",")
+      if (entries.isEmpty) None
+      else Some(entries.map { case (k, v) => s"$k:$v" }.mkString(","))
     }
 
   /** Range data for one series: positional `ts`/`value` (+ `quality`
@@ -188,9 +191,9 @@ class RedshiftSource(cfg: RedshiftConfig) extends Serializable {
       )
     )
     val tagNames = cfg.dataQueryTags.getOrElse(cfg.tagColumns)
-    val params = tagNames.map(t => selector.tags.getOrElse(t, "")) ++
+    val params = tagNames.map(requireTag(selector, _)) ++
       Seq(formatDate(cfg, start), formatDate(cfg, end))
-    val raw = runQuery(spark, formatQuery(cfg, query, params))
+    val raw = runQuery(spark, formatQuery(cfg, substituteField(query, selector.field), params))
     val cols = raw.columns
     require(cols.length >= 2, s"data_query must yield at least (ts, value), got ${cols.length} columns")
     val hasQuality = cfg.qualityGood.nonEmpty && cols.length > 2
@@ -216,8 +219,9 @@ class RedshiftSource(cfg: RedshiftConfig) extends Serializable {
     require(keys.nonEmpty, "redshift data read needs at least one series")
     keys
       .map { tags =>
-        val name = cfg.tagColumns.map(t => tags.getOrElse(t, "")).mkString(",")
-        getData(spark, SeriesSelector("", tags), start, end)
+        val sel = SeriesSelector("", tags)
+        val name = cfg.tagColumns.map(requireTag(sel, _)).mkString(",")
+        getData(spark, sel, start, end)
           .withColumn("value", col("value").cast("double"))
           .select(lit(name).as("series_name"), col("ts"), col("value"))
       }
@@ -232,6 +236,16 @@ class RedshiftSource(cfg: RedshiftConfig) extends Serializable {
 
   private def isMetadataName(name: String): Boolean =
     MetadataSource.CanonicalFields.contains(MetadataSource.canonicalName(name))
+
+  /** Fail-fast on an incomplete selector — the reference raises
+    * KeyError on `selector.tags[tag_name]` (sql.py:274); substituting
+    * "" would quietly query with empty-string tags.
+    */
+  private def requireTag(selector: SeriesSelector, tag: String): String =
+    selector.tags.getOrElse(
+      tag,
+      throw new IllegalArgumentException(s"""selector is missing configured tag "$tag""""),
+    )
 }
 
 object RedshiftSource {
@@ -240,7 +254,7 @@ object RedshiftSource {
     * `query_string_parameters`, else `%s` DB-API 'format' placeholders
     * as quoted literals.
     */
-  private[sources] def formatQuery(cfg: RedshiftConfig, q: String, params: Seq[String]): String =
+  private[graft] def formatQuery(cfg: RedshiftConfig, q: String, params: Seq[String]): String =
     if (cfg.queryStringParameters) formatBraces(q, params)
     else formatPercent(q, params)
 
@@ -265,7 +279,11 @@ object RedshiftSource {
 
   /** DB-API 'format' paramstyle (`%s`) rendered as quoted SQL string
     * literals, quotes doubled per the SQL standard. `%%` escapes a
-    * literal percent, matching the DB-API contract.
+    * literal percent, matching the DB-API contract. Backslashes are
+    * doubled too: Redshift inherits PG-8 string semantics
+    * (standard_conforming_strings off), where `\` escapes inside a
+    * literal — an un-doubled trailing `\` would swallow the closing
+    * quote (literal breakout).
     */
   private def formatPercent(q: String, params: Seq[String]): String = {
     val it = params.iterator
@@ -275,7 +293,7 @@ object RedshiftSource {
       if (i + 1 < q.length && q.charAt(i) == '%' && q.charAt(i + 1) == '%') { sb += '%'; i += 2 }
       else if (i + 1 < q.length && q.charAt(i) == '%' && q.charAt(i + 1) == 's') {
         require(it.hasNext, s"query has more %s placeholders than parameters (${params.size} given): $q")
-        sb.append("'").append(it.next().replace("'", "''")).append("'")
+        sb.append("'").append(it.next().replace("\\", "\\\\").replace("'", "''")).append("'")
         i += 2
       } else { sb.append(q.charAt(i)); i += 1 }
     }
@@ -287,4 +305,17 @@ object RedshiftSource {
     */
   private[sources] def formatDate(cfg: RedshiftConfig, ts: Timestamp): String =
     TdEngineSource.sqlFormatDate(cfg.dataQueryDatetimeFormat, cfg.dataQueryTimezone, ts)
+
+  /** Per-field data queries (sql.py:266-269): the reference tries
+    * `data_query.format(field=selector.field)` and falls back to the
+    * raw query on TypeError/IndexError — i.e. when the query also
+    * carries positional `{}` placeholders (the
+    * query_string_parameters style), str.format raises IndexError and
+    * NO field substitution happens. Same rule here: substitute the
+    * literal `{field}` token only when no bare `{}` placeholder is
+    * present.
+    */
+  private[graft] def substituteField(q: String, field: String): String =
+    if (!q.contains("{field}") || q.contains("{}")) q
+    else q.replace("{field}", field)
 }

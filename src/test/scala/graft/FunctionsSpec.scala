@@ -1038,6 +1038,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(m20b == m20)
   }
 
+  test("BPE: argmax ties break in code-point order, not UTF-16 order (oracle parity)") {
+    // U+FF21 FULLWIDTH A (BMP, one UTF-16 unit 0xFF21) vs
+    // U+1D400 MATHEMATICAL BOLD A (supplementary, surrogates 0xD835
+    // 0xDC00). UTF-16 code-unit order ranks the surrogate pair FIRST
+    // (0xD835 < 0xFF21); code-point / UTF-8 byte order — what DuckDB's
+    // ORDER BY uses — ranks U+FF21 first. Equal pair counts force the
+    // tie-break to decide merge 1.
+    val wa = "ＡＡ"   // fullwidth AA — pair (Ａ,Ａ)
+    val wb = "𝐀𝐀" // bold AA — pair (𝐀,𝐀)
+    val d = Seq((1L, s"$wa $wb")).toDF("doc_id", "text")
+    val merges = graft.functions.BpeFunctions.trainMerges(d, col("text"), numMerges = 1)
+    // the trainer lowercases: fullwidth Ａ → ａ (U+FF41), still BMP and
+    // still below U+1D400 in code-point order; 𝐀 has no case mapping
+    assert(merges == Seq(("ａ", "ａ")))
+    // and the comparator itself: code-point order for the raw symbols
+    val ord = graft.functions.BpeFunctions.codePointOrdering
+    assert(ord.compare("Ａ", "𝐀") < 0)   // cp 0xFF21 < 0x1D400
+    assert("Ａ".compareTo("𝐀") > 0)      // UTF-16 order disagrees
+    assert(ord.compare("a", "ab") < 0 && ord.compare("ab", "ab") == 0)
+  }
+
   test("gopherRules: every rule fires on its designed violator, clean prose passes") {
     val clean = "the quick brown fox and the lazy dog have agreed to race along the river " +
       "with plenty of sunshine and that fine breeze behind them all day long today"

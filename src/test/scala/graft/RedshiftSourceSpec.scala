@@ -173,6 +173,92 @@ class RedshiftSourceSpec extends AnyFunSuite {
     assert(data.count() == 2)
   }
 
+  test("%s literal rendering doubles quotes AND backslashes (PG-8 string semantics)") {
+    // Redshift's standard_conforming_strings is off: an un-escaped
+    // trailing backslash would swallow the closing quote. Pin the
+    // rendered SQL text directly.
+    val rendered = RedshiftSource.formatQuery(cfg, "SELECT 1 WHERE x = %s", Seq("""tail\"""))
+    assert(rendered == """SELECT 1 WHERE x = 'tail\\'""")
+    val mixed = RedshiftSource.formatQuery(cfg, "WHERE a = %s", Seq("""it's a \' mix"""))
+    assert(mixed == """WHERE a = 'it''s a \\'' mix'""")
+    // and the {} string-parameter path strips both quote and backslash
+    val braces = RedshiftSource.formatQuery(
+      cfg.copy(queryStringParameters = true), "WHERE a = '{}'", Seq("""inj' OR \"""))
+    assert(braces == "WHERE a = 'inj OR '")
+  }
+
+  test("{field} in data_query substitutes the selector's field (sql.py:267)") {
+    assert(RedshiftSource.substituteField("SELECT ts, {field} FROM d", "val") == "SELECT ts, val FROM d")
+    // positional {} present -> str.format raises IndexError -> untouched
+    assert(RedshiftSource.substituteField("SELECT ts, {field} FROM d WHERE n = '{}'", "val")
+      == "SELECT ts, {field} FROM d WHERE n = '{}'")
+    // end to end through Derby: the field picks the projected column
+    val src = new RedshiftSource(
+      cfg.copy(dataQuery = Some("SELECT ts, {field} FROM data WHERE name = %s AND ts >= TIMESTAMP(%s) AND ts < TIMESTAMP(%s)"))
+    )
+    val rows = src
+      .getData(spark, SeriesSelector("rs", Map("series name" -> "temp"), "val"), t("2024-01-01T00:00:00Z"), t("2024-01-02T00:00:00Z"))
+      .orderBy("ts")
+      .collect()
+    assert(rows.map(_.getAs[Double]("value")).toSeq == Seq(20.5, 21.5))
+  }
+
+  test("a selector missing a configured tag fails fast (sql.py:274 KeyError)") {
+    val src = new RedshiftSource(cfg)
+    val e = intercept[IllegalArgumentException](
+      src.getData(spark, SeriesSelector("rs", Map.empty), t("2024-01-01T00:00:00Z"), t("2024-01-02T00:00:00Z")).collect()
+    )
+    assert(e.getMessage.contains("series name"))
+    val e2 = intercept[IllegalArgumentException](
+      src.metadata(spark, SeriesSelector("rs", Map("wrong tag" -> "x"))).collect()
+    )
+    assert(e2.getMessage.contains("series name"))
+  }
+
+  test("an empty dictionary query result sets no dictionary field (sql.py:385 None)") {
+    val src = new RedshiftSource(
+      cfg.copy(dictionaryQuery = Some("SELECT k, label FROM dicts WHERE dname = %s AND k > 100"))
+    )
+    val md = src.metadata(spark, SeriesSelector("rs", Map("series name" -> "state"))).collect().head
+    assert(md.getAs[String]("dictionary_name") == "states")
+    assert(!md.schema.fieldNames.contains("dictionary"))
+  }
+
+  test("metadata_sources extras layer over the source's own metadata (factory wrapper semantics)") {
+    val dir = Files.createTempDirectory("graft-redshift-meta")
+    Files.writeString(
+      dir.resolve("meta.csv"),
+      "series name,unit,accuracy\ntemp,K,0.5\n",
+    )
+    val toml = s"""
+      |[source.rs-meta]
+      |type = "redshift"
+      |tag_columns = ["series name"]
+      |list_query = "SELECT name, descr, unit FROM series"
+      |list_columns = ["series name", "description", "unit"]
+      |metadata_query = "SELECT descr, unit FROM series WHERE name = %s"
+      |metadata_columns = ["description", "unit"]
+      |metadata_sources = ["extra"]
+      |
+      |[source.rs-meta.connection]
+      |jdbc_url = "${dbUrl.replace("\\", "\\\\")}"
+      |jdbc_driver = "org.apache.derby.jdbc.EmbeddedDriver"
+      |
+      |[metadata.extra]
+      |type = "csv"
+      |path = "meta.csv"
+      |tag_columns = ["series name"]
+      |""".stripMargin
+    val path = dir.resolve("Kukur.toml")
+    Files.writeString(path, toml)
+    val g = Graft.fromConfig(spark, path.toString)
+    val row = g.getMetadata("rs-meta", SeriesSelector("rs-meta", Map("series name" -> "temp"))).collect().head
+    // the source's own metadata wins where present; the sidecar fills gaps
+    assert(row.getAs[String]("unit") == "C")
+    assert(row.getAs[String]("description") == "temperature")
+    assert(row.getAs[Any]("accuracy").toString.toDouble == 0.5)
+  }
+
   test("a missing connection dictionary fails at load, like the reference's InvalidSourceException") {
     val dir = Files.createTempDirectory("graft-redshift-bad")
     val path = dir.resolve("Kukur.toml")
