@@ -289,6 +289,50 @@ object Bench {
         "null"
     }
 
+  /** Prior-round quiet-box anchor: per-query medians from the last
+    * committed clean run (tools/bench_anchor.json, or
+    * SPARK_GRAFT_BENCH_ANCHOR). BENCH_r10's driver run read 2× slow on
+    * the PQ family under load 7.7→22.2 for UNCHANGED code — without a
+    * reference the artifact cannot distinguish a real regression from
+    * box contention, which will eventually hide a real one.
+    */
+  private[graft] def loadAnchor(
+      path: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHOR", "tools/bench_anchor.json")
+  ): Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(java.nio.file.Files.readString(p))
+        val qs = node.get("queries")
+        if (qs == null) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          qs.fields().asScala.map(e => e.getKey -> e.getValue.asDouble(-1.0)).toMap
+        }
+      }
+    } catch { case _: Exception => Map.empty }
+
+  /** Which queries earn a tail re-measure. Regression-driven when an
+    * anchor exists: any top-N query reading >1.5× its quiet anchor
+    * gets re-timed at the tail — a contention burst won't reproduce,
+    * a real regression will, and the artifact stamps both readings.
+    * Without an anchor the rule degrades to "re-measure the top N
+    * when the box was busy at start".
+    */
+  private[graft] def requeueSet(
+      results: Seq[(String, Double)],
+      anchor: Map[String, Double],
+      contended: Boolean,
+      topN: Int = 10,
+  ): Seq[String] = {
+    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(topN)
+    val regressed = top.collect { case (n, v) if anchor.get(n).exists(a => a > 0 && v > 1.5 * a) => n }
+    if (regressed.nonEmpty) regressed
+    else if (contended && anchor.isEmpty) top.map(_._1)
+    else Nil
+  }
+
   /** Cumulative JVM GC pause milliseconds across all collectors. A
     * G1 full-GC storm (humongous-fragmentation class) multiplies a
     * query's wall time 10–100× with nothing in Spark's own logs; the
@@ -348,44 +392,44 @@ object Bench {
     // is reported as -1, never as its elapsed time — a broken query
     // must not masquerade as a fast pass.
     val runsPerQuery = 3
+    def timeOnce(name: String): Run = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime(); val gc0 = gcMillis(); val st0 = stealJiffies()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            false
+        }
+      // capture the elapsed time BEFORE cache teardown — clearCache
+      // of a query's cached frames is bookkeeping, not query latency
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val gcSec = (gcMillis() - gc0) / 1e3
+      val stealPct =
+        if (st0 < 0) 0.0
+        else 100.0 * ((stealJiffies() - st0) / 100.0) / math.max(elapsed * hostCpus, 1e-9)
+      // Release per-query cached frames (dedup shingle indexes etc.).
+      // Leaving them resident starves later queries of execution
+      // memory — r02 showed 10–30× slowdowns. clearCache misses
+      // localCheckpoint RDDs (they live at the RDD layer, not in
+      // CacheManager): dedup_groups / clean_corpus each pin their
+      // final-round labels until ContextCleaner GCs them, which made
+      // the next query (q5_multijoin) 4× slower in r04.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      if (ok) Run(elapsed, gcSec, stealPct) else Run(-1.0, gcSec, stealPct)
+    }
     var dirtyQueries = List.empty[String]
     val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      def oneRun(): Run = {
-        val t0 = System.nanoTime(); val gc0 = gcMillis(); val st0 = stealJiffies()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
-              false
-          }
-        // capture the elapsed time BEFORE cache teardown — clearCache
-        // of a query's cached frames is bookkeeping, not query latency
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        val gcSec = (gcMillis() - gc0) / 1e3
-        val stealPct =
-          if (st0 < 0) 0.0
-          else 100.0 * ((stealJiffies() - st0) / 100.0) / math.max(elapsed * hostCpus, 1e-9)
-        // Release per-query cached frames (dedup shingle indexes etc.).
-        // Leaving them resident starves later queries of execution
-        // memory — r02 showed 10–30× slowdowns. clearCache misses
-        // localCheckpoint RDDs (they live at the RDD layer, not in
-        // CacheManager): dedup_groups / clean_corpus each pin their
-        // final-round labels until ContextCleaner GCs them, which made
-        // the next query (q5_multijoin) 4× slower in r04.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-        if (ok) Run(elapsed, gcSec, stealPct) else Run(-1.0, gcSec, stealPct)
-      }
       // Host-contention bursts on this box last ~1–2 min and can cover
       // all three runs of one query; two bounded retries rescue the
       // measurement when the burst ends mid-query instead of flagging
       // a perfectly healthy plan. First clean retry ends the rescue.
-      var runs = (1 to runsPerQuery).map(_ => oneRun())
+      var runs = (1 to runsPerQuery).map(_ => timeOnce(name))
       var retries = 2
       while (retries > 0 && runs.forall(_.dirty) && !runs.exists(_.elapsed < 0)) {
-        runs :+= oneRun()
+        runs :+= timeOnce(name)
         retries -= 1
       }
       val (best, allDirty) = pick(runs)
@@ -400,7 +444,6 @@ object Bench {
     // not read as a faster total to a consumer comparing across rounds
     val failed = results.count(_._2 < 0)
     if (failed > 0) System.err.println(s"[bench] $failed queries FAILED (reported as -1)")
-    val total = results.map(_._2).filter(_ >= 0).sum
     // Empirical scale probe (1×/3×/10× corpus) — skipped in subset/
     // profiling mode and via SPARK_GRAFT_SCALE=0; inside the loadavg
     // bracket so a contaminated window stays identifiable.
@@ -413,16 +456,50 @@ object Bench {
       if (args.nonEmpty || sys.env.get("SPARK_GRAFT_SCALE").contains("0") ||
         sys.env.get("SPARK_GRAFT_VOCAB_PROBE").contains("0")) "null"
       else runVocabProbe(spark)
+    // ---- Load-robust tail re-measure (skipped in subset mode): any
+    // top-10 query reading >1.5× its quiet anchor gets re-timed NOW,
+    // after the box has had the probe window to settle. Contention is
+    // additive and won't reproduce at the tail; a real plan regression
+    // will. Both readings are stamped so the artifact itself shows
+    // which one this was (BENCH_r10: the PQ family read 2× under load
+    // 7.7→22.2 for unchanged code and the artifact could not say so).
+    val anchor = loadAnchor()
+    val contended = loadStart > hostCpus / 8.0
+    val requeue = if (args.nonEmpty) Nil else requeueSet(results, anchor, contended)
+    val remeasured: Map[String, Double] = requeue.map { name =>
+      val runs = Seq(timeOnce(name), timeOnce(name))
+      val tail = if (runs.exists(_.elapsed < 0)) -1.0 else math.round(runs.map(_.elapsed).min * 1000) / 1000.0
+      val a = anchor.getOrElse(name, -1.0)
+      System.err.println(f"[bench] re-measure $name%-24s first ${results.toMap.apply(name)}%.3f s -> tail $tail%.3f s (anchor $a%.3f)")
+      name -> tail
+    }.toMap
+    // The headline value for a re-measured query is the MIN of the two
+    // readings: contention only ever inflates, so the smaller reading
+    // is the better estimate of plan cost — same argument as the scale
+    // probe's min-of-2.
+    val finalResults = results.map { case (n, v) =>
+      n -> (remeasured.get(n) match {
+        case Some(t) if t >= 0 && t < v => t
+        case _ => v
+      })
+    }
+    val total = finalResults.map(_._2).filter(_ >= 0).sum
+    val remeasureJson =
+      if (remeasured.isEmpty) "null"
+      else requeue.map { n =>
+        val a = anchor.get(n).map(_.toString).getOrElse("null")
+        s""""$n":{"first":${results.toMap.apply(n)},"tail":${remeasured(n)},"anchor":$a}"""
+      }.mkString("{", ",", "}")
     val loadEnd = loadAvg1()
     def dirtyList(names: Seq[String]) = names.map("\"" + _ + "\"").mkString("[", ",", "]")
     // dirty_n is the TRUE count: the tail line caps the dirty name
     // list at 10 (to fit the harness capture), so the count travels
     // separately and a truncated list can never understate the damage
-    def jsonLine(rs: Seq[(String, Double)], scale: String, vocab: String, dirty: String): String = {
+    def jsonLine(rs: Seq[(String, Double)], scale: String, vocab: String, dirty: String, remeasure: String): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"load_start":$loadStart,"load_end":$loadEnd,"host_cpus":$hostCpus,"dirty_n":${dirtyQueries.length},"dirty":$dirty,"scale":$scale,"vocab_probe":$vocab,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"load_start":$loadStart,"load_end":$loadEnd,"host_cpus":$hostCpus,"contended":$contended,"remeasured_n":${remeasured.size},"remeasure":$remeasure,"dirty_n":${dirtyQueries.length},"dirty":$dirty,"scale":$scale,"vocab_probe":$vocab,"queries":$qs,"sf":"$sfDir"}"""
     }
-    val full = jsonLine(results, scaleJson, vocabJson, dirtyList(dirtyQueries.sorted))
+    val full = jsonLine(finalResults, scaleJson, vocabJson, dirtyList(dirtyQueries.sorted), remeasureJson)
     println(full)
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
@@ -433,9 +510,9 @@ object Bench {
     // shipped the full scale section here, overflowed the window, and
     // the driver recorded parsed:null). Full detail lives in line (a)
     // and target/bench.json.
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+    val slowest = finalResults.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => k -> (math.round(v * 1000) / 1000.0) }
-    println(jsonLine(slowest, "null", "null", dirtyList(dirtyQueries.sorted.take(10))))
+    println(jsonLine(slowest, "null", "null", dirtyList(dirtyQueries.sorted.take(10)), "null"))
     spark.stop()
   }
 }

@@ -1417,9 +1417,12 @@ object SparkEntry {
     // C31d: interpolated Kneser–Ney bigram score — the smoothing family
     // KenLM (CCNet's real filter model) uses: absolute discount 0.75,
     // stolen mass backed off to the continuation unigram; exact counts
-    // + fixed-order IEEE steps keep it hash-verifiable
+    // + fixed-order IEEE steps keep it hash-verifiable. pruneMin = 2 is
+    // KenLM's singleton-pruning knob: the model joins carry only types
+    // with count ≥ 2 (singletons score pure backoff), which pins the
+    // type tables to sub-Heaps growth — the x100 probe's one riser
     "text_lm_kn" -> { (s, dir) =>
-      CorpusFunctions.bigramLmKn(Tables.documents(s, dir), col("doc_id"), col("text"))
+      CorpusFunctions.bigramLmKn(Tables.documents(s, dir), col("doc_id"), col("text"), pruneMin = 2L)
     },
     // C56: deterministic shuffle-shard export plan — seeded md5
     // permutation, shard = key mod N, per-shard positions from a
@@ -3184,13 +3187,20 @@ ORDER BY 1, 2, 3""",
          bgl AS (SELECT doc_id, unnest(generate_series(1, len(w) - 1)) AS i, w FROM norm WHERE len(w) >= 2),
          bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM bgl),
          cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
-         c1 AS (SELECT w1, SUM(cb) AS c1, COUNT(*) AS n1p FROM cb GROUP BY 1),
-         ct AS (SELECT w2, COUNT(*) AS cont FROM cb GROUP BY 1),
-         nt AS (SELECT COUNT(*) AS ntot FROM cb),
+         cbk AS (SELECT w1, w2, cb FROM cb WHERE cb >= 2),
+         c1 AS (SELECT w1, SUM(cb) AS c1,
+                       COUNT(*) FILTER (WHERE cb >= 2) AS nkept,
+                       COALESCE(SUM(cb) FILTER (WHERE cb < 2), 0) AS cpr
+                FROM cb GROUP BY 1),
+         ct AS (SELECT w2, COUNT(*) AS cont FROM cbk GROUP BY 1),
+         nt AS (SELECT COUNT(*) AS ntot FROM cbk),
          sc AS (SELECT bg.doc_id,
-                       CAST(FLOOR(1e12 * (GREATEST(CAST(cb.cb AS DOUBLE) - 0.75, 0.0) / CAST(c1.c1 AS DOUBLE)
-                            + (0.75 * CAST(c1.n1p AS DOUBLE) / CAST(c1.c1 AS DOUBLE)) * (CAST(ct.cont AS DOUBLE) / CAST(nt.ntot AS DOUBLE)))) AS BIGINT) AS p
-                FROM bg JOIN cb USING (w1, w2) JOIN c1 USING (w1) JOIN ct USING (w2) CROSS JOIN nt)
+                       CAST(FLOOR(1e12 * (GREATEST(CAST(COALESCE(cbk.cb, 0) AS DOUBLE) - 0.75, 0.0) / CAST(c1.c1 AS DOUBLE)
+                            + ((0.75 * CAST(c1.nkept AS DOUBLE) + CAST(c1.cpr AS DOUBLE)) / CAST(c1.c1 AS DOUBLE)) * (CAST(COALESCE(ct.cont, 0) AS DOUBLE) / CAST(nt.ntot AS DOUBLE)))) AS BIGINT) AS p
+                FROM bg LEFT JOIN cbk ON bg.w1 = cbk.w1 AND bg.w2 = cbk.w2
+                        JOIN c1 ON bg.w1 = c1.w1
+                        LEFT JOIN ct ON bg.w2 = ct.w2
+                        CROSS JOIN nt)
          SELECT doc_id, COUNT(*) AS n_bigrams,
                 FLOOR(CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1e6 AS kn_prob_ppm
          FROM sc GROUP BY 1""",

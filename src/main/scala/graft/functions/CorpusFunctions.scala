@@ -282,8 +282,15 @@ object CorpusFunctions {
   /** [[lmGate]] with the scorer swapped for [[bigramLmKn]] — the same
     * bounded-histogram whole-bucket drop over Kneser–Ney scores.
     */
-  def lmGateKn(df: DataFrame, idCol: Column, text: Column, dropFrac: Double = 0.1, hotMin: Long = 1000L): DataFrame =
-    bucketGate(bigramLmKn(df, idCol, text, hotMin), "kn_prob_ppm", dropFrac)
+  def lmGateKn(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      dropFrac: Double = 0.1,
+      hotMin: Long = 1000L,
+      pruneMin: Long = 1L,
+  ): DataFrame =
+    bucketGate(bigramLmKn(df, idCol, text, hotMin, pruneMin), "kn_prob_ppm", dropFrac)
 
   /** The shared bounded-histogram threshold: drop the largest
     * `floor(scoreCol)`-bucket prefix holding at most
@@ -334,8 +341,31 @@ object CorpusFunctions {
     * one-row broadcast bring the model back onto the stream. The model
     * is corpus-sized, never driver-sized — nothing assumes a 100 TB
     * crawl's vocabulary fits in one broadcast.
+    *
+    * `pruneMin` is KenLM's count-threshold pruning knob (`--prune`):
+    * bigram TYPES with count < pruneMin leave the model and their
+    * mass folds into the backoff weight, λ(w1) = (d·Nkept(w1·) +
+    * Cpruned(w1·)) / c(w1·) — the discounted mass of the kept types
+    * plus the WHOLE count of the pruned ones, so Σ_w2 p(w2|w1) still
+    * normalizes. The continuation distribution is over kept types
+    * only. Why it exists: bigram types grow Heaps-style with the
+    * corpus (the x100 probe measured per-doc cost rising 0.090→0.124
+    * ms tracking exactly that table) while singleton types carry the
+    * bulk of the type count and almost none of the mass — pruning
+    * them keeps the three model-table joins sized by the KEPT types,
+    * which grow far slower. pruneMin = 1 keeps every type and
+    * reproduces the unpruned model bit-exactly (Cpruned = 0 adds
+    * +0.0, Nkept = N1+ — every IEEE step is the same value in the
+    * same order).
     */
-  def bigramLmKn(df: DataFrame, idCol: Column, text: Column, hotMin: Long = 1000L): DataFrame = {
+  def bigramLmKn(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      hotMin: Long = 1000L,
+      pruneMin: Long = 1L,
+  ): DataFrame = {
+    require(pruneMin >= 1L, "pruneMin is a count threshold; 1 keeps every type")
     val bgs = DedupFunctions
       .spread(df)
       .select(idCol.as("doc_id"), TextFunctions.words(text).as("w"))
@@ -349,18 +379,29 @@ object CorpusFunctions {
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .localCheckpoint()
     val cb = bgs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    // c(w1·) = Σ_w2 cb and N1+(w1·) = #distinct w2 fall out of ONE pass
-    // over the type table; the zipf split rides c1 for both payloads
-    val c1f = cb.groupBy(col("w1")).agg(sum(col("cb")).as("c1"), count(lit(1)).as("n1p"))
-    val ctf = cb.groupBy(col("w2")).agg(count(lit(1)).as("cont"))
-    val nt = cb.agg(count(lit(1)).as("ntot"))
+    // kept bigram types — the only table the scoring joins ever carry
+    val cbK = if (pruneMin > 1L) cb.where(col("cb") >= pruneMin) else cb
+    // c(w1·), Nkept(w1·), Cpruned(w1·) fall out of ONE pass over the
+    // FULL type table (the denominators stay exact marginals); the
+    // zipf split rides c1 for all three payloads
+    val c1f = cb
+      .groupBy(col("w1"))
+      .agg(
+        sum(col("cb")).as("c1"),
+        count(when(col("cb") >= pruneMin, lit(1))).as("nkept"),
+        sum(when(col("cb") < pruneMin, col("cb")).otherwise(lit(0L))).as("cpr"),
+      )
+    val ctf = cbK.groupBy(col("w2")).agg(count(lit(1)).as("cont"))
+    val nt = cbK.agg(count(lit(1)).as("ntot"))
+    // a pruned bigram misses the cbK/ctf joins: its first term is
+    // max(0 − d, 0) = 0 and it scores pure backoff λ(w1)·pcont(w2)
     val p =
-      greatest(col("cb").cast("double") - lit(0.75), lit(0.0)) / col("c1").cast("double") +
-        (lit(0.75) * col("n1p").cast("double") / col("c1").cast("double")) *
-        (col("cont").cast("double") / col("ntot").cast("double"))
+      greatest(coalesce(col("cb"), lit(0L)).cast("double") - lit(0.75), lit(0.0)) / col("c1").cast("double") +
+        ((lit(0.75) * col("nkept").cast("double") + col("cpr").cast("double")) / col("c1").cast("double")) *
+        (coalesce(col("cont"), lit(0L)).cast("double") / col("ntot").cast("double"))
     val out =
-      zipfSplitJoin(
-        zipfSplitJoin(zipfSplitJoin(bgs, cb, Seq("w1", "w2"), "cb", hotMin), c1f, Seq("w1"), "c1", hotMin),
+      zipfSplitJoinLeft(
+        zipfSplitJoin(zipfSplitJoinLeft(bgs, cbK, Seq("w1", "w2"), "cb", hotMin), c1f, Seq("w1"), "c1", hotMin),
         ctf,
         Seq("w2"),
         "cont",

@@ -32,4 +32,36 @@ class BenchSpec extends AnyFunSuite {
     val (t, allDirty) = pick(Seq(Run(1.0, 0, 0), Run(-1.0, 0, 0), Run(1.1, 0, 0)))
     assert(t == -1.0 && !allDirty)
   }
+
+  test("requeue: a top-10 query >1.5x its quiet anchor re-measures; in-band ones do not") {
+    val results = Seq("slow" -> 12.0, "ok" -> 8.0, "fast" -> 0.1)
+    val anchor = Map("slow" -> 5.0, "ok" -> 7.0, "fast" -> 0.1)
+    assert(Bench.requeueSet(results, anchor, contended = false) == Seq("slow"))
+    // regression-driven even when the box is busy: nothing regressed -> nothing to redo
+    assert(Bench.requeueSet(Seq("ok" -> 8.0), anchor, contended = true).isEmpty)
+    // a query with no anchor entry (new this round) never trips the regression rule
+    assert(Bench.requeueSet(Seq("new_query" -> 30.0), anchor, contended = false).isEmpty)
+  }
+
+  test("requeue without an anchor degrades to top-N-when-contended") {
+    val results = (1 to 15).map(i => s"q$i" -> i.toDouble)
+    val top = Bench.requeueSet(results, Map.empty, contended = true)
+    assert(top.size == 10 && top.head == "q15") // slowest first
+    assert(Bench.requeueSet(results, Map.empty, contended = false).isEmpty)
+    // failed queries (-1) never re-queue
+    assert(Bench.requeueSet(Seq("broken" -> -1.0), Map.empty, contended = true).isEmpty)
+  }
+
+  test("loadAnchor parses a committed bench line's queries map, empty when absent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-anchor")
+    val f = dir.resolve("anchor.json")
+    java.nio.file.Files.writeString(
+      f,
+      """{"metric":"total","value":1.0,"queries":{"q1_agg":0.25,"ts_latest":0.5},"sf":"x"}""",
+    )
+    assert(Bench.loadAnchor(f.toString) == Map("q1_agg" -> 0.25, "ts_latest" -> 0.5))
+    assert(Bench.loadAnchor(dir.resolve("nope.json").toString).isEmpty)
+    java.nio.file.Files.writeString(f, "not json at all")
+    assert(Bench.loadAnchor(f.toString).isEmpty) // parse failure never throws
+  }
 }

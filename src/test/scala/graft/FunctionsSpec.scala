@@ -276,6 +276,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(lp2(2L) == lp2(5L)) // Laplace is blind to the difference
   }
 
+  test("bigramLmKn count-threshold pruning: singletons score pure backoff, theta=1 is bit-exact") {
+    val d = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    def run(pruneMin: Long) = CorpusFunctions.bigramLmKn(d, col("doc_id"), col("text"), pruneMin = pruneMin)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // theta=1 keeps every type: bit-identical to the default (unpruned) model
+    assert(run(1L) == CorpusFunctions.bigramLmKn(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap)
+    // theta=2 prunes the singleton (b,a): kept model is cbk={(a,b):3},
+    // c1(a)=3 nkept=1 cpr=0, c1(b)=1 nkept=0 cpr=1, cont(b)=1, ntot=1
+    // p(b|a) = (3-0.75)/3 + (0.75·1/3)·(1/1) = 1.0
+    // p(a|b) = 0 + ((0.75·0+1)/1)·(cont(a)=0/1) = 0  — pure backoff, a
+    //          word with no kept continuation scores zero
+    // doc 1 (a,b)(b,a)(a,b): floor(2e12/3)/1e6; n_bigrams STAYS 3 —
+    // pruned types leave the model, never the scored stream
+    val pr = run(2L)
+    assert(pr(1L) == ((3L, 666666.666666)))
+    assert(pr(2L) == ((1L, 1000000.0)))
+    assert(!pr.contains(3L))
+    // a corpus with no singleton types: pruning is a no-op, bit-exact
+    val d3 = Seq((1L, "a b a b"), (2L, "a b a b")).toDF("doc_id", "text")
+    def run3(pm: Long) = CorpusFunctions.bigramLmKn(d3, col("doc_id"), col("text"), pruneMin = pm)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(run3(2L) == run3(1L))
+    // hot/cold zipf split invariance holds on the pruned path too
+    val prHot = CorpusFunctions.bigramLmKn(d, col("doc_id"), col("text"), hotMin = 2L, pruneMin = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(prHot == pr)
+  }
+
   test("bm25Search scores matching docs and drops non-matching ones") {
     val d = Seq((1L, "spark join spark"), (2L, "scan scan scan scan"), (3L, "the cat")).toDF("doc_id", "text")
     val out = CorpusFunctions.bm25Search(d, col("doc_id"), col("text"), "spark join scan")
