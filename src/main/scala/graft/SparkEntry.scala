@@ -1731,14 +1731,35 @@ object SparkEntry {
     },
     // C13: approximate per-series stats — the 100 TB scale path
     // (sketches, not exact aggregation; rows-only by nature)
+    // Approx sketches can't hash-match any exact engine, but their
+    // ERROR BOUNDS can be certified by one: the row carries the exact
+    // stats (hash-compared against DuckDB) plus ok-flags asserting the
+    // sketch landed inside its documented envelope — HLL within 3·rsd
+    // (rsd 0.05 default, absolute slack 4 for tiny groups), the KLL
+    // percentiles inside the exact 1%-quantile band (sketch guarantee
+    // is rank error N/10000; the band is ≥ 20× looser at the gate's
+    // data scale, so the check never flakes and still certifies). The
+    // oracle emits literal TRUE for each flag: a sketch outside its
+    // envelope fails the hash compare.
     "ts_approx_stats" -> { (s, dir) =>
       ev(s, dir)
         .groupBy(col("series_name"))
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          expr("approx_percentile(value, array(0.5, 0.95), 10000)").as("approx_p"),
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("__au"),
+          expr("percentile(value, array(0.49, 0.5, 0.51, 0.94, 0.95, 0.96))").as("__q"),
+          expr("approx_percentile(value, array(0.5, 0.95), 10000)").as("__ap"),
         )
-        .select(col("series_name"), col("approx_users"), col("approx_p")(0).as("approx_p50"), col("approx_p")(1).as("approx_p95"))
+        .select(
+          col("series_name"),
+          col("exact_users"),
+          col("__q")(1).as("p50"),
+          col("__q")(4).as("p95"),
+          (abs(col("__au") - col("exact_users")) <= greatest(ceil(col("exact_users") * lit(0.15)), lit(4L)))
+            .as("users_ok"),
+          (col("__ap")(0) >= col("__q")(0) && col("__ap")(0) <= col("__q")(2)).as("p50_ok"),
+          (col("__ap")(1) >= col("__q")(3) && col("__ap")(1) <= col("__q")(5)).as("p95_ok"),
+        )
     },
     // C11: winnowing fingerprints (k=8 char-grams, window 4)
     "text_fingerprint" -> { (s, dir) =>
@@ -2064,6 +2085,16 @@ object SparkEntry {
       """SELECT event_type AS series_name,
                 quantile_cont(value, 0.5) AS p50,
                 quantile_cont(value, 0.95) AS p95
+         FROM events GROUP BY 1""",
+    // bounds-certified sketches: the oracle recomputes the EXACT stats
+    // and expects every in-envelope flag literally TRUE — see the
+    // query's comment for the envelopes
+    "ts_approx_stats" ->
+      """SELECT event_type AS series_name,
+                COUNT(DISTINCT user_id) AS exact_users,
+                quantile_cont(value, 0.5) AS p50,
+                quantile_cont(value, 0.95) AS p95,
+                TRUE AS users_ok, TRUE AS p50_ok, TRUE AS p95_ok
          FROM events GROUP BY 1""",
     "ts_latest" ->
       """SELECT event_type AS series_name, user_id, ts, value FROM (
@@ -3747,5 +3778,30 @@ ORDER BY 1, 2, 3""",
                 COUNT(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus""",
+  )
+
+  /** Named reason for every `queries` entry that has NO `oracleSql`
+    * row — why it cannot be replayed in DuckDB (rather than a generic
+    * "no oracle"). The verify dump ships these next to oracle_sql.json
+    * so the correctness artifact can carry the reason per row; each of
+    * these operators is covered by ScalaTest property/parity specs
+    * instead. Keys here and in `oracleSql` must partition `queries`.
+    */
+  def noOracleReasons: Map[String, String] = Map(
+    "dedup_minhash" -> "xxhash64 signature bands (engine-specific hash)",
+    "dedup_simhash" -> "xxhash64 feature hashing (engine-specific hash)",
+    "dedup_embedding_lsh" -> "xxhash64-seeded random hyperplanes (engine-specific hash)",
+    "dedup_semantic" -> "xxhash64-seeded hyperplane bands (engine-specific hash)",
+    "sim_lsh_ann" -> "xxhash64-seeded hyperplane buckets (engine-specific hash)",
+    "ts_simulator_noise" -> "xxhash64-seeded Box-Muller draws (engine-specific hash)",
+    "ts_simulator_step" -> "xxhash64-seeded per-day random-walk fold (engine-specific hash)",
+    "sim_pq_opqr_ann" -> "driver-side SVD/Procrustes rotation (iterative libm linear algebra)",
+    "emb_pca" -> "driver-side cyclic Jacobi eigensolve (iterative libm linear algebra)",
+    "text_quality_lr" -> "gradient-descent training with libm exp (no cross-engine float contract)",
+    "text_unigram" -> "EM training with StrictMath log/exp (no cross-engine float contract)",
+    "text_zlib_ratio" -> "JVM Deflater byte stream (zlib level/strategy is implementation-defined)",
+    "mm_pipeline" -> "JVM ImageIO codec bytes (encoder output is implementation-defined)",
+    "mm_phash" -> "JVM codec decode + DCT floats (implementation-defined)",
+    "mm_audio_fp" -> "JVM codec decode + FFT floats (implementation-defined)",
   )
 }

@@ -46,6 +46,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the named reason for every query that has no oracle row, so the
+    // correctness artifact can say WHY a row is rows-only instead of
+    // the generic "no_oracle"
+    val reasons = SparkEntry.noOracleReasons
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/no_oracle_reasons.json"), reasons)
     spark.stop()
   }
 }

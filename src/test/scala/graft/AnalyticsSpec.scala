@@ -15,6 +15,17 @@ class AnalyticsSpec extends AnyFunSuite {
 
   private def t(s: String): Timestamp = Timestamp.from(Instant.parse(s))
 
+  test("every query is either SQL-oracled or carries a named no-oracle reason") {
+    val oracled = SparkEntry.oracleSql.keySet
+    val reasoned = SparkEntry.noOracleReasons.keySet
+    val all = SparkEntry.queries.keySet
+    assert((oracled & reasoned).isEmpty, s"both oracled and excused: ${(oracled & reasoned).mkString(", ")}")
+    assert(oracled.subsetOf(all), s"oracle for unknown query: ${(oracled -- all).mkString(", ")}")
+    assert(reasoned.subsetOf(all), s"reason for unknown query: ${(reasoned -- all).mkString(", ")}")
+    val unaccounted = all -- oracled -- reasoned
+    assert(unaccounted.isEmpty, s"rows-only with no named reason: ${unaccounted.mkString(", ")}")
+  }
+
   test("derivative computes rate of change per second") {
     val df = Seq(
       ("a", t("2024-01-01T00:00:00Z"), 10.0, 1L),

@@ -72,12 +72,19 @@ def main() -> None:
             failures += 1
         else:
             print(f"OK   {name}: {len(s)} rows")
+    try:
+        reasons = json.load(open(f"{out_dir}/no_oracle_reasons.json"))
+    except Exception:  # noqa: BLE001
+        reasons = {}
     extra = [q for q in glob.glob(f"{out_dir}/*/") if q.split("/")[-2] not in oracle]
     for q in sorted(extra):
         n = q.split("/")[-2]
         files = glob.glob(f"{q}*.parquet")
         rows = con.execute(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
-        print(f"ROWS {n}: {rows} (no oracle)")
+        why = reasons.get(n, "no oracle")
+        print(f"ROWS {n}: {rows} ({why})")
+        if n not in reasons:
+            print(f"WARN {n}: rows-only with no named reason in SparkEntry.noOracleReasons")
     print(f"{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     sys.exit(1 if failures else 0)
 
