@@ -226,6 +226,93 @@ object Bench {
         "null"
     }
 
+  /** nCells for the IVF family at `n` vectors: ∝ √N anchored at the
+    * bench corpus (16 cells at 2000 vectors), the classical IVF
+    * operating point the operator docs promise
+    * (VectorFunctions.knnLabelNoiseCells). Probe scans then grow as
+    * √N per query instead of N.
+    */
+  private[graft] def annCellCount(n: Long): Int =
+    math.max(16, math.round(16.0 * math.sqrt(n / 2000.0)).toInt)
+
+  /** ANN-trainer scale probe — the bench top-10 family, measured
+    * across decades with the quantizer sized the way a real deployment
+    * would size it (nCells ∝ √N, nProbe fixed). Every curve the 100 TB
+    * claims rest on is IN: the three trainer-backed indexes (IVF / PQ
+    * / IVF-PQ), both cell-scoped duals, and their exact forms — the
+    * exhaustive kNN audit only through x10 (its N² definition is the
+    * thing the dual exists to avoid; at x10 it already scans 4×10⁸
+    * pairs) — so the artifact records the exact-vs-dual crossover
+    * instead of arguing it in comments. Min-of-2 per cell, per-cell
+    * loadavg stamped, same rationale as [[runScaleProbe]].
+    * SPARK_GRAFT_ANN_PROBE=0 disables; SPARK_GRAFT_ANN_FACTORS
+    * overrides the decade ladder.
+    */
+  private[graft] def runAnnScaleProbe(spark: SparkSession, baseDir: String): String =
+    try {
+      import org.apache.spark.sql.functions.col
+      import graft.functions.VectorFunctions
+      val factors = sys.env
+        .get("SPARK_GRAFT_ANN_FACTORS")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
+        .getOrElse(Seq(1, 3, 10, 30))
+      factors.map { f =>
+        val dir = graft.tools.ScaleGen.ensureEmbeddings(spark, baseDir, f, "target/scale")
+        def emb() = Tables.embeddings(spark, dir)
+        val n = emb().count()
+        val cells = annCellCount(n)
+        val cellLoad = loadAvg1()
+        val ops: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+          "sim_ivf_ann" -> (() => VectorFunctions.ivfAnn(emb(), k = 5, nCells = cells, nProbe = 4)),
+          "sim_pq_ann" -> (() => { val e = emb(); VectorFunctions.pqAnn(e, e.orderBy("vec_id").limit(20), k = 5) }),
+          "sim_ivfpq_ann" -> (() => {
+            val e = emb(); VectorFunctions.ivfPqAnn(e, e.orderBy("vec_id").limit(20), k = 5, nCells = cells, nProbe = 4)
+          }),
+          "emb_knn_label_noise_cells" ->
+            (() => VectorFunctions.knnLabelNoiseCells(emb(), k = 10, nCells = cells, nProbe = 4)),
+          "emb_hard_negatives_ivf" -> (() => {
+            val e = emb(); VectorFunctions.hardNegativesIvf(e.where(col("vec_id") < 5), e, k = 10, nCells = cells, nProbe = 4)
+          }),
+          // exact forms, for the crossover: hard negatives is 5 queries
+          // × N (linear — rides every factor); the kNN audit is N² by
+          // definition and stops at x10
+          "emb_hard_negatives" -> (() => {
+            val e = emb(); VectorFunctions.hardNegatives(e.where(col("vec_id") < 5), e, k = 10)
+          }),
+        ) ++ (if (f <= 10) Seq("emb_knn_label_noise" -> (() => VectorFunctions.knnLabelNoise(emb(), k = 10))) else Nil)
+        val qs = ops.map { case (name, mk) =>
+          def oneRun(): Double = {
+            val t0 = System.nanoTime()
+            val ok =
+              try { mk().write.format("noop").mode("overwrite").save(); true }
+              catch {
+                case e: Throwable =>
+                  System.err.println(s"[bench/ann] FAILED $name@x$f: ${e.getClass.getSimpleName}: ${e.getMessage}")
+                  false
+              }
+            val el = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache()
+            spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+            if (ok) el else -1.0
+          }
+          // the N² exact audit at x10 runs ONCE: it costs ~2 min alone
+          // and its role is the order-of-magnitude crossover reading,
+          // not a tight point estimate
+          val nRuns = if (name == "emb_knn_label_noise" && f >= 10) 1 else 2
+          val runs = (1 to nRuns).map(_ => oneRun())
+          val v = if (runs.exists(_ < 0)) -1.0 else math.round(runs.min * 1000) / 1000.0
+          System.err.println(f"[bench/ann] x$f%-3d $name%-28s $v%8.3f s  (cells $cells, runs: ${runs.map(r => f"$r%.2f").mkString(", ")})")
+          name -> v
+        }
+        val qj = qs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        s"""{"factor":$f,"vectors":$n,"n_cells":$cells,"load":$cellLoad,"queries":$qj}"""
+      }.mkString("[", ",", "]")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench/ann] ann probe skipped: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        "null"
+    }
+
   /** Vocabulary-scale probe for the unigram-LM trainer: its EM
     * collects are VOCAB-sized (piece-count rows reach the driver per
     * pass, never corpus rows), so cost must track vocabulary, not
@@ -456,6 +543,11 @@ object Bench {
       if (args.nonEmpty || sys.env.get("SPARK_GRAFT_SCALE").contains("0") ||
         sys.env.get("SPARK_GRAFT_VOCAB_PROBE").contains("0")) "null"
       else runVocabProbe(spark)
+    // ANN-trainer decade cells (nCells ∝ √N) — full JSON line only
+    val annJson =
+      if (args.nonEmpty || sys.env.get("SPARK_GRAFT_SCALE").contains("0") ||
+        sys.env.get("SPARK_GRAFT_ANN_PROBE").contains("0")) "null"
+      else runAnnScaleProbe(spark, sfDir)
     // ---- Load-robust tail re-measure (skipped in subset mode): any
     // top-10 query reading >1.5× its quiet anchor gets re-timed NOW,
     // after the box has had the probe window to settle. Contention is
@@ -495,11 +587,11 @@ object Bench {
     // dirty_n is the TRUE count: the tail line caps the dirty name
     // list at 10 (to fit the harness capture), so the count travels
     // separately and a truncated list can never understate the damage
-    def jsonLine(rs: Seq[(String, Double)], scale: String, vocab: String, dirty: String, remeasure: String): String = {
+    def jsonLine(rs: Seq[(String, Double)], scale: String, vocab: String, ann: String, dirty: String, remeasure: String): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"load_start":$loadStart,"load_end":$loadEnd,"host_cpus":$hostCpus,"contended":$contended,"remeasured_n":${remeasured.size},"remeasure":$remeasure,"dirty_n":${dirtyQueries.length},"dirty":$dirty,"scale":$scale,"vocab_probe":$vocab,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"load_start":$loadStart,"load_end":$loadEnd,"host_cpus":$hostCpus,"contended":$contended,"remeasured_n":${remeasured.size},"remeasure":$remeasure,"dirty_n":${dirtyQueries.length},"dirty":$dirty,"scale":$scale,"vocab_probe":$vocab,"ann_scale":$ann,"queries":$qs,"sf":"$sfDir"}"""
     }
-    val full = jsonLine(finalResults, scaleJson, vocabJson, dirtyList(dirtyQueries.sorted), remeasureJson)
+    val full = jsonLine(finalResults, scaleJson, vocabJson, annJson, dirtyList(dirtyQueries.sorted), remeasureJson)
     println(full)
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
@@ -512,7 +604,7 @@ object Bench {
     // and target/bench.json.
     val slowest = finalResults.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => k -> (math.round(v * 1000) / 1000.0) }
-    println(jsonLine(slowest, "null", "null", dirtyList(dirtyQueries.sorted.take(10)), "null"))
+    println(jsonLine(slowest, "null", "null", "null", dirtyList(dirtyQueries.sorted.take(10)), "null"))
     spark.stop()
   }
 }

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Standalone driver for the ANN-trainer scale probe: runs ONLY the
+  * ann_scale section (no main suite) so the decade curves and the
+  * exact-vs-cell-dual crossover can be re-measured on their own.
+  * SPARK_GRAFT_ANN_FACTORS picks the ladder (default 1,3,10,30).
+  */
+object AnnProbeDev {
+  def main(args: Array[String]): Unit = {
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftOptimizations.install(spark)
+    println("ANN_SCALE=" + Bench.runAnnScaleProbe(spark, "/root/testdata/sf0.1"))
+    spark.stop()
+  }
+}
