@@ -199,6 +199,79 @@ object EventStream {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Within-shard positions advance by one stride per microbatch:
+    * dense batch-plan ranks within a batch, strictly monotone across
+    * batches, and a shard would need 2^40 docs in ONE microbatch to
+    * overflow into the next stride.
+    */
+  private val PosBatchStride = 1L << 40
+
+  /** Streaming shard-export sink (D22) — the Kappa closer for the
+    * training story: the live dual of the batch C56b export
+    * ([[graft.functions.CorpusFunctions.shuffleShardsExport]]). Each
+    * microbatch runs the SAME seeded md5 permutation
+    * ([[graft.functions.CorpusFunctions.shuffleShards]]) — shard
+    * assignment depends only on (doc_id, seed), so a document lands in
+    * the same shard whether it arrives through the batch export or any
+    * microbatch — with within-shard positions offset by
+    * batchId·2^40 (dense inside a batch, strictly monotone across
+    * batches). The write partitions by (batch, shard) under DYNAMIC
+    * partition overwrite, so a checkpoint-replayed batchId rewrites
+    * exactly its own partitions: the sink is idempotent end to end
+    * (exactly-once file state, not foreachBatch's default
+    * at-least-once). Read back through plain partition discovery and
+    * summarize with [[graft.functions.CorpusFunctions.shardManifest]],
+    * the same path the batch export proves — the D11 dirSink
+    * discipline applied to the training-shard layout. Admission gates
+    * (Bloom dedup D16 → langid → perplexity D21) compose UPSTREAM as
+    * plain stream transforms; StreamingSpec runs the full chain.
+    */
+  def shardExportStream(
+      docStream: DataFrame,
+      idCol: String,
+      nShards: Int,
+      path: String,
+      checkpoint: String,
+      seed: Long = 0L,
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val reserved = docStream.columns.filterNot(_ == idCol).intersect(Array("shard", "pos", "doc_id", "batch"))
+    require(
+      reserved.isEmpty,
+      s"shardExportStream: payload columns [${reserved.mkString(",")}] collide with the sink's batch/shard/pos/doc_id output",
+    )
+    val writeBatch: (DataFrame, Long) => Unit = { (batch, batchId) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "dynamic")
+        try {
+          graft.functions.CorpusFunctions
+            .shuffleShards(batch, col(idCol), nShards, seed)
+            .withColumn("pos", col("pos") + lit(batchId * PosBatchStride))
+            .join(batch.withColumnRenamed(idCol, "doc_id"), Seq("doc_id"))
+            .withColumn("batch", lit(batchId))
+            .repartition(nShards, col("shard"))
+            .sortWithinPartitions(col("shard"), col("pos"))
+            .write
+            .mode("overwrite")
+            .partitionBy("batch", "shard")
+            .parquet(path)
+        } finally {
+          prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
+        }
+      }
+    }
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(writeBatch)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
   /** Streaming token-budget gate — the streaming dual of the batch
     * BPE path (C10c): documents are tokenized IN the stream with the
     * native `graft_bpe` expression using merges trained OFFLINE by the

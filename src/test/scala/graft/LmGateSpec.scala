@@ -181,6 +181,78 @@ class LmGateSpec extends AnyFunSuite {
     } finally ref.unpersist()
   }
 
+  test("shardExportStream: gated stream lands in the batch shard layout across two microbatches") {
+    implicit val sq = spark.sqlContext
+    import graft.functions.{DedupFunctions, TextFunctions}
+    // the D16 → langid → D21 admission chain from the composed test,
+    // now ending in the D22 checkpointed shard sink
+    val corpus = Seq(
+      (100L, "the data of the table and the scan of the data and the sort"),
+      (101L, "the plan of the query and the join of the table and the scan"),
+      (102L, "the sort of the batch and the merge of the rows and the plan"),
+    ).toDF("doc_id", "text")
+    val corpusFp = corpus.select(md5(TextFunctions.normText(col("text"))).as("fp")).distinct()
+    val sketch = DedupFunctions.bloomSketch(corpusFp, expectedItems = 100L)
+    val ref = CorpusFunctions.bigramLmRef(corpus, col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-shard-stream")
+    val outPath = dir.resolve("shards").toString
+    val ckpt = dir.resolve("ckpt").toString
+    try {
+      val batchA = Seq(
+        (1L, "The data of the table and the scan of   the data and the sort", t("2024-01-01T00:05:00Z")), // dup
+        (2L, "der hund und die katze das ist und der die das und der hund", t("2024-01-01T00:05:00Z")), // langid
+        (3L, "zq xv jk wq zx vb nm qp wz xk zq xv", t("2024-01-01T00:05:00Z")), // LM gate
+        (4L, "the scan of the table and the join of the query and the plan", t("2024-01-01T00:05:00Z")), // passes
+        (5L, "the join of the rows and the plan of the scan and the table", t("2024-01-01T00:05:00Z")), // passes
+      )
+      val batchB = Seq(
+        (11L, "the merge of the table and the sort of the query and the rows", t("2024-01-01T02:00:00Z")), // passes
+        (12L, "the plan of the query and the join of the table and the scan", t("2024-01-01T02:00:00Z")), // dup
+      )
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val gated = EventStream.lmGateStream(
+        TextFunctions
+          .langId(EventStream.bloomGateStream(mem.toDF().toDF("doc_id", "text", "ingest_ts"), corpusFp, sketch), col("text"))
+          .where(col("pred_lang") === "en")
+          .drop("pred_lang", "confidence", "fp"),
+        ref,
+        minProbPpm = 100000.0,
+      )
+      val q = EventStream.shardExportStream(gated, "doc_id", nShards = 2, outPath, ckpt)
+      mem.addData(batchA: _*)
+      q.processAllAvailable() // batch A ingested; its window still open
+      mem.addData(batchB: _*) // advances the watermark past batch A
+      q.processAllAvailable()
+      mem.addData((999L, "watermark advancer pushing the horizon far ahead", t("2024-01-01T09:00:00Z")))
+      q.processAllAvailable()
+      q.stop()
+
+      val exported = spark.read.parquet(outPath)
+      // survivors only, across BOTH flush batches
+      val byDoc = exported.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(byDoc.keySet == Set(4L, 5L, 11L), s"gated survivors land, got ${byDoc.keySet}")
+      assert(exported.select("batch").distinct().count() >= 2, "two microbatches committed separately")
+      // shard parity with the batch export plan: assignment is a pure
+      // function of (doc_id, seed), blind to batching
+      // partition-discovery infers batch/shard as int — read numerically
+      def num(r: org.apache.spark.sql.Row, c: String): Long = r.getAs[Number](c).longValue
+      val batchPlan = CorpusFunctions
+        .shuffleShards(Seq((4L, ""), (5L, ""), (11L, "")).toDF("doc_id", "text"), col("doc_id"), nShards = 2)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+      assert(byDoc.map { case (id, r) => id -> num(r, "shard") } == batchPlan)
+      // positions are monotone across microbatches within a shard, and
+      // the manifest reads through the same partition discovery as C56b
+      val manifest = CorpusFunctions.shardManifest(exported).collect()
+      assert(manifest.map(_.getAs[Long]("n_docs")).sum == 3L)
+      assert(num(byDoc(4L), "batch") < num(byDoc(11L), "batch"), "batch A committed before batch B")
+      assert(num(byDoc(4L), "pos") < num(byDoc(11L), "pos") || num(byDoc(4L), "shard") != num(byDoc(11L), "shard"),
+        "within a shard, positions advance with the batch stride")
+    } finally {
+      ref.unpersist()
+      ()
+    }
+  }
+
   test("lmGateStream scores against the static LM with exact batch parity and gates low scores") {
     implicit val sq = spark.sqlContext
     val refDocs = docs.limit(40)
