@@ -392,7 +392,13 @@ object CorpusFunctions {
         sum(when(col("cb") < pruneMin, col("cb")).otherwise(lit(0L))).as("cpr"),
       )
     val ctf = cbK.groupBy(col("w2")).agg(count(lit(1)).as("cont"))
-    val nt = cbK.agg(count(lit(1)).as("ntot"))
+    // greatest(ntot, 1): when pruning empties the model (every type a
+    // singleton), cont is already 0 everywhere and the clamp makes the
+    // backoff term an exact 0/1 = 0 instead of 0/0 = NaN — Spark would
+    // silently floor NaN to score 0 while DuckDB errors on the CAST,
+    // a divergence the hash gate can't even see. With any kept type
+    // ntot ≥ 1 and the clamp is the identity.
+    val nt = cbK.agg(greatest(count(lit(1)), lit(1L)).as("ntot"))
     // a pruned bigram misses the cbK/ctf joins: its first term is
     // max(0 − d, 0) = 0 and it scores pure backoff λ(w1)·pcont(w2)
     val p =

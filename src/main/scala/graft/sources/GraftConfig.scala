@@ -269,6 +269,11 @@ object GraftConfig {
         qualityGood = str(node, "quality_mapping")
           .map(n => qualityGood(root.path("quality_mapping").path(n)))
           .getOrElse(Nil),
+        // endpoint literal semantics: Redshift's default is OFF
+        // (backslash escapes inside literals); a standard-conforming
+        // session declares it here so the %s renderer stops doubling
+        standardConformingStrings =
+          Option(node.get("standard_conforming_strings")).exists(_.asBoolean),
       ),
       sidecarConfigs(root, dir, name, node, "redshift", tagColumns),
     )

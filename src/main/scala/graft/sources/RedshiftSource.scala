@@ -52,6 +52,14 @@ final case class RedshiftConfig(
     dataQueryTags: Option[Seq[String]] = None,
     queryStringParameters: Boolean = false,
     qualityGood: Seq[Any] = Nil,
+    /** Whether the endpoint treats string literals per the SQL
+      * standard (backslash NOT an escape). Redshift's PG-8 heritage
+      * default is OFF — backslashes must be doubled inside literals or
+      * a trailing `\` swallows the closing quote. A session/cluster
+      * with `standard_conforming_strings` ON keeps both backslashes of
+      * a doubled pair, so the rendering must NOT double them there.
+      */
+    standardConformingStrings: Boolean = false,
 ) extends Serializable {
 
   def jdbcUrl: String = connection.getOrElse(
@@ -256,7 +264,7 @@ object RedshiftSource {
     */
   private[graft] def formatQuery(cfg: RedshiftConfig, q: String, params: Seq[String]): String =
     if (cfg.queryStringParameters) formatBraces(q, params)
-    else formatPercent(q, params)
+    else formatPercent(q, params, doubleBackslashes = !cfg.standardConformingStrings)
 
   /** Python `str.format` over positional `{}`, quote-stripped values —
     * identical contract to the TdEngine path (sql.py:156-158).
@@ -279,13 +287,15 @@ object RedshiftSource {
 
   /** DB-API 'format' paramstyle (`%s`) rendered as quoted SQL string
     * literals, quotes doubled per the SQL standard. `%%` escapes a
-    * literal percent, matching the DB-API contract. Backslashes are
-    * doubled too: Redshift inherits PG-8 string semantics
-    * (standard_conforming_strings off), where `\` escapes inside a
-    * literal — an un-doubled trailing `\` would swallow the closing
-    * quote (literal breakout).
+    * literal percent, matching the DB-API contract. With
+    * `doubleBackslashes` (Redshift's PG-8 default,
+    * standard_conforming_strings off) backslashes are doubled too —
+    * an un-doubled trailing `\` would swallow the closing quote
+    * (literal breakout); on a standard-conforming endpoint doubling
+    * would corrupt the value instead, so the config flag picks the
+    * mode.
     */
-  private def formatPercent(q: String, params: Seq[String]): String = {
+  private def formatPercent(q: String, params: Seq[String], doubleBackslashes: Boolean): String = {
     val it = params.iterator
     val sb = new StringBuilder
     var i = 0
@@ -293,7 +303,9 @@ object RedshiftSource {
       if (i + 1 < q.length && q.charAt(i) == '%' && q.charAt(i + 1) == '%') { sb += '%'; i += 2 }
       else if (i + 1 < q.length && q.charAt(i) == '%' && q.charAt(i + 1) == 's') {
         require(it.hasNext, s"query has more %s placeholders than parameters (${params.size} given): $q")
-        sb.append("'").append(it.next().replace("\\", "\\\\").replace("'", "''")).append("'")
+        val v = it.next()
+        val escaped = (if (doubleBackslashes) v.replace("\\", "\\\\") else v).replace("'", "''")
+        sb.append("'").append(escaped).append("'")
         i += 2
       } else { sb.append(q.charAt(i)); i += 1 }
     }
@@ -308,14 +320,30 @@ object RedshiftSource {
 
   /** Per-field data queries (sql.py:266-269): the reference tries
     * `data_query.format(field=selector.field)` and falls back to the
-    * raw query on TypeError/IndexError — i.e. when the query also
-    * carries positional `{}` placeholders (the
-    * query_string_parameters style), str.format raises IndexError and
-    * NO field substitution happens. Same rule here: substitute the
-    * literal `{field}` token only when no bare `{}` placeholder is
-    * present.
+    * raw query ONLY on TypeError/IndexError — i.e. when the query
+    * carries positional placeholders (`{}` or `{0}`, the
+    * query_string_parameters style), where str.format raises
+    * IndexError and NO field substitution happens. A named
+    * placeholder OTHER than `{field}` raises KeyError in the
+    * reference, which is NOT caught — it propagates as a loud
+    * failure, so this port throws too rather than shipping the query
+    * with a literal `{name}` in it.
     */
-  private[graft] def substituteField(q: String, field: String): String =
-    if (!q.contains("{field}") || q.contains("{}")) q
-    else q.replace("{field}", field)
+  private[graft] def substituteField(q: String, field: String): String = {
+    // doubled braces are literals to str.format — invisible to the scan
+    val names = "\\{([^{}]*)\\}".r
+      .findAllMatchIn(q.replace("{{", "").replace("}}", ""))
+      .map(_.group(1))
+      .toSeq
+    if (names.isEmpty) q
+    else if (names.exists(n => n.isEmpty || n.forall(_.isDigit))) q // str.format IndexError -> untouched
+    else {
+      val unknown = names.filterNot(_ == "field")
+      require(
+        unknown.isEmpty,
+        s"data_query has unknown placeholder {${unknown.head}} (str.format KeyError in the reference)",
+      )
+      q.replace("{field}", field)
+    }
+  }
 }

@@ -241,28 +241,24 @@ object EventStream {
     )
     val writeBatch: (DataFrame, Long) => Unit = { (batch, batchId) =>
       if (!batch.isEmpty) {
-        val spark = batch.sparkSession
-        val key = "spark.sql.sources.partitionOverwriteMode"
-        val prev = spark.conf.getOption(key)
-        spark.conf.set(key, "dynamic")
-        try {
-          graft.functions.CorpusFunctions
-            .shuffleShards(batch, col(idCol), nShards, seed)
-            .withColumn("pos", col("pos") + lit(batchId * PosBatchStride))
-            .join(batch.withColumnRenamed(idCol, "doc_id"), Seq("doc_id"))
-            .withColumn("batch", lit(batchId))
-            .repartition(nShards, col("shard"))
-            .sortWithinPartitions(col("shard"), col("pos"))
-            .write
-            .mode("overwrite")
-            .partitionBy("batch", "shard")
-            .parquet(path)
-        } finally {
-          prev match {
-            case Some(v) => spark.conf.set(key, v)
-            case None => spark.conf.unset(key)
-          }
-        }
+        // dynamic overwrite as a WRITER option, never the session conf:
+        // a session-level toggle races every other partitioned writer
+        // in the same SparkSession (another stream's finally-restore
+        // landing between our set and our write would turn this into a
+        // STATIC overwrite that deletes every previously committed
+        // batch partition)
+        graft.functions.CorpusFunctions
+          .shuffleShards(batch, col(idCol), nShards, seed)
+          .withColumn("pos", col("pos") + lit(batchId * PosBatchStride))
+          .join(batch.withColumnRenamed(idCol, "doc_id"), Seq("doc_id"))
+          .withColumn("batch", lit(batchId))
+          .repartition(nShards, col("shard"))
+          .sortWithinPartitions(col("shard"), col("pos"))
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch", "shard")
+          .parquet(path)
       }
     }
     docStream.writeStream

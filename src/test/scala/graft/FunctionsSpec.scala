@@ -303,6 +303,13 @@ class FunctionsSpec extends AnyFunSuite {
     val prHot = CorpusFunctions.bigramLmKn(d, col("doc_id"), col("text"), hotMin = 2L, pruneMin = 2L)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(prHot == pr)
+    // pruning can empty the model entirely (every type a singleton):
+    // ntot clamps to 1, every doc scores a clean 0.0 — never NaN
+    // (Spark would floor NaN to 0 silently; DuckDB errors on the CAST)
+    val dSingles = Seq((1L, "p q r"), (2L, "s t u")).toDF("doc_id", "text")
+    val empty = CorpusFunctions.bigramLmKn(dSingles, col("doc_id"), col("text"), pruneMin = 2L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(empty == Map(1L -> 0.0, 2L -> 0.0))
   }
 
   test("bm25Search scores matching docs and drops non-matching ones") {

@@ -185,13 +185,28 @@ class RedshiftSourceSpec extends AnyFunSuite {
     val braces = RedshiftSource.formatQuery(
       cfg.copy(queryStringParameters = true), "WHERE a = '{}'", Seq("""inj' OR \"""))
     assert(braces == "WHERE a = 'inj OR '")
+    // a standard-conforming endpoint (backslash NOT an escape) must
+    // NOT double — doubling there would corrupt the stored value
+    val scs = RedshiftSource.formatQuery(
+      cfg.copy(standardConformingStrings = true), "SELECT 1 WHERE x = %s", Seq("""C:\plant\dev1"""))
+    assert(scs == """SELECT 1 WHERE x = 'C:\plant\dev1'""")
   }
 
   test("{field} in data_query substitutes the selector's field (sql.py:267)") {
     assert(RedshiftSource.substituteField("SELECT ts, {field} FROM d", "val") == "SELECT ts, val FROM d")
-    // positional {} present -> str.format raises IndexError -> untouched
+    // positional {} or {0} present -> str.format raises IndexError -> untouched
     assert(RedshiftSource.substituteField("SELECT ts, {field} FROM d WHERE n = '{}'", "val")
       == "SELECT ts, {field} FROM d WHERE n = '{}'")
+    assert(RedshiftSource.substituteField("SELECT ts, {field} FROM d WHERE n = '{0}'", "val")
+      == "SELECT ts, {field} FROM d WHERE n = '{0}'")
+    // an unknown NAMED placeholder raises KeyError in the reference —
+    // NOT swallowed: fail loudly instead of shipping a literal {name}
+    val e = intercept[IllegalArgumentException](
+      RedshiftSource.substituteField("SELECT {field} FROM d WHERE n = '{other}'", "val"))
+    assert(e.getMessage.contains("other"))
+    // doubled braces are literals to str.format, invisible to the scan
+    assert(RedshiftSource.substituteField("SELECT '{{json}}', {field} FROM d", "val")
+      == "SELECT '{{json}}', val FROM d")
     // end to end through Derby: the field picks the projected column
     val src = new RedshiftSource(
       cfg.copy(dataQuery = Some("SELECT ts, {field} FROM data WHERE name = %s AND ts >= TIMESTAMP(%s) AND ts < TIMESTAMP(%s)"))
