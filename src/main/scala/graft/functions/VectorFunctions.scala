@@ -159,12 +159,9 @@ object VectorFunctions {
     val indexed = assignCell(cand, centroids)
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("label").as("n_label"))
       .cache()
-    val probeStructs = centroids.zipWithIndex.map { case (cen, i) =>
-      struct(dist2(col("embedding"), cen).as("d"), lit(i).as("cell"))
-    }
     val probes = queries
-      .withColumn("probe", explode(slice(array_sort(array(probeStructs: _*)), 1, nProbe)))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label").as("q_label"), col("probe.cell").as("cell"))
+      .withColumn("cell", explode(cellNearest(col("embedding"), centroids, nProbe)))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label").as("q_label"), col("cell"))
     val scored = probes
       .join(indexed, Seq("cell"))
       .where((if (samePair) lit(true) else col("query_id") =!= col("neighbor_id")) && pairPred)
@@ -337,28 +334,37 @@ object VectorFunctions {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
-  /** Squared L2 distance to a centroid literal, on doubles; only the
-    * ARGMIN is consumed, and the per-(vector, centroid) evaluation
-    * order is fixed, so float non-associativity cannot change cells.
+  /** Column over a raw native expression (model matrices ride as
+    * constructor data — see [[graft.plans.CellAssign]] et al.).
     */
-  private def dist2(emb: Column, centroid: Array[Double]): Column = {
-    val c = array(centroid.map(lit): _*)
-    aggregate(
-      zip_with(emb, c, (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-      lit(0.0),
-      (acc, x) => acc + x,
-    )
-  }
+  private def nat(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(e)
+  private def ex(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftSqlBridge.expression(c)
 
-  /** Nearest-centroid assignment as a `cell` column (argmin via
-    * `least` over (distance, id) structs — ties break on cell id).
+  /** Nearest-centroid struct `(d, cell)` — native argmin with the
+    * arithmetic and ordering of the historical
+    * `least(struct(dist2(emb, c_i), i)…)` literal tree (fixed-order
+    * `Σ (double(x)−c)²`, ties on lowest cell; VectorNativeExprSpec
+    * pins the equivalence). One compiled nCells × dim loop per row
+    * instead of ~3 interpreted lambda dispatches per element — the
+    * argmin is O(nCells·dim) per ROW with nCells ∝ √N at scale, so
+    * this constant multiplies the whole index/probe term.
     */
-  private def assignCell(frame: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val scored = centroids.zipWithIndex.map { case (cen, i) =>
-      struct(dist2(col("embedding"), cen).as("d"), lit(i).as("cell"))
-    }
-    frame.withColumn("cell", least(scored: _*).getField("cell"))
-  }
+  private def cellAssign(emb: Column, centroids: Array[Array[Double]]): Column =
+    nat(graft.plans.CellAssign(ex(emb), centroids.map(_.toSeq).toSeq))
+
+  /** The `n` nearest cells in ascending (d, cell) order — native form
+    * of `slice(array_sort(array(struct(dist2…, i)…)), 1, n)`.
+    */
+  private def cellNearest(emb: Column, centroids: Array[Array[Double]], n: Int): Column =
+    nat(graft.plans.CellNearest(ex(emb), centroids.map(_.toSeq).toSeq, n))
+
+  /** Nearest-centroid assignment as a `cell` column (argmin, ties
+    * break on cell id).
+    */
+  private def assignCell(frame: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    frame.withColumn("cell", cellAssign(col("embedding"), centroids).getField("cell"))
 
   /** Deterministic k-means over `(vec_id, embedding)`: init = the
     * `nCells` lowest vec_ids, per-(cell, position) means via scaled-
@@ -544,11 +550,8 @@ object VectorFunctions {
       .select(col("vec_id"), col("embedding"))
       .cache()
     val centroids = trainKmeans(vecs, nCells, lloydIterations, trainLimit)
-    val scored = centroids.zipWithIndex.map { case (cen, i) =>
-      struct(dist2(col("embedding"), cen).as("d"), lit(i).as("cell"))
-    }
     val assigned = vecs
-      .withColumn("__a", least(scored: _*))
+      .withColumn("__a", cellAssign(col("embedding"), centroids))
       .select(
         col("vec_id"),
         col("__a").getField("cell").as("cell"),
@@ -663,12 +666,9 @@ object VectorFunctions {
 
     val indexed = assignCell(vecs, centroids).select(col("cell"), col("vec_id"), col("embedding")).cache()
     // probe list: each query's nProbe nearest cells
-    val probeStructs = centroids.zipWithIndex.map { case (cen, i) =>
-      struct(dist2(col("embedding"), cen).as("d"), lit(i).as("cell"))
-    }
     val probes = vecs
-      .withColumn("probe", explode(slice(array_sort(array(probeStructs: _*)), 1, nProbe)))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("probe.cell").as("cell"))
+      .withColumn("cell", explode(cellNearest(col("embedding"), centroids, nProbe)))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cell"))
     val ranked = probes
       .join(indexed.select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("ce")), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
@@ -841,18 +841,13 @@ object VectorFunctions {
   }
 
   /** Apply a literal rotation matrix to an embedding column:
-    * `y_j = Σ_i R(j,i)·x_i`. The matrix ships as ONE `typedlit`
-    * Literal node (d² doubles of DATA, not d² expression nodes — a
-    * CreateArray tree of 4096 literals would blow codegen compile
-    * time on every stage that references it) and each output
-    * component is a `zip_with` dot product in fixed array order —
-    * deterministic.
+    * `y_j = Σ_i R(j,i)·x_i` — native [[graft.plans.RotateVec]] (the
+    * matrix rides as constructor DATA, one compiled d² loop per row;
+    * arithmetic identical to the historical typedlit/zip_with dot in
+    * fixed array order — deterministic).
     */
   private def rotateExpr(rot: Array[Array[Double]], vec: Column): Column =
-    transform(
-      typedlit(rot.map(_.toSeq).toSeq),
-      row => aggregate(zip_with(row, vec, (a, b) => a * b.cast("double")), lit(0.0), (acc, x) => acc + x),
-    )
+    nat(graft.plans.RotateVec(ex(vec), rot.map(_.toSeq).toSeq))
 
   /** Full OPQ rotation — the non-parametric alternation of Ge et al.
     * 2014 ("Optimized Product Quantization", Alg. 2; Faiss's OPQMatrix
@@ -1039,35 +1034,23 @@ object VectorFunctions {
     (Array.tabulate(d)(i => a(i)(i)), v)
   }
 
-  /** Exact squared L2 between one subspace slice and a codeword
-    * literal — fixed evaluation order, deterministic like [[dist2]].
+  /** Per-subspace argmin code over the codebooks (ties → lowest code) —
+    * native [[graft.plans.PqEncode]]: arithmetic and ordering of the
+    * historical m × codebookSize `least(struct(subDist2…, c)…)` tree
+    * in one compiled loop per row (VectorNativeExprSpec pins the
+    * equivalence). m/dsub ride in the codebook shape.
     */
-  private def subDist2(emb: Column, s: Int, dsub: Int, cw: Array[Double]): Column =
-    aggregate(
-      zip_with(
-        slice(emb, s * dsub + 1, dsub),
-        array(cw.map(lit): _*),
-        (a, b) => (a.cast("double") - b) * (a.cast("double") - b),
-      ),
-      lit(0.0),
-      (acc, x) => acc + x,
-    )
-
-  /** Per-subspace argmin code over the codebooks (ties → lowest code). */
   private def pqCodesExpr(
       books: Array[Array[Array[Double]]],
       m: Int,
       dsub: Int,
       vec: Column = col("embedding"),
   ): Column =
-    array((0 until m).map { s =>
-      least(books(s).zipWithIndex.map { case (cw, c) =>
-        struct(subDist2(vec, s, dsub, cw).as("d"), lit(c).as("c"))
-      }: _*).getField("c")
-    }: _*)
+    nat(graft.plans.PqEncode(ex(vec), books.map(_.map(_.toSeq).toSeq).toSeq))
 
   /** Query-side ADC lookup table: exact subspace distance to every
-    * codeword, laid out `[s * codebookSize + c]`.
+    * codeword, laid out `[s * codebookSize + c]` — native
+    * [[graft.plans.PqLookupTable]].
     */
   private def pqLutExpr(
       books: Array[Array[Array[Double]]],
@@ -1076,15 +1059,13 @@ object VectorFunctions {
       codebookSize: Int,
       vec: Column = col("embedding"),
   ): Column =
-    array((for { s <- 0 until m; c <- 0 until codebookSize } yield subDist2(vec, s, dsub, books(s)(c))): _*)
+    nat(graft.plans.PqLookupTable(ex(vec), books.map(_.map(_.toSeq).toSeq).toSeq))
 
-  /** ADC distance: m LUT lookups folded over the `codes` column. */
+  /** ADC distance: m LUT lookups summed in subspace order — native
+    * [[graft.plans.AdcDistance]] over the `codes`/`lut` columns.
+    */
   private def adcExpr(m: Int, codebookSize: Int): Column =
-    aggregate(
-      zip_with(col("codes"), sequence(lit(0), lit(m - 1)), (c, s) => element_at(col("lut"), s * codebookSize + c + 1)),
-      lit(0.0),
-      (acc, x) => acc + x,
-    )
+    nat(graft.plans.AdcDistance(ex(col("codes")), ex(col("lut"))))
 
   /** Deterministic per-subspace Lloyd codebooks (init = subspace slices
     * of the `codebookSize` lowest train ids; scaled-integer means keyed
@@ -1218,11 +1199,12 @@ object VectorFunctions {
     val train = trainSample(vecs, trainLimit)
     val centroids = trainKmeansOn(train, nCells, lloydIterations)
 
-    // centroid table as a nested literal (nCells × dim doubles —
-    // dictionary-sized); residual = vector − centroid[cell]
-    val centLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    // residual = vector − centroid[cell]: native ResidualVec (the
+    // centroid table rides as constructor data, one compiled dim loop
+    // per row — arithmetic identical to the historical zip_with over a
+    // nested element_at literal)
     def resid(vec: Column, cellCol: Column): Column =
-      zip_with(vec, element_at(centLit, cellCol + 1), (x, c) => x.cast("double") - c)
+      nat(graft.plans.ResidualVec(ex(vec), ex(cellCol), centroids.map(_.toSeq).toSeq))
 
     val books =
       if (residual) {
@@ -1258,12 +1240,9 @@ object VectorFunctions {
     // each query: nProbe nearest cells × its ADC lookup table — with
     // residual encoding the LUT is per (query, probed cell), against
     // the SAME centroid the cell's candidates were encoded against
-    val probeStructs = centroids.zipWithIndex.map { case (cen, i) =>
-      struct(dist2(col("embedding"), cen).as("d"), lit(i).as("cell"))
-    }
     val qprobed = queries
-      .withColumn("probe", explode(slice(array_sort(array(probeStructs: _*)), 1, nProbe)))
-      .select(col("vec_id").as("query_id"), col("probe.cell").as("cell"), col("embedding"))
+      .withColumn("cell", explode(cellNearest(col("embedding"), centroids, nProbe)))
+      .select(col("vec_id").as("query_id"), col("cell"), col("embedding"))
     val qVec = if (residual) resid(col("embedding"), col("cell")) else col("embedding")
     val q = qprobed
       .select(col("query_id"), col("cell"), pqLutExpr(books, m, dsub, codebookSize, qVec).as("lut"))

@@ -1,0 +1,395 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native (compiled-JVM) replacements for the literal-model expression
+  * trees of the ANN/quantizer family in
+  * [[graft.functions.VectorFunctions]].
+  *
+  * The SQL formulations spell "distance of a row vector to each of k
+  * model vectors" as k copies of
+  * `aggregate(zip_with(emb, array(<lit…>), (a,b) -> (a-b)*(a-b)), 0.0, +)`
+  * under a `least(struct(d, i), …)` argmin. Higher-order functions are
+  * NOT whole-stage-codegen'd: each evaluation allocates an
+  * intermediate array and runs ~3 interpreted lambda dispatches per
+  * element, and the literal trees themselves (nCells × dim literal
+  * nodes, m·codebookSize codeword arrays) make every stage's analysis/
+  * optimization driver-heavy. At probe scale the argmin is the hot
+  * loop of every IVF/PQ operator — O(nCells·dim) per ROW with
+  * nCells ∝ √N — so the interpreted constant multiplies the whole
+  * N^1.5 term.
+  *
+  * Every expression here reproduces the SQL formulation's arithmetic
+  * BIT-EXACTLY (same float→double casts, same fixed accumulation
+  * order, same `least`/`array_sort` ordering semantics incl. ties and
+  * NaN placement via [[VecModel.cmpD]]), so hash-verified oracle
+  * results are unchanged — VectorNativeExprSpec pins the equivalence
+  * expression-by-expression.
+  *
+  * Malformed inputs (null element slots, length ≠ model dim) throw
+  * instead of reproducing the SQL null-propagation corner: the
+  * trainers derive every model from the same fixed-dim column, so a
+  * mismatch is a corrupted input, and a loud failure beats a silently
+  * divergent argmin.
+  */
+private[graft] object VecModel {
+  /** Spark's SQLOrderingUtil.compareDoubles semantics — the comparator
+    * behind `least`/`array_sort` on double struct fields: primitive
+    * `==` first (so -0.0 == 0.0), else `java.lang.Double.compare`
+    * (NaN sorts greatest, NaN == NaN).
+    */
+  def cmpD(a: Double, b: Double): Int = if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  def checkVec(dt: DataType, what: String): TypeCheckResult = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$what needs array<float> or array<double>, got $other")
+  }
+
+  def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  def elem(a: ArrayData, i: Int, isFloat: Boolean, what: String): Double = {
+    if (a.isNullAt(i)) throw new IllegalStateException(s"$what: null element at slot $i")
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+  }
+}
+
+/** Nearest-centroid assignment: `struct(d, cell)` of the argmin cell —
+  * semantics of `least(struct(dist2(emb, c_i), i)…)` with dist2's
+  * fixed-order `Σ (double(x_p) − c_p)²` accumulation and ties on the
+  * lowest cell id.
+  */
+case class CellAssign(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(centroids.nonEmpty, "CellAssign needs at least one centroid")
+
+  override def dataType: DataType =
+    StructType(Seq(StructField("d", DoubleType, nullable = false), StructField("cell", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = VecModel.checkVec(child.dataType, "graft_cell_assign")
+
+  @transient private lazy val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
+  @transient private lazy val isFloat: Boolean = VecModel.isFloatArray(child.dataType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val emb = input.asInstanceOf[ArrayData]
+    val dim = cents(0).length
+    if (emb.numElements() != dim)
+      throw new IllegalStateException(s"graft_cell_assign: embedding dim ${emb.numElements()} != centroid dim $dim")
+    var best = 0
+    var bestD = VecKernels.dist2(emb, cents(0), isFloat)
+    var i = 1
+    while (i < cents.length) {
+      val d = VecKernels.dist2(emb, cents(i), isFloat)
+      if (VecModel.cmpD(d, bestD) < 0) { best = i; bestD = d }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](bestD, best))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CellAssign = copy(child = newChild)
+  override def prettyName: String = "graft_cell_assign"
+}
+
+/** The `n` nearest cells in ascending `(d, cell)` order — semantics of
+  * `slice(array_sort(array(struct(dist2(emb, c_i), i)…)), 1, n)`
+  * projected to the cell ids (the probe list every IVF operator
+  * explodes).
+  */
+case class CellNearest(child: Expression, centroids: Seq[Seq[Double]], n: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(centroids.nonEmpty, "CellNearest needs at least one centroid")
+  require(n >= 1 && n <= centroids.length, s"n must be in [1, ${centroids.length}], got $n")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = VecModel.checkVec(child.dataType, "graft_cell_nearest")
+
+  @transient private lazy val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
+  @transient private lazy val isFloat: Boolean = VecModel.isFloatArray(child.dataType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val emb = input.asInstanceOf[ArrayData]
+    val dim = cents(0).length
+    if (emb.numElements() != dim)
+      throw new IllegalStateException(s"graft_cell_nearest: embedding dim ${emb.numElements()} != centroid dim $dim")
+    val k = cents.length
+    val d = new Array[Double](k)
+    var i = 0
+    while (i < k) { d(i) = VecKernels.dist2(emb, cents(i), isFloat); i += 1 }
+    // selection in (d, cell) order: the scan keeps the FIRST index at
+    // the minimum, which is exactly the lowest-cell tie-break
+    val out = new Array[Int](n)
+    val used = new Array[Boolean](k)
+    var j = 0
+    while (j < n) {
+      var bi = -1
+      var bd = 0.0
+      var c = 0
+      while (c < k) {
+        if (!used(c) && (bi < 0 || VecModel.cmpD(d(c), bd) < 0)) { bi = c; bd = d(c) }
+        c += 1
+      }
+      used(bi) = true
+      out(j) = bi
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CellNearest = copy(child = newChild)
+  override def prettyName: String = "graft_cell_nearest"
+}
+
+/** PQ encode: per-subspace argmin codeword — semantics of the
+  * m × codebookSize `least(struct(subDist2(emb, s, dsub, cw), c)…)`
+  * tree (contiguous `dsub` slices, fixed-order accumulation, ties on
+  * the lowest code).
+  */
+case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(books.nonEmpty && books.head.nonEmpty, "PqEncode needs at least one codebook with one codeword")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = VecModel.checkVec(child.dataType, "graft_pq_encode")
+
+  @transient private lazy val bks: Array[Array[Array[Double]]] = books.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val isFloat: Boolean = VecModel.isFloatArray(child.dataType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val emb = input.asInstanceOf[ArrayData]
+    val m = bks.length
+    val dsub = bks(0)(0).length
+    if (emb.numElements() != m * dsub)
+      throw new IllegalStateException(s"graft_pq_encode: embedding dim ${emb.numElements()} != ${m}x$dsub")
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val book = bks(s)
+      val base = s * dsub
+      var best = 0
+      var bestD = VecKernels.subDist2(emb, base, book(0), isFloat)
+      var c = 1
+      while (c < book.length) {
+        val d = VecKernels.subDist2(emb, base, book(c), isFloat)
+        if (VecModel.cmpD(d, bestD) < 0) { best = c; bestD = d }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode = copy(child = newChild)
+  override def prettyName: String = "graft_pq_encode"
+}
+
+/** Query-side ADC lookup table laid out `[s · codebookSize + c]` —
+  * semantics of the m · codebookSize `subDist2` array.
+  */
+case class PqLookupTable(child: Expression, books: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(books.nonEmpty && books.head.nonEmpty, "PqLookupTable needs at least one codebook with one codeword")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = VecModel.checkVec(child.dataType, "graft_pq_lut")
+
+  @transient private lazy val bks: Array[Array[Array[Double]]] = books.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val isFloat: Boolean = VecModel.isFloatArray(child.dataType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val emb = input.asInstanceOf[ArrayData]
+    val m = bks.length
+    val cs = bks(0).length
+    val dsub = bks(0)(0).length
+    if (emb.numElements() != m * dsub)
+      throw new IllegalStateException(s"graft_pq_lut: embedding dim ${emb.numElements()} != ${m}x$dsub")
+    val out = new Array[Double](m * cs)
+    var s = 0
+    while (s < m) {
+      val book = bks(s)
+      val base = s * dsub
+      var c = 0
+      while (c < cs) {
+        out(s * cs + c) = VecKernels.subDist2(emb, base, book(c), isFloat)
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLookupTable = copy(child = newChild)
+  override def prettyName: String = "graft_pq_lut"
+}
+
+/** ADC distance: `Σ_s lut[s · codebookSize + codes_s]` accumulated in
+  * subspace order from 0.0 — semantics of the
+  * `aggregate(zip_with(codes, sequence(0, m−1), element_at(lut, …)), 0.0, +)`
+  * fold. codebookSize is derived per row as `|lut| / |codes|`.
+  */
+case class AdcDistance(left: Expression, right: Expression)
+    extends BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"graft_adc needs (array<int> codes, array<double> lut), got $other")
+  }
+
+  override def nullSafeEval(codesAny: Any, lutAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val lut = lutAny.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    if (m == 0 || lut.numElements() % m != 0)
+      throw new IllegalStateException(s"graft_adc: |lut| ${lut.numElements()} not a multiple of |codes| $m")
+    val cs = lut.numElements() / m
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      if (codes.isNullAt(s)) throw new IllegalStateException(s"graft_adc: null code at subspace $s")
+      val c = codes.getInt(s)
+      if (c < 0 || c >= cs) throw new IllegalStateException(s"graft_adc: code $c out of range [0, $cs)")
+      acc += lut.getDouble(s * cs + c)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): AdcDistance =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_adc"
+}
+
+/** Literal-matrix rotation `y_j = Σ_i R(j,i) · double(x_i)` — semantics
+  * of `transform(typedlit(R), row -> aggregate(zip_with(row, vec, a·b),
+  * 0.0, +))`: per output component a fixed-order dot accumulated from
+  * 0.0.
+  */
+case class RotateVec(child: Expression, rot: Seq[Seq[Double]])
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(rot.nonEmpty, "RotateVec needs a non-empty matrix")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = VecModel.checkVec(child.dataType, "graft_rotate")
+
+  @transient private lazy val mat: Array[Array[Double]] = rot.map(_.toArray).toArray
+  @transient private lazy val isFloat: Boolean = VecModel.isFloatArray(child.dataType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val emb = input.asInstanceOf[ArrayData]
+    val dim = mat(0).length
+    if (emb.numElements() != dim)
+      throw new IllegalStateException(s"graft_rotate: embedding dim ${emb.numElements()} != matrix dim $dim")
+    val out = new Array[Double](mat.length)
+    var j = 0
+    while (j < mat.length) {
+      val row = mat(j)
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        acc += row(i) * VecModel.elem(emb, i, isFloat, "graft_rotate")
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RotateVec = copy(child = newChild)
+  override def prettyName: String = "graft_rotate"
+}
+
+/** Residual to the row's assigned centroid:
+  * `r_p = double(x_p) − centroids(cell)(p)` — semantics of
+  * `zip_with(vec, element_at(centLit, cell + 1), x − c)`.
+  */
+case class ResidualVec(left: Expression, right: Expression, centroids: Seq[Seq[Double]])
+    extends BinaryExpression
+    with CodegenFallback {
+
+  require(centroids.nonEmpty, "ResidualVec needs at least one centroid")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _) | ArrayType(DoubleType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"graft_residual needs (array<float|double>, int cell), got $other")
+  }
+
+  @transient private lazy val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
+  @transient private lazy val isFloat: Boolean = VecModel.isFloatArray(left.dataType)
+
+  override def nullSafeEval(embAny: Any, cellAny: Any): Any = {
+    val emb = embAny.asInstanceOf[ArrayData]
+    val cell = cellAny.asInstanceOf[Int]
+    if (cell < 0 || cell >= cents.length)
+      throw new IllegalStateException(s"graft_residual: cell $cell out of range [0, ${cents.length})")
+    val cen = cents(cell)
+    if (emb.numElements() != cen.length)
+      throw new IllegalStateException(s"graft_residual: embedding dim ${emb.numElements()} != centroid dim ${cen.length}")
+    val out = new Array[Double](cen.length)
+    var p = 0
+    while (p < cen.length) {
+      out(p) = VecModel.elem(emb, p, isFloat, "graft_residual") - cen(p)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ResidualVec =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_residual"
+}
+
+/** Shared distance kernels — one tight loop each, arithmetic identical
+  * to the `zip_with`/`aggregate` SQL spelling (cast each element to
+  * double, subtract the model component, square, accumulate in index
+  * order starting from 0.0).
+  */
+private[plans] object VecKernels {
+  def dist2(emb: ArrayData, cen: Array[Double], isFloat: Boolean): Double = {
+    var acc = 0.0
+    var p = 0
+    while (p < cen.length) {
+      val d = VecModel.elem(emb, p, isFloat, "graft_cell_assign") - cen(p)
+      acc += d * d
+      p += 1
+    }
+    acc
+  }
+
+  def subDist2(emb: ArrayData, base: Int, cw: Array[Double], isFloat: Boolean): Double = {
+    var acc = 0.0
+    var p = 0
+    while (p < cw.length) {
+      val d = VecModel.elem(emb, base + p, isFloat, "graft_pq") - cw(p)
+      acc += d * d
+      p += 1
+    }
+    acc
+  }
+}

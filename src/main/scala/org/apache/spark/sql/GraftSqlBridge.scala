@@ -25,6 +25,20 @@ object GraftSqlBridge {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }
 
+  /** A Column over a raw Catalyst expression — the doorway for graft's
+    * native expressions whose model state (centroid/codebook matrices)
+    * rides as constructor data rather than literal children, so they
+    * cannot be registered as SQL functions.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** The Catalyst expression behind a Column (unresolved attributes
+    * stay unresolved — intended for embedding into larger trees).
+    */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** A 1-row/1-column frame as an uncorrelated scalar-subquery Column —
     * the form expressions like `might_contain` demand for their
     * constant-ish inputs (an attribute from a cross join is rejected at

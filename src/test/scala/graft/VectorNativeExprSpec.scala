@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the native ANN-model expressions (graft.plans.CellAssign /
+  * CellNearest / PqEncode / PqLookupTable / AdcDistance / RotateVec /
+  * ResidualVec) EXACTLY — value-for-value, double-for-double — against
+  * the historical SQL formulations they replaced
+  * (`least(struct(aggregate(zip_with(…))))` literal trees). The fixture
+  * embeds exact duplicates so argmin tie-breaks are exercised, and
+  * every comparison also runs on a double-array input (the residual /
+  * rotated-vector path).
+  */
+class VectorNativeExprSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def nat(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftSqlBridge.column(e)
+  private def ex(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    GraftSqlBridge.expression(c)
+
+  // deterministic fixture: 64 float vectors of dim 8, rows 7 and 23
+  // duplicate rows 1 and 3 exactly (tie cases for every argmin)
+  private val dim = 8
+  private lazy val vecs: DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = (0 until 64).map { i =>
+      val src = if (i == 7) 1 else if (i == 23) 3 else i
+      org.apache.spark.sql.Row(
+        i.toLong,
+        (0 until dim).map(j => (math.sin(src * 31 + j * 7) * 3).toFloat).toArray.toSeq,
+      )
+    }
+    spark.createDataFrame(
+      rows.asJava,
+      org.apache.spark.sql.types.StructType(
+        Seq(
+          org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(
+            "embedding",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType),
+          ),
+        )
+      ),
+    )
+  }
+  // the same vectors as array<double> (residual-path element type)
+  private lazy val dvecs: DataFrame =
+    vecs.withColumn("embedding", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+
+  // centroids INCLUDE the exact duplicate of row 1's vector so a
+  // zero-distance tie exists between two centroids
+  private val centroids: Array[Array[Double]] =
+    Array.tabulate(4, dim)((c, j) => math.sin((if (c == 2) 1 else c * 13 + 5) * 31 + j * 7) * 3) ++
+      Array(Array.tabulate(dim)(j => (math.sin(1 * 31 + j * 7) * 3).toFloat.toDouble))
+
+  /** historical formulations, verbatim from the pre-native code */
+  private def sqlDist2(emb: Column, centroid: Array[Double]): Column = {
+    val c = array(centroid.map(lit): _*)
+    aggregate(
+      zip_with(emb, c, (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0),
+      (acc, x) => acc + x,
+    )
+  }
+  private def sqlAssign(centroids: Array[Array[Double]]): Column =
+    least(centroids.zipWithIndex.map { case (cen, i) =>
+      struct(sqlDist2(col("embedding"), cen).as("d"), lit(i).as("cell"))
+    }: _*)
+  private def sqlNearest(centroids: Array[Array[Double]], n: Int): Column =
+    slice(
+      array_sort(array(centroids.zipWithIndex.map { case (cen, i) =>
+        struct(sqlDist2(col("embedding"), cen).as("d"), lit(i).as("cell"))
+      }: _*)),
+      1,
+      n,
+    )
+  private def sqlSubDist2(emb: Column, s: Int, dsub: Int, cw: Array[Double]): Column =
+    aggregate(
+      zip_with(
+        slice(emb, s * dsub + 1, dsub),
+        array(cw.map(lit): _*),
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b),
+      ),
+      lit(0.0),
+      (acc, x) => acc + x,
+    )
+  private def sqlPqCodes(books: Array[Array[Array[Double]]], m: Int, dsub: Int, vec: Column): Column =
+    array((0 until m).map { s =>
+      least(books(s).zipWithIndex.map { case (cw, c) =>
+        struct(sqlSubDist2(vec, s, dsub, cw).as("d"), lit(c).as("c"))
+      }: _*).getField("c")
+    }: _*)
+  private def sqlPqLut(books: Array[Array[Array[Double]]], m: Int, dsub: Int, cs: Int, vec: Column): Column =
+    array((for { s <- 0 until m; c <- 0 until cs } yield sqlSubDist2(vec, s, dsub, books(s)(c))): _*)
+  private def sqlAdc(m: Int, cs: Int): Column =
+    aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)), (c, s) => element_at(col("lut"), s * cs + c + 1)),
+      lit(0.0),
+      (acc, x) => acc + x,
+    )
+  private def sqlRotate(rot: Array[Array[Double]], vec: Column): Column =
+    transform(
+      typedlit(rot.map(_.toSeq).toSeq),
+      row => aggregate(zip_with(row, vec, (a, b) => a * b.cast("double")), lit(0.0), (acc, x) => acc + x),
+    )
+
+  private def cSeq(m: Array[Array[Double]]): Seq[Seq[Double]] = m.map(_.toSeq).toSeq
+
+  private def assertColsEqual(df: DataFrame, a: Column, b: Column): Unit = {
+    val bad = df.select(a.as("na"), b.as("sq")).where(not(col("na") <=> col("sq")))
+    val n = bad.count()
+    assert(n == 0, s"$n rows diverge: ${bad.take(3).mkString("; ")}")
+  }
+
+  test("CellAssign matches the least(struct(dist2…)) tree on float and double arrays, ties included") {
+    for (df <- Seq(vecs, dvecs)) {
+      assertColsEqual(
+        df,
+        nat(graft.plans.CellAssign(ex(col("embedding")), cSeq(centroids))),
+        sqlAssign(centroids),
+      )
+    }
+  }
+
+  test("CellNearest matches array_sort+slice for every n, ties included") {
+    for (df <- Seq(vecs, dvecs); n <- 1 to centroids.length) {
+      // bind the SQL probe list first so the transform below sees it
+      val withSq = df.withColumn("__sq", sqlNearest(centroids, n))
+      assertColsEqual(
+        withSq,
+        nat(graft.plans.CellNearest(ex(col("embedding")), cSeq(centroids), n)),
+        expr("transform(__sq, p -> p.cell)"),
+      )
+    }
+  }
+
+  test("PqEncode / PqLookupTable / AdcDistance match the subDist2 trees on float and double arrays") {
+    val m = 4
+    val dsub = dim / m
+    val cs = 3
+    // codebook 2 of subspace 1 duplicates codebook 0 (tie case)
+    val books: Array[Array[Array[Double]]] =
+      Array.tabulate(m, cs, dsub)((s, c, p) => if (s == 1 && c == 2) math.cos(0 * 5 + p) else math.cos((s * cs + c) * 5 + p) * 2)
+    books(1)(2) = books(1)(0).clone()
+    for (df <- Seq(vecs, dvecs)) {
+      assertColsEqual(
+        df,
+        nat(graft.plans.PqEncode(ex(col("embedding")), books.map(b => cSeq(b)).toSeq)),
+        sqlPqCodes(books, m, dsub, col("embedding")),
+      )
+      assertColsEqual(
+        df,
+        nat(graft.plans.PqLookupTable(ex(col("embedding")), books.map(b => cSeq(b)).toSeq)),
+        sqlPqLut(books, m, dsub, cs, col("embedding")),
+      )
+      val coded = df
+        .withColumn("codes", nat(graft.plans.PqEncode(ex(col("embedding")), books.map(b => cSeq(b)).toSeq)))
+        .withColumn("lut", nat(graft.plans.PqLookupTable(ex(col("embedding")), books.map(b => cSeq(b)).toSeq)))
+      assertColsEqual(
+        coded,
+        nat(graft.plans.AdcDistance(ex(col("codes")), ex(col("lut")))),
+        sqlAdc(m, cs),
+      )
+    }
+  }
+
+  test("RotateVec and ResidualVec match their zip_with formulations on float and double arrays") {
+    val rot = Array.tabulate(dim, dim)((i, j) => math.sin(i * 3 + j) / 2)
+    for (df <- Seq(vecs, dvecs)) {
+      assertColsEqual(
+        df,
+        nat(graft.plans.RotateVec(ex(col("embedding")), cSeq(rot))),
+        sqlRotate(rot, col("embedding")),
+      )
+      val centLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+      val withCell = df.withColumn(
+        "cell",
+        nat(graft.plans.CellAssign(ex(col("embedding")), cSeq(centroids))).getField("cell"),
+      )
+      assertColsEqual(
+        withCell,
+        nat(graft.plans.ResidualVec(ex(col("embedding")), ex(col("cell")), cSeq(centroids))),
+        zip_with(col("embedding"), element_at(centLit, col("cell") + 1), (x, c) => x.cast("double") - c),
+      )
+    }
+  }
+}
