@@ -153,40 +153,75 @@ object DedupFunctions {
       numThreshold: Int = 4,
       denThreshold: Int = 5,
   ): DataFrame = {
-    // The shingle index feeds FOUR consumers (docSets, the df count,
-    // the df join, the prefix projection). localCheckpoint (eager,
-    // MEMORY_AND_DISK) instead of cache: a lazy cache entry under the
-    // repeated checkpoint/release cycles of the CC consumers degrades
-    // into per-consumer recomputation of the whole shingling (measured
-    // 8 s → 193 s on the second dedup_groups run in one JVM); a
-    // checkpointed partition spills to disk instead of recomputing.
-    val sh = shingleIndex(df, idCol, textCol, n).localCheckpoint()
-    // one row per doc: sorted shingle set + size, for exact verification
-    val docSets = sh
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("shingle"))).as("shingles"), count(lit(1)).as("n_sh"))
-    // global rarity order: document frequency, ties broken by shingle
-    val withDf = sh.join(sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")), "shingle")
-    val rk = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    // the df >= 2 verification-array restriction below and the
+    // inner-join drop of share-nothing docs both assume a positive
+    // threshold (intersection-0 pairs rejected); a zero threshold
+    // would also degenerate the prefix scheme itself (prefix = whole
+    // set). Every caller uses 4/5.
+    require(numThreshold >= 1, "jaccardPairsPrefix needs a positive numerator threshold")
+    // The shingle index feeds THREE consumers (the df count+join, the
+    // verification arrays, the prefix projection). localCheckpoint
+    // (eager, MEMORY_AND_DISK) instead of cache: a lazy cache entry
+    // under the repeated checkpoint/release cycles of the CC consumers
+    // degrades into per-consumer recomputation of the whole shingling
+    // (measured 8 s → 193 s on the second dedup_groups run in one
+    // JVM); a checkpointed partition spills to disk instead of
+    // recomputing. The 64-bit shingle hash rides from here: every
+    // downstream shuffle/sort/join keys on 8-byte longs instead of
+    // ~26-byte strings (measured at x100: the string-keyed df join
+    // alone was 58 s of the 162 s cell).
+    val sh = shingleIndex(df, idCol, textCol, n)
+      .withColumn("h", xxhash64(col("shingle")))
+      .localCheckpoint()
+    // global rarity: document frequency per HASH. A (vanishingly rare)
+    // hash collision merges two shingles' counts — still a consistent
+    // global function of the shingle, so the total order below remains
+    // valid for the prefix property; extra candidates it admits are
+    // removed by exact verification.
+    val dfAgg = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // rarity order (df, h, shingle): any FIXED total order on shingles
+    // supports the AllPairs prefix argument (a J ≥ τ pair provably
+    // shares its order-smallest common shingle in both prefixes); the
+    // string tie-break keeps ranks deterministic even across hash
+    // collisions inside one doc.
+    val withDf = sh.join(dfAgg, "h")
+    val rk = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"), col("shingle"))
     val szW = Window.partitionBy(col("doc_id"))
-    // prefix length |S| - ceil(τ|S|) + 1, with ceil(τs) = ceil(num*s/den)
+    // prefix length |S| - ceil(τ|S|) + 1, with ceil(τs) = ceil(num*s/den);
+    // sz rides into the candidate join so the length filter runs there,
+    // before any verification payload is attached
     val prefix = withDf
       .withColumn("rk", row_number().over(rk))
       .withColumn("sz", count(lit(1)).over(szW))
       .where(col("rk") <= col("sz") - ceil(col("sz") * numThreshold / denThreshold) + 1)
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("h"), col("sz"))
+    // candidate pairs on the 8-byte hash, with the length filter
+    // (τ|A| ≤ |B| and τ|B| ≤ |A|, both necessary for J ≥ τ) applied
+    // INSIDE the join — zero extra joins, and non-viable pairs never
+    // reach the array-carrying verification shuffles
     val cands = prefix
-      .withColumnRenamed("doc_id", "doc_a")
-      .join(prefix.withColumnRenamed("doc_id", "doc_b"), "shingle")
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
-    cands
-      .join(docSets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(docSets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("n_sh").as("n_b")), "doc_b")
-      // length filter: τ|A| ≤ |B| and τ|B| ≤ |A| are necessary for J ≥ τ
-      .where(col("n_a") * numThreshold <= col("n_b") * denThreshold &&
+      .select(col("doc_id").as("doc_a"), col("h"), col("sz").as("n_a"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("h"), col("sz").as("n_b")), "h")
+      .where(col("doc_a") < col("doc_b") &&
+        col("n_a") * numThreshold <= col("n_b") * denThreshold &&
         col("n_b") * numThreshold <= col("n_a") * denThreshold)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .distinct()
+    // verification arrays keep only df >= 2 shingles: a shingle unique
+    // to one document can never lie in any intersection, so dropping it
+    // changes no intersection count — and |S| stays the FULL size (the
+    // window count above), so unions and Jaccards are exact. Docs left
+    // with no shareable shingles can only form intersection-0 pairs,
+    // which the (positive) threshold rejects — the inner joins dropping
+    // them is exact. At x100 this cut the array-carrying verification
+    // shuffle from the full index to the shared tail.
+    val docSets = sh
+      .join(dfAgg.where(col("df") >= 2), "h")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("shingles"))
+    cands
+      .join(docSets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .withColumn("intersection", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("union_size", col("n_a") + col("n_b") - col("intersection"))
       .where(col("intersection") * denThreshold >= col("union_size") * numThreshold)
@@ -1036,23 +1071,14 @@ object DedupFunctions {
   private[graft] def cdcChunkStructsExpr(tCol: String, window: Int, maskHexDigits: Int): String = {
     require(window >= 2, "rolling window must be at least 2 chars")
     require(maskHexDigits >= 1 && maskHexDigits <= 8, "mask must be 1..8 hex digits")
-    val zeros = "0" * maskHexDigits
-    val bounds =
-      s"filter(sequence($window, length($tCol)), i -> substring(md5(substring($tCol, i - ${window - 1}, $window)), 1, $maskHexDigits) = '$zeros')"
-    // bind the boundary array ONCE via a single-element transform (the
-    // lambda variable is SQL's only let-binding): interpolating the
-    // O(len·window) md5 scan into each of its four uses re-ran it 4-5x
-    // per row — measured 4 ms/doc on the probe corpus, ~4x this form
-    s"""IF(length($tCol) < $window, CAST(array() AS array<struct<s: int, e: int>>),
-       |   element_at(
-       |     transform(array($bounds),
-       |       b -> filter(
-       |              transform(sequence(0, size(b)),
-       |                        j -> named_struct(
-       |                               's', IF(j = 0, 1, element_at(b, j) + 1),
-       |                               'e', IF(j = size(b), length($tCol), element_at(b, j + 1)))),
-       |              c -> c.s <= c.e)),
-       |     1))""".stripMargin
+    // native graft_cdc_spans (graft.plans.CdcSpans): the identical
+    // boundary rule — md5 of every trailing window-char substring,
+    // boundary where the hex prefix is all zeros — as ONE compiled
+    // pass per row instead of ~length(t) interpreted lambda chains
+    // each allocating a substring (the SQL spelling was the whole cost
+    // of the x100 scale cell). Callers' sessions register the function
+    // via GraftFunctions.register / GraftOptimizations.install.
+    s"graft_cdc_spans($tCol, $window, $maskHexDigits)"
   }
 
   /** Per-chunk md5 fingerprints as an array column, from the same
@@ -1073,6 +1099,7 @@ object DedupFunctions {
       maskHexDigits: Int = 1,
       hotMin: Long = 1000L,
   ): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     val chunks = spread(
       df.select(col(idCol).as("doc_id"), TextFunctions.normText(col(textCol)).as("__t"))
     )

@@ -55,12 +55,24 @@ object QualityModel {
     )
     val cached = frame.cache()
     try {
+      // Materialize the cache at the source's parallelism (the regex
+      // feature computation above wants every core), then run the
+      // iteration jobs over a row-count-adaptive coalesce: the GD frame
+      // is d+1 doubles per row, so at bench scale it is a few hundred
+      // KB spread over 32 partitions — 30 sequential jobs of 33 tiny
+      // tasks each, pure scheduler overhead (guide §2.2: fewer, larger
+      // tasks). ~2M rows per task keeps each iteration one task until
+      // the corpus genuinely needs more; results are unchanged on any
+      // partitioning (order-independent scaled-integer gradient sums).
+      val rows = cached.count()
+      val gdParts = math.max(1L, math.min(rows / 2000000L + 1L, 10000L)).toInt
+      val gdFrame = cached.coalesce(gdParts)
       for (_ <- 1 to iterations) {
         val z = (0 until d).map(i => col(s"__x$i") * lit(w(i))).reduce(_ + _) + lit(w(d))
         val err = lit(1.0) / (lit(1.0) + exp(-z)) - col("__y")
         val aggs = (0 until d).map(i => sum(floor(err * col(s"__x$i") * lit(1e9)).cast("long")).as(s"g$i")) ++
           Seq(sum(floor(err * lit(1e9)).cast("long")).as("gb"), count(lit(1)).as("n"))
-        val row = cached.agg(aggs.head, aggs.tail: _*).first()
+        val row = gdFrame.agg(aggs.head, aggs.tail: _*).first()
         val n = math.max(row.getLong(d + 1), 1L).toDouble
         w = Array.tabulate(d + 1) { j =>
           val g = row.getLong(j) / 1e9 / n

@@ -101,6 +101,18 @@ object UnigramLm {
       .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint()
 
+    // EM-scan frame: the ~10 sequential passes of the prune loop each
+    // run one job over the word table, so at bench scale (a few
+    // thousand distinct words) every pass schedules 32 near-empty
+    // tasks — pure scheduler overhead (guide §2.2: fewer, larger
+    // tasks). ~5k words per task keeps a pass compact while the probe
+    // cells (100k words, heavy lattices) still fan out; the E-step
+    // aggregate is an order-independent sum, so the model is identical
+    // on any partitioning. The seed scan below keeps the full spread
+    // (its per-row substring explode is the heavy one-off).
+    val wfRows = wf.count()
+    val wfScan = wf.coalesce(math.max(1L, math.min(wfRows / 5000L + 1L, 10000L)).toInt)
+
     try {
       // ---- seed: all substrings up to maxPieceLen, scored freq·len ----
       val subs = wf
@@ -165,7 +177,7 @@ object UnigramLm {
       // needs them for the leave-one-out loss)
       def emPass(current: Map[String, Double]): (Map[String, Double], Map[String, BigDecimal]) = {
         val lt = lit(spec(toGrid(current)))
-        val summary = wf
+        val summary = wfScan
           .select(col("n").cast(DecimalType(38, 0)).as("n"), call_function("graft_unigram_estep", col("w"), lt).as("e"))
           .select(col("n"), explode(col("e")).as("pc"))
           .select(

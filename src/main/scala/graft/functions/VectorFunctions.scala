@@ -400,11 +400,28 @@ object VectorFunctions {
     out
   }
 
+  /** Row-count-adaptive coalesce for the iteration jobs of the bounded
+    * trainers (Lloyd, PQ, GD): the sample is ≤ trainLimit rows, so at
+    * bench scale each of the 5+ sequential per-pass jobs schedules 32
+    * near-empty tasks — pure scheduler overhead (guide §2.2: fewer,
+    * larger tasks). ~20k rows per task keeps a pass one task until the
+    * sample genuinely needs more; the per-pass sums are
+    * order-independent scaled integers, so the result is identical on
+    * any partitioning. The count() also materializes the caller's
+    * cache at the SOURCE parallelism, so the expensive first
+    * evaluation still uses every core.
+    */
+  private def iterFrame(train: DataFrame): DataFrame = {
+    val n = train.count()
+    train.coalesce(math.max(1L, math.min(n / 20000L + 1L, 10000L)).toInt)
+  }
+
   private def trainKmeansOn(
-      train: DataFrame,
+      train0: DataFrame,
       nCells: Int,
       lloydIterations: Int,
   ): Array[Array[Double]] = {
+    val train = iterFrame(train0)
     var centroids: Array[Array[Double]] = train
       .orderBy("vec_id")
       .limit(nCells)
@@ -1074,12 +1091,13 @@ object VectorFunctions {
     * driver; empty clusters keep their codeword).
     */
   private def trainPqBooksOn(
-      train: DataFrame,
+      train0: DataFrame,
       m: Int,
       dsub: Int,
       codebookSize: Int,
       lloydIterations: Int,
   ): Array[Array[Array[Double]]] = {
+    val train = iterFrame(train0)
     var books: Array[Array[Array[Double]]] = {
       // embedding may be float (raw vectors) or double (residuals)
       val seed = train

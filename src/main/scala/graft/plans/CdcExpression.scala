@@ -1,0 +1,103 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Content-defined-chunking spans — native form of the historical SQL
+  * boundary rule (DedupFunctions.cdcChunkStructsExpr):
+  *
+  * {{{
+  * bounds = filter(sequence(window, length(t)),
+  *                 i -> substring(md5(substring(t, i-window+1, window)), 1, k) = '0'*k)
+  * spans  = filter(transform(sequence(0, size(bounds)), j -> struct(
+  *            s = IF(j = 0, 1, bounds[j] + 1),
+  *            e = IF(j = size(bounds), length(t), bounds[j+1]))), c -> c.s <= c.e)
+  * }}}
+  *
+  * i.e. a boundary after every character position whose trailing
+  * `window`-char md5 starts with `maskHexDigits` zero hex digits. The
+  * SQL spelling evaluates an interpreted lambda chain and allocates a
+  * substring per character position — ~length(t) md5s per row each
+  * wrapped in 3+ lambda dispatches. This expression runs the identical
+  * rule as one compiled pass: the UTF-8 bytes are materialized once,
+  * char→byte offsets computed once, and each position's md5 runs over
+  * a byte slice (the UTF-8 bytes of exactly the same character
+  * substring, so the digests are identical). Zero-prefix testing
+  * happens on digest nibbles — equivalent to the lowercase-hex prefix
+  * compare.
+  *
+  * Results are bit-identical to the SQL form; CdcSpansSpec pins the
+  * equivalence (ASCII + multi-byte text, boundary-at-end, short-text,
+  * and empty cases). Texts shorter than `window` yield an empty array,
+  * like the SQL IF guard.
+  */
+case class CdcSpans(child: Expression, window: Int, maskHexDigits: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(window >= 2, "rolling window must be at least 2 chars")
+  require(maskHexDigits >= 1 && maskHexDigits <= 8, "mask must be 1..8 hex digits")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("s", IntegerType), StructField("e", IntegerType))),
+    containsNull = false,
+  )
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other      => TypeCheckResult.TypeCheckFailure(s"graft_cdc_spans needs a string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String]
+    val len = t.numChars()
+    if (len < window) return new GenericArrayData(Array.empty[Any])
+    val bytes = t.getBytes
+    // char-start byte offsets (charStart(c) = byte offset of 0-based
+    // char c; charStart(len) = total bytes) — one pass, so each
+    // position's md5 reads a slice instead of copying a substring
+    val charStart = new Array[Int](len + 1)
+    var c = 0
+    var off = 0
+    while (c < len) {
+      charStart(c) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      c += 1
+    }
+    charStart(len) = off
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bounds = new java.util.ArrayList[Int]()
+    var i = window // 1-based char position of the window END
+    while (i <= len) {
+      val from = charStart(i - window)
+      md.update(bytes, from, charStart(i) - from)
+      val d = md.digest() // digest() resets the instance
+      var ok = true
+      var k = 0
+      while (ok && k < maskHexDigits) {
+        val nib = if (k % 2 == 0) (d(k / 2) >> 4) & 0xf else d(k / 2) & 0xf
+        ok = nib == 0
+        k += 1
+      }
+      if (ok) bounds.add(i)
+      i += 1
+    }
+    val nb = bounds.size()
+    val spans = new java.util.ArrayList[Any](nb + 1)
+    var j = 0
+    while (j <= nb) {
+      val s = if (j == 0) 1 else bounds.get(j - 1) + 1
+      val e = if (j == nb) len else bounds.get(j)
+      if (s <= e) spans.add(new GenericInternalRow(Array[Any](s, e)))
+      j += 1
+    }
+    new GenericArrayData(spans.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcSpans = copy(child = newChild)
+  override def prettyName: String = "graft_cdc_spans"
+}

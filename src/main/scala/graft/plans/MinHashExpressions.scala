@@ -352,6 +352,18 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(children(0), children(1)),
   )
 
+  val cdcSpansDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cdc_spans"),
+    new ExpressionInfo(classOf[CdcSpans].getName, "graft_cdc_spans"),
+    (children: Seq[Expression]) => {
+      def intLit(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+      }
+      CdcSpans(children.head, intLit(children(1), "window"), intLit(children(2), "maskHexDigits"))
+    },
+  )
+
   /** Single source of truth for every graft function: session-level
     * `register` and the cluster-level `GraftExtensions` installer both
     * iterate THIS list, so a new descriptor cannot reach one path and
@@ -372,6 +384,7 @@ object GraftFunctions {
     cmsEstimateDescriptor,
     bloomAggDescriptor,
     bloomMightContainDescriptor,
+    cdcSpansDescriptor,
   )
 
   def register(spark: SparkSession): Unit = {

@@ -77,4 +77,46 @@ class CdcChunksSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("native graft_cdc_spans matches the historical SQL boundary rule exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftFunctions.register(spark)
+    // the verbatim pre-native SQL formulation
+    def sqlSpans(tCol: String, window: Int, k: Int): String = {
+      val zeros = "0" * k
+      val bounds =
+        s"filter(sequence($window, length($tCol)), i -> substring(md5(substring($tCol, i - ${window - 1}, $window)), 1, $k) = '$zeros')"
+      s"""IF(length($tCol) < $window, CAST(array() AS array<struct<s: int, e: int>>),
+         |   element_at(
+         |     transform(array($bounds),
+         |       b -> filter(
+         |              transform(sequence(0, size(b)),
+         |                        j -> named_struct(
+         |                               's', IF(j = 0, 1, element_at(b, j) + 1),
+         |                               'e', IF(j = size(b), length($tCol), element_at(b, j + 1)))),
+         |              c -> c.s <= c.e)),
+         |     1))""".stripMargin
+    }
+    val texts = Seq(
+      baseText,
+      shifted,
+      "short",           // below the window -> empty spans
+      "",                // empty text
+      "exactly16chars!!", // text length == window
+      "héllo wörld " + baseText.take(200) + " 中文内容 😀 tail", // multi-byte chars shift byte offsets
+      (0 until 400).map(i => s"t${i % 31}").mkString(" "),
+    )
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for ((w, k) <- Seq((16, 1), (8, 1), (16, 2))) {
+      val bad = df
+        .select(
+          expr(DedupFunctions.cdcChunkStructsExpr("text", w, k)).as("native"),
+          expr(sqlSpans("text", w, k)).as("sql"),
+        )
+        .where(not(col("native") <=> col("sql")))
+        .count()
+      assert(bad == 0, s"native/SQL CDC spans diverge at window=$w mask=$k")
+    }
+  }
 }
