@@ -1757,13 +1757,25 @@ object SparkEntry {
     // oracle emits literal TRUE for each flag: a sketch outside its
     // envelope fails the hash compare.
     "ts_approx_stats_certified" -> { (s, dir) =>
+      // countDistinct in the SAME aggregate triggers Spark's
+      // distinct-rewrite: the percentile/HLL/KLL buffers get built and
+      // shuffled per (series, user) GROUP — a 56-column exchange of
+      // sketch buffers (measured 4-6 s at sf0.1). Splitting the exact
+      // distinct count into its own light aggregate (keys-only
+      // two-phase) and joining the per-series frames keeps every
+      // sketch buffer per SERIES; same rows, same values.
       ev(s, dir)
         .groupBy(col("series_name"))
-        .agg(
-          countDistinct(col("user_id")).as("exact_users"),
-          approx_count_distinct(col("user_id")).as("__au"),
-          expr("percentile(value, array(0.49, 0.5, 0.51, 0.94, 0.95, 0.96))").as("__q"),
-          expr("approx_percentile(value, array(0.5, 0.95), 10000)").as("__ap"),
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .join(
+          ev(s, dir)
+            .groupBy(col("series_name"))
+            .agg(
+              approx_count_distinct(col("user_id")).as("__au"),
+              expr("percentile(value, array(0.49, 0.5, 0.51, 0.94, 0.95, 0.96))").as("__q"),
+              expr("approx_percentile(value, array(0.5, 0.95), 10000)").as("__ap"),
+            ),
+          Seq("series_name"),
         )
         .select(
           col("series_name"),
