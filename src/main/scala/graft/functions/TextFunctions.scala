@@ -578,22 +578,15 @@ object TextFunctions {
     * scheme; emits (doc, fingerprint) rows for index-style joins.
     */
   def fingerprints(df: DataFrame, idCol: Column, text: Column, k: Int = 8, w: Int = 4): DataFrame = {
-    val norm = normText(text)
+    // native graft_winnow_fps (graft.plans.WinnowFingerprints): the
+    // identical per-gram md5 + windowed-min + first-occurrence-distinct
+    // pipeline as ONE compiled pass per row instead of an interpreted
+    // md5 + two substring allocations per character (parity pinned in
+    // FunctionsSpec)
+    graft.plans.GraftFunctions.register(df.sparkSession)
     DedupFunctions.spread(df)
-      .withColumn("__t", norm)
-      .withColumn(
-        "__hashes",
-        expr(s"transform(sequence(1, greatest(length(__t) - ${k - 1}, 1)), i -> substring(md5(substring(__t, i, $k)), 1, 8))"),
-      )
-      .withColumn(
-        "fp",
-        explode(
-          array_distinct(
-            expr(s"transform(sequence(1, greatest(size(__hashes) - ${w - 1}, 1)), j -> array_min(slice(__hashes, j, $w)))")
-          )
-        ),
-      )
-      .select(idCol.as("doc_id"), col("fp"))
+      .withColumn("__t", normText(text))
+      .select(idCol.as("doc_id"), explode(call_function("graft_winnow_fps", col("__t"), lit(k), lit(w))).as("fp"))
   }
 
   /** Unicode canonicalization report — the ingest-time cleanup every

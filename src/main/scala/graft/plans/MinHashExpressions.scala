@@ -364,6 +364,18 @@ object GraftFunctions {
     },
   )
 
+  val winnowFpsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_winnow_fps"),
+    new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow_fps"),
+    (children: Seq[Expression]) => {
+      def intLit(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+      }
+      WinnowFingerprints(children.head, intLit(children(1), "k"), intLit(children(2), "w"))
+    },
+  )
+
   /** Single source of truth for every graft function: session-level
     * `register` and the cluster-level `GraftExtensions` installer both
     * iterate THIS list, so a new descriptor cannot reach one path and
@@ -385,6 +397,7 @@ object GraftFunctions {
     bloomAggDescriptor,
     bloomMightContainDescriptor,
     cdcSpansDescriptor,
+    winnowFpsDescriptor,
   )
 
   def register(spark: SparkSession): Unit = {

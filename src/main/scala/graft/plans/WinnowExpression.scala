@@ -1,0 +1,114 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing fingerprints (Schleimer et al. 2003) — native form of the
+  * historical SQL:
+  *
+  * {{{
+  * hashes  = transform(sequence(1, greatest(length(t) - k + 1, 1)),
+  *                     i -> substring(md5(substring(t, i, k)), 1, 8))
+  * fps     = array_distinct(transform(sequence(1, greatest(size(hashes) - w + 1, 1)),
+  *                                    j -> array_min(slice(hashes, j, w))))
+  * }}}
+  *
+  * i.e. an 8-hex-digit hash per k-char gram, the per-window minimum,
+  * distinct in first-occurrence order. The SQL spelling runs one
+  * interpreted md5 + two substring allocations per character plus a
+  * slice allocation per window; this expression computes the identical
+  * array in one compiled pass — UTF-8 bytes once, char→byte offsets
+  * once, md5 over byte slices, and the 8-hex-digit prefix kept as the
+  * digest's first 4 bytes compared unsigned (hex strings are ASCII, so
+  * lexicographic hex order IS unsigned numeric order — `array_min`'s
+  * UTF8String binary comparison agrees). Output strings are the same
+  * lowercase hex. FunctionsSpec's winnowing tests and a dedicated
+  * parity case pin the equivalence.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(k >= 1, "gram size must be positive")
+  require(w >= 1, "window must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other      => TypeCheckResult.TypeCheckFailure(s"graft_winnow_fps needs a string, got $other")
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String]
+    val len = t.numChars()
+    val bytes = t.getBytes
+    val charStart = new Array[Int](len + 1)
+    var c = 0
+    var off = 0
+    while (c < len) {
+      charStart(c) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      c += 1
+    }
+    charStart(len) = off
+    // per-gram hash prefix: first 4 md5 bytes as an unsigned int —
+    // sequence(1, greatest(len-k+1, 1)) also covers texts shorter than
+    // k (one gram of the whole text, like substring's clamping)
+    val n = math.max(len - k + 1, 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val from = charStart(math.min(i, len))
+      val until = charStart(math.min(i + k, len))
+      md.update(bytes, from, until - from)
+      val d = md.digest()
+      hashes(i) =
+        ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) | ((d(2) & 0xff) << 8) | (d(3) & 0xff)
+      i += 1
+    }
+    // per-window minimum (slice clamps at the array end, like
+    // slice(hashes, j, w)), distinct in first-occurrence order
+    val m = math.max(n - w + 1, 1)
+    val seen = new java.util.LinkedHashSet[Integer]()
+    var j = 0
+    while (j < m) {
+      var best = hashes(j)
+      var p = j + 1
+      val end = math.min(j + w, n)
+      while (p < end) {
+        if (java.lang.Integer.compareUnsigned(hashes(p), best) < 0) best = hashes(p)
+        p += 1
+      }
+      seen.add(best)
+      j += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) {
+      val v = it.next().intValue()
+      val cs = new Array[Byte](8)
+      var b = 0
+      while (b < 4) {
+        val by = (v >>> (24 - 8 * b)) & 0xff
+        cs(2 * b) = hexChars(by >>> 4).toByte
+        cs(2 * b + 1) = hexChars(by & 0xf).toByte
+        b += 1
+      }
+      out(o) = UTF8String.fromBytes(cs)
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints = copy(child = newChild)
+  override def prettyName: String = "graft_winnow_fps"
+}

@@ -167,6 +167,36 @@ class VectorNativeExprSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_winnow_fps matches the historical SQL winnowing pipeline exactly") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and keeps on running through the field",
+      "short",
+      "",
+      "ab",
+      "héllo wörld 中文内容 repeated repeated repeated repeated text text text",
+      (0 until 200).map(i => s"tok${i % 17}").mkString(" "),
+    )
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "__t")
+    for ((k, w) <- Seq((8, 4), (5, 3), (8, 1))) {
+      val withH = df.withColumn(
+        "__h",
+        expr(s"transform(sequence(1, greatest(length(__t) - ${k - 1}, 1)), i -> substring(md5(substring(__t, i, $k)), 1, 8))"),
+      )
+      val bad = withH
+        .select(
+          call_function("graft_winnow_fps", col("__t"), lit(k), lit(w)).as("native"),
+          array_distinct(
+            expr(s"transform(sequence(1, greatest(size(__h) - ${w - 1}, 1)), j -> array_min(slice(__h, j, $w)))")
+          ).as("sql"),
+        )
+        .where(not(col("native") <=> col("sql")))
+        .count()
+      assert(bad == 0, s"native/SQL winnow fingerprints diverge at k=$k w=$w")
+    }
+  }
+
   test("RotateVec and ResidualVec match their zip_with formulations on float and double arrays") {
     val rot = Array.tabulate(dim, dim)((i, j) => math.sin(i * 3 + j) / 2)
     for (df <- Seq(vecs, dvecs)) {
