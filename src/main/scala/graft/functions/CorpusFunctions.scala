@@ -1477,9 +1477,33 @@ object CorpusFunctions {
     val grams = DedupFunctions
       .shingleIndex(df.select(idCol.as("doc_id"), text.as("__text")), "doc_id", "__text", n)
       .withColumnRenamed("shingle", "g")
+      .withColumn("gh", xxhash64(col("g")))
       .cache()
-    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
-    val out = zipfSplitJoin(grams, dfreq, Seq("g"), "gdf", hotMin)
+    // df aggregate and Zipf join keyed on the 8-byte gram hash instead
+    // of the gram string (guide §2.3 — the same keys-not-payloads
+    // treatment as jaccardPairsPrefix): the probe rows narrow to
+    // (doc_id, gh) and every join/aggregate keys on fixed-width longs.
+    // Unlike jaccard there is no exact verification downstream — a hash
+    // collision would merge two grams' dfs and change n_novel — so
+    // exactness is CERTIFIED inside the df aggregate itself: a
+    // colliding pair of distinct grams necessarily puts both strings
+    // in one gh group, so min(g) == max(g) over every group proves
+    // injectivity (min/max partials combine map-side; strings cross
+    // the exchange once per distinct gh per partition, which is what
+    // the old string-keyed df aggregate shuffled anyway — no extra
+    // pass). The astronomically rare hit (~n²/2⁶⁵) raises a loud
+    // error instead of ever returning a silently wrong count — the
+    // same loud-over-wrong policy the native expressions document.
+    val dfreq = grams
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("__cnt"), min(col("g")).as("__mn"), max(col("g")).as("__mx"))
+      .select(
+        col("gh"),
+        when(col("__mn") === col("__mx"), col("__cnt"))
+          .otherwise(raise_error(concat(lit("xxhash64 gram collision: "), col("__mn"), lit(" vs "), col("__mx"))))
+          .as("gdf"),
+      )
+    val out = zipfSplitJoin(grams.select(col("doc_id"), col("gh")), dfreq, Seq("gh"), "gdf", hotMin)
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_ngrams"),

@@ -215,10 +215,30 @@ object DedupFunctions {
     // which the (positive) threshold rejects — the inner joins dropping
     // them is exact. At x100 this cut the array-carrying verification
     // shuffle from the full index to the shared tail.
+    val shared = dfAgg.where(col("df") >= 2).select(col("h"))
+    // The arrays carry the 8-byte HASH, not the shingle string (~26
+    // bytes + offsets): the docSets aggregate and both verification
+    // joins were the largest remaining x100 stages, and they shuffle
+    // ~3× fewer bytes on fixed-width tokens (guide §2.3 keys, not
+    // payloads). Exactness is PROVEN per run, not assumed: intersection
+    // counts on hashes equal counts on strings iff h is injective over
+    // the df ≥ 2 shingles — and any colliding pair of distinct shingles
+    // lands its hash group at df ≥ 2, so checking min(shingle) ==
+    // max(shingle) within every df ≥ 2 hash group covers all
+    // collisions. The check is one keys-only aggregate over the shared
+    // tail (min/max partials combine map-side); on the astronomically
+    // rare hit (~n²/2⁶⁵) the query falls back to the bit-identical
+    // string-array formulation instead of ever returning a wrong count.
+    val collided = sh
+      .join(shared, "h")
+      .groupBy(col("h"))
+      .agg(min(col("shingle")).as("__mn"), max(col("shingle")).as("__mx"))
+      .where(col("__mn") =!= col("__mx"))
+    val token = if (collided.isEmpty) col("h") else col("shingle")
     val docSets = sh
-      .join(dfAgg.where(col("df") >= 2), "h")
+      .join(shared, "h")
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("shingle"))).as("shingles"))
+      .agg(sort_array(collect_list(token)).as("shingles"))
     cands
       .join(docSets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(docSets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
@@ -607,6 +627,15 @@ object DedupFunctions {
     */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String, k: Int = 10): DataFrame = {
     require(k >= 2, "span gram size must be at least 2 words")
+    // (doc_id, start, gh) with the gram string alongside: the count
+    // aggregate and the mark join key on the 8-byte hash (guide §2.3);
+    // exactness is proven per run exactly like repeatedSpansChar — a
+    // colliding pair of distinct grams shares one gh group, so
+    // min == max over every group certifies injectivity, and the rare
+    // hit falls back to the string-keyed formulation. Two consumers
+    // (count + probe): eager checkpoint, same rationale as the char
+    // grain (and it stops the whole words/grams projection re-running
+    // for the collision check).
     val grams = wordsSpread(df, idCol, textCol)
       .where(size(col("__w")) >= k)
       .select(
@@ -615,14 +644,17 @@ object DedupFunctions {
           expr(s"transform(sequence(1, size(__w) - ${k - 1}), i -> concat_ws(' ', slice(__w, i, $k)))")
         ).as(Seq("off", "gram")),
       )
-      .select(col("doc_id"), (col("off") + 1).cast("long").as("start"), col("gram"))
+      .select(col("doc_id"), (col("off") + 1).cast("long").as("start"), col("gram"), xxhash64(col("gram")).as("gh"))
+      .localCheckpoint()
+    val checked = grams.groupBy(col("gh")).agg(min(col("gram")).as("__mn"), max(col("gram")).as("__mx"))
+    val key = if (checked.where(col("__mn") =!= col("__mx")).isEmpty) "gh" else "gram"
     val dupGrams = grams
-      .groupBy(col("gram"))
+      .groupBy(col(key))
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > 1)
-      .select(col("gram"))
+      .select(col(key))
     val marked = grams
-      .join(dupGrams, Seq("gram"))
+      .join(dupGrams, Seq(key))
       .select(col("doc_id"), col("start"), (col("start") + (k - 1)).as("end"))
     mergeSpans(marked, "span_words")
   }
@@ -670,24 +702,39 @@ object DedupFunctions {
     */
   def repeatedSpansChar(df: DataFrame, idCol: String, textCol: String, k: Int = 20, hotMin: Long = 1000L): DataFrame = {
     require(k >= 2, "span gram size must be at least 2 chars")
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    // graft_char_grams emits all k-char grams in ONE compiled pass
+    // (bytes materialized once, char→byte offsets once, zero-copy
+    // slices) — the SQL `substring(__t, i, k)` per position walked the
+    // UTF-8 bytes from 0 for every i: O(len²) byte scans per row
+    // (guide §4: compiled loop over interpreted per-position HOFs).
     val grams = spread(
       df.select(col(idCol).as("doc_id"), TextFunctions.normText(col(textCol)).as("__t"))
     )
       .where(length(col("__t")) >= k)
       .select(
         col("doc_id"),
-        posexplode(
-          expr(s"transform(sequence(1, length(__t) - ${k - 1}), i -> substring(__t, i, $k))")
-        ).as(Seq("off", "gram")),
+        posexplode(expr(s"graft_char_grams(__t, $k)")).as(Seq("off", "gram")),
       )
-      .select(col("doc_id"), (col("off") + 1).cast("long").as("start"), col("gram"))
+      .select(col("doc_id"), (col("off") + 1).cast("long").as("start"), col("gram"), xxhash64(col("gram")).as("gh"))
       // two consumers (count aggregate + probe side): eager checkpoint,
       // not cache — same rationale as jaccardPairsPrefix; Bench/Verify
       // release it via getPersistentRDDs after the query
       .localCheckpoint()
-    val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+    // count aggregate and Zipf join keyed on the 8-byte gram hash
+    // (guide §2.3 keys-not-payloads): the probe rows narrow to
+    // (doc_id, start, gh). The repeated-mark decision is cnt > 1, so a
+    // hash collision would merge counts and mark spans that never
+    // repeat — exactness is PROVEN per run instead: distinct colliding
+    // grams necessarily share one gh group, so min(gram) == max(gram)
+    // over every group certifies injectivity (one keys-only aggregate,
+    // min/max partials combine map-side); the astronomically rare hit
+    // falls back to the bit-identical string-keyed formulation.
+    val checked = grams.groupBy(col("gh")).agg(min(col("gram")).as("__mn"), max(col("gram")).as("__mx"))
+    val key = if (checked.where(col("__mn") =!= col("__mx")).isEmpty) "gh" else "gram"
+    val freq = grams.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
     val marked = CorpusFunctions
-      .zipfSplitJoin(grams, freq, Seq("gram"), "cnt", hotMin)
+      .zipfSplitJoin(grams.select(col("doc_id"), col("start"), col(key)), freq, Seq(key), "cnt", hotMin)
       .where(col("cnt") > 1)
       .select(col("doc_id"), col("start"), (col("start") + (k - 1)).as("end"))
     mergeSpans(marked, "span_chars")

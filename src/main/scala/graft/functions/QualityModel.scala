@@ -61,11 +61,13 @@ object QualityModel {
       // is d+1 doubles per row, so at bench scale it is a few hundred
       // KB spread over 32 partitions — 30 sequential jobs of 33 tiny
       // tasks each, pure scheduler overhead (guide §2.2: fewer, larger
-      // tasks). ~2M rows per task keeps each iteration one task until
-      // the corpus genuinely needs more; results are unchanged on any
-      // partitioning (order-independent scaled-integer gradient sums).
+      // tasks). ~20k rows per task (the same constant as
+      // VectorFunctions.iterFrame) keeps a bench-sized sample one task
+      // per pass while a 1M-row corpus still fans each GD pass out to
+      // 50+ tasks; results are unchanged on any partitioning
+      // (order-independent scaled-integer gradient sums).
       val rows = cached.count()
-      val gdParts = math.max(1L, math.min(rows / 2000000L + 1L, 10000L)).toInt
+      val gdParts = math.max(1L, math.min(rows / 20000L + 1L, 10000L)).toInt
       val gdFrame = cached.coalesce(gdParts)
       for (_ <- 1 to iterations) {
         val z = (0 until d).map(i => col(s"__x$i") * lit(w(i))).reduce(_ + _) + lit(w(d))

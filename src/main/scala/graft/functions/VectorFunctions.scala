@@ -34,10 +34,28 @@ object VectorFunctions {
     * columns. Kept in one place so a change to the formula or its
     * determinism contract cannot silently diverge the operators (and
     * their common DuckDB oracle shape).
+    *
+    * The norms ride as the precomputed `__nq`/`__nc` columns (built by
+    * [[withQNorm]]/[[withCNorm]] on each side BEFORE the pair join):
+    * the historical spelling evaluated `sqrt(graft_dot12(v, v))` for
+    * both vectors inside the per-pair projection — 3 dot products per
+    * candidate pair instead of 1 at probe volume, the dominant scoring
+    * term once the rank went map-side (guide §1.2 step 2). The value is
+    * bit-identical: same scaled-integer dot per vector, same IEEE sqrt,
+    * same multiply — just evaluated once per row instead of once per
+    * pair.
     */
   private def qcCosine: Column =
-    dotInt("qe", "ce").cast("double") /
-      (sqrt(norm2Int("qe").cast("double")) * sqrt(norm2Int("ce").cast("double")))
+    dotInt("qe", "ce").cast("double") / (col("__nq") * col("__nc"))
+
+  /** IEEE norm `sqrt(Σ floor(x_i·x_i·1e12))` of the query-side vector,
+    * once per row — see [[qcCosine]].
+    */
+  private def withQNorm(df: DataFrame): DataFrame =
+    df.withColumn("__nq", sqrt(norm2Int("qe").cast("double")))
+
+  private def withCNorm(df: DataFrame): DataFrame =
+    df.withColumn("__nc", sqrt(norm2Int("ce").cast("double")))
 
   /** Brute-force cosine top-k: broadcast the (small) query set against
     * all candidates — the exact baseline. One broadcast join, no
@@ -46,16 +64,16 @@ object VectorFunctions {
     */
   def cosineTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     withFns(queries)
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val q = withQNorm(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    val c = withCNorm(candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")))
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", qcCosine)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .groupBy(col("query_id"))
+      .agg(topK(k, asc = false, col("cosine"), col("neighbor_id")).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__r", "__e")))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"), col("__e.score").as("cosine"), (col("__r") + lit(1)).as("rank"))
   }
 
   /** Hard-negative mining for contrastive/retrieval training
@@ -71,16 +89,23 @@ object VectorFunctions {
     */
   def hardNegatives(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     withFns(queries)
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label").as("query_label"))
-    val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("label").as("neg_label"))
+    val q = withQNorm(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label").as("query_label")))
+    val c = withCNorm(candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("label").as("neg_label")))
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id") && col("query_label") =!= col("neg_label"))
       .withColumn("cosine", qcCosine)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select(col("query_id"), col("query_label"), col("neighbor_id"), col("neg_label"), col("cosine"), col("rk"))
+      .groupBy(col("query_id"), col("query_label"))
+      .agg(topK(k, asc = false, col("cosine"), col("neighbor_id"), col("neg_label")).as("__tk"))
+      .select(col("query_id"), col("query_label"), posexplode(col("__tk")).as(Seq("__r", "__e")))
+      .select(
+        col("query_id"),
+        col("query_label"),
+        col("__e.id").as("neighbor_id"),
+        col("__e.p0").as("neg_label"),
+        col("__e.score").as("cosine"),
+        (col("__r") + lit(1)).as("rk"),
+      )
   }
 
   /** kNN label-agreement noise detection (the model-free cousin of
@@ -102,23 +127,22 @@ object VectorFunctions {
   def knnLabelNoise(df: DataFrame, k: Int, minAgreePpm: Long = 500000L): DataFrame = {
     withFns(df)
     val spread = DedupFunctions.spread(df)
-    val q = spread.select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label").as("label"))
-    val c = spread.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("label").as("n_label"))
+    val q = withQNorm(spread.select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label").as("label")))
+    val c = withCNorm(spread.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("label").as("n_label")))
     val scored = q
       .join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", qcCosine)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
       .groupBy(col("query_id"), col("label"))
-      .agg(
-        sum(when(col("n_label") === col("label"), lit(1L)).otherwise(lit(0L))).as("n_same"),
-        // agreement over the neighbors that EXIST: with fewer than k
-        // candidates (tiny cells, filtered corpora) a literal-k
-        // denominator would flag perfectly-agreeing vectors as suspect
-        count(lit(1)).as("__n_nb"),
-      )
+      .agg(topK(k, asc = false, col("cosine"), col("neighbor_id"), col("n_label")).as("__tk"))
+      // agreement over the neighbors that EXIST (size of the retained
+      // top-k, ≤ k when the group is small): with fewer than k
+      // candidates a literal-k denominator would flag
+      // perfectly-agreeing vectors as suspect. n_same counts matching
+      // labels within the top-k exactly like the historical
+      // sum(when(n_label === label, 1L)) over the rank-filtered rows.
+      .withColumn("n_same", size(filter(col("__tk"), e => e.getField("p0") === col("label"))).cast("long"))
+      .withColumn("__n_nb", size(col("__tk")).cast("long"))
       .select(
         col("query_id"),
         col("label"),
@@ -156,12 +180,17 @@ object VectorFunctions {
     withFns(queries)
     val cand = candidates.cache()
     val centroids = trainKmeans(cand.select(col("vec_id"), col("embedding")), nCells, lloydIterations, trainLimit)
-    val indexed = assignCell(cand, centroids)
-      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("label").as("n_label"))
-      .cache()
-    val probes = queries
-      .withColumn("cell", explode(cellNearest(col("embedding"), centroids, nProbe)))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label").as("q_label"), col("cell"))
+    // the candidate norm is materialized INTO the cache — computed once
+    // per vector for the whole probe scan (see qcCosine)
+    val indexed = withCNorm(
+      assignCell(cand, centroids)
+        .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("label").as("n_label"))
+    ).cache()
+    val probes = withQNorm(
+      queries
+        .withColumn("cell", explode(cellNearest(col("embedding"), centroids, nProbe)))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label").as("q_label"), col("cell"))
+    )
     val scored = probes
       .join(indexed, Seq("cell"))
       .where((if (samePair) lit(true) else col("query_id") =!= col("neighbor_id")) && pairPred)
@@ -199,15 +228,11 @@ object VectorFunctions {
     val spread = DedupFunctions.spread(df).select(col("vec_id"), col("embedding"), col("label"))
     ivfScored("knnLabelNoiseCells", spread, spread, nCells, nProbe, lloydIterations, trainLimit, samePair = false) {
       scored =>
-        val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
         scored
-          .withColumn("rk", row_number().over(w))
-          .where(col("rk") <= k)
           .groupBy(col("query_id"), col("q_label").as("label"))
-          .agg(
-            sum(when(col("n_label") === col("q_label"), lit(1L)).otherwise(lit(0L))).as("n_same"),
-            count(lit(1)).as("__n_nb"),
-          )
+          .agg(topK(k, asc = false, col("cosine"), col("neighbor_id"), col("n_label")).as("__tk"))
+          .withColumn("n_same", size(filter(col("__tk"), e => e.getField("p0") === col("label"))).cast("long"))
+          .withColumn("__n_nb", size(col("__tk")).cast("long"))
           .select(
             col("query_id"),
             col("label"),
@@ -241,17 +266,17 @@ object VectorFunctions {
     val cand = DedupFunctions.spread(candidates).select(col("vec_id"), col("embedding"), col("label"))
     ivfScored("hardNegativesIvf", q, cand, nCells, nProbe, lloydIterations, trainLimit, samePair = false,
       pairPred = col("q_label") =!= col("n_label")) { scored =>
-      val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
       scored
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= k)
+        .groupBy(col("query_id"), col("q_label"))
+        .agg(topK(k, asc = false, col("cosine"), col("neighbor_id"), col("n_label")).as("__tk"))
+        .select(col("query_id"), col("q_label"), posexplode(col("__tk")).as(Seq("__r", "__e")))
         .select(
           col("query_id"),
           col("q_label").as("query_label"),
-          col("neighbor_id"),
-          col("n_label").as("neg_label"),
-          col("cosine"),
-          col("rk"),
+          col("__e.id").as("neighbor_id"),
+          col("__e.p0").as("neg_label"),
+          col("__e.score").as("cosine"),
+          (col("__r") + lit(1)).as("rk"),
         )
     }
   }
@@ -266,14 +291,12 @@ object VectorFunctions {
   def cosineDedupPairs(df: DataFrame, threshold: Double): DataFrame = {
     withFns(df)
     val spread = DedupFunctions.spread(df)
-    val a = spread.select(col("vec_id").as("vec_a"), col("embedding").as("qe"))
-    val b = spread.select(col("vec_id").as("vec_b"), col("embedding").as("ce"))
+    // norms once per row per arm, not per pair (see qcCosine)
+    val a = withQNorm(spread.select(col("vec_id").as("vec_a"), col("embedding").as("qe")))
+    val b = withCNorm(spread.select(col("vec_id").as("vec_b"), col("embedding").as("ce")))
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("dot", dotInt("qe", "ce"))
-      .withColumn(
-        "cosine",
-        col("dot").cast("double") / (sqrt(norm2Int("qe").cast("double")) * sqrt(norm2Int("ce").cast("double"))),
-      )
+      .withColumn("cosine", col("dot").cast("double") / (col("__nq") * col("__nc")))
       .where(col("cosine") >= lit(threshold))
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
@@ -303,33 +326,35 @@ object VectorFunctions {
     withFns(df)
     require(planesPerBand * bands <= 64, "banded signature must fit in 64 bits")
     val mask = (1L << planesPerBand) - 1L
+    // norm computed once per vector, before the band explode replicates
+    // rows (see qcCosine); it is a function of the embedding, so
+    // carrying it through distinct() changes no row identity
     val banded = DedupFunctions.spread(df)
       .select(
         col("vec_id"),
         col("embedding"),
+        sqrt(norm2Int("embedding").cast("double")).as("__n"),
         expr(s"graft_hplane_sig(embedding, ${planesPerBand * bands})").as("sig"),
       )
       .select(
         col("vec_id"),
         col("embedding"),
+        col("__n"),
         posexplode(
           expr(s"transform(sequence(0, ${bands - 1}), b -> shiftright(sig, b * $planesPerBand) & ${mask}L)")
         ).as(Seq("band", "band_bits")),
       )
     banded
-      .select(col("band"), col("band_bits"), col("vec_id").as("vec_a"), col("embedding").as("qe"))
+      .select(col("band"), col("band_bits"), col("vec_id").as("vec_a"), col("embedding").as("qe"), col("__n").as("__nq"))
       .join(
-        banded.select(col("band"), col("band_bits"), col("vec_id").as("vec_b"), col("embedding").as("ce")),
+        banded.select(col("band"), col("band_bits"), col("vec_id").as("vec_b"), col("embedding").as("ce"), col("__n").as("__nc")),
         Seq("band", "band_bits"),
       )
       .where(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), col("qe"), col("ce"))
+      .select(col("vec_a"), col("vec_b"), col("qe"), col("ce"), col("__nq"), col("__nc"))
       .distinct()
       .withColumn("dot", dotInt("qe", "ce"))
-      .withColumn(
-        "cosine",
-        col("dot").cast("double") / (sqrt(norm2Int("qe").cast("double")) * sqrt(norm2Int("ce").cast("double"))),
-      )
+      .withColumn("cosine", col("dot").cast("double") / (col("__nq") * col("__nc")))
       .where(col("cosine") >= lit(threshold))
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
@@ -341,6 +366,19 @@ object VectorFunctions {
     org.apache.spark.sql.GraftSqlBridge.column(e)
   private def ex(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.GraftSqlBridge.expression(c)
+
+  /** Bounded exact top-k of (score, id[, payload]) per group —
+    * [[graft.plans.TopKPairs]], the map-side replacement for
+    * `row_number().over(partitionBy(g).orderBy(score, id))` +
+    * `rank <= k`: the Exchange carries ≤ k entries per (group, map
+    * partition) instead of every scored candidate row, and nothing
+    * sorts more than k elements per group (guide §2.3/§5). Entry i of
+    * the returned array is the row that held row_number i + 1; the
+    * ordering (incl. ±0.0/NaN and tie-break on id) is pinned to the
+    * window sort's by TopKAggSpec.
+    */
+  private def topK(k: Int, asc: Boolean, score: Column, id: Column, payload: Column*): Column =
+    nat(graft.plans.TopKPairs(ex(score), ex(id), payload.map(ex), k, asc).toAggregateExpression())
 
   /** Nearest-centroid struct `(d, cell)` — native argmin with the
     * arithmetic and ordering of the historical
@@ -488,35 +526,37 @@ object VectorFunctions {
     // bounds candidates by genuine band collisions instead, with the
     // same ≥0.9 recall the C5c path measures in this τ regime.
     val mask = (1L << planesPerBand) - 1L
+    // norm computed once per vector, before the band explode replicates
+    // rows (see qcCosine); a function of the embedding, so distinct()
+    // semantics are unchanged
     val banded = indexed
       .select(
         col("cell"),
         col("vec_id"),
         col("embedding"),
+        sqrt(norm2Int("embedding").cast("double")).as("__n"),
         expr(s"graft_hplane_sig(embedding, ${planesPerBand * bands})").as("sig"),
       )
       .select(
         col("cell"),
         col("vec_id"),
         col("embedding"),
+        col("__n"),
         posexplode(
           expr(s"transform(sequence(0, ${bands - 1}), b -> shiftright(sig, b * $planesPerBand) & ${mask}L)")
         ).as(Seq("band", "band_bits")),
       )
     val dupped = banded
-      .select(col("cell"), col("band"), col("band_bits"), col("vec_id").as("vec_b"), col("embedding").as("ce"))
+      .select(col("cell"), col("band"), col("band_bits"), col("vec_id").as("vec_b"), col("embedding").as("ce"), col("__n").as("__nc"))
       .join(
-        banded.select(col("cell"), col("band"), col("band_bits"), col("vec_id").as("vec_a"), col("embedding").as("qe")),
+        banded.select(col("cell"), col("band"), col("band_bits"), col("vec_id").as("vec_a"), col("embedding").as("qe"), col("__n").as("__nq")),
         Seq("cell", "band", "band_bits"),
       )
       .where(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), col("qe"), col("ce"))
+      .select(col("vec_a"), col("vec_b"), col("qe"), col("ce"), col("__nq"), col("__nc"))
       .distinct()
       .withColumn("dot", dotInt("qe", "ce"))
-      .withColumn(
-        "cosine",
-        col("dot").cast("double") / (sqrt(norm2Int("qe").cast("double")) * sqrt(norm2Int("ce").cast("double"))),
-      )
+      .withColumn("cosine", col("dot").cast("double") / (col("__nq") * col("__nc")))
       .where(col("cosine") >= lit(threshold))
       .select(col("vec_b").as("vec_id"))
       .distinct()
@@ -681,24 +721,28 @@ object VectorFunctions {
 
     val centroids = trainKmeans(vecs, nCells, lloydIterations, trainLimit)
 
-    val indexed = assignCell(vecs, centroids).select(col("cell"), col("vec_id"), col("embedding")).cache()
+    // the candidate norm is materialized INTO the cache — computed once
+    // per vector for the whole probe scan (see qcCosine)
+    val indexed = assignCell(vecs, centroids)
+      .select(col("cell"), col("vec_id"), col("embedding"))
+      .withColumn("__nc", sqrt(expr("graft_dot12(embedding, embedding)").cast("double")))
+      .cache()
     // probe list: each query's nProbe nearest cells
-    val probes = vecs
-      .withColumn("cell", explode(cellNearest(col("embedding"), centroids, nProbe)))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cell"))
+    val probes = withQNorm(
+      vecs
+        .withColumn("cell", explode(cellNearest(col("embedding"), centroids, nProbe)))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cell"))
+    )
     val ranked = probes
-      .join(indexed.select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("ce")), Seq("cell"))
+      .join(indexed.select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("__nc")), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", dotInt("qe", "ce"))
-      .withColumn(
-        "cosine",
-        col("dot").cast("double") / (sqrt(norm2Int("qe").cast("double")) * sqrt(norm2Int("ce").cast("double"))),
-      )
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+      .withColumn("cosine", col("dot").cast("double") / (col("__nq") * col("__nc")))
     val out = ranked
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .groupBy(col("query_id"))
+      .agg(topK(k, asc = false, col("cosine"), col("neighbor_id")).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__r", "__e")))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"), col("__e.score").as("cosine"), (col("__r") + lit(1)).as("rank"))
       // materialize the small result (|queries| × k rows) so the big
       // cached inputs release NOW — without this every call pins two
       // cached copies of the table until the caller drops the frame
@@ -799,11 +843,10 @@ object VectorFunctions {
     val scored = coded
       .join(broadcast(q), col("query_id") =!= col("vec_id"))
       .withColumn("approx_d2", adcExpr(m, codebookSize))
-    val wApprox = Window.partitionBy(col("query_id")).orderBy(col("approx_d2").asc, col("vec_id"))
     val shortlist = scored
-      .withColumn("arank", row_number().over(wApprox))
-      .where(col("arank") <= k * rerankFactor)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(topK(k * rerankFactor, asc = true, col("approx_d2"), col("vec_id")).as("__tk"))
+      .select(col("query_id"), explode(col("__tk.id")).as("neighbor_id"))
 
     val out = rerankExact(shortlist, vecs, queries, k)
     vecs.unpersist(blocking = true)
@@ -913,17 +956,11 @@ object VectorFunctions {
       books = trainPqBooksOn(prepared.select(col("vec_id"), col("__r").as("embedding")), m, dsub, codebookSize, lloydIterations)
       val coded = prepared.withColumn("__codes", pqCodesExpr(books, m, dsub, col("__r"))).localCheckpoint()
       release(prepared)
-      // reconstruction of the rotated vector, one component per row
-      // after the explode: ŷ_j looks its codeword component up from a
-      // per-j literal array indexed by the row's subspace code
-      val yhat = array((0 until dim).map { j =>
-        val sub = j / dsub
-        val pos = j % dsub
-        element_at(
-          array((0 until codebookSize).map(c => lit(books(sub)(c)(pos))): _*),
-          element_at(col("__codes"), sub + 1) + 1,
-        )
-      }: _*)
+      // reconstruction of the rotated vector — native PqDecode (the
+      // codebooks ride as constructor data; the historical spelling
+      // built a d × codebookSize literal tree per reference and
+      // evaluated it interpreted; same lookups, same doubles)
+      val yhat = nat(graft.plans.PqDecode(ex(col("__codes")), books.map(_.map(_.toSeq).toSeq).toSeq))
       val expl = coded
         .withColumn("__yhat", yhat)
         .select(col("embedding"), col("__r"), posexplode(col("__yhat")).as(Seq("__j", "__yj")))
@@ -1163,11 +1200,11 @@ object VectorFunctions {
       .join(vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")), "neighbor_id")
       .join(broadcast(qVecs), "query_id")
       .withColumn("d2", fullDist2(col("qe"), col("ce")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("neighbor_id"))
     reranked
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("d2"), 6).as("d2"), col("rank"))
+      .groupBy(col("query_id"))
+      .agg(topK(k, asc = true, col("d2"), col("neighbor_id")).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__r", "__e")))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"), round(col("__e.score"), 6).as("d2"), (col("__r") + lit(1)).as("rank"))
       .localCheckpoint()
   }
 
@@ -1270,11 +1307,10 @@ object VectorFunctions {
       .join(broadcast(q), Seq("cell"))
       .where(col("query_id") =!= col("vec_id"))
       .withColumn("approx_d2", adcExpr(m, codebookSize))
-    val wApprox = Window.partitionBy(col("query_id")).orderBy(col("approx_d2").asc, col("vec_id"))
     val shortlist = scored
-      .withColumn("arank", row_number().over(wApprox))
-      .where(col("arank") <= k * rerankFactor)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(topK(k * rerankFactor, asc = true, col("approx_d2"), col("vec_id")).as("__tk"))
+      .select(col("query_id"), explode(col("__tk.id")).as("neighbor_id"))
 
     val out = rerankExact(shortlist, vecs, queries, k)
     vecs.unpersist(blocking = true)
@@ -1519,24 +1555,33 @@ object VectorFunctions {
     */
   def lshAnn(df: DataFrame, k: Int, planes: Int = 16): DataFrame = {
     withFns(df)
+    // norm computed once per vector, before the bucket self-join
+    // replicates rows into pairs (see qcCosine)
     val withBucket = DedupFunctions.spread(df).select(
       col("vec_id"),
       col("embedding"),
+      sqrt(norm2Int("embedding").cast("double")).as("__n"),
       lshBucket("embedding", planes).as("bucket"),
     )
     val pairs = withBucket
-      .select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .join(withBucket.select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding").as("ce")), Seq("bucket"))
+      .select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qe"), col("__n").as("__nq"))
+      .join(
+        withBucket.select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("__n").as("__nc")),
+        Seq("bucket"),
+      )
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", dotInt("qe", "ce"))
-      .withColumn(
-        "cosine",
-        col("dot").cast("double") / (sqrt(norm2Int("qe").cast("double")) * sqrt(norm2Int("ce").cast("double"))),
-      )
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+      .withColumn("cosine", col("dot").cast("double") / (col("__nq") * col("__nc")))
     pairs
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("bucket"), col("cosine"), col("rank"))
+      .groupBy(col("query_id"))
+      .agg(topK(k, asc = false, col("cosine"), col("neighbor_id"), col("bucket")).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__r", "__e")))
+      .select(
+        col("query_id"),
+        col("__e.id").as("neighbor_id"),
+        col("__e.p0").as("bucket"),
+        col("__e.score").as("cosine"),
+        (col("__r") + lit(1)).as("rank"),
+      )
   }
 }

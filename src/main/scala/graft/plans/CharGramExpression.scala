@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** All k-char grams of a string — native form of the historical
+  * {{{ transform(sequence(1, length(t) - k + 1), i -> substring(t, i, k)) }}}
+  * of the char-grain repeated-span detector
+  * (DedupFunctions.repeatedSpansChar).
+  *
+  * The SQL spelling calls `substring(t, i, k)` once per character
+  * position, and each call walks the UTF-8 bytes from position 0 to
+  * find its char offset — O(len²) byte scans per row on top of one
+  * k-char string allocation per position. This expression materializes
+  * the bytes once, computes the char→byte offset table once, and emits
+  * each gram as a zero-copy slice of that one byte array: O(len·k)
+  * total, identical strings (the same character windows, so the same
+  * UTF-8 bytes). Element i of the result is the gram starting at
+  * 1-based char position i + 1, exactly the transform's layout.
+  * Texts shorter than k yield an empty array (callers filter
+  * `length(t) >= k` first, matching the SQL guard).
+  */
+case class CharGrams(child: Expression, k: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(k >= 1, s"gram size must be at least 1 char, got $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other      => TypeCheckResult.TypeCheckFailure(s"graft_char_grams needs a string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String]
+    val len = t.numChars()
+    if (len < k) return new GenericArrayData(Array.empty[Any])
+    val bytes = t.getBytes
+    val charStart = new Array[Int](len + 1)
+    var c = 0
+    var off = 0
+    while (c < len) {
+      charStart(c) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      c += 1
+    }
+    charStart(len) = off
+    val n = len - k + 1
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val from = charStart(i)
+      out(i) = UTF8String.fromBytes(bytes, from, charStart(i + k) - from)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharGrams = copy(child = newChild)
+  override def prettyName: String = "graft_char_grams"
+}

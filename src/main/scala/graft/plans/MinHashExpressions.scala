@@ -81,8 +81,7 @@ case class MinHashSignature(child: Expression, perms: Int)
   * bit-identical to the SQL `zip_with`/`aggregate` formulation.
   */
 case class ScaledIntDot(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -96,9 +95,36 @@ case class ScaledIntDot(left: Expression, right: Expression)
         )
     }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val xs = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val ys = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ScaledIntDot.dot12(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+    )
+
+  // compiled rather than CodegenFallback: graft_dot12 is the per-PAIR
+  // kernel of every cosine scoring join, so falling back here truncated
+  // the scoring stage's whole-stage-codegen span (guide §4); generated
+  // code calls the same static kernel as nullSafeEval
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode,
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = graft.plans.ScaledIntDot.dot12($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ScaledIntDot =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_dot12"
+}
+
+object ScaledIntDot {
+  /** Shared by the interpreted and generated paths — the two cannot
+    * diverge. PUBLIC: Janino-compiled codegen classes call it.
+    */
+  def dot12(
+      xs: org.apache.spark.sql.catalyst.util.ArrayData,
+      ys: org.apache.spark.sql.catalyst.util.ArrayData,
+  ): Long = {
     val n = math.min(xs.numElements(), ys.numElements())
     var acc = 0L
     var i = 0
@@ -110,11 +136,6 @@ case class ScaledIntDot(left: Expression, right: Expression)
     }
     acc
   }
-
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ScaledIntDot =
-    copy(left = newLeft, right = newRight)
-
-  override def prettyName: String = "graft_dot12"
 }
 
 /** 64-bit SimHash over pre-hashed tokens: per bit, the sign of the sum
@@ -356,6 +377,9 @@ object GraftFunctions {
     FunctionIdentifier("graft_cdc_spans"),
     new ExpressionInfo(classOf[CdcSpans].getName, "graft_cdc_spans"),
     (children: Seq[Expression]) => {
+      if (children.length != 3)
+        throw new IllegalArgumentException(
+          s"graft_cdc_spans expects (text, window, maskHexDigits), got ${children.length} argument(s)")
       def intLit(e: Expression, what: String): Int = e match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
         case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
@@ -368,6 +392,9 @@ object GraftFunctions {
     FunctionIdentifier("graft_winnow_fps"),
     new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow_fps"),
     (children: Seq[Expression]) => {
+      if (children.length != 3)
+        throw new IllegalArgumentException(
+          s"graft_winnow_fps expects (text, k, w), got ${children.length} argument(s)")
       def intLit(e: Expression, what: String): Int = e match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
         case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
@@ -381,6 +408,21 @@ object GraftFunctions {
     * iterate THIS list, so a new descriptor cannot reach one path and
     * silently miss the other.
     */
+  val charGramsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_char_grams"),
+    new ExpressionInfo(classOf[CharGrams].getName, "graft_char_grams"),
+    (children: Seq[Expression]) => {
+      if (children.length != 2)
+        throw new IllegalArgumentException(
+          s"graft_char_grams expects (text, k), got ${children.length} argument(s)")
+      val k = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"k must be an int literal, got $other")
+      }
+      CharGrams(children.head, k)
+    },
+  )
+
   val allDescriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     minhashSigDescriptor,
     dotDescriptor,
@@ -398,6 +440,7 @@ object GraftFunctions {
     bloomMightContainDescriptor,
     cdcSpansDescriptor,
     winnowFpsDescriptor,
+    charGramsDescriptor,
   )
 
   def register(spark: SparkSession): Unit = {

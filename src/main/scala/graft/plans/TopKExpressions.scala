@@ -1,0 +1,287 @@
+package graft.plans
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bounded exact top-k aggregate — the map-side replacement for the
+  * `row_number().over(Window.partitionBy(g).orderBy(score, id))` +
+  * `where(rank <= k)` pattern of the ANN/kNN operators.
+  *
+  * The window formulation shuffles EVERY scored candidate row to its
+  * query's partition and sorts the full candidate set per query —
+  * ~nProbe·N/nCells rows per query through one Exchange at IVF scale
+  * (guide §2.3/§5: the measured x30 riser after the argmin went
+  * native). This aggregate keeps at most k (score, id, payload)
+  * entries per group in a bounded heap, merges partial heaps
+  * map-side, so the Exchange carries ≤ k entries per (group, map
+  * partition) and no stage sorts more than k elements per group.
+  *
+  * Ordering reproduces the window sort EXACTLY:
+  *   - `asc = false` ⇔ `orderBy(score.desc, id.asc)` (cosine ranking):
+  *     descending score with Spark's `desc_nulls_last` placement;
+  *   - `asc = true`  ⇔ `orderBy(score.asc, id.asc)` (distance ranking):
+  *     ascending score with `asc_nulls_first` placement;
+  *   - score comparisons use [[VecModel.cmpD]] — Spark's
+  *     SQLOrderingUtil.compareDoubles semantics (-0.0 == 0.0, NaN
+  *     greatest, NaN == NaN) — and ties break on ascending id, exactly
+  *     the window's secondary sort key.
+  *
+  * The result is the array of the k best entries in rank order
+  * (`element i` ⇔ `row_number = i + 1`), so
+  * `posexplode(topk) → (pos, e)` reproduces (rank − 1, row)
+  * bit-for-bit. Rows of a group enter the heap unconditionally (the
+  * window ranks null scores too); a null id would silently change
+  * tie-breaks, so it throws — ids are join keys in every caller.
+  */
+case class TopKPairs(
+    score: Expression,
+    id: Expression,
+    payload: Seq[Expression],
+    k: Int,
+    asc: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0,
+) extends TypedImperativeAggregate[TopKHeap] {
+
+  require(k >= 1, s"TopKPairs needs k >= 1, got $k")
+  require(payload.length <= 1, "TopKPairs supports at most one payload column")
+
+  override def children: Seq[Expression] = score +: id +: payload
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (score.dataType != DoubleType)
+      return TypeCheckResult.TypeCheckFailure(s"topk score must be double, got ${score.dataType}")
+    if (id.dataType != LongType)
+      return TypeCheckResult.TypeCheckFailure(s"topk id must be bigint, got ${id.dataType}")
+    payload.headOption.map(_.dataType) match {
+      case None | Some(IntegerType | LongType | DoubleType | StringType) => TypeCheckResult.TypeCheckSuccess
+      case Some(other) => TypeCheckResult.TypeCheckFailure(s"topk payload type $other unsupported")
+    }
+  }
+
+  @transient private lazy val payloadType: Option[DataType] = payload.headOption.map(_.dataType)
+
+  override def dataType: DataType = StructTypeHolder.arrayOf(payloadType)
+
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k, asc)
+
+  override def update(buffer: TopKHeap, input: InternalRow): TopKHeap = {
+    val sAny = score.eval(input)
+    val idAny = id.eval(input)
+    if (idAny == null) throw new IllegalStateException("graft_topk: null id")
+    val p = payload.headOption.map { pe =>
+      pe.eval(input) match {
+        case s: UTF8String => s.clone()
+        case other         => other
+      }
+    }.orNull
+    buffer.insert(
+      sAny == null,
+      if (sAny == null) 0.0 else sAny.asInstanceOf[Double],
+      idAny.asInstanceOf[Long],
+      p,
+    )
+    buffer
+  }
+
+  override def merge(buffer: TopKHeap, other: TopKHeap): TopKHeap = {
+    other.foreach((sn, s, i, p) => buffer.insert(sn, s, i, p))
+    buffer
+  }
+
+  override def eval(buffer: TopKHeap): Any = {
+    val sorted = buffer.sortedEntries
+    val rows = new Array[Any](sorted.length)
+    var i = 0
+    while (i < sorted.length) {
+      val e = sorted(i)
+      rows(i) =
+        if (payloadType.isEmpty)
+          new GenericInternalRow(Array[Any](if (e.sNull) null else e.s, e.id))
+        else
+          new GenericInternalRow(Array[Any](if (e.sNull) null else e.s, e.id, e.payload))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buffer: TopKHeap): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.size)
+    buffer.foreach { (sn, s, i, p) =>
+      out.writeBoolean(sn)
+      out.writeDouble(s)
+      out.writeLong(i)
+      payloadType.foreach { pt =>
+        if (p == null) out.writeBoolean(true)
+        else {
+          out.writeBoolean(false)
+          pt match {
+            case IntegerType => out.writeInt(p.asInstanceOf[Int])
+            case LongType    => out.writeLong(p.asInstanceOf[Long])
+            case DoubleType  => out.writeDouble(p.asInstanceOf[Double])
+            case StringType =>
+              val b = p.asInstanceOf[UTF8String].getBytes
+              out.writeInt(b.length)
+              out.write(b)
+            case other => throw new IllegalStateException(s"graft_topk: payload type $other")
+          }
+        }
+      }
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKHeap = {
+    val in = ByteBuffer.wrap(bytes)
+    val heap = new TopKHeap(k, asc)
+    val n = in.getInt
+    var j = 0
+    while (j < n) {
+      val sn = in.get() != 0
+      val s = in.getDouble
+      val i = in.getLong
+      val p: Any = payloadType match {
+        case None => null
+        case Some(pt) =>
+          if (in.get() != 0) null
+          else
+            pt match {
+              case IntegerType => in.getInt
+              case LongType    => in.getLong
+              case DoubleType  => in.getDouble
+              case StringType =>
+                val b = new Array[Byte](in.getInt)
+                in.get(b)
+                UTF8String.fromBytes(b)
+              case other => throw new IllegalStateException(s"graft_topk: payload type $other")
+            }
+      }
+      heap.insert(sn, s, i, p)
+      j += 1
+    }
+    heap
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TopKPairs =
+    copy(score = newChildren(0), id = newChildren(1), payload = newChildren.drop(2))
+  override def prettyName: String = "graft_topk"
+}
+
+private object StructTypeHolder {
+  def arrayOf(payloadType: Option[DataType]): DataType = {
+    val base = Seq(
+      StructField("score", DoubleType, nullable = true),
+      StructField("id", LongType, nullable = false),
+    )
+    val fields = payloadType match {
+      case Some(pt) => base :+ StructField("p0", pt, nullable = true)
+      case None     => base
+    }
+    ArrayType(StructType(fields), containsNull = false)
+  }
+}
+
+/** Bounded k-best heap keyed by (score, id) under the window sort's
+  * exact order (see [[TopKPairs]]). `heap(0)` holds the WORST retained
+  * entry (a standard replace-the-root selection heap), so a full heap
+  * admits a new entry with one comparison against the root.
+  */
+final class TopKHeap(k: Int, asc: Boolean) {
+  final class Entry(var sNull: Boolean, var s: Double, var id: Long, var payload: Any)
+
+  private val heap = new Array[Entry](k)
+  private var n = 0
+
+  def size: Int = n
+
+  /** < 0 when (aNull, a, aId) ranks BEFORE (earlier rank than) b. */
+  private def rankCompare(aNull: Boolean, a: Double, aId: Long, bNull: Boolean, b: Double, bId: Long): Int = {
+    val c =
+      if (aNull && bNull) 0
+      // window default null placement: asc_nulls_first / desc_nulls_last
+      else if (aNull) { if (asc) -1 else 1 }
+      else if (bNull) { if (asc) 1 else -1 }
+      else {
+        val d = VecModel.cmpD(a, b)
+        if (asc) d else -d
+      }
+    if (c != 0) c else java.lang.Long.compare(aId, bId)
+  }
+
+  private def worseThan(x: Entry, y: Entry): Boolean =
+    rankCompare(x.sNull, x.s, x.id, y.sNull, y.s, y.id) > 0
+
+  private def siftDown(i0: Int): Unit = {
+    var i = i0
+    while (true) {
+      val l = 2 * i + 1
+      val r = l + 1
+      var m = i
+      if (l < n && worseThan(heap(l), heap(m))) m = l
+      if (r < n && worseThan(heap(r), heap(m))) m = r
+      if (m == i) return
+      val t = heap(i); heap(i) = heap(m); heap(m) = t
+      i = m
+    }
+  }
+
+  private def siftUp(i0: Int): Unit = {
+    var i = i0
+    while (i > 0) {
+      val p = (i - 1) / 2
+      if (!worseThan(heap(i), heap(p))) return
+      val t = heap(i); heap(i) = heap(p); heap(p) = t
+      i = p
+    }
+  }
+
+  def insert(sNull: Boolean, s: Double, id: Long, payload: Any): Unit = {
+    if (n < k) {
+      heap(n) = new Entry(sNull, s, id, payload)
+      n += 1
+      siftUp(n - 1)
+    } else {
+      val root = heap(0)
+      if (rankCompare(sNull, s, id, root.sNull, root.s, root.id) < 0) {
+        root.sNull = sNull; root.s = s; root.id = id; root.payload = payload
+        siftDown(0)
+      }
+    }
+  }
+
+  def foreach(f: (Boolean, Double, Long, Any) => Unit): Unit = {
+    var i = 0
+    while (i < n) { val e = heap(i); f(e.sNull, e.s, e.id, e.payload); i += 1 }
+  }
+
+  /** Entries in rank order (element i ⇔ row_number i + 1). */
+  def sortedEntries: Array[Entry] = {
+    val out = new Array[Entry](n)
+    System.arraycopy(heap, 0, out, 0, n)
+    java.util.Arrays.sort(
+      out,
+      new java.util.Comparator[Entry] {
+        override def compare(x: Entry, y: Entry): Int =
+          rankCompare(x.sNull, x.s, x.id, y.sNull, y.s, y.id)
+      },
+    )
+    out
+  }
+}

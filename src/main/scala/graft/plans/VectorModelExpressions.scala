@@ -1,8 +1,9 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -66,8 +67,7 @@ private[graft] object VecModel {
   * lowest cell id.
   */
 case class CellAssign(child: Expression, centroids: Seq[Seq[Double]])
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   require(centroids.nonEmpty, "CellAssign needs at least one centroid")
 
@@ -79,20 +79,16 @@ case class CellAssign(child: Expression, centroids: Seq[Seq[Double]])
   @transient private lazy val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
   @transient private lazy val isFloat: Boolean = VecModel.isFloatArray(child.dataType)
 
-  override def nullSafeEval(input: Any): Any = {
-    val emb = input.asInstanceOf[ArrayData]
-    val dim = cents(0).length
-    if (emb.numElements() != dim)
-      throw new IllegalStateException(s"graft_cell_assign: embedding dim ${emb.numElements()} != centroid dim $dim")
-    var best = 0
-    var bestD = VecKernels.dist2(emb, cents(0), isFloat)
-    var i = 1
-    while (i < cents.length) {
-      val d = VecKernels.dist2(emb, cents(i), isFloat)
-      if (VecModel.cmpD(d, bestD) < 0) { best = i; bestD = d }
-      i += 1
-    }
-    new GenericInternalRow(Array[Any](bestD, best))
+  override def nullSafeEval(input: Any): Any =
+    VecKernels.cellAssign(input.asInstanceOf[ArrayData], cents, isFloat)
+
+  // compiled rather than CodegenFallback so the probe/index projection
+  // keeps one whole-stage-codegen span (guide §4): the generated code
+  // calls the same kernel nullSafeEval runs, with the centroid matrix
+  // attached as a reference object
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, emb => s"${ev.value} = graft.plans.VecKernels.cellAssign($emb, $centsRef, $isFloat);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): CellAssign = copy(child = newChild)
@@ -105,8 +101,7 @@ case class CellAssign(child: Expression, centroids: Seq[Seq[Double]])
   * explodes).
   */
 case class CellNearest(child: Expression, centroids: Seq[Seq[Double]], n: Int)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   require(centroids.nonEmpty, "CellNearest needs at least one centroid")
   require(n >= 1 && n <= centroids.length, s"n must be in [1, ${centroids.length}], got $n")
@@ -118,33 +113,12 @@ case class CellNearest(child: Expression, centroids: Seq[Seq[Double]], n: Int)
   @transient private lazy val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
   @transient private lazy val isFloat: Boolean = VecModel.isFloatArray(child.dataType)
 
-  override def nullSafeEval(input: Any): Any = {
-    val emb = input.asInstanceOf[ArrayData]
-    val dim = cents(0).length
-    if (emb.numElements() != dim)
-      throw new IllegalStateException(s"graft_cell_nearest: embedding dim ${emb.numElements()} != centroid dim $dim")
-    val k = cents.length
-    val d = new Array[Double](k)
-    var i = 0
-    while (i < k) { d(i) = VecKernels.dist2(emb, cents(i), isFloat); i += 1 }
-    // selection in (d, cell) order: the scan keeps the FIRST index at
-    // the minimum, which is exactly the lowest-cell tie-break
-    val out = new Array[Int](n)
-    val used = new Array[Boolean](k)
-    var j = 0
-    while (j < n) {
-      var bi = -1
-      var bd = 0.0
-      var c = 0
-      while (c < k) {
-        if (!used(c) && (bi < 0 || VecModel.cmpD(d(c), bd) < 0)) { bi = c; bd = d(c) }
-        c += 1
-      }
-      used(bi) = true
-      out(j) = bi
-      j += 1
-    }
-    new GenericArrayData(out)
+  override def nullSafeEval(input: Any): Any =
+    VecKernels.cellNearest(input.asInstanceOf[ArrayData], cents, isFloat, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, emb => s"${ev.value} = graft.plans.VecKernels.cellNearest($emb, $centsRef, $isFloat, $n);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): CellNearest = copy(child = newChild)
@@ -157,8 +131,7 @@ case class CellNearest(child: Expression, centroids: Seq[Seq[Double]], n: Int)
   * the lowest code).
   */
 case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]])
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   require(books.nonEmpty && books.head.nonEmpty, "PqEncode needs at least one codebook with one codeword")
 
@@ -169,29 +142,12 @@ case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]])
   @transient private lazy val bks: Array[Array[Array[Double]]] = books.map(_.map(_.toArray).toArray).toArray
   @transient private lazy val isFloat: Boolean = VecModel.isFloatArray(child.dataType)
 
-  override def nullSafeEval(input: Any): Any = {
-    val emb = input.asInstanceOf[ArrayData]
-    val m = bks.length
-    val dsub = bks(0)(0).length
-    if (emb.numElements() != m * dsub)
-      throw new IllegalStateException(s"graft_pq_encode: embedding dim ${emb.numElements()} != ${m}x$dsub")
-    val out = new Array[Int](m)
-    var s = 0
-    while (s < m) {
-      val book = bks(s)
-      val base = s * dsub
-      var best = 0
-      var bestD = VecKernels.subDist2(emb, base, book(0), isFloat)
-      var c = 1
-      while (c < book.length) {
-        val d = VecKernels.subDist2(emb, base, book(c), isFloat)
-        if (VecModel.cmpD(d, bestD) < 0) { best = c; bestD = d }
-        c += 1
-      }
-      out(s) = best
-      s += 1
-    }
-    new GenericArrayData(out)
+  override def nullSafeEval(input: Any): Any =
+    VecKernels.pqEncode(input.asInstanceOf[ArrayData], bks, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bksRef = ctx.addReferenceObj("bks", bks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, emb => s"${ev.value} = graft.plans.VecKernels.pqEncode($emb, $bksRef, $isFloat);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqEncode = copy(child = newChild)
@@ -202,8 +158,7 @@ case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]])
   * semantics of the m · codebookSize `subDist2` array.
   */
 case class PqLookupTable(child: Expression, books: Seq[Seq[Seq[Double]]])
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   require(books.nonEmpty && books.head.nonEmpty, "PqLookupTable needs at least one codebook with one codeword")
 
@@ -214,30 +169,49 @@ case class PqLookupTable(child: Expression, books: Seq[Seq[Seq[Double]]])
   @transient private lazy val bks: Array[Array[Array[Double]]] = books.map(_.map(_.toArray).toArray).toArray
   @transient private lazy val isFloat: Boolean = VecModel.isFloatArray(child.dataType)
 
-  override def nullSafeEval(input: Any): Any = {
-    val emb = input.asInstanceOf[ArrayData]
-    val m = bks.length
-    val cs = bks(0).length
-    val dsub = bks(0)(0).length
-    if (emb.numElements() != m * dsub)
-      throw new IllegalStateException(s"graft_pq_lut: embedding dim ${emb.numElements()} != ${m}x$dsub")
-    val out = new Array[Double](m * cs)
-    var s = 0
-    while (s < m) {
-      val book = bks(s)
-      val base = s * dsub
-      var c = 0
-      while (c < cs) {
-        out(s * cs + c) = VecKernels.subDist2(emb, base, book(c), isFloat)
-        c += 1
-      }
-      s += 1
-    }
-    new GenericArrayData(out)
+  override def nullSafeEval(input: Any): Any =
+    VecKernels.pqLut(input.asInstanceOf[ArrayData], bks, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bksRef = ctx.addReferenceObj("bks", bks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, emb => s"${ev.value} = graft.plans.VecKernels.pqLut($emb, $bksRef, $isFloat);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqLookupTable = copy(child = newChild)
   override def prettyName: String = "graft_pq_lut"
+}
+
+/** PQ reconstruction: `ŷ_j = books(j / dsub)(codes(j / dsub))(j % dsub)`
+  * — semantics of the historical per-component literal-array lookup
+  * tree (`element_at(array(lit(book(s)(c)(p))…), codes[s] + 1)` for
+  * every j), which built d × codebookSize literal nodes per reference
+  * and evaluated them interpreted. Out-of-range codes throw (the
+  * file's malformed-input policy; the SQL spelling null-propagated).
+  */
+case class PqDecode(child: Expression, books: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  require(books.nonEmpty && books.head.nonEmpty, "PqDecode needs at least one codebook with one codeword")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other                     => TypeCheckResult.TypeCheckFailure(s"graft_pq_decode needs array<int> codes, got $other")
+  }
+
+  @transient private lazy val bks: Array[Array[Array[Double]]] = books.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    VecKernels.pqDecode(input.asInstanceOf[ArrayData], bks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bksRef = ctx.addReferenceObj("bks", bks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, codes => s"${ev.value} = graft.plans.VecKernels.pqDecode($codes, $bksRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqDecode = copy(child = newChild)
+  override def prettyName: String = "graft_pq_decode"
 }
 
 /** ADC distance: `Σ_s lut[s · codebookSize + codes_s]` accumulated in
@@ -246,8 +220,7 @@ case class PqLookupTable(child: Expression, books: Seq[Seq[Seq[Double]]])
   * fold. codebookSize is derived per row as `|lut| / |codes|`.
   */
 case class AdcDistance(left: Expression, right: Expression)
-    extends BinaryExpression
-    with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -256,24 +229,13 @@ case class AdcDistance(left: Expression, right: Expression)
     case other => TypeCheckResult.TypeCheckFailure(s"graft_adc needs (array<int> codes, array<double> lut), got $other")
   }
 
-  override def nullSafeEval(codesAny: Any, lutAny: Any): Any = {
-    val codes = codesAny.asInstanceOf[ArrayData]
-    val lut = lutAny.asInstanceOf[ArrayData]
-    val m = codes.numElements()
-    if (m == 0 || lut.numElements() % m != 0)
-      throw new IllegalStateException(s"graft_adc: |lut| ${lut.numElements()} not a multiple of |codes| $m")
-    val cs = lut.numElements() / m
-    var acc = 0.0
-    var s = 0
-    while (s < m) {
-      if (codes.isNullAt(s)) throw new IllegalStateException(s"graft_adc: null code at subspace $s")
-      val c = codes.getInt(s)
-      if (c < 0 || c >= cs) throw new IllegalStateException(s"graft_adc: code $c out of range [0, $cs)")
-      acc += lut.getDouble(s * cs + c)
-      s += 1
-    }
-    acc
-  }
+  override def nullSafeEval(codesAny: Any, lutAny: Any): Any =
+    VecKernels.adc(codesAny.asInstanceOf[ArrayData], lutAny.asInstanceOf[ArrayData])
+
+  // the ADC scan is the per-pair hot loop of the PQ family — compiled
+  // codegen keeps the whole scoring projection in one span (guide §4)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) => s"${ev.value} = graft.plans.VecKernels.adc($codes, $lut);")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): AdcDistance =
     copy(left = newLeft, right = newRight)
@@ -286,8 +248,7 @@ case class AdcDistance(left: Expression, right: Expression)
   * 0.0.
   */
 case class RotateVec(child: Expression, rot: Seq[Seq[Double]])
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   require(rot.nonEmpty, "RotateVec needs a non-empty matrix")
 
@@ -298,25 +259,12 @@ case class RotateVec(child: Expression, rot: Seq[Seq[Double]])
   @transient private lazy val mat: Array[Array[Double]] = rot.map(_.toArray).toArray
   @transient private lazy val isFloat: Boolean = VecModel.isFloatArray(child.dataType)
 
-  override def nullSafeEval(input: Any): Any = {
-    val emb = input.asInstanceOf[ArrayData]
-    val dim = mat(0).length
-    if (emb.numElements() != dim)
-      throw new IllegalStateException(s"graft_rotate: embedding dim ${emb.numElements()} != matrix dim $dim")
-    val out = new Array[Double](mat.length)
-    var j = 0
-    while (j < mat.length) {
-      val row = mat(j)
-      var acc = 0.0
-      var i = 0
-      while (i < dim) {
-        acc += row(i) * VecModel.elem(emb, i, isFloat, "graft_rotate")
-        i += 1
-      }
-      out(j) = acc
-      j += 1
-    }
-    new GenericArrayData(out)
+  override def nullSafeEval(input: Any): Any =
+    VecKernels.rotate(input.asInstanceOf[ArrayData], mat, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("mat", mat, "double[][]")
+    nullSafeCodeGen(ctx, ev, emb => s"${ev.value} = graft.plans.VecKernels.rotate($emb, $matRef, $isFloat);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): RotateVec = copy(child = newChild)
@@ -328,8 +276,7 @@ case class RotateVec(child: Expression, rot: Seq[Seq[Double]])
   * `zip_with(vec, element_at(centLit, cell + 1), x − c)`.
   */
 case class ResidualVec(left: Expression, right: Expression, centroids: Seq[Seq[Double]])
-    extends BinaryExpression
-    with CodegenFallback {
+    extends BinaryExpression {
 
   require(centroids.nonEmpty, "ResidualVec needs at least one centroid")
 
@@ -343,21 +290,12 @@ case class ResidualVec(left: Expression, right: Expression, centroids: Seq[Seq[D
   @transient private lazy val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
   @transient private lazy val isFloat: Boolean = VecModel.isFloatArray(left.dataType)
 
-  override def nullSafeEval(embAny: Any, cellAny: Any): Any = {
-    val emb = embAny.asInstanceOf[ArrayData]
-    val cell = cellAny.asInstanceOf[Int]
-    if (cell < 0 || cell >= cents.length)
-      throw new IllegalStateException(s"graft_residual: cell $cell out of range [0, ${cents.length})")
-    val cen = cents(cell)
-    if (emb.numElements() != cen.length)
-      throw new IllegalStateException(s"graft_residual: embedding dim ${emb.numElements()} != centroid dim ${cen.length}")
-    val out = new Array[Double](cen.length)
-    var p = 0
-    while (p < cen.length) {
-      out(p) = VecModel.elem(emb, p, isFloat, "graft_residual") - cen(p)
-      p += 1
-    }
-    new GenericArrayData(out)
+  override def nullSafeEval(embAny: Any, cellAny: Any): Any =
+    VecKernels.residual(embAny.asInstanceOf[ArrayData], cellAny.asInstanceOf[Int], cents, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, (emb, cell) => s"${ev.value} = graft.plans.VecKernels.residual($emb, $cell, $centsRef, $isFloat);")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ResidualVec =
@@ -365,12 +303,16 @@ case class ResidualVec(left: Expression, right: Expression, centroids: Seq[Seq[D
   override def prettyName: String = "graft_residual"
 }
 
-/** Shared distance kernels — one tight loop each, arithmetic identical
-  * to the `zip_with`/`aggregate` SQL spelling (cast each element to
-  * double, subtract the model component, square, accumulate in index
-  * order starting from 0.0).
+/** Shared kernels — one tight loop each, arithmetic identical to the
+  * `zip_with`/`aggregate` SQL spelling (cast each element to double,
+  * subtract the model component, square, accumulate in index order
+  * starting from 0.0). PUBLIC (not private[plans]) because the
+  * expressions' generated code — compiled by Janino into Spark's
+  * codegen package — calls these methods directly; each expression's
+  * interpreted `nullSafeEval` calls the same method, so the two paths
+  * cannot diverge.
   */
-private[plans] object VecKernels {
+object VecKernels {
   def dist2(emb: ArrayData, cen: Array[Double], isFloat: Boolean): Double = {
     var acc = 0.0
     var p = 0
@@ -391,5 +333,168 @@ private[plans] object VecKernels {
       p += 1
     }
     acc
+  }
+
+  def cellAssign(emb: ArrayData, cents: Array[Array[Double]], isFloat: Boolean): InternalRow = {
+    val dim = cents(0).length
+    if (emb.numElements() != dim)
+      throw new IllegalStateException(s"graft_cell_assign: embedding dim ${emb.numElements()} != centroid dim $dim")
+    var best = 0
+    var bestD = dist2(emb, cents(0), isFloat)
+    var i = 1
+    while (i < cents.length) {
+      val d = dist2(emb, cents(i), isFloat)
+      if (VecModel.cmpD(d, bestD) < 0) { best = i; bestD = d }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](bestD, best))
+  }
+
+  def cellNearest(emb: ArrayData, cents: Array[Array[Double]], isFloat: Boolean, n: Int): ArrayData = {
+    val dim = cents(0).length
+    if (emb.numElements() != dim)
+      throw new IllegalStateException(s"graft_cell_nearest: embedding dim ${emb.numElements()} != centroid dim $dim")
+    val k = cents.length
+    val d = new Array[Double](k)
+    var i = 0
+    while (i < k) { d(i) = dist2(emb, cents(i), isFloat); i += 1 }
+    // selection in (d, cell) order: the scan keeps the FIRST index at
+    // the minimum, which is exactly the lowest-cell tie-break
+    val out = new Array[Int](n)
+    val used = new Array[Boolean](k)
+    var j = 0
+    while (j < n) {
+      var bi = -1
+      var bd = 0.0
+      var c = 0
+      while (c < k) {
+        if (!used(c) && (bi < 0 || VecModel.cmpD(d(c), bd) < 0)) { bi = c; bd = d(c) }
+        c += 1
+      }
+      used(bi) = true
+      out(j) = bi
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def pqEncode(emb: ArrayData, bks: Array[Array[Array[Double]]], isFloat: Boolean): ArrayData = {
+    val m = bks.length
+    val dsub = bks(0)(0).length
+    if (emb.numElements() != m * dsub)
+      throw new IllegalStateException(s"graft_pq_encode: embedding dim ${emb.numElements()} != ${m}x$dsub")
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val book = bks(s)
+      val base = s * dsub
+      var best = 0
+      var bestD = subDist2(emb, base, book(0), isFloat)
+      var c = 1
+      while (c < book.length) {
+        val d = subDist2(emb, base, book(c), isFloat)
+        if (VecModel.cmpD(d, bestD) < 0) { best = c; bestD = d }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def pqLut(emb: ArrayData, bks: Array[Array[Array[Double]]], isFloat: Boolean): ArrayData = {
+    val m = bks.length
+    val cs = bks(0).length
+    val dsub = bks(0)(0).length
+    if (emb.numElements() != m * dsub)
+      throw new IllegalStateException(s"graft_pq_lut: embedding dim ${emb.numElements()} != ${m}x$dsub")
+    val out = new Array[Double](m * cs)
+    var s = 0
+    while (s < m) {
+      val book = bks(s)
+      val base = s * dsub
+      var c = 0
+      while (c < cs) {
+        out(s * cs + c) = subDist2(emb, base, book(c), isFloat)
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def pqDecode(codes: ArrayData, bks: Array[Array[Array[Double]]]): ArrayData = {
+    val m = bks.length
+    val cs = bks(0).length
+    val dsub = bks(0)(0).length
+    if (codes.numElements() != m)
+      throw new IllegalStateException(s"graft_pq_decode: |codes| ${codes.numElements()} != m $m")
+    val out = new Array[Double](m * dsub)
+    var s = 0
+    while (s < m) {
+      if (codes.isNullAt(s)) throw new IllegalStateException(s"graft_pq_decode: null code at subspace $s")
+      val c = codes.getInt(s)
+      if (c < 0 || c >= cs) throw new IllegalStateException(s"graft_pq_decode: code $c out of range [0, $cs)")
+      val cw = bks(s)(c)
+      var p = 0
+      while (p < dsub) {
+        out(s * dsub + p) = cw(p)
+        p += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def adc(codes: ArrayData, lut: ArrayData): Double = {
+    val m = codes.numElements()
+    if (m == 0 || lut.numElements() % m != 0)
+      throw new IllegalStateException(s"graft_adc: |lut| ${lut.numElements()} not a multiple of |codes| $m")
+    val cs = lut.numElements() / m
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      if (codes.isNullAt(s)) throw new IllegalStateException(s"graft_adc: null code at subspace $s")
+      val c = codes.getInt(s)
+      if (c < 0 || c >= cs) throw new IllegalStateException(s"graft_adc: code $c out of range [0, $cs)")
+      acc += lut.getDouble(s * cs + c)
+      s += 1
+    }
+    acc
+  }
+
+  def rotate(emb: ArrayData, mat: Array[Array[Double]], isFloat: Boolean): ArrayData = {
+    val dim = mat(0).length
+    if (emb.numElements() != dim)
+      throw new IllegalStateException(s"graft_rotate: embedding dim ${emb.numElements()} != matrix dim $dim")
+    val out = new Array[Double](mat.length)
+    var j = 0
+    while (j < mat.length) {
+      val row = mat(j)
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        acc += row(i) * VecModel.elem(emb, i, isFloat, "graft_rotate")
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def residual(emb: ArrayData, cell: Int, cents: Array[Array[Double]], isFloat: Boolean): ArrayData = {
+    if (cell < 0 || cell >= cents.length)
+      throw new IllegalStateException(s"graft_residual: cell $cell out of range [0, ${cents.length})")
+    val cen = cents(cell)
+    if (emb.numElements() != cen.length)
+      throw new IllegalStateException(s"graft_residual: embedding dim ${emb.numElements()} != centroid dim ${cen.length}")
+    val out = new Array[Double](cen.length)
+    var p = 0
+    while (p < cen.length) {
+      out(p) = VecModel.elem(emb, p, isFloat, "graft_residual") - cen(p)
+      p += 1
+    }
+    new GenericArrayData(out)
   }
 }

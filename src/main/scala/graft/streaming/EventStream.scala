@@ -422,7 +422,8 @@ object EventStream {
       maskHexDigits: Int = 1,
       maxShared: Int = 0,
       minChunk: Int = 16,
-  ): DataFrame =
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(docStream.sparkSession)
     docStream
       .withColumn("__t", graft.functions.TextFunctions.normText(col("text")))
       .withColumn(
@@ -436,6 +437,7 @@ object EventStream {
       )
       .where(col("n_shared_chunks") <= maxShared)
       .drop("__t")
+  }
 
   /** Corpus-scale variant of [[cdcGateStream]]: the known-chunk set is
     * a STATIC TABLE (a fingerprint lake — the distinct `fp` output of a
@@ -469,6 +471,7 @@ object EventStream {
       maskHexDigits: Int = 1,
       minChunk: Int = 16,
   ): DataFrame = {
+    graft.plans.GraftFunctions.register(docStream.sparkSession)
     val wm = docStream.withWatermark(tsCol, watermark)
     val payload = wm.select(col("doc_id"), col(tsCol), col("text"), lit(0L).as("__shared"))
     val hits = wm

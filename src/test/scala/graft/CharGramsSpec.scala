@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the native `graft_char_grams(text, k)` gram emitter
+  * value-for-value against the verbatim historical SQL formulation
+  * (`transform(sequence(1, length(t) - k + 1), i -> substring(t, i, k))`)
+  * on ASCII, multi-byte (2/3/4-byte code points), length == k and
+  * shorter-than-k inputs — the strings the char-grain repeated-span
+  * detector keys its whole index on.
+  */
+class CharGramsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "café déjà vu 中文文本 and 😀 emoji mix",
+    "中文文本每天都是好日子",
+    "exactly-k",
+    "short",
+    "",
+  )
+
+  for (k <- Seq(3, 9, 20)) {
+    test(s"graft_char_grams == transform/substring at k=$k") {
+      graft.plans.GraftFunctions.register(spark)
+      import spark.implicits._
+      val df = texts.toDF("t")
+      val rows = df
+        .select(
+          expr(s"graft_char_grams(t, $k)").as("native"),
+          expr(s"CASE WHEN length(t) >= $k THEN transform(sequence(1, length(t) - ${k - 1}), i -> substring(t, i, $k)) ELSE array() END").as("sql"),
+        )
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1))
+      }
+    }
+  }
+
+  test("arity and type errors are clean") {
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq("x").toDF("t")
+    intercept[Exception](df.select(expr("graft_char_grams(t)")).collect())
+    intercept[Exception](df.select(expr("graft_char_grams(t, 3, 4)")).collect())
+  }
+}

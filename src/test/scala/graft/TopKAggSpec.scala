@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[graft.plans.TopKPairs]] EXACTLY against the window
+  * formulation it replaces
+  * (`row_number().over(partitionBy(g).orderBy(score, id))` +
+  * `rank <= k`): same rows, same ranks, on a fixture that exercises
+  * every ordering corner the window sort defines — exact score ties
+  * (broken on id), ±0.0 (equal under Spark's double ordering), NaN
+  * (sorts greatest, so FIRST under desc / LAST under asc among
+  * non-nulls), null scores (asc_nulls_first / desc_nulls_last), groups
+  * smaller than k, and k larger than every group.
+  */
+class TopKAggSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def nat(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftSqlBridge.column(e)
+  private def ex(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    GraftSqlBridge.expression(c)
+
+  private def topK(k: Int, asc: Boolean, score: Column, id: Column, payload: Column*): Column =
+    nat(graft.plans.TopKPairs(ex(score), ex(id), payload.map(ex), k, asc).toAggregateExpression())
+
+  /** Fixture: 3 groups × scores with ties, ±0.0, NaN and nulls. */
+  private lazy val fixture: DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(
+      // group 0: plain values with an exact tie (ids 3 and 5 share 0.7)
+      (0L, java.lang.Double.valueOf(0.7), 3L, 10),
+      (0L, java.lang.Double.valueOf(0.7), 5L, 11),
+      (0L, java.lang.Double.valueOf(0.9), 1L, 12),
+      (0L, java.lang.Double.valueOf(0.1), 2L, 13),
+      (0L, java.lang.Double.valueOf(0.4), 4L, 14),
+      (0L, java.lang.Double.valueOf(0.4), 0L, 15),
+      // group 1: ±0.0 (equal under Spark ordering → tie on id), NaN,
+      // null score, and a negative value
+      (1L, java.lang.Double.valueOf(0.0), 7L, 20),
+      (1L, java.lang.Double.valueOf(-0.0), 6L, 21),
+      (1L, java.lang.Double.valueOf(Double.NaN), 9L, 22),
+      (1L, null.asInstanceOf[java.lang.Double], 8L, 23),
+      (1L, java.lang.Double.valueOf(-0.5), 10L, 24),
+      // group 2: fewer rows than any k we test
+      (2L, java.lang.Double.valueOf(0.3), 11L, 30),
+    ).map { case (g, s, i, p) => org.apache.spark.sql.Row(g, s, i, p) }
+    spark.createDataFrame(
+      rows.asJava,
+      org.apache.spark.sql.types.StructType(
+        Seq(
+          org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.IntegerType),
+        )
+      ),
+    ).repartition(4) // force partial/merge paths across tasks
+  }
+
+  private def windowed(k: Int, asc: Boolean): Seq[(Long, Long, Option[Double], Int, Int)] = {
+    val ord = if (asc) col("score").asc else col("score").desc
+    val w = Window.partitionBy(col("g")).orderBy(ord, col("id"))
+    fixture
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getInt(3), r.getInt(4)))
+      .toSeq
+      .sortBy(t => (t._1, t._5))
+  }
+
+  private def aggregated(k: Int, asc: Boolean): Seq[(Long, Long, Option[Double], Int, Int)] =
+    fixture
+      .groupBy(col("g"))
+      .agg(topK(k, asc, col("score"), col("id"), col("p")).as("tk"))
+      .select(col("g"), posexplode(col("tk")).as(Seq("r", "e")))
+      .select(col("g"), col("e.id"), col("e.score"), col("e.p0"), (col("r") + lit(1)).as("rk"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getInt(3), r.getInt(4)))
+      .toSeq
+      .sortBy(t => (t._1, t._5))
+
+  // NaN-safe comparison: Some(NaN) must equal Some(NaN)
+  private def canon(t: (Long, Long, Option[Double], Int, Int)): (Long, Long, Option[Long], Int, Int) =
+    (t._1, t._2, t._3.map(java.lang.Double.doubleToLongBits), t._4, t._5)
+
+  for (k <- Seq(1, 2, 3, 4, 100); asc <- Seq(true, false)) {
+    test(s"topk agg == row_number window (k=$k, asc=$asc)") {
+      assert(aggregated(k, asc).map(canon) === windowed(k, asc).map(canon))
+    }
+  }
+
+  test("payload-less form and long payload round-trip") {
+    val noP = fixture
+      .groupBy(col("g"))
+      .agg(topK(2, asc = false, col("score"), col("id")).as("tk"))
+      .select(col("g"), posexplode(col("tk")).as(Seq("r", "e")))
+      .select(col("g"), col("e.id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val expected = windowed(2, asc = false).map(t => (t._1, t._2)).toSet
+    assert(noP === expected)
+    // long payload (the lshAnn bucket column)
+    val longP = fixture
+      .withColumn("pl", col("p").cast("long") * 100L)
+      .groupBy(col("g"))
+      .agg(topK(2, asc = false, col("score"), col("id"), col("pl")).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("r", "e")))
+      .select(col("e.p0"))
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    val expectedP = windowed(2, asc = false).map(_._4.toLong * 100L).toSet
+    assert(longP === expectedP)
+  }
+}

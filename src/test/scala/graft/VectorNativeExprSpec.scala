@@ -167,6 +167,31 @@ class VectorNativeExprSpec extends AnyFunSuite {
     }
   }
 
+  test("PqDecode matches the per-component literal-array lookup tree") {
+    val m = 4
+    val dsub = dim / m
+    val cs = 3
+    val books: Array[Array[Array[Double]]] =
+      Array.tabulate(m, cs, dsub)((s, c, p) => math.cos((s * cs + c) * 5 + p) * 2)
+    for (df <- Seq(vecs, dvecs)) {
+      val coded = df.withColumn("codes", nat(graft.plans.PqEncode(ex(col("embedding")), books.map(b => cSeq(b)).toSeq)))
+      // verbatim historical spelling from opqTrainRotation
+      val yhatSql = array((0 until dim).map { j =>
+        val sub = j / dsub
+        val pos = j % dsub
+        element_at(
+          array((0 until cs).map(c => lit(books(sub)(c)(pos))): _*),
+          element_at(col("codes"), sub + 1) + 1,
+        )
+      }: _*)
+      assertColsEqual(
+        coded,
+        nat(graft.plans.PqDecode(ex(col("codes")), books.map(b => cSeq(b)).toSeq)),
+        yhatSql,
+      )
+    }
+  }
+
   test("graft_winnow_fps matches the historical SQL winnowing pipeline exactly") {
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)

@@ -154,7 +154,11 @@ class ZipfJoinPlanSpec extends AnyFunSuite {
         // may materialize once per arm — both instances bounded.)
         val nBroadcast = countMatches(plan, """BroadcastExchange""")
         assert(nBroadcast >= 1, plan)
-        assert(nBroadcast == countMatches(plan, """Filter \(gdf#\d+L >= 100\)"""), plan)
+        // every broadcast is the bounded >= hotMin frequency set; the
+        // hotMin predicate now wraps the collision-certified CASE WHEN
+        // gdf expression, so match the >= cut itself rather than a bare
+        // attribute reference
+        assert(nBroadcast == countMatches(plan, """ >= 100\)"""), plan)
         assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
         // and never a window: per-doc aggregation is a hash aggregate
         assert(!plan.contains("Window"), plan)
