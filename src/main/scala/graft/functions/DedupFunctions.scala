@@ -225,15 +225,16 @@ object DedupFunctions {
     // the df ≥ 2 shingles — and any colliding pair of distinct shingles
     // lands its hash group at df ≥ 2, so checking min(shingle) ==
     // max(shingle) within every df ≥ 2 hash group covers all
-    // collisions. The check is one keys-only aggregate over the shared
-    // tail (min/max partials combine map-side); on the astronomically
-    // rare hit (~n²/2⁶⁵) the query falls back to the bit-identical
-    // string-array formulation instead of ever returning a wrong count.
+    // collisions. The check is ONE aggregate over the checkpointed
+    // index (count + min/max partials combine map-side; the df ≥ 2
+    // restriction rides the same aggregate — no join); on the
+    // astronomically rare hit (~n²/2⁶⁵) the query falls back to the
+    // bit-identical string-array formulation instead of ever returning
+    // a wrong count.
     val collided = sh
-      .join(shared, "h")
       .groupBy(col("h"))
-      .agg(min(col("shingle")).as("__mn"), max(col("shingle")).as("__mx"))
-      .where(col("__mn") =!= col("__mx"))
+      .agg(count(lit(1)).as("__df"), min(col("shingle")).as("__mn"), max(col("shingle")).as("__mx"))
+      .where(col("__df") >= 2 && col("__mn") =!= col("__mx"))
     val token = if (collided.isEmpty) col("h") else col("shingle")
     val docSets = sh
       .join(shared, "h")
